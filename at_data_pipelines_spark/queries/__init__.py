@@ -1,0 +1,7 @@
+"""Query registry package — import all topic modules to populate REGISTRY."""
+
+from .registry import QUERIES, ORACLES, register  # noqa: F401
+
+from . import relational  # noqa: F401,E402
+from . import windows  # noqa: F401,E402
+from . import llm  # noqa: F401,E402

@@ -1,0 +1,278 @@
+"""Window / time-series queries over the events panel (SURVEY §2.5).
+
+These mirror the reference's core idiom — per-entity ordered windows
+(``.over("ticker")`` in Polars; `pipelines/returns_flow.py:20`,
+`pipelines/reversal_flow.py:20-25`, `pipelines/factor_model_flow.py:99-103`)
+— on the driver's ``events`` table (entity = user_id, time = ts).
+
+Determinism: all ordering and bucketing uses int64 epoch-micros (``ts_us`` /
+DuckDB ``epoch_us(ts)`` — DuckDB truncates parquet ns-timestamps to µs on
+scan, so µs is the common resolution); rolling sums/stds use exact scaled
+integer window sums so Spark and DuckDB produce bit-identical doubles.
+Incomplete windows yield NULL (Polars min-periods semantics — SURVEY §7.5.2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..io import load_table
+from .registry import register
+
+# per-user event order; event_id tiebreak makes it total
+_ORDER_SQL = "PARTITION BY user_id ORDER BY epoch_us(ts), event_id"
+
+
+def _events(spark, sf_dir) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+def _w():
+    return W.partitionBy("user_id").orderBy("ts_us", "event_id")
+
+
+# --------------------------------------------------------------------------
+# q20 — pct_change per entity (reference W1: pipelines/returns_flow.py:20).
+# --------------------------------------------------------------------------
+@register(
+    "q20_pct_change",
+    oracle=f"""
+    SELECT user_id, event_id,
+           value / LAG(value) OVER ({_ORDER_SQL}) - 1 AS pct_change
+    FROM events
+    """,
+)
+def q20_pct_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    return e.select(
+        "user_id",
+        "event_id",
+        (F.col("value") / F.lag("value").over(_w()) - 1).alias("pct_change"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q21 — rolling sum, 21-row window, min_periods=21 (reference W2:
+#        pipelines/reversal_flow.py:20-25 rolling_sum(21) null-padded).
+# --------------------------------------------------------------------------
+@register(
+    "q21_rolling_sum_21",
+    oracle=f"""
+    SELECT user_id, event_id,
+           CASE WHEN COUNT(*) OVER w >= 21 THEN
+             CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) OVER w AS DOUBLE)/100
+           END AS roll_sum
+    FROM events
+    WINDOW w AS ({_ORDER_SQL} ROWS BETWEEN 20 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q21_rolling_sum_21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    w = _w().rowsBetween(-20, 0)
+    cents = F.round(F.col("value") * 100).cast("long")
+    return e.select(
+        "user_id",
+        "event_id",
+        F.when(
+            F.count("*").over(w) >= 21, F.sum(cents).over(w).cast("double") / 100
+        ).alias("roll_sum"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q22 — rolling sample std, 20-row window, min_periods=20 (reference W3:
+#        pipelines/factor_model_flow.py:99-103 rolling_std(252)).
+#        Computed closed-form from exact integer window sums: identical
+#        doubles in both engines, immune to Welford-vs-merge differences.
+# --------------------------------------------------------------------------
+_STD_SQL = """
+    CASE WHEN COUNT(*) OVER w >= 20 THEN
+      SQRT(GREATEST(
+        ( CAST(SUM(CAST(ROUND(value*100) AS BIGINT)*CAST(ROUND(value*100) AS BIGINT)) OVER w AS DOUBLE)/10000
+          - (CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) OVER w AS DOUBLE)/100)
+            * (CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) OVER w AS DOUBLE)/100)
+            / (COUNT(*) OVER w)
+        ) / (COUNT(*) OVER w - 1), 0.0))
+    END
+"""
+
+
+@register(
+    "q22_rolling_std_20",
+    oracle=f"""
+    SELECT user_id, event_id, {_STD_SQL} AS roll_std
+    FROM events
+    WINDOW w AS ({_ORDER_SQL} ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q22_rolling_std_20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    w = _w().rowsBetween(-19, 0)
+    cents = F.round(F.col("value") * 100).cast("long")
+    n = F.count("*").over(w)
+    sx = F.sum(cents).over(w).cast("double") / 100
+    sxx = F.sum(cents * cents).over(w).cast("double") / 10000
+    var = (sxx - sx * sx / n) / (n - 1)
+    return e.select(
+        "user_id",
+        "event_id",
+        F.when(n >= 20, F.sqrt(F.greatest(var, F.lit(0.0)))).alias("roll_std"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q23 — global z-score, whole-frame mean/std (reference A3/F12:
+#        pipelines/reversal_flow.py:39-42 — deliberately NOT per-group).
+# --------------------------------------------------------------------------
+@register(
+    "q23_zscore_global",
+    oracle="""
+    WITH stats AS (
+        SELECT CAST(SUM(n_chars) AS DOUBLE) AS sx,
+               CAST(SUM(n_chars*n_chars) AS DOUBLE) AS sxx,
+               COUNT(*) AS n
+        FROM documents)
+    SELECT doc_id,
+           ROUND((n_chars - sx/n) /
+                 SQRT((sxx - sx*sx/n) / (n - 1)), 9) AS zscore
+    FROM documents, stats
+    """,
+)
+def q23_zscore_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    stats = d.agg(
+        F.sum("n_chars").cast("double").alias("sx"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).cast("double").alias("sxx"),
+        F.count("*").alias("n"),
+    )
+    # one-row aggregate broadcast back over the frame (crossJoin of a 1-row
+    # df is a BroadcastNestedLoopJoin — free at any scale)
+    return d.crossJoin(F.broadcast(stats)).select(
+        "doc_id",
+        F.round(
+            (F.col("n_chars") - F.col("sx") / F.col("n"))
+            / F.sqrt((F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / (F.col("n") - 1)),
+            9,
+        ).alias("zscore"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q24 — per-partition count as denominator (reference A6/W10:
+#        pipelines/benchmark_flow.py:16 equal-weight 1/len().over(date)).
+#        Day is derived from epoch-nanos → timezone-independent.
+# --------------------------------------------------------------------------
+@register(
+    "q24_equal_weight_daily",
+    oracle="""
+    SELECT DATE '1970-01-01' + CAST(epoch_us(ts) // 86400000000 AS INT) AS day,
+           user_id,
+           COUNT(*) AS n_events,
+           1.0 / COUNT(*) AS equal_weight
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q24_equal_weight_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    day = F.date_add(
+        F.lit("1970-01-01").cast("date"),
+        F.expr("CAST(ts_us DIV 86400000000 AS INT)"),
+    )
+    return (
+        e.groupBy(day.alias("day"), "user_id")
+        .agg(F.count("*").alias("n_events"), (F.lit(1.0) / F.count("*")).alias("equal_weight"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q25 — sessionization: 30-min inactivity gap → session ids → per-session
+#        aggregates. Lag + cumulative-sum window idiom.
+# --------------------------------------------------------------------------
+@register(
+    "q25_sessionization",
+    oracle=f"""
+    WITH flagged AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+               CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER ({_ORDER_SQL})
+                         > 1800000000 THEN 1
+                    WHEN LAG(epoch_us(ts)) OVER ({_ORDER_SQL}) IS NULL THEN 1
+                    ELSE 0 END AS is_new
+        FROM events),
+    sessions AS (
+        SELECT *, SUM(is_new) OVER (PARTITION BY user_id
+                                    ORDER BY ts_us, event_id) AS session_id
+        FROM flagged)
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           COUNT(*) AS n_events,
+           CAST(MAX(ts_us) - MIN(ts_us) AS DOUBLE)/1000000 AS duration_s,
+           CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS DOUBLE)/100 AS total_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def q25_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    w = _w()
+    gap = F.col("ts_us") - F.lag("ts_us").over(w)
+    is_new = F.when(gap > 1800 * 10**6, 1).when(gap.isNull(), 1).otherwise(0)
+    sessions = e.withColumn("is_new", is_new).withColumn(
+        "session_id", F.sum("is_new").over(w)
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        ((F.max("ts_us") - F.min("ts_us")).cast("double") / 10**6).alias("duration_s"),
+        (F.sum(F.round(F.col("value") * 100).cast("long")).cast("double") / 100).alias(
+            "total_value"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# q26 — tumbling 5-minute window aggregation (batch equivalent of the
+#        streaming module's windowed agg; bucket on epoch-nanos).
+# --------------------------------------------------------------------------
+@register(
+    "q26_tumbling_5min",
+    oracle="""
+    SELECT epoch_us(ts) // 300000000 * 300 AS bucket_start_s,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS DOUBLE)/100 AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q26_tumbling_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    bucket = (F.expr("ts_us DIV 300000000") * 300).alias("bucket_start_s")
+    return e.groupBy(bucket, "event_type").agg(
+        F.count("*").alias("n_events"),
+        (F.sum(F.round(F.col("value") * 100).cast("long")).cast("double") / 100).alias(
+            "total_value"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# q27 — order-insensitive collect: sorted distinct set → csv string
+#        (reference A2 collect_list made deterministic). [A2,O3]
+# --------------------------------------------------------------------------
+@register(
+    "q27_event_types_per_user",
+    oracle="""
+    SELECT user_id,
+           STRING_AGG(DISTINCT event_type, ',' ORDER BY event_type) AS types_csv,
+           COUNT(DISTINCT event_type) AS n_types
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q27_event_types_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    return e.groupBy("user_id").agg(
+        F.array_join(F.array_sort(F.collect_set("event_type")), ",").alias("types_csv"),
+        F.countDistinct("event_type").alias("n_types"),
+    )

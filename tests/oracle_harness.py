@@ -1,0 +1,75 @@
+"""Local replica of the driver's DuckDB-oracle correctness check.
+
+Runs a registered Spark query and its oracle SQL on the same sf dir,
+then compares row count, column names/order-insensitive values. Values
+are compared exactly (the registry's determinism policy should make
+them bit-identical); floats get a 1e-9 fallback tolerance with a flag
+so tests can distinguish "exact" from "close".
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pandas as pd
+
+from at_data_pipelines_spark.io import TABLES
+
+
+def run_oracle(sf_dir: str, sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con.execute(sql).df()
+
+
+def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            continue
+        # normalize numeric-ish dtypes (duckdb hugeint → object/float, etc.)
+        if pd.api.types.is_integer_dtype(df[c]) or pd.api.types.is_bool_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype("float64")
+        elif pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+def compare(spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> dict:
+    out = {"rows_match": len(spark_df) == len(oracle_df), "exact": False, "close": False}
+    a, b = canonicalize(spark_df), canonicalize(oracle_df)
+    out["schema_match"] = list(a.columns) == list(b.columns)
+    if not (out["rows_match"] and out["schema_match"]):
+        out["detail"] = f"rows {len(a)} vs {len(b)}, cols {list(a.columns)} vs {list(b.columns)}"
+        return out
+    exact = True
+    close = True
+    first_diff = None
+    for c in a.columns:
+        av, bv = a[c], b[c]
+        if pd.api.types.is_float_dtype(av):
+            both_nan = av.isna() & bv.isna()
+            eq = (av == bv) | both_nan
+            if not eq.all():
+                exact = False
+                near = eq | ((av - bv).abs() < 1e-9)
+                if not near.all():
+                    close = False
+                    i = int((~near).idxmax())
+                    first_diff = (c, av[i], bv[i])
+        else:
+            eq = (av == bv) | (av.isna() & bv.isna())
+            if not eq.all():
+                exact = False
+                close = False
+                i = int((~eq).idxmax())
+                first_diff = (c, av[i], bv[i])
+    out["exact"] = exact
+    out["close"] = exact or close
+    if first_diff:
+        out["detail"] = f"col {first_diff[0]}: spark={first_diff[1]!r} oracle={first_diff[2]!r}"
+    return out

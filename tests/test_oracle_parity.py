@@ -1,0 +1,35 @@
+"""Every registered query with an oracle must match DuckDB exactly.
+
+This mirrors the driver's t2 gate (row-count + schema + value-hash),
+so a pass here at sf0.001/sf0.01 predicts a pass in CORRECTNESS_r{N}.json.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from at_data_pipelines_spark.queries import ORACLES, QUERIES
+
+from .oracle_harness import compare, run_oracle
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_matches_oracle(spark, sf_dir, name):
+    sdf = QUERIES[name](spark, sf_dir).toPandas()
+    odf = run_oracle(sf_dir, ORACLES[name])
+    res = compare(sdf, odf)
+    assert res["rows_match"] and res["schema_match"], res.get("detail", res)
+    assert res["exact"], f"values differ: {res.get('detail')}"
+
+
+def test_all_queries_have_callables():
+    for name in QUERIES:
+        assert callable(QUERIES[name])
+
+
+def test_entry_runs(spark):
+    import __spark_entry__ as m
+
+    df = m.entry(spark)
+    assert df.count() >= 0
+    assert len(df.columns) >= 2
