@@ -1,0 +1,260 @@
+"""Lakehouse table layer — Spark-native rebuild of the reference's bear-lake
+protocol (SURVEY §0, §2.1 S1-S4).
+
+Observable reference API (all call sites under /root/reference):
+
+- ``bl.connect_s3(path, ...) -> Database``      (pipelines/clients/bear_lake.py:25-26)
+- ``db.create(name, schema, partition_keys, primary_keys, mode)``
+                                                 (pipelines/stock_prices_flow.py:99-115)
+- ``db.insert(name, data, mode='append')``       (pipelines/stock_prices_flow.py:118)
+- ``db.optimize(name)`` — dedup by primary keys  (pipelines/stock_prices_flow.py:121)
+- ``bl.table(name)`` lazy scan → ``db.query(expr)`` collect
+                                                 (pipelines/utils/data.py:12-17)
+
+Spark-first restatement:
+
+- A table is a directory of hive-partitioned parquet plus a small JSON
+  metadata file (declared schema, partition keys, primary keys, ingest
+  sequence, dirty partitions).
+- ``insert`` appends parquet files stamped with an ``_seq`` batch column.
+- ``optimize`` completes the upsert: keep the latest row per primary key
+  (``row_number() OVER (PARTITION BY pk ORDER BY _seq DESC) = 1``), the
+  same rewrite Delta's MERGE would do.
+- ``table`` returns a plain DataFrame; every downstream op is lazy, so
+  Catalyst pushes filters/projections into the scan and prunes hive
+  partitions (the reference's partition_keys=['year'] layout).
+
+100 TB scale notes:
+
+- ``optimize`` only rewrites **dirty partitions** (partition values touched
+  by inserts since the last optimize), via dynamic partition overwrite —
+  compaction cost is proportional to the day's ingest, not table size.
+  This mirrors the reference's usage: daily flows insert a single year
+  partition, so only that partition pays the dedup shuffle.
+- The PK dedup is a hash shuffle on the primary key — at cluster scale the
+  natural layout is files bucketed by PK hash; here we rely on AQE to size
+  the shuffle.
+- No driver-side materialization anywhere; creates write empty dataframes,
+  reads use the declared schema (robust to empty tables).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window as W
+
+_META_FILE = "_bl_meta.json"
+_SEQ_COL = "_seq"
+
+
+@dataclass
+class TableMeta:
+    name: str
+    schema_json: str
+    partition_keys: list[str] = field(default_factory=list)
+    primary_keys: list[str] = field(default_factory=list)
+    next_seq: int = 0
+    dirty_partitions: list[list] = field(default_factory=list)  # values of partition_keys tuples
+    all_dirty: bool = False
+
+    @property
+    def schema(self) -> T.StructType:
+        return T.StructType.fromJson(json.loads(self.schema_json))
+
+
+class Lakehouse:
+    """A directory-rooted lakehouse database (local FS here; any Hadoop FS
+    URI — s3a://, hdfs:// — works unchanged on a cluster)."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root.rstrip("/")
+        os.makedirs(self.root, exist_ok=True)
+
+    # -- metadata ----------------------------------------------------------
+    def _dir(self, name: str) -> str:
+        return f"{self.root}/{name}"
+
+    def _meta_path(self, name: str) -> str:
+        return f"{self._dir(name)}/{_META_FILE}"
+
+    def _load_meta(self, name: str) -> TableMeta:
+        with open(self._meta_path(name)) as f:
+            d = json.load(f)
+        return TableMeta(**d)
+
+    def _save_meta(self, meta: TableMeta) -> None:
+        os.makedirs(self._dir(meta.name), exist_ok=True)
+        with open(self._meta_path(meta.name), "w") as f:
+            json.dump(meta.__dict__, f)
+
+    def exists(self, name: str) -> bool:
+        return os.path.exists(self._meta_path(name))
+
+    def tables(self) -> list[str]:
+        if not os.path.isdir(self.root):
+            return []
+        return sorted(
+            d for d in os.listdir(self.root) if os.path.exists(self._meta_path(d))
+        )
+
+    # -- DDL ---------------------------------------------------------------
+    def create(
+        self,
+        name: str,
+        schema: T.StructType,
+        partition_keys: list[str] | None = None,
+        primary_keys: list[str] | None = None,
+        mode: str = "skip",
+    ) -> None:
+        """Reference create modes (pipelines/portfolio_weights_flow.py:152-163):
+        ``skip`` = CREATE TABLE IF NOT EXISTS, ``replace`` = CREATE OR REPLACE.
+        """
+        if mode not in ("skip", "replace"):
+            raise ValueError(f"mode must be 'skip' or 'replace', got {mode!r}")
+        if self.exists(name):
+            if mode == "skip":
+                return
+            shutil.rmtree(self._dir(name))
+        for k in (partition_keys or []) + (primary_keys or []):
+            if k not in schema.fieldNames():
+                raise ValueError(f"key {k!r} not in schema for table {name!r}")
+        meta = TableMeta(
+            name=name,
+            schema_json=json.dumps(schema.jsonValue()),
+            partition_keys=list(partition_keys or []),
+            primary_keys=list(primary_keys or []),
+        )
+        self._save_meta(meta)
+
+    def drop(self, name: str) -> None:
+        if self.exists(name):
+            shutil.rmtree(self._dir(name))
+
+    # -- DML ---------------------------------------------------------------
+    def insert(self, name: str, df: DataFrame, mode: str = "append") -> None:
+        """Append a batch (stamped with an ingest sequence for keep-latest
+        dedup). ``mode='overwrite'`` truncates first."""
+        meta = self._load_meta(name)
+        declared = meta.schema
+        cols = [F.col(f.name).cast(f.dataType).alias(f.name) for f in declared.fields]
+        batch = df.select(*cols).withColumn(_SEQ_COL, F.lit(meta.next_seq))
+        writer = batch.write.mode("append" if mode == "append" else "overwrite")
+        if meta.partition_keys:
+            writer = writer.partitionBy(*meta.partition_keys)
+        writer.parquet(f"{self._dir(name)}/data")
+        meta.next_seq += 1
+        if meta.partition_keys:
+            # record which partition values this batch touched (tiny collect:
+            # distinct over partition keys only)
+            vals = (
+                df.select(*[F.col(k).cast(declared[k].dataType) for k in meta.partition_keys])
+                .distinct()
+                .collect()
+            )
+            seen = {tuple(r) for r in meta.dirty_partitions}
+            for r in vals:
+                tup = tuple(r)
+                if tup not in seen:
+                    meta.dirty_partitions.append(list(tup))
+                    seen.add(tup)
+        else:
+            meta.all_dirty = True
+        self._save_meta(meta)
+
+    def _read_raw(self, name: str, meta: TableMeta) -> DataFrame:
+        data_dir = f"{self._dir(name)}/data"
+        schema_with_seq = T.StructType(
+            meta.schema.fields + [T.StructField(_SEQ_COL, T.LongType(), True)]
+        )
+        if not os.path.isdir(data_dir):
+            return self.spark.createDataFrame([], schema_with_seq)
+        return (
+            self.spark.read.schema(schema_with_seq)
+            .option("basePath", data_dir)
+            .parquet(data_dir)
+        )
+
+    def table(self, name: str) -> DataFrame:
+        """Lazy scan (reference S1). Plain DataFrame — filter/select compose
+        lazily and Catalyst pushes them into the parquet scan."""
+        meta = self._load_meta(name)
+        return self._read_raw(name, meta).drop(_SEQ_COL)
+
+    def query(self, df: DataFrame):
+        """Reference ``db.query(lazy) -> eager frame`` (pipelines/utils/data.py:12).
+        Returns a pandas DataFrame; prefer staying in Spark when composing."""
+        return df.toPandas()
+
+    # -- upsert completion -------------------------------------------------
+    def optimize(self, name: str) -> None:
+        """Deduplicate by primary key, keeping the latest inserted row
+        (reference S4: 'Optimize table (deduplicate)',
+        pipelines/portfolio_weights_flow.py:168-169).
+
+        Only dirty partitions are rewritten (dynamic partition overwrite),
+        so the cost scales with the ingest, not the table.
+        """
+        meta = self._load_meta(name)
+        if not meta.primary_keys:
+            return
+        if not (meta.dirty_partitions or meta.all_dirty):
+            return
+        raw = self._read_raw(name, meta)
+        part_filter = None
+        if meta.partition_keys and not meta.all_dirty:
+            for vals in meta.dirty_partitions:
+                cond = F.lit(True)
+                for k, v in zip(meta.partition_keys, vals):
+                    cond = cond & (F.col(k) == F.lit(v))
+                part_filter = cond if part_filter is None else (part_filter | cond)
+            raw = raw.filter(part_filter)  # partition-pruned scan
+        w = W.partitionBy(*meta.primary_keys).orderBy(F.desc(_SEQ_COL))
+        deduped = (
+            raw.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+        )
+        # Spark cannot overwrite a path it is reading; write compacted data
+        # to a staging dir, then swap the affected partition directories in
+        # (an fs rename — atomic-ish on HDFS/S3A-committers, instant locally).
+        data_dir = f"{self._dir(name)}/data"
+        tmp_dir = f"{self._dir(name)}/.compact_tmp"
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        writer = deduped.write.mode("overwrite")
+        if meta.partition_keys:
+            writer = writer.partitionBy(*meta.partition_keys)
+        writer.parquet(tmp_dir)
+        self._swap_partitions(data_dir, tmp_dir, meta)
+        meta.dirty_partitions = []
+        meta.all_dirty = False
+        self._save_meta(meta)
+
+    def _swap_partitions(self, data_dir: str, tmp_dir: str, meta: TableMeta) -> None:
+        rewrite_all = meta.all_dirty or not meta.partition_keys
+        if rewrite_all:
+            shutil.rmtree(data_dir, ignore_errors=True)
+            shutil.move(tmp_dir, data_dir)
+            return
+        import glob
+
+        pattern = "/".join(["*=*"] * len(meta.partition_keys))
+        for leaf in glob.glob(f"{tmp_dir}/{pattern}"):
+            if not os.path.isdir(leaf):
+                continue
+            rel = os.path.relpath(leaf, tmp_dir)
+            dest = os.path.join(data_dir, rel)
+            shutil.rmtree(dest, ignore_errors=True)
+            os.makedirs(os.path.dirname(dest), exist_ok=True)
+            shutil.move(leaf, dest)
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+
+    def upsert(self, name: str, df: DataFrame) -> None:
+        """The reference's writer idiom: insert(append) + optimize()."""
+        self.insert(name, df)
+        self.optimize(name)

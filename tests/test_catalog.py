@@ -1,0 +1,134 @@
+"""Lakehouse protocol tests (SURVEY §2.1 S1-S4, §5 plan items 2-3).
+
+Covers: create modes skip/replace, append insert, optimize PK-dedup
+(keep latest), upsert idempotence, empty-table reads, partition pruning.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from at_data_pipelines_spark.catalog import Lakehouse
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("ticker", T.StringType()),
+        T.StructField("date", T.DateType()),
+        T.StructField("year", T.IntegerType()),
+        T.StructField("close", T.DoubleType()),
+    ]
+)
+
+
+@pytest.fixture()
+def lake(spark, tmp_path):
+    return Lakehouse(spark, str(tmp_path / "lake"))
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        [(t, __import__("datetime").date.fromisoformat(d), int(d[:4]), c) for t, d, c in rows],
+        SCHEMA,
+    )
+
+
+def test_create_skip_and_replace(lake, spark):
+    lake.create("prices", SCHEMA, ["year"], ["date", "ticker"], mode="skip")
+    lake.insert("prices", _df(spark, [("A", "2024-01-02", 10.0)]))
+    # skip: re-create is a no-op, data survives
+    lake.create("prices", SCHEMA, ["year"], ["date", "ticker"], mode="skip")
+    assert lake.table("prices").count() == 1
+    # replace: table is truncated
+    lake.create("prices", SCHEMA, ["year"], ["date", "ticker"], mode="replace")
+    assert lake.table("prices").count() == 0
+
+
+def test_empty_table_read(lake, spark):
+    lake.create("t", SCHEMA, ["year"], ["date", "ticker"])
+    df = lake.table("t")
+    assert df.count() == 0
+    assert df.columns == ["ticker", "date", "year", "close"]
+
+
+def test_upsert_keeps_latest(lake, spark):
+    lake.create("prices", SCHEMA, ["year"], ["date", "ticker"])
+    lake.insert("prices", _df(spark, [("A", "2024-01-02", 10.0), ("B", "2024-01-02", 20.0)]))
+    lake.insert("prices", _df(spark, [("A", "2024-01-02", 11.0)]))  # revision
+    lake.optimize("prices")
+    rows = {(r.ticker, str(r.date)): r.close for r in lake.table("prices").collect()}
+    assert rows == {("A", "2024-01-02"): 11.0, ("B", "2024-01-02"): 20.0}
+
+
+def test_upsert_idempotent(lake, spark):
+    """Insert same batch twice + optimize ⇒ identical table (re-runs safe —
+    the reference's idempotent daily-flow property)."""
+    lake.create("prices", SCHEMA, ["year"], ["date", "ticker"])
+    batch = _df(spark, [("A", "2024-01-02", 10.0), ("A", "2024-01-03", 10.5)])
+    lake.upsert("prices", batch)
+    lake.upsert("prices", batch)
+    out = lake.table("prices")
+    assert out.count() == 2
+    assert out.select("ticker", "date").distinct().count() == 2
+
+
+def test_optimize_only_rewrites_dirty_partitions(lake, spark):
+    lake.create("prices", SCHEMA, ["year"], ["date", "ticker"])
+    lake.upsert("prices", _df(spark, [("A", "2023-06-01", 1.0), ("A", "2024-01-02", 2.0)]))
+    # second upsert touches only 2024 — 2023 partition must not be rewritten
+    import glob, os
+
+    before = set(glob.glob(f"{lake._dir('prices')}/data/year=2023/*.parquet"))
+    lake.upsert("prices", _df(spark, [("A", "2024-01-02", 3.0)]))
+    after = set(glob.glob(f"{lake._dir('prices')}/data/year=2023/*.parquet"))
+    assert before == after, "clean partition was rewritten"
+    rows = {(r.ticker, str(r.date)): r.close for r in lake.table("prices").collect()}
+    assert rows[("A", "2024-01-02")] == 3.0
+    assert rows[("A", "2023-06-01")] == 1.0
+
+
+def test_partition_pruning_in_plan(lake, spark):
+    lake.create("prices", SCHEMA, ["year"], ["date", "ticker"])
+    lake.upsert("prices", _df(spark, [("A", "2023-06-01", 1.0), ("A", "2024-01-02", 2.0)]))
+    plan = (
+        lake.table("prices")
+        .filter(F.col("year") == 2024)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "year" in plan
+    # pruned scan reads one partition: verify row count via the fast path
+    assert lake.table("prices").filter(F.col("year") == 2024).count() == 1
+
+
+def test_unpartitioned_pk_table(lake, spark):
+    schema = T.StructType(
+        [T.StructField("date", T.DateType()), T.StructField("ret", T.DoubleType())]
+    )
+    import datetime
+
+    lake.create("benchmark_returns", schema, [], ["date"])
+    df1 = spark.createDataFrame([(datetime.date(2024, 1, 2), 0.01)], schema)
+    df2 = spark.createDataFrame([(datetime.date(2024, 1, 2), 0.02)], schema)
+    lake.upsert("benchmark_returns", df1)
+    lake.upsert("benchmark_returns", df2)
+    out = lake.table("benchmark_returns").collect()
+    assert len(out) == 1 and out[0].ret == 0.02
+
+
+def test_schema_projection_on_insert(lake, spark):
+    """Inserts project onto the declared schema (reference ingestion
+    pattern: infer then project, pipelines/stock_prices_flow.py:57)."""
+    lake.create("prices", SCHEMA, ["year"], ["date", "ticker"])
+    import datetime
+
+    extra = spark.createDataFrame(
+        [("A", datetime.date(2024, 1, 2), 2024, 1.0, "junk")],
+        SCHEMA.add("noise", T.StringType()),
+    ).select("noise", "close", "year", "date", "ticker")  # shuffled cols + extra
+    lake.insert("prices", extra)
+    row = lake.table("prices").collect()[0]
+    assert row.ticker == "A" and row.close == 1.0
+    assert "noise" not in lake.table("prices").columns
