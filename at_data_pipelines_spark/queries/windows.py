@@ -276,3 +276,59 @@ def q27_event_types_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.array_sort(F.collect_set("event_type")), ",").alias("types_csv"),
         F.countDistinct("event_type").alias("n_types"),
     )
+
+
+# --------------------------------------------------------------------------
+# q28 — exponential smoothing, half-life 10 (reference W4:
+#        pipelines/factor_model_flow.py:87 ewm_mean(half_life=60),
+#        Polars adjust=True). Spark: Arrow applyInPandas recursion; oracle:
+#        direct O(n²)-per-group weighted sum (exact same math, different fp
+#        path — hence round(4)).
+# --------------------------------------------------------------------------
+@register(
+    "q28_ewm_halflife10",
+    oracle=f"""
+    WITH r AS (
+        SELECT user_id, event_id, value,
+               ROW_NUMBER() OVER ({_ORDER_SQL}) AS rn
+        FROM events)
+    SELECT a.user_id, a.event_id,
+           ROUND(SUM(POW(0.5, (a.rn - b.rn)/10.0) * b.value)
+                 / SUM(POW(0.5, (a.rn - b.rn)/10.0)), 4) AS ewm
+    FROM r a JOIN r b ON a.user_id = b.user_id AND b.rn <= a.rn
+    GROUP BY a.user_id, a.event_id
+    """,
+)
+def q28_ewm_halflife10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ts import ewm_mean
+
+    e = _events(spark, sf_dir).select("user_id", "event_id", "ts_us", "value")
+    out = ewm_mean(
+        e, "value", halflife=10.0, partition_cols=["user_id"], order_cols=["ts_us", "event_id"]
+    )
+    return out.select("user_id", "event_id", F.round("ewm", 4).alias("ewm"))
+
+
+# --------------------------------------------------------------------------
+# q29 — keep-latest-per-key dedup: the catalog's optimize() kernel
+#        (reference S4, pipelines/stock_prices_flow.py:121) as a query.
+# --------------------------------------------------------------------------
+@register(
+    "q29_keep_latest_event",
+    oracle=f"""
+    SELECT user_id, event_type, event_id, value FROM (
+        SELECT user_id, event_type, event_id, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        FROM events) t
+    WHERE rn = 1
+    """,
+)
+def q29_keep_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    w = W.partitionBy("user_id", "event_type").orderBy(F.desc("ts_us"), F.desc("event_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "value")
+    )

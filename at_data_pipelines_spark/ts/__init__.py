@@ -1,0 +1,9 @@
+from .windows import (  # noqa: F401
+    entity_window,
+    ewm_mean,
+    pct_change,
+    rolling_mean,
+    rolling_std,
+    rolling_sum,
+    zscore_global,
+)

@@ -1,0 +1,123 @@
+"""Panel time-series operators (SURVEY §2.5 W1-W5).
+
+The reference operates on (entity, date) panels with Polars
+``expr.over("ticker")`` windows; these helpers reproduce those semantics on
+Spark windows, including Polars' null-padding of incomplete rolling windows
+(min_periods — SURVEY §7.5.2), which Spark's bounded frames don't do natively.
+
+Reference parity citations:
+- pct_change:      pipelines/returns_flow.py:20,57
+- rolling_sum:     pipelines/reversal_flow.py:20-25 (21-day reversal)
+- rolling_std:     pipelines/factor_model_flow.py:99-103 (252-day idio vol)
+- ewm_mean:        pipelines/factor_model_flow.py:87, pipelines/betas_flow.py:70-72
+                   (half_life=60 exponential smoothing, adjust=True)
+- zscore (global): pipelines/reversal_flow.py:39-42 (whole-frame, NOT per-date)
+
+Scale notes: all bounded-window ops are single-shuffle (hash by entity,
+sort by time within partition) and stay in whole-stage codegen. ewm_mean is
+a recursive scan with no bounded-frame equivalent, so it runs as an Arrow
+``applyInPandas`` per entity — one shuffle, O(rows) per group, groups
+processed independently across executors (the panel has millions of
+entities at corpus scale, so parallelism is ample).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window, WindowSpec
+
+
+def entity_window(
+    partition: Sequence[str] = ("ticker",), order: Sequence[str] = ("date",)
+) -> WindowSpec:
+    """The reference's universal window: per-entity, time-ordered."""
+    return Window.partitionBy(*partition).orderBy(*order)
+
+
+def pct_change(col: str | Column, w: WindowSpec) -> Column:
+    """Polars ``pct_change()`` — simple return vs previous row (W1)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c / F.lag(c, 1).over(w) - 1
+
+
+def _rolling(agg: Column, w: WindowSpec, window: int, min_periods: int | None) -> Column:
+    mp = window if min_periods is None else min_periods
+    frame = w.rowsBetween(-(window - 1), 0)
+    guarded = F.when(F.count(F.lit(1)).over(frame) >= mp, agg)
+    return guarded
+
+
+def rolling_sum(
+    col: str | Column, w: WindowSpec, window: int, min_periods: int | None = None
+) -> Column:
+    """Polars ``rolling_sum(window)`` — NULL until min_periods rows seen (W2)."""
+    c = F.col(col) if isinstance(col, str) else col
+    frame = w.rowsBetween(-(window - 1), 0)
+    return _rolling(F.sum(c).over(frame), w, window, min_periods)
+
+
+def rolling_mean(
+    col: str | Column, w: WindowSpec, window: int, min_periods: int | None = None
+) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    frame = w.rowsBetween(-(window - 1), 0)
+    return _rolling(F.avg(c).over(frame), w, window, min_periods)
+
+
+def rolling_std(
+    col: str | Column, w: WindowSpec, window: int, min_periods: int | None = None
+) -> Column:
+    """Polars ``rolling_std(window)`` — sample std, NULL-padded (W3)."""
+    c = F.col(col) if isinstance(col, str) else col
+    frame = w.rowsBetween(-(window - 1), 0)
+    return _rolling(F.stddev_samp(c).over(frame), w, window, min_periods)
+
+
+def zscore_global(df: DataFrame, col: str, out_col: str = "zscore") -> DataFrame:
+    """Whole-frame z-score (reference A3/F12 — deliberately not per-group).
+
+    One-row aggregate broadcast back via crossJoin — no window over a single
+    giant partition (which would serialize the whole table through one task).
+    """
+    stats = df.agg(
+        F.avg(col).alias("_mu"), F.stddev_samp(col).alias("_sigma")
+    )
+    return (
+        df.crossJoin(F.broadcast(stats))
+        .withColumn(out_col, (F.col(col) - F.col("_mu")) / F.col("_sigma"))
+        .drop("_mu", "_sigma")
+    )
+
+
+def ewm_mean(
+    df: DataFrame,
+    value_col: str,
+    halflife: float,
+    partition_cols: Sequence[str],
+    order_cols: Sequence[str],
+    out_col: str = "ewm",
+) -> DataFrame:
+    """Polars ``ewm_mean(half_life=h)`` (adjust=True) per entity (W4).
+
+    y_t = sum_{j<=t} (1/2)^((t-j)/h) * x_j / sum_{j<=t} (1/2)^((t-j)/h)
+
+    Recursive scan — not expressible as a bounded Spark window frame, so it
+    runs as an Arrow-batched grouped-map UDF (pandas ``ewm``, which matches
+    Polars adjust=True semantics). One shuffle on the entity key.
+    """
+    schema = T.StructType(df.schema.fields + [T.StructField(out_col, T.DoubleType())])
+    order = list(order_cols)
+    value = value_col
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order)
+        pdf[out_col] = pdf[value].ewm(halflife=halflife, adjust=True, ignore_na=True).mean()
+        return pdf
+
+    return df.groupBy(*partition_cols).applyInPandas(fn, schema)

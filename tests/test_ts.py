@@ -1,0 +1,112 @@
+"""Time-series op parity vs pandas (the oracle for W1-W5 semantics —
+pandas/Polars agree on these; Polars itself is not installed here)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from at_data_pipelines_spark.ts import (
+    entity_window,
+    ewm_mean,
+    pct_change,
+    rolling_std,
+    rolling_sum,
+    zscore_global,
+)
+
+
+@pytest.fixture(scope="module")
+def panel(spark):
+    rng = np.random.default_rng(7)
+    rows = []
+    for t in ["A", "B", "C"]:
+        for i in range(40):
+            rows.append((t, i, float(np.round(rng.uniform(1, 100), 2))))
+    pdf = pd.DataFrame(rows, columns=["ticker", "t", "x"])
+    return spark.createDataFrame(pdf), pdf
+
+
+def test_pct_change(spark, panel):
+    sdf, pdf = panel
+    w = entity_window(["ticker"], ["t"])
+    got = (
+        sdf.withColumn("r", pct_change("x", w))
+        .toPandas()
+        .sort_values(["ticker", "t"])
+        .reset_index(drop=True)
+    )
+    exp = pdf.sort_values(["ticker", "t"]).reset_index(drop=True)
+    exp["r"] = exp.groupby("ticker")["x"].pct_change()
+    pd.testing.assert_series_equal(got["r"], exp["r"], check_exact=False, rtol=1e-12)
+
+
+def test_rolling_sum_min_periods(spark, panel):
+    sdf, pdf = panel
+    w = entity_window(["ticker"], ["t"])
+    got = (
+        sdf.withColumn("s", rolling_sum("x", w, 5))
+        .toPandas()
+        .sort_values(["ticker", "t"])
+        .reset_index(drop=True)
+    )
+    exp = pdf.sort_values(["ticker", "t"]).reset_index(drop=True)
+    exp["s"] = exp.groupby("ticker")["x"].transform(lambda s: s.rolling(5, min_periods=5).sum())
+    # first 4 rows per entity NULL (Polars min_periods semantics)
+    assert got.groupby("ticker")["s"].apply(lambda s: s.head(4).isna().all()).all()
+    pd.testing.assert_series_equal(got["s"], exp["s"], check_exact=False, rtol=1e-12)
+
+
+def test_rolling_std(spark, panel):
+    sdf, pdf = panel
+    w = entity_window(["ticker"], ["t"])
+    got = (
+        sdf.withColumn("v", rolling_std("x", w, 10))
+        .toPandas()
+        .sort_values(["ticker", "t"])
+        .reset_index(drop=True)
+    )
+    exp = pdf.sort_values(["ticker", "t"]).reset_index(drop=True)
+    exp["v"] = exp.groupby("ticker")["x"].transform(lambda s: s.rolling(10, min_periods=10).std())
+    pd.testing.assert_series_equal(got["v"], exp["v"], check_exact=False, rtol=1e-10)
+
+
+def test_ewm_mean(spark, panel):
+    sdf, pdf = panel
+    got = (
+        ewm_mean(sdf, "x", 6.0, ["ticker"], ["t"])
+        .toPandas()
+        .sort_values(["ticker", "t"])
+        .reset_index(drop=True)
+    )
+    exp = pdf.sort_values(["ticker", "t"]).reset_index(drop=True)
+    exp["ewm"] = exp.groupby("ticker")["x"].transform(
+        lambda s: s.ewm(halflife=6.0, adjust=True).mean()
+    )
+    pd.testing.assert_series_equal(got["ewm"], exp["ewm"], check_exact=False, rtol=1e-12)
+
+
+def test_ewm_matches_direct_formula(spark, panel):
+    """adjust=True definition check: y_t = Σ w_j x_j / Σ w_j, w_j = 2^-(t-j)/h."""
+    sdf, _ = panel
+    got = (
+        ewm_mean(sdf, "x", 6.0, ["ticker"], ["t"])
+        .filter(F.col("ticker") == "A")
+        .orderBy("t")
+        .toPandas()
+    )
+    x = got["x"].to_numpy()
+    t = np.arange(len(x))
+    for i in [0, 3, 17, 39]:
+        w = 0.5 ** ((i - t[: i + 1]) / 6.0)
+        assert abs(got["ewm"][i] - (w @ x[: i + 1]) / w.sum()) < 1e-10
+
+
+def test_zscore_global(spark, panel):
+    sdf, pdf = panel
+    got = zscore_global(sdf, "x").toPandas().sort_values(["ticker", "t"]).reset_index(drop=True)
+    exp = pdf.sort_values(["ticker", "t"]).reset_index(drop=True)
+    z = (exp["x"] - pdf["x"].mean()) / pdf["x"].std(ddof=1)
+    pd.testing.assert_series_equal(got["zscore"], z.rename("zscore"), check_exact=False, rtol=1e-12)
