@@ -1,0 +1,193 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two paths:
+
+- **Exact baseline** (``cosine_topk``): brute-force cosine via JVM-side
+  sequential fold (``zip_with`` + ``aggregate``) — deterministic,
+  oracle-matchable, stays in codegen. Cost O(|queries| × |corpus| × d):
+  right when the query set is small/broadcastable.
+- **Scale paths**: ``cosine_topk_arrow`` — Arrow-batched numpy matmul
+  (vectorized, ~10-100× the fold path, fp-reassociated so not
+  bit-deterministic); ``ann_hyperplane_topk`` — random-hyperplane LSH
+  bucketing + exact re-rank, turning all-pairs into per-bucket work the
+  way IVF/LSH indexes do.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product — order-deterministic (matches DuckDB's
+    list_dot_product exactly)."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
+
+
+def _as_double(col: str) -> Column:
+    return F.col(col).cast("array<double>")
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors (cosine) for each query vector.
+
+    queries is broadcast (small side); per-query ranking via row_number —
+    Spark turns the window-over-rank into a per-partition top-k.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("ce")
+    ).withColumn("cn", norm(F.col("ce")))
+    q = queries.select(F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qe")).withColumn(
+        "qn", norm(F.col("qe"))
+    )
+    pairs = c.crossJoin(F.broadcast(q)).filter(F.col("neighbor_id") != F.col("query_id"))
+    cos = dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))
+    ranked = pairs.select("query_id", "neighbor_id", cos.alias("cosine")).withColumn(
+        "rank",
+        F.row_number().over(
+            W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+        ),
+    )
+    return ranked.filter(F.col("rank") <= k)
+
+
+def cosine_topk_arrow(
+    corpus: DataFrame,
+    query_vecs: np.ndarray,
+    query_ids: np.ndarray,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Vectorized brute-force top-k: numpy matmul per Arrow batch, then a
+    global top-k reduce. The bench/production path (not bit-deterministic)."""
+    qm = np.asarray(query_vecs, dtype=np.float64)
+    qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    qids = np.asarray(query_ids)
+    out_schema = "query_id long, neighbor_id long, cosine double"
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            m = m / np.linalg.norm(m, axis=1, keepdims=True)
+            sims = m @ qm.T  # (batch, nq)
+            nids = pdf[id_col].to_numpy()
+            top = min(k + 1, len(nids))
+            part = np.argpartition(-sims, top - 1, axis=0)[:top]
+            rows = []
+            for j in range(qm.shape[0]):
+                for i in part[:, j]:
+                    rows.append((int(qids[j]), int(nids[i]), float(sims[i, j])))
+            yield pd.DataFrame(rows, columns=["query_id", "neighbor_id", "cosine"])
+
+    partial = corpus.select(id_col, vec_col).mapInPandas(score, out_schema)
+    ranked = partial.filter(F.col("neighbor_id") != F.col("query_id")).withColumn(
+        "rank",
+        F.row_number().over(
+            W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+        ),
+    )
+    return ranked.filter(F.col("rank") <= k)
+
+
+def hyperplane_buckets(
+    df: DataFrame,
+    n_planes: int = 12,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Sign-of-projection LSH bucket per vector (deterministic seed).
+
+    The plane matrix is tiny (n_planes × d) and closure-captured; the
+    bucket id is built JVM-side from fold dot-products.
+    """
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+    e = _as_double(vec_col)
+    bucket = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        arr = F.array([F.lit(float(x)) for x in p])
+        bucket = bucket + F.when(dot(e, arr) > 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return df.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"))
+
+
+def ann_hyperplane_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    n_planes: int = 3,
+    n_tables: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via multi-table hyperplane LSH (OR-amplification):
+    candidates = corpus vectors sharing the query's bucket in ANY of
+    ``n_tables`` independent tables; exact cosine re-rank on the candidate
+    union. Recall/cost dial: more planes → smaller buckets (cheaper, lower
+    recall); more tables → higher recall (more candidates).
+
+    Scale shape: each table is an equi-join on (table, bucket) — a hash
+    shuffle with uniform keys; the blob never moves more than once per
+    table. For genuinely clustered embeddings a learned IVF (k-means
+    coarse quantizer) beats data-oblivious LSH — same join shape on
+    centroid id."""
+    from functools import reduce
+
+    dim = len(corpus.select(vec_col).first()[0])
+
+    def tables(df: DataFrame, out_id: str, vec_alias: str) -> DataFrame:
+        parts = []
+        for t in range(n_tables):
+            b = hyperplane_buckets(df, n_planes, seed + 1000 * t, id_col, vec_col, dim)
+            parts.append(
+                b.select(
+                    F.col(id_col).alias(out_id),
+                    F.col(vec_col).alias(vec_alias),
+                    F.lit(t).alias("table"),
+                    "bucket",
+                )
+            )
+        return reduce(DataFrame.unionByName, parts)
+
+    cb = tables(corpus, "neighbor_id", "ce_raw")
+    qb = tables(queries, "query_id", "qe_raw")
+    pairs = (
+        cb.join(F.broadcast(qb), ["table", "bucket"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "qe_raw", "ce_raw")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    qe = F.col("qe_raw").cast("array<double>")
+    ce = F.col("ce_raw").cast("array<double>")
+    cos = dot(qe, ce) / (norm(qe) * norm(ce))
+    ranked = pairs.select("query_id", "neighbor_id", cos.alias("cosine")).withColumn(
+        "rank",
+        F.row_number().over(
+            W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+        ),
+    )
+    return ranked.filter(F.col("rank") <= k)

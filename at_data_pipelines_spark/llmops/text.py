@@ -1,0 +1,78 @@
+"""Text analysis operators: tokenization, quality scoring, language ID,
+fingerprinting. All built-in-function expressions (JVM-side, codegen) —
+no Python in the hot path."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+STOPWORDS_EN = ["the", "a", "of", "and", "to", "in", "is", "it", "for", "on"]
+
+# tiny marker lexicons for the language-ID heuristic
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "is", "in", "to", "it", "that"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu"],
+    "es": ["el", "la", "de", "que", "los", "es", "una", "por"],
+    "fr": ["le", "la", "les", "et", "des", "est", "une", "dans"],
+}
+
+
+def tokens(text_col: str | Column) -> Column:
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.split(c, " ")
+
+
+def token_count(text_col: str | Column) -> Column:
+    return F.size(tokens(text_col))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / token / stopword / punctuation features for corpus filtering."""
+    t = tokens(text_col)
+    sw = F.array([F.lit(s) for s in STOPWORDS_EN])
+    n_tok = F.size(t)
+    n_stop = F.size(F.filter(t, lambda x: F.array_contains(sw, x)))
+    n_chars = F.length(F.col(text_col))
+    n_punct = n_chars - F.length(F.regexp_replace(F.col(text_col), r"[^\w\s]", ""))
+    return df.withColumns(
+        {
+            "n_tokens": n_tok,
+            "avg_token_len": (n_chars - (n_tok - 1)).cast("double") / n_tok,
+            "stopword_ratio": n_stop.cast("double") / n_tok,
+            "punct_ratio": n_punct.cast("double") / n_chars,
+        }
+    )
+
+
+def langid(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:
+    """Marker-lexicon language ID: argmax of marker-hit counts, 'und' when
+    no marker fires. Deterministic tiebreak by language code."""
+    t = tokens(text_col)
+    scores = []
+    for code in sorted(LANG_MARKERS):
+        markers = F.array([F.lit(m) for m in LANG_MARKERS[code]])
+        scores.append(
+            F.struct(
+                F.size(F.filter(t, lambda x: F.array_contains(markers, x))).alias("hits"),
+                F.lit(code).alias("code"),
+            )
+        )
+    # array_max on structs compares (hits, code) lexicographically, so hit
+    # ties resolve to the lexicographically greatest code — deterministic
+    best = F.array_max(F.array(*scores))
+    return df.withColumn(
+        out_col, F.when(best["hits"] > 0, best["code"]).otherwise(F.lit("und"))
+    )
+
+
+def content_fingerprint(text_col: str | Column = "text") -> Column:
+    """Full-content digest (exact-dedup key)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.md5(c)
+
+
+def prefix_fingerprint(text_col: str | Column = "text", n_tokens: int = 5) -> Column:
+    """Digest of the first n tokens — cheap near-dup candidate key."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.md5(F.array_join(F.slice(F.split(c, " "), 1, n_tokens), " "))

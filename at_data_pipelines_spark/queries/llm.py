@@ -143,3 +143,134 @@ def q44_word_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return words.groupBy("word").agg(
         F.count("*").alias("freq"), F.countDistinct("doc_id").alias("n_docs")
     )
+
+
+# shared oracle CTE: distinct 3-word shingles per doc (DuckDB 1-based lists)
+_SH_SQL = """
+    toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               UNNEST(list_transform(range(1, GREATEST(LEN(w)-1, 1)),
+                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+        FROM toks)
+"""
+
+_NUM_HASHES = 8
+_BANDS = 4  # 4 bands × 2 rows
+
+_MH_COLS_SQL = ",\n".join(
+    f"MIN(('0x'||substr(md5('{i}:'||shingle),1,15))::BIGINT) AS mh_{i}"
+    for i in range(_NUM_HASHES)
+)
+_BANDS_SQL = "\nUNION ALL\n".join(
+    f"SELECT doc_id, {b} AS band, md5(CAST(mh_{2*b} AS VARCHAR)||','||CAST(mh_{2*b+1} AS VARCHAR)) AS band_key FROM mh"
+    for b in range(_BANDS)
+)
+
+
+# --------------------------------------------------------------------------
+# q45 — MinHash + LSH candidate pairs (8 hashes, 4 bands × 2 rows).
+#        Hashes are md5-hex-prefix int64s → engine-independent.
+# --------------------------------------------------------------------------
+@register(
+    "q45_minhash_lsh_candidates",
+    oracle=f"""
+    WITH {_SH_SQL},
+    mh AS (SELECT doc_id, {_MH_COLS_SQL} FROM sh GROUP BY doc_id),
+    bands AS ({_BANDS_SQL})
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    """,
+)
+def q45_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llmops.dedup import minhash_candidates
+
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_candidates(
+        d, "text", "doc_id", num_hashes=_NUM_HASHES, bands=_BANDS, shingle_n=3
+    )
+
+
+# --------------------------------------------------------------------------
+# q46 — exact n-gram Jaccard near-dup pairs (threshold 0.6).
+# --------------------------------------------------------------------------
+@register(
+    "q46_jaccard_near_dups",
+    oracle=f"""
+    WITH {_SH_SQL},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           ROUND(CAST(i AS DOUBLE)/(sa.n + sb.n - i), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON id_a = sa.doc_id
+    JOIN sizes sb ON id_b = sb.doc_id
+    WHERE CAST(i AS DOUBLE)/(sa.n + sb.n - i) >= 0.6
+    """,
+)
+def q46_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llmops.dedup import jaccard_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    return jaccard_pairs(d, "text", "doc_id", threshold=0.6, shingle_n=3)
+
+
+# --------------------------------------------------------------------------
+# q47 — 32-bit SimHash fingerprint per document.
+# --------------------------------------------------------------------------
+@register(
+    "q47_simhash32",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents),
+    h AS (SELECT doc_id, ('0x'||substr(md5(tok),1,8))::BIGINT AS th FROM toks),
+    bits AS (
+        SELECT doc_id, b,
+               CASE WHEN SUM(CASE WHEN (th >> b) & 1 = 1 THEN 1 ELSE -1 END) > 0
+                    THEN CAST(1 AS BIGINT) << b ELSE 0 END AS bitval
+        FROM h, (SELECT UNNEST(range(0, 32)) AS b) bs
+        GROUP BY doc_id, b)
+    SELECT doc_id, CAST(SUM(bitval) AS BIGINT) AS simhash
+    FROM bits GROUP BY doc_id
+    """,
+)
+def q47_simhash32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llmops.dedup import simhash
+
+    d = load_table(spark, sf_dir, "documents")
+    return simhash(d, "text", "doc_id", bits=32)
+
+
+# --------------------------------------------------------------------------
+# q48 — brute-force cosine top-5 neighbors for query vectors (vec_id < 20).
+#        Sequential-fold dot products are bit-identical to DuckDB's
+#        list_dot_product (verified empirically).
+# --------------------------------------------------------------------------
+@register(
+    "q48_cosine_top5",
+    oracle="""
+    WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+               FROM embeddings),
+    n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+    q AS (SELECT * FROM n WHERE vec_id < 20),
+    pairs AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               list_dot_product(q.e, c.e) / (q.nrm * c.nrm) AS cosine
+        FROM q JOIN n c ON c.vec_id != q.vec_id)
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM pairs) t
+    WHERE rank <= 5
+    """,
+)
+def q48_cosine_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llmops.similarity import cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    return cosine_topk(emb, queries, k=5).select("query_id", "neighbor_id", "cosine", "rank")

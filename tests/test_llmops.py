@@ -1,0 +1,117 @@
+"""Behavioral tests for the LLM-data operators (beyond oracle parity):
+does MinHash-LSH actually find the planted near-dups, does ANN recall
+hold, does the multimodal plumbing move binary batches correctly."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from at_data_pipelines_spark.io import load_table
+from at_data_pipelines_spark.llmops import dedup, multimodal, similarity, text
+
+
+def test_minhash_recovers_high_jaccard_pairs(spark, sf_dir):
+    """Every Jaccard≥0.8 pair must be an LSH candidate (4 bands × 2 rows:
+    P(candidate) = 1-(1-j²)⁴ ≈ 0.997 at j=0.8, and the planted dups are
+    near-identical so in practice all are caught)."""
+    d = load_table(spark, sf_dir, "documents")
+    true_pairs = {
+        (r.id_a, r.id_b)
+        for r in dedup.jaccard_pairs(d, "text", "doc_id", 0.8).collect()
+    }
+    cands = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_candidates(d, "text", "doc_id", 8, 4).collect()
+    }
+    assert true_pairs, "fixture should contain planted near-dups"
+    missed = true_pairs - cands
+    assert not missed, f"LSH missed high-jaccard pairs: {missed}"
+
+
+def test_simhash_near_dups_align_with_jaccard(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    sim_pairs = {
+        (r.id_a, r.id_b)
+        for r in dedup.simhash_near_dups(d, "text", "doc_id", max_hamming=4).collect()
+    }
+    true_pairs = {
+        (r.id_a, r.id_b) for r in dedup.jaccard_pairs(d, "text", "doc_id", 0.95).collect()
+    }
+    # near-identical docs (measured hamming ≤2 on this fixture) must collide
+    assert true_pairs - sim_pairs == set()
+
+
+def test_ann_recall_vs_brute_force(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = similarity.cosine_topk(emb, queries, k=5)
+    approx = similarity.ann_hyperplane_topk(emb, queries, k=5, n_planes=3, n_tables=8)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    # synthetic embeddings are near-isotropic (NN cosine ≈ 0.37 over a ~0
+    # background), so LSH signal is weak; 8 tables × 3 planes still has to
+    # clearly beat the ~65% candidate-fraction baseline
+    assert recall >= 0.7, f"ANN recall too low: {recall}"
+
+
+def test_arrow_topk_matches_fold_topk(spark, sf_dir):
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).collect()
+    qv = np.array([r.embedding for r in q])
+    qi = np.array([r.vec_id for r in q])
+    fast = similarity.cosine_topk_arrow(emb, qv, qi, k=5)
+    exact = similarity.cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
+    f = {(r.query_id, r.neighbor_id) for r in fast.collect()}
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    assert f == e  # same neighbors (scores fp-differ, ranking identical)
+
+
+def test_quality_features_and_langid(spark):
+    rows = [
+        (1, "the cat and the dog is in the house"),
+        (2, "der hund und die katze ist nicht hier"),
+        (3, "qzx wvu plok mnb"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    feats = {r.doc_id: r for r in text.quality_features(df).collect()}
+    assert feats[1].n_tokens == 9
+    assert feats[1].stopword_ratio > 0.4
+    langs = {r.doc_id: r.lang_pred for r in text.langid(df).collect()}
+    assert langs[1] == "en" and langs[2] == "de" and langs[3] == "und"
+
+
+def test_multimodal_decode_plumbing(spark):
+    rows = [
+        (1, "image", multimodal.make_fake_image(640, 480, 3, b"x" * 100), ("s3", "fake")),
+        (2, "image", multimodal.make_fake_image(32, 32, 1), ("s3", "fake")),
+    ]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    feats = {r.media_id: r for r in multimodal.decode_image_meta(df).collect()}
+    assert feats[1].width == 640 and feats[1].height == 480 and feats[1].mode == "RGB"
+    assert feats[1].payload_bytes == 13 + 100
+    assert feats[2].mode == "L"
+    kept = multimodal.filter_by_min_resolution(
+        multimodal.decode_image_meta(df), 100, 100
+    ).collect()
+    assert [r.media_id for r in kept] == [1]
+
+
+def test_multimodal_real_codec_stubbed(spark):
+    df = spark.createDataFrame(
+        [(1, "image", b"\x89PNG\r\n" + b"0" * 50, ("s3", "image/png"))],
+        multimodal.MEDIA_SCHEMA,
+    )
+    with pytest.raises(Exception, match="NotImplementedError|not available"):
+        multimodal.decode_image_meta(df).collect()
+
+
+def test_frame_sampling(spark):
+    frames = spark.createDataFrame(
+        [(1, i) for i in range(30)], ["video_id", "frame_idx"]
+    )
+    kept = multimodal.sample_frames(frames, every_n=10).collect()
+    assert sorted(r.frame_idx for r in kept) == [0, 10, 20]
