@@ -1,0 +1,6 @@
+from .events import (  # noqa: F401
+    read_events_stream,
+    sessionize_stream,
+    stream_to_lakehouse,
+    windowed_aggregation,
+)

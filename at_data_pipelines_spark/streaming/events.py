@@ -1,0 +1,118 @@
+"""Structured Streaming ops over the events table (SURVEY §2.9 extension).
+
+The reference is strictly daily batch; its streaming-adjacent semantics —
+idempotent late/duplicate handling via append + PK dedup, incremental
+trailing-window recompute — map to watermarked windowed aggregation and a
+``foreachBatch`` upsert into the Lakehouse (same optimize() dedup, so the
+sink stays idempotent under replays: effectively exactly-once).
+
+Local smoke tests drive parquet files through the stream with
+``availableNow`` + ``processAllAvailable``; on a cluster the same plans
+run against Kafka unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..catalog import Lakehouse
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # raw nanos (see io.py)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
+    """Streaming read of events parquet (ns timestamps read as nanos
+    longs, converted to a proper event-time column). File sources must be
+    directories; a single-file path is wrapped via a symlink dir."""
+    import hashlib
+    import os
+    import tempfile
+
+    if os.path.isfile(path):
+        d = os.path.join(
+            tempfile.gettempdir(),
+            f"stream_src_{hashlib.md5(path.encode()).hexdigest()[:12]}",
+        )
+        os.makedirs(d, exist_ok=True)
+        link = os.path.join(d, os.path.basename(path))
+        if not os.path.exists(link):
+            os.symlink(path, link)
+        path = d
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(path)
+    return raw.withColumnRenamed("ts", "ts_ns").withColumn(
+        "ts", F.timestamp_micros(F.expr("ts_ns div 1000"))
+    )
+
+
+def windowed_aggregation(
+    events: DataFrame, window: str = "5 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Tumbling-window counts/sums per event type with late-data watermark.
+    (The batch-equivalent oracle is q26_tumbling_5min.)"""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sessionize_stream(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Session windows per user (inactivity gap) — the streaming version of
+    q25_sessionization's lag+cumsum batch idiom."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def stream_to_lakehouse(
+    agg: DataFrame,
+    lake: Lakehouse,
+    table: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """foreachBatch upsert sink: each micro-batch runs the Lakehouse
+    append + PK-dedup optimize, so replayed batches are idempotent
+    (exactly-once effect on the table)."""
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        lake.upsert(table, batch_df)
+
+    writer = agg.writeStream.outputMode("update").foreachBatch(sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,87 @@
+"""Structured Streaming tests: drive the events parquet through streaming
+plans with availableNow and check agreement with the batch oracles
+(q25/q26 shapes), plus idempotent foreachBatch upsert into the Lakehouse."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from at_data_pipelines_spark.catalog import Lakehouse
+from at_data_pipelines_spark.io import load_table
+from at_data_pipelines_spark.queries import QUERIES
+from at_data_pipelines_spark.streaming import (
+    read_events_stream,
+    sessionize_stream,
+    stream_to_lakehouse,
+    windowed_aggregation,
+)
+
+
+@pytest.fixture(scope="module")
+def events_stream(spark, sf_dir):
+    return read_events_stream(spark, f"{sf_dir}/events.parquet")
+
+
+def _run_to_memory(spark, df, name):
+    q = (
+        df.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_windowed_agg_matches_batch(spark, sf_dir, events_stream):
+    got = _run_to_memory(
+        spark, windowed_aggregation(events_stream), "win_agg"
+    ).toPandas()
+    batch = QUERIES["q26_tumbling_5min"](spark, sf_dir).toPandas()
+    got["bucket_start_s"] = got["window_start"].astype("int64") // 10**9
+    g = got.set_index(["bucket_start_s", "event_type"])["n_events"].sort_index()
+    b = batch.set_index(["bucket_start_s", "event_type"])["n_events"].sort_index()
+    assert len(g) == len(b)
+    assert (g == b).all()
+
+
+def test_sessionization_matches_batch(spark, sf_dir, events_stream):
+    got = _run_to_memory(spark, sessionize_stream(events_stream), "sess").toPandas()
+    batch = QUERIES["q25_sessionization"](spark, sf_dir).toPandas()
+    g = got.groupby("user_id").size().sort_index()
+    b = batch.groupby("user_id").size().sort_index()
+    assert (g == b).all(), "per-user session counts disagree with batch lag+cumsum"
+    ge = got.groupby("user_id")["n_events"].sum().sort_index()
+    be = batch.groupby("user_id")["n_events"].sum().sort_index()
+    assert (ge == be).all()
+
+
+def test_stream_upsert_idempotent(spark, sf_dir, tmp_path, events_stream):
+    lake = Lakehouse(spark, str(tmp_path / "lake"))
+    schema = T.StructType(
+        [
+            T.StructField("window_start", T.TimestampType()),
+            T.StructField("window_end", T.TimestampType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("total_value", T.DoubleType()),
+        ]
+    )
+    lake.create("event_rollup", schema, [], ["window_start", "event_type"])
+    for i in range(2):  # replay the whole stream twice: fresh checkpoint
+        q = stream_to_lakehouse(
+            windowed_aggregation(events_stream),
+            lake,
+            "event_rollup",
+            str(tmp_path / f"ckpt{i}"),
+        )
+        q.awaitTermination(120)
+    out = lake.table("event_rollup")
+    total = out.count()
+    distinct_pk = out.select("window_start", "event_type").distinct().count()
+    assert total == distinct_pk, "replay produced PK duplicates — upsert not idempotent"
+    batch = QUERIES["q26_tumbling_5min"](spark, sf_dir)
+    assert total == batch.count()
