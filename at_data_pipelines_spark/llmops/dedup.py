@@ -46,9 +46,13 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def word_shingle_array(text_col: str, n: int = 3) -> Column:
-    """Array of distinct word n-gram shingles of a text column."""
-    w = F.split(F.col(text_col), " ")
+def word_shingle_array(tokens_col: Column, n: int = 3) -> Column:
+    """Array of distinct word n-gram shingles from a PRE-SPLIT token array
+    column. The tokens must be a materialized column, not an inline
+    ``split(...)`` expression: Spark does no common-subexpression
+    elimination inside higher-order lambdas, so an inline split re-runs
+    per element access — O(len²) per document (measured ~10× slower)."""
+    w = tokens_col
     idx = F.sequence(F.lit(1), F.size(w) - (n - 1))
     gram = lambda i: F.concat_ws(" ", *[F.element_at(w, i + j) for j in range(n)])  # noqa: E731
     return F.when(F.size(w) >= n, F.array_distinct(F.transform(idx, gram))).otherwise(
@@ -58,35 +62,63 @@ def word_shingle_array(text_col: str, n: int = 3) -> Column:
 
 def word_shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
     """(id, shingle) rows, distinct per document."""
-    return df.select(
-        F.col(id_col), F.explode(word_shingle_array(text_col, n)).alias("shingle")
+    toks = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("_w"))
+    return toks.select(
+        F.col(id_col), F.explode(word_shingle_array(F.col("_w"), n)).alias("shingle")
     )
+
+
+# universal-hash family for MinHash permutations: h_i = (a_i·h + b_i) mod p
+# over a 28-bit md5-derived base hash. p = 2^31−1 (prime); a_i·h ≤ 2^61 so
+# the product never overflows signed int64 in any engine. Coefficients are
+# fixed (seeded) so Spark and the SQL oracle agree exactly.
+MINHASH_PRIME = 2147483647
+
+
+def minhash_coefficients(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return [
+        (int(rng.integers(1, MINHASH_PRIME)), int(rng.integers(0, MINHASH_PRIME)))
+        for _ in range(num_hashes)
+    ]
 
 
 def minhash_signatures(
     df: DataFrame, text_col: str, id_col: str, num_hashes: int = 8, shingle_n: int = 3
 ) -> DataFrame:
     """MinHash signature per document: mh_i = MIN over shingles of
-    hash64(i || ':' || shingle). Single pass, k min-aggregates."""
+    (a_i·h(shingle) + b_i) mod p. ONE md5 per shingle + k cheap integer
+    permutations (k separate salted md5s would dominate the runtime),
+    aggregated in a single groupBy pass."""
     sh = word_shingles(df, text_col, id_col, shingle_n)
-    aggs = [F.min(hash64(F.col("shingle"), i)).alias(f"mh_{i}") for i in range(num_hashes)]
+    base = F.conv(F.substring(F.md5(F.col("shingle")), 1, 7), 16, 10).cast("long")
+    sh = sh.select(F.col(id_col), base.alias("h"))
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(minhash_coefficients(num_hashes))
+    ]
     return sh.groupBy(id_col).agg(*aggs)
 
 
 def lsh_bands(sig: DataFrame, id_col: str, bands: int, rows_per_band: int) -> DataFrame:
     """Explode a signature into (id, band, band_key) — docs agreeing on all
-    rows of any band land in the same bucket."""
-    parts = []
+    rows of any band land in the same bucket.
+
+    Single pass: one explode of a per-row band array (a union of per-band
+    selects would recompute the signature pipeline `bands` times)."""
+    structs = []
     for b in range(bands):
         cols = [F.col(f"mh_{b * rows_per_band + r}").cast("string") for r in range(rows_per_band)]
-        parts.append(
-            sig.select(
-                F.col(id_col),
-                F.lit(b).alias("band"),
-                F.md5(F.concat_ws(",", *cols)).alias("band_key"),
+        structs.append(
+            F.struct(
+                F.lit(b).alias("band"), F.md5(F.concat_ws(",", *cols)).alias("band_key")
             )
         )
-    return reduce(DataFrame.unionByName, parts)
+    return sig.select(F.col(id_col), F.explode(F.array(*structs)).alias("_b")).select(
+        id_col, F.col("_b.band").alias("band"), F.col("_b.band_key").alias("band_key")
+    )
 
 
 def lsh_candidate_pairs(bands_df: DataFrame, id_col: str) -> DataFrame:

@@ -158,9 +158,11 @@ _SH_SQL = """
 _NUM_HASHES = 8
 _BANDS = 4  # 4 bands × 2 rows
 
+from ..llmops.dedup import MINHASH_PRIME, minhash_coefficients  # noqa: E402
+
 _MH_COLS_SQL = ",\n".join(
-    f"MIN(('0x'||substr(md5('{i}:'||shingle),1,15))::BIGINT) AS mh_{i}"
-    for i in range(_NUM_HASHES)
+    f"MIN(({a}*(('0x'||substr(md5(shingle),1,7))::BIGINT)+{b}) % {MINHASH_PRIME}) AS mh_{i}"
+    for i, (a, b) in enumerate(minhash_coefficients(_NUM_HASHES))
 )
 _BANDS_SQL = "\nUNION ALL\n".join(
     f"SELECT doc_id, {b} AS band, md5(CAST(mh_{2*b} AS VARCHAR)||','||CAST(mh_{2*b+1} AS VARCHAR)) AS band_key FROM mh"

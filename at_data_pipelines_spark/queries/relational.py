@@ -406,3 +406,121 @@ def q13_orders_with_optional_lineitems(spark: SparkSession, sf_dir: str) -> Data
         .groupBy(o.o_orderkey, o.o_totalprice)
         .agg(F.count(l.l_orderkey).alias("n_items"))
     )
+
+
+# --------------------------------------------------------------------------
+# q14 — rolling single-regressor beta per supplier (reference W7:
+#        pipelines/betas_flow.py:14-56) in closed form from exact scaled
+#        window sums: beta = cov(price,qty)/var(qty) over last 30 rows.
+# --------------------------------------------------------------------------
+_Q14_WIN = "PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber"
+_Q14_SUMS = """
+      CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) OVER w AS DOUBLE)/100
+"""
+
+
+@register(
+    "q14_rolling_beta_supplier",
+    oracle=f"""
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+      CASE WHEN COUNT(*) OVER w >= 30 THEN
+        ROUND(
+          ( CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                     * CAST(ROUND(l_quantity*100) AS BIGINT)) OVER w AS DOUBLE)/10000
+            - (CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) OVER w AS DOUBLE)/100)
+              * ({_Q14_SUMS}) / (COUNT(*) OVER w) )
+          /
+          ( CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)
+                     * CAST(ROUND(l_quantity*100) AS BIGINT)) OVER w AS DOUBLE)/10000
+            - ({_Q14_SUMS}) * ({_Q14_SUMS}) / (COUNT(*) OVER w) )
+        , 6)
+      END AS beta
+    FROM lineitem
+    WINDOW w AS ({_Q14_WIN} ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q14_rolling_beta_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    w = (
+        W.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(-29, 0)
+    )
+    pc = F.round(F.col("l_extendedprice") * 100).cast("long")
+    qc = F.round(F.col("l_quantity") * 100).cast("long")
+    n = F.count("*").over(w)
+    sp = F.sum(pc).over(w).cast("double") / 100
+    sq = F.sum(qc).over(w).cast("double") / 100
+    spq = F.sum(pc * qc).over(w).cast("double") / 10000
+    sqq = F.sum(qc * qc).over(w).cast("double") / 10000
+    beta = (spq - sp * sq / n) / (sqq - sq * sq / n)
+    return l.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.when(n >= 30, F.round(beta, 6)).alias("beta"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q15 — scalar function surface: JSON extraction, dict remap (reference F9:
+#        pipelines/factor_model_flow.py:84), epoch arithmetic (F8).
+# --------------------------------------------------------------------------
+@register(
+    "q15_json_remap",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+           CASE event_type
+                WHEN 'click' THEN 'engagement'
+                WHEN 'view' THEN 'engagement'
+                WHEN 'purchase' THEN 'conversion'
+                WHEN 'signup' THEN 'conversion'
+                ELSE 'other' END AS category,
+           epoch_us(ts) // 1000000 AS epoch_s
+    FROM events
+    """,
+)
+def q15_json_remap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    remap = {"click": "engagement", "view": "engagement", "purchase": "conversion", "signup": "conversion"}
+    cat = F.lit("other")
+    for k, v in remap.items():
+        cat = F.when(F.col("event_type") == k, v).otherwise(cat)
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+        cat.alias("category"),
+        F.expr("ts_us DIV 1000000").alias("epoch_s"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q16 — min/max extremes + conditional aggregation (reference A4:
+#        pipelines/utils/calendar.py:10, pipelines/betas_flow.py:123-124).
+# --------------------------------------------------------------------------
+@register(
+    "q16_segment_extremes",
+    oracle="""
+    SELECT c_mktsegment,
+           MIN(c_acctbal) AS min_bal, MAX(c_acctbal) AS max_bal,
+           COUNT(*) FILTER (WHERE c_acctbal < 0) AS n_negative,
+           MIN(o_orderdate) AS first_order, MAX(o_orderdate) AS last_order
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def q16_segment_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.min("c_acctbal").alias("min_bal"),
+            F.max("c_acctbal").alias("max_bal"),
+            F.count(F.when(F.col("c_acctbal") < 0, 1)).alias("n_negative"),
+            F.min("o_orderdate").alias("first_order"),
+            F.max("o_orderdate").alias("last_order"),
+        )
+    )

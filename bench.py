@@ -26,12 +26,18 @@ HEADLINE = [
     "q03_top_orders",
     "q04_priority_semi",
     "q13_orders_with_optional_lineitems",
+    "q14_rolling_beta_supplier",
     "q21_rolling_sum_21",
     "q22_rolling_std_20",
     "q25_sessionization",
     "q26_tumbling_5min",
+    "q28_ewm_halflife10",
     "q40_exact_dedup",
     "q44_word_frequency",
+    "q45_minhash_lsh_candidates",
+    "q46_jaccard_near_dups",
+    "q47_simhash32",
+    "q48_cosine_top5",
 ]
 
 
