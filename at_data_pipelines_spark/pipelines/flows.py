@@ -380,11 +380,49 @@ def portfolio_weights_flow(lake: Lakehouse, cfg: PipelineConfig) -> None:
 
 
 # -- orchestration ---------------------------------------------------------
-def get_last_market_date(lake: Lakehouse) -> dt.date | None:
-    """pipelines/utils/calendar.py:8-12 — max(calendar.date); the guard
-    every daily flow checks before running (SURVEY §2.9)."""
-    row = lake.table("calendar").agg(F.max("date").alias("d")).collect()[0]
-    return row.d
+def get_last_market_date(lake: Lakehouse, before: dt.date | None = None) -> dt.date | None:
+    """pipelines/utils/calendar.py:8-12 — max(calendar.date [< before]);
+    the guard every daily flow checks before running (SURVEY §2.9)."""
+    cal = lake.table("calendar")
+    if before is not None:
+        cal = cal.filter(F.col("date") < F.lit(before))
+    return cal.agg(F.max("date").alias("d")).collect()[0].d
+
+
+def should_run_daily(lake: Lakehouse, run_date: dt.date) -> bool:
+    """Market-closed short-circuit: run only if yesterday was a market day
+    (reference pipelines/stock_prices_flow.py:140-144 — every daily flow
+    starts with this check)."""
+    return get_last_market_date(lake, before=run_date) == run_date - dt.timedelta(days=1)
+
+
+def daily_returns_flow(
+    lake: Lakehouse, cfg: PipelineConfig, run_date: dt.date, new_bars: DataFrame | None = None
+) -> bool:
+    """Incremental daily update — the reference's warm-up pattern
+    (pipelines/factor_model_flow.py:179-199): recompute over a trailing
+    ``window*2``-day re-read, keep only the last market date, upsert
+    (append + PK dedup ⇒ idempotent re-runs).
+
+    Returns False (no-op) when the market was closed.
+    """
+    if not should_run_daily(lake, run_date):
+        return False
+    if new_bars is not None:
+        stock_prices_flow(lake, new_bars)
+    target = get_last_market_date(lake, before=run_date)
+    warm_start = target - dt.timedelta(days=cfg.window * 2)
+    prices = lake.table("stock_prices").filter(
+        F.col("date").between(F.lit(warm_start), F.lit(target))
+    )
+    w = entity_window(["ticker"], ["date"])
+    rets = (
+        prices.select("ticker", "date", pct_change("close", w).alias("return"))
+        .na.drop(subset=["return"])
+        .filter(F.col("date") == F.lit(target))  # keep only the new date
+    )
+    lake.upsert("stock_returns", _with_year(rets))
+    return True
 
 
 def run_backfill(lake: Lakehouse, fixtures: dict[str, DataFrame], cfg: PipelineConfig) -> None:

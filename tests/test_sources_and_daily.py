@@ -1,0 +1,150 @@
+"""Connector sources (typed empties, year batching, scrape parsing),
+daily incremental flows (market-closed guard, warm-up recompute,
+idempotence), and intraday history (DST-correct session clipping)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from at_data_pipelines_spark.catalog import Lakehouse
+from at_data_pipelines_spark.pipelines import PipelineConfig, flows, synthetic
+from at_data_pipelines_spark.pipelines.history import (
+    HISTORY_SCHEMA,
+    create_history_tables,
+    extended_hours_utc,
+    history_flow,
+    portfolio_history_flow,
+)
+from at_data_pipelines_spark.sources import (
+    empty_bars,
+    fetch_daily_bars_batched,
+    parse_constituent_tables,
+)
+
+CFG = PipelineConfig(window=30, ewm_half_life=10.0, reversal_window=21)
+
+
+# -- sources ---------------------------------------------------------------
+def test_empty_api_response_yields_typed_frame(spark):
+    df = empty_bars(spark)
+    assert df.count() == 0
+    assert [f.name for f in df.schema.fields][:4] == ["ticker", "date", "open", "high"]
+
+
+def test_year_batched_fetch(spark):
+    calls = []
+
+    def client(tickers, start, end):
+        calls.append((start, end))
+        return pd.DataFrame(
+            {
+                "ticker": ["A"], "date": [start], "open": [1.0], "high": [1.0],
+                "low": [1.0], "close": [1.0], "volume": [1.0],
+                "trade_count": [1.0], "vwap": [1.0],
+            }
+        )
+
+    df = fetch_daily_bars_batched(
+        spark, client, ["A"], dt.date(2022, 6, 1), dt.date(2024, 2, 1)
+    )
+    assert len(calls) == 3  # 2022, 2023, 2024 batches
+    assert calls[0] == (dt.date(2022, 6, 1), dt.date(2022, 12, 31))
+    assert calls[-1] == (dt.date(2024, 1, 1), dt.date(2024, 2, 1))
+    assert df.count() == 3
+
+
+def test_scrape_parsing():
+    current = pd.DataFrame({"Symbol": ["AAPL", "MSFT"], "Security": ["Apple", "Microsoft"]})
+    changes = pd.DataFrame(
+        {"Date": ["January 2, 2026", "March 15, 2025"], "Added": ["NEW", "X"], "Removed": ["OLD", "Y"]}
+    )
+    cur, ch = parse_constituent_tables([current, changes])
+    assert list(cur["ticker"]) == ["AAPL", "MSFT"]
+    assert ch.loc[0, "date"] == dt.date(2026, 1, 2)  # '%B %d, %Y' parse (F6)
+    assert list(ch.columns) == ["date", "added_ticker", "removed_ticker"]
+
+
+# -- daily incremental -----------------------------------------------------
+@pytest.fixture(scope="module")
+def daily_lake(spark, tmp_path_factory):
+    lake = Lakehouse(spark, str(tmp_path_factory.mktemp("dailylake")))
+    fx = synthetic.generate_market(
+        spark, n_tickers=5, start=dt.date(2023, 1, 2), end=dt.date(2023, 6, 30)
+    )
+    flows.create_all_tables(lake)
+    flows.calendar_flow(lake, fx["calendar"])
+    flows.stock_prices_flow(lake, fx["stock_bars"])
+    flows.returns_flow(lake, CFG)
+    return lake
+
+
+def test_market_closed_guard(daily_lake):
+    # a Sunday: Saturday was not a market day → no-op
+    assert flows.should_run_daily(daily_lake, dt.date(2023, 3, 19)) is False
+    assert flows.daily_returns_flow(daily_lake, CFG, dt.date(2023, 3, 19)) is False
+
+
+def test_daily_rerun_is_idempotent(daily_lake):
+    cal = sorted(r.date for r in daily_lake.table("calendar").collect())
+    run_date = cal[-1] + dt.timedelta(days=1)
+    if not flows.should_run_daily(daily_lake, run_date):
+        run_date = cal[-1]  # ensure yesterday-is-market-day holds
+        while not flows.should_run_daily(daily_lake, run_date):
+            run_date += dt.timedelta(days=1)
+    before = daily_lake.table("stock_returns").count()
+    assert flows.daily_returns_flow(daily_lake, CFG, run_date) is True
+    assert daily_lake.table("stock_returns").count() == before  # recompute of existing date
+    assert flows.daily_returns_flow(daily_lake, CFG, run_date) is True
+    assert daily_lake.table("stock_returns").count() == before  # idempotent re-run
+    dupes = (
+        daily_lake.table("stock_returns")
+        .groupBy("ticker", "date").count().filter("count > 1").count()
+    )
+    assert dupes == 0
+
+
+# -- intraday history ------------------------------------------------------
+def test_extended_hours_dst_correct():
+    # winter (EST, UTC-5): 04:00 NY = 09:00 UTC
+    s, e = extended_hours_utc(dt.date(2024, 1, 10))
+    assert (s.hour, e.hour) == (9, 1) and e.day == dt.date(2024, 1, 11).day
+    # summer (EDT, UTC-4): 04:00 NY = 08:00 UTC
+    s, e = extended_hours_utc(dt.date(2024, 7, 10))
+    assert (s.hour, e.hour) == (8, 0)
+
+
+def test_history_flow_clips_and_dedups(spark, tmp_path):
+    lake = Lakehouse(spark, str(tmp_path / "hlake"))
+    create_history_tables(lake)
+    d = dt.date(2024, 1, 10)
+    rows = []
+    # Jan session = 04:00–20:00 ET = 09:00 UTC → 01:00 UTC next day;
+    # 08:00 UTC (03:00 ET) is pre-session, 02:00 UTC Jan 11 is post-session
+    for ts in [
+        dt.datetime(2024, 1, 10, 8, 0),
+        dt.datetime(2024, 1, 10, 9, 0),
+        dt.datetime(2024, 1, 10, 23, 0),
+        dt.datetime(2024, 1, 11, 0, 30),
+        dt.datetime(2024, 1, 11, 2, 0),
+    ]:
+        rows.append(("A", ts, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0))
+    bars = spark.createDataFrame(rows, HISTORY_SCHEMA)
+    history_flow(lake, bars, d)
+    history_flow(lake, bars, d)  # replay
+    out = lake.table("stock_history").collect()
+    kept = sorted((r.timestamp.day, r.timestamp.hour) for r in out)
+    assert kept == [(10, 9), (10, 23), (11, 0)]  # session-clipped, deduped
+
+
+def test_portfolio_history_epoch_conversion(spark, tmp_path):
+    lake = Lakehouse(spark, str(tmp_path / "plake"))
+    create_history_tables(lake)
+    df = spark.createDataFrame([(1704890100, 1000.5)], "epoch_s long, equity double")
+    portfolio_history_flow(lake, df)
+    row = lake.table("portfolio_history").collect()[0]
+    assert row.timestamp == dt.datetime(2024, 1, 10, 12, 35)  # UTC
+    assert row.equity == 1000.5
