@@ -276,3 +276,38 @@ def q48_cosine_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20)
     return cosine_topk(emb, queries, k=5).select("query_id", "neighbor_id", "cosine", "rank")
+
+
+# --------------------------------------------------------------------------
+# q49 — embedding-cosine near-dup pairs (threshold 0.45): the embedding
+#        flavor of dedup. All-pairs at oracle scale; production pre-filters
+#        via hyperplane LSH buckets (llmops.similarity) before the exact
+#        cosine — same verify expression.
+# --------------------------------------------------------------------------
+@register(
+    "q49_embedding_near_dups",
+    oracle="""
+    WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+               FROM embeddings),
+    n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           list_dot_product(a.e, b.e) / (a.nrm * b.nrm) AS cosine
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm) >= 0.45
+    """,
+)
+def q49_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llmops.similarity import _as_double, dot, norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.select(F.col("vec_id"), _as_double("embedding").alias("e")).withColumn(
+        "nrm", norm(F.col("e"))
+    )
+    a = n.select(F.col("vec_id").alias("id_a"), F.col("e").alias("ea"), F.col("nrm").alias("na"))
+    b = n.select(F.col("vec_id").alias("id_b"), F.col("e").alias("eb"), F.col("nrm").alias("nb"))
+    cos = dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= 0.45)
+    )

@@ -524,3 +524,34 @@ def q16_segment_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_orderdate").alias("last_order"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q17 — string↔date roundtrip with month names (reference F6:
+#        str.strptime(Date, "%B %d, %Y"), pipelines/universe_flow.py:76)
+#        plus date-part extraction (F4/F5/F7).
+# --------------------------------------------------------------------------
+@register(
+    "q17_date_roundtrip",
+    oracle="""
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%B %-d, %Y') AS pretty,
+           CAST(strptime(strftime(o_orderdate, '%B %-d, %Y'), '%B %d, %Y') AS DATE)
+             AS parsed,
+           CAST(year(o_orderdate) AS INT) AS y,
+           CAST(month(o_orderdate) AS INT) AS m,
+           CAST(day(o_orderdate) AS INT) AS d
+    FROM orders WHERE o_orderkey < 500
+    """,
+)
+def q17_date_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    pretty = F.date_format("o_orderdate", "MMMM d, yyyy")
+    return o.select(
+        "o_orderkey",
+        pretty.alias("pretty"),
+        F.to_date(pretty, "MMMM d, yyyy").alias("parsed"),
+        F.year("o_orderdate").cast("int").alias("y"),
+        F.month("o_orderdate").cast("int").alias("m"),
+        F.dayofmonth("o_orderdate").cast("int").alias("d"),
+    )

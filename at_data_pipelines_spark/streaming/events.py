@@ -94,6 +94,38 @@ def sessionize_stream(
     )
 
 
+def running_user_stats(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running (count, sum, max) emitted per micro-batch — the streaming
+    analogue of the reference's incremental warm-up recompute, but with
+    state held by the engine instead of re-reads.
+
+    State is a single row per user (bounded memory); at cluster scale
+    state lives in the state store keyed by the shuffle partitioning.
+    """
+    import pandas as pd  # noqa: F811
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id long, n_events long, total_value double, max_value double"
+    state_schema = "n long, s double, m double"
+
+    def fn(key, pdfs, state: GroupState):
+        n, s, m = state.get if state.exists else (0, 0.0, float("-inf"))
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+            if len(pdf):
+                m = max(m, float(pdf["value"].max()))
+        state.update((n, s, m))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [s], "max_value": [m]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def stream_to_lakehouse(
     agg: DataFrame,
     lake: Lakehouse,

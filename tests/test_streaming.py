@@ -59,6 +59,47 @@ def test_sessionization_matches_batch(spark, sf_dir, events_stream):
     assert (ge == be).all()
 
 
+def test_stateful_running_stats(spark, sf_dir, events_stream):
+    from at_data_pipelines_spark.streaming import running_user_stats
+
+    q = (
+        running_user_stats(events_stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("rstats")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT user_id, n_events, total_value, max_value FROM rstats"
+    ).toPandas()
+    # last emitted state per user must equal the batch ground truth
+    got = got.groupby("user_id").last()
+    from at_data_pipelines_spark.io import load_table
+    import pyspark.sql.functions as F
+
+    exp = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("total_value"),
+            F.max("value").alias("max_value"),
+        )
+        .toPandas()
+        .set_index("user_id")
+        .sort_index()
+    )
+    assert (got["n_events"].sort_index() == exp["n_events"]).all()
+    assert (got["max_value"].sort_index() == exp["max_value"]).all()
+    import numpy as np
+
+    np.testing.assert_allclose(
+        got["total_value"].sort_index(), exp["total_value"], rtol=1e-9
+    )
+
+
 def test_stream_upsert_idempotent(spark, sf_dir, tmp_path, events_stream):
     lake = Lakehouse(spark, str(tmp_path / "lake"))
     schema = T.StructType(
