@@ -100,6 +100,6 @@ def rolling_ols_grouped(
             out["residual"] = y - yhat
         return out
 
-    return df.select(entity_col, order_col, y_col, *x_cols).groupBy(entity_col).applyInPandas(
-        fn, schema
-    )
+    from ..ts.windows import _grouped_apply
+
+    return _grouped_apply(df.select(entity_col, order_col, y_col, *x_cols), [entity_col], fn, schema)

@@ -371,7 +371,9 @@ def portfolio_weights_flow(lake: Lakehouse, cfg: PipelineConfig) -> None:
             {"date": date, "ticker": tickers, "weight": w, "lambda": lam, "active_risk": risk}
         )
 
-    res = allin.groupBy("date").applyInPandas(solve_one_date, out_schema)
+    from ..ts.windows import _grouped_apply
+
+    res = _grouped_apply(allin, ["date"], solve_one_date, out_schema)
     res = res.persist()
     _upsert(lake, "portfolio_weights", _with_year(res.select("ticker", "date", "weight")))
     metrics = res.select("date", "lambda", "active_risk").distinct()

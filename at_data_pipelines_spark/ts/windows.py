@@ -120,4 +120,17 @@ def ewm_mean(
         pdf[out_col] = pdf[value].ewm(halflife=halflife, adjust=True, ignore_na=True).mean()
         return pdf
 
-    return df.groupBy(*partition_cols).applyInPandas(fn, schema)
+    return _grouped_apply(df, list(partition_cols), fn, schema)
+
+
+def _grouped_apply(df: DataFrame, partition_cols: list, fn, schema) -> DataFrame:
+    """groupBy(...).applyInPandas with partitioning pinned to the session's
+    shuffle parallelism. Pandas stages are Python-CPU-bound per row, but
+    AQE coalesces shuffle partitions by BYTES — on a modest panel it
+    happily merges down to 1-2 partitions and serializes the whole stage
+    through 1-2 Python workers (measured 3× slower). An explicit
+    hash-repartition on the group key satisfies the groupBy's distribution
+    requirement (no second shuffle) and keeps all cores busy."""
+    spark = df.sparkSession
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return df.repartition(n, *partition_cols).groupBy(*partition_cols).applyInPandas(fn, schema)

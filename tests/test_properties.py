@@ -1,0 +1,95 @@
+"""Property-based tests (hypothesis) for the pure-python/numpy kernels —
+fast, no Spark session needed."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from at_data_pipelines_spark.kernels.portfolio import project_simplex
+from at_data_pipelines_spark.llmops.dedup import MINHASH_PRIME, minhash_coefficients
+from at_data_pipelines_spark.pipelines.flows import reconstruct_membership
+from at_data_pipelines_spark.pipelines.synthetic import trading_calendar
+
+
+@given(
+    st.lists(st.floats(-1e6, 1e6, allow_nan=False), min_size=1, max_size=200)
+)
+@settings(max_examples=200, deadline=None)
+def test_simplex_projection_properties(v):
+    w = project_simplex(np.array(v, dtype=np.float64))
+    assert abs(w.sum() - 1) < 1e-9
+    assert (w >= 0).all()
+    # idempotence: projecting a point already on the simplex is identity
+    # (tolerance scales with input magnitude — theta is computed from
+    # cumsums of the raw values)
+    scale = max(1.0, np.abs(v).max())
+    w2 = project_simplex(w)
+    assert np.abs(w2 - w).max() < 1e-15 * scale + 1e-12
+    # translation invariance along 1-vector: proj(v + c·1) == proj(v)
+    w3 = project_simplex(np.array(v) + 7.5)
+    assert np.abs(w3 - w).max() < 1e-14 * scale + 1e-9
+
+
+@given(st.integers(1, 64), st.integers(0, 10_000))
+@settings(max_examples=50, deadline=None)
+def test_minhash_coefficients_bounds(k, seed):
+    coefs = minhash_coefficients(k, seed)
+    assert len(coefs) == k
+    for a, b in coefs:
+        assert 1 <= a < MINHASH_PRIME and 0 <= b < MINHASH_PRIME
+        # overflow safety: a·h + b < 2^63 for any 28-bit base hash h
+        assert a * (2**28 - 1) + b < 2**63
+    # deterministic per seed
+    assert coefs == minhash_coefficients(k, seed)
+
+
+@given(st.integers(0, 2000))
+@settings(max_examples=30, deadline=None)
+def test_trading_calendar_deterministic_and_weekday(offset):
+    start = dt.date(2020, 1, 1) + dt.timedelta(days=offset)
+    end = start + dt.timedelta(days=90)
+    cal = trading_calendar(start, end)
+    assert cal == trading_calendar(start, end)
+    assert all(d.weekday() < 5 for d in cal)
+    assert cal == sorted(cal)
+
+
+@given(
+    st.lists(st.integers(0, 30), min_size=1, max_size=10, unique=True),
+    st.integers(1, 5),
+)
+@settings(max_examples=50, deadline=None)
+def test_reconstruct_membership_replays_forward(change_days, n_changes):
+    """Reverse reconstruction then forward replay reproduces the final
+    membership on every date."""
+    cal = [dt.date(2024, 1, 1) + dt.timedelta(days=i) for i in range(31)]
+    rng = np.random.default_rng(sum(change_days) + n_changes)
+    tickers = [f"T{i}" for i in range(8)]
+    members = set(tickers[:5])
+    changes = []
+    m = set(members)
+    for day in sorted(change_days)[:n_changes]:
+        candidates_add = [t for t in tickers if t not in m]
+        candidates_rem = sorted(m)
+        add = {candidates_add[0]} if candidates_add else set()
+        rem = {candidates_rem[0]} if len(candidates_rem) > 1 else set()
+        m = (m | add) - rem
+        changes.append((cal[day], add, rem))
+    current = m
+    hist = reconstruct_membership(current, changes, cal)
+    # forward replay check: membership on each date equals applying all
+    # changes with date <= d to the initial state
+    initial = set(hist[hist.date == cal[0]].ticker)
+    mm = set(initial)
+    ci = sorted(changes, key=lambda c: c[0])
+    k = 0
+    for d in cal:
+        while k < len(ci) and ci[k][0] <= d:
+            mm = (mm | ci[k][1]) - ci[k][2]
+            k += 1
+        assert set(hist[hist.date == d].ticker) == mm
+    assert set(hist[hist.date == cal[-1]].ticker) == current
