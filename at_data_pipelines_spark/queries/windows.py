@@ -279,6 +279,44 @@ def q27_event_types_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q19 — as-of (backward) join: each event gets the most recent purchase
+#        at-or-before it per user. Spark lacks the operator natively; the
+#        implementation is ops.asof_join (union + last-ignorenulls window,
+#        one shuffle, no Python). Oracle: DuckDB's native ASOF JOIN.
+# --------------------------------------------------------------------------
+@register(
+    "q19_asof_last_purchase",
+    oracle="""
+    WITH p AS (
+        SELECT user_id, epoch_us(ts) AS ts_us, MAX(value) AS purchase_value
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id, epoch_us(ts)),
+    e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events)
+    SELECT e.event_id, e.user_id, e.ts_us,
+           p.purchase_value,
+           p.ts_us AS purchase_ts_us
+    FROM e ASOF LEFT JOIN p
+      ON e.user_id = p.user_id AND e.ts_us >= p.ts_us
+    """,
+)
+def q19_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ops import asof_join
+
+    e = _events(spark, sf_dir)
+    left = e.select("event_id", "user_id", "ts_us")
+    right = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts_us")
+        .agg(F.max("value").alias("purchase_value"))
+        .withColumn("purchase_ts_us", F.col("ts_us"))
+    )
+    return asof_join(
+        left, right, on="ts_us", by="user_id",
+        value_cols=["purchase_value", "purchase_ts_us"],
+    )
+
+
+# --------------------------------------------------------------------------
 # q28 — exponential smoothing, half-life 10 (reference W4:
 #        pipelines/factor_model_flow.py:87 ewm_mean(half_life=60),
 #        Polars adjust=True). Spark: Arrow applyInPandas recursion; oracle:
