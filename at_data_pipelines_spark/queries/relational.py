@@ -555,3 +555,30 @@ def q17_date_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.month("o_orderdate").cast("int").alias("m"),
         F.dayofmonth("o_orderdate").cast("int").alias("d"),
     )
+
+
+# --------------------------------------------------------------------------
+# q18 — exact interpolated percentiles per group (the deterministic cousin
+#        of percentile_approx; linear interpolation is bit-identical to
+#        DuckDB's quantile_cont on this fixed-decimal data).
+# --------------------------------------------------------------------------
+@register(
+    "q18_percentiles",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           quantile_cont(l_quantity, 0.5) AS qty_p50,
+           quantile_cont(l_quantity, 0.9) AS qty_p90,
+           quantile_cont(l_extendedprice, 0.25) AS price_p25,
+           quantile_cont(l_extendedprice, 0.99) AS price_p99
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q18_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag", "l_linestatus").agg(
+        F.percentile("l_quantity", F.lit(0.5)).alias("qty_p50"),
+        F.percentile("l_quantity", F.lit(0.9)).alias("qty_p90"),
+        F.percentile("l_extendedprice", F.lit(0.25)).alias("price_p25"),
+        F.percentile("l_extendedprice", F.lit(0.99)).alias("price_p99"),
+    )

@@ -80,6 +80,43 @@ def fetch_daily_bars_batched(
     return out if out is not None else empty_bars(spark)
 
 
+ORDER_SCHEMA = T.StructType(
+    [
+        T.StructField("order_id", T.StringType()),
+        T.StructField("ticker", T.StringType()),
+        T.StructField("side", T.StringType()),
+        T.StructField("filled_at", T.TimestampType()),
+        T.StructField("filled_qty", T.DoubleType()),
+        T.StructField("filled_avg_price", T.DoubleType()),
+    ]
+)
+
+
+def filled_orders_frame(
+    spark: SparkSession, raw_orders: list[dict], since: dt.datetime | None = None
+) -> DataFrame:
+    """Client-side filter/projection of raw order dicts to filled orders
+    (reference S8, pipelines/utils/alpaca.py:8-45: fetch → keep filled →
+    project to a narrow dict list → frame)."""
+    rows = []
+    for o in raw_orders:
+        if o.get("status") != "filled" or o.get("filled_at") is None:
+            continue
+        if since is not None and o["filled_at"] < since:
+            continue
+        rows.append(
+            (
+                str(o["id"]),
+                o["symbol"],
+                o["side"],
+                o["filled_at"],
+                float(o["filled_qty"]),
+                float(o["filled_avg_price"]),
+            )
+        )
+    return spark.createDataFrame(rows, ORDER_SCHEMA)
+
+
 class RestBarSource:
     """Thin stateful wrapper holding a client + universe, mirroring the
     reference's task signatures."""

@@ -68,6 +68,38 @@ def test_scrape_parsing():
     assert list(ch.columns) == ["date", "added_ticker", "removed_ticker"]
 
 
+def test_filled_orders_projection(spark):
+    from at_data_pipelines_spark.sources.rest import filled_orders_frame
+
+    raw = [
+        {"id": 1, "symbol": "A", "side": "buy", "status": "filled",
+         "filled_at": dt.datetime(2024, 1, 10, 15, 0), "filled_qty": 10, "filled_avg_price": 101.5},
+        {"id": 2, "symbol": "B", "side": "sell", "status": "canceled",
+         "filled_at": None, "filled_qty": 0, "filled_avg_price": 0},
+        {"id": 3, "symbol": "C", "side": "buy", "status": "filled",
+         "filled_at": dt.datetime(2023, 1, 1), "filled_qty": 5, "filled_avg_price": 50.0},
+    ]
+    out = filled_orders_frame(spark, raw, since=dt.datetime(2024, 1, 1)).collect()
+    assert len(out) == 1 and out[0].ticker == "A" and out[0].filled_qty == 10.0
+
+
+def test_notify_wrappers(spark, tmp_path):
+    from at_data_pipelines_spark.pipelines.notify import daily_summary, with_failure_notification
+
+    sent = []
+    def boom():
+        raise ValueError("exploded")
+    wrapped = with_failure_notification(boom, sent.append, "test_flow")
+    with pytest.raises(ValueError):
+        wrapped()
+    assert len(sent) == 1 and "test_flow failed" in sent[0] and "exploded" in sent[0]
+
+    lake = Lakehouse(spark, str(tmp_path / "nlake"))
+    flows.create_all_tables(lake)
+    msg = daily_summary(lake, sent.append)
+    assert "No portfolio weights" in msg
+
+
 # -- daily incremental -----------------------------------------------------
 @pytest.fixture(scope="module")
 def daily_lake(spark, tmp_path_factory):
