@@ -160,9 +160,18 @@ def jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard over documents sharing ≥1 shingle.
 
-    All-pairs-sharing-a-shingle shape — correct and fine when shingle
-    collisions are sparse; at corpus scale feed LSH candidates instead
-    (``minhash_candidates`` → verify), which this mirrors.
+    Shape: equi-join of the (id, shingle) relation with itself on shingle,
+    count per pair, then attach per-doc set sizes. All derivations reuse
+    the same exploded relation, so Spark's exchange reuse materializes the
+    shingle pipeline once. (Two alternatives benchmarked slower: per-doc
+    ``size(shingle_array)`` sizes — the higher-order transform runs
+    interpreted, outside codegen — and bucket-explode pair combinations,
+    ~1.5× slower for the same reason.)
+
+    Skew: a boilerplate shingle shared by k docs contributes k²/2 joined
+    rows on one key — at corpus scale, drop super-frequent shingles (they
+    carry no near-dup signal) and/or verify only LSH candidates
+    (``minhash_candidates``) instead of all co-occurring pairs.
     """
     sh = word_shingles(df, text_col, id_col, shingle_n)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
@@ -173,9 +182,7 @@ def jaccard_pairs(
             (F.col("a.shingle") == F.col("b.shingle"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
-        .groupBy(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .agg(F.count("*").alias("inter"))
     )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
