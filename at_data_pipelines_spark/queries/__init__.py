@@ -5,3 +5,4 @@ from .registry import QUERIES, ORACLES, register  # noqa: F401
 from . import relational  # noqa: F401,E402
 from . import windows  # noqa: F401,E402
 from . import llm  # noqa: F401,E402
+from . import streaming_q  # noqa: F401,E402

@@ -1,0 +1,59 @@
+"""Streaming queries in the oracle gate.
+
+These run a real Structured Streaming plan (availableNow trigger, memory
+sink) to completion inside the query callable, then return the result as
+a DataFrame — so the STREAMING path itself is DuckDB-oracle-checked, not
+just its batch equivalent.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .registry import register
+
+
+@register(
+    "q60_stream_tumbling_5min",
+    oracle="""
+    SELECT epoch_us(ts) // 300000000 * 300 AS bucket_start_s,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS DOUBLE)/100 AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q60_stream_tumbling_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming import read_events_stream, windowed_aggregation
+
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    # exact-cents sum variant of the streaming aggregation for oracle parity
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes").alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+        )
+    )
+    name = f"q60_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    out = spark.table(name)
+    # unix_timestamp of an instant is timezone-independent
+    return out.select(
+        F.unix_timestamp(F.col("win.start")).alias("bucket_start_s"),
+        "event_type",
+        "n_events",
+        (F.col("cents").cast("double") / 100).alias("total_value"),
+    )
