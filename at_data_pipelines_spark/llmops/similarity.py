@@ -107,6 +107,96 @@ def cosine_topk_arrow(
     return ranked.filter(F.col("rank") <= k)
 
 
+def kmeans_fit(vectors: np.ndarray, k: int, iters: int = 20, seed: int = 42) -> np.ndarray:
+    """Plain numpy Lloyd's k-means (cosine space: vectors and centroids
+    L2-normalized). Deterministic seed; good enough for an IVF coarse
+    quantizer (sklearn absent in this environment)."""
+    rng = np.random.default_rng(seed)
+    X = np.asarray(vectors, dtype=np.float64)
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    C = X[rng.choice(len(X), size=k, replace=False)]
+    for _ in range(iters):
+        assign = (X @ C.T).argmax(axis=1)
+        for j in range(k):
+            members = X[assign == j]
+            if len(members):
+                c = members.mean(axis=0)
+                n = np.linalg.norm(c)
+                if n > 0:
+                    C[j] = c / n
+    return C
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    train_sample: int = 2048,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: k-means coarse quantizer → corpus assigned to
+    its nearest centroid (one list per centroid) → each query probes its
+    ``n_probe`` nearest lists → exact cosine re-rank on the probed union.
+
+    Scale shape: assignment is one Arrow pass (numpy matmul per batch);
+    the probe join is an equi-join on centroid id (uniform-ish keys);
+    recall/cost dial = n_probe/n_centroids. This is the learned-structure
+    counterpart of ``ann_hyperplane_topk`` — better when the corpus
+    actually clusters.
+    """
+    sample = np.stack(
+        [r[0] for r in corpus.select(vec_col).limit(train_sample).collect()]
+    )
+    C = kmeans_fit(sample, n_centroids, seed=seed)
+
+    def assign_factory(top_m: int):
+        def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                M = M / np.linalg.norm(M, axis=1, keepdims=True)
+                sims = M @ C.T
+                order = np.argsort(-sims, axis=1)[:, :top_m]
+                yield pd.DataFrame(
+                    {
+                        id_col: pdf[id_col].to_numpy().repeat(top_m),
+                        vec_col: [v for v in pdf[vec_col] for _ in range(top_m)],
+                        "centroid": order.ravel(),
+                    }
+                )
+
+        return assign
+
+    schema = f"{id_col} long, {vec_col} array<float>, centroid long"
+    cassign = corpus.select(id_col, vec_col).mapInPandas(assign_factory(1), schema)
+    qassign = queries.select(id_col, vec_col).mapInPandas(assign_factory(n_probe), schema)
+
+    cb = cassign.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("ce_raw"), "centroid"
+    )
+    qb = qassign.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qe_raw"), "centroid"
+    )
+    pairs = (
+        cb.join(F.broadcast(qb), "centroid")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    qe = F.col("qe_raw").cast("array<double>")
+    ce = F.col("ce_raw").cast("array<double>")
+    cos = dot(qe, ce) / (norm(qe) * norm(ce))
+    ranked = pairs.select("query_id", "neighbor_id", cos.alias("cosine")).withColumn(
+        "rank",
+        F.row_number().over(
+            W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+        ),
+    )
+    return ranked.filter(F.col("rank") <= k)
+
+
 def hyperplane_buckets(
     df: DataFrame,
     n_planes: int = 12,

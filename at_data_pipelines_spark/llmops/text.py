@@ -27,6 +27,18 @@ def token_count(text_col: str | Column) -> Column:
     return F.size(tokens(text_col))
 
 
+# BPE-ish pre-tokenization: letter runs, digit runs, single non-alnum marks
+BPE_TOKEN_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
+def bpe_tokens(text_col: str | Column) -> Column:
+    """Regex pre-tokenization (the GPT-style split before BPE merges):
+    letter runs / digit runs / punctuation marks. A cheap proxy for
+    LLM token counting without a tokenizer library."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.regexp_extract_all(c, F.lit(BPE_TOKEN_RE), 0)
+
+
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Length / token / stopword / punctuation features for corpus filtering."""
     t = tokens(text_col)

@@ -279,6 +279,31 @@ def q48_cosine_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q50 — BPE-ish regex token counting (LLM token-count proxy): letter runs,
+#        digit runs, punctuation marks. Java and RE2-family engines agree
+#        on this character-class-only pattern.
+# --------------------------------------------------------------------------
+@register(
+    "q50_bpe_token_count",
+    oracle=r"""
+    SELECT doc_id,
+           LEN(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS n_bpe_tokens,
+           LEN(string_split(text, ' ')) AS n_ws_tokens
+    FROM documents
+    """,
+)
+def q50_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llmops.text import bpe_tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(bpe_tokens(F.col("text"))).alias("n_bpe_tokens"),
+        F.size(F.split(F.col("text"), " ")).alias("n_ws_tokens"),
+    )
+
+
+# --------------------------------------------------------------------------
 # q49 — embedding-cosine near-dup pairs (threshold 0.45): the embedding
 #        flavor of dedup. All-pairs at oracle scale; production pre-filters
 #        via hyperplane LSH buckets (llmops.similarity) before the exact

@@ -70,6 +70,29 @@ def test_arrow_topk_matches_fold_topk(spark, sf_dir):
     assert f == e  # same neighbors (scores fp-differ, ranking identical)
 
 
+def test_ivf_topk_recall(spark, sf_dir):
+    from pyspark.sql import functions as F2
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F2.col("vec_id") < 10)
+    exact = similarity.cosine_topk(emb, queries, k=5)
+    # near-isotropic data: probe half the lists for meaningful recall
+    approx = similarity.ivf_topk(emb, queries, k=5, n_centroids=8, n_probe=4)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+
+
+def test_bpe_tokens(spark):
+    from at_data_pipelines_spark.llmops.text import bpe_tokens
+    from pyspark.sql import functions as F2
+
+    df = spark.createDataFrame([(1, "hello world42, it's a1b2!")], ["id", "text"])
+    out = df.select(bpe_tokens("text").alias("t")).collect()[0].t
+    assert out == ["hello", "world", "42", ",", "it", "'", "s", "a", "1", "b", "2", "!"]
+
+
 def test_quality_features_and_langid(spark):
     rows = [
         (1, "the cat and the dog is in the house"),
