@@ -6,3 +6,4 @@ from . import relational  # noqa: F401,E402
 from . import windows  # noqa: F401,E402
 from . import llm  # noqa: F401,E402
 from . import streaming_q  # noqa: F401,E402
+from . import subqueries  # noqa: F401,E402
