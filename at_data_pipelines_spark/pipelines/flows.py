@@ -442,3 +442,188 @@ def run_backfill(lake: Lakehouse, fixtures: dict[str, DataFrame], cfg: PipelineC
     benchmark_flow(lake, cfg)
     betas_flow(lake, cfg)
     portfolio_weights_flow(lake, cfg)
+
+
+def run_daily(
+    lake: Lakehouse,
+    cfg: PipelineConfig,
+    run_date: dt.date,
+    new_stock_bars: DataFrame | None = None,
+    new_etf_bars: DataFrame | None = None,
+    new_calendar: DataFrame | None = None,
+    new_universe: DataFrame | None = None,
+    warm_days: int | None = None,
+) -> bool:
+    """The reference's scheduled ``daily_flow`` (pipelines/__main__.py:22-37):
+    guard on the market calendar, ingest the new day, recompute every
+    derived table over a trailing warm-up re-read, keep only the last
+    market date's rows, upsert (idempotent).
+
+    ``warm_days`` defaults to ``window*2`` calendar days (reference
+    pipelines/factor_model_flow.py:179). NOTE the same approximation the
+    reference makes: EWM-smoothed outputs have unbounded memory, so a
+    finite warm-up truncates history — with half-life 60 and a 2×252-day
+    warm-up the truncation error is ~2^-(504/60) ≈ 0.3%. Pass
+    ``warm_days`` covering full history for exact incremental parity.
+    """
+    if new_calendar is not None:
+        lake.upsert("calendar", new_calendar)
+    if not should_run_daily(lake, run_date):
+        return False
+    target = get_last_market_date(lake, before=run_date)
+    warm_days = cfg.window * 2 if warm_days is None else warm_days
+    warm_start = target - dt.timedelta(days=warm_days)
+
+    if new_universe is not None:
+        lake.upsert("universe", _with_year(new_universe))
+    if new_stock_bars is not None:
+        stock_prices_flow(lake, new_stock_bars)
+    if new_etf_bars is not None:
+        etf_prices_flow(lake, new_etf_bars)
+
+    emit = F.col("date") == F.lit(target)
+
+    def warm(df: DataFrame) -> DataFrame:
+        return df.filter(F.col("date").between(F.lit(warm_start), F.lit(target)))
+
+    # returns (both panels), emitted only for the target date
+    for src, dst in [("stock_prices", "stock_returns"), ("etf_prices", "etf_returns")]:
+        w = entity_window(["ticker"], ["date"])
+        rets = (
+            warm(lake.table(src))
+            .select("ticker", "date", pct_change("close", w).alias("return"))
+            .na.drop(subset=["return"])
+            .filter(emit)
+        )
+        lake.upsert(dst, _with_year(rets))
+
+    # derived flows: recompute over the warm slice, emit target rows only.
+    # Implemented by running the full-flow plans against warm-filtered
+    # inputs via temporary lakehouse reads; the write path filters to the
+    # target date before upserting.
+    _daily_factor_model(lake, cfg, warm, emit)
+    _daily_factor_covariances(lake, cfg, warm, emit)
+    _daily_reversal(lake, cfg, warm, emit)
+    _daily_benchmark(lake, cfg, warm, emit)
+    _daily_betas(lake, cfg, warm, emit)
+    _daily_portfolio(lake, cfg, emit)
+    return True
+
+
+def _daily_factor_model(lake, cfg, warm, emit) -> None:
+    sr = warm(lake.table("stock_returns"))
+    er = warm(lake.table("etf_returns")).filter(F.col("ticker").isin(cfg.factors))
+    wide = er.groupBy("date").pivot("ticker", cfg.factors).agg(F.first("return"))
+    joined = sr.join(F.broadcast(wide), "date").na.drop()
+    ols = rolling_ols_grouped(
+        joined, "return", cfg.factors, cfg.window, "ticker", "date", coef_prefix="B_"
+    )
+    loadings = ols.select(
+        "ticker", "date", *[F.col(f"B_{f}").alias(f) for f in cfg.factors]
+    ).unpivot(["ticker", "date"], cfg.factors, "factor", "loading").na.drop(subset=["loading"])
+    smoothed = ewm_mean(
+        loadings, "loading", cfg.ewm_half_life, ["ticker", "factor"], ["date"], out_col="sm"
+    ).select("ticker", "date", "factor", F.col("sm").alias("loading"))
+    lake.upsert("factor_loadings", _with_year(smoothed.filter(emit)))
+    resid = ols.select("ticker", "date", "residual")
+    w = entity_window(["ticker"], ["date"])
+    ivol = resid.select(
+        "ticker", "date", rolling_std("residual", w, cfg.window).alias("rv")
+    ).na.drop(subset=["rv"])
+    ivol_sm = ewm_mean(ivol, "rv", cfg.ewm_half_life, ["ticker"], ["date"], out_col="idio_vol")
+    lake.upsert(
+        "idio_vol", _with_year(ivol_sm.select("ticker", "date", "idio_vol").filter(emit))
+    )
+
+
+def _daily_factor_covariances(lake, cfg, warm, emit) -> None:
+    er = warm(lake.table("etf_returns")).filter(F.col("ticker").isin(cfg.factors))
+    wide = er.groupBy("date").pivot("ticker", cfg.factors).agg(F.first("return"))
+    cov = rolling_pairwise_cov(wide, cfg.factors, "date", cfg.window).na.drop(
+        subset=["covariance"]
+    )
+    sm = ewm_mean(
+        cov, "covariance", cfg.ewm_half_life, ["factor_1", "factor_2"], ["date"], out_col="sm"
+    ).select("date", "factor_1", "factor_2", F.col("sm").alias("covariance"))
+    lake.upsert("factor_covariances", _with_year(sm.filter(emit)))
+
+
+def _daily_reversal(lake, cfg, warm, emit) -> None:
+    sr = warm(lake.table("stock_returns"))
+    w = entity_window(["ticker"], ["date"])
+    sig = (
+        sr.select(
+            "ticker",
+            "date",
+            (rolling_sum(F.log1p(F.col("return")), w, cfg.reversal_window) * -1).alias("value"),
+        )
+        .na.drop(subset=["value"])
+        .withColumn("signal", F.lit("reversal"))
+    )
+    lake.upsert("signals", _with_year(sig.filter(emit)))
+    # reference parity: the z-score is over the WHOLE recomputed frame
+    # (pipelines/reversal_flow.py:39-42), then sliced to the day
+    scores = zscore_global(sig, "value", "score").select("ticker", "date", "signal", "score")
+    lake.upsert("scores", _with_year(scores.filter(emit)))
+    iv = lake.table("idio_vol").select("ticker", "date", "idio_vol")
+    alphas = (
+        scores.filter(emit)
+        .join(iv, ["ticker", "date"])
+        .withColumn("alpha", F.lit(cfg.ic) * F.col("score") * F.col("idio_vol"))
+        .select("ticker", "date", "signal", "alpha")
+    )
+    lake.upsert("alphas", _with_year(alphas))
+
+
+def _daily_benchmark(lake, cfg, warm, emit) -> None:
+    from pyspark.sql.window import Window as W
+
+    uni = lake.table("universe").select("date", "ticker").filter(emit)
+    ret = lake.table("stock_returns").select("ticker", "date", "return")
+    ur = uni.join(ret, ["date", "ticker"], "left").na.drop(subset=["return"])
+    weights = ur.withColumn(
+        "weight", F.lit(1.0) / F.count(F.lit(1)).over(W.partitionBy("date"))
+    )
+    lake.upsert("benchmark_weights", _with_year(weights.select("ticker", "date", "weight")))
+    brets = weights.groupBy("date").agg(F.sum(F.col("return") * F.col("weight")).alias("return"))
+    lake.upsert("benchmark_returns", brets)
+
+
+def _daily_betas(lake, cfg, warm, emit) -> None:
+    sr = warm(lake.table("stock_returns"))
+    br = warm(lake.table("benchmark_returns")).select("date", F.col("return").alias("bench"))
+    joined = sr.join(F.broadcast(br), "date")
+    ols = rolling_ols_grouped(
+        joined, "return", ["bench"], cfg.window, "ticker", "date", with_residual=False
+    )
+    hist = ols.select("ticker", "date", F.col("B_bench").alias("historical_beta")).na.drop(
+        subset=["historical_beta"]
+    )
+    sm = ewm_mean(
+        hist, "historical_beta", cfg.ewm_half_life, ["ticker"], ["date"], out_col="predicted_beta"
+    )
+    lake.upsert(
+        "betas",
+        _with_year(
+            sm.select("ticker", "date", "historical_beta", "predicted_beta").filter(emit)
+        ),
+    )
+
+
+def _daily_portfolio(lake, cfg, emit) -> None:
+    # the QP inputs are all per-date tables; slice every input to the day
+    # and reuse the full flow's fan-out (one group)
+    class _Sliced:
+        """Lakehouse view that filters per-date tables to the target day."""
+
+        def __init__(self, base):
+            self._base = base
+            self.spark = base.spark
+
+        def table(self, name):
+            return self._base.table(name).filter(emit)
+
+        def upsert(self, name, df):
+            self._base.upsert(name, df)
+
+    portfolio_weights_flow(_Sliced(lake), cfg)
