@@ -279,6 +279,83 @@ def q48_cosine_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q51 — SimHash near-dup PAIRS: hamming(simhash) ≤ 4 over all pairs
+#        (bit_count(xor) in both engines; at corpus scale the pigeonhole
+#        band split in llmops.dedup.simhash_near_dups replaces all-pairs).
+# --------------------------------------------------------------------------
+_Q47_SIMHASH_CTE = """
+    toks AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents),
+    h AS (SELECT doc_id, ('0x'||substr(md5(tok),1,8))::BIGINT AS th FROM toks),
+    bits AS (
+        SELECT doc_id, b,
+               CASE WHEN SUM(CASE WHEN (th >> b) & 1 = 1 THEN 1 ELSE -1 END) > 0
+                    THEN CAST(1 AS BIGINT) << b ELSE 0 END AS bitval
+        FROM h, (SELECT UNNEST(range(0, 32)) AS b) bs
+        GROUP BY doc_id, b),
+    sh AS (SELECT doc_id, CAST(SUM(bitval) AS BIGINT) AS simhash FROM bits GROUP BY doc_id)
+"""
+
+
+@register(
+    "q51_simhash_near_dup_pairs",
+    oracle=f"""
+    WITH {_Q47_SIMHASH_CTE}
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 4
+    """,
+)
+def q51_simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llmops.dedup import simhash_near_dups
+
+    d = load_table(spark, sf_dir, "documents")
+    out = simhash_near_dups(d, "text", "doc_id", max_hamming=4, bits=32)
+    return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+# --------------------------------------------------------------------------
+# q52 — language-ID heuristic: per-language marker-lexicon hit counts +
+#        argmax prediction (deterministic tiebreak = lexicographically
+#        greatest code, 'und' when nothing fires).
+# --------------------------------------------------------------------------
+from ..llmops.text import LANG_MARKERS  # noqa: E402
+
+_LANG_HIT_SQL = ",\n".join(
+    f"LEN(list_filter(string_split(text, ' '), t -> list_contains({LANG_MARKERS[c]!r}, t))) AS {c}_hits"
+    for c in sorted(LANG_MARKERS)
+)
+_LANG_CASE_SQL = " ".join(
+    f"WHEN {c}_hits = best AND best > 0 THEN '{c}'"
+    for c in sorted(LANG_MARKERS, reverse=True)
+)
+
+
+@register(
+    "q52_langid",
+    oracle=f"""
+    WITH hits AS (SELECT doc_id, lang, {_LANG_HIT_SQL} FROM documents),
+    best AS (SELECT *, GREATEST(de_hits, en_hits, es_hits, fr_hits) AS best FROM hits)
+    SELECT doc_id, lang, de_hits, en_hits, es_hits, fr_hits,
+           CASE {_LANG_CASE_SQL} ELSE 'und' END AS lang_pred
+    FROM best
+    """,
+)
+def q52_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llmops.text import langid
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    hit_cols = []
+    for code in sorted(LANG_MARKERS):
+        markers = F.array([F.lit(m) for m in LANG_MARKERS[code]])
+        hit_cols.append(
+            F.size(F.filter(toks, lambda t: F.array_contains(markers, t))).alias(f"{code}_hits")
+        )
+    return langid(d, "text").select("doc_id", "lang", *hit_cols, "lang_pred")
+
+
+# --------------------------------------------------------------------------
 # q50 — BPE-ish regex token counting (LLM token-count proxy): letter runs,
 #        digit runs, punctuation marks. Java and RE2-family engines agree
 #        on this character-class-only pattern.
