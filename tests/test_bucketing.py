@@ -25,8 +25,13 @@ def test_bucketed_join_has_no_exchange(spark, no_broadcast):
     big_b = spark.range(50_000).select(
         F.col("id").alias("k"), (F.col("id") * 3).alias("b")
     )
+    import shutil
+
     for name, df in [("ba", big_a), ("bb", big_b)]:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+        # the in-memory catalog forgets tables across sessions but their
+        # warehouse dirs persist — saveAsTable refuses over a stale dir
+        shutil.rmtree(f"spark-warehouse/{name}", ignore_errors=True)
         df.write.bucketBy(8, "k").sortBy("k").saveAsTable(name)
     joined = spark.table("ba").join(spark.table("bb"), "k")
     plan = joined._jdf.queryExecution().executedPlan().toString()
