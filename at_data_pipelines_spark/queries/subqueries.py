@@ -139,3 +139,121 @@ def q34_lost_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(F.count("*").alias("n_custs"), dsum("c_acctbal").alias("total_bal"))
     )
+
+
+# --------------------------------------------------------------------------
+# q35 — CUBE grouping sets with GROUPING() disambiguation.
+# --------------------------------------------------------------------------
+@register(
+    "q35_cube_orders",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           GROUPING(o_orderstatus) AS g_status,
+           GROUPING(o_orderpriority) AS g_prio,
+           COUNT(*) AS n, {_sql_dsum('o_totalprice')} AS total
+    FROM orders
+    GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+)
+def q35_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping("o_orderstatus").cast("long").alias("g_status"),
+        F.grouping("o_orderpriority").cast("long").alias("g_prio"),
+        F.count("*").alias("n"),
+        dsum("o_totalprice").alias("total"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q36 — time-RANGE window frame: trailing 10-minute sum per user
+#        (range frame on epoch-µs, exact cents — intraday rolling shape).
+# --------------------------------------------------------------------------
+@register(
+    "q36_trailing_10min_sum",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) OVER w AS DOUBLE)/100
+             AS trailing_sum,
+           COUNT(*) OVER w AS n_in_window
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q36_trailing_10min_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..io import load_table as lt
+    from pyspark.sql.window import Window as W
+
+    e = lt(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts_us").rangeBetween(-600_000_000, 0)
+    cents = F.round(F.col("value") * 100).cast("long")
+    return e.select(
+        "event_id",
+        "user_id",
+        (F.sum(cents).over(w).cast("double") / 100).alias("trailing_sum"),
+        F.count(F.lit(1)).over(w).alias("n_in_window"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q37 — first/last value per partition-day (open/close of each user-day).
+# --------------------------------------------------------------------------
+@register(
+    "q37_user_day_open_close",
+    oracle="""
+    SELECT DISTINCT user_id,
+           epoch_us(ts) // 86400000000 AS day_idx,
+           FIRST_VALUE(value) OVER w AS open_value,
+           LAST_VALUE(value) OVER
+             (PARTITION BY user_id, epoch_us(ts) // 86400000000
+              ORDER BY epoch_us(ts), event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS close_value
+    FROM events
+    WINDOW w AS (PARTITION BY user_id, epoch_us(ts) // 86400000000
+                 ORDER BY epoch_us(ts), event_id)
+    """,
+)
+def q37_user_day_open_close(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..io import load_table as lt
+    from pyspark.sql.window import Window as W
+
+    e = lt(spark, sf_dir, "events").withColumn("day_idx", F.expr("ts_us DIV 86400000000"))
+    w = W.partitionBy("user_id", "day_idx").orderBy("ts_us", "event_id")
+    wfull = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return (
+        e.select(
+            "user_id",
+            "day_idx",
+            F.first("value").over(w).alias("open_value"),
+            F.last("value").over(wfull).alias("close_value"),
+        )
+        .distinct()
+    )
+
+
+# --------------------------------------------------------------------------
+# q38 — rank family: ntile deciles + percent_rank over a total order.
+# --------------------------------------------------------------------------
+@register(
+    "q38_customer_deciles",
+    oracle="""
+    SELECT c_custkey, c_acctbal,
+           NTILE(10) OVER w AS decile,
+           ROUND(PERCENT_RANK() OVER w, 9) AS pr
+    FROM customer
+    WINDOW w AS (ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def q38_customer_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    c = load_table(spark, sf_dir, "customer")
+    w = W.orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_acctbal",
+        F.ntile(10).over(w).alias("decile"),
+        F.round(F.percent_rank().over(w), 9).alias("pr"),
+    )
