@@ -218,6 +218,69 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFr
     return per_doc.select(F.col(id_col), fp.alias("simhash"))
 
 
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    node_col: str = "id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components by iterative min-label propagation
+    (label(n) converges to MIN(id) over n's component — a unique
+    fixpoint, so any engine/algorithm agrees exactly).
+
+    The driver loop runs O(component diameter) rounds; near-dup clusters
+    are shallow (diameter ≲ 5), so a handful of uniform-key shuffles.
+    Each round: push labels across edges, take the min per node. This is
+    the GraphFrames/Pregel CC without the dependency.
+    """
+    spark = nodes.sparkSession
+    bi = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .unionByName(edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = nodes.select(F.col(node_col).alias("node"), F.col(node_col).alias("label")).persist()
+    try:
+        for _ in range(max_iter):
+            pushed = (
+                bi.join(labels, bi.src == labels.node)
+                .select(F.col("dst").alias("node"), "label")
+            )
+            new_labels = (
+                labels.unionByName(pushed)
+                .groupBy("node")
+                .agg(F.min("label").alias("label"))
+                .persist()
+            )
+            changed = (
+                new_labels.join(labels.withColumnRenamed("label", "old"), "node")
+                .filter(F.col("label") < F.col("old"))
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+        return labels.select(F.col("node").alias(node_col), F.col("label").alias("cluster"))
+    finally:
+        bi.unpersist()
+        _ = spark  # session kept for API symmetry
+
+
+def dedup_clusters(
+    df: DataFrame, text_col: str, id_col: str, threshold: float = 0.6, shingle_n: int = 3
+) -> DataFrame:
+    """Full near-dup dedup: Jaccard pairs → connected components →
+    (id, cluster) with cluster = min id of the duplicate group; keep rows
+    where id == cluster for the deduplicated corpus."""
+    pairs = jaccard_pairs(df, text_col, id_col, threshold, shingle_n)
+    nodes = df.select(F.col(id_col))
+    return connected_components(nodes, pairs, id_col, "id_a", "id_b")
+
+
 def simhash_near_dups(
     df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3, bits: int = 32
 ) -> DataFrame:

@@ -279,6 +279,43 @@ def q48_cosine_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q53 — duplicate clustering: connected components over the Jaccard≥0.6
+#        near-dup graph, cluster id = MIN doc_id of the component (unique
+#        fixpoint → engine-independent). Spark: iterative min-label
+#        propagation; oracle: recursive-CTE transitive closure.
+# --------------------------------------------------------------------------
+@register(
+    "q53_dup_clusters",
+    oracle=f"""
+    WITH {_SH_SQL},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+    pairs AS (
+        SELECT id_a, id_b FROM inter
+        JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+        WHERE CAST(i AS DOUBLE)/(sa.n + sb.n - i) >= 0.6),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach AS (
+        WITH RECURSIVE r(a, b) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT r.a, e.dst FROM r JOIN edges e ON r.b = e.src)
+        SELECT * FROM r)
+    SELECT a AS doc_id, MIN(b) AS cluster FROM reach GROUP BY a
+    """,
+)
+def q53_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llmops.dedup import dedup_clusters
+
+    d = load_table(spark, sf_dir, "documents")
+    return dedup_clusters(d, "text", "doc_id", threshold=0.6)
+
+
+# --------------------------------------------------------------------------
 # q51 — SimHash near-dup PAIRS: hamming(simhash) ≤ 4 over all pairs
 #        (bit_count(xor) in both engines; at corpus scale the pigeonhole
 #        band split in llmops.dedup.simhash_near_dups replaces all-pairs).

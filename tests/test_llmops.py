@@ -70,6 +70,29 @@ def test_arrow_topk_matches_fold_topk(spark, sf_dir):
     assert f == e  # same neighbors (scores fp-differ, ranking identical)
 
 
+def test_connected_components(spark):
+    nodes = spark.createDataFrame([(i,) for i in range(10)], ["id"])
+    # components: {0,1,2,3} (chain), {4,5}, singletons 6-9
+    edges = spark.createDataFrame(
+        [(1, 0), (2, 1), (3, 2), (5, 4)], ["id_a", "id_b"]
+    )
+    cc = {r.id: r.cluster for r in dedup.connected_components(nodes, edges).collect()}
+    assert cc == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 4, 6: 6, 7: 7, 8: 8, 9: 9}
+
+
+def test_dedup_clusters_group_planted_dups(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    clusters = dedup.dedup_clusters(d, "text", "doc_id", threshold=0.6)
+    pairs = dedup.jaccard_pairs(d, "text", "doc_id", 0.6)
+    cl = {r.doc_id: r.cluster for r in clusters.collect()}
+    for r in pairs.collect():  # every near-dup pair must share a cluster
+        assert cl[r.id_a] == cl[r.id_b]
+    # canonical set: one keeper per cluster, all docs accounted for
+    keepers = {v for v in cl.values()}
+    assert all(cl[k] == k for k in keepers)
+    assert len(cl) == d.count()
+
+
 def test_ivf_topk_recall(spark, sf_dir):
     from pyspark.sql import functions as F2
 
