@@ -142,6 +142,57 @@ def q34_lost_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q39 — set operators INTERSECT / EXCEPT (SURVEY §2.7: absent from the
+#        reference, exposed natively): customer retention year-over-year.
+# --------------------------------------------------------------------------
+@register(
+    "q39_customer_retention",
+    oracle="""
+    WITH y96 AS (SELECT DISTINCT o_custkey FROM orders
+                 WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+                   AND o_orderdate < TIMESTAMP '1997-01-01'),
+    y97 AS (SELECT DISTINCT o_custkey FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+              AND o_orderdate < TIMESTAMP '1998-01-01')
+    SELECT 'retained' AS cohort, COUNT(*) AS n
+    FROM (SELECT o_custkey FROM y96 INTERSECT SELECT o_custkey FROM y97)
+    UNION ALL
+    SELECT 'churned', COUNT(*)
+    FROM (SELECT o_custkey FROM y96 EXCEPT SELECT o_custkey FROM y97)
+    UNION ALL
+    SELECT 'new', COUNT(*)
+    FROM (SELECT o_custkey FROM y97 EXCEPT SELECT o_custkey FROM y96)
+    """,
+)
+def q39_customer_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    dt = o.schema["o_orderdate"].dataType
+
+    def year_custs(y0, y1):
+        return (
+            o.filter(
+                (F.col("o_orderdate") >= F.lit(y0).cast(dt))
+                & (F.col("o_orderdate") < F.lit(y1).cast(dt))
+            )
+            .select("o_custkey")
+            .distinct()
+        )
+
+    y96 = year_custs("1996-01-01", "1997-01-01")
+    y97 = year_custs("1997-01-01", "1998-01-01")
+    spark_df = (
+        y96.intersect(y97).agg(F.count("*").alias("n")).select(F.lit("retained").alias("cohort"), "n")
+        .unionByName(
+            y96.exceptAll(y97).agg(F.count("*").alias("n")).select(F.lit("churned").alias("cohort"), "n")
+        )
+        .unionByName(
+            y97.exceptAll(y96).agg(F.count("*").alias("n")).select(F.lit("new").alias("cohort"), "n")
+        )
+    )
+    return spark_df
+
+
+# --------------------------------------------------------------------------
 # q35 — CUBE grouping sets with GROUPING() disambiguation.
 # --------------------------------------------------------------------------
 @register(
