@@ -173,13 +173,19 @@ def jaccard_pairs(
     carry no near-dup signal) and/or verify only LSH candidates
     (``minhash_candidates``) instead of all co-occurring pairs.
     """
-    sh = word_shingles(df, text_col, id_col, shingle_n)
+    # join on xxhash64(shingle) instead of the shingle string: 8-byte keys
+    # shrink the shuffle ~3× and compare faster. A 64-bit collision would
+    # miscount an intersection with probability ~(n_distinct)²/2⁶⁵ —
+    # ~1e-10 at millions of shingles — far below fp noise elsewhere.
+    sh = word_shingles(df, text_col, id_col, shingle_n).select(
+        F.col(id_col), F.xxhash64("shingle").alias("sh_h")
+    )
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
         a.join(
             b,
-            (F.col("a.shingle") == F.col("b.shingle"))
+            (F.col("a.sh_h") == F.col("b.sh_h"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
