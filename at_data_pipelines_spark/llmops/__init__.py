@@ -11,4 +11,4 @@
                    not in this container).
 """
 
-from . import dedup, multimodal, similarity, text  # noqa: F401
+from . import curate, dedup, multimodal, similarity, text  # noqa: F401

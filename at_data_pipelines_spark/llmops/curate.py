@@ -1,0 +1,70 @@
+"""Corpus curation: the end-to-end cleaning pipeline a training-data run
+executes — language filter → quality filter → exact dedup → near-dup
+cluster dedup — composed from the llmops operators.
+
+Single logical plan per stage; the only shuffles are the dedup digests
+and the near-dup clustering rounds. Returns the curated corpus plus a
+one-row funnel-stats frame (rows surviving each stage) so runs are
+auditable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import dedup_clusters, exact_dedup
+from .text import langid, quality_features
+
+
+def curate_corpus(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    allowed_langs: list[str] | None = None,
+    lang_col: str | None = "lang",
+    min_tokens: int = 10,
+    max_tokens: int = 100_000,
+    max_stopword_ratio: float = 1.0,
+    near_dup_threshold: float = 0.6,
+) -> tuple[DataFrame, DataFrame]:
+    """Returns (curated_df, funnel_stats_df).
+
+    Language filtering uses the provided ``lang_col`` when the corpus has
+    one (the reference-data case), else the heuristic ``langid``.
+    """
+    n0 = df.count()
+
+    if allowed_langs:
+        if lang_col and lang_col in df.columns:
+            df = df.filter(F.col(lang_col).isin(allowed_langs))
+        else:
+            df = langid(df, text_col).filter(F.col("lang_pred").isin(allowed_langs))
+    n_lang = df.count()
+
+    df = quality_features(df, text_col).filter(
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("n_tokens") <= max_tokens)
+        & (F.col("stopword_ratio") <= max_stopword_ratio)
+    )
+    n_quality = df.count()
+
+    # exact dedup: keep the lowest id per content digest
+    keep_exact = exact_dedup(df, text_col, id_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    df = df.join(keep_exact, id_col, "left_semi")
+    n_exact = df.count()
+
+    # near-dup clusters: keep the canonical (min-id) doc per cluster
+    clusters = dedup_clusters(df, text_col, id_col, near_dup_threshold)
+    keepers = clusters.filter(F.col(id_col) == F.col("cluster")).select(id_col)
+    curated = df.join(keepers, id_col, "left_semi")
+    n_final = curated.count()
+
+    stats = df.sparkSession.createDataFrame(
+        [(n0, n_lang, n_quality, n_exact, n_final)],
+        "n_input long, n_after_lang long, n_after_quality long, "
+        "n_after_exact_dedup long, n_after_near_dedup long",
+    )
+    return curated, stats

@@ -249,6 +249,10 @@ def reversal_flow(lake: Lakehouse, cfg: PipelineConfig) -> None:
         .na.drop(subset=["value"])
         .withColumn("signal", F.lit("reversal"))
     )
+    if sig.isEmpty():
+        # reference's only runtime correctness guard
+        # (pipelines/reversal_flow.py:189-190)
+        raise ValueError("No values found!")
     _upsert(lake, "signals", _with_year(sig))
 
     scores = zscore_global(sig, "value", "score").select("ticker", "date", "signal", "score")

@@ -70,6 +70,24 @@ def test_arrow_topk_matches_fold_topk(spark, sf_dir):
     assert f == e  # same neighbors (scores fp-differ, ranking identical)
 
 
+def test_curate_corpus_funnel(spark, sf_dir):
+    from at_data_pipelines_spark.llmops.curate import curate_corpus
+
+    d = load_table(spark, sf_dir, "documents")
+    curated, stats = curate_corpus(
+        d, allowed_langs=["en", "de"], min_tokens=15, near_dup_threshold=0.6
+    )
+    s = stats.collect()[0]
+    assert s.n_input == d.count()
+    assert s.n_input >= s.n_after_lang >= s.n_after_quality >= s.n_after_exact_dedup >= s.n_after_near_dedup
+    assert s.n_after_near_dedup == curated.count() > 0
+    # no surviving near-dup pair above the threshold
+    left = dedup.jaccard_pairs(curated, "text", "doc_id", 0.6)
+    assert left.count() == 0
+    # language filter actually applied
+    assert set(r.lang for r in curated.select("lang").distinct().collect()) <= {"en", "de"}
+
+
 def test_connected_components(spark):
     nodes = spark.createDataFrame([(i,) for i in range(10)], ["id"])
     # components: {0,1,2,3} (chain), {4,5}, singletons 6-9
