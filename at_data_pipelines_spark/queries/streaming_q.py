@@ -28,7 +28,7 @@ from .registry import register
     """,
 )
 def q60_stream_tumbling_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..streaming import read_events_stream, windowed_aggregation
+    from ..streaming import read_events_stream
 
     stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
     # exact-cents sum variant of the streaming aggregation for oracle parity

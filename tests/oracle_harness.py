@@ -9,8 +9,6 @@ so tests can distinguish "exact" from "close".
 
 from __future__ import annotations
 
-import math
-
 import duckdb
 import pandas as pd
 

@@ -77,7 +77,7 @@ def test_optimize_only_rewrites_dirty_partitions(lake, spark):
     lake.create("prices", SCHEMA, ["year"], ["date", "ticker"])
     lake.upsert("prices", _df(spark, [("A", "2023-06-01", 1.0), ("A", "2024-01-02", 2.0)]))
     # second upsert touches only 2024 — 2023 partition must not be rewritten
-    import glob, os
+    import glob
 
     before = set(glob.glob(f"{lake._dir('prices')}/data/year=2023/*.parquet"))
     lake.upsert("prices", _df(spark, [("A", "2024-01-02", 3.0)]))

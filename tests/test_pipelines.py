@@ -5,7 +5,6 @@ alpha → weights, with invariant checks and idempotent re-runs."""
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 

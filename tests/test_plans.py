@@ -5,8 +5,6 @@ actual executed plans so regressions are caught."""
 
 from __future__ import annotations
 
-import pytest
-
 from at_data_pipelines_spark.queries import QUERIES
 
 

@@ -8,7 +8,6 @@ import datetime as dt
 
 import pandas as pd
 import pytest
-from pyspark.sql import functions as F
 
 from at_data_pipelines_spark.catalog import Lakehouse
 from at_data_pipelines_spark.pipelines import PipelineConfig, flows, synthetic
