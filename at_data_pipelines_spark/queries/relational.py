@@ -413,7 +413,13 @@ def q13_orders_with_optional_lineitems(spark: SparkSession, sf_dir: str) -> Data
 #        pipelines/betas_flow.py:14-56) in closed form from exact scaled
 #        window sums: beta = cov(price,qty)/var(qty) over last 30 rows.
 # --------------------------------------------------------------------------
-_Q14_WIN = "PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber"
+# (l_orderkey, l_linenumber) is NOT unique in the synthetic data (118k dup
+# groups at sf0.1); the measures make the order total in practice, which the
+# window sums need to be engine-independent
+_Q14_WIN = (
+    "PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber, "
+    "l_quantity, l_extendedprice"
+)
 _Q14_SUMS = """
       CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) OVER w AS DOUBLE)/100
 """
@@ -430,9 +436,10 @@ _Q14_SUMS = """
             - (CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) OVER w AS DOUBLE)/100)
               * ({_Q14_SUMS}) / (COUNT(*) OVER w) )
           /
-          ( CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)
+          NULLIF(
+            CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)
                      * CAST(ROUND(l_quantity*100) AS BIGINT)) OVER w AS DOUBLE)/10000
-            - ({_Q14_SUMS}) * ({_Q14_SUMS}) / (COUNT(*) OVER w) )
+            - ({_Q14_SUMS}) * ({_Q14_SUMS}) / (COUNT(*) OVER w), 0)
         , 6)
       END AS beta
     FROM lineitem
@@ -443,7 +450,7 @@ def q14_rolling_beta_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem")
     w = (
         W.partitionBy("l_suppkey")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
         .rowsBetween(-29, 0)
     )
     pc = F.round(F.col("l_extendedprice") * 100).cast("long")
@@ -453,7 +460,8 @@ def q14_rolling_beta_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     sq = F.sum(qc).over(w).cast("double") / 100
     spq = F.sum(pc * qc).over(w).cast("double") / 10000
     sqq = F.sum(qc * qc).over(w).cast("double") / 10000
-    beta = (spq - sp * sq / n) / (sqq - sq * sq / n)
+    var = sqq - sq * sq / n
+    beta = (spq - sp * sq / n) / F.when(var != 0, var)  # NULL on zero variance
     return l.select(
         "l_suppkey",
         "l_orderkey",

@@ -40,17 +40,16 @@ def _w():
     "q20_pct_change",
     oracle=f"""
     SELECT user_id, event_id,
-           value / LAG(value) OVER ({_ORDER_SQL}) - 1 AS pct_change
+           value / NULLIF(LAG(value) OVER ({_ORDER_SQL}), 0) - 1 AS pct_change
     FROM events
     """,
 )
 def q20_pct_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ts import pct_change
+
     e = _events(spark, sf_dir)
-    return e.select(
-        "user_id",
-        "event_id",
-        (F.col("value") / F.lag("value").over(_w()) - 1).alias("pct_change"),
-    )
+    # NULL when prev value is 0 (ANSI-safe; mirrored by NULLIF in the oracle)
+    return e.select("user_id", "event_id", pct_change("value", _w()).alias("pct_change"))
 
 
 # --------------------------------------------------------------------------

@@ -41,9 +41,16 @@ def entity_window(
 
 
 def pct_change(col: str | Column, w: WindowSpec) -> Column:
-    """Polars ``pct_change()`` — simple return vs previous row (W1)."""
+    """Polars ``pct_change()`` — simple return vs previous row (W1).
+
+    NULL when there is no previous row OR the previous value is 0:
+    Spark 4 runs ANSI mode by default, where a 0 divisor is a runtime
+    error, so the guard is required — and NULL is the saner semantics
+    than polars' ±inf for downstream aggregation anyway.
+    """
     c = F.col(col) if isinstance(col, str) else col
-    return c / F.lag(c, 1).over(w) - 1
+    prev = F.lag(c, 1).over(w)
+    return F.when(prev != 0, c / prev - 1)
 
 
 def _rolling(agg: Column, w: WindowSpec, window: int, min_periods: int | None) -> Column:
