@@ -347,6 +347,87 @@ def q28_ewm_halflife10(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q54 — funnel analysis: per user, the ordered view → click → purchase
+#        progression (first click after first view, first purchase after
+#        that click), counted per funnel stage.
+# --------------------------------------------------------------------------
+@register(
+    "q54_funnel",
+    oracle="""
+    WITH v AS (SELECT user_id, MIN(epoch_us(ts)) AS t_view
+               FROM events WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS t_click
+          FROM events e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.t_view
+          GROUP BY e.user_id),
+    p AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS t_purchase
+          FROM events e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.t_click
+          GROUP BY e.user_id)
+    SELECT (SELECT COUNT(*) FROM v) AS n_viewed,
+           (SELECT COUNT(*) FROM c) AS n_clicked_after_view,
+           (SELECT COUNT(*) FROM p) AS n_purchased_after_click
+    """,
+)
+def q54_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t_view"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts_us") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t_click"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts_us") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t_purchase"))
+    )
+    return (
+        v.agg(F.count("*").alias("n_viewed"))
+        .crossJoin(c.agg(F.count("*").alias("n_clicked_after_view")))
+        .crossJoin(p.agg(F.count("*").alias("n_purchased_after_click")))
+    )
+
+
+# --------------------------------------------------------------------------
+# q55 — cohort retention: users grouped by first-activity day; distinct
+#        active users per (cohort, day-offset) — the product-analytics
+#        retention triangle.
+# --------------------------------------------------------------------------
+@register(
+    "q55_cohort_retention",
+    oracle="""
+    WITH first_day AS (
+        SELECT user_id, MIN(epoch_us(ts) // 86400000000) AS cohort_day
+        FROM events GROUP BY user_id),
+    activity AS (
+        SELECT DISTINCT e.user_id, f.cohort_day,
+               epoch_us(e.ts) // 86400000000 - f.cohort_day AS day_offset
+        FROM events e JOIN first_day f ON e.user_id = f.user_id)
+    SELECT cohort_day, day_offset, COUNT(*) AS n_active
+    FROM activity GROUP BY cohort_day, day_offset
+    """,
+)
+def q55_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir).withColumn("day", F.expr("ts_us DIV 86400000000"))
+    first_day = e.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    activity = (
+        e.join(first_day, "user_id")
+        .select("user_id", "cohort_day", (F.col("day") - F.col("cohort_day")).alias("day_offset"))
+        .distinct()
+    )
+    return activity.groupBy("cohort_day", "day_offset").agg(F.count("*").alias("n_active"))
+
+
+# --------------------------------------------------------------------------
 # q29 — keep-latest-per-key dedup: the catalog's optimize() kernel
 #        (reference S4, pipelines/stock_prices_flow.py:121) as a query.
 # --------------------------------------------------------------------------
