@@ -258,3 +258,56 @@ class Lakehouse:
         """The reference's writer idiom: insert(append) + optimize()."""
         self.insert(name, df)
         self.optimize(name)
+
+    def delete_where(self, name: str, predicate) -> None:
+        """Targeted delete (beyond the reference's surface; needed for any
+        real lakehouse — corrections, retention, GDPR erasure).
+
+        ``predicate`` is a Column (or SQL string) selecting rows to REMOVE.
+        Implementation mirrors optimize(): rewrite only the partitions
+        that contain matching rows (partition-pruned scan → staging dir →
+        directory swap), cost ∝ affected partitions, not table size.
+        """
+        meta = self._load_meta(name)
+        pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+        # NULL predicate results must mean "keep", not silently vanish
+        pred = F.coalesce(pred, F.lit(False))
+        raw = self._read_raw(name, meta)
+        if meta.partition_keys:
+            # find affected partition values (pruned aggregate, tiny collect)
+            vals = raw.filter(pred).select(*meta.partition_keys).distinct().collect()
+            if not vals:
+                return
+            part_filter = None
+            for r in vals:
+                cond = F.lit(True)
+                for k in meta.partition_keys:
+                    cond = cond & (F.col(k) == F.lit(r[k]))
+                part_filter = cond if part_filter is None else (part_filter | cond)
+            kept = raw.filter(part_filter).filter(~pred)
+            data_dir = f"{self._dir(name)}/data"
+            tmp_dir = f"{self._dir(name)}/.delete_tmp"
+            shutil.rmtree(tmp_dir, ignore_errors=True)
+            kept.write.mode("overwrite").partitionBy(*meta.partition_keys).parquet(tmp_dir)
+            # swap affected partitions (including now-empty ones)
+            import glob
+
+            depth = len(meta.partition_keys)
+            pattern = "/".join(["*=*"] * depth)
+            written = {os.path.relpath(p, tmp_dir) for p in glob.glob(f"{tmp_dir}/{pattern}")}
+            for r in vals:
+                rel = "/".join(f"{k}={r[k]}" for k in meta.partition_keys)
+                dest = os.path.join(data_dir, rel)
+                shutil.rmtree(dest, ignore_errors=True)
+                if rel in written:
+                    os.makedirs(os.path.dirname(dest), exist_ok=True)
+                    shutil.move(os.path.join(tmp_dir, rel), dest)
+            shutil.rmtree(tmp_dir, ignore_errors=True)
+        else:
+            kept = raw.filter(~pred)
+            data_dir = f"{self._dir(name)}/data"
+            tmp_dir = f"{self._dir(name)}/.delete_tmp"
+            shutil.rmtree(tmp_dir, ignore_errors=True)
+            kept.write.mode("overwrite").parquet(tmp_dir)
+            shutil.rmtree(data_dir, ignore_errors=True)
+            shutil.move(tmp_dir, data_dir)

@@ -118,6 +118,36 @@ def test_unpartitioned_pk_table(lake, spark):
     assert len(out) == 1 and out[0].ret == 0.02
 
 
+def test_delete_where_partition_pruned(lake, spark):
+    lake.create("prices", SCHEMA, ["year"], ["date", "ticker"])
+    lake.upsert(
+        "prices",
+        _df(spark, [("A", "2023-06-01", 1.0), ("B", "2023-06-01", 2.0), ("A", "2024-01-02", 3.0)]),
+    )
+    import glob
+
+    before_2024 = set(glob.glob(f"{lake._dir('prices')}/data/year=2024/*.parquet"))
+    lake.delete_where("prices", F.col("ticker") == "B")
+    after_2024 = set(glob.glob(f"{lake._dir('prices')}/data/year=2024/*.parquet"))
+    assert before_2024 == after_2024, "unaffected partition was rewritten"
+    rows = {(r.ticker, str(r.date)) for r in lake.table("prices").collect()}
+    assert rows == {("A", "2023-06-01"), ("A", "2024-01-02")}
+    # delete the rest of a partition → partition dir disappears
+    lake.delete_where("prices", F.col("year") == 2023)
+    assert not glob.glob(f"{lake._dir('prices')}/data/year=2023/*")
+    assert {r.ticker for r in lake.table("prices").collect()} == {"A"}
+
+
+def test_delete_where_null_predicate_keeps_rows(lake, spark):
+    schema = T.StructType(
+        [T.StructField("k", T.IntegerType()), T.StructField("x", T.DoubleType())]
+    )
+    lake.create("t2", schema, [], ["k"])
+    lake.upsert("t2", spark.createDataFrame([(1, None), (2, 5.0)], schema))
+    lake.delete_where("t2", F.col("x") > 4)  # NULL for k=1 → must be kept
+    assert {r.k for r in lake.table("t2").collect()} == {1}
+
+
 def test_schema_projection_on_insert(lake, spark):
     """Inserts project onto the declared schema (reference ingestion
     pattern: infer then project, pipelines/stock_prices_flow.py:57)."""
