@@ -14,9 +14,16 @@ Scale design (100 TB corpus):
   into a per-bucket join; hot buckets (boilerplate docs) are the skew risk
   — cap candidate generation per bucket or salt in production.
 - **SimHash** — 32 conditional aggregates in one groupBy pass, not a
-  32× bit-explosion.
-- **Jaccard verify** — only on LSH candidates at scale; the all-pairs
-  shingle join here is the small-data oracle shape.
+  32× bit-explosion. Near-dup pairs use a pigeonhole band equi-join
+  (exact: ≤ ``max_hamming`` differing bits over ``max_hamming+1`` bands
+  means at least one band matches exactly) — never an all-pairs scan.
+- **Jaccard** — exact sub-quadratic via prefix filtering (the
+  Vernica/Bayardo set-similarity-join design): order shingles by global
+  document frequency, join only on each document's prefix (the
+  ``|d| − ⌈t·|d|⌉ + 1`` rarest shingles — the canonically smallest
+  shared shingle of any qualifying pair provably lands in both
+  prefixes), then verify exact Jaccard on the candidates. Same output
+  as the all-pairs join, without the boilerplate-shingle k² blowup.
 """
 
 from __future__ import annotations
@@ -25,6 +32,7 @@ from functools import reduce
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 
 def hash64(col: Column, seed: int | None = None) -> Column:
@@ -121,12 +129,26 @@ def lsh_bands(sig: DataFrame, id_col: str, bands: int, rows_per_band: int) -> Da
     )
 
 
-def lsh_candidate_pairs(bands_df: DataFrame, id_col: str) -> DataFrame:
+def lsh_candidate_pairs(
+    bands_df: DataFrame, id_col: str, max_bucket_size: int | None = None
+) -> DataFrame:
     """Distinct (id_a < id_b) pairs sharing any band bucket.
 
     The join key (band, band_key) is the bucket — per-bucket cost is
-    |bucket|²; production caps or salts hot buckets.
+    |bucket|². ``max_bucket_size`` drops buckets above the cap before
+    pair generation: a bucket of k boilerplate docs would emit k²/2
+    pairs on ONE shuffle key (the straggler that kills a 1000-executor
+    job), and a band key shared by thousands of documents is
+    boilerplate, not near-dup signal. Capping trades recall for a
+    bounded per-key cost; leave ``None`` for exhaustive candidates.
     """
+    if max_bucket_size is not None:
+        sizes = bands_df.groupBy("band", "band_key").agg(F.count("*").alias("_bsz"))
+        bands_df = (
+            bands_df.join(sizes, ["band", "band_key"])
+            .filter(F.col("_bsz") <= max_bucket_size)
+            .drop("_bsz")
+        )
     a = bands_df.alias("a")
     b = bands_df.alias("b")
     return (
@@ -148,30 +170,104 @@ def minhash_candidates(
     num_hashes: int = 8,
     bands: int = 4,
     shingle_n: int = 3,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """MinHash → LSH bands → candidate near-dup pairs."""
     assert num_hashes % bands == 0
     sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
-    return lsh_candidate_pairs(lsh_bands(sig, id_col, bands, num_hashes // bands), id_col)
+    return lsh_candidate_pairs(
+        lsh_bands(sig, id_col, bands, num_hashes // bands), id_col, max_bucket_size
+    )
+
+
+def _ranked_shingles(sh: DataFrame, id_col: str) -> DataFrame:
+    """Attach (_df, _n, _pos) to each (id, sh_h) row via chained windows:
+    global doc-frequency of the shingle, doc size, and the shingle's rank
+    inside its doc under the canonical (doc-freq asc, hash asc) order.
+
+    All three are window functions over the SAME relation (no joins), so
+    every downstream consumer — candidate join, verify sides, size
+    lookups — shares one shingle computation through Spark's exchange
+    reuse instead of re-running the n-gram pipeline per plan branch
+    (measured 1.3 s per recompute at sf0.1)."""
+    return (
+        sh.withColumn("_df", F.count("*").over(W.partitionBy("sh_h")))
+        .withColumn("_n", F.count("*").over(W.partitionBy(id_col)))
+        .withColumn(
+            "_pos", F.row_number().over(W.partitionBy(id_col).orderBy("_df", "sh_h"))
+        )
+    )
+
+
+def _prefix_candidates(ranked: DataFrame, id_col: str, threshold: float) -> DataFrame:
+    """Exact candidate pairs via prefix + positional filtering (Bayardo
+    All-Pairs / PPJoin / Vernica et al. MapReduce set-similarity join).
+
+    Keep only each document's prefix — the ``|d| − ⌈t·|d|⌉ + 1`` first
+    shingles in the canonical order. Lossless: jaccard(a,b) ≥ t implies
+    overlap o ≥ t·|a| (and t·|b|), so the canonically SMALLEST shared
+    shingle has rank ≤ |a| − o + 1 ≤ prefix_len in BOTH docs.
+
+    Join conditions beyond the shingle equi-key, all necessary
+    conditions evaluated on that smallest shared shingle (so the pair
+    always survives through it):
+
+    - size filter: t·max(|a|,|b|) ≤ min(|a|,|b|);
+    - PPJoin positional bound: common shingles all rank ≥ the smallest
+      one, so o ≤ 1 + min(|a|−pos_a, |b|−pos_b), which must reach the
+      required overlap α = ⌈t·(|a|+|b|)/(1+t)⌉ — prunes matches that sit
+      too late in either prefix.
+    """
+    # ceil(t·n) with a downward epsilon: fp noise making t·n = k + 1e-16
+    # would shorten the prefix below the lossless bound; erring toward a
+    # longer prefix only adds candidates (verify stays exact)
+    prefix_len = F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n") - F.lit(1e-9)) + 1
+    pref = ranked.filter(F.col("_pos") <= prefix_len).select(id_col, "sh_h", "_n", "_pos")
+    a, b = pref.alias("a"), pref.alias("b")
+    na, nb = F.col("a._n"), F.col("b._n")
+    alpha = F.lit(threshold) / (1 + threshold) * (na + nb) - F.lit(1e-9)
+    return (
+        a.join(
+            b,
+            (F.col("a.sh_h") == F.col("b.sh_h"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            & (F.lit(threshold) * F.greatest(na, nb) - F.lit(1e-9) <= F.least(na, nb).cast("double"))
+            & (
+                (1 + F.least(na - F.col("a._pos"), nb - F.col("b._pos"))).cast("double")
+                >= alpha
+            ),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
 
 
 def jaccard_pairs(
-    df: DataFrame, text_col: str, id_col: str, threshold: float, shingle_n: int = 3
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float,
+    shingle_n: int = 3,
+    candidates: DataFrame | None = None,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
-    """Exact n-gram Jaccard over documents sharing ≥1 shingle.
+    """Exact n-gram Jaccard near-dup pairs, sub-quadratic by default.
 
-    Shape: equi-join of the (id, shingle) relation with itself on shingle,
-    count per pair, then attach per-doc set sizes. All derivations reuse
-    the same exploded relation, so Spark's exchange reuse materializes the
-    shingle pipeline once. (Two alternatives benchmarked slower: per-doc
-    ``size(shingle_array)`` sizes — the higher-order transform runs
-    interpreted, outside codegen — and bucket-explode pair combinations,
-    ~1.5× slower for the same reason.)
+    Candidate generation is prefix filtering (``_prefix_candidates``) —
+    exact, so the output is identical to an all-pairs shingle join but
+    the join keys are each document's rarest shingles only. Verification
+    joins the candidate pairs back to the full shingle sets (two
+    equi-joins) and computes exact |a∩b| / |a∪b|.
 
-    Skew: a boilerplate shingle shared by k docs contributes k²/2 joined
-    rows on one key — at corpus scale, drop super-frequent shingles (they
-    carry no near-dup signal) and/or verify only LSH candidates
-    (``minhash_candidates``) instead of all co-occurring pairs.
+    ``candidates`` overrides the candidate stage with caller-provided
+    (id_a, id_b) pairs (e.g. ``minhash_candidates`` for probabilistic
+    LSH recall at lower cost). ``max_doc_freq`` additionally drops
+    shingles seen in more than that many documents from CANDIDATE
+    GENERATION only (verification still uses all shingles, so reported
+    jaccard values stay exact) — a recall heuristic for corpora where
+    boilerplate dominates even the prefixes; a pair whose every shared
+    shingle is boilerplate can be missed, so leave ``None`` for the
+    lossless default.
     """
     # join on xxhash64(shingle) instead of the shingle string: 8-byte keys
     # shrink the shuffle ~3× and compare faster. A 64-bit collision would
@@ -180,24 +276,37 @@ def jaccard_pairs(
     sh = word_shingles(df, text_col, id_col, shingle_n).select(
         F.col(id_col), F.xxhash64("shingle").alias("sh_h")
     )
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
+    # one ranked relation feeds candidates AND both verify sides, so the
+    # shingle pipeline runs once (exchange reuse) instead of per branch
+    rel = _ranked_shingles(sh, id_col)
+    if candidates is None:
+        cand_src = rel
+        if max_doc_freq is not None:
+            cand_src = rel.filter(F.col("_df") <= max_doc_freq)
+        candidates = _prefix_candidates(cand_src, id_col, threshold)
+    cand = candidates.select("id_a", "id_b")
+
+    # exact verify: fan each candidate pair out over a's shingles, keep
+    # the ones b also has (equi-join on (id_b, sh_h)), count per pair;
+    # doc sizes ride along on the verify rows (_n), no extra size join.
+    a = rel.select(F.col(id_col), "sh_h", F.col("_n")).alias("a")
+    b = rel.select(F.col(id_col), "sh_h", F.col("_n")).alias("b")
     inter = (
-        a.join(
+        cand.join(a, cand.id_a == F.col(f"a.{id_col}"))
+        .join(
             b,
-            (F.col("a.sh_h") == F.col("b.sh_h"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            (cand.id_b == F.col(f"b.{id_col}")) & (F.col("a.sh_h") == F.col("b.sh_h")),
         )
-        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .agg(F.count("*").alias("inter"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count("*").alias("inter"),
+            F.first(F.col("a._n")).alias("na"),
+            F.first(F.col("b._n")).alias("nb"),
+        )
     )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
     jac = F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter"))
     return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn("jaccard", jac)
+        inter.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
@@ -277,12 +386,36 @@ def connected_components(
 
 
 def dedup_clusters(
-    df: DataFrame, text_col: str, id_col: str, threshold: float = 0.6, shingle_n: int = 3
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.6,
+    shingle_n: int = 3,
+    use_lsh: bool = False,
+    num_hashes: int = 8,
+    bands: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Full near-dup dedup: Jaccard pairs → connected components →
     (id, cluster) with cluster = min id of the duplicate group; keep rows
-    where id == cluster for the deduplicated corpus."""
-    pairs = jaccard_pairs(df, text_col, id_col, threshold, shingle_n)
+    where id == cluster for the deduplicated corpus.
+
+    Default edge generation is the exact prefix-filtered Jaccard join —
+    already sub-quadratic, so clusters are deterministic and lossless.
+    ``use_lsh=True`` swaps the candidate stage for MinHash-LSH
+    (``minhash_candidates``) feeding the same exact Jaccard verify:
+    cheaper on corpora whose prefixes are still boilerplate-heavy, but a
+    true pair missed by every band (p = (1−j^r)^b, ≈3% per pair at
+    j=0.8 with 4 bands × 2 rows) can split a cluster — probabilistic
+    recall, not a correctness bug, and the reason it is opt-in.
+    """
+    if use_lsh:
+        cand = minhash_candidates(
+            df, text_col, id_col, num_hashes, bands, shingle_n, max_bucket_size
+        )
+        pairs = jaccard_pairs(df, text_col, id_col, threshold, shingle_n, candidates=cand)
+    else:
+        pairs = jaccard_pairs(df, text_col, id_col, threshold, shingle_n)
     nodes = df.select(F.col(id_col))
     return connected_components(nodes, pairs, id_col, "id_a", "id_b")
 
@@ -290,18 +423,46 @@ def dedup_clusters(
 def simhash_near_dups(
     df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3, bits: int = 32
 ) -> DataFrame:
-    """Pairs with Hamming(simhash) ≤ max_hamming.
+    """Pairs with Hamming(simhash) ≤ max_hamming — pigeonhole band join.
 
-    Small-data shape: all-pairs bit_count(xor). Scale path: split the
-    fingerprint into (max_hamming+1) bands — by pigeonhole a pair within
-    the radius agrees exactly on ≥1 band — equi-join per band, then verify.
+    Split the ``bits``-bit fingerprint into ``max_hamming + 1`` disjoint
+    bit bands: a pair within the radius has too few differing bits to
+    touch every band, so it agrees EXACTLY on ≥1 band (lossless, unlike
+    MinHash-LSH). Candidates come from per-band equi-joins on the band
+    value — uniform ~(bits/(h+1))-bit keys, so per-bucket cost is
+    |bucket|² over hash-sized buckets instead of an O(n²) theta join —
+    then the exact Hamming verify runs on candidates only.
     """
     s = simhash(df, text_col, id_col, bits)
-    a = s.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("ha"))
-    b = s.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("hb"))
+    n_bands = max_hamming + 1
+    base, rem = divmod(bits, n_bands)
+    structs, off = [], 0
+    for i in range(n_bands):
+        width = base + (1 if i < rem else 0)
+        band_val = F.shiftright(F.col("simhash"), off).bitwiseAND(F.lit((1 << width) - 1))
+        structs.append(F.struct(F.lit(i).alias("band"), band_val.alias("val")))
+        off += width
+    bands = s.select(
+        F.col(id_col), F.col("simhash"), F.explode(F.array(*structs)).alias("_b")
+    ).select(id_col, "simhash", F.col("_b.band").alias("band"), F.col("_b.val").alias("val"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("ha"),
+            F.col("b.simhash").alias("hb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+        cand.withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )

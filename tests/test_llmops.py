@@ -42,6 +42,115 @@ def test_simhash_near_dups_align_with_jaccard(spark, sf_dir):
     assert true_pairs - sim_pairs == set()
 
 
+def _brute_force_jaccard(rows, n=3, threshold=0.6):
+    """Driver-side reference: all-pairs shingle Jaccard."""
+    sets = {}
+    for doc_id, text_ in rows:
+        w = text_.split(" ")
+        sets[doc_id] = {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+    out = set()
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            sa, sb = sets[a], sets[b]
+            if not sa and not sb:
+                continue
+            u = len(sa | sb)
+            if u and len(sa & sb) / u >= threshold:
+                out.add((a, b))
+    return out
+
+
+def test_prefix_filter_jaccard_is_lossless(spark):
+    """The prefix-filtered join must return EXACTLY the all-pairs result
+    on a randomized corpus with heavy boilerplate (the adversarial case
+    for candidate pruning)."""
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(40)]
+    boiler = "click here to accept all cookies and continue reading"
+    docs = []
+    for i in range(60):
+        body = " ".join(rng.choices(vocab, k=rng.randint(6, 25)))
+        docs.append((i, f"{boiler} {body}" if i % 3 == 0 else body))
+    # plant exact-threshold near-dups (small perturbations)
+    for i in range(50, 56):
+        base = docs[i - 50][1].split(" ")
+        base[rng.randrange(len(base))] = "mut"
+        docs[i] = (i, " ".join(base))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    for t in (0.4, 0.6, 0.8):
+        got = {
+            (r.id_a, r.id_b)
+            for r in dedup.jaccard_pairs(df, "text", "doc_id", t).collect()
+        }
+        want = _brute_force_jaccard(docs, threshold=t)
+        assert got == want, f"threshold {t}: {got ^ want}"
+
+
+def test_simhash_band_join_is_lossless(spark):
+    """Pigeonhole banding must find every pair within the Hamming radius
+    — compare against a driver-side all-pairs scan."""
+    import random
+
+    rng = random.Random(11)
+    vocab = [f"tok{i}" for i in range(200)]
+    docs = [(i, " ".join(rng.choices(vocab, k=30))) for i in range(40)]
+    # clones with tiny edits → small hamming distances
+    for i in range(30, 40):
+        base = docs[i - 30][1].split(" ")
+        base[0] = "edited"
+        docs[i] = (i, " ".join(base))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    fp = {r.doc_id: r.simhash for r in dedup.simhash(df, "text", "doc_id").collect()}
+    for h in (2, 4, 7):
+        got = {
+            (r.id_a, r.id_b, r.hamming)
+            for r in dedup.simhash_near_dups(df, "text", "doc_id", max_hamming=h).collect()
+        }
+        want = {
+            (a, b, bin(fp[a] ^ fp[b]).count("1"))
+            for a in fp
+            for b in fp
+            if a < b and bin(fp[a] ^ fp[b]).count("1") <= h
+        }
+        assert got == want, f"max_hamming {h}"
+
+
+def test_lsh_hot_bucket_cap_bounds_pairs(spark):
+    """A boilerplate corpus (one giant LSH bucket) must not emit k²/2
+    candidate pairs when max_bucket_size is set."""
+    docs = [(i, "the same boilerplate text repeated everywhere always forever") for i in range(200)]
+    docs += [(200 + i, f"unique document number {i} with its own distinct words {i*7} {i*13}") for i in range(20)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    uncapped = dedup.minhash_candidates(df, "text", "doc_id", 8, 4).count()
+    capped = dedup.minhash_candidates(
+        df, "text", "doc_id", 8, 4, max_bucket_size=50
+    ).count()
+    assert uncapped >= 200 * 199 / 2  # the quadratic blowup is real
+    assert capped <= 50 * 49 / 2 * 4  # bounded by cap²/2 per band
+
+
+def test_jaccard_accepts_lsh_candidates(spark, sf_dir):
+    """candidates= plugs MinHash-LSH into the exact verify; on the
+    fixture the LSH candidates cover all planted pairs, so the result
+    matches the lossless path."""
+    d = load_table(spark, sf_dir, "documents")
+    cand = dedup.minhash_candidates(d, "text", "doc_id", 8, 4)
+    via_lsh = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in dedup.jaccard_pairs(
+            d, "text", "doc_id", 0.6, candidates=cand
+        ).collect()
+    }
+    exact = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in dedup.jaccard_pairs(d, "text", "doc_id", 0.6).collect()
+    }
+    assert via_lsh == exact
+
+
 def test_ann_recall_vs_brute_force(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)

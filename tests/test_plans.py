@@ -44,6 +44,23 @@ def test_q11_single_shuffle_for_window(spark, sf_dir):
     assert plan.count("Exchange") <= 1  # one hash partition by nation, no extra shuffle
 
 
+def test_near_dup_queries_have_no_theta_join(spark, sf_dir):
+    """The near-dup operators must never plan an all-pairs scan: every
+    join in q45/q46/q51/q53 carries an equi-key (prefix shingle, LSH
+    bucket, or simhash band), so no BroadcastNestedLoopJoin or
+    CartesianProduct may appear — the O(n²) shape that dies at corpus
+    scale."""
+    for name in [
+        "q45_minhash_lsh_candidates",
+        "q46_jaccard_near_dups",
+        "q51_simhash_near_dup_pairs",
+        "q53_dup_clusters",
+    ]:
+        plan = _plan(spark, sf_dir, name)
+        assert "NestedLoop" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
 def test_whole_stage_codegen_coverage(spark, sf_dir):
     """Relational queries must run inside WholeStageCodegen (JVM, no
     Python in the hot path). AQE only finalizes the plan on execution,
