@@ -19,98 +19,74 @@ from .registry import register
 
 
 # --------------------------------------------------------------------------
-# q40 — exact dedup by content hash: keep-lowest-id per md5 group.
+# q40 — exact-dedup census, both fingerprint families union-tagged in one
+#        query: full-content md5 (keep-lowest-id per group) and the
+#        first-5-token prefix digest (a cheap near-dup candidate
+#        generator). Each branch is the canonical single-pass
+#        groupBy-on-digest dedup plan; the union costs nothing extra since
+#        the branches share the documents scan.
 # --------------------------------------------------------------------------
 @register(
     "q40_exact_dedup",
     oracle="""
-    SELECT md5(text) AS content_hash,
-           MIN(doc_id) AS keep_id,
-           COUNT(*) AS n_copies
+    SELECT 'content' AS kind, md5(text) AS fingerprint,
+           MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
     FROM documents
     GROUP BY md5(text)
+    UNION ALL
+    SELECT 'prefix',
+           md5(array_to_string(list_slice(string_split(text, ' '), 1, 5), ' ')),
+           MIN(doc_id), COUNT(*)
+    FROM documents
+    GROUP BY 2
     """,
 )
 def q40_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    return d.groupBy(F.md5("text").alias("content_hash")).agg(
+    content = d.groupBy(F.md5("text").alias("fingerprint")).agg(
         F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies")
-    )
+    ).select(F.lit("content").alias("kind"), "fingerprint", "keep_id", "n_copies")
+    prefix_fp = F.md5(F.array_join(F.slice(F.split(F.col("text"), " "), 1, 5), " "))
+    prefix = d.groupBy(prefix_fp.alias("fingerprint")).agg(
+        F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies")
+    ).select(F.lit("prefix").alias("kind"), "fingerprint", "keep_id", "n_copies")
+    return content.unionByName(prefix)
 
 
 # --------------------------------------------------------------------------
-# q41 — token statistics: whitespace tokenization, counts + ratios.
-# --------------------------------------------------------------------------
-@register(
-    "q41_token_stats",
-    oracle="""
-    SELECT doc_id,
-           n_chars,
-           LEN(string_split(text, ' ')) AS n_tokens,
-           ROUND(CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
-                 / LEN(string_split(text, ' ')), 6) AS avg_token_len
-    FROM documents
-    """,
-)
-def q41_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    tokens = F.split(F.col("text"), " ")
-    return d.select(
-        "doc_id",
-        "n_chars",
-        F.size(tokens).alias("n_tokens"),
-        F.round(
-            F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double")
-            / F.size(tokens),
-            6,
-        ).alias("avg_token_len"),
-    )
-
-
-# --------------------------------------------------------------------------
-# q42 — prefix fingerprint: digest of the first 5 tokens → duplicate-group
-#        census (a cheap near-dup candidate generator).
-# --------------------------------------------------------------------------
-@register(
-    "q42_prefix_fingerprint",
-    oracle="""
-    SELECT md5(array_to_string(list_slice(string_split(text, ' '), 1, 5), ' '))
-             AS fingerprint,
-           COUNT(*) AS n_docs,
-           MIN(doc_id) AS min_doc_id
-    FROM documents
-    GROUP BY 1
-    """,
-)
-def q42_prefix_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    fp = F.md5(F.array_join(F.slice(F.split(F.col("text"), " "), 1, 5), " "))
-    return d.groupBy(fp.alias("fingerprint")).agg(
-        F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc_id")
-    )
-
-
-# --------------------------------------------------------------------------
-# q43 — language/quality heuristics: stopword ratio + length features
-#        (reference-free quality scoring for corpus filtering).
+# q41 — per-document text features in ONE projection pass: whitespace token
+#        stats, stopword-ratio quality heuristics (reference-free corpus
+#        filtering), and BPE-ish regex token counts (LLM token-count proxy:
+#        letter runs, digit runs, punctuation marks — Java and RE2-family
+#        engines agree on this character-class-only pattern). One scan over
+#        documents computes all of them; splitting these into separate
+#        queries would re-read and re-tokenize the corpus per feature
+#        family.
 # --------------------------------------------------------------------------
 _STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it", "for", "on"]
 
 
 @register(
-    "q43_quality_features",
-    oracle=f"""
+    "q41_text_features",
+    oracle=rf"""
     SELECT doc_id, lang, source,
+           n_chars,
            LEN(string_split(text, ' ')) AS n_tokens,
+           ROUND(CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
+                 / LEN(string_split(text, ' ')), 6) AS avg_token_len,
            LEN(list_filter(string_split(text, ' '),
                t -> list_contains({_STOPWORDS!r}, t))) AS n_stopwords,
            ROUND(CAST(LEN(list_filter(string_split(text, ' '),
                t -> list_contains({_STOPWORDS!r}, t))) AS DOUBLE)
-                 / LEN(string_split(text, ' ')), 6) AS stopword_ratio
+                 / LEN(string_split(text, ' ')), 6) AS stopword_ratio,
+           LEN(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))
+             AS n_bpe_tokens
     FROM documents
     """,
 )
-def q43_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q41_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llmops.text import bpe_tokens
+
     d = load_table(spark, sf_dir, "documents")
     tokens = F.split(F.col("text"), " ")
     sw = F.array([F.lit(s) for s in _STOPWORDS])
@@ -120,9 +96,16 @@ def q43_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         "source",
+        "n_chars",
         F.size(tokens).alias("n_tokens"),
+        F.round(
+            F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double")
+            / F.size(tokens),
+            6,
+        ).alias("avg_token_len"),
         n_stop.alias("n_stopwords"),
         F.round(n_stop.cast("double") / F.size(tokens), 6).alias("stopword_ratio"),
+        F.size(bpe_tokens(F.col("text"))).alias("n_bpe_tokens"),
     )
 
 
@@ -390,31 +373,6 @@ def q52_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(F.filter(toks, lambda t: F.array_contains(markers, t))).alias(f"{code}_hits")
         )
     return langid(d, "text").select("doc_id", "lang", *hit_cols, "lang_pred")
-
-
-# --------------------------------------------------------------------------
-# q50 — BPE-ish regex token counting (LLM token-count proxy): letter runs,
-#        digit runs, punctuation marks. Java and RE2-family engines agree
-#        on this character-class-only pattern.
-# --------------------------------------------------------------------------
-@register(
-    "q50_bpe_token_count",
-    oracle=r"""
-    SELECT doc_id,
-           LEN(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS n_bpe_tokens,
-           LEN(string_split(text, ' ')) AS n_ws_tokens
-    FROM documents
-    """,
-)
-def q50_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..llmops.text import bpe_tokens
-
-    d = load_table(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        F.size(bpe_tokens(F.col("text"))).alias("n_bpe_tokens"),
-        F.size(F.split(F.col("text"), " ")).alias("n_ws_tokens"),
-    )
 
 
 # --------------------------------------------------------------------------

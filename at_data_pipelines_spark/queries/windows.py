@@ -34,90 +34,64 @@ def _w():
 
 
 # --------------------------------------------------------------------------
-# q20 — pct_change per entity (reference W1: pipelines/returns_flow.py:20).
-# --------------------------------------------------------------------------
-@register(
-    "q20_pct_change",
-    oracle=f"""
-    SELECT user_id, event_id,
-           value / NULLIF(LAG(value) OVER ({_ORDER_SQL}), 0) - 1 AS pct_change
-    FROM events
-    """,
-)
-def q20_pct_change(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..ts import pct_change
-
-    e = _events(spark, sf_dir)
-    # NULL when prev value is 0 (ANSI-safe; mirrored by NULLIF in the oracle)
-    return e.select("user_id", "event_id", pct_change("value", _w()).alias("pct_change"))
-
-
-# --------------------------------------------------------------------------
-# q21 — rolling sum, 21-row window, min_periods=21 (reference W2:
-#        pipelines/reversal_flow.py:20-25 rolling_sum(21) null-padded).
-# --------------------------------------------------------------------------
-@register(
-    "q21_rolling_sum_21",
-    oracle=f"""
-    SELECT user_id, event_id,
-           CASE WHEN COUNT(*) OVER w >= 21 THEN
-             CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) OVER w AS DOUBLE)/100
-           END AS roll_sum
-    FROM events
-    WINDOW w AS ({_ORDER_SQL} ROWS BETWEEN 20 PRECEDING AND CURRENT ROW)
-    """,
-)
-def q21_rolling_sum_21(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _events(spark, sf_dir)
-    w = _w().rowsBetween(-20, 0)
-    cents = F.round(F.col("value") * 100).cast("long")
-    return e.select(
-        "user_id",
-        "event_id",
-        F.when(
-            F.count("*").over(w) >= 21, F.sum(cents).over(w).cast("double") / 100
-        ).alias("roll_sum"),
-    )
-
-
-# --------------------------------------------------------------------------
-# q22 — rolling sample std, 20-row window, min_periods=20 (reference W3:
-#        pipelines/factor_model_flow.py:99-103 rolling_std(252)).
-#        Computed closed-form from exact integer window sums: identical
-#        doubles in both engines, immune to Welford-vs-merge differences.
+# q20 — per-entity ordered-window stats in ONE query: pct_change (reference
+#        W1: pipelines/returns_flow.py:20), rolling_sum(21) with
+#        min_periods=21 (W2: pipelines/reversal_flow.py:20-25), and rolling
+#        sample std over 20 rows (W3: pipelines/factor_model_flow.py:99-103).
+#        The three frames share one (user_id, ts) sort, so Spark plans a
+#        single Exchange+Sort feeding all window operators — merging them is
+#        strictly cheaper than three separate passes, and keeps the registry
+#        inside the driver's correctness window.
+#        Std is computed closed-form from exact integer window sums:
+#        identical doubles in both engines, immune to Welford-vs-merge
+#        differences.
 # --------------------------------------------------------------------------
 _STD_SQL = """
-    CASE WHEN COUNT(*) OVER w >= 20 THEN
+    CASE WHEN COUNT(*) OVER w20 >= 20 THEN
       SQRT(GREATEST(
-        ( CAST(SUM(CAST(ROUND(value*100) AS BIGINT)*CAST(ROUND(value*100) AS BIGINT)) OVER w AS DOUBLE)/10000
-          - (CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) OVER w AS DOUBLE)/100)
-            * (CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) OVER w AS DOUBLE)/100)
-            / (COUNT(*) OVER w)
-        ) / (COUNT(*) OVER w - 1), 0.0))
+        ( CAST(SUM(CAST(ROUND(value*100) AS BIGINT)*CAST(ROUND(value*100) AS BIGINT)) OVER w20 AS DOUBLE)/10000
+          - (CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) OVER w20 AS DOUBLE)/100)
+            * (CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) OVER w20 AS DOUBLE)/100)
+            / (COUNT(*) OVER w20)
+        ) / (COUNT(*) OVER w20 - 1), 0.0))
     END
 """
 
 
 @register(
-    "q22_rolling_std_20",
+    "q20_rolling_window_stats",
     oracle=f"""
-    SELECT user_id, event_id, {_STD_SQL} AS roll_std
+    SELECT user_id, event_id,
+           value / NULLIF(LAG(value) OVER ({_ORDER_SQL}), 0) - 1 AS pct_change,
+           CASE WHEN COUNT(*) OVER w21 >= 21 THEN
+             CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) OVER w21 AS DOUBLE)/100
+           END AS roll_sum,
+           {_STD_SQL} AS roll_std
     FROM events
-    WINDOW w AS ({_ORDER_SQL} ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    WINDOW w21 AS ({_ORDER_SQL} ROWS BETWEEN 20 PRECEDING AND CURRENT ROW),
+           w20 AS ({_ORDER_SQL} ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
     """,
 )
-def q22_rolling_std_20(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q20_rolling_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ts import pct_change
+
     e = _events(spark, sf_dir)
-    w = _w().rowsBetween(-19, 0)
+    w21 = _w().rowsBetween(-20, 0)
+    w20 = _w().rowsBetween(-19, 0)
     cents = F.round(F.col("value") * 100).cast("long")
-    n = F.count("*").over(w)
-    sx = F.sum(cents).over(w).cast("double") / 100
-    sxx = F.sum(cents * cents).over(w).cast("double") / 10000
-    var = (sxx - sx * sx / n) / (n - 1)
+    n20 = F.count("*").over(w20)
+    sx = F.sum(cents).over(w20).cast("double") / 100
+    sxx = F.sum(cents * cents).over(w20).cast("double") / 10000
+    var = (sxx - sx * sx / n20) / (n20 - 1)
     return e.select(
         "user_id",
         "event_id",
-        F.when(n >= 20, F.sqrt(F.greatest(var, F.lit(0.0)))).alias("roll_std"),
+        # NULL when prev value is 0 (ANSI-safe; mirrored by NULLIF in the oracle)
+        pct_change("value", _w()).alias("pct_change"),
+        F.when(
+            F.count("*").over(w21) >= 21, F.sum(cents).over(w21).cast("double") / 100
+        ).alias("roll_sum"),
+        F.when(n20 >= 20, F.sqrt(F.greatest(var, F.lit(0.0)))).alias("roll_std"),
     )
 
 

@@ -27,8 +27,7 @@ HEADLINE = [
     "q04_priority_semi",
     "q13_orders_with_optional_lineitems",
     "q14_rolling_beta_supplier",
-    "q21_rolling_sum_21",
-    "q22_rolling_std_20",
+    "q20_rolling_window_stats",
     "q25_sessionization",
     "q26_tumbling_5min",
     "q28_ewm_halflife10",
