@@ -377,9 +377,18 @@ def q52_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # q49 — embedding-cosine near-dup pairs (threshold 0.45): the embedding
-#        flavor of dedup. All-pairs at oracle scale; production pre-filters
-#        via hyperplane LSH buckets (llmops.similarity) before the exact
-#        cosine — same verify expression.
+#        flavor of dedup. Registered plan is the EXACT blocked distributed
+#        GEMM (llmops.similarity.cosine_threshold_pairs_blocked): hash
+#        vectors into B blocks, one fp64 matmul per block pair emits only
+#        candidates ≥ t − 1e-9, then the order-deterministic fold cosine
+#        (bit-identical to DuckDB list_dot_product) applies the exact cut.
+#        Shuffle volume is O(n·B) rows and B(B+1)/2 uniform matmul tasks —
+#        never an O(n²)-row theta join. LSH/IVF candidates are deliberately
+#        NOT used here: at t=0.45 on near-isotropic embeddings the LSH
+#        exponent is ρ≈0.62 (p₁≈0.65 vs p₂=0.5 per hyperplane bit), so any
+#        affordable table count leaves a miss probability that would break
+#        the exact oracle contract; the probabilistic path lives in
+#        llmops.similarity.embedding_near_dups_lsh with a recall test.
 # --------------------------------------------------------------------------
 @register(
     "q49_embedding_near_dups",
@@ -394,17 +403,7 @@ def q52_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q49_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..llmops.similarity import _as_double, dot, norm
+    from ..llmops.similarity import cosine_threshold_pairs_blocked
 
     emb = load_table(spark, sf_dir, "embeddings")
-    n = emb.select(F.col("vec_id"), _as_double("embedding").alias("e")).withColumn(
-        "nrm", norm(F.col("e"))
-    )
-    a = n.select(F.col("vec_id").alias("id_a"), F.col("e").alias("ea"), F.col("nrm").alias("na"))
-    b = n.select(F.col("vec_id").alias("id_b"), F.col("e").alias("eb"), F.col("nrm").alias("nb"))
-    cos = dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cos.alias("cosine"))
-        .filter(F.col("cosine") >= 0.45)
-    )
+    return cosine_threshold_pairs_blocked(emb, threshold=0.45, n_blocks=8)

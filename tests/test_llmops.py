@@ -151,6 +151,60 @@ def test_jaccard_accepts_lsh_candidates(spark, sf_dir):
     assert via_lsh == exact
 
 
+def test_blocked_gemm_threshold_join_is_exact(spark, sf_dir):
+    """cosine_threshold_pairs_blocked must return exactly the all-pairs
+    fold-cosine result (ids AND values), for several block counts
+    including n_blocks=1 (single-group degenerate case)."""
+    from at_data_pipelines_spark.llmops.similarity import (
+        _as_double,
+        cosine_threshold_pairs_blocked,
+        dot,
+        norm,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), _as_double("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("id_b"), _as_double("embedding").alias("eb"))
+    cos = dot(F.col("ea"), F.col("eb")) / (norm(F.col("ea")) * norm(F.col("eb")))
+    want = {
+        (r.id_a, r.id_b, r.cosine)
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= 0.45)
+        .collect()
+    }
+    assert want  # fixture must actually contain qualifying pairs
+    for n_blocks in (1, 3, 8):
+        got = {
+            (r.id_a, r.id_b, r.cosine)
+            for r in cosine_threshold_pairs_blocked(
+                emb, 0.45, n_blocks=n_blocks
+            ).collect()
+        }
+        assert got == want, f"n_blocks={n_blocks}"
+
+
+def test_embedding_lsh_near_dups_full_recall_on_fixture(spark, sf_dir):
+    """The seeded LSH-candidate path must find 100% of the >=0.45 pairs on
+    the fixture (the verify stage makes precision exact, so full recall
+    means set equality with the exact blocked join)."""
+    from at_data_pipelines_spark.llmops.similarity import (
+        cosine_threshold_pairs_blocked,
+        embedding_near_dups_lsh,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {
+        (r.id_a, r.id_b, r.cosine)
+        for r in cosine_threshold_pairs_blocked(emb, 0.45, n_blocks=4).collect()
+    }
+    via_lsh = {
+        (r.id_a, r.id_b, r.cosine)
+        for r in embedding_near_dups_lsh(emb, 0.45).collect()
+    }
+    assert via_lsh == exact
+
+
 def test_ann_recall_vs_brute_force(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)

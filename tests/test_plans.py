@@ -53,6 +53,7 @@ def test_near_dup_queries_have_no_theta_join(spark, sf_dir):
     for name in [
         "q45_minhash_lsh_candidates",
         "q46_jaccard_near_dups",
+        "q49_embedding_near_dups",
         "q51_simhash_near_dup_pairs",
         "q53_dup_clusters",
     ]:
