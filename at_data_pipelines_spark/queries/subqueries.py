@@ -286,6 +286,11 @@ def q37_user_day_open_close(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # q38 — rank family: ntile deciles + percent_rank over a total order.
+#        Registered plan is the distributed two-pass rank (ops.rank):
+#        range-repartition on the order keys, local row_number per range
+#        partition, P-row broadcast prefix offsets, then percent_rank and
+#        NTILE closed-form from (global_rank, N) — no single-partition
+#        global sort anywhere in the plan (asserted by plan test).
 # --------------------------------------------------------------------------
 @register(
     "q38_customer_deciles",
@@ -298,13 +303,14 @@ def q37_user_day_open_close(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q38_customer_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window as W
+    from ..ops.rank import ntile_from, percent_rank_from, with_global_rank
 
-    c = load_table(spark, sf_dir, "customer")
-    w = W.orderBy("c_acctbal", "c_custkey")
-    return c.select(
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    ranked = with_global_rank(c, ["c_acctbal", "c_custkey"])
+    g, n = F.col("global_rank"), F.col("_total")
+    return ranked.select(
         "c_custkey",
         "c_acctbal",
-        F.ntile(10).over(w).alias("decile"),
-        F.round(F.percent_rank().over(w), 9).alias("pr"),
+        ntile_from(g, n, 10).alias("decile"),
+        F.round(percent_rank_from(g, n), 9).alias("pr"),
     )
