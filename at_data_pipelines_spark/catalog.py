@@ -150,6 +150,12 @@ class Lakehouse:
         if meta.partition_keys:
             writer = writer.partitionBy(*meta.partition_keys)
         writer.parquet(f"{self._dir(name)}/data")
+        if mode != "append":
+            # truncation invalidates pre-overwrite dirty state: partitions
+            # recorded by earlier inserts may no longer exist, and the next
+            # optimize() must only consider this batch
+            meta.dirty_partitions = []
+            meta.all_dirty = False
         meta.next_seq += 1
         if meta.partition_keys:
             # record which partition values this batch touched (tiny collect:

@@ -259,8 +259,12 @@ def reversal_flow(lake: Lakehouse, cfg: PipelineConfig) -> None:
     _upsert(lake, "scores", _with_year(scores))
 
     iv = lake.table("idio_vol").select("ticker", "date", "idio_vol")
+    # LEFT join like the reference (reversal_flow.py:50): score rows with no
+    # idio_vol produce null-alpha rows that ARE stored; the alphas accessor
+    # filters `alpha IS NOT NULL` on read, so downstream is unchanged but
+    # the stored table matches the reference byte-for-byte.
     alphas = (
-        scores.join(iv, ["ticker", "date"])
+        scores.join(iv, ["ticker", "date"], "left")
         .withColumn("alpha", F.lit(cfg.ic) * F.col("score") * F.col("idio_vol"))
         .select("ticker", "date", "signal", "alpha")
     )
@@ -272,14 +276,22 @@ def benchmark_flow(lake: Lakehouse, cfg: PipelineConfig) -> None:
     universe (A6/W10) and its weighted return (A1)."""
     uni = lake.table("universe").select("date", "ticker")
     ret = lake.table("stock_returns").select("ticker", "date", "return")
-    ur = uni.join(ret, ["date", "ticker"], "left").na.drop(subset=["return"])
+    # keep null-return members: the reference weights 1/len over the FULL
+    # universe⟕returns join (benchmark_flow.py:16 pl.len().over("date")),
+    # so missing-return members still dilute the denominator and receive
+    # a weight row (first date of history, listing gaps).
+    ur = uni.join(ret, ["date", "ticker"], "left")
     from pyspark.sql.window import Window as W
 
     weights = ur.withColumn(
         "weight", F.lit(1.0) / F.count(F.lit(1)).over(W.partitionBy("date"))
     )
     _upsert(lake, "benchmark_weights", _with_year(weights.select("ticker", "date", "weight")))
-    brets = weights.groupBy("date").agg(F.sum(F.col("return") * F.col("weight")).alias("return"))
+    # sum skips null returns (Polars semantics); coalesce matches Polars'
+    # 0.0 for an all-null date rather than Spark's NULL
+    brets = weights.groupBy("date").agg(
+        F.coalesce(F.sum(F.col("return") * F.col("weight")), F.lit(0.0)).alias("return")
+    )
     _upsert(lake, "benchmark_returns", brets)
 
 

@@ -70,9 +70,11 @@ def history_flow(
     """Upsert one market date of minute bars, clipped to the extended
     session (bars arrive in UTC; the clip bounds are UTC instants)."""
     start, end = extended_hours_utc(market_date)
+    # both bounds INCLUSIVE: the reference's Alpaca StockBarsRequest
+    # start/end are inclusive, so a bar stamped exactly 20:00:00 NY is kept
     clipped = bars.filter(
         (F.col("timestamp") >= F.lit(start.replace(tzinfo=None)))
-        & (F.col("timestamp") < F.lit(end.replace(tzinfo=None)))
+        & (F.col("timestamp") <= F.lit(end.replace(tzinfo=None)))
     )
     lake.upsert(table, clipped)
 
