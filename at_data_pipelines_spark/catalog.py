@@ -41,8 +41,6 @@ Spark-first restatement:
 from __future__ import annotations
 
 import json
-import os
-import shutil
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -52,6 +50,84 @@ from pyspark.sql.window import Window as W
 
 _META_FILE = "_bl_meta.json"
 _SEQ_COL = "_seq"
+
+
+class _HadoopFS:
+    """Filesystem operations through the JVM Hadoop FileSystem API, so the
+    lakehouse's metadata reads/writes and partition swaps run against ANY
+    Hadoop FS URI (file://, hdfs://, s3a://) — not just the local OS
+    filesystem. This is the same FS abstraction Spark's own writers use,
+    resolved from the session's hadoopConfiguration (credentials,
+    endpoints and committers configured there apply here too).
+
+    Atomicity note: directory rename is atomic on HDFS and the local FS;
+    on S3A it is a copy+delete. A production deployment on object storage
+    would layer a table format (Delta/Iceberg) or an S3 committer on top;
+    the swap protocol here is correct either way, just not atomic on S3.
+    """
+
+    def __init__(self, spark: SparkSession, root: str):
+        jvm = spark._jvm
+        self._Path = jvm.org.apache.hadoop.fs.Path
+        self._IOUtils = jvm.org.apache.commons.io.IOUtils
+        self._fs = self._Path(root).getFileSystem(spark._jsc.hadoopConfiguration())
+
+    def exists(self, p: str) -> bool:
+        return self._fs.exists(self._Path(p))
+
+    def mkdirs(self, p: str) -> None:
+        self._fs.mkdirs(self._Path(p))
+
+    def delete(self, p: str) -> None:
+        self._fs.delete(self._Path(p), True)
+
+    def rename(self, src: str, dst: str) -> None:
+        """Move src over dst (dst removed first, parent created)."""
+        dpath = self._Path(dst)
+        self._fs.delete(dpath, True)
+        parent = dpath.getParent()
+        if parent is not None:
+            self._fs.mkdirs(parent)
+        if not self._fs.rename(self._Path(src), dpath):
+            raise IOError(f"rename failed: {src} -> {dst}")
+
+    def list_subdirs(self, p: str) -> list[str]:
+        if not self.exists(p):
+            return []
+        return [
+            st.getPath().getName()
+            for st in self._fs.listStatus(self._Path(p))
+            if st.isDirectory()
+        ]
+
+    def glob_dir_leaves(self, pattern: str, depth: int) -> list[str]:
+        """Directories matching a glob, returned as the trailing ``depth``
+        path components (e.g. ``year=2021`` or ``year=2021/month=3``) —
+        component-based, so no scheme/prefix string surgery on URIs."""
+        out = []
+        for st in self._fs.globStatus(self._Path(pattern)) or []:
+            if not st.isDirectory():
+                continue
+            parts, node = [], st.getPath()
+            for _ in range(depth):
+                parts.append(node.getName())
+                node = node.getParent()
+            out.append("/".join(reversed(parts)))
+        return out
+
+    def read_text(self, p: str) -> str:
+        stream = self._fs.open(self._Path(p))
+        try:
+            return bytes(self._IOUtils.toByteArray(stream)).decode("utf-8")
+        finally:
+            stream.close()
+
+    def write_text(self, p: str, text: str) -> None:
+        stream = self._fs.create(self._Path(p), True)
+        try:
+            stream.write(bytearray(text.encode("utf-8")))
+        finally:
+            stream.close()
 
 
 @dataclass
@@ -70,13 +146,17 @@ class TableMeta:
 
 
 class Lakehouse:
-    """A directory-rooted lakehouse database (local FS here; any Hadoop FS
-    URI — s3a://, hdfs:// — works unchanged on a cluster)."""
+    """A directory-rooted lakehouse database. Every filesystem operation —
+    metadata JSON, partition swaps, deletes — goes through the Hadoop
+    FileSystem API (``_HadoopFS``), so any Hadoop FS URI (file://,
+    hdfs://, s3a://) works, with credentials/committers taken from the
+    session's hadoopConfiguration."""
 
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root.rstrip("/")
-        os.makedirs(self.root, exist_ok=True)
+        self.fs = _HadoopFS(spark, self.root)
+        self.fs.mkdirs(self.root)
 
     # -- metadata ----------------------------------------------------------
     def _dir(self, name: str) -> str:
@@ -86,23 +166,17 @@ class Lakehouse:
         return f"{self._dir(name)}/{_META_FILE}"
 
     def _load_meta(self, name: str) -> TableMeta:
-        with open(self._meta_path(name)) as f:
-            d = json.load(f)
-        return TableMeta(**d)
+        return TableMeta(**json.loads(self.fs.read_text(self._meta_path(name))))
 
     def _save_meta(self, meta: TableMeta) -> None:
-        os.makedirs(self._dir(meta.name), exist_ok=True)
-        with open(self._meta_path(meta.name), "w") as f:
-            json.dump(meta.__dict__, f)
+        self.fs.write_text(self._meta_path(meta.name), json.dumps(meta.__dict__))
 
     def exists(self, name: str) -> bool:
-        return os.path.exists(self._meta_path(name))
+        return self.fs.exists(self._meta_path(name))
 
     def tables(self) -> list[str]:
-        if not os.path.isdir(self.root):
-            return []
         return sorted(
-            d for d in os.listdir(self.root) if os.path.exists(self._meta_path(d))
+            d for d in self.fs.list_subdirs(self.root) if self.exists(d)
         )
 
     # -- DDL ---------------------------------------------------------------
@@ -122,7 +196,7 @@ class Lakehouse:
         if self.exists(name):
             if mode == "skip":
                 return
-            shutil.rmtree(self._dir(name))
+            self.fs.delete(self._dir(name))
         for k in (partition_keys or []) + (primary_keys or []):
             if k not in schema.fieldNames():
                 raise ValueError(f"key {k!r} not in schema for table {name!r}")
@@ -136,7 +210,7 @@ class Lakehouse:
 
     def drop(self, name: str) -> None:
         if self.exists(name):
-            shutil.rmtree(self._dir(name))
+            self.fs.delete(self._dir(name))
 
     # -- DML ---------------------------------------------------------------
     def insert(self, name: str, df: DataFrame, mode: str = "append") -> None:
@@ -180,7 +254,7 @@ class Lakehouse:
         schema_with_seq = T.StructType(
             meta.schema.fields + [T.StructField(_SEQ_COL, T.LongType(), True)]
         )
-        if not os.path.isdir(data_dir):
+        if not self.fs.exists(data_dir):
             return self.spark.createDataFrame([], schema_with_seq)
         return (
             self.spark.read.schema(schema_with_seq)
@@ -228,10 +302,11 @@ class Lakehouse:
         )
         # Spark cannot overwrite a path it is reading; write compacted data
         # to a staging dir, then swap the affected partition directories in
-        # (an fs rename — atomic-ish on HDFS/S3A-committers, instant locally).
+        # via Hadoop FS renames (atomic on HDFS/local; see _HadoopFS note
+        # for object stores).
         data_dir = f"{self._dir(name)}/data"
         tmp_dir = f"{self._dir(name)}/.compact_tmp"
-        shutil.rmtree(tmp_dir, ignore_errors=True)
+        self.fs.delete(tmp_dir)
         writer = deduped.write.mode("overwrite")
         if meta.partition_keys:
             writer = writer.partitionBy(*meta.partition_keys)
@@ -244,21 +319,13 @@ class Lakehouse:
     def _swap_partitions(self, data_dir: str, tmp_dir: str, meta: TableMeta) -> None:
         rewrite_all = meta.all_dirty or not meta.partition_keys
         if rewrite_all:
-            shutil.rmtree(data_dir, ignore_errors=True)
-            shutil.move(tmp_dir, data_dir)
+            self.fs.rename(tmp_dir, data_dir)
             return
-        import glob
-
-        pattern = "/".join(["*=*"] * len(meta.partition_keys))
-        for leaf in glob.glob(f"{tmp_dir}/{pattern}"):
-            if not os.path.isdir(leaf):
-                continue
-            rel = os.path.relpath(leaf, tmp_dir)
-            dest = os.path.join(data_dir, rel)
-            shutil.rmtree(dest, ignore_errors=True)
-            os.makedirs(os.path.dirname(dest), exist_ok=True)
-            shutil.move(leaf, dest)
-        shutil.rmtree(tmp_dir, ignore_errors=True)
+        depth = len(meta.partition_keys)
+        pattern = "/".join(["*=*"] * depth)
+        for rel in self.fs.glob_dir_leaves(f"{tmp_dir}/{pattern}", depth):
+            self.fs.rename(f"{tmp_dir}/{rel}", f"{data_dir}/{rel}")
+        self.fs.delete(tmp_dir)
 
     def upsert(self, name: str, df: DataFrame) -> None:
         """The reference's writer idiom: insert(append) + optimize()."""
@@ -293,27 +360,23 @@ class Lakehouse:
             kept = raw.filter(part_filter).filter(~pred)
             data_dir = f"{self._dir(name)}/data"
             tmp_dir = f"{self._dir(name)}/.delete_tmp"
-            shutil.rmtree(tmp_dir, ignore_errors=True)
+            self.fs.delete(tmp_dir)
             kept.write.mode("overwrite").partitionBy(*meta.partition_keys).parquet(tmp_dir)
             # swap affected partitions (including now-empty ones)
-            import glob
-
             depth = len(meta.partition_keys)
             pattern = "/".join(["*=*"] * depth)
-            written = {os.path.relpath(p, tmp_dir) for p in glob.glob(f"{tmp_dir}/{pattern}")}
+            written = set(self.fs.glob_dir_leaves(f"{tmp_dir}/{pattern}", depth))
             for r in vals:
                 rel = "/".join(f"{k}={r[k]}" for k in meta.partition_keys)
-                dest = os.path.join(data_dir, rel)
-                shutil.rmtree(dest, ignore_errors=True)
                 if rel in written:
-                    os.makedirs(os.path.dirname(dest), exist_ok=True)
-                    shutil.move(os.path.join(tmp_dir, rel), dest)
-            shutil.rmtree(tmp_dir, ignore_errors=True)
+                    self.fs.rename(f"{tmp_dir}/{rel}", f"{data_dir}/{rel}")
+                else:
+                    self.fs.delete(f"{data_dir}/{rel}")
+            self.fs.delete(tmp_dir)
         else:
             kept = raw.filter(~pred)
             data_dir = f"{self._dir(name)}/data"
             tmp_dir = f"{self._dir(name)}/.delete_tmp"
-            shutil.rmtree(tmp_dir, ignore_errors=True)
+            self.fs.delete(tmp_dir)
             kept.write.mode("overwrite").parquet(tmp_dir)
-            shutil.rmtree(data_dir, ignore_errors=True)
-            shutil.move(tmp_dir, data_dir)
+            self.fs.rename(tmp_dir, data_dir)

@@ -22,9 +22,15 @@ SCHEMA = T.StructType(
 )
 
 
-@pytest.fixture()
-def lake(spark, tmp_path):
-    return Lakehouse(spark, str(tmp_path / "lake"))
+@pytest.fixture(params=["plain", "file_uri"])
+def lake(spark, tmp_path, request):
+    """Both a plain local path and an explicit ``file:`` URI — the latter
+    proves every catalog operation goes through the Hadoop FileSystem API
+    (an ``os``/``shutil`` call would fail on the scheme-qualified root)."""
+    root = str(tmp_path / "lake")
+    if request.param == "file_uri":
+        root = f"file://{root}"
+    return Lakehouse(spark, root)
 
 
 def _df(spark, rows):
@@ -79,9 +85,11 @@ def test_optimize_only_rewrites_dirty_partitions(lake, spark):
     # second upsert touches only 2024 — 2023 partition must not be rewritten
     import glob
 
-    before = set(glob.glob(f"{lake._dir('prices')}/data/year=2023/*.parquet"))
+    local = lake._dir("prices").removeprefix("file://")
+    before = set(glob.glob(f"{local}/data/year=2023/*.parquet"))
+    assert before, "expected 2023 partition files"
     lake.upsert("prices", _df(spark, [("A", "2024-01-02", 3.0)]))
-    after = set(glob.glob(f"{lake._dir('prices')}/data/year=2023/*.parquet"))
+    after = set(glob.glob(f"{local}/data/year=2023/*.parquet"))
     assert before == after, "clean partition was rewritten"
     rows = {(r.ticker, str(r.date)): r.close for r in lake.table("prices").collect()}
     assert rows[("A", "2024-01-02")] == 3.0
@@ -154,9 +162,11 @@ def test_schema_projection_on_insert(lake, spark):
     lake.create("prices", SCHEMA, ["year"], ["date", "ticker"])
     import datetime
 
+    # StructType.add mutates in place — build the widened schema on a copy
+    widened = T.StructType(SCHEMA.fields + [T.StructField("noise", T.StringType())])
     extra = spark.createDataFrame(
         [("A", datetime.date(2024, 1, 2), 2024, 1.0, "junk")],
-        SCHEMA.add("noise", T.StringType()),
+        widened,
     ).select("noise", "close", "year", "date", "ticker")  # shuffled cols + extra
     lake.insert("prices", extra)
     row = lake.table("prices").collect()[0]
