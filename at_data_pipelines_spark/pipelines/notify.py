@@ -13,6 +13,7 @@ from __future__ import annotations
 import traceback
 from collections.abc import Callable
 
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..catalog import Lakehouse
@@ -53,6 +54,87 @@ def daily_summary(lake: Lakehouse, sender: Sender) -> str:
     lines = [f"Portfolio {last} — active risk {risk:.4f}"] + [
         f"  {r.ticker}: {r.weight:.4f}" for r in top
     ]
+    msg = "\n".join(lines)
+    sender(msg)
+    return msg
+
+
+def daily_trading_summary(
+    filled_orders: DataFrame,
+    account_value: float,
+    sender: Sender,
+    previous_account_value: float | None = None,
+    positions: list[dict] | None = None,
+) -> str:
+    """Render + send the filled-orders/position-delta daily summary,
+    section-for-section with the reference's Slack message
+    (pipelines/utils/slack_daily_summary.py:47-203):
+
+    - no-trades short-circuit with portfolio value;
+    - header fields: portfolio value, day P&L vs previous value (or trade
+      count when no previous), total traded notional, open positions;
+    - buys/sells counts + notionals; top-3 buys and sells by notional
+      ("qty `TICKER` @ $price = $notional");
+    - top-5 current positions by value.
+
+    ``filled_orders`` is the ORDER_SCHEMA frame (sources/rest.py);
+    ``positions`` is the injected broker-position list [{ticker, value}]
+    (the reference pulls it from the trading API — out of engine scope).
+    A day's fills are intrinsically tiny; the aggregation still runs
+    Spark-side so the same code handles a backfill of any size.
+    """
+    n_orders = filled_orders.count()
+    if n_orders == 0:
+        msg = f"✅ No trades executed today\nPortfolio value: ${account_value:,.2f}"
+        sender(msg)
+        return msg
+
+    notional = (F.col("filled_qty") * F.col("filled_avg_price")).alias("notional")
+    orders = filled_orders.select("ticker", "side", "filled_qty", "filled_avg_price", notional)
+    by_side = {
+        r.side: (r.n, r.total)
+        for r in orders.groupBy("side")
+        .agg(F.count("*").alias("n"), F.sum("notional").alias("total"))
+        .collect()
+    }
+    total_notional = sum(t for _, t in by_side.values())
+    tops = {
+        side: orders.filter(F.col("side") == side)
+        .orderBy(F.desc("notional"), "ticker")
+        .limit(3)
+        .collect()
+        for side in ("buy", "sell")
+    }
+
+    positions = sorted(positions or [], key=lambda p: p["value"], reverse=True)
+    lines = ["📊 Daily Trading Summary", f"*Portfolio Value* ${account_value:,.2f}"]
+    if previous_account_value:
+        pnl = account_value - previous_account_value
+        lines.append(
+            f"*Day P&L* ${pnl:,.2f} ({pnl / previous_account_value * 100:+.2f}%)"
+        )
+    else:
+        lines.append(f"*Trades Executed* {n_orders}")
+    lines.append(f"*Total Volume* ${total_notional:,.2f}")
+    lines.append(f"*Positions* {len(positions)} open")
+    for side, label in (("buy", "Buys"), ("sell", "Sells")):
+        if side in by_side:
+            n, total = by_side[side]
+            lines.append(f"*{label}:* {n} · ${total:,.2f}")
+    for side, label in (("buy", "Top 3 Buys"), ("sell", "Top 3 Sells")):
+        if tops[side]:
+            lines.append(f"*{label}*")
+            lines.extend(
+                f"{i}. {t.filled_qty:.2f} `{t.ticker}` @ ${t.filled_avg_price:.2f}"
+                f" = ${t.notional:,.2f}"
+                for i, t in enumerate(tops[side], 1)
+            )
+    if positions:
+        lines.append(f"*Top {min(5, len(positions))} Positions*")
+        lines.extend(
+            f"{i}. `{p['ticker']}`: ${p['value']:,.2f}"
+            for i, p in enumerate(positions[:5], 1)
+        )
     msg = "\n".join(lines)
     sender(msg)
     return msg

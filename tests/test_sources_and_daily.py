@@ -99,6 +99,63 @@ def test_notify_wrappers(spark, tmp_path):
     assert "No portfolio weights" in msg
 
 
+def test_daily_trading_summary_golden(spark):
+    """Golden-string check of the trade-diff summary — section-for-section
+    with the reference message (slack_daily_summary.py:47-203)."""
+    from at_data_pipelines_spark.pipelines.notify import daily_trading_summary
+    from at_data_pipelines_spark.sources.rest import ORDER_SCHEMA
+
+    rows = [
+        ("o1", "AAPL", "buy", dt.datetime(2024, 1, 10, 15, 0), 10.0, 101.50),
+        ("o2", "MSFT", "buy", dt.datetime(2024, 1, 10, 15, 5), 2.0, 400.00),
+        ("o3", "NVDA", "sell", dt.datetime(2024, 1, 10, 15, 30), 1.0, 900.00),
+    ]
+    orders = spark.createDataFrame(rows, ORDER_SCHEMA)
+    positions = [
+        {"ticker": "AAPL", "value": 5000.0},
+        {"ticker": "NVDA", "value": 9000.0},
+        {"ticker": "MSFT", "value": 800.0},
+    ]
+    sent = []
+    msg = daily_trading_summary(
+        orders, 100_000.0, sent.append,
+        previous_account_value=99_000.0, positions=positions,
+    )
+    assert sent == [msg]
+    assert msg == "\n".join(
+        [
+            "📊 Daily Trading Summary",
+            "*Portfolio Value* $100,000.00",
+            "*Day P&L* $1,000.00 (+1.01%)",
+            "*Total Volume* $2,715.00",
+            "*Positions* 3 open",
+            "*Buys:* 2 · $1,815.00",
+            "*Sells:* 1 · $900.00",
+            "*Top 3 Buys*",
+            "1. 10.00 `AAPL` @ $101.50 = $1,015.00",
+            "2. 2.00 `MSFT` @ $400.00 = $800.00",
+            "*Top 3 Sells*",
+            "1. 1.00 `NVDA` @ $900.00 = $900.00",
+            "*Top 3 Positions*",
+            "1. `NVDA`: $9,000.00",
+            "2. `AAPL`: $5,000.00",
+            "3. `MSFT`: $800.00",
+        ]
+    )
+
+
+def test_daily_trading_summary_no_trades(spark):
+    from at_data_pipelines_spark.pipelines.notify import daily_trading_summary
+    from at_data_pipelines_spark.sources.rest import ORDER_SCHEMA
+
+    sent = []
+    msg = daily_trading_summary(
+        spark.createDataFrame([], ORDER_SCHEMA), 55_500.5, sent.append
+    )
+    assert msg == "✅ No trades executed today\nPortfolio value: $55,500.50"
+    assert sent == [msg]
+
+
 # -- daily incremental -----------------------------------------------------
 @pytest.fixture(scope="module")
 def daily_lake(spark, tmp_path_factory):
