@@ -40,6 +40,50 @@ HEADLINE = [
 ]
 
 
+def bench_pipelines(spark) -> dict[str, float]:
+    """Wall time of the flow DAG — the applyInPandas kernel surface (QP
+    fan-out, rolling OLS, EWM) that the query set doesn't exercise. One
+    timed run each (a full DAG is too heavy for min-of-2): a 30-ticker /
+    6-month backfill (~125 QP dates) and one incremental daily step on
+    top. Reported separately from the query total so round-over-round
+    query comparisons stay like-for-like."""
+    import datetime as dtm
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from at_data_pipelines_spark.catalog import Lakehouse
+    from at_data_pipelines_spark.pipelines import flows, synthetic
+    from at_data_pipelines_spark.pipelines.flows import PipelineConfig
+
+    cfg = PipelineConfig(window=30, ewm_half_life=10.0, reversal_window=11)
+    fx = synthetic.generate_market(
+        spark, n_tickers=30, start=dtm.date(2023, 1, 2), end=dtm.date(2023, 6, 30)
+    )
+    last = max(r.date for r in fx["calendar"].collect())
+    cut = {
+        k: fx[k].filter(F.col("date") < F.lit(last))
+        for k in ("calendar", "universe", "stock_bars", "etf_bars")
+    }
+    root = tempfile.mkdtemp(prefix="bench_lake_")
+    lake = Lakehouse(spark, root)
+    t0 = time.perf_counter()
+    flows.run_backfill(lake, cut, cfg)
+    backfill_s = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    flows.run_daily(
+        lake,
+        cfg,
+        run_date=last + dtm.timedelta(days=1),
+        new_stock_bars=fx["stock_bars"].filter(F.col("date") == F.lit(last)),
+        new_etf_bars=fx["etf_bars"].filter(F.col("date") == F.lit(last)),
+        new_calendar=fx["calendar"].filter(F.col("date") == F.lit(last)),
+        new_universe=fx["universe"].filter(F.col("date") == F.lit(last)),
+    )
+    daily_s = round(time.perf_counter() - t0, 3)
+    return {"backfill_qp_dag": backfill_s, "daily_incremental_dag": daily_s}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
@@ -62,6 +106,8 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
 
+    pipelines = bench_pipelines(spark)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -70,6 +116,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "pipelines": pipelines,
                 "sf": sf,
             }
         )
