@@ -54,18 +54,21 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def word_shingle_array(tokens_col: Column, n: int = 3) -> Column:
-    """Array of distinct word n-gram shingles from a PRE-SPLIT token array
-    column. The tokens must be a materialized column, not an inline
-    ``split(...)`` expression: Spark does no common-subexpression
-    elimination inside higher-order lambdas, so an inline split re-runs
-    per element access — O(len²) per document (measured ~10× slower)."""
+def word_shingle_array(tokens_col: Column, n: int = 3, distinct: bool = True) -> Column:
+    """Array of word n-gram shingles from a PRE-SPLIT token array column
+    (distinct by default; ``distinct=False`` keeps occurrences for
+    frequency-based metrics). The tokens must be a materialized column,
+    not an inline ``split(...)`` expression: Spark does no
+    common-subexpression elimination inside higher-order lambdas, so an
+    inline split re-runs per element access — O(len²) per document
+    (measured ~10× slower)."""
     w = tokens_col
     idx = F.sequence(F.lit(1), F.size(w) - (n - 1))
     gram = lambda i: F.concat_ws(" ", *[F.element_at(w, i + j) for j in range(n)])  # noqa: E731
-    return F.when(F.size(w) >= n, F.array_distinct(F.transform(idx, gram))).otherwise(
-        F.array().cast("array<string>")
-    )
+    arr = F.transform(idx, gram)
+    if distinct:
+        arr = F.array_distinct(arr)
+    return F.when(F.size(w) >= n, arr).otherwise(F.array().cast("array<string>"))
 
 
 def word_shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:

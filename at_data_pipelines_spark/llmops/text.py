@@ -78,6 +78,88 @@ def langid(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") ->
     )
 
 
+def repetition_metrics(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 2
+) -> DataFrame:
+    """Gopher/RefinedWeb-style within-document repetition signals:
+
+    - ``top_gram_frac`` — occurrences of the single most frequent word
+      n-gram over all n-gram occurrences (boilerplate headers, degenerate
+      loops);
+    - ``dup_gram_frac`` — fraction of n-gram occurrences whose n-gram
+      appears more than once in the document.
+
+    Token-count based (not character based) so the metric is invariant to
+    which of several tied most-frequent n-grams is picked. Documents with
+    fewer than ``n`` tokens have no n-grams and are absent from the
+    output (callers left-join if they need them).
+
+    Scale: explode n-gram OCCURRENCES (cheap HOF over a pre-split token
+    column — see ``word_shingle_array``'s CSE note), then two partial-agg
+    groupBys keyed by (doc, gram) and doc — uniform keys, map-side
+    combine, no joins.
+    """
+    from .dedup import word_shingle_array
+
+    toks = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("_w"))
+    grams = toks.select(
+        F.col(id_col),
+        F.explode(
+            # occurrences, NOT distinct — frequency is the signal here
+            F.when(
+                F.size(F.col("_w")) >= n,
+                word_shingle_array(F.col("_w"), n, distinct=False),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("g"),
+    )
+    per = grams.groupBy(id_col, "g").agg(F.count("*").alias("_c"))
+    agg = per.groupBy(id_col).agg(
+        F.max("_c").alias("_max_c"),
+        F.sum("_c").alias("n_grams"),
+        F.coalesce(F.sum(F.when(F.col("_c") > 1, F.col("_c"))), F.lit(0)).alias("_dup"),
+    )
+    return agg.select(
+        F.col(id_col),
+        "n_grams",
+        F.round(F.col("_max_c").cast("double") / F.col("n_grams"), 6).alias("top_gram_frac"),
+        F.round(F.col("_dup").cast("double") / F.col("n_grams"), 6).alias("dup_gram_frac"),
+    )
+
+
+def decontamination_overlap(
+    corpus: DataFrame,
+    eval_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination: per corpus document, how many of its
+    distinct word n-grams also occur anywhere in the held-out eval set.
+    Returns (id, n_eval_overlap) for documents with ≥1 overlap; a corpus
+    doc absent from the output is clean.
+
+    Scale shape: the eval side collapses to DISTINCT n-gram hashes
+    (benchmarks are tiny next to a pre-training corpus — broadcastable),
+    and the corpus side joins on the 8-byte hash, so the shuffle carries
+    hashes, not strings. This is the industry-standard n-gram-collision
+    decontamination pass run before training."""
+    from .dedup import word_shingles
+
+    cg = word_shingles(corpus, text_col, id_col, n).select(
+        F.col(id_col), F.xxhash64("shingle").alias("_h")
+    )
+    eg = (
+        word_shingles(eval_docs, text_col, id_col, n)
+        .select(F.xxhash64("shingle").alias("_h"))
+        .distinct()
+    )
+    return (
+        cg.join(F.broadcast(eg), "_h")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_eval_overlap"))
+    )
+
+
 def content_fingerprint(text_col: str | Column = "text") -> Column:
     """Full-content digest (exact-dedup key)."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col

@@ -56,43 +56,70 @@ def q40_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # q41 — per-document text features in ONE projection pass: whitespace token
 #        stats, stopword-ratio quality heuristics (reference-free corpus
-#        filtering), and BPE-ish regex token counts (LLM token-count proxy:
+#        filtering), BPE-ish regex token counts (LLM token-count proxy:
 #        letter runs, digit runs, punctuation marks — Java and RE2-family
-#        engines agree on this character-class-only pattern). One scan over
-#        documents computes all of them; splitting these into separate
-#        queries would re-read and re-tokenize the corpus per feature
-#        family.
+#        engines agree on this character-class-only pattern), and the
+#        marker-lexicon language-ID hit counts + argmax prediction
+#        (deterministic tiebreak = lexicographically greatest code, 'und'
+#        when nothing fires). One scan over documents computes all of
+#        them; splitting these into separate queries would re-read and
+#        re-tokenize the corpus per feature family.
 # --------------------------------------------------------------------------
 _STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it", "for", "on"]
+
+from ..llmops.text import LANG_MARKERS  # noqa: E402
+
+_Q41_LANG_HIT_SQL = ",\n".join(
+    f"LEN(list_filter(string_split(text, ' '), t -> list_contains({LANG_MARKERS[c]!r}, t))) AS {c}_hits"
+    for c in sorted(LANG_MARKERS)
+)
+_Q41_LANG_CASE_SQL = " ".join(
+    f"WHEN {c}_hits = best AND best > 0 THEN '{c}'"
+    for c in sorted(LANG_MARKERS, reverse=True)
+)
 
 
 @register(
     "q41_text_features",
     oracle=rf"""
-    SELECT doc_id, lang, source,
-           n_chars,
-           LEN(string_split(text, ' ')) AS n_tokens,
-           ROUND(CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
-                 / LEN(string_split(text, ' ')), 6) AS avg_token_len,
-           LEN(list_filter(string_split(text, ' '),
-               t -> list_contains({_STOPWORDS!r}, t))) AS n_stopwords,
-           ROUND(CAST(LEN(list_filter(string_split(text, ' '),
-               t -> list_contains({_STOPWORDS!r}, t))) AS DOUBLE)
-                 / LEN(string_split(text, ' ')), 6) AS stopword_ratio,
-           LEN(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))
-             AS n_bpe_tokens
-    FROM documents
+    WITH feats AS (
+        SELECT doc_id, lang, source,
+               n_chars,
+               LEN(string_split(text, ' ')) AS n_tokens,
+               ROUND(CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
+                     / LEN(string_split(text, ' ')), 6) AS avg_token_len,
+               LEN(list_filter(string_split(text, ' '),
+                   t -> list_contains({_STOPWORDS!r}, t))) AS n_stopwords,
+               ROUND(CAST(LEN(list_filter(string_split(text, ' '),
+                   t -> list_contains({_STOPWORDS!r}, t))) AS DOUBLE)
+                     / LEN(string_split(text, ' ')), 6) AS stopword_ratio,
+               LEN(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))
+                 AS n_bpe_tokens,
+               {_Q41_LANG_HIT_SQL}
+        FROM documents),
+    best AS (SELECT *, GREATEST(de_hits, en_hits, es_hits, fr_hits) AS best FROM feats)
+    SELECT doc_id, lang, source, n_chars, n_tokens, avg_token_len,
+           n_stopwords, stopword_ratio, n_bpe_tokens,
+           de_hits, en_hits, es_hits, fr_hits,
+           CASE {_Q41_LANG_CASE_SQL} ELSE 'und' END AS lang_pred
+    FROM best
     """,
 )
 def q41_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..llmops.text import bpe_tokens
+    from ..llmops.text import bpe_tokens, langid
 
     d = load_table(spark, sf_dir, "documents")
     tokens = F.split(F.col("text"), " ")
     sw = F.array([F.lit(s) for s in _STOPWORDS])
     # count stopword OCCURRENCES (not distinct), matching the SQL list_filter
     n_stop = F.size(F.filter(tokens, lambda t: F.array_contains(sw, t)))
-    return d.select(
+    hit_cols = []
+    for code in sorted(LANG_MARKERS):
+        markers = F.array([F.lit(m) for m in LANG_MARKERS[code]])
+        hit_cols.append(
+            F.size(F.filter(tokens, lambda t: F.array_contains(markers, t))).alias(f"{code}_hits")
+        )
+    return langid(d, "text").select(
         "doc_id",
         "lang",
         "source",
@@ -106,6 +133,8 @@ def q41_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_stop.alias("n_stopwords"),
         F.round(n_stop.cast("double") / F.size(tokens), 6).alias("stopword_ratio"),
         F.size(bpe_tokens(F.col("text"))).alias("n_bpe_tokens"),
+        *hit_cols,
+        "lang_pred",
     )
 
 
@@ -335,44 +364,71 @@ def q51_simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q52 — language-ID heuristic: per-language marker-lexicon hit counts +
-#        argmax prediction (deterministic tiebreak = lexicographically
-#        greatest code, 'und' when nothing fires).
+# q42 — corpus-quality filters: Gopher/RefinedWeb-style repetition metrics
+#        (top-2-gram fraction, duplicate-2-gram fraction — boilerplate and
+#        degenerate-repetition signals) plus eval-set decontamination
+#        (5-gram overlap against a held-out set, here doc_id % 97 == 0):
+#        the standard pre-training hygiene pass over a raw corpus.
 # --------------------------------------------------------------------------
-from ..llmops.text import LANG_MARKERS  # noqa: E402
-
-_LANG_HIT_SQL = ",\n".join(
-    f"LEN(list_filter(string_split(text, ' '), t -> list_contains({LANG_MARKERS[c]!r}, t))) AS {c}_hits"
-    for c in sorted(LANG_MARKERS)
-)
-_LANG_CASE_SQL = " ".join(
-    f"WHEN {c}_hits = best AND best > 0 THEN '{c}'"
-    for c in sorted(LANG_MARKERS, reverse=True)
-)
-
-
 @register(
-    "q52_langid",
-    oracle=f"""
-    WITH hits AS (SELECT doc_id, lang, {_LANG_HIT_SQL} FROM documents),
-    best AS (SELECT *, GREATEST(de_hits, en_hits, es_hits, fr_hits) AS best FROM hits)
-    SELECT doc_id, lang, de_hits, en_hits, es_hits, fr_hits,
-           CASE {_LANG_CASE_SQL} ELSE 'und' END AS lang_pred
-    FROM best
+    "q42_quality_filters",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    g2 AS (
+        SELECT doc_id,
+               UNNEST(list_transform(range(1, GREATEST(LEN(w), 1)),
+                      i -> w[i] || ' ' || w[i+1])) AS g
+        FROM toks),
+    per AS (SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY doc_id, g),
+    rep AS (
+        SELECT doc_id, MAX(c) AS max_c, SUM(c) AS n_grams,
+               COALESCE(SUM(CASE WHEN c > 1 THEN c END), 0) AS dup_occ
+        FROM per GROUP BY doc_id),
+    g5 AS (
+        SELECT DISTINCT doc_id,
+               UNNEST(list_transform(range(1, GREATEST(LEN(w)-3, 1)),
+                      i -> w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4])) AS g
+        FROM toks),
+    ev AS (SELECT DISTINCT g FROM g5 WHERE doc_id % 97 = 0),
+    overl AS (
+        SELECT g5.doc_id, COUNT(*) AS n_overlap
+        FROM g5 JOIN ev USING (g)
+        WHERE g5.doc_id % 97 <> 0
+        GROUP BY g5.doc_id)
+    SELECT d.doc_id,
+           r.n_grams AS n_2grams,
+           ROUND(CAST(r.max_c AS DOUBLE) / r.n_grams, 6) AS top_2gram_frac,
+           ROUND(CAST(r.dup_occ AS DOUBLE) / r.n_grams, 6) AS dup_2gram_frac,
+           COALESCE(o.n_overlap, 0) AS n_eval_overlap,
+           COALESCE(o.n_overlap, 0) > 0 AS contaminated
+    FROM documents d
+    JOIN rep r USING (doc_id)
+    LEFT JOIN overl o USING (doc_id)
+    WHERE d.doc_id % 97 <> 0
     """,
 )
-def q52_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..llmops.text import langid
+def q42_quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llmops.text import decontamination_overlap, repetition_metrics
 
     d = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    hit_cols = []
-    for code in sorted(LANG_MARKERS):
-        markers = F.array([F.lit(m) for m in LANG_MARKERS[code]])
-        hit_cols.append(
-            F.size(F.filter(toks, lambda t: F.array_contains(markers, t))).alias(f"{code}_hits")
+    rep = repetition_metrics(d, "text", "doc_id", n=2)
+    eval_docs = d.filter(F.col("doc_id") % 97 == 0)
+    corpus = d.filter(F.col("doc_id") % 97 != 0)
+    decon = decontamination_overlap(corpus, eval_docs, "text", "doc_id", n=5)
+    return (
+        corpus.select("doc_id")
+        # inner: docs with < 2 tokens have no 2-grams (none in this corpus)
+        .join(rep, "doc_id")
+        .join(decon, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_grams").alias("n_2grams"),
+            F.col("top_gram_frac").alias("top_2gram_frac"),
+            F.col("dup_gram_frac").alias("dup_2gram_frac"),
+            F.coalesce(F.col("n_eval_overlap"), F.lit(0)).alias("n_eval_overlap"),
+            (F.coalesce(F.col("n_eval_overlap"), F.lit(0)) > 0).alias("contaminated"),
         )
-    return langid(d, "text").select("doc_id", "lang", *hit_cols, "lang_pred")
+    )
 
 
 # --------------------------------------------------------------------------

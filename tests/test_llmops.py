@@ -151,6 +151,40 @@ def test_jaccard_accepts_lsh_candidates(spark, sf_dir):
     assert via_lsh == exact
 
 
+def test_repetition_metrics_known_values(spark):
+    from at_data_pipelines_spark.llmops.text import repetition_metrics
+
+    docs = [
+        (1, "a b a b a b"),          # 2-grams: ab,ba,ab,ba,ab -> top ab 3/5, all dup
+        (2, "x y z w"),              # 3 distinct 2-grams, no dups
+        (3, "solo"),                 # < 2 tokens: absent from output
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {r.doc_id: r for r in repetition_metrics(df, "text", "doc_id", n=2).collect()}
+    assert set(out) == {1, 2}
+    assert out[1].n_grams == 5 and out[1].top_gram_frac == 0.6 and out[1].dup_gram_frac == 1.0
+    assert out[2].n_grams == 3 and out[2].top_gram_frac == round(1 / 3, 6) and out[2].dup_gram_frac == 0.0
+
+
+def test_decontamination_overlap_known_values(spark):
+    from at_data_pipelines_spark.llmops.text import decontamination_overlap
+
+    eval_docs = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")], ["doc_id", "text"]
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "we saw the quick brown fox jumps over a fence yesterday"),  # 3 shared 5-grams
+            (2, "completely unrelated sentence with none of those words at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r.n_eval_overlap
+           for r in decontamination_overlap(corpus, eval_docs, n=5).collect()}
+    # shared 5-grams: "the quick brown fox jumps", "quick brown fox jumps over"
+    assert out == {1: 2}
+
+
 def test_blocked_gemm_threshold_join_is_exact(spark, sf_dir):
     """cosine_threshold_pairs_blocked must return exactly the all-pairs
     fold-cosine result (ids AND values), for several block counts
