@@ -1,4 +1,7 @@
 from .events import (  # noqa: F401
+    dedup_stream,
+    enrich_stream,
+    purchase_attribution_stream,
     read_events_stream,
     running_user_stats,
     sessionize_stream,

@@ -126,6 +126,76 @@ def running_user_stats(events: DataFrame) -> DataFrame:
     )
 
 
+def dedup_stream(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Streaming exact-dedup of an at-least-once feed:
+    ``dropDuplicatesWithinWatermark`` on the event id keeps the first
+    arrival and drops re-deliveries that land within the watermark.
+
+    This is the streaming counterpart of the batch ``exact_dedup`` /
+    PK-upsert pair: state is one key per id with event-time expiry, so
+    memory is bounded by the watermark horizon × arrival rate, not the
+    stream's lifetime (plain ``dropDuplicates`` on a stream would grow
+    state forever)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def enrich_stream(events: DataFrame, dim: DataFrame, on: str = "user_id") -> DataFrame:
+    """Stream-static dimension enrichment: the static side broadcasts per
+    micro-batch (re-resolved each batch, so a slowly-changing dimension
+    refreshes without restarting the query). No state, no watermark — the
+    canonical decorate-a-feed join."""
+    return events.join(F.broadcast(dim), on, "left")
+
+
+def purchase_attribution_stream(
+    events: DataFrame, attribution_window: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream event-time interval join: attribute each ``purchase``
+    event to the same user's ``click`` events in the preceding
+    ``attribution_window``.
+
+    Both sides carry watermarks and the join condition bounds event time
+    on both ends, so the state store can expire rows once the watermark
+    passes the interval — the requirement for an unbounded-input join to
+    run with bounded state. At cluster scale this is a hash shuffle on
+    user_id with per-key interval state, Spark's canonical
+    click-attribution shape."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("amount"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {attribution_window}")),
+    ).select(
+        F.col("p_user").alias("user_id"),
+        "purchase_id",
+        "purchase_ts",
+        "amount",
+        "click_id",
+        "click_ts",
+    )
+
+
 def stream_to_lakehouse(
     agg: DataFrame,
     lake: Lakehouse,

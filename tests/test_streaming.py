@@ -126,3 +126,79 @@ def test_stream_upsert_idempotent(spark, sf_dir, tmp_path, events_stream):
     assert total == distinct_pk, "replay produced PK duplicates — upsert not idempotent"
     batch = QUERIES["q26_tumbling_5min"](spark, sf_dir)
     assert total == batch.count()
+
+
+def test_dedup_stream_drops_redeliveries(spark, sf_dir, tmp_path):
+    """A doubled feed (every file delivered twice) must dedup back to the
+    distinct event_id count — bounded-state streaming exact-dedup."""
+    import shutil
+
+    from at_data_pipelines_spark.streaming import dedup_stream
+    from at_data_pipelines_spark.streaming.events import EVENTS_SCHEMA, read_events_stream
+
+    src = tmp_path / "doubled"
+    src.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", src / "a.parquet")
+    shutil.copy(f"{sf_dir}/events.parquet", src / "b.parquet")
+    stream = read_events_stream(spark, str(src))
+    got = _run_to_memory_append(spark, dedup_stream(stream), "dedup_stream_t")
+    n_distinct = load_table(spark, sf_dir, "events").select("event_id").distinct().count()
+    assert got.count() == n_distinct
+
+
+def test_enrich_stream_matches_batch_join(spark, sf_dir, events_stream):
+    from at_data_pipelines_spark.streaming import enrich_stream
+
+    dim = spark.createDataFrame(
+        [(i, f"segment_{i % 3}") for i in range(200)], ["user_id", "segment"]
+    )
+    got = _run_to_memory_append(
+        spark, enrich_stream(events_stream, dim), "enrich_t"
+    )
+    batch = load_table(spark, sf_dir, "events").join(F.broadcast(dim), "user_id", "left")
+    assert got.count() == batch.count()
+    g = got.groupBy("segment").count().toPandas().set_index("segment")["count"].sort_index()
+    b = batch.groupBy("segment").count().toPandas().set_index("segment")["count"].sort_index()
+    assert (g == b).all()
+
+
+def test_purchase_attribution_matches_batch(spark, sf_dir, events_stream):
+    """Stream-stream interval join result must equal the equivalent batch
+    join (the watermark only bounds state, never drops pairs when the
+    whole feed replays in order)."""
+    from at_data_pipelines_spark.streaming import purchase_attribution_stream
+
+    got = _run_to_memory_append(
+        spark, purchase_attribution_stream(events_stream), "attr_t"
+    )
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("event_id").alias("click_id"),
+        F.col("ts_us").alias("click_us"),
+    )
+    purch = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("event_id").alias("purchase_id"),
+        F.col("ts_us").alias("purchase_us"),
+    )
+    batch = purch.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_us") <= F.col("purchase_us"))
+        & (F.col("click_us") >= F.col("purchase_us") - 30 * 60 * 1_000_000),
+    )
+    assert got.count() == batch.count()
+    gp = {(r.purchase_id, r.click_id) for r in got.select("purchase_id", "click_id").collect()}
+    bp = {(r.purchase_id, r.click_id) for r in batch.select("purchase_id", "click_id").collect()}
+    assert gp == bp
+
+
+def _run_to_memory_append(spark, df, name):
+    q = (
+        df.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.sql(f"SELECT * FROM {name}")
