@@ -151,6 +151,37 @@ def test_jaccard_accepts_lsh_candidates(spark, sf_dir):
     assert via_lsh == exact
 
 
+def test_star_cc_matches_minlabel_and_handles_deep_chains(spark):
+    """large-star/small-star CC must agree with min-label propagation on a
+    random graph, and must converge on a 200-node PATH — diameter 200,
+    where min-label's default 25 rounds cannot finish (the deep-component
+    case star contraction exists for)."""
+    import random
+
+    rng = random.Random(3)
+    nodes = spark.createDataFrame([(i,) for i in range(120)], ["id"])
+    edges = spark.createDataFrame(
+        [(rng.randrange(120), rng.randrange(120)) for _ in range(90)], ["id_a", "id_b"]
+    ).filter("id_a != id_b")
+    via_min = {
+        (r.id, r.cluster)
+        for r in dedup.connected_components(nodes, edges, "id").collect()
+    }
+    via_star = {
+        (r.id, r.cluster)
+        for r in dedup.connected_components_star(nodes, edges, "id").collect()
+    }
+    assert via_star == via_min
+
+    chain_nodes = spark.createDataFrame([(i,) for i in range(200)], ["id"])
+    chain_edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(199)], ["id_a", "id_b"]
+    )
+    got = dedup.connected_components_star(chain_nodes, chain_edges, "id").collect()
+    assert all(r.cluster == 0 for r in got)  # one component, min label 0
+    assert len(got) == 200
+
+
 def test_repetition_metrics_known_values(spark):
     from at_data_pipelines_spark.llmops.text import repetition_metrics
 
