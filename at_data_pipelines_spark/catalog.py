@@ -158,6 +158,44 @@ class Lakehouse:
         self.fs = _HadoopFS(spark, self.root)
         self.fs.mkdirs(self.root)
 
+    # fsspec/Polars-style option names → Hadoop s3a configuration keys
+    # (the surface bl.connect_s3(path, storage_options) exposes —
+    # reference pipelines/clients/bear_lake.py:25-26)
+    _S3_OPTION_KEYS = {
+        "aws_access_key_id": "fs.s3a.access.key",
+        "key": "fs.s3a.access.key",
+        "aws_secret_access_key": "fs.s3a.secret.key",
+        "secret": "fs.s3a.secret.key",
+        "aws_session_token": "fs.s3a.session.token",
+        "token": "fs.s3a.session.token",
+        "endpoint_url": "fs.s3a.endpoint",
+        "region": "fs.s3a.endpoint.region",
+        "aws_region": "fs.s3a.endpoint.region",
+        "anon": "fs.s3a.connection.anonymous",
+    }
+
+    @classmethod
+    def connect_s3(
+        cls,
+        spark: SparkSession,
+        root: str,
+        storage_options: dict[str, str] | None = None,
+    ) -> "Lakehouse":
+        """Reference ``bl.connect_s3(path, storage_options)``: open a
+        lakehouse on an object-store root, applying fsspec-style
+        credential options to the session's hadoopConfiguration (where
+        the s3a connector — and therefore every read, write, and
+        partition swap in this class — picks them up). Unrecognized
+        option names pass through as ``fs.s3a.<name>`` so any connector
+        knob is reachable."""
+        conf = spark._jsc.hadoopConfiguration()
+        for k, v in (storage_options or {}).items():
+            hk = cls._S3_OPTION_KEYS.get(k, f"fs.s3a.{k}")
+            conf.set(hk, str(v).lower() if isinstance(v, bool) else str(v))
+        if not root.startswith(("s3a://", "s3://")):
+            raise ValueError(f"connect_s3 expects an s3:// or s3a:// root, got {root!r}")
+        return cls(spark, root.replace("s3://", "s3a://", 1))
+
     # -- metadata ----------------------------------------------------------
     def _dir(self, name: str) -> str:
         return f"{self.root}/{name}"
