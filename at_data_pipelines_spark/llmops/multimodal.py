@@ -92,3 +92,60 @@ def sample_frames(df: DataFrame, every_n: int, frame_col: str = "frame_idx") -> 
     """Keep every n-th frame of a video frame table (modulo on the frame
     index — no shuffle, pure filter)."""
     return df.filter((F.col(frame_col) % every_n) == 0)
+
+
+def extract_embeddings(
+    df: DataFrame, payload_col: str = "payload", dim: int = 64
+) -> DataFrame:
+    """Media → embedding column, the bridge from multimodal payloads to
+    the similarity/ANN layer (``llmops.similarity``): output is
+    ``(media_id, embedding array<float>)``, the exact input shape of
+    ``cosine_topk`` / ``ivf_topk`` / ``cosine_threshold_pairs_blocked``.
+
+    The embedding MODEL is stubbed (no torch/ONNX in this container) with
+    a deterministic pseudo-embedding seeded by the payload digest — same
+    payload, same vector, so dedup/ANN tests are reproducible. The
+    Spark-side shape is the real one: Arrow batches through mapInPandas,
+    one batched "inference" call per batch (swap the seeded RNG for a
+    model forward pass on GPU executors; signature and partitioning are
+    unchanged)."""
+    import hashlib
+
+    import numpy as np
+
+    out_schema = "media_id long, embedding array<float>"
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vecs = []
+            for buf in pdf[payload_col]:
+                seed = int.from_bytes(
+                    hashlib.md5(bytes(buf)).digest()[:8], "little"
+                )
+                vecs.append(
+                    np.random.default_rng(seed).standard_normal(dim).astype(np.float32)
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"].to_numpy(), "embedding": vecs}
+            )
+
+    return df.select("media_id", payload_col).mapInPandas(fn, out_schema)
+
+
+def chunk_audio(
+    df: DataFrame, chunk_bytes: int, payload_col: str = "payload"
+) -> DataFrame:
+    """Split audio payloads into fixed-size chunk rows —
+    ``(media_id, chunk_idx, chunk)`` with ``chunk = payload[idx·size :
+    (idx+1)·size]`` — entirely JVM-side: offsets from ``sequence``,
+    slices via binary ``substr``; no Python touches the blob.
+
+    This is the standard pre-processing shape for long-audio models
+    (fixed-window encoders): downstream per-chunk feature extraction
+    parallelizes over rows, and ``concat(chunks ORDER BY chunk_idx)``
+    reassembles the original exactly (tested)."""
+    n_chunks = F.ceil(F.length(F.col(payload_col)) / F.lit(chunk_bytes)).cast("int")
+    idx = F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx")
+    out = df.select("media_id", payload_col, idx)
+    chunk = F.expr(f"substring({payload_col}, chunk_idx * {chunk_bytes} + 1, {chunk_bytes})")
+    return out.select("media_id", "chunk_idx", chunk.alias("chunk"))

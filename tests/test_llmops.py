@@ -407,3 +407,45 @@ def test_frame_sampling(spark):
     )
     kept = multimodal.sample_frames(frames, every_n=10).collect()
     assert sorted(r.frame_idx for r in kept) == [0, 10, 20]
+
+
+def test_multimodal_embeddings_feed_ann(spark):
+    """extract_embeddings output plugs straight into the similarity layer:
+    duplicate payloads land at cosine 1.0, and vectors are payload-
+    deterministic across calls."""
+    media = spark.createDataFrame(
+        [
+            (1, "image", multimodal.make_fake_image(64, 64, payload=b"cat"), ("s", "m")),
+            (2, "image", multimodal.make_fake_image(64, 64, payload=b"dog"), ("s", "m")),
+            (3, "image", multimodal.make_fake_image(64, 64, payload=b"cat"), ("s", "m")),  # dup of 1
+        ],
+        multimodal.MEDIA_SCHEMA,
+    )
+    emb = multimodal.extract_embeddings(media)
+    again = {r.media_id: list(r.embedding) for r in multimodal.extract_embeddings(media).collect()}
+    first = {r.media_id: list(r.embedding) for r in emb.collect()}
+    assert first == again  # payload-deterministic stub
+    pairs = similarity.cosine_threshold_pairs_blocked(
+        emb, threshold=0.99, n_blocks=2, id_col="media_id", vec_col="embedding"
+    ).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(1, 3)}
+    assert pairs[0].cosine == pytest.approx(1.0)
+
+
+def test_chunk_audio_roundtrip(spark):
+    """Chunks must cover the payload exactly: concat in chunk order equals
+    the original bytes, all JVM-side."""
+    payloads = [
+        (1, "audio", b"x" * 100 + b"y" * 150, ("s", "m")),   # 250 B -> 3 chunks of 100
+        (2, "audio", b"ab", ("s", "m")),                      # shorter than one chunk
+    ]
+    media = spark.createDataFrame(payloads, multimodal.MEDIA_SCHEMA)
+    chunks = multimodal.chunk_audio(media, chunk_bytes=100)
+    rows = chunks.collect()
+    by_id = {}
+    for r in sorted(rows, key=lambda r: (r.media_id, r.chunk_idx)):
+        by_id.setdefault(r.media_id, b"")
+        by_id[r.media_id] += bytes(r.chunk)
+    assert by_id[1] == b"x" * 100 + b"y" * 150
+    assert by_id[2] == b"ab"
+    assert max(len(bytes(r.chunk)) for r in rows) <= 100
