@@ -1,11 +1,13 @@
 """Corpus curation: the end-to-end cleaning pipeline a training-data run
-executes — language filter → quality filter → exact dedup → near-dup
-cluster dedup — composed from the llmops operators.
+executes — language filter → quality filter → repetition filter →
+decontamination → exact dedup → near-dup cluster dedup → (optional)
+domain-mixture resample + train/val split — composed from the llmops
+operators.
 
 Single logical plan per stage; the only shuffles are the dedup digests
 and the near-dup clustering rounds. Returns the curated corpus plus a
 one-row funnel-stats frame (rows surviving each stage) so runs are
-auditable.
+auditable — at 100 TB the funnel numbers ARE the data-quality report.
 """
 
 from __future__ import annotations
@@ -14,7 +16,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .dedup import dedup_clusters, exact_dedup
-from .text import langid, quality_features
+from .sampling import deterministic_split, mixture_sample
+from .text import decontamination_overlap, langid, quality_features, repetition_metrics
 
 
 def curate_corpus(
@@ -26,12 +29,22 @@ def curate_corpus(
     min_tokens: int = 10,
     max_tokens: int = 100_000,
     max_stopword_ratio: float = 1.0,
+    max_top_gram_frac: float | None = None,
+    eval_docs: DataFrame | None = None,
+    decontaminate_ngram: int = 5,
     near_dup_threshold: float = 0.6,
+    target_mixture: dict[str, float] | None = None,
+    mixture_col: str = "source",
+    val_frac: float | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (curated_df, funnel_stats_df).
 
     Language filtering uses the provided ``lang_col`` when the corpus has
     one (the reference-data case), else the heuristic ``langid``.
+    Optional stages engage when their knob is set: repetition filtering
+    (``max_top_gram_frac``), eval-set decontamination (``eval_docs``),
+    domain-mixture resampling (``target_mixture``), and a deterministic
+    train/val split column (``val_frac``).
     """
     n0 = df.count()
 
@@ -49,6 +62,19 @@ def curate_corpus(
     )
     n_quality = df.count()
 
+    if max_top_gram_frac is not None:
+        rep = repetition_metrics(df, text_col, id_col, n=2)
+        repetitive = rep.filter(F.col("top_gram_frac") > max_top_gram_frac).select(id_col)
+        df = df.join(repetitive, id_col, "left_anti")
+    n_repetition = df.count()
+
+    if eval_docs is not None:
+        tainted = decontamination_overlap(
+            df, eval_docs, text_col, id_col, decontaminate_ngram
+        ).select(id_col)
+        df = df.join(tainted, id_col, "left_anti")
+    n_decontaminated = df.count()
+
     # exact dedup: keep the lowest id per content digest
     keep_exact = exact_dedup(df, text_col, id_col).select(
         F.col("keep_id").alias(id_col)
@@ -60,11 +86,19 @@ def curate_corpus(
     clusters = dedup_clusters(df, text_col, id_col, near_dup_threshold)
     keepers = clusters.filter(F.col(id_col) == F.col("cluster")).select(id_col)
     curated = df.join(keepers, id_col, "left_semi")
+    n_near = curated.count()
+
+    if target_mixture:
+        curated = mixture_sample(curated, target_mixture, mixture_col, id_col)
     n_final = curated.count()
 
+    if val_frac is not None:
+        curated = deterministic_split(curated, id_col, val_frac)
+
     stats = df.sparkSession.createDataFrame(
-        [(n0, n_lang, n_quality, n_exact, n_final)],
+        [(n0, n_lang, n_quality, n_repetition, n_decontaminated, n_exact, n_near, n_final)],
         "n_input long, n_after_lang long, n_after_quality long, "
-        "n_after_exact_dedup long, n_after_near_dedup long",
+        "n_after_repetition long, n_after_decontamination long, "
+        "n_after_exact_dedup long, n_after_near_dedup long, n_after_mixture long",
     )
     return curated, stats

@@ -307,13 +307,50 @@ def test_curate_corpus_funnel(spark, sf_dir):
     )
     s = stats.collect()[0]
     assert s.n_input == d.count()
-    assert s.n_input >= s.n_after_lang >= s.n_after_quality >= s.n_after_exact_dedup >= s.n_after_near_dedup
-    assert s.n_after_near_dedup == curated.count() > 0
+    assert (
+        s.n_input >= s.n_after_lang >= s.n_after_quality >= s.n_after_repetition
+        >= s.n_after_decontamination >= s.n_after_exact_dedup
+        >= s.n_after_near_dedup >= s.n_after_mixture
+    )
+    assert s.n_after_mixture == curated.count() > 0
+    # optional stages off → their funnel steps are pass-through
+    assert s.n_after_repetition == s.n_after_quality
+    assert s.n_after_decontamination == s.n_after_repetition
+    assert s.n_after_mixture == s.n_after_near_dedup
     # no surviving near-dup pair above the threshold
     left = dedup.jaccard_pairs(curated, "text", "doc_id", 0.6)
     assert left.count() == 0
     # language filter actually applied
     assert set(r.lang for r in curated.select("lang").distinct().collect()) <= {"en", "de"}
+
+
+def test_curate_corpus_full_funnel_with_optional_stages(spark, sf_dir):
+    """All optional stages on: repetition cut, decontamination against a
+    held-out slice, mixture resample, split column."""
+    from at_data_pipelines_spark.llmops.curate import curate_corpus
+
+    d = load_table(spark, sf_dir, "documents")
+    eval_docs = d.filter(F.col("doc_id") % 101 == 0)
+    corpus = d.filter(F.col("doc_id") % 101 != 0)
+    sources = [r.source for r in d.select("source").distinct().collect()][:2]
+    curated, stats = curate_corpus(
+        corpus,
+        max_top_gram_frac=0.5,
+        eval_docs=eval_docs,
+        target_mixture={sources[0]: 0.5, sources[1]: 0.5},
+        val_frac=0.1,
+    )
+    s = stats.collect()[0]
+    assert s.n_input == corpus.count()
+    assert s.n_after_mixture == curated.count() > 0
+    # decontamination removed every doc sharing a 5-gram with the eval set
+    from at_data_pipelines_spark.llmops.text import decontamination_overlap
+
+    assert decontamination_overlap(curated, eval_docs).count() == 0
+    # split column present and binary
+    assert set(r.split for r in curated.select("split").distinct().collect()) <= {"train", "val"}
+    # mixture drops unlisted sources
+    assert set(r.source for r in curated.select("source").distinct().collect()) <= set(sources)
 
 
 def test_connected_components(spark):
