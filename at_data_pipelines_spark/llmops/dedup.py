@@ -188,11 +188,11 @@ def _ranked_shingles(sh: DataFrame, id_col: str) -> DataFrame:
     global doc-frequency of the shingle, doc size, and the shingle's rank
     inside its doc under the canonical (doc-freq asc, hash asc) order.
 
-    All three are window functions over the SAME relation (no joins), so
-    every downstream consumer — candidate join, verify sides, size
-    lookups — shares one shingle computation through Spark's exchange
-    reuse instead of re-running the n-gram pipeline per plan branch
-    (measured 1.3 s per recompute at sf0.1)."""
+    All three are window functions over the SAME relation (no joins —
+    a join-based size/DF attach would add two more shuffles), and every
+    downstream consumer derives from this one relation so the logical
+    plan stays a single tree (see the branch-recompute note in
+    ``jaccard_pairs``)."""
     return (
         sh.withColumn("_df", F.count("*").over(W.partitionBy("sh_h")))
         .withColumn("_n", F.count("*").over(W.partitionBy(id_col)))
@@ -279,8 +279,18 @@ def jaccard_pairs(
     sh = word_shingles(df, text_col, id_col, shingle_n).select(
         F.col(id_col), F.xxhash64("shingle").alias("sh_h")
     )
-    # one ranked relation feeds candidates AND both verify sides, so the
-    # shingle pipeline runs once (exchange reuse) instead of per branch
+    # The ranked relation feeds candidate generation AND both verify
+    # sides. The branches apply different projections/filters before
+    # their exchanges, so Catalyst's ReuseExchange does NOT fire and the
+    # tokenize+explode pipeline re-runs per branch (4 scans in the
+    # physical plan). Measured at sf0.1 this is the RIGHT trade: the
+    # branches stay column-pruned and fully pipelined, while persisting
+    # either the narrow (id,hash) or the wide ranked relation benched
+    # equal-or-slower cold (cache materialization defeats pruning). At
+    # true corpus scale, materialize `sh` between stages instead
+    # (df.persist() here, or write/read an intermediate table) — the
+    # Vernica et al. MapReduce design — once tokenize CPU dominates the
+    # branch recompute.
     rel = _ranked_shingles(sh, id_col)
     if candidates is None:
         cand_src = rel
