@@ -93,3 +93,30 @@ def test_reconstruct_membership_replays_forward(change_days, n_changes):
             k += 1
         assert set(hist[hist.date == d].ticker) == mm
     assert set(hist[hist.date == cal[-1]].ticker) == current
+
+
+@given(st.integers(1, 5000), st.integers(1, 100))
+@settings(max_examples=300, deadline=None)
+def test_ntile_closed_form_matches_ansi_rule(n_rows, k):
+    """ops.rank.ntile_from encodes NTILE's uneven-bucket rule closed-form:
+    the first N mod k buckets get ⌈N/k⌉ rows, the rest ⌊N/k⌋. Check the
+    formula (mirrored in pure python) against the explicit bucket list
+    for every rank."""
+    q, r = divmod(n_rows, k)
+    cut = r * (q + 1)
+
+    def formula(rank: int) -> int:
+        import math
+
+        if rank <= cut:
+            return math.ceil(rank / (q + 1))
+        return r + math.ceil((rank - cut) / max(q, 1))
+
+    explicit = [
+        bucket + 1
+        for bucket in range(k)
+        for _ in range(q + (1 if bucket < r else 0))
+    ]
+    assert len(explicit) == n_rows
+    for rank in range(1, n_rows + 1):
+        assert formula(rank) == explicit[rank - 1], (n_rows, k, rank)
