@@ -59,6 +59,38 @@ def daily_summary(lake: Lakehouse, sender: Sender) -> str:
     return msg
 
 
+def actual_trades_summary(filled_orders: DataFrame, sender: Sender) -> str:
+    """Render + send the executed-trades report, line-for-line with the
+    reference's second Slack renderer (pipelines/utils/slack.py:8-62):
+    no-trades short-circuit, header with trade count + total notional,
+    then one 📈/📉 line per fill in order."""
+    notional = (F.col("filled_qty") * F.col("filled_avg_price")).alias("notional")
+    rows = (
+        filled_orders.select("ticker", "side", "filled_qty", "filled_avg_price", notional, "filled_at")
+        .orderBy("filled_at", "ticker")
+        .collect()
+    )
+    if not rows:
+        msg = "✅ No trades executed today"
+        sender(msg)
+        return msg
+    total = sum(r.notional for r in rows)
+    lines = [
+        "✅ Executed Trades Report",
+        f"*Total Trades Executed:* {len(rows)}",
+        f"*Total Notional:* ${total:,.2f}",
+    ]
+    for r in rows:
+        emoji = "📈" if r.side == "buy" else "📉"
+        lines.append(
+            f"{emoji} {r.side.upper()} {r.filled_qty:.2f} shares of {r.ticker}"
+            f" @ ${r.filled_avg_price:.2f} = ${r.notional:,.2f}"
+        )
+    msg = "\n".join(lines)
+    sender(msg)
+    return msg
+
+
 def daily_trading_summary(
     filled_orders: DataFrame,
     account_value: float,

@@ -236,3 +236,31 @@ def test_portfolio_history_epoch_conversion(spark, tmp_path):
     row = lake.table("portfolio_history").collect()[0]
     assert row.timestamp == dt.datetime(2024, 1, 10, 12, 35)  # UTC
     assert row.equity == 1000.5
+
+
+def test_actual_trades_summary_golden(spark):
+    """Per-trade report renders line-for-line with the reference's
+    send_actual_trades_summary (pipelines/utils/slack.py:8-62)."""
+    from at_data_pipelines_spark.pipelines.notify import actual_trades_summary
+    from at_data_pipelines_spark.sources.rest import ORDER_SCHEMA
+
+    rows = [
+        ("o1", "AAPL", "buy", dt.datetime(2024, 1, 10, 15, 0), 10.0, 101.50),
+        ("o2", "NVDA", "sell", dt.datetime(2024, 1, 10, 15, 30), 1.0, 900.00),
+    ]
+    sent = []
+    msg = actual_trades_summary(spark.createDataFrame(rows, ORDER_SCHEMA), sent.append)
+    assert msg == "\n".join(
+        [
+            "✅ Executed Trades Report",
+            "*Total Trades Executed:* 2",
+            "*Total Notional:* $1,915.00",
+            "📈 BUY 10.00 shares of AAPL @ $101.50 = $1,015.00",
+            "📉 SELL 1.00 shares of NVDA @ $900.00 = $900.00",
+        ]
+    )
+    assert sent == [msg]
+    empty = actual_trades_summary(
+        spark.createDataFrame([], ORDER_SCHEMA), sent.append
+    )
+    assert empty == "✅ No trades executed today"
