@@ -338,6 +338,18 @@ class Lakehouse:
         deduped = (
             raw.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
         )
+        # Lay files out PK-sorted: cluster rows by hive-partition value
+        # (one task per rewritten partition → one file, not one per
+        # upstream task) and sort by primary key inside, so parquet
+        # row-group min/max stats are tight and PK-range scans skip
+        # whole row groups — the compaction-time data-skipping layout a
+        # Delta OPTIMIZE ZORDER gives, for the single-key-prefix case.
+        cluster = list(meta.partition_keys) + list(meta.primary_keys)
+        deduped = (
+            deduped.repartition(*[F.col(k) for k in meta.partition_keys])
+            if meta.partition_keys
+            else deduped
+        ).sortWithinPartitions(*cluster)
         # Spark cannot overwrite a path it is reading; write compacted data
         # to a staging dir, then swap the affected partition directories in
         # via Hadoop FS renames (atomic on HDFS/local; see _HadoopFS note

@@ -208,3 +208,26 @@ def test_connect_s3_maps_storage_options(spark):
         for k in ["fs.s3a.access.key", "fs.s3a.secret.key", "fs.s3a.endpoint",
                   "fs.s3a.connection.anonymous", "fs.s3a.path.style.access"]:
             conf.unset(k)
+
+
+def test_optimize_writes_pk_sorted_files(lake, spark):
+    """Compaction lays each partition out PK-sorted in one file, so
+    parquet row-group min/max stats support data skipping on key
+    predicates."""
+    import glob
+    import random
+
+    rng = random.Random(5)
+    days = [f"2024-01-{d:02d}" for d in range(1, 29)]
+    rng.shuffle(days)
+    rows = [("T", d, float(i)) for i, d in enumerate(days)]
+    lake.create("prices", SCHEMA, ["year"], ["date", "ticker"])
+    lake.upsert("prices", _df(spark, rows))
+    local = lake._dir("prices").removeprefix("file://")
+    files = glob.glob(f"{local}/data/year=2024/*.parquet")
+    assert len(files) == 1, "partition rewrite should produce one clustered file"
+    import duckdb
+
+    con = duckdb.connect()
+    dates = [r[0] for r in con.sql(f"SELECT date FROM '{files[0]}'").fetchall()]
+    assert dates == sorted(dates), "file not PK-sorted"
