@@ -160,6 +160,57 @@ def decontamination_overlap(
     )
 
 
+def unigram_logprob_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """Corpus-LM quality score (the CCNet-style perplexity-proxy filter,
+    with the LM trained on the corpus itself): per document, the mean
+    log-probability of its tokens under the corpus unigram distribution
+    with add-``smoothing`` (Jelinek-style) smoothing.
+
+    Low scores flag documents full of rare/garbage tokens; unusually high
+    scores flag degenerate repetition of common tokens — both standard
+    pre-training cut points.
+
+    Scale shape, two passes over the token relation:
+
+    1. vocabulary pass — ``groupBy(token)`` counts + a scalar total
+       (map-side combine; vocab is Zipf but a count aggregate, not a
+       pair join, so the hot token costs one combiner cell per task);
+    2. scoring pass — tokens join the vocab on the token key and
+       aggregate ``avg(log p)`` per document. The vocab frame is
+       vocabulary-sized, usually broadcastable; Spark picks the
+       strategy from stats.
+
+    Both passes reuse one explode of the pre-split token column.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("_tf"))
+    totals = vocab.agg(
+        F.sum("_tf").alias("_n"), F.count("*").alias("_v")
+    )
+    # p(tok) = (tf + s) / (N + s·V); log computed JVM-side
+    scored = (
+        toks.join(vocab, "tok")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.col(id_col),
+            F.log(
+                (F.col("_tf") + F.lit(smoothing))
+                / (F.col("_n") + F.lit(smoothing) * F.col("_v"))
+            ).alias("_lp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.avg("_lp").alias("mean_logprob"), F.count("*").alias("n_scored_tokens")
+    )
+
+
 def content_fingerprint(text_col: str | Column = "text") -> Column:
     """Full-content digest (exact-dedup key)."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col

@@ -486,3 +486,31 @@ def test_chunk_audio_roundtrip(spark):
     assert by_id[1] == b"x" * 100 + b"y" * 150
     assert by_id[2] == b"ab"
     assert max(len(bytes(r.chunk)) for r in rows) <= 100
+
+
+def test_unigram_logprob_score_reference(spark):
+    """Mean log-prob matches a driver-side reference LM on a small corpus,
+    and rare-token documents score lower than common-token ones."""
+    import math
+
+    docs = [
+        (1, "the cat sat on the mat"),
+        (2, "the dog sat on the rug"),
+        (3, "zyx qwv jkl pmn xoq brt"),  # all-rare garbage
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        r.doc_id: (r.mean_logprob, r.n_scored_tokens)
+        for r in text.unigram_logprob_score(df, "text", "doc_id").collect()
+    }
+    # reference model
+    from collections import Counter
+
+    tf = Counter(t for _, s in docs for t in s.split(" "))
+    n, v, s = sum(tf.values()), len(tf), 0.5
+    for doc_id, sent in docs:
+        toks = sent.split(" ")
+        want = sum(math.log((tf[t] + s) / (n + s * v)) for t in toks) / len(toks)
+        assert got[doc_id][0] == pytest.approx(want, rel=1e-12), doc_id
+        assert got[doc_id][1] == len(toks)
+    assert got[3][0] < got[1][0]  # garbage scores lower
