@@ -145,7 +145,13 @@ def chunk_audio(
     parallelizes over rows, and ``concat(chunks ORDER BY chunk_idx)``
     reassembles the original exactly (tested)."""
     n_chunks = F.ceil(F.length(F.col(payload_col)) / F.lit(chunk_bytes)).cast("int")
-    idx = F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx")
+    # guard n_chunks == 0 (empty payload): sequence(0, -1) is DESCENDING
+    # in Spark, which would fabricate two bogus chunk rows
+    idx = F.explode(
+        F.when(n_chunks > 0, F.sequence(F.lit(0), n_chunks - 1)).otherwise(
+            F.array().cast("array<int>")
+        )
+    ).alias("chunk_idx")
     out = df.select("media_id", payload_col, idx)
     chunk = F.expr(f"substring({payload_col}, chunk_idx * {chunk_bytes} + 1, {chunk_bytes})")
     return out.select("media_id", "chunk_idx", chunk.alias("chunk"))

@@ -475,6 +475,7 @@ def test_chunk_audio_roundtrip(spark):
     payloads = [
         (1, "audio", b"x" * 100 + b"y" * 150, ("s", "m")),   # 250 B -> 3 chunks of 100
         (2, "audio", b"ab", ("s", "m")),                      # shorter than one chunk
+        (3, "audio", b"", ("s", "m")),                        # empty payload -> zero chunks
     ]
     media = spark.createDataFrame(payloads, multimodal.MEDIA_SCHEMA)
     chunks = multimodal.chunk_audio(media, chunk_bytes=100)
@@ -485,6 +486,7 @@ def test_chunk_audio_roundtrip(spark):
         by_id[r.media_id] += bytes(r.chunk)
     assert by_id[1] == b"x" * 100 + b"y" * 150
     assert by_id[2] == b"ab"
+    assert 3 not in by_id  # empty payload contributes no chunk rows
     assert max(len(bytes(r.chunk)) for r in rows) <= 100
 
 
