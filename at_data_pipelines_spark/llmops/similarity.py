@@ -157,17 +157,23 @@ def cosine_threshold_pairs_blocked(
 
     def gemm(pdf: pd.DataFrame) -> pd.DataFrame:
         lo, hi = int(pdf["lo"].iloc[0]), int(pdf["hi"].iloc[0])
+        empty = pd.DataFrame({"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64")})
+
         def side(mask):
             sub = pdf[mask]
             m = np.stack(sub[vec_col].to_numpy()).astype(np.float64)
             m = m / np.linalg.norm(m, axis=1, keepdims=True)
             return sub[id_col].to_numpy(), m
         if lo == hi:
+            if not (pdf["blk"] == lo).any():
+                return empty  # empty hash block (tiny corpus, many blocks)
             ids_a, A = side(pdf["blk"] == lo)
             sims = A @ A.T
             ii, jj = np.nonzero(np.triu(sims >= lo_t, k=1))
             ia, ib = ids_a[ii], ids_a[jj]
         else:
+            if not ((pdf["blk"] == lo).any() and (pdf["blk"] == hi).any()):
+                return empty  # one side's hash block is empty
             ids_a, A = side(pdf["blk"] == lo)
             ids_b, B = side(pdf["blk"] == hi)
             ii, jj = np.nonzero(A @ B.T >= lo_t)
