@@ -51,6 +51,7 @@ def test_near_dup_queries_have_no_theta_join(spark, sf_dir):
     CartesianProduct may appear — the O(n²) shape that dies at corpus
     scale."""
     for name in [
+        "q42_quality_filters",
         "q45_minhash_lsh_candidates",
         "q46_jaccard_near_dups",
         "q49_embedding_near_dups",
