@@ -1,3 +1,7 @@
+from .ingest import (  # noqa: F401
+    create_ingest_tables,
+    near_dup_ingest_stream,
+)
 from .events import (  # noqa: F401
     dedup_stream,
     enrich_stream,

@@ -1,0 +1,120 @@
+"""Streaming near-dup document ingest: a self-maintaining MinHash-LSH
+corpus index.
+
+The batch dedup operators answer "which documents in this corpus are
+near-dups of each other?"; a training-data pipeline's ingest asks the
+ONLINE version — "is this incoming document a near-dup of anything we
+already kept?" — continuously. This module runs that as Structured
+Streaming with a ``foreachBatch`` sink (inside the sink each micro-batch
+is a plain batch DataFrame, so the tested batch MinHash/LSH operators
+apply unchanged):
+
+1. signature the batch (``minhash_signatures`` → ``lsh_bands``);
+2. drop documents sharing ANY band bucket with the persisted corpus
+   index — an equi-join on (band, band_key) against a PK table, i.e.
+   an index lookup, never a corpus scan;
+3. collapse near-dup groups WITHIN the batch (LSH candidate pairs →
+   connected components → keep the min-id representative);
+4. upsert survivors into the documents table and their band keys into
+   the index table. Both writes are PK upserts, so replayed batches are
+   idempotent: a re-delivered document either collides with its own
+   bands (filtered) or re-upserts onto its own primary key.
+
+Recall semantics are the production ones (Gopher/RefinedWeb-style LSH
+dedup): a band collision is a probabilistic near-dup verdict with
+P(miss) = (1 − j^r)^b per pair. For exact-threshold guarantees, verify
+candidates with ``jaccard_pairs(candidates=...)`` against the matched
+corpus documents before dropping — same index, one extra join.
+
+Scale: the index table is (band, band_key, doc_id) — ``bands`` rows per
+kept document, hive-partitionable by band, hash-joined on uniform
+digest keys. State lives in the lakehouse, not the stream: the query
+restarts with no state-store recovery concerns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..catalog import Lakehouse
+from ..llmops.dedup import (
+    connected_components,
+    lsh_bands,
+    lsh_candidate_pairs,
+    minhash_signatures,
+)
+
+BAND_INDEX_SCHEMA = T.StructType(
+    [
+        T.StructField("band", T.IntegerType(), False),
+        T.StructField("band_key", T.StringType(), False),
+        T.StructField("doc_id", T.LongType(), False),
+    ]
+)
+
+
+def create_ingest_tables(
+    lake: Lakehouse, docs_table: str, index_table: str, doc_schema: T.StructType
+) -> None:
+    lake.create(docs_table, doc_schema, [], ["doc_id"])
+    lake.create(index_table, BAND_INDEX_SCHEMA, [], ["band", "band_key", "doc_id"])
+
+
+def near_dup_ingest_stream(
+    doc_stream: DataFrame,
+    lake: Lakehouse,
+    docs_table: str,
+    index_table: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    available_now: bool = True,
+):
+    """Start the ingest query (see module docstring for the protocol)."""
+    assert num_hashes % bands == 0
+
+    def sink(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        batch = batch.dropDuplicates([id_col])
+        sig = minhash_signatures(batch, text_col, id_col, num_hashes, shingle_n)
+        batch_bands = lsh_bands(sig, id_col, bands, num_hashes // bands)
+
+        # index lookup: any shared bucket with the kept corpus → near-dup
+        idx = lake.table(index_table).select("band", "band_key")
+        dup_hits = (
+            batch_bands.join(idx, ["band", "band_key"], "left_semi")
+            .select(id_col)
+            .distinct()
+        )
+        novel = batch.join(dup_hits, id_col, "left_anti")
+
+        # collapse near-dup groups WITHIN the batch: candidates from the
+        # batch's own buckets, min-id representative per component
+        novel_bands = batch_bands.join(novel.select(id_col), id_col, "left_semi")
+        pairs = lsh_candidate_pairs(novel_bands, id_col)
+        comps = connected_components(novel.select(id_col), pairs, id_col)
+        reps = comps.filter(F.col(id_col) == F.col("cluster")).select(id_col)
+        survivors = novel.join(reps, id_col, "left_semi")
+
+        lake.upsert(docs_table, survivors)
+        lake.upsert(
+            index_table,
+            novel_bands.join(reps, id_col, "left_semi").select(
+                "band", "band_key", F.col(id_col).alias("doc_id")
+            ),
+        )
+
+    writer = (
+        doc_stream.writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -202,3 +202,53 @@ def _run_to_memory_append(spark, df, name):
     )
     q.awaitTermination(180)
     return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_near_dup_ingest_stream(spark, tmp_path):
+    """Streaming LSH ingest: batch 2's near-dups of batch 1 are dropped
+    via the persisted index, within-batch dup groups collapse to one
+    representative, and a full replay adds nothing (idempotent)."""
+    from at_data_pipelines_spark.streaming import (
+        create_ingest_tables,
+        near_dup_ingest_stream,
+    )
+
+    doc_schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    uniq = [
+        "completely different content about spark structured streaming state stores",
+        "yet another unrelated document mentioning parquet row groups and statistics",
+    ]
+    batch1 = [(1, base), (2, base + " extra"), (3, uniq[0])]  # 1≈2 near-dups
+    batch2 = [(10, base + " yes"), (11, uniq[1])]  # 10 ≈ corpus doc 1
+    src = tmp_path / "docs_src"
+    src.mkdir()
+    spark.createDataFrame(batch1, doc_schema).coalesce(1).write.parquet(str(src / "b1"))
+
+    lake = Lakehouse(spark, str(tmp_path / "ingest_lake"))
+    create_ingest_tables(lake, "docs", "band_index", doc_schema)
+
+    def run(ckpt):
+        stream = spark.readStream.schema(doc_schema).option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(f"{src}/*")
+        q = near_dup_ingest_stream(
+            stream, lake, "docs", "band_index", str(tmp_path / ckpt)
+        )
+        q.awaitTermination(180)
+
+    run("ck1")
+    kept1 = {r.doc_id for r in lake.table("docs").collect()}
+    assert 3 in kept1 and len(kept1 & {1, 2}) == 1  # one rep of the dup pair
+
+    spark.createDataFrame(batch2, doc_schema).coalesce(1).write.parquet(str(src / "b2"))
+    run("ck2")  # fresh checkpoint: reprocesses b1 (replay) + b2
+    kept2 = {r.doc_id for r in lake.table("docs").collect()}
+    assert kept2 >= kept1  # replay added no duplicates of batch-1 content
+    assert 10 not in kept2  # near-dup of corpus doc dropped by index lookup
+    assert 11 in kept2  # novel doc admitted
+    # index holds exactly the bands of kept docs
+    idx_ids = {r.doc_id for r in lake.table("band_index").collect()}
+    assert idx_ids == kept2
