@@ -160,6 +160,37 @@ def decontamination_overlap(
     )
 
 
+# PII patterns: conservative, character-class-only regexes (portable
+# across Java/RE2 engines, no catastrophic backtracking). Each is a
+# (pattern, replacement-tag) pair applied in order.
+PII_PATTERNS: list[tuple[str, str]] = [
+    # emails before phones (an email's digits must not half-match a phone)
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b(?:\d[ -]?){12,18}\d\b", "<CARD>"),  # 13-19 digit card-like runs
+    (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    # trailing segment only consumes its separator when digits follow
+    (r"(?:\+\d{1,3}[ -]?)?(?:\(\d{2,4}\)[ -]?)?\d{3}[ -]\d{3,4}(?:[ -]?\d{1,4})?\b", "<PHONE>"),
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+]
+
+
+def redact_pii(text_col: str | Column = "text") -> Column:
+    """Scrub common PII shapes (emails, card-like digit runs, SSNs,
+    phone numbers, IPv4s) into typed tags — the standard hygiene pass
+    before a corpus leaves curation. Pure chained ``regexp_replace``
+    (JVM, codegen); order matters and is fixed (emails before phones so
+    an address's digits are not half-eaten).
+
+    Deliberately conservative: high-precision shapes only — a recall-
+    tuned PII system (NER models, checksum validation) sits outside an
+    engine's scope; this is the operator it would plug into.
+    """
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    for pattern, tag in PII_PATTERNS:
+        c = F.regexp_replace(c, pattern, tag)
+    return c
+
+
 def unigram_logprob_score(
     df: DataFrame,
     text_col: str = "text",

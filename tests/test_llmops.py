@@ -516,3 +516,18 @@ def test_unigram_logprob_score_reference(spark):
         assert got[doc_id][0] == pytest.approx(want, rel=1e-12), doc_id
         assert got[doc_id][1] == len(toks)
     assert got[3][0] < got[1][0]  # garbage scores lower
+
+
+def test_redact_pii_known_strings(spark):
+    cases = [
+        ("contact me at jane.doe+spam@example.co.uk please", "contact me at <EMAIL> please"),
+        ("ssn 123-45-6789 on file", "ssn <SSN> on file"),
+        ("card 4111 1111 1111 1111 charged", "card <CARD> charged"),
+        ("call +1 (555) 123-4567 now", "call <PHONE> now"),
+        ("server at 192.168.10.1 down", "server at <IP> down"),
+        ("no pii here just words", "no pii here just words"),
+    ]
+    df = spark.createDataFrame([(i, s) for i, (s, _) in enumerate(cases)], ["i", "text"])
+    got = {r.i: r.clean for r in df.select("i", text.redact_pii("text").alias("clean")).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i])
