@@ -338,6 +338,145 @@ def ivf_topk(
     return ranked.filter(F.col("rank") <= k)
 
 
+def pq_fit(
+    vectors: np.ndarray, m: int = 8, k: int = 16, iters: int = 15, seed: int = 42
+) -> np.ndarray:
+    """Product-quantization codebooks: split the (L2-normalized) vector
+    into ``m`` subspaces and run k-means with ``k`` centroids in each —
+    returns (m, k, d/m). The classic memory/compute compression for
+    billion-scale ANN (FAISS IVFPQ's quantizer): a d-dim float vector
+    becomes m small codes."""
+    X = np.asarray(vectors, dtype=np.float64)
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    n, d = X.shape
+    assert d % m == 0, "dim must divide into m subspaces"
+    dsub = d // m
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, k, dsub))
+    for j in range(m):
+        sub = X[:, j * dsub : (j + 1) * dsub]
+        C = sub[rng.choice(n, size=k, replace=False)]
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(k):
+                members = sub[assign == c]
+                if len(members):
+                    C[c] = members.mean(axis=0)
+        books[j] = C
+    return books
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode each vector as its per-subspace nearest-centroid codes —
+    one Arrow pass, output (id, codes array<int>): m small ints instead
+    of d floats, the compressed representation the ADC scan reads."""
+    m, k, dsub = codebooks.shape
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            X = X / np.linalg.norm(X, axis=1, keepdims=True)
+            codes = np.empty((len(X), m), dtype=np.int32)
+            for j in range(m):
+                sub = X[:, j * dsub : (j + 1) * dsub]
+                d2 = ((sub[:, None, :] - codebooks[j][None, :, :]) ** 2).sum(axis=2)
+                codes[:, j] = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy(), "codes": list(codes)}
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(enc, f"{id_col} long, codes array<int>")
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: np.ndarray,
+    topk: int = 10,
+    n_candidates: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via PQ asymmetric distance computation (ADC) +
+    exact cosine re-rank.
+
+    Scan stage: per Arrow batch of ENCODED corpus rows, each query
+    builds an (m, k) table of squared distances from its subvectors to
+    every centroid once, then a corpus vector's approximate distance is
+    m table lookups summed — no float vector is read in the scan. The
+    ``n_candidates`` best per (query, batch) survive to a global
+    per-query top-``n_candidates`` reduce, and only those join back to
+    the original vectors for the exact order-deterministic cosine
+    re-rank (same verify expression as everywhere else).
+
+    Recall dial = n_candidates/topk; compression = m·log2(k) bits per
+    vector vs 32·d."""
+    m, k, dsub = codebooks.shape
+    q = queries.select(F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qe"))
+    qrows = q.collect()
+    qids = np.array([r.query_id for r in qrows])
+    Q = np.array([r.qe for r in qrows], dtype=np.float64)
+    Q = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    # per-query distance tables (nq, m, k), built once on the driver
+    tables = np.empty((len(Q), m, k))
+    for j in range(m):
+        sub = Q[:, j * dsub : (j + 1) * dsub]
+        tables[:, j, :] = ((sub[:, None, :] - codebooks[j][None, :, :]) ** 2).sum(axis=2)
+
+    enc = pq_encode(corpus, codebooks, id_col, vec_col)
+
+    def adc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            codes = np.stack(pdf["codes"].to_numpy())  # (b, m)
+            nids = pdf[id_col].to_numpy()
+            # dist[row, q] = Σ_j tables[q, j, codes[row, j]] — one gather
+            # per subspace (m is small; a fused fancy-index is not clearer
+            # and easy to get wrong)
+            dist = np.zeros((len(nids), len(qids)))
+            for j in range(m):
+                dist += tables[:, j, codes[:, j]].T
+            keep = min(n_candidates, len(nids))
+            part = np.argpartition(dist, keep - 1, axis=0)[:keep]
+            rows = []
+            for qi in range(len(qids)):
+                for r in part[:, qi]:
+                    rows.append((int(qids[qi]), int(nids[r]), float(dist[r, qi])))
+            yield pd.DataFrame(rows, columns=["query_id", "neighbor_id", "adc"])
+
+    partial = enc.mapInPandas(adc, "query_id long, neighbor_id long, adc double")
+    cand = (
+        partial.filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                W.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("neighbor_id"))
+            ),
+        )
+        .filter(F.col("rank") <= n_candidates)
+        .select("query_id", "neighbor_id")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("ce"))
+    cos = dot(F.col("qe"), F.col("ce")) / (norm(F.col("qe")) * norm(F.col("ce")))
+    return (
+        cand.join(c, "neighbor_id")
+        .join(q, "query_id")
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+            ),
+        )
+        .filter(F.col("rank") <= topk)
+    )
+
+
 def hyperplane_buckets(
     df: DataFrame,
     n_planes: int = 12,
