@@ -382,6 +382,23 @@ class Lakehouse:
         self.insert(name, df)
         self.optimize(name)
 
+    def vacuum(self, name: str | None = None) -> list[str]:
+        """Remove orphaned staging directories (`.compact_tmp` /
+        `.delete_tmp`) left behind by a compaction or delete that died
+        between its write and its swap. Safe at any time: live operations
+        always delete-then-recreate their staging dir before use, and
+        the data/meta of a table are never touched. Returns the removed
+        paths (for operational logging)."""
+        removed = []
+        tables = [name] if name else self.tables()
+        for t in tables:
+            for leftover in (".compact_tmp", ".delete_tmp"):
+                p = f"{self._dir(t)}/{leftover}"
+                if self.fs.exists(p):
+                    self.fs.delete(p)
+                    removed.append(p)
+        return removed
+
     def delete_where(self, name: str, predicate) -> None:
         """Targeted delete (beyond the reference's surface; needed for any
         real lakehouse — corrections, retention, GDPR erasure).

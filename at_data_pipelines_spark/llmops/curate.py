@@ -17,7 +17,14 @@ from pyspark.sql import functions as F
 
 from .dedup import dedup_clusters, exact_dedup
 from .sampling import deterministic_split, mixture_sample
-from .text import decontamination_overlap, langid, quality_features, repetition_metrics
+from .text import (
+    decontamination_overlap,
+    langid,
+    quality_features,
+    redact_pii,
+    repetition_metrics,
+    unigram_logprob_score,
+)
 
 
 def curate_corpus(
@@ -30,21 +37,27 @@ def curate_corpus(
     max_tokens: int = 100_000,
     max_stopword_ratio: float = 1.0,
     max_top_gram_frac: float | None = None,
+    min_mean_logprob: float | None = None,
     eval_docs: DataFrame | None = None,
     decontaminate_ngram: int = 5,
     near_dup_threshold: float = 0.6,
     target_mixture: dict[str, float] | None = None,
     mixture_col: str = "source",
     val_frac: float | None = None,
+    redact: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (curated_df, funnel_stats_df).
 
     Language filtering uses the provided ``lang_col`` when the corpus has
     one (the reference-data case), else the heuristic ``langid``.
     Optional stages engage when their knob is set: repetition filtering
-    (``max_top_gram_frac``), eval-set decontamination (``eval_docs``),
-    domain-mixture resampling (``target_mixture``), and a deterministic
-    train/val split column (``val_frac``).
+    (``max_top_gram_frac``), corpus-LM quality floor
+    (``min_mean_logprob`` — cuts rare/garbage-token documents), eval-set
+    decontamination (``eval_docs``), domain-mixture resampling
+    (``target_mixture``), a deterministic train/val split column
+    (``val_frac``), and PII redaction of the surviving text
+    (``redact=True`` — applied last, so dedup keys/filters see the
+    original text).
     """
     n0 = df.count()
 
@@ -66,6 +79,10 @@ def curate_corpus(
         rep = repetition_metrics(df, text_col, id_col, n=2)
         repetitive = rep.filter(F.col("top_gram_frac") > max_top_gram_frac).select(id_col)
         df = df.join(repetitive, id_col, "left_anti")
+    if min_mean_logprob is not None:
+        lm = unigram_logprob_score(df, text_col, id_col)
+        garbage = lm.filter(F.col("mean_logprob") < min_mean_logprob).select(id_col)
+        df = df.join(garbage, id_col, "left_anti")
     n_repetition = df.count()
 
     if eval_docs is not None:
@@ -94,6 +111,8 @@ def curate_corpus(
 
     if val_frac is not None:
         curated = deterministic_split(curated, id_col, val_frac)
+    if redact:
+        curated = curated.withColumn(text_col, redact_pii(text_col))
 
     stats = df.sparkSession.createDataFrame(
         [(n0, n_lang, n_quality, n_repetition, n_decontaminated, n_exact, n_near, n_final)],

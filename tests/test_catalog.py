@@ -231,3 +231,16 @@ def test_optimize_writes_pk_sorted_files(lake, spark):
     con = duckdb.connect()
     dates = [r[0] for r in con.sql(f"SELECT date FROM '{files[0]}'").fetchall()]
     assert dates == sorted(dates), "file not PK-sorted"
+
+
+def test_vacuum_removes_orphan_staging_dirs(lake, spark):
+    lake.create("prices", SCHEMA, ["year"], ["date", "ticker"])
+    lake.upsert("prices", _df(spark, [("A", "2024-01-02", 1.0)]))
+    # simulate a crashed compaction: orphan staging dir with junk
+    lake.fs.mkdirs(f"{lake._dir('prices')}/.compact_tmp/year=2024")
+    removed = lake.vacuum()
+    assert any(".compact_tmp" in p for p in removed)
+    assert not lake.fs.exists(f"{lake._dir('prices')}/.compact_tmp")
+    # table untouched
+    assert lake.table("prices").count() == 1
+    assert lake.vacuum() == []  # idempotent

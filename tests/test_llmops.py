@@ -557,3 +557,18 @@ def test_pq_adc_recall_and_compression(spark, sf_dir):
         for r in similarity.pq_topk(emb, queries, books, topk=10, n_candidates=200).collect()
     }
     assert len(exact & approx) / len(exact) >= 0.9
+
+
+def test_curate_corpus_redact_and_lm_floor(spark, sf_dir):
+    from at_data_pipelines_spark.llmops.curate import curate_corpus
+
+    d = load_table(spark, sf_dir, "documents")
+    curated, stats = curate_corpus(d, min_mean_logprob=-20.0, redact=True)
+    s = stats.collect()[0]
+    assert s.n_after_repetition <= s.n_after_quality  # LM floor may cut
+    assert curated.count() == s.n_after_mixture > 0
+    # redaction ran over surviving text (no raw emails/SSNs survive)
+    leaks = curated.filter(
+        F.col("text").rlike(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")
+    ).count()
+    assert leaks == 0
