@@ -67,7 +67,13 @@ def test_whole_stage_codegen_coverage(spark, sf_dir):
     """Relational queries must run inside WholeStageCodegen (JVM, no
     Python in the hot path). AQE only finalizes the plan on execution,
     so run the query first."""
-    for name in ["q01_pricing_summary", "q06_forecast_revenue", "q20_rolling_window_stats"]:
+    for name in [
+        "q01_pricing_summary",
+        "q06_forecast_revenue",
+        "q20_rolling_window_stats",
+        "q41_text_features",
+        "q42_quality_filters",
+    ]:
         df = QUERIES[name](spark, sf_dir)
         df.collect()  # count() would build a new QueryExecution; collect
         # finalizes THIS plan so AQE's isFinalPlan flips
