@@ -477,6 +477,129 @@ def pq_topk(
     )
 
 
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    topk: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    k: int = 16,
+    n_candidates: int = 100,
+    train_sample: int = 2048,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF+PQ — the production billion-scale ANN composition (FAISS
+    IVFPQ): a coarse k-means quantizer routes vectors into inverted
+    lists, vectors are stored as PQ codes of their RESIDUAL from the
+    list centroid (residuals are smaller and better centered than raw
+    vectors, so the same code budget quantizes finer), and a query scans
+    only its ``n_probe`` nearest lists via ADC lookups before an exact
+    re-rank of the candidate budget.
+
+    Scale shape: one Arrow pass assigns+encodes the corpus (per-row
+    centroid argmax + m subspace argmins); the probe is an equi-join on
+    centroid id; the ADC scan reads codes only; the exact fold-cosine
+    re-rank touches ``n_candidates`` real vectors per query. Training
+    state (centroids + codebooks) is a few KB broadcast in closures.
+    """
+    sample = np.stack(
+        [r[0] for r in corpus.select(vec_col).limit(train_sample).collect()]
+    ).astype(np.float64)
+    sample = sample / np.linalg.norm(sample, axis=1, keepdims=True)
+    C = kmeans_fit(sample, n_centroids, seed=seed)
+    assign = (sample @ C.T).argmax(axis=1)
+    books = pq_fit(sample - C[assign], m, k, seed=seed)
+    dsub = books.shape[2]
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            X = X / np.linalg.norm(X, axis=1, keepdims=True)
+            cid = (X @ C.T).argmax(axis=1)
+            R = X - C[cid]
+            codes = np.empty((len(X), m), dtype=np.int32)
+            for j in range(m):
+                sub = R[:, j * dsub : (j + 1) * dsub]
+                d2 = ((sub[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+                codes[:, j] = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy(), "centroid": cid, "codes": list(codes)}
+            )
+
+    enc = corpus.select(id_col, vec_col).mapInPandas(
+        encode, f"{id_col} long, centroid long, codes array<int>"
+    )
+
+    q = queries.select(F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qe"))
+    qrows = q.collect()
+    qids = np.array([r.query_id for r in qrows])
+    Q = np.array([r.qe for r in qrows], dtype=np.float64)
+    Q = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    probes = np.argsort(-(Q @ C.T), axis=1)[:, :n_probe]  # (nq, n_probe)
+    # per (query, probed centroid) residual distance tables (m, k)
+    probe_rows = []
+    for qi in range(len(qids)):
+        for cid in probes[qi]:
+            r = Q[qi] - C[cid]
+            table = np.empty((m, k))
+            for j in range(m):
+                sub = r[j * dsub : (j + 1) * dsub]
+                table[j] = ((books[j] - sub[None, :]) ** 2).sum(axis=1)
+            probe_rows.append((int(qids[qi]), int(cid), table))
+    # group tables by centroid for the scan closure
+    by_centroid: dict[int, list[tuple[int, np.ndarray]]] = {}
+    for qid, cid, table in probe_rows:
+        by_centroid.setdefault(cid, []).append((qid, table))
+
+    def adc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for cid, grp in pdf.groupby("centroid"):
+                hits = by_centroid.get(int(cid))
+                if not hits:
+                    continue
+                codes = np.stack(grp["codes"].to_numpy())
+                nids = grp[id_col].to_numpy()
+                for qid, table in hits:
+                    dist = np.zeros(len(nids))
+                    for j in range(m):
+                        dist += table[j, codes[:, j]]
+                    keep = min(n_candidates, len(nids))
+                    part = np.argpartition(dist, keep - 1)[:keep]
+                    out.extend((qid, int(nids[r]), float(dist[r])) for r in part)
+            yield pd.DataFrame(out, columns=["query_id", "neighbor_id", "adc"])
+
+    partial = enc.mapInPandas(adc, "query_id long, neighbor_id long, adc double")
+    cand = (
+        partial.filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                W.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("neighbor_id"))
+            ),
+        )
+        .filter(F.col("rank") <= n_candidates)
+        .select("query_id", "neighbor_id")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("ce"))
+    cos = dot(F.col("qe"), F.col("ce")) / (norm(F.col("qe")) * norm(F.col("ce")))
+    return (
+        cand.join(c, "neighbor_id")
+        .join(q, "query_id")
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+            ),
+        )
+        .filter(F.col("rank") <= topk)
+    )
+
+
 def hyperplane_buckets(
     df: DataFrame,
     n_planes: int = 12,

@@ -572,3 +572,29 @@ def test_curate_corpus_redact_and_lm_floor(spark, sf_dir):
         F.col("text").rlike(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")
     ).count()
     assert leaks == 0
+
+
+def test_ivfpq_recall_rises_with_probe_budget(spark, sf_dir):
+    """IVF+PQ: recall@10 vs brute force must rise with n_probe (the
+    recall/cost dial) — measured 0.55/0.69/0.76 at probes 4/8/16 on the
+    isotropic fixture (coarse routing costs recall on unclustered data;
+    the curve, not a high absolute, is the contract). Deterministic via
+    seeded training."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk(emb, queries, 10).collect()
+    }
+    recalls = []
+    for n_probe in (4, 16):
+        a = {
+            (r.query_id, r.neighbor_id)
+            for r in similarity.ivfpq_topk(
+                emb, queries, 10, n_centroids=16, n_probe=n_probe, n_candidates=100
+            ).collect()
+        }
+        recalls.append(len(exact & a) / len(exact))
+    assert recalls[0] >= 0.45
+    assert recalls[1] >= 0.70
+    assert recalls[1] >= recalls[0]
