@@ -25,12 +25,48 @@ def main(argv: list[str] | None = None) -> int:
         if name == "daily":
             sp.add_argument("--date", required=True)
     sub.add_parser("bench")
+    cu = sub.add_parser("curate")
+    cu.add_argument("--input", required=True, help="parquet documents path")
+    cu.add_argument("--output", required=True, help="curated parquet output dir")
+    cu.add_argument("--langs", default=None, help="comma-separated allowed langs")
+    cu.add_argument("--min-tokens", type=int, default=10)
+    cu.add_argument("--threshold", type=float, default=0.6, help="near-dup jaccard")
+    cu.add_argument("--max-top-gram-frac", type=float, default=None)
+    cu.add_argument("--val-frac", type=float, default=None)
+    cu.add_argument("--redact", action="store_true")
     args = p.parse_args(argv)
 
     if args.cmd == "bench":
         import bench
 
         bench.main()
+        return 0
+
+    if args.cmd == "curate":
+        from pyspark.sql import SparkSession
+
+        from .llmops.curate import curate_corpus
+        from .session import get_spark
+
+        # only stop a session this CLI created (embedding callers — tests,
+        # notebooks — keep theirs)
+        owns_session = SparkSession.getActiveSession() is None
+        spark = get_spark(app_name="atdp-curate")
+        docs = spark.read.parquet(args.input)
+        curated, stats = curate_corpus(
+            docs,
+            allowed_langs=args.langs.split(",") if args.langs else None,
+            min_tokens=args.min_tokens,
+            near_dup_threshold=args.threshold,
+            max_top_gram_frac=args.max_top_gram_frac,
+            val_frac=args.val_frac,
+            redact=args.redact,
+        )
+        curated.write.mode("overwrite").parquet(args.output)
+        funnel = stats.collect()[0].asDict()
+        print(__import__("json").dumps(funnel))
+        if owns_session:
+            spark.stop()
         return 0
 
     from .catalog import Lakehouse

@@ -63,3 +63,27 @@ def test_cli_help():
 
     with pytest.raises(SystemExit):
         main(["--help"])
+
+
+def test_cli_curate_end_to_end(spark, sf_dir, tmp_path, capsys):
+    """`python -m at_data_pipelines_spark curate` runs the full funnel and
+    prints the one-line funnel JSON."""
+    import json
+
+    from at_data_pipelines_spark.__main__ import main
+
+    out = tmp_path / "curated"
+    rc = main(
+        [
+            "curate",
+            "--input", f"{sf_dir}/documents.parquet",
+            "--output", str(out),
+            "--langs", "en",
+            "--redact",
+        ]
+    )
+    assert rc == 0
+    funnel = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert funnel["n_input"] > funnel["n_after_lang"] >= funnel["n_after_mixture"] > 0
+    got = spark.read.parquet(str(out))
+    assert got.count() == funnel["n_after_mixture"]
