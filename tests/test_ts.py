@@ -110,3 +110,45 @@ def test_zscore_global(spark, panel):
     exp = pdf.sort_values(["ticker", "t"]).reset_index(drop=True)
     z = (exp["x"] - pdf["x"].mean()) / pdf["x"].std(ddof=1)
     pd.testing.assert_series_equal(got["zscore"], z.rename("zscore"), check_exact=False, rtol=1e-12)
+
+
+def test_resample_bars_matches_pandas(spark):
+    """5-minute OHLCV resample matches a pandas reference, including the
+    volume-weighted vwap."""
+    import datetime as dt
+
+    import numpy as np
+    import pandas as pd
+
+    from at_data_pipelines_spark.ts import resample_bars
+
+    rng = np.random.default_rng(9)
+    rows = []
+    t0 = dt.datetime(2024, 1, 2, 14, 30)
+    for tick in ("A", "B"):
+        for i in range(23):  # 23 minute-bars -> 5 buckets
+            px = 100 + rng.normal()
+            rows.append(
+                (tick, t0 + dt.timedelta(minutes=i), px, px + 0.5, px - 0.5,
+                 px + 0.1, float(rng.integers(1, 500)), 5.0, px + 0.05)
+            )
+    cols = ["ticker", "timestamp", "open", "high", "low", "close",
+            "volume", "trade_count", "vwap"]
+    df = spark.createDataFrame(rows, cols)
+    got = resample_bars(df, "5 minutes").toPandas().set_index(["ticker", "timestamp"]).sort_index()
+
+    pdf = pd.DataFrame(rows, columns=cols)
+    pdf["notional"] = pdf.vwap * pdf.volume
+    ref = (
+        pdf.set_index("timestamp")
+        .groupby("ticker")
+        .resample("5min")
+        .agg(open=("open", "first"), high=("high", "max"), low=("low", "min"),
+             close=("close", "last"), volume=("volume", "sum"),
+             trade_count=("trade_count", "sum"), notional=("notional", "sum"))
+        .dropna()
+    )
+    ref["vwap"] = ref.notional / ref.volume
+    assert len(got) == len(ref) == 10  # 5 buckets x 2 tickers
+    for col in ("open", "high", "low", "close", "volume", "trade_count", "vwap"):
+        np.testing.assert_allclose(got[col].to_numpy(), ref[col].to_numpy(), rtol=1e-12)
