@@ -21,6 +21,60 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def adjust_bars(
+    bars: DataFrame,
+    actions: DataFrame,
+    ts_col: str = "timestamp",
+    ticker_col: str = "ticker",
+    price_cols: tuple[str, ...] = ("open", "high", "low", "close", "vwap"),
+    volume_col: str = "volume",
+) -> DataFrame:
+    """Back-adjust raw bars for splits/dividends — what the reference
+    delegates to its API's ``Adjustment.ALL`` flag
+    (``pipelines/stock_prices_flow.py:36``), computed here from a raw
+    feed plus an actions table ``(ticker, effective_ts, factor)``: every
+    bar BEFORE an action's effective time has its prices multiplied (and
+    volume divided) by the product of all later factors, so the latest
+    bar is always unadjusted — the standard back-adjustment convention.
+
+    Shape: actions are dimension-sized (a few rows per ticker ever), so
+    the cumulative factor attaches via a broadcast join + groupBy over
+    matching actions — no window over the bar table, one shuffle on the
+    bar grain for the aggregate-free path (the join is broadcast, the
+    product aggregation groups on the BAR key). Factors multiply in
+    log-space via ``exp(sum(log(...)))`` — exact to fp rounding, which
+    adjustment factors inherently carry anyway.
+    """
+    acts = actions.select(
+        F.col(ticker_col).alias("_a_ticker"),
+        F.col("effective_ts").alias("_eff"),
+        F.col("factor").alias("_factor"),
+    )
+    joined = bars.join(
+        F.broadcast(acts),
+        (F.col(ticker_col) == F.col("_a_ticker")) & (F.col("_eff") > F.col(ts_col)),
+        "left",
+    )
+    group_cols = [F.col(c) for c in bars.columns]
+    adj = (
+        joined.groupBy(*group_cols)
+        .agg(
+            F.coalesce(
+                F.exp(F.sum(F.log(F.col("_factor")))), F.lit(1.0)
+            ).alias("_adj")
+        )
+    )
+    out_cols = []
+    for c in bars.columns:
+        if c in price_cols:
+            out_cols.append((F.col(c) * F.col("_adj")).alias(c))
+        elif c == volume_col:
+            out_cols.append((F.col(c) / F.col("_adj")).alias(c))
+        else:
+            out_cols.append(F.col(c))
+    return adj.select(*out_cols)
+
+
 def resample_bars(
     bars: DataFrame,
     interval: str = "5 minutes",

@@ -152,3 +152,40 @@ def test_resample_bars_matches_pandas(spark):
     assert len(got) == len(ref) == 10  # 5 buckets x 2 tickers
     for col in ("open", "high", "low", "close", "volume", "trade_count", "vwap"):
         np.testing.assert_allclose(got[col].to_numpy(), ref[col].to_numpy(), rtol=1e-12)
+
+
+def test_adjust_bars_split_and_dividend(spark):
+    """Back-adjustment: bars before an action scale by the product of all
+    LATER factors; the latest bar stays unadjusted; volume scales
+    inversely; tickers without actions pass through untouched."""
+    import datetime as dt
+
+    from at_data_pipelines_spark.ts import adjust_bars
+
+    t = lambda d: dt.datetime(2024, 1, d, 16, 0)  # noqa: E731
+    cols = ["ticker", "timestamp", "open", "high", "low", "close",
+            "volume", "trade_count", "vwap"]
+    bars = spark.createDataFrame(
+        [
+            ("A", t(1), 100.0, 101.0, 99.0, 100.0, 1000.0, 5.0, 100.0),
+            ("A", t(10), 102.0, 103.0, 101.0, 102.0, 1000.0, 5.0, 102.0),
+            ("A", t(20), 51.0, 52.0, 50.0, 51.0, 2000.0, 5.0, 51.0),
+            ("B", t(1), 10.0, 11.0, 9.0, 10.0, 500.0, 5.0, 10.0),
+        ],
+        cols,
+    )
+    actions = spark.createDataFrame(
+        [
+            ("A", t(15), 0.5),   # 2:1 split between day 10 and day 20
+            ("A", t(5), 0.99),   # small dividend adjustment after day 1
+        ],
+        ["ticker", "effective_ts", "factor"],
+    )
+    got = {(r.ticker, r.timestamp.day): r for r in adjust_bars(bars, actions).collect()}
+    assert got[("A", 1)].close == pytest.approx(100.0 * 0.5 * 0.99)
+    assert got[("A", 1)].volume == pytest.approx(1000.0 / (0.5 * 0.99))
+    assert got[("A", 10)].close == pytest.approx(102.0 * 0.5)  # only the later split
+    assert got[("A", 20)].close == pytest.approx(51.0)  # latest bar unadjusted
+    assert got[("B", 1)].close == pytest.approx(10.0)  # no actions: untouched
+    # adjusted series is continuous across the split (no 2x jump)
+    assert abs(got[("A", 10)].close - got[("A", 20)].close) < 1.0
