@@ -1,4 +1,4 @@
-from .resample import adjust_bars, resample_bars  # noqa: F401
+from .resample import adjust_bars, align_to_calendar, resample_bars  # noqa: F401
 from .windows import (  # noqa: F401
     entity_window,
     ewm_mean,

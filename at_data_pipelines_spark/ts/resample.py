@@ -21,6 +21,47 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def align_to_calendar(
+    df: DataFrame,
+    calendar: DataFrame,
+    value_cols: list[str],
+    ticker_col: str = "ticker",
+    date_col: str = "date",
+    max_ffill_days: int | None = None,
+) -> DataFrame:
+    """Reindex a panel onto the trading calendar with forward-fill —
+    Polars' ``upsample``/``forward_fill`` idiom on the reference's own
+    calendar table: every (ticker, trading day) appears exactly once,
+    missing observations carry the last value forward, and
+    ``max_ffill_days`` bounds staleness (a halted ticker stops filling
+    after that many calendar days — null beyond).
+
+    Shape: the grid is tickers × calendar (the exact output size —
+    calendar broadcast under the cross join), one left join on the panel
+    grain, then per-ticker ordered ``last(ignorenulls)`` windows. One
+    hash shuffle on ticker; fill never crosses tickers.
+    """
+    from pyspark.sql.window import Window as W
+
+    tickers = df.select(ticker_col).distinct()
+    cal = calendar.select(F.col(date_col))
+    grid = tickers.crossJoin(F.broadcast(cal))
+    joined = grid.join(df, [ticker_col, date_col], "left")
+    w = W.partitionBy(ticker_col).orderBy(date_col).rowsBetween(W.unboundedPreceding, 0)
+    obs_date = F.last(
+        F.when(F.col(value_cols[0]).isNotNull(), F.col(date_col)), ignorenulls=True
+    ).over(w)
+    cols = [F.col(ticker_col), F.col(date_col)]
+    for c in value_cols:
+        filled = F.last(F.col(c), ignorenulls=True).over(w)
+        if max_ffill_days is not None:
+            filled = F.when(
+                F.datediff(F.col(date_col), obs_date) <= max_ffill_days, filled
+            )
+        cols.append(filled.alias(c))
+    return joined.select(*cols)
+
+
 def adjust_bars(
     bars: DataFrame,
     actions: DataFrame,

@@ -189,3 +189,36 @@ def test_adjust_bars_split_and_dividend(spark):
     assert got[("B", 1)].close == pytest.approx(10.0)  # no actions: untouched
     # adjusted series is continuous across the split (no 2x jump)
     assert abs(got[("A", 10)].close - got[("A", 20)].close) < 1.0
+
+
+def test_align_to_calendar_ffill_and_staleness(spark):
+    import datetime as dt
+
+    from at_data_pipelines_spark.ts import align_to_calendar
+
+    d = lambda day: dt.date(2024, 1, day)  # noqa: E731
+    cal = spark.createDataFrame([(d(x),) for x in (2, 3, 4, 5, 8, 9)], ["date"])
+    panel = spark.createDataFrame(
+        [
+            ("A", d(2), 10.0), ("A", d(4), 11.0),     # gap on 3; nothing after 4
+            ("B", d(2), 5.0),                          # halts after day 2
+        ],
+        ["ticker", "date", "close"],
+    )
+    out = {
+        (r.ticker, r.date.day): r.close
+        for r in align_to_calendar(panel, cal, ["close"]).collect()
+    }
+    assert len(out) == 12  # 2 tickers x 6 trading days, exactly once each
+    assert out[("A", 3)] == 10.0   # gap forward-filled
+    assert out[("A", 4)] == 11.0   # real observation wins
+    assert out[("A", 9)] == 11.0   # carried to the end
+    assert out[("B", 9)] == 5.0
+    # staleness bound: stop filling 3 calendar days after the last obs
+    capped = {
+        (r.ticker, r.date.day): r.close
+        for r in align_to_calendar(panel, cal, ["close"], max_ffill_days=3).collect()
+    }
+    assert capped[("B", 5)] == 5.0   # day 5 - day 2 = 3 → still filled
+    assert capped[("B", 8)] is None  # 6 days stale → null
+    assert capped[("A", 5)] == 11.0
