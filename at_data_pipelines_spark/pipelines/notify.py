@@ -170,3 +170,43 @@ def daily_trading_summary(
     msg = "\n".join(lines)
     sender(msg)
     return msg
+
+
+def compute_target_trades(
+    weights: DataFrame,
+    prices: DataFrame,
+    account_value: float,
+    min_notional: float = 1.0,
+) -> DataFrame:
+    """Target trade list from consecutive portfolio weights: for each
+    ticker on each date, ``Δweight·account/price`` shares (buy when the
+    new weight is higher). This is the engine-side counterpart of the
+    reference's broker-diff summary — the reference reads FILLED orders
+    back from the API; this derives the INTENDED orders from the
+    weights table, so the two can be reconciled.
+
+    Entering tickers trade from weight 0 (lag defaults to 0).
+    LIMITATION: a ticker that leaves the weights table entirely emits no
+    sell row — full-exit orders need the prior holdings frame, which
+    lives with the broker state, not the weights table; reconcile exits
+    there. ``min_notional`` drops dust rebalances. One window over
+    (ticker, date) — the weights table's natural grain.
+    """
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("ticker").orderBy("date")
+    delta = F.col("weight") - F.coalesce(F.lag("weight").over(w), F.lit(0.0))
+    d = (
+        weights.select("ticker", "date", "weight")
+        .withColumn("d_weight", delta)
+        .join(prices.select("ticker", "date", "close"), ["ticker", "date"])
+        .withColumn("notional", F.abs(F.col("d_weight")) * F.lit(account_value))
+        .filter(F.col("notional") >= min_notional)
+    )
+    return d.select(
+        "ticker",
+        "date",
+        F.when(F.col("d_weight") >= 0, F.lit("buy")).otherwise(F.lit("sell")).alias("side"),
+        (F.col("notional") / F.col("close")).alias("qty"),
+        "notional",
+    )

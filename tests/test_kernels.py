@@ -183,3 +183,26 @@ def test_assemble_covariance():
     Fm = np.array([[0.04, 0.01], [0.01, 0.09]])
     exp = B @ Fm @ B.T + np.diag([0.01, 0.04])
     np.testing.assert_allclose(sigma, exp)
+
+
+def test_risk_attribution_sums_exactly():
+    """Factor + idio contributions must reconstruct w'Σw exactly, and the
+    per-factor terms must sum to the factor variance (additivity)."""
+    import numpy as np
+
+    from at_data_pipelines_spark.kernels.covariance import risk_attribution
+
+    rng = np.random.default_rng(12)
+    n, k = 25, 4
+    B = rng.normal(size=(n, k))
+    A = rng.normal(size=(k, k))
+    Fc = A @ A.T  # PSD factor covariance
+    idio = rng.uniform(0.01, 0.05, size=n)
+    w = rng.uniform(size=n)
+    w /= w.sum()
+    sigma = B @ Fc @ B.T + np.diag(idio)
+    out = risk_attribution(w, B, Fc, idio, ["mom", "val", "size", "qual"])
+    assert out["total_variance"] == pytest.approx(float(w @ sigma @ w), rel=1e-12)
+    assert sum(out["per_factor"].values()) == pytest.approx(out["factor_variance"], rel=1e-12)
+    assert set(out["per_factor"]) == {"mom", "val", "size", "qual"}
+    assert out["idio_variance"] > 0

@@ -264,3 +264,31 @@ def test_actual_trades_summary_golden(spark):
         spark.createDataFrame([], ORDER_SCHEMA), sent.append
     )
     assert empty == "✅ No trades executed today"
+
+
+def test_compute_target_trades(spark):
+    from at_data_pipelines_spark.pipelines.notify import compute_target_trades
+
+    w = spark.createDataFrame(
+        [
+            ("A", dt.date(2024, 1, 2), 0.5), ("B", dt.date(2024, 1, 2), 0.5),
+            ("A", dt.date(2024, 1, 3), 0.3), ("C", dt.date(2024, 1, 3), 0.7),
+        ],
+        ["ticker", "date", "weight"],
+    )
+    p = spark.createDataFrame(
+        [(t, d, 100.0) for t in ("A", "B", "C")
+         for d in (dt.date(2024, 1, 2), dt.date(2024, 1, 3))],
+        ["ticker", "date", "close"],
+    )
+    got = {(r.ticker, r.date.day): r for r in compute_target_trades(w, p, 10_000.0).collect()}
+    # day 1: initial buys from zero
+    assert got[("A", 2)].side == "buy" and got[("A", 2)].qty == pytest.approx(50.0)
+    assert got[("B", 2)].qty == pytest.approx(50.0)
+    # day 2: A trims 0.5->0.3, C enters at 0.7
+    assert got[("A", 3)].side == "sell" and got[("A", 3)].qty == pytest.approx(20.0)
+    assert got[("C", 3)].side == "buy" and got[("C", 3)].qty == pytest.approx(70.0)
+    # B exited: no weight row on day 3 means no trade row either (the
+    # weights table omits exits; full exit handling needs the prior
+    # holdings frame - documented)
+    assert ("B", 3) not in got
