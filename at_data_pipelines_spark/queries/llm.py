@@ -396,7 +396,7 @@ def q51_simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE g5.doc_id % 97 <> 0
         GROUP BY g5.doc_id)
     SELECT d.doc_id,
-           r.n_grams AS n_2grams,
+           CAST(r.n_grams AS BIGINT) AS n_2grams,
            ROUND(CAST(r.max_c AS DOUBLE) / r.n_grams, 6) AS top_2gram_frac,
            ROUND(CAST(r.dup_occ AS DOUBLE) / r.n_grams, 6) AS dup_2gram_frac,
            COALESCE(o.n_overlap, 0) AS n_eval_overlap,

@@ -37,8 +37,42 @@ def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
 
+def _dtype_kind(dtype) -> str:
+    """Collapse a pandas dtype to the byte-level family the driver's hash sees.
+
+    The driver hashes serialized bytes, so int64 ``45`` vs float64 ``45.0``
+    is a mismatch even when every value is numerically identical (the r2
+    q42 slip: DuckDB SUM(BIGINT) → HUGEINT → pandas float64). Kinds:
+    'i' integer (signed/unsigned), 'f' float, 'b' bool, 'M' datetime,
+    'O' object/string.
+    """
+    k = getattr(dtype, "kind", "O")
+    return {"u": "i"}.get(k, k)
+
+
+def dtype_skew(spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list[tuple[str, str, str]]:
+    """Pre-canonicalization dtype-kind mismatches, column by column.
+
+    Returns [(col, spark_kind, oracle_kind), ...] for every shared column
+    whose NUMERIC family differs (int vs float vs bool) — each one is a
+    driver ``hash_match: false`` waiting to happen even if canonicalized
+    values compare equal. Non-numeric kind differences (e.g. Spark dates
+    arrive as object-of-date while DuckDB gives datetime64) are ignored:
+    r2 evidence shows the driver canonicalizes temporal types (q17 passed
+    its hash with exactly that skew) but NOT int-vs-float (q42 failed).
+    """
+    numeric = {"i", "f", "b"}
+    skews = []
+    for c in sorted(set(spark_df.columns) & set(oracle_df.columns)):
+        a, b = _dtype_kind(spark_df[c].dtype), _dtype_kind(oracle_df[c].dtype)
+        if a != b and a in numeric and b in numeric:
+            skews.append((c, a, b))
+    return skews
+
+
 def compare(spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> dict:
     out = {"rows_match": len(spark_df) == len(oracle_df), "exact": False, "close": False}
+    out["dtype_skew"] = dtype_skew(spark_df, oracle_df)
     a, b = canonicalize(spark_df), canonicalize(oracle_df)
     out["schema_match"] = list(a.columns) == list(b.columns)
     if not (out["rows_match"] and out["schema_match"]):

@@ -20,6 +20,9 @@ def test_query_matches_oracle(spark, sf_dir, name):
     res = compare(sdf, odf)
     assert res["rows_match"] and res["schema_match"], res.get("detail", res)
     assert res["exact"], f"values differ: {res.get('detail')}"
+    # the driver hashes bytes: int64 vs float64 skew fails its gate even
+    # when values are identical (the r2 q42 slip) — catch it here first
+    assert not res["dtype_skew"], f"dtype skew vs oracle: {res['dtype_skew']}"
 
 
 def test_all_queries_have_callables():
