@@ -103,9 +103,15 @@ def optimize_portfolio(
             break  # risk saturated — target unreachable (λ→∞ = min-var floor)
         if prev is not None and abs(np.log(risk) - prev[1]) > 1e-12:
             slope = (np.log(lam) - prev[0]) / (np.log(risk) - prev[1])
-            new_lam = float(
-                np.exp(np.log(lam) + slope * (np.log(target_active_risk) - np.log(risk)))
+            # clamp the exponent to the damping band before exp() so a wild
+            # slope can't overflow float64 (the damping below would discard
+            # the excess anyway)
+            exponent = np.clip(
+                np.log(lam) + slope * (np.log(target_active_risk) - np.log(risk)),
+                np.log(lam) - 7.0,
+                np.log(lam) + 7.0,
             )
+            new_lam = float(np.exp(exponent))
         else:
             new_lam = lam * (risk / target_active_risk)
         prev = (np.log(lam), np.log(risk))
