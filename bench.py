@@ -95,16 +95,27 @@ def main() -> None:
     # warm the JVM/codegen once with the cheapest query
     QUERIES["q10_distinct_flag_status"](spark, sf_dir).count()
 
+    # min-of-3 warm runs per query, with per-query spread reported so
+    # round-over-round deltas are attributable to plans vs session noise
+    # (r2 showed an unexplainable uniform +12% drift under min-of-2)
     timings: dict[str, float] = {}
+    stats: dict[str, dict[str, float]] = {}
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     for name in HEADLINE:
         if name not in QUERIES:
             continue
-        best = float("inf")
-        for _ in range(2):  # min of 2: steady-state, less scheduler noise
+        samples: list[float] = []
+        for _ in range(runs):
             t0 = time.perf_counter()
             QUERIES[name](spark, sf_dir).count()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            samples.append(time.perf_counter() - t0)
+        samples.sort()
+        timings[name] = round(samples[0], 3)
+        stats[name] = {
+            "min": round(samples[0], 3),
+            "median": round(samples[len(samples) // 2], 3),
+            "spread": round(samples[-1] - samples[0], 3),
+        }
 
     pipelines = bench_pipelines(spark)
 
@@ -116,6 +127,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "query_stats": stats,
                 "pipelines": pipelines,
                 "sf": sf,
             }
