@@ -187,14 +187,23 @@ class Lakehouse:
         the s3a connector — and therefore every read, write, and
         partition swap in this class — picks them up). Unrecognized
         option names pass through as ``fs.s3a.<name>`` so any connector
-        knob is reachable."""
+        knob is reachable.
+
+        Options are written under the per-bucket namespace
+        (``fs.s3a.bucket.<bucket>.*`` — the s3a connector's documented
+        per-bucket override mechanism), so two lakehouses on different
+        buckets with different credentials/endpoints coexist in one
+        session instead of silently clobbering each other's globals."""
+        if not root.startswith(("s3a://", "s3://")):
+            raise ValueError(f"connect_s3 expects an s3:// or s3a:// root, got {root!r}")
+        root = root.replace("s3://", "s3a://", 1)
+        bucket = root[len("s3a://") :].split("/", 1)[0]
         conf = spark._jsc.hadoopConfiguration()
         for k, v in (storage_options or {}).items():
             hk = cls._S3_OPTION_KEYS.get(k, f"fs.s3a.{k}")
+            hk = hk.replace("fs.s3a.", f"fs.s3a.bucket.{bucket}.", 1)
             conf.set(hk, str(v).lower() if isinstance(v, bool) else str(v))
-        if not root.startswith(("s3a://", "s3://")):
-            raise ValueError(f"connect_s3 expects an s3:// or s3a:// root, got {root!r}")
-        return cls(spark, root.replace("s3://", "s3a://", 1))
+        return cls(spark, root)
 
     # -- metadata ----------------------------------------------------------
     def _dir(self, name: str) -> str:

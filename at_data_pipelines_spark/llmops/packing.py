@@ -6,24 +6,28 @@ Packing is inherently order-dependent (a greedy packer is sequential),
 which does not distribute naively. The shape here:
 
 1. documents get a DETERMINISTIC pseudo-random order key
-   (``xxhash64(id, salt)``) and are range-partitioned by it — every
-   partition holds a statistically similar length mix, and the layout
-   is independent of input partitioning or cluster size;
-2. each partition packs ITS documents greedily (first-fit in hash
-   order) inside one ``applyInPandas`` group — sequential where it must
-   be, parallel across partitions, zero coordination between bins of
-   different partitions;
+   (``xxhash64(id, salt)``) and an explicit bin
+   (``pmod(key, n_bins)`` — a pure column function of the data, never
+   ``spark_partition_id``, whose value after a range partition depends
+   on sampled bounds and cluster size) — every bin holds a
+   statistically similar length mix, and the layout is a function of
+   (corpus, salt, n_bins) only;
+2. each bin packs ITS documents greedily (first-fit in hash order)
+   inside one ``applyInPandas`` group — sequential where it must be,
+   parallel across bins, zero coordination between sequences of
+   different bins;
 3. sequence ids are globally unique by construction:
-   ``partition_id·2⁴⁰ + local_seq``.
+   ``bin·2⁴⁰ + local_seq``.
 
 Documents longer than the budget get a single-document sequence with
 ``overflow = true`` (the caller decides truncate/split — that is a
 tokenizer-level policy, not an engine one).
 
-Determinism: same corpus + salt + n_bins ⇒ identical packing on any
-cluster. Efficiency: greedy first-fit over hash order lands ~85-95%
-fill at typical budgets (asserted in tests against a floor, not an
-exact value — fill depends on the length distribution).
+Determinism: same corpus + salt + n_bins ⇒ bit-identical packing on any
+cluster and any input file layout (bin and order are both pure column
+functions of the row). Efficiency: greedy first-fit over hash order
+lands ~85-95% fill at typical budgets (asserted in tests against a
+floor, not an exact value — fill depends on the length distribution).
 """
 
 from __future__ import annotations
@@ -53,19 +57,21 @@ def pack_sequences(
     ``n_tokens_col`` names a precomputed token-count column; when None,
     whitespace token counts are derived from ``text_col``.
     """
-    spark = df.sparkSession
-    bins = n_bins or spark.sparkContext.defaultParallelism
+    # constant default so the layout does not depend on cluster size;
+    # 256 bins keeps per-bin state small while leaving plenty of
+    # parallelism (raise for very large corpora — layout changes with it)
+    bins = n_bins or 256
     n_tok = (
         F.col(n_tokens_col)
         if n_tokens_col
         else F.size(F.split(F.col(text_col), " "))
     )
+    order_key = F.xxhash64(F.col(id_col), F.lit(salt))
     keyed = df.select(
         F.col(id_col),
         n_tok.cast("long").alias("n_tokens"),
-        F.xxhash64(F.col(id_col), F.lit(salt)).alias("_ord"),
-    ).repartitionByRange(bins, F.col("_ord")).withColumn(
-        "_pid", F.spark_partition_id()
+        order_key.alias("_ord"),
+        F.pmod(order_key, F.lit(bins)).cast("int").alias("_pid"),
     )
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:

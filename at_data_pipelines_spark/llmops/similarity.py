@@ -144,6 +144,11 @@ def cosine_threshold_pairs_blocked(
        ≲1e-14 — so stage 3 never prunes a true pair.
     """
     emb = corpus.select(F.col(id_col), F.col(vec_col))
+    # pair schema follows the id column's type (long ids, string ids, ...);
+    # ordering inside a pair is the id type's natural order in both the
+    # numpy kernel below and any downstream join
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    pair_schema = f"id_a {id_type}, id_b {id_type}"
     blk = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks))
     partners = F.explode(F.array([F.lit(i) for i in range(n_blocks)])).alias("p")
     keyed = (
@@ -157,7 +162,8 @@ def cosine_threshold_pairs_blocked(
 
     def gemm(pdf: pd.DataFrame) -> pd.DataFrame:
         lo, hi = int(pdf["lo"].iloc[0]), int(pdf["hi"].iloc[0])
-        empty = pd.DataFrame({"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64")})
+        id_dtype = pdf[id_col].dtype
+        empty = pd.DataFrame({"id_a": pd.Series(dtype=id_dtype), "id_b": pd.Series(dtype=id_dtype)})
 
         def side(mask):
             sub = pdf[mask]
@@ -178,13 +184,16 @@ def cosine_threshold_pairs_blocked(
             ids_b, B = side(pdf["blk"] == hi)
             ii, jj = np.nonzero(A @ B.T >= lo_t)
             ia, ib = ids_a[ii], ids_b[jj]
+        # elementwise comparison works for numeric and string/object ids
+        # alike (np.minimum's numeric-only fast path does not)
+        a_first = ia <= ib
         return pd.DataFrame(
-            {"id_a": np.minimum(ia, ib), "id_b": np.maximum(ia, ib)}
+            {"id_a": np.where(a_first, ia, ib), "id_b": np.where(a_first, ib, ia)}
         )
 
     cand = (
         keyed.groupBy("lo", "hi")
-        .applyInPandas(gemm, "id_a long, id_b long")
+        .applyInPandas(gemm, pair_schema)
     )
     a = emb.select(F.col(id_col).alias("id_a"), _as_double(vec_col).alias("ea"))
     b = emb.select(F.col(id_col).alias("id_b"), _as_double(vec_col).alias("eb"))

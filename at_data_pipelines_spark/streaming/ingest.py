@@ -85,6 +85,21 @@ def near_dup_ingest_stream(
         sig = minhash_signatures(batch, text_col, id_col, num_hashes, shingle_n)
         batch_bands = lsh_bands(sig, id_col, bands, num_hashes // bands)
 
+        # documents with fewer than shingle_n tokens have no shingles, so
+        # no signature and no band rows — without a guard they would bypass
+        # both the index lookup and within-batch clustering entirely. Give
+        # them a synthetic exact-fingerprint band (band = -1, key = md5 of
+        # the raw text): exact duplicates of short docs then collide through
+        # the very same joins, with exact- instead of near-dup semantics.
+        short = batch.join(
+            batch_bands.select(id_col).distinct(), id_col, "left_anti"
+        ).select(
+            F.lit(-1).alias("band"),
+            F.md5(F.col(text_col)).alias("band_key"),
+            F.col(id_col),
+        )
+        batch_bands = batch_bands.unionByName(short)
+
         # index lookup: any shared bucket with the kept corpus → near-dup
         idx = lake.table(index_table).select("band", "band_key")
         dup_hits = (

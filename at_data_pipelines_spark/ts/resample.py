@@ -48,13 +48,16 @@ def align_to_calendar(
     grid = tickers.crossJoin(F.broadcast(cal))
     joined = grid.join(df, [ticker_col, date_col], "left")
     w = W.partitionBy(ticker_col).orderBy(date_col).rowsBetween(W.unboundedPreceding, 0)
-    obs_date = F.last(
-        F.when(F.col(value_cols[0]).isNotNull(), F.col(date_col)), ignorenulls=True
-    ).over(w)
     cols = [F.col(ticker_col), F.col(date_col)]
     for c in value_cols:
         filled = F.last(F.col(c), ignorenulls=True).over(w)
         if max_ffill_days is not None:
+            # staleness is measured per column: value columns may have
+            # different null patterns, so each gets its own last-observed
+            # date (all windows share one partitioning — still one shuffle)
+            obs_date = F.last(
+                F.when(F.col(c).isNotNull(), F.col(date_col)), ignorenulls=True
+            ).over(w)
             filled = F.when(
                 F.datediff(F.col(date_col), obs_date) <= max_ffill_days, filled
             )

@@ -199,14 +199,28 @@ def test_connect_s3_maps_storage_options(spark):
             # instantiating the s3a FileSystem fails without the AWS jars;
             # the conf mapping below is what the API contracts
             pass
-        assert conf.get("fs.s3a.access.key") == "AKID"
-        assert conf.get("fs.s3a.secret.key") == "SEKRET"
-        assert conf.get("fs.s3a.endpoint") == "http://minio:9000"
-        assert conf.get("fs.s3a.connection.anonymous") == "false"
-        assert conf.get("fs.s3a.path.style.access") == "true"
+        # options land under the per-bucket namespace so two lakehouses
+        # with different credentials can coexist in one session
+        pre = "fs.s3a.bucket.bucket."
+        assert conf.get(pre + "access.key") == "AKID"
+        assert conf.get(pre + "secret.key") == "SEKRET"
+        assert conf.get(pre + "endpoint") == "http://minio:9000"
+        assert conf.get(pre + "connection.anonymous") == "false"
+        assert conf.get(pre + "path.style.access") == "true"
+        # and never clobber the session-global keys
+        assert conf.get("fs.s3a.access.key") is None
+        assert conf.get("fs.s3a.secret.key") is None
+        try:
+            Lakehouse.connect_s3(spark, "s3://other/lake", {"key": "AKID2"})
+        except Exception:
+            pass
+        assert conf.get("fs.s3a.bucket.other.access.key") == "AKID2"
+        assert conf.get(pre + "access.key") == "AKID"  # first bucket intact
     finally:
-        for k in ["fs.s3a.access.key", "fs.s3a.secret.key", "fs.s3a.endpoint",
-                  "fs.s3a.connection.anonymous", "fs.s3a.path.style.access"]:
+        pre = "fs.s3a.bucket.bucket."
+        for k in [pre + "access.key", pre + "secret.key", pre + "endpoint",
+                  pre + "connection.anonymous", pre + "path.style.access",
+                  "fs.s3a.bucket.other.access.key"]:
             conf.unset(k)
 
 

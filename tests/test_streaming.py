@@ -252,3 +252,45 @@ def test_near_dup_ingest_stream(spark, tmp_path):
     # index holds exactly the bands of kept docs
     idx_ids = {r.doc_id for r in lake.table("band_index").collect()}
     assert idx_ids == kept2
+
+
+def test_near_dup_ingest_short_docs_guarded(spark, tmp_path):
+    """Documents with fewer than shingle_n tokens have no MinHash bands;
+    the exact-fingerprint guard (band = -1, key = md5(text)) must still
+    dedup their exact copies within a batch and across batches."""
+    from at_data_pipelines_spark.streaming import (
+        create_ingest_tables,
+        near_dup_ingest_stream,
+    )
+
+    doc_schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    batch1 = [(1, "hi"), (2, "hi"), (3, "ok then")]  # all < 3 tokens; 1≡2
+    batch2 = [(10, "hi"), (11, "new two")]  # 10 is an exact copy of corpus
+    src = tmp_path / "short_src"
+    src.mkdir()
+    spark.createDataFrame(batch1, doc_schema).coalesce(1).write.parquet(str(src / "b1"))
+
+    lake = Lakehouse(spark, str(tmp_path / "short_lake"))
+    create_ingest_tables(lake, "docs", "band_index", doc_schema)
+
+    def run(ckpt):
+        stream = spark.readStream.schema(doc_schema).option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(f"{src}/*")
+        q = near_dup_ingest_stream(
+            stream, lake, "docs", "band_index", str(tmp_path / ckpt)
+        )
+        q.awaitTermination(180)
+
+    run("ck1")
+    kept1 = {r.doc_id for r in lake.table("docs").collect()}
+    assert len(kept1 & {1, 2}) == 1  # within-batch exact dup collapsed
+    assert 3 in kept1
+
+    spark.createDataFrame(batch2, doc_schema).coalesce(1).write.parquet(str(src / "b2"))
+    run("ck2")
+    kept2 = {r.doc_id for r in lake.table("docs").collect()}
+    assert 10 not in kept2  # exact copy of a kept short doc is dropped
+    assert 11 in kept2
