@@ -15,8 +15,8 @@ Spark-first restatement:
 
 - A table is a directory of hive-partitioned parquet plus a small JSON
   metadata file (declared schema, partition keys, primary keys, ingest
-  sequence, dirty partitions).
-- ``insert`` appends parquet files stamped with an ``_seq`` batch column.
+  sequence, dirty partitions, and the COMMIT MANIFEST — see below).
+- ``insert`` appends a new ``_seq=K`` batch directory.
 - ``optimize`` completes the upsert: keep the latest row per primary key
   (``row_number() OVER (PARTITION BY pk ORDER BY _seq DESC) = 1``), the
   same rewrite Delta's MERGE would do.
@@ -24,16 +24,41 @@ Spark-first restatement:
   Catalyst pushes filters/projections into the scan and prunes hive
   partitions (the reference's partition_keys=['year'] layout).
 
+Commit protocol (object-store safe — the Iceberg/Delta snapshot idea
+restated in a plain hive layout):
+
+- The data directory is APPEND-ONLY: every write — insert batch,
+  compaction output, delete rewrite — lands in a brand-new
+  ``data/_seq=K/...`` directory. Nothing is ever renamed or overwritten,
+  so the non-atomic copy+delete semantics of object-store renames never
+  apply: there are no renames.
+- Visibility is defined SOLELY by the meta JSON: ``live_deltas`` (insert
+  batches not yet compacted) plus ``committed`` (per-partition pointers
+  ``rel → seq`` naming the compacted generation each partition reads
+  from; key ``""`` is the whole-table base of an unpartitioned table).
+  Readers enumerate exactly those paths — an in-flight or crashed
+  write's directory is unreachable because no manifest names it.
+- The commit point of every operation is the single ``_save_meta`` PUT
+  (atomic on local/HDFS create+overwrite and on S3, where an object PUT
+  is all-or-nothing). Crash before it: readers keep the old state
+  bit-for-bit; the half-written ``_seq=K`` directory is orphaned and
+  reclaimed by ``vacuum()`` (retries also clear their own target dir
+  first, so a crashed attempt can never leak rows into a later one).
+
 100 TB scale notes:
 
 - ``optimize`` only rewrites **dirty partitions** (partition values touched
-  by inserts since the last optimize), via dynamic partition overwrite —
-  compaction cost is proportional to the day's ingest, not table size.
-  This mirrors the reference's usage: daily flows insert a single year
-  partition, so only that partition pays the dedup shuffle.
+  by inserts since the last optimize) — compaction cost is proportional
+  to the day's ingest, not table size. This mirrors the reference's
+  usage: daily flows insert a single year partition, so only that
+  partition pays the dedup shuffle.
 - The PK dedup is a hash shuffle on the primary key — at cluster scale the
   natural layout is files bucketed by PK hash; here we rely on AQE to size
   the shuffle.
+- Reads list one committed path per partition plus one per live delta —
+  O(partitions) LIST calls, issued by Spark's parallel file listing. The
+  compaction that keeps ``live_deltas`` short is the same one that keeps
+  file counts low, so the two costs amortize together.
 - No driver-side materialization anywhere; creates write empty dataframes,
   reads use the declared schema (robust to empty tables).
 """
@@ -60,10 +85,12 @@ class _HadoopFS:
     resolved from the session's hadoopConfiguration (credentials,
     endpoints and committers configured there apply here too).
 
-    Atomicity note: directory rename is atomic on HDFS and the local FS;
-    on S3A it is a copy+delete. A production deployment on object storage
-    would layer a table format (Delta/Iceberg) or an S3 committer on top;
-    the swap protocol here is correct either way, just not atomic on S3.
+    Atomicity note: the lakehouse never renames — its commit protocol is
+    append-only data plus a single metadata PUT (see module docstring) —
+    so the copy+delete semantics of object-store renames are irrelevant
+    here. ``write_text`` (create with overwrite) is the commit primitive:
+    atomic on local/HDFS rename-into-place and on S3, where a PUT either
+    fully replaces the object or doesn't happen.
     """
 
     def __init__(self, spark: SparkSession, root: str):
@@ -80,16 +107,6 @@ class _HadoopFS:
 
     def delete(self, p: str) -> None:
         self._fs.delete(self._Path(p), True)
-
-    def rename(self, src: str, dst: str) -> None:
-        """Move src over dst (dst removed first, parent created)."""
-        dpath = self._Path(dst)
-        self._fs.delete(dpath, True)
-        parent = dpath.getParent()
-        if parent is not None:
-            self._fs.mkdirs(parent)
-        if not self._fs.rename(self._Path(src), dpath):
-            raise IOError(f"rename failed: {src} -> {dst}")
 
     def list_subdirs(self, p: str) -> list[str]:
         if not self.exists(p):
@@ -130,6 +147,29 @@ class _HadoopFS:
             stream.close()
 
 
+# Hive's default set of characters escaped in partition directory names
+# (mirrors Spark's ExternalCatalogUtils.escapePathName, so rel strings
+# built from collected values match the directories Spark writes)
+_HIVE_ESCAPE = set('"#%\'*/:=?\\\x7f{[]^')
+
+
+def _escape_partition_value(v) -> str:
+    if v is None:
+        return "__HIVE_DEFAULT_PARTITION__"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    s = str(v)
+    return "".join(
+        "%%%02X" % ord(ch) if ch in _HIVE_ESCAPE or ord(ch) < 0x20 else ch for ch in s
+    )
+
+
+def _hive_rel(keys: list[str], vals) -> str:
+    """``year=2024`` / ``year=2024/month=3`` — the hive directory path of
+    one partition value tuple."""
+    return "/".join(f"{k}={_escape_partition_value(v)}" for k, v in zip(keys, vals))
+
+
 @dataclass
 class TableMeta:
     name: str
@@ -139,6 +179,11 @@ class TableMeta:
     next_seq: int = 0
     dirty_partitions: list[list] = field(default_factory=list)  # values of partition_keys tuples
     all_dirty: bool = False
+    # commit manifest: rel partition dir -> _seq generation holding its
+    # compacted base ("" = whole-table base of an unpartitioned table)
+    committed: dict[str, int] = field(default_factory=dict)
+    # insert batches visible but not yet absorbed by a compaction
+    live_deltas: list[int] = field(default_factory=list)
 
     @property
     def schema(self) -> T.StructType:
@@ -260,25 +305,43 @@ class Lakehouse:
             self.fs.delete(self._dir(name))
 
     # -- DML ---------------------------------------------------------------
+    def _seq_dir(self, name: str, seq: int) -> str:
+        return f"{self._dir(name)}/data/{_SEQ_COL}={seq}"
+
+    def _write_seq(self, name: str, meta: TableMeta, df: DataFrame, seq: int) -> None:
+        """Write one immutable ``_seq=K`` generation. The target directory
+        is cleared first so a retry after a crashed attempt (same K —
+        ``next_seq`` only advances at commit) can never mix old partial
+        files into its output."""
+        self.fs.delete(self._seq_dir(name, seq))
+        writer = df.withColumn(_SEQ_COL, F.lit(seq)).write.mode("append")
+        writer = writer.partitionBy(_SEQ_COL, *meta.partition_keys)
+        writer.parquet(f"{self._dir(name)}/data")
+
     def insert(self, name: str, df: DataFrame, mode: str = "append") -> None:
-        """Append a batch (stamped with an ingest sequence for keep-latest
-        dedup). ``mode='overwrite'`` truncates first."""
+        """Append a batch as a new ``_seq=K`` delta directory (the sequence
+        also orders keep-latest dedup). ``mode='overwrite'`` truncates:
+        the manifest forgets all prior generations, whose directories
+        become vacuumable orphans."""
         meta = self._load_meta(name)
         declared = meta.schema
         cols = [F.col(f.name).cast(f.dataType).alias(f.name) for f in declared.fields]
-        batch = df.select(*cols).withColumn(_SEQ_COL, F.lit(meta.next_seq))
-        writer = batch.write.mode("append" if mode == "append" else "overwrite")
-        if meta.partition_keys:
-            writer = writer.partitionBy(*meta.partition_keys)
-        writer.parquet(f"{self._dir(name)}/data")
+        seq = meta.next_seq
+        self._write_seq(name, meta, df.select(*cols), seq)
+        # an empty batch writes no directory — it must not enter the
+        # manifest, or readers would enumerate a nonexistent path
+        wrote_rows = self.fs.exists(self._seq_dir(name, seq))
         if mode != "append":
-            # truncation invalidates pre-overwrite dirty state: partitions
-            # recorded by earlier inserts may no longer exist, and the next
-            # optimize() must only consider this batch
+            # truncation: visibility resets to this batch alone, and the
+            # next optimize() must only consider this batch
+            meta.committed = {}
+            meta.live_deltas = []
             meta.dirty_partitions = []
             meta.all_dirty = False
-        meta.next_seq += 1
-        if meta.partition_keys:
+        if wrote_rows:
+            meta.live_deltas.append(seq)
+        meta.next_seq = seq + 1
+        if wrote_rows and meta.partition_keys:
             # record which partition values this batch touched (tiny collect:
             # distinct over partition keys only)
             vals = (
@@ -292,21 +355,32 @@ class Lakehouse:
                 if tup not in seen:
                     meta.dirty_partitions.append(list(tup))
                     seen.add(tup)
-        else:
+        elif wrote_rows:
             meta.all_dirty = True
-        self._save_meta(meta)
+        self._save_meta(meta)  # commit point
+
+    def _visible_paths(self, name: str, meta: TableMeta) -> list[str]:
+        """Exactly the directories the manifest commits to — never a bare
+        scan of the data dir, so in-flight or crashed writes are
+        unreachable by construction."""
+        paths = [self._seq_dir(name, s) for s in meta.live_deltas]
+        for rel, s in sorted(meta.committed.items()):
+            base = self._seq_dir(name, s)
+            paths.append(base if rel == "" else f"{base}/{rel}")
+        return paths
 
     def _read_raw(self, name: str, meta: TableMeta) -> DataFrame:
         data_dir = f"{self._dir(name)}/data"
         schema_with_seq = T.StructType(
             meta.schema.fields + [T.StructField(_SEQ_COL, T.LongType(), True)]
         )
-        if not self.fs.exists(data_dir):
+        paths = self._visible_paths(name, meta)
+        if not paths:
             return self.spark.createDataFrame([], schema_with_seq)
         return (
             self.spark.read.schema(schema_with_seq)
             .option("basePath", data_dir)
-            .parquet(data_dir)
+            .parquet(*paths)
         )
 
     def table(self, name: str) -> DataFrame:
@@ -326,8 +400,13 @@ class Lakehouse:
         (reference S4: 'Optimize table (deduplicate)',
         pipelines/portfolio_weights_flow.py:168-169).
 
-        Only dirty partitions are rewritten (dynamic partition overwrite),
-        so the cost scales with the ingest, not the table.
+        Only dirty partitions are rewritten, so the cost scales with the
+        ingest, not the table. The rewrite is a new ``_seq=K`` generation;
+        the manifest repoints the rewritten partitions and drops the
+        absorbed deltas in ONE metadata PUT, so readers switch from the
+        old state to the new state atomically (never a mixture). The
+        superseded generation dirs are deleted after the commit — a crash
+        in that cleanup only leaves vacuumable orphans.
         """
         meta = self._load_meta(name)
         if not meta.primary_keys:
@@ -359,32 +438,44 @@ class Lakehouse:
             if meta.partition_keys
             else deduped
         ).sortWithinPartitions(*cluster)
-        # Spark cannot overwrite a path it is reading; write compacted data
-        # to a staging dir, then swap the affected partition directories in
-        # via Hadoop FS renames (atomic on HDFS/local; see _HadoopFS note
-        # for object stores).
-        data_dir = f"{self._dir(name)}/data"
-        tmp_dir = f"{self._dir(name)}/.compact_tmp"
-        self.fs.delete(tmp_dir)
-        writer = deduped.write.mode("overwrite")
+        seq = meta.next_seq
+        self._write_seq(name, meta, deduped.drop(_SEQ_COL), seq)
+        old_committed = dict(meta.committed)
+        old_deltas = list(meta.live_deltas)
         if meta.partition_keys:
-            writer = writer.partitionBy(*meta.partition_keys)
-        writer.parquet(tmp_dir)
-        self._swap_partitions(data_dir, tmp_dir, meta)
+            depth = len(meta.partition_keys)
+            pattern = "/".join(["*=*"] * depth)
+            written = self.fs.glob_dir_leaves(f"{self._seq_dir(name, seq)}/{pattern}", depth)
+            for rel in written:
+                meta.committed[rel] = seq
+        else:
+            meta.committed[""] = seq
+        # every dirty partition is (by definition) every partition the live
+        # deltas touched, so the rewrite absorbed all of them
+        meta.live_deltas = []
         meta.dirty_partitions = []
         meta.all_dirty = False
-        self._save_meta(meta)
+        meta.next_seq = seq + 1
+        self._save_meta(meta)  # commit point
+        self._clean_superseded(name, meta, old_committed, old_deltas)
 
-    def _swap_partitions(self, data_dir: str, tmp_dir: str, meta: TableMeta) -> None:
-        rewrite_all = meta.all_dirty or not meta.partition_keys
-        if rewrite_all:
-            self.fs.rename(tmp_dir, data_dir)
-            return
-        depth = len(meta.partition_keys)
-        pattern = "/".join(["*=*"] * depth)
-        for rel in self.fs.glob_dir_leaves(f"{tmp_dir}/{pattern}", depth):
-            self.fs.rename(f"{tmp_dir}/{rel}", f"{data_dir}/{rel}")
-        self.fs.delete(tmp_dir)
+    def _clean_superseded(
+        self,
+        name: str,
+        meta: TableMeta,
+        old_committed: dict[str, int],
+        old_deltas: list[int],
+    ) -> None:
+        """Post-commit space reclaim of generation dirs the new manifest no
+        longer references. Purely best-effort: a crash here leaves orphans
+        for vacuum(), never an inconsistent table. (Like any vacuum, this
+        invalidates lazy DataFrames planned against the old manifest.)"""
+        for s in old_deltas:
+            self.fs.delete(self._seq_dir(name, s))
+        for rel, s in old_committed.items():
+            if meta.committed.get(rel) != s:
+                base = self._seq_dir(name, s)
+                self.fs.delete(base if rel == "" else f"{base}/{rel}")
 
     def upsert(self, name: str, df: DataFrame) -> None:
         """The reference's writer idiom: insert(append) + optimize()."""
@@ -392,20 +483,47 @@ class Lakehouse:
         self.optimize(name)
 
     def vacuum(self, name: str | None = None) -> list[str]:
-        """Remove orphaned staging directories (`.compact_tmp` /
-        `.delete_tmp`) left behind by a compaction or delete that died
-        between its write and its swap. Safe at any time: live operations
-        always delete-then-recreate their staging dir before use, and
-        the data/meta of a table are never touched. Returns the removed
-        paths (for operational logging)."""
+        """Reclaim generation directories the manifest does not reference —
+        the leavings of writes that crashed before their commit (or of a
+        cleanup that crashed after one). Safe at any time under the
+        single-writer assumption: visibility is defined by the manifest
+        alone, retries clear their own target dir before writing, and an
+        unreferenced dir can never become referenced again (sequence
+        numbers only move forward). Returns the removed paths."""
         removed = []
         tables = [name] if name else self.tables()
         for t in tables:
+            # legacy staging dirs from the pre-manifest protocol
             for leftover in (".compact_tmp", ".delete_tmp"):
                 p = f"{self._dir(t)}/{leftover}"
                 if self.fs.exists(p):
                     self.fs.delete(p)
                     removed.append(p)
+            meta = self._load_meta(t)
+            live = set(meta.live_deltas)
+            base_rels: dict[int, set[str]] = {}
+            for rel, s in meta.committed.items():
+                base_rels.setdefault(s, set()).add(rel)
+            data_dir = f"{self._dir(t)}/data"
+            for d in self.fs.list_subdirs(data_dir):
+                if not d.startswith(f"{_SEQ_COL}="):
+                    continue
+                s = int(d.split("=", 1)[1])
+                if s in live:
+                    continue
+                rels = base_rels.get(s)
+                if rels is None:
+                    self.fs.delete(f"{data_dir}/{d}")
+                    removed.append(f"{data_dir}/{d}")
+                elif "" not in rels and meta.partition_keys:
+                    # partially-referenced base generation: drop only the
+                    # partition subdirs no longer pointed at
+                    depth = len(meta.partition_keys)
+                    pattern = "/".join(["*=*"] * depth)
+                    for rel in self.fs.glob_dir_leaves(f"{data_dir}/{d}/{pattern}", depth):
+                        if rel not in rels:
+                            self.fs.delete(f"{data_dir}/{d}/{rel}")
+                            removed.append(f"{data_dir}/{d}/{rel}")
         return removed
 
     def delete_where(self, name: str, predicate) -> None:
@@ -413,46 +531,70 @@ class Lakehouse:
         real lakehouse — corrections, retention, GDPR erasure).
 
         ``predicate`` is a Column (or SQL string) selecting rows to REMOVE.
-        Implementation mirrors optimize(): rewrite only the partitions
-        that contain matching rows (partition-pruned scan → staging dir →
-        directory swap), cost ∝ affected partitions, not table size.
+        Rewrites only the affected partitions (those with matching rows,
+        plus any with un-compacted delta data — absorbed here, with PK
+        dedup when the table has primary keys, exactly as optimize()
+        would) into a new generation; one manifest PUT commits. Cost ∝
+        affected partitions, not table size.
         """
         meta = self._load_meta(name)
         pred = F.expr(predicate) if isinstance(predicate, str) else predicate
         # NULL predicate results must mean "keep", not silently vanish
         pred = F.coalesce(pred, F.lit(False))
         raw = self._read_raw(name, meta)
+        seq = meta.next_seq
         if meta.partition_keys:
-            # find affected partition values (pruned aggregate, tiny collect)
+            # affected = partitions with matching rows (pruned aggregate,
+            # tiny collect) ∪ partitions with live delta data (the rewrite
+            # absorbs the deltas, so every partition they touch must come
+            # along — they are exactly the dirty set)
             vals = raw.filter(pred).select(*meta.partition_keys).distinct().collect()
-            if not vals:
+            affected = {tuple(r) for r in vals} | {tuple(v) for v in meta.dirty_partitions}
+            if not affected:
                 return
             part_filter = None
-            for r in vals:
+            for tup in affected:
                 cond = F.lit(True)
-                for k in meta.partition_keys:
-                    cond = cond & (F.col(k) == F.lit(r[k]))
+                for k, v in zip(meta.partition_keys, tup):
+                    cond = cond & (F.col(k) == F.lit(v))
                 part_filter = cond if part_filter is None else (part_filter | cond)
-            kept = raw.filter(part_filter).filter(~pred)
-            data_dir = f"{self._dir(name)}/data"
-            tmp_dir = f"{self._dir(name)}/.delete_tmp"
-            self.fs.delete(tmp_dir)
-            kept.write.mode("overwrite").partitionBy(*meta.partition_keys).parquet(tmp_dir)
-            # swap affected partitions (including now-empty ones)
+            sub = raw.filter(part_filter)
+            if meta.primary_keys:
+                w = W.partitionBy(*meta.primary_keys).orderBy(F.desc(_SEQ_COL))
+                sub = sub.withColumn("_rn", F.row_number().over(w)).filter(
+                    F.col("_rn") == 1
+                ).drop("_rn")
+            kept = sub.filter(~pred)
+            self._write_seq(name, meta, kept.drop(_SEQ_COL), seq)
             depth = len(meta.partition_keys)
             pattern = "/".join(["*=*"] * depth)
-            written = set(self.fs.glob_dir_leaves(f"{tmp_dir}/{pattern}", depth))
-            for r in vals:
-                rel = "/".join(f"{k}={r[k]}" for k in meta.partition_keys)
-                if rel in written:
-                    self.fs.rename(f"{tmp_dir}/{rel}", f"{data_dir}/{rel}")
-                else:
-                    self.fs.delete(f"{data_dir}/{rel}")
-            self.fs.delete(tmp_dir)
+            written = set(self.fs.glob_dir_leaves(f"{self._seq_dir(name, seq)}/{pattern}", depth))
+            old_committed = dict(meta.committed)
+            old_deltas = list(meta.live_deltas)
+            for rel in written:
+                meta.committed[rel] = seq
+            for tup in affected:
+                rel = _hive_rel(meta.partition_keys, tup)
+                if rel not in written:
+                    meta.committed.pop(rel, None)  # partition fully deleted
         else:
-            kept = raw.filter(~pred)
-            data_dir = f"{self._dir(name)}/data"
-            tmp_dir = f"{self._dir(name)}/.delete_tmp"
-            self.fs.delete(tmp_dir)
-            kept.write.mode("overwrite").parquet(tmp_dir)
-            self.fs.rename(tmp_dir, data_dir)
+            sub = raw
+            if meta.primary_keys:
+                w = W.partitionBy(*meta.primary_keys).orderBy(F.desc(_SEQ_COL))
+                sub = sub.withColumn("_rn", F.row_number().over(w)).filter(
+                    F.col("_rn") == 1
+                ).drop("_rn")
+            kept = sub.filter(~pred)
+            self._write_seq(name, meta, kept.drop(_SEQ_COL), seq)
+            old_committed = dict(meta.committed)
+            old_deltas = list(meta.live_deltas)
+            if self.fs.exists(self._seq_dir(name, seq)):
+                meta.committed[""] = seq
+            else:
+                meta.committed.pop("", None)  # every row deleted
+        meta.live_deltas = []
+        meta.dirty_partitions = []
+        meta.all_dirty = False
+        meta.next_seq = seq + 1
+        self._save_meta(meta)  # commit point
+        self._clean_superseded(name, meta, old_committed, old_deltas)

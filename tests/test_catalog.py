@@ -86,10 +86,10 @@ def test_optimize_only_rewrites_dirty_partitions(lake, spark):
     import glob
 
     local = lake._dir("prices").removeprefix("file://")
-    before = set(glob.glob(f"{local}/data/year=2023/*.parquet"))
+    before = set(glob.glob(f"{local}/data/_seq=*/year=2023/*.parquet"))
     assert before, "expected 2023 partition files"
     lake.upsert("prices", _df(spark, [("A", "2024-01-02", 3.0)]))
-    after = set(glob.glob(f"{local}/data/year=2023/*.parquet"))
+    after = set(glob.glob(f"{local}/data/_seq=*/year=2023/*.parquet"))
     assert before == after, "clean partition was rewritten"
     rows = {(r.ticker, str(r.date)): r.close for r in lake.table("prices").collect()}
     assert rows[("A", "2024-01-02")] == 3.0
@@ -134,15 +134,16 @@ def test_delete_where_partition_pruned(lake, spark):
     )
     import glob
 
-    before_2024 = set(glob.glob(f"{lake._dir('prices')}/data/year=2024/*.parquet"))
+    local = lake._dir("prices").removeprefix("file://")
+    before_2024 = set(glob.glob(f"{local}/data/_seq=*/year=2024/*.parquet"))
     lake.delete_where("prices", F.col("ticker") == "B")
-    after_2024 = set(glob.glob(f"{lake._dir('prices')}/data/year=2024/*.parquet"))
+    after_2024 = set(glob.glob(f"{local}/data/_seq=*/year=2024/*.parquet"))
     assert before_2024 == after_2024, "unaffected partition was rewritten"
     rows = {(r.ticker, str(r.date)) for r in lake.table("prices").collect()}
     assert rows == {("A", "2023-06-01"), ("A", "2024-01-02")}
-    # delete the rest of a partition → partition dir disappears
+    # delete the rest of a partition → its directories are reclaimed
     lake.delete_where("prices", F.col("year") == 2023)
-    assert not glob.glob(f"{lake._dir('prices')}/data/year=2023/*")
+    assert not glob.glob(f"{local}/data/_seq=*/year=2023/*")
     assert {r.ticker for r in lake.table("prices").collect()} == {"A"}
 
 
@@ -238,7 +239,7 @@ def test_optimize_writes_pk_sorted_files(lake, spark):
     lake.create("prices", SCHEMA, ["year"], ["date", "ticker"])
     lake.upsert("prices", _df(spark, rows))
     local = lake._dir("prices").removeprefix("file://")
-    files = glob.glob(f"{local}/data/year=2024/*.parquet")
+    files = glob.glob(f"{local}/data/_seq=*/year=2024/*.parquet")
     assert len(files) == 1, "partition rewrite should produce one clustered file"
     import duckdb
 
@@ -258,3 +259,79 @@ def test_vacuum_removes_orphan_staging_dirs(lake, spark):
     # table untouched
     assert lake.table("prices").count() == 1
     assert lake.vacuum() == []  # idempotent
+
+
+def test_crashed_optimize_is_invisible_then_recovers(lake, spark):
+    """Kill optimize between its data write and its manifest commit: a
+    reader must see EXACTLY the pre-optimize state (never a mixture of
+    old and new partition generations), a retry completes cleanly with no
+    duplicate rows, and vacuum reclaims the orphaned attempt."""
+    lake.create("prices", SCHEMA, ["year"], ["date", "ticker"])
+    lake.insert(
+        "prices", _df(spark, [("A", "2023-06-01", 1.0), ("A", "2024-01-02", 2.0)])
+    )
+    lake.insert("prices", _df(spark, [("A", "2024-01-02", 3.0)]))  # revision
+    before = sorted(
+        (r.ticker, str(r.date), r.close) for r in lake.table("prices").collect()
+    )
+    assert len(before) == 3  # both versions visible pre-optimize
+
+    real_save = lake._save_meta
+
+    def boom(meta):
+        raise RuntimeError("crash before commit")
+
+    lake._save_meta = boom
+    with pytest.raises(RuntimeError, match="crash before commit"):
+        lake.optimize("prices")
+    lake._save_meta = real_save
+
+    # the half-written generation exists on disk but no reader sees it
+    after_crash = sorted(
+        (r.ticker, str(r.date), r.close) for r in lake.table("prices").collect()
+    )
+    assert after_crash == before
+
+    lake.optimize("prices")  # retry completes the upsert
+    rows = {(r.ticker, str(r.date)): r.close for r in lake.table("prices").collect()}
+    assert rows == {("A", "2023-06-01"): 1.0, ("A", "2024-01-02"): 3.0}
+
+    removed = lake.vacuum("prices")
+    assert lake.table("prices").count() == 2  # vacuum never touches live data
+    assert removed == [] or all("_seq=" in p for p in removed)
+
+
+def test_crashed_insert_retry_does_not_duplicate(lake, spark):
+    """An insert that wrote its delta directory but died before its
+    manifest commit must be invisible; retrying the same batch must not
+    leak rows from the dead attempt."""
+    lake.create("prices", SCHEMA, ["year"], ["date", "ticker"])
+    batch = _df(spark, [("A", "2024-01-02", 1.0), ("B", "2024-01-02", 2.0)])
+    real_save = lake._save_meta
+    lake._save_meta = lambda meta: (_ for _ in ()).throw(RuntimeError("die"))
+    with pytest.raises(RuntimeError):
+        lake.insert("prices", batch)
+    lake._save_meta = real_save
+    assert lake.table("prices").count() == 0  # dead attempt invisible
+    lake.insert("prices", batch)  # retry (same seq — dir cleared first)
+    assert lake.table("prices").count() == 2
+    lake.optimize("prices")
+    assert lake.table("prices").count() == 2
+
+
+def test_unreferenced_generation_invisible_and_vacuumed(lake, spark):
+    """A generation directory the manifest doesn't name (e.g. a partial
+    copy from a dead writer) is unreachable by readers and reclaimed by
+    vacuum — the object-store equivalent of 'readers never observe a
+    half-swapped partition'."""
+    lake.create("prices", SCHEMA, ["year"], ["date", "ticker"])
+    lake.upsert("prices", _df(spark, [("A", "2024-01-02", 1.0)]))
+    # plant a foreign generation full of rows (as a non-atomic copy would)
+    junk = _df(spark, [("Z", "2024-01-03", 9.0), ("Z", "2023-01-03", 9.0)])
+    junk.withColumn("_seq", F.lit(99)).write.partitionBy("_seq", "year").mode(
+        "append"
+    ).parquet(f"{lake._dir('prices')}/data")
+    assert {r.ticker for r in lake.table("prices").collect()} == {"A"}
+    removed = lake.vacuum("prices")
+    assert any("_seq=99" in p for p in removed)
+    assert {r.ticker for r in lake.table("prices").collect()} == {"A"}
