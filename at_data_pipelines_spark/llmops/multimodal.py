@@ -1,15 +1,19 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata structs.
 
-The container has no codec libraries (PIL/cv2/librosa), so the actual
-decode is STUBBED: ``decode_image_meta`` parses a deterministic fake
-header format and raises ``NotImplementedError`` for real formats. The
-Spark-side plumbing — schemas, Arrow batch shapes, mapInPandas signatures,
-partitioning — is real and tested, so swapping a real codec in is a
-one-function change.
+Real codecs, pure numpy/stdlib (the container has no PIL/cv2/librosa):
 
-Fake media format (for tests): ``b"FAKE" + mode(1B) + width(4B LE) +
-height(4B LE) + payload``.
+- **BMP** — uncompressed BITMAPINFOHEADER, 24-bit BGR and 8-bit gray;
+- **PPM/PGM** — binary P6 (RGB) and P5 (gray), maxval ≤ 255;
+- **WAV** — RIFF PCM, 8/16/32-bit integer samples.
+
+These are header+raster formats, fully parseable with ``struct`` and
+``np.frombuffer`` — so decode → filter → embed → ANN runs end-to-end on
+real bytes. Compressed formats (PNG/JPEG/MP3/...) raise
+``NotImplementedError`` from the format sniff: entropy decoding needs a
+codec library, and faking it would hide the dependency. A deterministic
+``FAKE`` header format remains for plumbing tests:
+``b"FAKE" + mode(1B) + width(4B LE) + height(4B LE) + payload``.
 
 Scale notes: binary payloads ride the normal columnar path (parquet binary
 + Arrow); keep per-file row groups small enough that a batch of payloads
@@ -24,6 +28,7 @@ from __future__ import annotations
 import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -57,31 +62,143 @@ def make_fake_image(width: int, height: int, mode: int = 1, payload: bytes = b""
     return b"FAKE" + struct.pack("<BII", mode, width, height) + payload
 
 
-def _decode_fake_header(buf: bytes) -> tuple[int, int, str]:
-    if buf[:4] != b"FAKE":
-        raise NotImplementedError(
-            "real image codecs (PNG/JPEG/...) are not available in this "
-            "container; only the FAKE test format decodes"
+# -- pure-numpy image codecs -----------------------------------------------
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """Encode a (h, w) gray or (h, w, 3) RGB uint8 array as an
+    uncompressed BMP (BITMAPINFOHEADER; 8-bit indexed with a gray palette
+    or 24-bit BGR, rows bottom-up and 4-byte padded) — fixture generator
+    for the decoder and for synthetic multimodal corpora."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    gray = px.ndim == 2
+    h, w = px.shape[:2]
+    stride = (w * (1 if gray else 3) + 3) & ~3
+    palette = bytes(bytearray(v for g in range(256) for v in (g, g, g, 0))) if gray else b""
+    raster = bytearray()
+    for row in px[::-1]:  # bottom-up
+        line = row.tobytes() if gray else row[:, ::-1].tobytes()  # RGB → BGR
+        raster += line + b"\x00" * (stride - len(line))
+    data_off = 14 + 40 + len(palette)
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", data_off + len(raster), 0, 0, data_off)
+        + struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, 8 if gray else 24, 0, len(raster), 2835, 2835,
+            256 if gray else 0, 0,
         )
-    mode, w, h = struct.unpack("<BII", buf[4:13])
-    return w, h, {1: "L", 3: "RGB"}.get(mode, f"M{mode}")
+    )
+    return header + palette + bytes(raster)
+
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) RGB uint8 → binary P6; (h, w) gray uint8 → binary P5."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    magic = b"P5" if px.ndim == 2 else b"P6"
+    h, w = px.shape[:2]
+    return magic + f"\n{w} {h}\n255\n".encode() + px.tobytes()
+
+
+def _decode_bmp(buf: bytes) -> tuple[int, int, str, np.ndarray]:
+    file_off = struct.unpack("<I", buf[10:14])[0]
+    hdr_size, w, h = struct.unpack("<Iii", buf[14:26])
+    bpp = struct.unpack("<H", buf[28:30])[0]
+    compression = struct.unpack("<I", buf[30:34])[0]
+    if hdr_size < 40 or compression != 0 or bpp not in (8, 24):
+        raise NotImplementedError(
+            f"BMP variant not supported (header={hdr_size}, "
+            f"compression={compression}, bpp={bpp}): only uncompressed "
+            "8-bit gray / 24-bit BGR BITMAPINFOHEADER decodes"
+        )
+    bottom_up = h > 0
+    h = abs(h)
+    stride = (w * bpp // 8 + 3) & ~3
+    raster = np.frombuffer(buf, np.uint8, count=stride * h, offset=file_off)
+    rows = raster.reshape(h, stride)
+    if bpp == 8:
+        px = rows[:, :w]
+        mode = "L"
+    else:
+        px = rows[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR → RGB
+        mode = "RGB"
+    return w, h, mode, (px[::-1] if bottom_up else px).copy()
+
+
+def _decode_ppm(buf: bytes) -> tuple[int, int, str, np.ndarray]:
+    # header: magic, then 3 ASCII ints (w, h, maxval), '#' comments allowed
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(buf) and buf[pos : pos + 1].isspace():
+            pos += 1
+        if buf[pos : pos + 1] == b"#":
+            pos = buf.index(b"\n", pos) + 1
+            continue
+        start = pos
+        while pos < len(buf) and not buf[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(buf[start:pos]))
+    pos += 1  # single whitespace after maxval, then raster
+    w, h, maxval = fields
+    if maxval > 255:
+        raise NotImplementedError("16-bit PPM/PGM not supported")
+    if buf[:2] == b"P5":
+        px = np.frombuffer(buf, np.uint8, count=w * h, offset=pos).reshape(h, w)
+        return w, h, "L", px.copy()
+    px = np.frombuffer(buf, np.uint8, count=w * h * 3, offset=pos).reshape(h, w, 3)
+    return w, h, "RGB", px.copy()
+
+
+def decode_image(buf: bytes) -> tuple[int, int, str, np.ndarray | None]:
+    """Sniff the format and decode: ``(width, height, mode, pixels)``.
+    Pixels are a (h, w) or (h, w, 3) uint8 array for the raster formats,
+    None for the FAKE plumbing format. Unsupported (compressed) formats
+    raise NotImplementedError — decoding them honestly needs a codec
+    library this container doesn't have."""
+    buf = bytes(buf)
+    if buf[:2] == b"BM":
+        return _decode_bmp(buf)
+    if buf[:2] in (b"P5", b"P6"):
+        return _decode_ppm(buf)
+    if buf[:4] == b"FAKE":
+        mode, w, h = struct.unpack("<BII", buf[4:13])
+        return w, h, {1: "L", 3: "RGB"}.get(mode, f"M{mode}"), None
+    raise NotImplementedError(
+        "unsupported image format (PNG/JPEG/... need a codec library); "
+        "supported: BMP (8/24-bit uncompressed), PPM/PGM binary, FAKE"
+    )
 
 
 def decode_image_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
-    """Decode header metadata from image payloads (mapInPandas, Arrow
-    batches; per-row python only on the tiny header slice)."""
+    """Decode image metadata from payloads (mapInPandas, Arrow batches;
+    BMP/PPM headers are parsed directly, FAKE is the plumbing stub)."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, buf in zip(pdf["media_id"], pdf[payload_col]):
-                w, h, mode = _decode_fake_header(bytes(buf))
+                w, h, mode, _ = decode_image(bytes(buf))
                 rows.append((int(mid), w, h, mode, len(buf)))
             yield pd.DataFrame(
                 rows, columns=["media_id", "width", "height", "mode", "payload_bytes"]
             )
 
     return df.select("media_id", payload_col).mapInPandas(fn, IMAGE_FEATURES_SCHEMA)
+
+
+def block_mean_resize(px: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Area-style downsample to (out_h, out_w) float64 gray: mean over the
+    source pixels each output cell covers (exact bincount formulation, no
+    interpolation libraries needed). RGB input is first luma-averaged."""
+    if px.ndim == 3:
+        px = px @ np.array([0.299, 0.587, 0.114])
+    h, w = px.shape
+    row_bin = np.minimum((np.arange(h) * out_h) // max(h, 1), out_h - 1)
+    col_bin = np.minimum((np.arange(w) * out_w) // max(w, 1), out_w - 1)
+    cell = row_bin[:, None] * out_w + col_bin[None, :]
+    sums = np.bincount(cell.ravel(), weights=px.astype(np.float64).ravel(),
+                       minlength=out_h * out_w)
+    counts = np.bincount(cell.ravel(), minlength=out_h * out_w)
+    return (sums / np.maximum(counts, 1)).reshape(out_h, out_w)
 
 
 def filter_by_min_resolution(features: DataFrame, min_w: int, min_h: int) -> DataFrame:
@@ -102,34 +219,138 @@ def extract_embeddings(
     ``(media_id, embedding array<float>)``, the exact input shape of
     ``cosine_topk`` / ``ivf_topk`` / ``cosine_threshold_pairs_blocked``.
 
-    The embedding MODEL is stubbed (no torch/ONNX in this container) with
-    a deterministic pseudo-embedding seeded by the payload digest — same
-    payload, same vector, so dedup/ANN tests are reproducible. The
-    Spark-side shape is the real one: Arrow batches through mapInPandas,
-    one batched "inference" call per batch (swap the seeded RNG for a
-    model forward pass on GPU executors; signature and partitioning are
-    unchanged)."""
+    For decodable raster formats (BMP/PPM/PGM) the embedding is computed
+    from the PIXELS: a block-mean downsample to √dim × √dim gray,
+    mean-centered and L2-normalized — a real (if simple) perceptual
+    feature, so re-encodings of the same image land near each other in
+    cosine space regardless of container format. For the FAKE plumbing
+    format (no pixels) it falls back to a deterministic digest-seeded
+    pseudo-embedding — same payload, same vector, so plumbing tests stay
+    reproducible. A learned model drops in by replacing the per-batch
+    loop with a forward pass (signature and partitioning unchanged)."""
     import hashlib
 
-    import numpy as np
-
+    side = int(round(dim ** 0.5))
+    if side * side != dim:
+        raise ValueError(f"dim must be a perfect square for the pixel path, got {dim}")
     out_schema = "media_id long, embedding array<float>"
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             vecs = []
             for buf in pdf[payload_col]:
-                seed = int.from_bytes(
-                    hashlib.md5(bytes(buf)).digest()[:8], "little"
-                )
-                vecs.append(
-                    np.random.default_rng(seed).standard_normal(dim).astype(np.float32)
-                )
+                buf = bytes(buf)
+                _, _, _, px = decode_image(buf)
+                if px is not None:
+                    v = block_mean_resize(px, side, side).ravel()
+                    v = v - v.mean()
+                    n = np.linalg.norm(v)
+                    # flat (constant-color) images have no structure to
+                    # embed; give them a deterministic unit vector
+                    v = v / n if n > 0 else _digest_vec(buf, dim)
+                else:
+                    v = _digest_vec(buf, dim)
+                vecs.append(v.astype(np.float32))
             yield pd.DataFrame(
                 {"media_id": pdf["media_id"].to_numpy(), "embedding": vecs}
             )
 
+    def _digest_vec(buf: bytes, d: int) -> np.ndarray:
+        seed = int.from_bytes(hashlib.md5(buf).digest()[:8], "little")
+        v = np.random.default_rng(seed).standard_normal(d)
+        return v / np.linalg.norm(v)
+
     return df.select("media_id", payload_col).mapInPandas(fn, out_schema)
+
+
+# -- WAV (RIFF PCM) --------------------------------------------------------
+
+AUDIO_FEATURES_SCHEMA = (
+    "media_id long, channels int, sample_rate int, bits int, "
+    "n_samples long, duration_s double, rms double"
+)
+
+
+def encode_wav_pcm16(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """(n,) or (n, channels) int16 → RIFF/WAVE PCM bytes."""
+    s = np.asarray(samples, dtype="<i2")
+    channels = 1 if s.ndim == 1 else s.shape[1]
+    data = s.tobytes()
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate, sample_rate * channels * 2, channels * 2, 16
+    )
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(buf: bytes) -> tuple[dict, np.ndarray]:
+    """RIFF PCM → (meta dict, float64 samples in [-1, 1], shape
+    (n, channels)). Integer PCM widths 8/16/32 decode; compressed audio
+    raises NotImplementedError."""
+    buf = bytes(buf)
+    if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise NotImplementedError("unsupported audio format: only RIFF/WAVE PCM decodes")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(buf):
+        cid, size = buf[pos : pos + 4], struct.unpack("<I", buf[pos + 4 : pos + 8])[0]
+        body = buf[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("malformed WAV: missing fmt/data chunk")
+    audio_fmt, channels, rate, _, _, bits = fmt
+    if audio_fmt != 1 or bits not in (8, 16, 32):
+        raise NotImplementedError(
+            f"WAV codec {audio_fmt}/{bits}-bit not supported: integer PCM only"
+        )
+    dt = {8: np.uint8, 16: "<i2", 32: "<i4"}[bits]
+    raw = np.frombuffer(data, dt)
+    raw = raw[: (len(raw) // channels) * channels].reshape(-1, channels)
+    if bits == 8:  # 8-bit WAV is unsigned
+        samples = (raw.astype(np.float64) - 128.0) / 128.0
+    else:
+        samples = raw.astype(np.float64) / float(2 ** (bits - 1))
+    meta = {"channels": channels, "sample_rate": rate, "bits": bits,
+            "n_samples": raw.shape[0]}
+    return meta, samples
+
+
+def decode_audio_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """WAV payloads → typed audio features (mapInPandas, Arrow batches):
+    header fields plus duration and RMS level — the filter columns of an
+    audio-corpus quality pass (drop silence, clip lengths, resample
+    plans) without ever shipping the blob downstream."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, buf in zip(pdf["media_id"], pdf[payload_col]):
+                meta, samples = decode_wav(bytes(buf))
+                rms = float(np.sqrt((samples**2).mean())) if samples.size else 0.0
+                rows.append(
+                    (
+                        int(mid),
+                        meta["channels"],
+                        meta["sample_rate"],
+                        meta["bits"],
+                        meta["n_samples"],
+                        meta["n_samples"] / meta["sample_rate"],
+                        rms,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "channels", "sample_rate", "bits",
+                    "n_samples", "duration_s", "rms",
+                ],
+            )
+
+    return df.select("media_id", payload_col).mapInPandas(fn, AUDIO_FEATURES_SCHEMA)
 
 
 def chunk_audio(

@@ -438,6 +438,98 @@ def test_multimodal_real_codec_stubbed(spark):
         multimodal.decode_image_meta(df).collect()
 
 
+def test_bmp_ppm_roundtrip():
+    """Pure codec check: encode → decode is the identity on pixels for
+    every supported raster variant."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rgb = rng.integers(0, 256, size=(5, 7, 3), dtype=np.uint8)  # odd width → stride pad
+    gray = rng.integers(0, 256, size=(4, 6), dtype=np.uint8)
+    for enc, px, mode in [
+        (multimodal.encode_bmp, rgb, "RGB"),
+        (multimodal.encode_bmp, gray, "L"),
+        (multimodal.encode_ppm, rgb, "RGB"),
+        (multimodal.encode_ppm, gray, "L"),
+    ]:
+        w, h, m, out = multimodal.decode_image(enc(px))
+        assert (w, h, m) == (px.shape[1], px.shape[0], mode)
+        assert np.array_equal(out, px)
+
+
+def test_real_format_decode_filter_embed_ann(spark):
+    """End-to-end on REAL bytes: BMP/PPM payloads → decode_image_meta →
+    resolution filter → pixel-based extract_embeddings → ANN. The same
+    image re-encoded in a different container format must land at
+    cosine ≈ 1, an unrelated image must not."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    img_a = rng.integers(0, 256, size=(24, 32, 3), dtype=np.uint8)
+    img_b = rng.integers(0, 256, size=(24, 32, 3), dtype=np.uint8)
+    tiny = rng.integers(0, 256, size=(4, 4), dtype=np.uint8)
+    media = spark.createDataFrame(
+        [
+            (1, "image", multimodal.encode_bmp(img_a), ("s", "image/bmp")),
+            (2, "image", multimodal.encode_ppm(img_a), ("s", "image/x-ppm")),  # re-encode of 1
+            (3, "image", multimodal.encode_ppm(img_b), ("s", "image/x-ppm")),
+            (4, "image", multimodal.encode_bmp(tiny), ("s", "image/bmp")),  # below min res
+        ],
+        multimodal.MEDIA_SCHEMA,
+    )
+    feats = {r.media_id: r for r in multimodal.decode_image_meta(media).collect()}
+    assert (feats[1].width, feats[1].height, feats[1].mode) == (32, 24, "RGB")
+    assert feats[4].mode == "L"
+    kept_ids = {
+        r.media_id
+        for r in multimodal.filter_by_min_resolution(
+            multimodal.decode_image_meta(media), 16, 16
+        ).collect()
+    }
+    assert kept_ids == {1, 2, 3}
+    kept = media.join(
+        spark.createDataFrame([(i,) for i in sorted(kept_ids)], ["media_id"]), "media_id"
+    )
+    emb = multimodal.extract_embeddings(kept)
+    pairs = {
+        (r.id_a, r.id_b): r.cosine
+        for r in similarity.cosine_threshold_pairs_blocked(
+            emb, threshold=0.99, n_blocks=2, id_col="media_id", vec_col="embedding"
+        ).collect()
+    }
+    assert set(pairs) == {(1, 2)}  # same pixels, different container
+    assert pairs[(1, 2)] == pytest.approx(1.0)
+
+
+def test_wav_decode_meta(spark):
+    """RIFF PCM decode: header fields, duration and RMS from real bytes;
+    stereo and mono; compressed audio refuses."""
+    import numpy as np
+
+    t = np.arange(16000)
+    mono = (np.sin(2 * np.pi * 440 * t / 16000) * 20000).astype(np.int16)
+    stereo = np.stack([mono, np.zeros_like(mono)], axis=1)
+    media = spark.createDataFrame(
+        [
+            (1, "audio", multimodal.encode_wav_pcm16(mono, 16000), ("s", "audio/wav")),
+            (2, "audio", multimodal.encode_wav_pcm16(stereo, 8000), ("s", "audio/wav")),
+        ],
+        multimodal.MEDIA_SCHEMA,
+    )
+    feats = {r.media_id: r for r in multimodal.decode_audio_meta(media).collect()}
+    assert feats[1].channels == 1 and feats[1].sample_rate == 16000
+    assert feats[1].duration_s == pytest.approx(1.0)
+    # sine RMS ≈ amplitude/√2 = (20000/32768)/1.414 ≈ 0.432
+    assert feats[1].rms == pytest.approx(0.4316, abs=0.01)
+    assert feats[2].channels == 2 and feats[2].duration_s == pytest.approx(2.0)
+    with pytest.raises(Exception, match="NotImplementedError|RIFF"):
+        bad = spark.createDataFrame(
+            [(9, "audio", b"ID3\x04" + b"0" * 40, ("s", "audio/mpeg"))],
+            multimodal.MEDIA_SCHEMA,
+        )
+        multimodal.decode_audio_meta(bad).collect()
+
+
 def test_frame_sampling(spark):
     frames = spark.createDataFrame(
         [(1, i) for i in range(30)], ["video_id", "frame_idx"]
