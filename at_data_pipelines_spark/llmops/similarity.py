@@ -514,6 +514,25 @@ def ivfpq_topk(
     re-rank touches ``n_candidates`` real vectors per query. Training
     state (centroids + codebooks) is a few KB broadcast in closures.
     """
+    C, books = ivfpq_train(corpus, n_centroids, m, k, train_sample, seed, vec_col)
+    enc = ivfpq_encode(corpus, C, books, id_col, vec_col)
+    return ivfpq_probe(
+        enc, corpus, queries, C, books, topk, n_probe, n_candidates, id_col, vec_col
+    )
+
+
+def ivfpq_train(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    m: int = 8,
+    k: int = 16,
+    train_sample: int = 2048,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> tuple[np.ndarray, np.ndarray]:
+    """Train the IVF coarse quantizer and residual PQ codebooks on a
+    corpus sample: returns ``(centroids (n_centroids, d), codebooks
+    (m, k, d/m))`` — the few-KB state that ``ann_index`` persists."""
     sample = np.stack(
         [r[0] for r in corpus.select(vec_col).limit(train_sample).collect()]
     ).astype(np.float64)
@@ -521,7 +540,20 @@ def ivfpq_topk(
     C = kmeans_fit(sample, n_centroids, seed=seed)
     assign = (sample @ C.T).argmax(axis=1)
     books = pq_fit(sample - C[assign], m, k, seed=seed)
-    dsub = books.shape[2]
+    return C, books
+
+
+def ivfpq_encode(
+    corpus: DataFrame,
+    C: np.ndarray,
+    books: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign + residual-encode the corpus in one Arrow pass →
+    ``(id, centroid, codes array<int>)`` — the compressed inverted-file
+    representation the ADC scan reads (persistable via ``ann_index``)."""
+    m, _, dsub = books.shape
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -538,10 +570,27 @@ def ivfpq_topk(
                 {id_col: pdf[id_col].to_numpy(), "centroid": cid, "codes": list(codes)}
             )
 
-    enc = corpus.select(id_col, vec_col).mapInPandas(
+    return corpus.select(id_col, vec_col).mapInPandas(
         encode, f"{id_col} long, centroid long, codes array<int>"
     )
 
+
+def ivfpq_probe(
+    enc: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    C: np.ndarray,
+    books: np.ndarray,
+    topk: int = 10,
+    n_probe: int = 4,
+    n_candidates: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a pre-encoded IVF+PQ corpus: ADC scan over the queries'
+    ``n_probe`` nearest lists, then the exact fold-cosine re-rank against
+    the original vectors."""
+    m, k, dsub = books.shape
     q = queries.select(F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qe"))
     qrows = q.collect()
     qids = np.array([r.query_id for r in qrows])

@@ -230,7 +230,9 @@ def q46_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..llmops.dedup import jaccard_pairs
 
     d = load_table(spark, sf_dir, "documents")
-    return jaccard_pairs(d, "text", "doc_id", threshold=0.6, shingle_n=3)
+    # persist_shingles: measured faster than 4-scan recompute at sf0.1
+    # (see the trade note in llmops/dedup.py); identical results
+    return jaccard_pairs(d, "text", "doc_id", threshold=0.6, shingle_n=3, persist_shingles=True)
 
 
 # --------------------------------------------------------------------------

@@ -87,6 +87,23 @@ def test_prefix_filter_jaccard_is_lossless(spark):
         }
         want = _brute_force_jaccard(docs, threshold=t)
         assert got == want, f"threshold {t}: {got ^ want}"
+    # persist_shingles is a pure execution-strategy flag: identical output
+    # (pairs AND exact jaccard values) with the shingle relation cached
+    spark.catalog.clearCache()
+    try:
+        with_cache = {
+            (r.id_a, r.id_b, r.jaccard)
+            for r in dedup.jaccard_pairs(
+                df, "text", "doc_id", 0.6, persist_shingles=True
+            ).collect()
+        }
+        plain = {
+            (r.id_a, r.id_b, r.jaccard)
+            for r in dedup.jaccard_pairs(df, "text", "doc_id", 0.6).collect()
+        }
+        assert with_cache == plain
+    finally:
+        spark.catalog.clearCache()
 
 
 def test_simhash_band_join_is_lossless(spark):
@@ -690,3 +707,46 @@ def test_ivfpq_recall_rises_with_probe_budget(spark, sf_dir):
     assert recalls[0] >= 0.45
     assert recalls[1] >= 0.70
     assert recalls[1] >= recalls[0]
+
+
+def test_ann_index_persists_with_identical_probes(spark, sf_dir, tmp_path):
+    """Index round-trip through the lakehouse: train → save (state +
+    encoded corpus) → load in a 'fresh job' → probe. The loaded index
+    must return IDENTICAL results to the in-memory one, and probing the
+    persisted codes table must skip the re-encoding pass."""
+    from at_data_pipelines_spark.catalog import Lakehouse
+    from at_data_pipelines_spark.llmops import ann_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    idx = ann_index.train_index(emb, n_centroids=16, m=8, k=16, seed=42)
+    enc = ann_index.encode_corpus(emb, idx)
+    fresh = {
+        (r.query_id, r.neighbor_id, round(r.cosine, 12))
+        for r in ann_index.topk(emb, queries, idx, encoded=enc, k=5).collect()
+    }
+    assert fresh
+
+    lake = Lakehouse(spark, str(tmp_path / "ann_lake"))
+    ann_index.save_index(lake, "corpus", idx, encoded=enc)
+
+    # "fresh job": everything reconstructed from tables
+    idx2 = ann_index.load_index(lake, "corpus")
+    import numpy as np
+
+    assert np.array_equal(idx2.centroids, idx.centroids)
+    assert np.array_equal(idx2.codebooks, idx.codebooks)
+    stored_codes = lake.table("corpus_codes")
+    assert stored_codes.count() == emb.count()
+    loaded = {
+        (r.query_id, r.neighbor_id, round(r.cosine, 12))
+        for r in ann_index.topk(
+            emb, queries, idx2, encoded=stored_codes, k=5
+        ).collect()
+    }
+    assert loaded == fresh
+
+    # incremental maintenance: re-saving upserts rather than duplicating
+    ann_index.save_index(lake, "corpus", idx2, encoded=enc)
+    assert lake.table("corpus_codes").count() == emb.count()
+    assert lake.table("corpus_centroids").count() == 16
