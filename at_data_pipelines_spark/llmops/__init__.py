@@ -11,4 +11,4 @@
                    not in this container).
 """
 
-from . import ann_index, curate, dedup, multimodal, similarity, text  # noqa: F401
+from . import ann_index, curate, dedup, multimodal, quality, sampling, similarity, text  # noqa: F401

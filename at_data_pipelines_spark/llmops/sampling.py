@@ -155,3 +155,38 @@ def mixture_sample(
     dropped). Deterministic given (corpus, weights, salt)."""
     fracs = mixture_fractions(df, target_weights, strata_col)
     return stratified_sample(df, fracs, strata_col, id_col, salt, default_frac=0.0)
+
+
+def temperature_weights(
+    df: DataFrame, temperature: float, strata_col: str = "source"
+) -> dict[str, float]:
+    """Temperature-flattened mixture weights ``w_s ∝ n_s^T`` — the
+    multilingual/multi-domain rebalancing rule (T=1 keeps natural
+    proportions, T→0 approaches uniform; mT5/XLM-R use T≈0.3–0.7). One
+    aggregate row per source (tiny collect); feed the result to
+    ``mixture_sample``."""
+    if not 0 <= temperature <= 1:
+        raise ValueError(f"temperature must be in [0, 1], got {temperature}")
+    counts = {
+        r[strata_col]: r["n"]
+        for r in df.groupBy(strata_col).agg(F.count("*").alias("n")).collect()
+    }
+    raw = {s: float(n) ** temperature for s, n in counts.items()}
+    z = sum(raw.values())
+    return {s: w / z for s, w in raw.items()}
+
+
+def temperature_mixture_sample(
+    df: DataFrame,
+    temperature: float,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "mixture-v1",
+) -> DataFrame:
+    """Resample to the temperature-flattened mixture, downsampling only
+    (the largest-T-no-upsampling construction of ``mixture_fractions``):
+    over-represented sources shrink toward the flattened target while
+    the rarest source is kept whole."""
+    return mixture_sample(
+        df, temperature_weights(df, temperature, strata_col), strata_col, id_col, salt
+    )

@@ -750,3 +750,89 @@ def test_ann_index_persists_with_identical_probes(spark, sf_dir, tmp_path):
     ann_index.save_index(lake, "corpus", idx2, encoded=enc)
     assert lake.table("corpus_codes").count() == emb.count()
     assert lake.table("corpus_centroids").count() == 16
+
+
+def test_semantic_dedup_within_cluster(spark, sf_dir):
+    """SemDeDup: planted near-identical embeddings collapse; reported
+    pairs are a subset of the exact threshold join (the cross-cluster
+    misses are the method's documented approximation); the keep-list
+    drops exactly one of each planted pair."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding").limit(200)
+    base = emb.toPandas()
+    rng = np.random.default_rng(3)
+    clones = []
+    for i, (vid, vec) in enumerate(zip(base.vec_id[:5], base.embedding[:5])):
+        v = np.array(vec, dtype=np.float32)
+        v = v + rng.normal(0, 1e-4, size=len(v)).astype(np.float32)  # ≈ dup
+        clones.append((int(1_000_000 + i), [float(x) for x in v]))
+    corpus = emb.unionByName(
+        spark.createDataFrame(clones, "vec_id long, embedding array<float>")
+    )
+    sem = {
+        (r.id_a, r.id_b)
+        for r in similarity.semantic_dedup_pairs(
+            corpus, threshold=0.95, n_clusters=8, seed=42
+        ).collect()
+    }
+    exact = {
+        (r.id_a, r.id_b)
+        for r in similarity.cosine_threshold_pairs_blocked(
+            corpus, threshold=0.95, n_blocks=4
+        ).collect()
+    }
+    assert sem <= exact  # never invents a pair
+    # a clone lands in its source's cluster (identical direction), so all
+    # planted pairs are found
+    expected = {(int(base.vec_id[i]), 1_000_000 + i) for i in range(5)}
+    assert expected <= sem
+    kept = similarity.semantic_dedup(corpus, threshold=0.95, n_clusters=8, seed=42)
+    kept_ids = {r.vec_id for r in kept.select("vec_id").collect()}
+    for a, b in expected:
+        assert (a in kept_ids) != (b in kept_ids)  # exactly one survives
+    assert kept.count() == corpus.count() - len(expected)
+
+
+def test_quality_classifier_separates_and_scales(spark):
+    """Closed-form NB over hashed tokens: train on labeled docs, score
+    held-out docs — positive-style docs must score above negative-style;
+    filter_by_quality keeps the good ones; scoring is deterministic."""
+    import random
+
+    from at_data_pipelines_spark.llmops import quality
+
+    rng = random.Random(5)
+    good_vocab = ["the", "research", "model", "data", "method", "result",
+                  "analysis", "study", "shows", "evidence"]
+    bad_vocab = ["click", "free", "winner", "casino", "pills", "xxx",
+                 "buy", "now", "limited", "offer"]
+
+    def doc(vocab, n=30):
+        return " ".join(rng.choices(vocab, k=n))
+
+    train = [(i, doc(good_vocab), 1) for i in range(40)] + [
+        (100 + i, doc(bad_vocab), 0) for i in range(40)
+    ]
+    train_df = spark.createDataFrame(train, ["doc_id", "text", "label"])
+    clf = quality.train_token_classifier(train_df)
+
+    held = [(1000 + i, doc(good_vocab)) for i in range(10)] + [
+        (2000 + i, doc(bad_vocab)) for i in range(10)
+    ]
+    held_df = spark.createDataFrame(held, ["doc_id", "text"])
+    scores = {r.doc_id: r.quality_logit
+              for r in quality.score_token_classifier(held_df, clf).collect()}
+    assert min(scores[i] for i in scores if i < 2000) > max(
+        scores[i] for i in scores if i >= 2000
+    )
+    kept = quality.filter_by_quality(held_df, clf, min_logit=0.0)
+    assert {r.doc_id for r in kept.collect()} == {i for i, _ in held if i < 2000}
+    again = {r.doc_id: r.quality_logit
+             for r in quality.score_token_classifier(held_df, clf).collect()}
+    assert scores == again  # deterministic
+
+    with pytest.raises(ValueError, match="BOTH classes"):
+        quality.train_token_classifier(
+            spark.createDataFrame([(1, "only one class", 1)], ["doc_id", "text", "label"])
+        )

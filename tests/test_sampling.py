@@ -109,3 +109,51 @@ def test_cap_per_key_deterministic_quota(docs):
     # every full-corpus winner that is in the subset and whose source has
     # spare quota in the subset must still win
     assert len(sub_winners) > 0
+
+
+def test_temperature_weights_limits(docs):
+    """T=1 reproduces natural proportions; T→0 flattens toward uniform;
+    the flattened sample keeps the rarest source whole (no upsampling)."""
+    from at_data_pipelines_spark.llmops.sampling import (
+        temperature_mixture_sample,
+        temperature_weights,
+    )
+
+    counts = {
+        r.source: r.n
+        for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    n_total = sum(counts.values())
+    w1 = temperature_weights(docs, 1.0)
+    for s, n in counts.items():
+        assert w1[s] == pytest.approx(n / n_total)
+    w0 = temperature_weights(docs, 0.0)
+    for s in counts:
+        assert w0[s] == pytest.approx(1 / len(counts))
+    # the fixture's sources are balanced, so flattening needs a skewed
+    # corpus to show: 900/90/10 docs across three sources
+    spark = docs.sparkSession
+    skew = spark.createDataFrame(
+        [(i, "web") for i in range(900)]
+        + [(1000 + i, "books") for i in range(90)]
+        + [(2000 + i, "code") for i in range(10)],
+        ["doc_id", "source"],
+    )
+    sk1 = temperature_weights(skew, 1.0)
+    sk5 = temperature_weights(skew, 0.5)
+    assert max(sk5.values()) < max(sk1.values())  # dominant source shrinks
+    assert min(sk5.values()) > min(sk1.values())  # rare source grows
+
+    flat = temperature_mixture_sample(skew, 0.5)
+    out = {
+        r.source: r.n
+        for r in flat.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert out["code"] == 10  # rarest kept whole, never upsampled
+    # realized mixture ≈ flattened target (hash sampling is ±noise)
+    tot_out = sum(out.values())
+    for src in sk5:
+        assert out[src] / tot_out == pytest.approx(sk5[src], rel=0.2)
+
+    with pytest.raises(ValueError, match="temperature"):
+        temperature_weights(docs, 1.5)
