@@ -38,12 +38,21 @@ restated in a plain hive layout):
   from; key ``""`` is the whole-table base of an unpartitioned table).
   Readers enumerate exactly those paths — an in-flight or crashed
   write's directory is unreachable because no manifest names it.
-- The commit point of every operation is the single ``_save_meta`` PUT
+- The commit point of every operation is the single ``_commit_meta`` PUT
   (atomic on local/HDFS create+overwrite and on S3, where an object PUT
   is all-or-nothing). Crash before it: readers keep the old state
   bit-for-bit; the half-written ``_seq=K`` directory is orphaned and
   reclaimed by ``vacuum()`` (retries also clear their own target dir
   first, so a crashed attempt can never leak rows into a later one).
+- CONCURRENT WRITERS are detected, not merged: every manifest carries a
+  ``version`` stamp bumped by each commit, and each write drops an
+  attempt-token file into its generation directory. ``_commit_meta``
+  re-reads the manifest and re-checks the token immediately before its
+  PUT; a moved version or a vanished token (a racing writer reused our
+  sequence number and cleared our directory) raises
+  ``ConcurrentWriteError`` instead of silently dropping the other
+  writer's commit. The loser's generation is an orphan for ``vacuum()``;
+  retrying the whole operation from a fresh ``_load_meta`` succeeds.
 
 100 TB scale notes:
 
@@ -66,7 +75,9 @@ restated in a plain hive layout):
 from __future__ import annotations
 
 import json
-from dataclasses import dataclass, field
+import re
+import uuid
+from dataclasses import dataclass, field, fields as dataclass_fields
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -75,6 +86,21 @@ from pyspark.sql.window import Window as W
 
 _META_FILE = "_bl_meta.json"
 _SEQ_COL = "_seq"
+
+
+class ConcurrentWriteError(RuntimeError):
+    """Another writer committed between this writer's manifest load and its
+    commit PUT. The losing writer's generation directory is orphaned
+    (vacuumable); nothing it wrote became visible. Retry the whole
+    operation from a fresh ``_load_meta``."""
+
+
+class LegacyLayoutError(RuntimeError):
+    """The table's metadata predates the manifest commit protocol (data laid
+    out directly under hive partition dirs, no ``_seq=K`` generations).
+    Reading it through the manifest would silently return 0 rows, so we
+    refuse instead: re-create the table and re-insert, or rewrite the old
+    parquet into a ``_seq=0`` generation and add the manifest fields."""
 
 
 class _HadoopFS:
@@ -170,6 +196,17 @@ def _hive_rel(keys: list[str], vals) -> str:
     return "/".join(f"{k}={_escape_partition_value(v)}" for k, v in zip(keys, vals))
 
 
+def _unescape_partition_value(s: str):
+    """Inverse of ``_escape_partition_value`` (Spark's unescapePathName):
+    ``None`` for the hive default-partition sentinel, %XX decoded
+    otherwise. Values come back as strings — callers cast to the declared
+    partition-column type (the same thing Spark's partition discovery
+    does when it parses directory names)."""
+    if s == "__HIVE_DEFAULT_PARTITION__":
+        return None
+    return re.sub("%([0-9A-Fa-f]{2})", lambda m: chr(int(m.group(1), 16)), s)
+
+
 @dataclass
 class TableMeta:
     name: str
@@ -177,8 +214,13 @@ class TableMeta:
     partition_keys: list[str] = field(default_factory=list)
     primary_keys: list[str] = field(default_factory=list)
     next_seq: int = 0
-    dirty_partitions: list[list] = field(default_factory=list)  # values of partition_keys tuples
+    # hive rel dirs (``year=2024``) touched by inserts since last optimize
+    dirty_partitions: list[str] = field(default_factory=list)
     all_dirty: bool = False
+    # optimistic-concurrency stamp: bumped by every manifest commit; a
+    # writer whose loaded version no longer matches the on-disk version at
+    # commit time lost a race and raises ConcurrentWriteError
+    version: int = 0
     # commit manifest: rel partition dir -> _seq generation holding its
     # compacted base ("" = whole-table base of an unpartitioned table)
     committed: dict[str, int] = field(default_factory=dict)
@@ -258,10 +300,69 @@ class Lakehouse:
         return f"{self._dir(name)}/{_META_FILE}"
 
     def _load_meta(self, name: str) -> TableMeta:
-        return TableMeta(**json.loads(self.fs.read_text(self._meta_path(name))))
+        raw = json.loads(self.fs.read_text(self._meta_path(name)))
+        if "committed" not in raw and "live_deltas" not in raw:
+            # pre-manifest metadata: if data exists under the old layout
+            # (hive dirs not wrapped in _seq=K generations), reading via
+            # the manifest would silently return 0 rows — refuse instead
+            data_dir = f"{self._dir(name)}/data"
+            legacy_dirs = [
+                d
+                for d in self.fs.list_subdirs(data_dir)
+                if not d.startswith(f"{_SEQ_COL}=")
+            ] + [d for d in self.fs.list_subdirs(self._dir(name)) if "=" in d]
+            if legacy_dirs:
+                raise LegacyLayoutError(
+                    f"table {name!r} has pre-manifest data layout "
+                    f"(e.g. {legacy_dirs[0]!r}); migrate it into a _seq=K "
+                    "generation before reading"
+                )
+        known = {f.name for f in dataclass_fields(TableMeta)}
+        meta = TableMeta(**{k: v for k, v in raw.items() if k in known})
+        # pre-r4 metas recorded dirty partitions as value tuples; rel strings now
+        meta.dirty_partitions = [
+            d if isinstance(d, str) else _hive_rel(meta.partition_keys, d)
+            for d in meta.dirty_partitions
+        ]
+        return meta
 
     def _save_meta(self, meta: TableMeta) -> None:
         self.fs.write_text(self._meta_path(meta.name), json.dumps(meta.__dict__))
+
+    def _commit_meta(self, meta: TableMeta, token: str | None = None) -> None:
+        """The commit point of every mutation, with optimistic concurrency
+        detection. Before the PUT we (a) verify the on-disk manifest
+        version still equals the version this writer loaded — another
+        writer's commit in between bumps it — and (b) verify this writer's
+        attempt-token file still exists in its generation dir: a racing
+        writer that was assigned the same ``next_seq`` clears that dir
+        before writing its own data, so a missing token means our data
+        files were clobbered even though no manifest was committed yet.
+        Either check failing raises ConcurrentWriteError and commits
+        nothing (our orphaned generation is vacuumable).
+
+        This is detect-and-raise, not compare-and-swap: a true CAS needs a
+        conditional PUT, which the Hadoop FS API does not expose uniformly.
+        The window between the re-read and the PUT is milliseconds instead
+        of the whole job runtime, and — unlike last-writer-wins — every
+        detected race surfaces as an error instead of a silently dropped
+        commit. Single-writer deployments (the reference's assumption) pay
+        one extra metadata GET per commit."""
+        on_disk = json.loads(self.fs.read_text(self._meta_path(meta.name)))
+        if on_disk.get("version", 0) != meta.version:
+            raise ConcurrentWriteError(
+                f"table {meta.name!r}: manifest version moved "
+                f"{meta.version} -> {on_disk.get('version', 0)} since load; "
+                "another writer committed — retry from a fresh state"
+            )
+        if token is not None and not self.fs.exists(token):
+            raise ConcurrentWriteError(
+                f"table {meta.name!r}: generation attempt token vanished — "
+                "a concurrent writer reused this sequence number and "
+                "cleared its directory; retry from a fresh state"
+            )
+        meta.version += 1
+        self._save_meta(meta)
 
     def exists(self, name: str) -> bool:
         return self.fs.exists(self._meta_path(name))
@@ -308,15 +409,27 @@ class Lakehouse:
     def _seq_dir(self, name: str, seq: int) -> str:
         return f"{self._dir(name)}/data/{_SEQ_COL}={seq}"
 
-    def _write_seq(self, name: str, meta: TableMeta, df: DataFrame, seq: int) -> None:
+    def _write_seq(self, name: str, meta: TableMeta, df: DataFrame, seq: int) -> str | None:
         """Write one immutable ``_seq=K`` generation. The target directory
         is cleared first so a retry after a crashed attempt (same K —
         ``next_seq`` only advances at commit) can never mix old partial
-        files into its output."""
+        files into its output.
+
+        Returns the path of an attempt-token file dropped into the written
+        directory (underscore-prefixed, so parquet readers ignore it), or
+        None for an empty batch that wrote no directory. ``_commit_meta``
+        re-checks the token at commit: a racing writer assigned the same
+        seq clears this directory first, so a vanished token proves the
+        data under this generation is no longer ours."""
         self.fs.delete(self._seq_dir(name, seq))
         writer = df.withColumn(_SEQ_COL, F.lit(seq)).write.mode("append")
         writer = writer.partitionBy(_SEQ_COL, *meta.partition_keys)
         writer.parquet(f"{self._dir(name)}/data")
+        if not self.fs.exists(self._seq_dir(name, seq)):
+            return None
+        token = f"{self._seq_dir(name, seq)}/_attempt-{uuid.uuid4().hex}"
+        self.fs.write_text(token, "")
+        return token
 
     def insert(self, name: str, df: DataFrame, mode: str = "append") -> None:
         """Append a batch as a new ``_seq=K`` delta directory (the sequence
@@ -327,10 +440,10 @@ class Lakehouse:
         declared = meta.schema
         cols = [F.col(f.name).cast(f.dataType).alias(f.name) for f in declared.fields]
         seq = meta.next_seq
-        self._write_seq(name, meta, df.select(*cols), seq)
-        # an empty batch writes no directory — it must not enter the
-        # manifest, or readers would enumerate a nonexistent path
-        wrote_rows = self.fs.exists(self._seq_dir(name, seq))
+        token = self._write_seq(name, meta, df.select(*cols), seq)
+        # an empty batch writes no directory (token is None) — it must not
+        # enter the manifest, or readers would enumerate a nonexistent path
+        wrote_rows = token is not None
         if mode != "append":
             # truncation: visibility resets to this batch alone, and the
             # next optimize() must only consider this batch
@@ -342,22 +455,24 @@ class Lakehouse:
             meta.live_deltas.append(seq)
         meta.next_seq = seq + 1
         if wrote_rows and meta.partition_keys:
-            # record which partition values this batch touched (tiny collect:
-            # distinct over partition keys only)
-            vals = (
-                df.select(*[F.col(k).cast(declared[k].dataType) for k in meta.partition_keys])
-                .distinct()
-                .collect()
+            # the partition values this batch touched are literally the
+            # hive directory names the write just created — read them off
+            # the generation dir instead of re-executing the input plan
+            # (the old select(keys).distinct().collect() ran every
+            # upstream join/window a second time per ingest)
+            depth = len(meta.partition_keys)
+            pattern = "/".join(["*=*"] * depth)
+            written = self.fs.glob_dir_leaves(
+                f"{self._seq_dir(name, seq)}/{pattern}", depth
             )
-            seen = {tuple(r) for r in meta.dirty_partitions}
-            for r in vals:
-                tup = tuple(r)
-                if tup not in seen:
-                    meta.dirty_partitions.append(list(tup))
-                    seen.add(tup)
+            seen = set(meta.dirty_partitions)
+            for rel in sorted(written):
+                if rel not in seen:
+                    meta.dirty_partitions.append(rel)
+                    seen.add(rel)
         elif wrote_rows:
             meta.all_dirty = True
-        self._save_meta(meta)  # commit point
+        self._commit_meta(meta, token)  # commit point
 
     def _visible_paths(self, name: str, meta: TableMeta) -> list[str]:
         """Exactly the directories the manifest commits to — never a bare
