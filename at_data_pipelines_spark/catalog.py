@@ -474,6 +474,26 @@ class Lakehouse:
             meta.all_dirty = True
         self._commit_meta(meta, token)  # commit point
 
+    def _rel_filter(self, meta: TableMeta, rels) -> "F.Column | None":
+        """Partition-pruning predicate selecting exactly the given hive rel
+        dirs (the ``dirty_partitions`` representation, e.g. ``year=2024``).
+        Values parse back out of the directory names and cast to the
+        declared partition-column types — the same parse Spark's partition
+        discovery performs — so the filter prunes at the scan."""
+        part_filter = None
+        for rel in rels:
+            cond = F.lit(True)
+            for comp in rel.split("/"):
+                k, _, raw = comp.partition("=")
+                v = _unescape_partition_value(raw)
+                if v is None:
+                    c = F.col(k).isNull()
+                else:
+                    c = F.col(k) == F.lit(v).cast(meta.schema[k].dataType)
+                cond = cond & c
+            part_filter = cond if part_filter is None else (part_filter | cond)
+        return part_filter
+
     def _visible_paths(self, name: str, meta: TableMeta) -> list[str]:
         """Exactly the directories the manifest commits to — never a bare
         scan of the data dir, so in-flight or crashed writes are
@@ -529,13 +549,8 @@ class Lakehouse:
         if not (meta.dirty_partitions or meta.all_dirty):
             return
         raw = self._read_raw(name, meta)
-        part_filter = None
         if meta.partition_keys and not meta.all_dirty:
-            for vals in meta.dirty_partitions:
-                cond = F.lit(True)
-                for k, v in zip(meta.partition_keys, vals):
-                    cond = cond & (F.col(k) == F.lit(v))
-                part_filter = cond if part_filter is None else (part_filter | cond)
+            part_filter = self._rel_filter(meta, meta.dirty_partitions)
             raw = raw.filter(part_filter)  # partition-pruned scan
         w = W.partitionBy(*meta.primary_keys).orderBy(F.desc(_SEQ_COL))
         deduped = (
@@ -554,7 +569,7 @@ class Lakehouse:
             else deduped
         ).sortWithinPartitions(*cluster)
         seq = meta.next_seq
-        self._write_seq(name, meta, deduped.drop(_SEQ_COL), seq)
+        token = self._write_seq(name, meta, deduped.drop(_SEQ_COL), seq)
         old_committed = dict(meta.committed)
         old_deltas = list(meta.live_deltas)
         if meta.partition_keys:
@@ -571,7 +586,7 @@ class Lakehouse:
         meta.dirty_partitions = []
         meta.all_dirty = False
         meta.next_seq = seq + 1
-        self._save_meta(meta)  # commit point
+        self._commit_meta(meta, token)  # commit point
         self._clean_superseded(name, meta, old_committed, old_deltas)
 
     def _clean_superseded(
@@ -664,15 +679,12 @@ class Lakehouse:
             # absorbs the deltas, so every partition they touch must come
             # along — they are exactly the dirty set)
             vals = raw.filter(pred).select(*meta.partition_keys).distinct().collect()
-            affected = {tuple(r) for r in vals} | {tuple(v) for v in meta.dirty_partitions}
+            affected = {_hive_rel(meta.partition_keys, tuple(r)) for r in vals} | set(
+                meta.dirty_partitions
+            )
             if not affected:
                 return
-            part_filter = None
-            for tup in affected:
-                cond = F.lit(True)
-                for k, v in zip(meta.partition_keys, tup):
-                    cond = cond & (F.col(k) == F.lit(v))
-                part_filter = cond if part_filter is None else (part_filter | cond)
+            part_filter = self._rel_filter(meta, sorted(affected))
             sub = raw.filter(part_filter)
             if meta.primary_keys:
                 w = W.partitionBy(*meta.primary_keys).orderBy(F.desc(_SEQ_COL))
@@ -680,7 +692,7 @@ class Lakehouse:
                     F.col("_rn") == 1
                 ).drop("_rn")
             kept = sub.filter(~pred)
-            self._write_seq(name, meta, kept.drop(_SEQ_COL), seq)
+            token = self._write_seq(name, meta, kept.drop(_SEQ_COL), seq)
             depth = len(meta.partition_keys)
             pattern = "/".join(["*=*"] * depth)
             written = set(self.fs.glob_dir_leaves(f"{self._seq_dir(name, seq)}/{pattern}", depth))
@@ -688,8 +700,7 @@ class Lakehouse:
             old_deltas = list(meta.live_deltas)
             for rel in written:
                 meta.committed[rel] = seq
-            for tup in affected:
-                rel = _hive_rel(meta.partition_keys, tup)
+            for rel in affected:
                 if rel not in written:
                     meta.committed.pop(rel, None)  # partition fully deleted
         else:
@@ -700,10 +711,10 @@ class Lakehouse:
                     F.col("_rn") == 1
                 ).drop("_rn")
             kept = sub.filter(~pred)
-            self._write_seq(name, meta, kept.drop(_SEQ_COL), seq)
+            token = self._write_seq(name, meta, kept.drop(_SEQ_COL), seq)
             old_committed = dict(meta.committed)
             old_deltas = list(meta.live_deltas)
-            if self.fs.exists(self._seq_dir(name, seq)):
+            if token is not None:
                 meta.committed[""] = seq
             else:
                 meta.committed.pop("", None)  # every row deleted
@@ -711,5 +722,5 @@ class Lakehouse:
         meta.dirty_partitions = []
         meta.all_dirty = False
         meta.next_seq = seq + 1
-        self._save_meta(meta)  # commit point
+        self._commit_meta(meta, token)  # commit point
         self._clean_superseded(name, meta, old_committed, old_deltas)

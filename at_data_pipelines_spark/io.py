@@ -46,8 +46,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         ts_type = df.schema["ts"].dataType
         if isinstance(ts_type, T.LongType):
             df = df.withColumnRenamed("ts", "ts_ns")
-        else:  # already a timestamp (e.g. future driver fix) — derive nanos
-            df = df.withColumn("ts_ns", F.unix_micros(F.col("ts")) * F.lit(1000)).drop("ts")
+        else:
+            # TIMESTAMP or TIMESTAMP_NTZ (isAdjustedToUTC=false parquet) —
+            # derive nanos. NTZ wall-clock is read as UTC, matching how a
+            # DuckDB oracle's epoch_us(ts) treats the same naive value.
+            col = F.col("ts")
+            if isinstance(ts_type, T.TimestampNTZType):
+                spark.conf.set("spark.sql.session.timeZone", "UTC")
+                col = col.cast("timestamp")
+            df = df.withColumn("ts_ns", F.unix_micros(col) * F.lit(1000)).drop("ts")
         return df.withColumn("ts_us", F.expr("ts_ns div 1000")).withColumn(
             "ts", F.timestamp_micros(F.col("ts_us"))
         )
