@@ -180,7 +180,9 @@ _HIVE_ESCAPE = set('"#%\'*/:=?\\\x7f{[]^')
 
 
 def _escape_partition_value(v) -> str:
-    if v is None:
+    # Spark writes the default-partition sentinel for null AND empty string
+    # (ExternalCatalogUtils.getPartitionPathString)
+    if v is None or v == "":
         return "__HIVE_DEFAULT_PARTITION__"
     if isinstance(v, bool):
         return "true" if v else "false"
@@ -477,9 +479,15 @@ class Lakehouse:
     def _rel_filter(self, meta: TableMeta, rels) -> "F.Column | None":
         """Partition-pruning predicate selecting exactly the given hive rel
         dirs (the ``dirty_partitions`` representation, e.g. ``year=2024``).
-        Values parse back out of the directory names and cast to the
-        declared partition-column types — the same parse Spark's partition
-        discovery performs — so the filter prunes at the scan."""
+
+        Spark builds partition directory names as hive-escaped
+        ``CAST(col AS STRING)`` (PartitioningUtils.partitionPathExpression),
+        so comparing ``CAST(col AS STRING)`` against the unescaped directory
+        value matches exactly the rows that live in that directory — for
+        every type spelling (double ``1.0E-4``, fractional-second
+        timestamps, ...) and with no literal-parse step that could go NULL
+        and silently drop a partition from a rewrite. The predicate only
+        references partition attributes, so it still prunes at the scan."""
         part_filter = None
         for rel in rels:
             cond = F.lit(True)
@@ -487,9 +495,10 @@ class Lakehouse:
                 k, _, raw = comp.partition("=")
                 v = _unescape_partition_value(raw)
                 if v is None:
-                    c = F.col(k).isNull()
+                    # null and empty string share the sentinel directory
+                    c = F.col(k).isNull() | (F.col(k).cast("string") == F.lit(""))
                 else:
-                    c = F.col(k) == F.lit(v).cast(meta.schema[k].dataType)
+                    c = F.col(k).cast("string") == F.lit(v)
                 cond = cond & c
             part_filter = cond if part_filter is None else (part_filter | cond)
         return part_filter
@@ -578,8 +587,12 @@ class Lakehouse:
             written = self.fs.glob_dir_leaves(f"{self._seq_dir(name, seq)}/{pattern}", depth)
             for rel in written:
                 meta.committed[rel] = seq
-        else:
+        elif token is not None:
             meta.committed[""] = seq
+        else:
+            # deduped output was empty (unreachable today — dirty implies
+            # rows — but the manifest must never point at a missing dir)
+            meta.committed.pop("", None)
         # every dirty partition is (by definition) every partition the live
         # deltas touched, so the rewrite absorbed all of them
         meta.live_deltas = []
@@ -677,8 +690,17 @@ class Lakehouse:
             # affected = partitions with matching rows (pruned aggregate,
             # tiny collect) ∪ partitions with live delta data (the rewrite
             # absorbs the deltas, so every partition they touch must come
-            # along — they are exactly the dirty set)
-            vals = raw.filter(pred).select(*meta.partition_keys).distinct().collect()
+            # along — they are exactly the dirty set).
+            # Collect CAST(col AS STRING) — the exact spelling Spark uses
+            # for the partition directory name — so these rels compare
+            # equal to 'written'/'committed' keys for every type (Python
+            # str(0.0001) vs Java '1.0E-4' would not).
+            vals = (
+                raw.filter(pred)
+                .select([F.col(k).cast("string").alias(k) for k in meta.partition_keys])
+                .distinct()
+                .collect()
+            )
             affected = {_hive_rel(meta.partition_keys, tuple(r)) for r in vals} | set(
                 meta.dirty_partitions
             )

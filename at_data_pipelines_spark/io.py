@@ -1,13 +1,14 @@
 """Loaders for the driver-provided test tables.
 
 All tables are single parquet files under ``{sf_dir}/{name}.parquet``.
-The ``events`` table is written with TIMESTAMP(NANOS), which Spark cannot
-read natively; we read it via ``spark.sql.legacy.parquet.nanosAsLong`` and
-expose BOTH:
+The ``events`` table's ``ts`` column has shipped in several physical
+parquet encodings over time (TIMESTAMP(NANOS), TIMESTAMP_NTZ(µs), raw
+int64); we sniff the footer with pyarrow and normalize every variant to
+the same three columns:
 
-- ``ts_ns``  — the raw int64 epoch nanoseconds,
-- ``ts_us``  — epoch microseconds (``ts_ns div 1000``; DuckDB also truncates
-               parquet ns-timestamps to µs on scan, so this is the value the
+- ``ts_ns``  — int64 epoch nanoseconds,
+- ``ts_us``  — epoch microseconds (DuckDB also truncates parquet
+               ns-timestamps to µs on scan, so this is the value the
                oracle sees via ``epoch_us(ts)``), and
 - ``ts``     — a microsecond TIMESTAMP (for humans and streaming APIs).
 
@@ -15,13 +16,21 @@ Doing time bucketing on ``ts_us`` integers instead of timestamps keeps every
 derived value bit-identical to a DuckDB oracle using ``epoch_us(ts)`` and is
 also the fastest path at scale (pure long arithmetic inside codegen; no
 calendar logic per row).
+
+NTZ wall-clocks are interpreted as UTC via ``timestampdiff(MICROSECOND,
+TIMESTAMP_NTZ '1970-01-01', ts)`` — pure wall arithmetic, so the result is
+independent of ``spark.sql.session.timeZone`` (we never mutate session conf;
+a caller's timezone setting is left untouched and load order cannot change
+downstream behavior).
 """
 
 from __future__ import annotations
 
+import glob
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 TABLES = [
     "region",
@@ -36,26 +45,56 @@ TABLES = [
     "embeddings",
 ]
 
+#: tz-independent NTZ wall-clock -> epoch micros (wall treated as UTC)
+NTZ_EPOCH_US = "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+
+
+def events_ts_kind(path: str) -> str:
+    """Sniff the physical type of the events ``ts`` column from the parquet
+    footer (driver-side, one file): returns ``'long'`` (raw int64 nanos),
+    ``'ns'`` (TIMESTAMP(NANOS) — Spark needs the nanosAsLong legacy conf),
+    ``'ntz'`` (TIMESTAMP_NTZ, µs/ms) or ``'ltz'`` (UTC-adjusted TIMESTAMP)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if not files:
+            raise FileNotFoundError(f"no parquet files under {path}")
+        path = files[0]
+    t = pq.read_schema(path).field("ts").type
+    if pa.types.is_timestamp(t):
+        if t.tz is not None:
+            return "ltz"
+        return "ns" if t.unit == "ns" else "ntz"
+    if pa.types.is_integer(t):
+        return "long"
+    raise TypeError(f"unsupported events.ts physical type: {t}")
+
+
+def _normalize_events_ts(df: DataFrame, kind: str) -> DataFrame:
+    """Attach ``ts_ns``/``ts_us``/``ts`` given the sniffed physical kind.
+    All derivations are pure arithmetic — no session-timezone dependence."""
+    if kind in ("long", "ns"):
+        df = df.withColumnRenamed("ts", "ts_ns")
+        df = df.withColumn("ts_us", F.expr("ts_ns div 1000"))
+    elif kind == "ntz":
+        df = df.withColumn("ts_us", F.expr(NTZ_EPOCH_US)).drop("ts")
+        df = df.withColumn("ts_ns", F.col("ts_us") * F.lit(1000))
+    else:  # ltz: instant semantics, unix_micros is tz-independent
+        df = df.withColumn("ts_us", F.unix_micros("ts")).drop("ts")
+        df = df.withColumn("ts_ns", F.col("ts_us") * F.lit(1000))
+    return df.withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = f"{sf_dir}/{name}.parquet"
     if name == "events":
-        # must be set before the read resolves the schema; harmless if set
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
-        ts_type = df.schema["ts"].dataType
-        if isinstance(ts_type, T.LongType):
-            df = df.withColumnRenamed("ts", "ts_ns")
-        else:
-            # TIMESTAMP or TIMESTAMP_NTZ (isAdjustedToUTC=false parquet) —
-            # derive nanos. NTZ wall-clock is read as UTC, matching how a
-            # DuckDB oracle's epoch_us(ts) treats the same naive value.
-            col = F.col("ts")
-            if isinstance(ts_type, T.TimestampNTZType):
-                spark.conf.set("spark.sql.session.timeZone", "UTC")
-                col = col.cast("timestamp")
-            df = df.withColumn("ts_ns", F.unix_micros(col) * F.lit(1000)).drop("ts")
-        return df.withColumn("ts_us", F.expr("ts_ns div 1000")).withColumn(
-            "ts", F.timestamp_micros(F.col("ts_us"))
-        )
+        kind = events_ts_kind(path)
+        if kind == "ns":
+            # must be set before the read resolves the schema; only needed
+            # for legacy TIMESTAMP(NANOS) files, which Spark can't read
+            # natively any other way
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return _normalize_events_ts(spark.read.parquet(path), kind)
     return spark.read.parquet(path)

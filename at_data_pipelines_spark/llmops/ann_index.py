@@ -90,11 +90,20 @@ def save_index(
     id_col: str = "vec_id",
 ) -> None:
     """Persist the quantizer state (and optionally an encoded corpus)
-    as lakehouse tables. Re-saving upserts: centroids/codebooks replace
-    on their PKs, encoded rows merge on ``id_col``."""
+    as lakehouse tables. A save is a full snapshot REPLACE: a retrained
+    quantizer invalidates every row of the previous one, and PK-merging
+    would leave stale centroid/codebook rows behind when the new geometry
+    is smaller (fewer centroids, smaller m·k) — ``load_index`` infers
+    dimensions from the stored rows, so those stale rows would silently
+    reconstruct a corrupted quantizer. Same for ``{prefix}_codes``: codes
+    encoded under the old quantizer are meaningless under the new one.
+
+    Incremental corpus maintenance under an UNCHANGED quantizer (the
+    streaming-ingest path) upserts ``{prefix}_codes`` directly via
+    ``lake.upsert`` — that is the PK-merge case, and it stays one."""
     spark = lake.spark
-    lake.create(f"{prefix}_centroids", _CENTROIDS_SCHEMA, [], ["centroid"])
-    lake.create(f"{prefix}_codebooks", _CODEBOOKS_SCHEMA, [], ["subspace", "code"])
+    lake.create(f"{prefix}_centroids", _CENTROIDS_SCHEMA, [], ["centroid"], mode="replace")
+    lake.create(f"{prefix}_codebooks", _CODEBOOKS_SCHEMA, [], ["subspace", "code"], mode="replace")
     cent = spark.createDataFrame(
         [(i, [float(x) for x in v]) for i, v in enumerate(index.centroids)],
         _CENTROIDS_SCHEMA,
@@ -111,7 +120,7 @@ def save_index(
     lake.upsert(f"{prefix}_centroids", cent)
     lake.upsert(f"{prefix}_codebooks", books)
     if encoded is not None:
-        lake.create(f"{prefix}_codes", _codes_schema(id_col), [], [id_col])
+        lake.create(f"{prefix}_codes", _codes_schema(id_col), [], [id_col], mode="replace")
         lake.upsert(f"{prefix}_codes", encoded)
 
 

@@ -104,7 +104,13 @@ def score_token_classifier(
     the positive class. Unseen buckets contribute the smoothed prior
     ratio (≈ 0 when class token totals are balanced; exactly the NB
     unseen-token term). One explode + broadcast model join + one
-    groupBy — no Python anywhere."""
+    groupBy — no Python anywhere.
+
+    EVERY corpus document gets a row: a token-less document (empty or
+    whitespace-only text) has no evidence, so it scores exactly the
+    class-prior logit — it is not silently dropped (the explode produces
+    no rows for it, so the token sums are left-joined back onto the
+    corpus ids)."""
     toks = corpus.select(
         F.col(id_col), F.explode(F.split(F.col(text_col), r"\s+")).alias("tok")
     ).filter(F.col("tok") != "")
@@ -112,11 +118,17 @@ def score_token_classifier(
         id_col, _bucket(F.col("tok"), clf.n_buckets, clf.salt).alias("bucket")
     )
     joined = keyed.join(F.broadcast(clf.model), "bucket", "left")
+    sums = joined.groupBy(id_col).agg(
+        F.sum(F.coalesce(F.col("log_odds"), F.lit(0.0))).alias("_s")
+    )
     return (
-        joined.groupBy(id_col)
-        .agg(F.sum(F.coalesce(F.col("log_odds"), F.lit(0.0))).alias("_s"))
+        corpus.select(id_col)
+        .join(sums, id_col, "left")
         .select(
-            id_col, (F.col("_s") + F.lit(clf.prior_logit)).alias("quality_logit")
+            id_col,
+            (F.coalesce(F.col("_s"), F.lit(0.0)) + F.lit(clf.prior_logit)).alias(
+                "quality_logit"
+            ),
         )
     )
 

@@ -257,6 +257,27 @@ def embedding_near_dups_lsh(
     )
 
 
+def _train_sample_vectors(
+    corpus: DataFrame, vec_col: str, n: int, seed: int
+) -> np.ndarray:
+    """Seeded, layout-independent draw of ``n`` training vectors: order by
+    a salted ``xxhash64`` of the vector and take the first ``n``. Spark
+    compiles orderBy+limit into TakeOrderedAndProject (per-partition
+    top-n then a driver merge — one scan, no global sort shuffle), and
+    the hash order is a property of the VALUES, so a source- or
+    date-clustered corpus yields exactly the same sample as a shuffled
+    one. A bare ``limit(n)`` instead trains the quantizer on whichever
+    partitions the scan lists first — on a clustered corpus, one corner
+    of the embedding space."""
+    rows = (
+        corpus.select(vec_col)
+        .orderBy(F.xxhash64(F.lit(int(seed)), F.col(vec_col)))
+        .limit(int(n))
+        .collect()
+    )
+    return np.stack([r[0] for r in rows])
+
+
 def kmeans_fit(vectors: np.ndarray, k: int, iters: int = 20, seed: int = 42) -> np.ndarray:
     """Plain numpy Lloyd's k-means (cosine space: vectors and centroids
     L2-normalized). Deterministic seed; good enough for an IVF coarse
@@ -298,9 +319,7 @@ def ivf_topk(
     counterpart of ``ann_hyperplane_topk`` — better when the corpus
     actually clusters.
     """
-    sample = np.stack(
-        [r[0] for r in corpus.select(vec_col).limit(train_sample).collect()]
-    )
+    sample = _train_sample_vectors(corpus, vec_col, train_sample, seed)
     C = kmeans_fit(sample, n_centroids, seed=seed)
 
     def assign_factory(top_m: int):
@@ -533,9 +552,9 @@ def ivfpq_train(
     """Train the IVF coarse quantizer and residual PQ codebooks on a
     corpus sample: returns ``(centroids (n_centroids, d), codebooks
     (m, k, d/m))`` — the few-KB state that ``ann_index`` persists."""
-    sample = np.stack(
-        [r[0] for r in corpus.select(vec_col).limit(train_sample).collect()]
-    ).astype(np.float64)
+    sample = _train_sample_vectors(corpus, vec_col, train_sample, seed).astype(
+        np.float64
+    )
     sample = sample / np.linalg.norm(sample, axis=1, keepdims=True)
     C = kmeans_fit(sample, n_centroids, seed=seed)
     assign = (sample @ C.T).argmax(axis=1)
@@ -686,9 +705,7 @@ def semantic_dedup_pairs(
     pass, one shuffle on cluster id, per-cluster numpy GEMM, broadcast
     fold-cosine verify. No all-pairs join anywhere.
     """
-    sample = np.stack(
-        [r[0] for r in corpus.select(vec_col).limit(train_sample).collect()]
-    )
+    sample = _train_sample_vectors(corpus, vec_col, train_sample, seed)
     C = kmeans_fit(sample, n_clusters, seed=seed)
     lo_t = float(threshold) - 1e-9
 
@@ -699,13 +716,18 @@ def semantic_dedup_pairs(
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col].to_numpy(),
-                    vec_col: pdf[vec_col],
+                    # float64 passthrough: an array<float> schema here
+                    # would truncate double-typed source embeddings, and
+                    # the candidate GEMM could then miss pairs within
+                    # ~1e-7 of the threshold that the exact verify join
+                    # (which reads the original column) would accept
+                    vec_col: [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]],
                     "cluster": (M @ C.T).argmax(axis=1),
                 }
             )
 
     keyed = corpus.select(id_col, vec_col).mapInPandas(
-        assign, f"{id_col} long, {vec_col} array<float>, cluster long"
+        assign, f"{id_col} long, {vec_col} array<double>, cluster long"
     )
 
     def gemm(pdf: pd.DataFrame) -> pd.DataFrame:

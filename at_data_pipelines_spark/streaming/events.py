@@ -18,23 +18,33 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..catalog import Lakehouse
+from ..io import _normalize_events_ts, events_ts_kind
 
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # raw nanos (see io.py)
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+
+def _events_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+
+
+#: default schema (current driver testdata: TIMESTAMP_NTZ µs — see io.py)
+EVENTS_SCHEMA = _events_schema(T.TimestampNTZType())
 
 
 def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
-    """Streaming read of events parquet (ns timestamps read as nanos
-    longs, converted to a proper event-time column). File sources must be
-    directories; a single-file path is wrapped via a symlink dir."""
+    """Streaming read of events parquet. The ``ts`` physical type is
+    sniffed from the footer (TIMESTAMP_NTZ µs / TIMESTAMP(NANOS) / raw
+    int64 — same variants as the batch loader, ``io.py``) and normalized
+    to ``ts_ns``/``ts_us`` int64 plus a proper event-time ``ts`` column,
+    all timezone-independently. File sources must be directories; a
+    single-file path is wrapped via a symlink dir."""
     import hashlib
     import os
     import tempfile
@@ -49,11 +59,17 @@ def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
         if not os.path.exists(link):
             os.symlink(path, link)
         path = d
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(path)
-    return raw.withColumnRenamed("ts", "ts_ns").withColumn(
-        "ts", F.timestamp_micros(F.expr("ts_ns div 1000"))
-    )
+    kind = events_ts_kind(path)
+    if kind in ("long", "ns"):
+        if kind == "ns":
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        schema = _events_schema(T.LongType())
+    elif kind == "ntz":
+        schema = _events_schema(T.TimestampNTZType())
+    else:
+        schema = _events_schema(T.TimestampType())
+    raw = spark.readStream.schema(schema).parquet(path)
+    return _normalize_events_ts(raw, kind)
 
 
 def windowed_aggregation(

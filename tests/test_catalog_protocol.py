@@ -1,0 +1,206 @@
+"""Commit-protocol tests: optimistic concurrency detection (both the
+version-moved and token-vanished race paths), legacy-layout refusal,
+single-execution inserts, and partition-rel spelling round-trips
+(double / fractional-timestamp partition values, where Python ``str(v)``
+and Spark's directory spelling differ)."""
+
+from __future__ import annotations
+
+import datetime
+import json
+import types
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from at_data_pipelines_spark.catalog import (
+    ConcurrentWriteError,
+    Lakehouse,
+    LegacyLayoutError,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("ticker", T.StringType()),
+        T.StructField("date", T.DateType()),
+        T.StructField("year", T.IntegerType()),
+        T.StructField("close", T.DoubleType()),
+    ]
+)
+
+
+@pytest.fixture
+def lake(spark, tmp_path):
+    return Lakehouse(spark, str(tmp_path / "lake"))
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        [(t, datetime.date.fromisoformat(d), int(d[:4]), c) for t, d, c in rows],
+        SCHEMA,
+    )
+
+
+def test_concurrent_writer_version_moved_loses(lake, spark):
+    """Writer A loads the manifest, writes its generation; writer B commits
+    in between (reusing A's sequence number — B cleared A's directory).
+    A's commit must raise ConcurrentWriteError, B's commit must survive
+    intact, and a retry of A from fresh state must succeed."""
+    lake.create("prices", SCHEMA, ["year"], ["date", "ticker"])
+    lake.insert("prices", _df(spark, [("A", "2024-01-02", 10.0)]))
+
+    rival = Lakehouse(spark, lake.root)
+    orig = Lakehouse._write_seq
+
+    def interleaved(self, name, meta, df, seq):
+        token = orig(self, name, meta, df, seq)
+        # rival commits AFTER our data is written, BEFORE our commit PUT
+        rival.insert("prices", _df(spark, [("R", "2024-01-03", 1.0)]))
+        return token
+
+    lake._write_seq = types.MethodType(interleaved, lake)
+    with pytest.raises(ConcurrentWriteError, match="version moved"):
+        lake.insert("prices", _df(spark, [("L", "2024-01-04", 2.0)]))
+    del lake.__dict__["_write_seq"]
+
+    # the winner's commit is intact; the loser's rows never became visible
+    got = {r.ticker for r in lake.table("prices").collect()}
+    assert got == {"A", "R"}
+    # retry from fresh state succeeds
+    lake.insert("prices", _df(spark, [("L", "2024-01-04", 2.0)]))
+    got = {r.ticker for r in lake.table("prices").collect()}
+    assert got == {"A", "R", "L"}
+
+
+def test_concurrent_writer_token_vanished_loses(lake, spark):
+    """A racing writer assigned the same sequence number clears the
+    generation dir (taking the attempt token with it) but has not yet
+    committed — the manifest version is unchanged, so only the token
+    check can catch it. It must."""
+    lake.create("prices", SCHEMA, ["year"], ["date", "ticker"])
+    orig = Lakehouse._write_seq
+
+    def write_then_clobber(self, name, meta, df, seq):
+        token = orig(self, name, meta, df, seq)
+        self.fs.delete(token)  # rival reused our seq and cleared the dir
+        return token
+
+    lake._write_seq = types.MethodType(write_then_clobber, lake)
+    with pytest.raises(ConcurrentWriteError, match="token vanished"):
+        lake.insert("prices", _df(spark, [("A", "2024-01-02", 10.0)]))
+    del lake.__dict__["_write_seq"]
+    # nothing committed: the table is still empty
+    assert lake.table("prices").count() == 0
+
+
+def test_legacy_layout_refused(lake, spark):
+    """Pre-manifest metadata over an old-layout data dir (hive dirs not
+    wrapped in _seq=K) must refuse loudly instead of reading 0 rows."""
+    d = lake._dir("old")
+    lake.fs.mkdirs(f"{d}/data/year=2024")
+    lake.fs.write_text(
+        f"{d}/_bl_meta.json",
+        json.dumps(
+            {
+                "name": "old",
+                "schema_json": json.dumps(SCHEMA.jsonValue()),
+                "partition_keys": ["year"],
+                "primary_keys": [],
+                "next_seq": 1,
+                "dirty_partitions": [],
+                "all_dirty": False,
+            }
+        ),
+    )
+    with pytest.raises(LegacyLayoutError, match="pre-manifest"):
+        lake.table("old")
+
+
+def test_insert_executes_input_exactly_once(lake, spark):
+    """The insert path must evaluate the input plan exactly once (dirty
+    partitions are read off the written directory names, not via a second
+    select().distinct() execution of the input). An accumulator inside a
+    UDF on the input counts plan executions × rows."""
+    acc = spark.sparkContext.accumulator(0)
+
+    def bump(t):
+        acc.add(1)
+        return t
+
+    u = F.udf(bump, "string")
+    rows = [(f"T{i}", f"202{i % 2}-01-02", float(i)) for i in range(100)]
+    df = _df(spark, rows).withColumn("ticker", u("ticker"))
+    lake.create("prices", SCHEMA, ["year"], ["date", "ticker"])
+    lake.insert("prices", df)
+    assert acc.value == 100, f"input plan executed {acc.value / 100:.1f}x"
+    # and the dirty partitions were still discovered correctly
+    meta = lake._load_meta("prices")
+    assert sorted(meta.dirty_partitions) == ["year=2020", "year=2021"]
+
+
+DW_SCHEMA = T.StructType(
+    [
+        T.StructField("ticker", T.StringType()),
+        T.StructField("w", T.DoubleType()),
+        T.StructField("close", T.DoubleType()),
+    ]
+)
+
+
+def test_delete_where_double_partition_spelling(lake, spark):
+    """Partition values whose Python str() differs from Spark's directory
+    spelling (0.0001 -> '1.0E-4') must still match committed/written rels:
+    a fully-deleted partition's manifest entry must actually go away."""
+    lake.create("dw", DW_SCHEMA, ["w"], ["ticker", "w"])
+    lake.insert(
+        "dw",
+        spark.createDataFrame(
+            [("A", 0.0001, 1.0), ("B", 0.0001, 2.0), ("C", 1.5, 3.0)], DW_SCHEMA
+        ),
+    )
+    lake.optimize("dw")
+    meta = lake._load_meta("dw")
+    assert any(r.startswith("w=1.0E-4") for r in meta.committed), meta.committed
+
+    lake.delete_where("dw", F.col("w") == 0.0001)
+    got = [(r.ticker, r.w) for r in lake.table("dw").collect()]
+    assert got == [("C", 1.5)]
+    meta = lake._load_meta("dw")
+    assert not any(r.startswith("w=1.0E-4") for r in meta.committed), (
+        "fully-deleted partition still has a manifest pointer: "
+        f"{meta.committed}"
+    )
+
+
+TS_SCHEMA = T.StructType(
+    [
+        T.StructField("ticker", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("close", T.DoubleType()),
+    ]
+)
+
+
+def test_fractional_timestamp_partition_roundtrip(lake, spark):
+    """Fractional-second timestamp partition values must round-trip through
+    directory names for both optimize (dirty-partition rewrite) and
+    delete_where — no silent null-filter drop, no spelling miss."""
+    t0 = datetime.datetime(2024, 1, 2, 3, 4, 5, 123456)
+    t1 = datetime.datetime(2024, 1, 2, 3, 4, 6, 654321)
+    lake.create("tsw", TS_SCHEMA, ["ts"], ["ticker", "ts"])
+    lake.insert(
+        "tsw", spark.createDataFrame([("A", t0, 1.0), ("B", t1, 2.0)], TS_SCHEMA)
+    )
+    # second insert of the same PK: optimize must rewrite the dirty
+    # fractional-ts partition and keep the latest row
+    lake.insert("tsw", spark.createDataFrame([("A", t0, 9.0)], TS_SCHEMA))
+    lake.optimize("tsw")
+    got = {(r.ticker, r.close) for r in lake.table("tsw").collect()}
+    assert got == {("A", 9.0), ("B", 2.0)}, got
+
+    lake.delete_where("tsw", F.col("ts") == F.lit(t0))
+    got = {(r.ticker, r.close) for r in lake.table("tsw").collect()}
+    assert got == {("B", 2.0)}
+    meta = lake._load_meta("tsw")
+    assert len(meta.committed) == 1, meta.committed

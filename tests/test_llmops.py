@@ -752,6 +752,53 @@ def test_ann_index_persists_with_identical_probes(spark, sf_dir, tmp_path):
     assert lake.table("corpus_centroids").count() == 16
 
 
+def test_ann_index_resave_smaller_geometry_replaces(spark, sf_dir, tmp_path):
+    """Retraining with a SMALLER geometry (fewer centroids, smaller m·k)
+    and re-saving must fully replace the stored quantizer — PK-merge
+    semantics would leave stale rows, and load_index (which infers
+    dimensions from the stored rows) would silently reconstruct a
+    corrupted index. The reloaded index must probe identically to the
+    in-memory retrained one."""
+    import numpy as np
+
+    from at_data_pipelines_spark.catalog import Lakehouse
+    from at_data_pipelines_spark.llmops import ann_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    lake = Lakehouse(spark, str(tmp_path / "ann_lake2"))
+
+    big = ann_index.train_index(emb, n_centroids=16, m=8, k=16, seed=42)
+    ann_index.save_index(lake, "corpus", big, encoded=ann_index.encode_corpus(emb, big))
+
+    small = ann_index.train_index(emb, n_centroids=4, m=4, k=8, seed=7)
+    enc_small = ann_index.encode_corpus(emb, small)
+    ann_index.save_index(lake, "corpus", small, encoded=enc_small)
+
+    # stored state is exactly the new geometry — no stale rows
+    assert lake.table("corpus_centroids").count() == 4
+    assert lake.table("corpus_codebooks").count() == 4 * 8
+    assert lake.table("corpus_codes").count() == emb.count()
+
+    reloaded = ann_index.load_index(lake, "corpus")
+    assert reloaded.centroids.shape == (4, small.centroids.shape[1])
+    assert reloaded.codebooks.shape == small.codebooks.shape
+    assert np.array_equal(reloaded.centroids, small.centroids)
+    assert np.array_equal(reloaded.codebooks, small.codebooks)
+
+    mem = {
+        (r.query_id, r.neighbor_id, round(r.cosine, 12))
+        for r in ann_index.topk(emb, queries, small, encoded=enc_small, k=5).collect()
+    }
+    disk = {
+        (r.query_id, r.neighbor_id, round(r.cosine, 12))
+        for r in ann_index.topk(
+            emb, queries, reloaded, encoded=lake.table("corpus_codes"), k=5
+        ).collect()
+    }
+    assert disk == mem
+
+
 def test_semantic_dedup_within_cluster(spark, sf_dir):
     """SemDeDup: planted near-identical embeddings collapse; reported
     pairs are a subset of the exact threshold join (the cross-cluster
