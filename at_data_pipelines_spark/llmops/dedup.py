@@ -245,6 +245,28 @@ def _prefix_candidates(ranked: DataFrame, id_col: str, threshold: float) -> Data
     )
 
 
+# shingle relations persisted by jaccard_pairs(persist_shingles=True),
+# awaiting release — at most one entry in steady state (each new call
+# releases its predecessors)
+_SHINGLE_CACHE_REGISTRY: list[DataFrame] = []
+
+
+def release_shingle_caches() -> int:
+    """Unpersist every shingle relation persisted by earlier
+    ``jaccard_pairs(persist_shingles=True)`` calls. Safe at any time:
+    unpersisting only drops cached blocks — a query still referencing the
+    relation recomputes it from lineage. Returns the number released."""
+    n = 0
+    while _SHINGLE_CACHE_REGISTRY:
+        rel = _SHINGLE_CACHE_REGISTRY.pop()
+        try:
+            rel.unpersist()
+        except Exception:
+            pass  # session already stopped
+        n += 1
+    return n
+
+
 def jaccard_pairs(
     df: DataFrame,
     text_col: str,
@@ -278,8 +300,14 @@ def jaccard_pairs(
     one materialization instead of re-running tokenize+explode per branch
     (the Vernica et al. staged design). Results are identical either way;
     see the recompute-vs-persist trade note below for when to flip it.
-    The cache lives until Spark evicts it or the session ends — for a
-    one-shot batch job that's exactly the intended lifetime.
+
+    Cache lifecycle: each ``persist_shingles=True`` call first releases
+    the relations persisted by PREVIOUS calls (their queries only lose
+    cached blocks — lineage recomputes if one is somehow still running),
+    so repeated invocations in one session hold at most ONE shingle
+    relation resident instead of accumulating several×-corpus-size
+    residency per call. Call ``release_shingle_caches()`` when done to
+    drop the last one too (bench/correctness sweeps do).
     """
     # join on xxhash64(shingle) instead of the shingle string: 8-byte keys
     # shrink the shuffle ~3× and compare faster. A 64-bit collision would
@@ -308,7 +336,9 @@ def jaccard_pairs(
     if persist_shingles:
         from pyspark import StorageLevel
 
+        release_shingle_caches()
         rel = rel.persist(StorageLevel.MEMORY_AND_DISK)
+        _SHINGLE_CACHE_REGISTRY.append(rel)
     if candidates is None:
         cand_src = rel
         if max_doc_freq is not None:

@@ -5,13 +5,16 @@ Real codecs, pure numpy/stdlib (the container has no PIL/cv2/librosa):
 
 - **BMP** — uncompressed BITMAPINFOHEADER, 24-bit BGR and 8-bit gray;
 - **PPM/PGM** — binary P6 (RGB) and P5 (gray), maxval ≤ 255;
+- **PNG** — 8-bit non-interlaced grayscale (color type 0) and RGB (2):
+  stdlib ``zlib`` inflate + full scanline filter reconstruction
+  (None/Sub/Up/Average/Paeth);
 - **WAV** — RIFF PCM, 8/16/32-bit integer samples.
 
-These are header+raster formats, fully parseable with ``struct`` and
-``np.frombuffer`` — so decode → filter → embed → ANN runs end-to-end on
-real bytes. Compressed formats (PNG/JPEG/MP3/...) raise
-``NotImplementedError`` from the format sniff: entropy decoding needs a
-codec library, and faking it would hide the dependency. A deterministic
+These are parseable with ``struct``/``zlib``/``np.frombuffer`` — so
+decode → filter → embed → ANN runs end-to-end on real bytes. Formats
+needing an entropy codec the stdlib lacks (JPEG/MP3/..., and PNG
+variants outside the supported subset) raise ``NotImplementedError``
+from the sniff: faking them would hide the dependency. A deterministic
 ``FAKE`` header format remains for plumbing tests:
 ``b"FAKE" + mode(1B) + width(4B LE) + height(4B LE) + payload``.
 
@@ -124,6 +127,129 @@ def _decode_bmp(buf: bytes) -> tuple[int, int, str, np.ndarray]:
     return w, h, mode, (px[::-1] if bottom_up else px).copy()
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(pixels: np.ndarray, row_filters: list[int] | None = None) -> bytes:
+    """Encode (h, w) gray or (h, w, 3) RGB uint8 as an 8-bit
+    non-interlaced PNG. ``row_filters`` optionally names the scanline
+    filter (0-4) applied per row (cycled) — the fixture knob that makes
+    the decoder's Sub/Up/Average/Paeth reconstruction paths testable
+    without an external writer. Default: filter 0 everywhere."""
+    import zlib
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    gray = px.ndim == 2
+    h, w = px.shape[:2]
+    flat = px.reshape(h, -1).astype(np.int32)
+    bpp = 1 if gray else 3
+    stride = flat.shape[1]
+    raw = bytearray()
+    prev = np.zeros(stride, np.int32)
+    for y in range(h):
+        f = row_filters[y % len(row_filters)] if row_filters else 0
+        cur = flat[y]
+        left = np.concatenate([np.zeros(bpp, np.int32), cur[:-bpp]])
+        upleft = np.concatenate([np.zeros(bpp, np.int32), prev[:-bpp]])
+        if f == 0:
+            out = cur
+        elif f == 1:
+            out = cur - left
+        elif f == 2:
+            out = cur - prev
+        elif f == 3:
+            out = cur - ((left + prev) >> 1)
+        else:  # 4: Paeth
+            p = left + prev - upleft
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
+            )
+            out = cur - pred
+        raw += bytes([f]) + (out & 0xFF).astype(np.uint8).tobytes()
+        prev = cur
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        body = typ + data
+        return struct.pack(">I", len(data)) + body + struct.pack(">I", zlib.crc32(body))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0 if gray else 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _decode_png(buf: bytes) -> tuple[int, int, str, np.ndarray]:
+    """8-bit non-interlaced gray/RGB PNG: walk the chunk stream, inflate
+    the concatenated IDATs (stdlib zlib), reconstruct scanline filters
+    (None/Sub vectorized where possible; Average/Paeth have a sequential
+    left-dependency, resolved per-pixel in the row loop)."""
+    import zlib
+
+    pos, ihdr, idat = 8, None, bytearray()
+    while pos + 8 <= len(buf):
+        ln = int.from_bytes(buf[pos : pos + 4], "big")
+        typ = buf[pos + 4 : pos + 8]
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", buf[pos + 8 : pos + 8 + 13])
+        elif typ == b"IDAT":
+            idat += buf[pos + 8 : pos + 8 + ln]
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    if ihdr is None:
+        raise ValueError("malformed PNG: no IHDR chunk")
+    w, h, depth, ctype, _comp, _filt, interlace = ihdr
+    if depth != 8 or interlace != 0 or ctype not in (0, 2):
+        raise NotImplementedError(
+            f"PNG variant not supported (depth={depth}, color_type={ctype}, "
+            f"interlace={interlace}): only 8-bit non-interlaced gray/RGB decodes"
+        )
+    bpp = 1 if ctype == 0 else 3
+    stride = w * bpp
+    raw = zlib.decompress(bytes(idat))
+    lines = np.frombuffer(raw, np.uint8, count=(stride + 1) * h).reshape(h, stride + 1)
+    out = np.zeros((h, stride), np.int32)
+    zeros = np.zeros(stride, np.int32)
+    for y in range(h):
+        f = int(lines[y, 0])
+        cur = lines[y, 1:].astype(np.int32)
+        prev = out[y - 1] if y else zeros
+        if f == 0:
+            rec = cur
+        elif f == 2:
+            rec = (cur + prev) & 0xFF
+        elif f == 1:
+            rec = cur
+            for x in range(bpp, stride):
+                rec[x] = (rec[x] + rec[x - bpp]) & 0xFF
+        elif f == 3:
+            rec = cur
+            for x in range(stride):
+                left = rec[x - bpp] if x >= bpp else 0
+                rec[x] = (rec[x] + ((left + prev[x]) >> 1)) & 0xFF
+        elif f == 4:
+            rec = cur
+            for x in range(stride):
+                a = rec[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rec[x] = (rec[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"invalid PNG filter type {f}")
+        out[y] = rec
+    px = out.astype(np.uint8)
+    if ctype == 0:
+        return w, h, "L", px.reshape(h, w)
+    return w, h, "RGB", px.reshape(h, w, 3)
+
+
 def _decode_ppm(buf: bytes) -> tuple[int, int, str, np.ndarray]:
     # header: magic, then 3 ASCII ints (w, h, maxval), '#' comments allowed
     pos, fields = 2, []
@@ -159,12 +285,15 @@ def decode_image(buf: bytes) -> tuple[int, int, str, np.ndarray | None]:
         return _decode_bmp(buf)
     if buf[:2] in (b"P5", b"P6"):
         return _decode_ppm(buf)
+    if buf[:8] == _PNG_SIG:
+        return _decode_png(buf)
     if buf[:4] == b"FAKE":
         mode, w, h = struct.unpack("<BII", buf[4:13])
         return w, h, {1: "L", 3: "RGB"}.get(mode, f"M{mode}"), None
     raise NotImplementedError(
-        "unsupported image format (PNG/JPEG/... need a codec library); "
-        "supported: BMP (8/24-bit uncompressed), PPM/PGM binary, FAKE"
+        "unsupported image format (JPEG/... need a codec library); "
+        "supported: BMP (8/24-bit uncompressed), PPM/PGM binary, "
+        "PNG (8-bit non-interlaced gray/RGB), FAKE"
     )
 
 

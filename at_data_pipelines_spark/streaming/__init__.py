@@ -1,4 +1,5 @@
 from .ingest import (  # noqa: F401
+    ann_index_maintenance_stream,
     create_ingest_tables,
     near_dup_ingest_stream,
 )

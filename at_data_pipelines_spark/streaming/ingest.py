@@ -133,3 +133,50 @@ def near_dup_ingest_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def ann_index_maintenance_stream(
+    vec_stream: DataFrame,
+    lake: Lakehouse,
+    prefix: str,
+    checkpoint_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    available_now: bool = True,
+):
+    """Incrementally maintain a persisted IVF+PQ index
+    (``llmops.ann_index``) from a stream of embeddings: each micro-batch
+    is assigned + residual-encoded under the SAVED quantizer (loaded once
+    at query start — a few KB, closure-broadcast) and PK-upserted into
+    ``{prefix}_codes``. This is the online counterpart of
+    ``ann_index.encode_corpus``: new/changed vectors become probeable
+    without re-encoding the corpus, and replayed batches are idempotent
+    (re-encoding the same vector under the same quantizer yields the same
+    code row, merged on its PK).
+
+    The quantizer itself is intentionally frozen for the stream's
+    lifetime — retraining changes every code's meaning, so a retrain is a
+    batch event: ``save_index`` (full snapshot replace) + fresh stream.
+
+    Scale: encoding is one Arrow pass per micro-batch (no shuffle); the
+    upsert's dedup shuffle is proportional to the batch, not the index.
+    """
+    from ..llmops.ann_index import _codes_schema, encode_corpus, load_index
+
+    index = load_index(lake, prefix)
+    lake.create(f"{prefix}_codes", _codes_schema(id_col), [], [id_col])
+
+    def sink(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        batch = batch.dropDuplicates([id_col])
+        lake.upsert(f"{prefix}_codes", encode_corpus(batch, index, id_col, vec_col))
+
+    writer = (
+        vec_stream.writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,144 @@
+"""Scale-ladder harness: measure how the dedup/ANN queries grow with
+corpus size (the 100 TB extrapolation evidence SCALING.md cites).
+
+Generates sf0.5 and sf1.0 corpora from the driver's sf0.1
+documents/embeddings by STRUCTURE-PRESERVING replication:
+
+- documents: replica ``r`` remaps ``doc_id += r·10⁷`` and prefixes every
+  token with ``r{r}·`` — a bijection on tokens, so every within-replica
+  shingle/Jaccard/SimHash relationship is preserved EXACTLY, while
+  replicas share zero shingles with each other. Near-dup pair counts
+  therefore scale linearly with corpus size (k·pairs at k× docs), which
+  is what makes the measured growth attributable to the algorithm, not
+  to artificial cross-replica duplicate structure (naive copying would
+  add k² near-dup pairs and measure the wrong thing).
+- embeddings: replica ``r`` remaps ``vec_id`` and applies a seeded
+  dimension permutation — orthogonal, so all within-replica cosines are
+  exact; cross-replica vectors land at background similarity.
+
+Usage: ``python scale_ladder.py [--runs 2]`` → one JSON line with
+per-query wall times at each SF and fitted growth exponents
+(log-log slope between successive SFs). Writes generated corpora under
+$SPARK_GRAFT_SCALE_DIR (default /tmp/scale).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+LADDER_QUERIES = [
+    "q40_exact_dedup",
+    "q45_minhash_lsh_candidates",
+    "q46_jaccard_near_dups",
+    "q47_simhash32",
+    "q48_cosine_top5",
+]
+
+BASE_SF = 0.1
+REPLICA_STRIDE = 10_000_000
+
+
+def generate_scaled(base_dir: str, out_dir: str, k: int) -> None:
+    """Write documents.parquet / embeddings.parquet with k replicas."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    docs = pq.read_table(f"{base_dir}/documents.parquet")
+    parts = []
+    for r in range(k):
+        t = docs
+        ids = pc.add(t.column("doc_id"), r * REPLICA_STRIDE)
+        # prefix every token: bijection on the vocabulary per replica
+        text = pc.replace_substring_regex(t.column("text"), r"(\S+)", rf"r{r}·\1")
+        t = t.set_column(t.schema.get_field_index("doc_id"), "doc_id", ids)
+        t = t.set_column(t.schema.get_field_index("text"), "text", text)
+        parts.append(t)
+    pq.write_table(pa.concat_tables(parts), f"{out_dir}/documents.parquet")
+
+    emb = pq.read_table(f"{base_dir}/embeddings.parquet")
+    vec = np.stack([np.asarray(v, dtype=np.float32) for v in emb.column("embedding").to_pylist()])
+    ids = np.asarray(emb.column("vec_id").to_pylist(), dtype=np.int64)
+    labels = np.asarray(emb.column("label").to_pylist())
+    out_ids, out_vecs, out_labels = [], [], []
+    for r in range(k):
+        perm = np.random.default_rng(1000 + r).permutation(vec.shape[1])
+        out_ids.append(ids + r * REPLICA_STRIDE)
+        out_vecs.append(vec[:, perm])
+        out_labels.append(labels)
+    allv = np.concatenate(out_vecs)
+    table = pa.table(
+        {
+            "vec_id": pa.array(np.concatenate(out_ids)),
+            "embedding": pa.array(list(allv), type=pa.list_(pa.float32())),
+            "label": pa.array(np.concatenate(out_labels)),
+        }
+    )
+    pq.write_table(table, f"{out_dir}/embeddings.parquet")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument("--base", default="/root/testdata/sf0.1")
+    args = ap.parse_args()
+
+    from at_data_pipelines_spark.llmops.dedup import release_shingle_caches
+    from at_data_pipelines_spark.queries import QUERIES
+    from at_data_pipelines_spark.session import get_spark
+
+    scale_root = os.environ.get("SPARK_GRAFT_SCALE_DIR", "/tmp/scale")
+    ladder = [(0.1, 1), (0.5, 5), (1.0, 10)]
+    dirs = {}
+    for sf, k in ladder:
+        if k == 1:
+            dirs[sf] = args.base
+            continue
+        d = f"{scale_root}/sf{sf}"
+        if not (
+            os.path.exists(f"{d}/documents.parquet")
+            and os.path.exists(f"{d}/embeddings.parquet")
+        ):
+            generate_scaled(args.base, d, k)
+        dirs[sf] = d
+
+    spark = get_spark(app_name="scale_ladder")
+    results: dict[str, dict[str, float]] = {q: {} for q in LADDER_QUERIES}
+    for sf, _k in ladder:
+        for q in LADDER_QUERIES:
+            samples = []
+            for _ in range(args.runs):
+                t0 = time.perf_counter()
+                n = QUERIES[q](spark, dirs[sf]).count()
+                samples.append(time.perf_counter() - t0)
+            release_shingle_caches()
+            results[q][str(sf)] = round(min(samples), 3)
+            results[q].setdefault("rows", {})[str(sf)] = n  # type: ignore[arg-type]
+
+    import math
+
+    exponents = {}
+    for q in LADDER_QUERIES:
+        segs = {}
+        for (sf_a, _), (sf_b, _) in zip(ladder, ladder[1:]):
+            ta, tb = results[q][str(sf_a)], results[q][str(sf_b)]
+            segs[f"{sf_a}->{sf_b}"] = round(
+                math.log(tb / ta) / math.log(sf_b / sf_a), 2
+            )
+        exponents[q] = segs
+
+    print(json.dumps({"times_s": results, "growth_exponents": exponents}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

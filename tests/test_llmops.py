@@ -447,12 +447,65 @@ def test_multimodal_decode_plumbing(spark):
 
 
 def test_multimodal_real_codec_stubbed(spark):
+    # JPEG needs an entropy codec the stdlib lacks — must refuse honestly
     df = spark.createDataFrame(
-        [(1, "image", b"\x89PNG\r\n" + b"0" * 50, ("s3", "image/png"))],
+        [(1, "image", b"\xff\xd8\xff\xe0" + b"0" * 50, ("s3", "image/jpeg"))],
         multimodal.MEDIA_SCHEMA,
     )
     with pytest.raises(Exception, match="NotImplementedError|not available"):
         multimodal.decode_image_meta(df).collect()
+
+
+def test_png_roundtrip_all_filters():
+    """PNG encode → decode is the identity on pixels for gray and RGB,
+    with every scanline filter type (None/Sub/Up/Average/Paeth) exercised
+    via the encoder's row_filters knob; unsupported variants refuse."""
+    import numpy as np
+
+    rng = np.random.default_rng(13)
+    rgb = rng.integers(0, 256, size=(9, 7, 3), dtype=np.uint8)
+    gray = rng.integers(0, 256, size=(6, 11), dtype=np.uint8)
+    for px, mode in [(rgb, "RGB"), (gray, "L")]:
+        for filters in (None, [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+            buf = multimodal.encode_png(px, row_filters=filters)
+            w, h, m, out = multimodal.decode_image(buf)
+            assert (w, h, m) == (px.shape[1], px.shape[0], mode), filters
+            assert np.array_equal(out, px), f"filters={filters} mode={mode}"
+    # 16-bit depth is outside the supported subset — must refuse, not garble
+    buf = bytearray(multimodal.encode_png(gray))
+    depth_off = buf.index(b"IHDR") + 4 + 8
+    buf[depth_off] = 16
+    with pytest.raises(NotImplementedError, match="PNG variant"):
+        multimodal.decode_image(bytes(buf))
+
+
+def test_png_embedding_matches_bmp_at_cosine_one(spark):
+    """The same pixels in PNG and BMP containers must produce the
+    identical pixel-derived embedding (cosine exactly 1): decode →
+    embed → ANN is container-invariant."""
+    import numpy as np
+
+    rng = np.random.default_rng(17)
+    img = rng.integers(0, 256, size=(24, 32, 3), dtype=np.uint8)
+    other = rng.integers(0, 256, size=(24, 32, 3), dtype=np.uint8)
+    media = spark.createDataFrame(
+        [
+            (1, "image", multimodal.encode_bmp(img), ("s", "image/bmp")),
+            (2, "image", multimodal.encode_png(img, row_filters=[0, 1, 2, 3, 4]),
+             ("s", "image/png")),
+            (3, "image", multimodal.encode_png(other), ("s", "image/png")),
+        ],
+        multimodal.MEDIA_SCHEMA,
+    )
+    vecs = {
+        r.media_id: np.array(r.embedding, dtype=np.float64)
+        for r in multimodal.extract_embeddings(media, dim=64).collect()
+    }
+    assert np.array_equal(vecs[1], vecs[2]), "same pixels → identical embedding"
+    assert float(vecs[1] @ vecs[3]) < 0.9
+    meta = {r.media_id: (r.width, r.height, r.mode)
+            for r in multimodal.decode_image_meta(media).collect()}
+    assert meta[2] == (32, 24, "RGB")
 
 
 def test_bmp_ppm_roundtrip():
@@ -883,3 +936,146 @@ def test_quality_classifier_separates_and_scales(spark):
         quality.train_token_classifier(
             spark.createDataFrame([(1, "only one class", 1)], ["doc_id", "text", "label"])
         )
+
+
+def test_quality_scores_tokenless_docs_at_prior(spark):
+    """Token-less documents (empty / whitespace-only text) must receive a
+    score row equal to the class-prior logit — and filter_by_quality must
+    keep them under a permissive min_logit instead of silently dropping
+    them (a left_semi against token-derived scores would)."""
+    import math
+
+    from at_data_pipelines_spark.llmops import quality
+
+    train = [(i, "good clean prose " * 3, 1) for i in range(10)] + [
+        (100 + i, "spam junk noise " * 3, 0) for i in range(10)
+    ]
+    clf = quality.train_token_classifier(
+        spark.createDataFrame(train, ["doc_id", "text", "label"])
+    )
+    corpus = spark.createDataFrame(
+        [(1, "good clean prose"), (2, ""), (3, "   "), (4, "spam junk")],
+        ["doc_id", "text"],
+    )
+    scores = {
+        r.doc_id: r.quality_logit
+        for r in quality.score_token_classifier(corpus, clf).collect()
+    }
+    assert set(scores) == {1, 2, 3, 4}, "every corpus doc must get a score row"
+    assert math.isclose(scores[2], clf.prior_logit, rel_tol=1e-12)
+    assert math.isclose(scores[3], clf.prior_logit, rel_tol=1e-12)
+
+    kept = {
+        r.doc_id
+        for r in quality.filter_by_quality(
+            corpus, clf, min_logit=clf.prior_logit - 1e-9
+        ).collect()
+    }
+    assert {2, 3} <= kept, "token-less docs must pass a permissive min_logit"
+    assert 4 not in kept
+
+
+def test_train_sample_is_layout_independent(spark):
+    """Adversarial layout: the SAME corpus sorted by cluster (so limit(n)
+    would see only one cluster's partitions) versus shuffled must yield
+    the IDENTICAL training draw — and therefore identical IVF results."""
+    import numpy as np
+
+    from at_data_pipelines_spark.llmops import similarity
+
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(4, 16))
+    rows = []
+    for c in range(4):
+        for i in range(120):
+            v = centers[c] + rng.normal(0, 0.05, size=16)
+            rows.append((c * 1000 + i, c, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, ["vec_id", "cluster_label", "embedding"])
+
+    clustered = df.repartitionByRange(4, "cluster_label").sortWithinPartitions(
+        "cluster_label"
+    ).select("vec_id", "embedding")
+    shuffled = df.repartition(8, "vec_id").select("vec_id", "embedding")
+
+    s1 = similarity._train_sample_vectors(clustered, "embedding", 64, seed=42)
+    s2 = similarity._train_sample_vectors(shuffled, "embedding", 64, seed=42)
+    assert np.array_equal(np.sort(s1, axis=0), np.sort(s2, axis=0)), (
+        "hash-ordered draw must pick the same vectors on any layout"
+    )
+    # and the drawn sample must span all four clusters (limit() on the
+    # clustered layout would see only the first)
+    sampled = {tuple(np.round(v, 6)) for v in s1}
+    hit_clusters = {
+        r.cluster_label
+        for r in df.collect()
+        if tuple(np.round(np.array(r.embedding), 6)) in sampled
+    }
+    assert hit_clusters == {0, 1, 2, 3}
+
+    queries = shuffled.filter(F.col("vec_id") % 100 == 7)
+    r1 = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ivf_topk(clustered, queries, 5, n_centroids=4).collect()
+    }
+    r2 = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ivf_topk(shuffled, queries, 5, n_centroids=4).collect()
+    }
+    assert r1 == r2
+
+
+def test_semantic_dedup_threshold_marginal_pair_survives(spark):
+    """A pair whose cosine exceeds the threshold by ~1e-9 must be reported:
+    the candidate GEMM runs on float64 passthrough vectors (an
+    array<float> hop would perturb the cosine by ~1e-7 and could drop it
+    before the exact verify ever sees it)."""
+    import numpy as np
+
+    from at_data_pipelines_spark.llmops import similarity
+
+    threshold = 0.99
+    d = 16
+    e1 = np.zeros(d); e1[0] = 1.0
+    e2 = np.zeros(d); e2[1] = 1.0
+    cos_t = threshold + 1e-9
+    a = e1
+    b = cos_t * e1 + np.sqrt(1.0 - cos_t * cos_t) * e2
+    rng = np.random.default_rng(5)
+    filler = [
+        (100 + i, [float(x) for x in (-e1 + rng.normal(0, 0.01, size=d))])
+        for i in range(20)
+    ]
+    rows = [(1, [float(x) for x in a]), (2, [float(x) for x in b])] + filler
+    corpus = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in similarity.semantic_dedup_pairs(
+            corpus, threshold, n_clusters=2, train_sample=64
+        ).collect()
+    }
+    assert (1, 2) in pairs
+
+
+def test_shingle_cache_lifecycle(spark, sf_dir):
+    """Repeated persist_shingles=True calls must hold at most ONE cached
+    shingle relation (each call releases its predecessors), and
+    release_shingle_caches() must leave nothing resident."""
+    from at_data_pipelines_spark.llmops import dedup
+
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+
+    def n_cached():
+        return len(
+            [i for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()]
+        )
+
+    dedup.release_shingle_caches()  # clean slate from earlier tests
+    base = n_cached()
+    dedup.jaccard_pairs(docs, "text", "doc_id", 0.6, persist_shingles=True).count()
+    assert n_cached() == base + 1
+    dedup.jaccard_pairs(docs, "text", "doc_id", 0.6, persist_shingles=True).count()
+    assert n_cached() == base + 1, "second call must release the first cache"
+    released = dedup.release_shingle_caches()
+    assert released == 1
+    assert n_cached() == base

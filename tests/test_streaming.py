@@ -294,3 +294,67 @@ def test_near_dup_ingest_short_docs_guarded(spark, tmp_path):
     kept2 = {r.doc_id for r in lake.table("docs").collect()}
     assert 10 not in kept2  # exact copy of a kept short doc is dropped
     assert 11 in kept2
+
+
+def test_ann_index_maintenance_stream(spark, sf_dir, tmp_path):
+    """Streaming index maintenance: embeddings arriving as a stream are
+    encoded under the saved quantizer and upserted into {prefix}_codes.
+    Post-stream probes must match a batch-built index exactly, and a
+    full replay (fresh checkpoint) must add nothing."""
+    import numpy as np
+
+    from at_data_pipelines_spark.llmops import ann_index
+    from at_data_pipelines_spark.streaming import ann_index_maintenance_stream
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    n_total = emb.count()
+
+    # train on the full corpus, save ONLY the quantizer (no codes yet)
+    lake = Lakehouse(spark, str(tmp_path / "ann_stream_lake"))
+    idx = ann_index.train_index(emb, n_centroids=8, m=4, k=16, seed=42)
+    ann_index.save_index(lake, "corpus", idx)
+
+    # stream the embeddings in two parquet files
+    src = tmp_path / "vec_src"
+    src.mkdir()
+    emb.filter(F.col("vec_id") % 2 == 0).write.parquet(str(src / "b1"))
+    emb.filter(F.col("vec_id") % 2 == 1).write.parquet(str(src / "b2"))
+
+    schema = emb.schema
+
+    def run(ckpt):
+        stream = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(f"{src}/*")
+        q = ann_index_maintenance_stream(
+            stream, lake, "corpus", str(tmp_path / ckpt)
+        )
+        q.awaitTermination(180)
+
+    run("ck1")
+    codes = lake.table("corpus_codes")
+    assert codes.count() == n_total
+
+    # probes against streamed codes == probes against a batch encode
+    queries = emb.filter(F.col("vec_id") < 8)
+    batch_enc = ann_index.encode_corpus(emb, idx)
+    want = {
+        (r.query_id, r.neighbor_id, round(r.cosine, 12))
+        for r in ann_index.topk(emb, queries, idx, encoded=batch_enc, k=5).collect()
+    }
+    got = {
+        (r.query_id, r.neighbor_id, round(r.cosine, 12))
+        for r in ann_index.topk(emb, queries, idx, encoded=codes, k=5).collect()
+    }
+    assert got == want
+
+    # replay everything with a fresh checkpoint: idempotent
+    run("ck2")
+    assert lake.table("corpus_codes").count() == n_total
+    again = {
+        (r.query_id, r.neighbor_id, round(r.cosine, 12))
+        for r in ann_index.topk(
+            emb, queries, idx, encoded=lake.table("corpus_codes"), k=5
+        ).collect()
+    }
+    assert again == want
