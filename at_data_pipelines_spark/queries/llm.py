@@ -230,9 +230,16 @@ def q46_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..llmops.dedup import jaccard_pairs
 
     d = load_table(spark, sf_dir, "documents")
-    # persist_shingles: measured faster than 4-scan recompute at sf0.1
-    # (see the trade note in llmops/dedup.py); identical results
-    return jaccard_pairs(d, "text", "doc_id", threshold=0.6, shingle_n=3, persist_shingles=True)
+    # persist_shingles=False: the recompute plan re-runs tokenize+explode
+    # per branch but stays fully pipelined with zero storage-memory
+    # footprint. Measured at sf0.1 (local[32], min-of-3): quiet session
+    # persist 2.8 s vs recompute 3.6 s, but in a session carrying prior
+    # workload (pipeline DAGs) persist degrades to 6.2-8.4 s — cache
+    # materialization fights the pressured heap — while recompute holds
+    # 2.5-4.0 s. Robust-under-load beats best-case-quiet for a default;
+    # callers with a quiet session and executor storage to spare can
+    # still pass persist_shingles=True (lifecycle-managed, see dedup.py).
+    return jaccard_pairs(d, "text", "doc_id", threshold=0.6, shingle_n=3)
 
 
 # --------------------------------------------------------------------------
@@ -465,3 +472,48 @@ def q49_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return cosine_threshold_pairs_blocked(emb, threshold=0.45, n_blocks=8)
+
+
+# --------------------------------------------------------------------------
+# q50 — temperature-flattened domain mixture plan: the mT5/XLM-R
+#        rebalancing rule (w_s ∝ n_s^T) plus the largest-total-size
+#        NO-UPSAMPLING keep fractions (T_size = min_s n_s/w_s, keep
+#        w_s·T_size/n_s). This puts llmops.sampling's mixture math —
+#        previously only pytest-checked — under the DuckDB oracle gate:
+#        the result is the per-source resampling plan a 100 TB curation
+#        run would execute via stratified_sample. Counts are one
+#        aggregate row per source (tiny collect, same class as a
+#        partition listing); pow/div parity is double-precision on both
+#        sides, rounded to 6 per the registry determinism policy.
+# --------------------------------------------------------------------------
+@register(
+    "q50_temperature_mixture",
+    oracle="""
+    WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY 1),
+    t AS (SELECT source, n, POW(CAST(n AS DOUBLE), 0.7) AS raw FROM c),
+    z AS (SELECT SUM(raw) AS z FROM t),
+    w AS (SELECT source, n, raw / z AS w FROM t, z),
+    ts AS (SELECT MIN(n / w) AS tsize FROM w WHERE w > 0)
+    SELECT source, n AS n_docs,
+           ROUND(w, 6) AS target_share,
+           ROUND(LEAST(1.0, w * tsize / n), 6) AS keep_frac
+    FROM w, ts
+    """,
+)
+def q50_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llmops.sampling import mixture_fractions, temperature_weights
+
+    d = load_table(spark, sf_dir, "documents")
+    weights = temperature_weights(d, temperature=0.7, strata_col="source")
+    fracs = mixture_fractions(d, weights, strata_col="source")
+    counts = {
+        r["source"]: r["n"]
+        for r in d.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    rows = [
+        (s, counts[s], round(weights[s], 6), round(fracs[s], 6))
+        for s in sorted(counts)
+    ]
+    return d.sparkSession.createDataFrame(
+        rows, "source string, n_docs long, target_share double, keep_frac double"
+    )
