@@ -349,8 +349,19 @@ def jaccard_pairs(
     # exact verify: fan each candidate pair out over a's shingles, keep
     # the ones b also has (equi-join on (id_b, sh_h)), count per pair;
     # doc sizes ride along on the verify rows (_n), no extra size join.
-    a = rel.select(F.col(id_col), "sh_h", F.col("_n")).alias("a")
-    b = rel.select(F.col(id_col), "sh_h", F.col("_n")).alias("b")
+    # The verify sides only need (id, sh_h, _n) — when recomputing
+    # (persist off), derive them from the RAW shingle relation with a
+    # single doc-size window instead of re-running the full ranking
+    # (which adds the doc-frequency shuffle over sh_h and the per-doc
+    # rarity sort that only candidate generation uses). Same values,
+    # ~half the work per verify branch; with persist on, both verify
+    # sides read the one cached ranked materialization as before.
+    if persist_shingles:
+        ver = rel
+    else:
+        ver = sh.withColumn("_n", F.count("*").over(W.partitionBy(id_col)))
+    a = ver.select(F.col(id_col), "sh_h", F.col("_n")).alias("a")
+    b = ver.select(F.col(id_col), "sh_h", F.col("_n")).alias("b")
     inter = (
         cand.join(a, cand.id_a == F.col(f"a.{id_col}"))
         .join(
