@@ -57,3 +57,62 @@ def q60_stream_tumbling_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         (F.col("cents").cast("double") / 100).alias("total_value"),
     )
+
+
+@register(
+    "q61_stream_sessionization",
+    oracle="""
+    WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us,
+                      CAST(ROUND(value*100) AS BIGINT) AS cents FROM events),
+    o AS (SELECT user_id, ts_us, cents,
+                 CASE WHEN ts_us - LAG(ts_us) OVER (PARTITION BY user_id
+                                                    ORDER BY ts_us) > 1800000000
+                      THEN 1 ELSE 0 END AS brk
+          FROM e),
+    s AS (SELECT user_id, ts_us, cents,
+                 SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_us
+                                ROWS UNBOUNDED PRECEDING) AS sid
+          FROM o)
+    SELECT user_id,
+           MIN(ts_us) AS session_start_us,
+           MAX(ts_us) + 1800000000 AS session_end_us,
+           COUNT(*) AS n_events,
+           CAST(SUM(cents) AS DOUBLE)/100 AS total_value
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def q61_stream_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization THROUGH a real streaming plan: ``session_window``
+    (30-minute inactivity gap) with a watermark, availableNow to
+    completion, memory sink. Spark's session end = last event + gap,
+    mirrored in the oracle; boundary semantics verified exact against
+    the batch lag+cumsum construction (q25) on µs-resolution data.
+    Exact-cents sums per the registry determinism policy."""
+    from ..streaming import read_events_stream
+
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("win"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+        )
+    )
+    name = f"q61_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    out = spark.table(name)
+    return out.select(
+        "user_id",
+        F.unix_micros(F.col("win.start")).alias("session_start_us"),
+        F.unix_micros(F.col("win.end")).alias("session_end_us"),
+        "n_events",
+        (F.col("cents").cast("double") / 100).alias("total_value"),
+    )

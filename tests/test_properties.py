@@ -120,3 +120,49 @@ def test_ntile_closed_form_matches_ansi_rule(n_rows, k):
     assert len(explicit) == n_rows
     for rank in range(1, n_rows + 1):
         assert formula(rank) == explicit[rank - 1], (n_rows, k, rank)
+
+
+@given(
+    st.integers(1, 24),
+    st.integers(1, 24),
+    st.booleans(),
+    st.lists(st.integers(0, 4), min_size=1, max_size=6),
+    st.integers(0, 2**32 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_png_codec_roundtrip_property(h, w, gray, filters, seed):
+    """encode_png → decode_image is the identity on uint8 pixels for any
+    shape, gray/RGB, and any per-row scanline filter assignment."""
+    from at_data_pipelines_spark.llmops.multimodal import decode_image, encode_png
+
+    rng = np.random.default_rng(seed)
+    shape = (h, w) if gray else (h, w, 3)
+    px = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    buf = encode_png(px, row_filters=filters)
+    ww, hh, mode, out = decode_image(buf)
+    assert (ww, hh) == (w, h)
+    assert mode == ("L" if gray else "RGB")
+    assert np.array_equal(out, px)
+
+
+@given(
+    st.lists(
+        st.floats(-1e9, 1e9, allow_nan=False).filter(lambda x: x == x),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_partition_value_escape_roundtrip(vals):
+    """Hive partition-value escape/unescape round-trips arbitrary value
+    spellings (incl. scientific notation, %, specials)."""
+    from at_data_pipelines_spark.catalog import (
+        _escape_partition_value,
+        _unescape_partition_value,
+    )
+
+    for v in vals:
+        s = repr(v)
+        esc = _escape_partition_value(s)
+        assert "/" not in esc and "=" not in esc.replace("%3D", "")
+        assert _unescape_partition_value(esc) == s
