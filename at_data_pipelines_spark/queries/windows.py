@@ -424,3 +424,51 @@ def q29_keep_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", "event_type", "event_id", "value")
     )
+
+
+# --------------------------------------------------------------------------
+# q62 — batch purchase attribution via the bucketized range join
+#        (ops.range_join): every (purchase, click) pair where the click
+#        happened in the 30 minutes before the purchase, same user. The
+#        batch counterpart of streaming.purchase_attribution_stream, and
+#        the D-gate exercise of the interval-join operator: time is
+#        bucketed into gap-width bins so the plan is a uniform equi-join
+#        on (user, bin) + exact range filter — never a per-key cross
+#        product. Oracle is DuckDB's plain inequality join.
+# --------------------------------------------------------------------------
+@register(
+    "q62_purchase_attribution",
+    oracle="""
+    WITH c AS (SELECT user_id, event_id AS click_id, epoch_us(ts) AS click_us
+               FROM events WHERE event_type = 'click'),
+    p AS (SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS purchase_us
+          FROM events WHERE event_type = 'purchase')
+    SELECT p.user_id, p.purchase_id, p.purchase_us, c.click_id, c.click_us
+    FROM p JOIN c ON p.user_id = c.user_id
+    WHERE c.click_us >= p.purchase_us - 1800000000
+      AND c.click_us <= p.purchase_us
+    """,
+)
+def q62_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ops import range_join
+
+    e = _events(spark, sf_dir)
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts_us").alias("purchase_us"),
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts_us").alias("click_us"),
+    )
+    return range_join(
+        purchases,
+        clicks,
+        on_left="purchase_us",
+        on_right="click_us",
+        lower=-1_800_000_000,
+        upper=0,
+        by=["user_id"],
+    ).select("user_id", "purchase_id", "purchase_us", "click_id", "click_us")

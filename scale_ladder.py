@@ -112,13 +112,30 @@ def main() -> None:
         dirs[sf] = d
 
     spark = get_spark(app_name="scale_ladder")
-    results: dict[str, dict[str, float]] = {q: {} for q in LADDER_QUERIES}
+
+    def ann_ivf_top5(spark_, sf_dir):
+        """The approximate counterpart of q48 — same 20 queries / top-5,
+        through the IVF quantizer + probe path instead of the exact scan,
+        so the ladder shows the ANN scale path's growth next to the
+        exact baseline's."""
+        from pyspark.sql import functions as F
+
+        from at_data_pipelines_spark.io import load_table
+        from at_data_pipelines_spark.llmops.similarity import ivf_topk
+
+        emb = load_table(spark_, sf_dir, "embeddings")
+        queries = emb.filter(F.col("vec_id") < 20)
+        return ivf_topk(emb, queries, 5, n_centroids=16, n_probe=4)
+
+    callables = {q: QUERIES[q] for q in LADDER_QUERIES}
+    callables["ann_ivf_top5"] = ann_ivf_top5
+    results: dict[str, dict[str, float]] = {q: {} for q in callables}
     for sf, _k in ladder:
-        for q in LADDER_QUERIES:
+        for q, fn in callables.items():
             samples = []
             for _ in range(args.runs):
                 t0 = time.perf_counter()
-                n = QUERIES[q](spark, dirs[sf]).count()
+                n = fn(spark, dirs[sf]).count()
                 samples.append(time.perf_counter() - t0)
             release_shingle_caches()
             results[q][str(sf)] = round(min(samples), 3)
@@ -127,7 +144,7 @@ def main() -> None:
     import math
 
     exponents = {}
-    for q in LADDER_QUERIES:
+    for q in callables:
         segs = {}
         for (sf_a, _), (sf_b, _) in zip(ladder, ladder[1:]):
             ta, tb = results[q][str(sf_a)], results[q][str(sf_b)]

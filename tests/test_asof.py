@@ -52,3 +52,61 @@ def test_asof_join_name_collision_suffix(spark):
     out = asof_join(l, r, on="t", by="k")
     assert "v_right" in out.columns
     assert out.collect()[0].v_right == 99.0
+
+
+def test_range_join_matches_brute_force(spark):
+    """Bucketized interval join must equal the naive inequality join on a
+    randomized fixture, including interval endpoints ON bin boundaries
+    (inclusive both ends) and windows expressed with negative offsets."""
+    import random
+
+    from at_data_pipelines_spark.ops import range_join
+
+    rng = random.Random(13)
+    left = [(i, rng.randrange(0, 3), rng.randrange(0, 10_000)) for i in range(120)]
+    right = [(1000 + i, rng.randrange(0, 3), rng.randrange(0, 10_000)) for i in range(150)]
+    # plant exact boundary hits: right at left_ts + lower and left_ts + upper
+    left += [(900, 9, 5000)]
+    right += [(1900, 9, 5000 - 600), (1901, 9, 5000), (1902, 9, 5000 - 601), (1903, 9, 5001)]
+    ldf = spark.createDataFrame(left, ["lid", "k", "lts"])
+    rdf = spark.createDataFrame(right, ["rid", "k", "rts"])
+
+    got = {
+        (r.lid, r.rid)
+        for r in range_join(
+            ldf, rdf, "lts", "rts", lower=-600, upper=0, by=["k"]
+        ).collect()
+    }
+    want = {
+        (lid, rid)
+        for (lid, lk, lts) in left
+        for (rid, rk, rts) in right
+        if lk == rk and lts - 600 <= rts <= lts
+    }
+    assert got == want
+    assert (900, 1900) in got and (900, 1901) in got  # inclusive endpoints
+    assert (900, 1902) not in got and (900, 1903) not in got
+
+    # left outer keeps unmatched left rows exactly once, nulls on the right
+    louter = range_join(ldf, rdf, "lts", "rts", -600, 0, by=["k"], how="left")
+    matched_left = {lid for lid, _ in want}
+    rows = louter.collect()
+    assert len([r for r in rows if r.rid is None]) == len(
+        {r.lid for r in ldf.collect()} - matched_left
+    )
+    assert {(r.lid, r.rid) for r in rows if r.rid is not None} == want
+
+    # key-free variant (pure temporal join) must also be exact
+    got_nokey = {
+        (r.lid, r.rid)
+        for r in range_join(
+            ldf.drop("k"), rdf.drop("k"), "lts", "rts", -600, 0
+        ).collect()
+    }
+    want_nokey = {
+        (lid, rid)
+        for (lid, _lk, lts) in left
+        for (rid, _rk, rts) in right
+        if lts - 600 <= rts <= lts
+    }
+    assert got_nokey == want_nokey
