@@ -260,7 +260,10 @@ def release_shingle_caches() -> int:
     while _SHINGLE_CACHE_REGISTRY:
         rel = _SHINGLE_CACHE_REGISTRY.pop()
         try:
-            rel.unpersist()
+            # blocking: callers use this to bound residency deterministically
+            # (a lazy unpersist would leave the blocks counted against the
+            # next measurement or workload)
+            rel.unpersist(blocking=True)
         except Exception:
             pass  # session already stopped
         n += 1

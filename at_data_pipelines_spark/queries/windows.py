@@ -472,3 +472,52 @@ def q62_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         upper=0,
         by=["user_id"],
     ).select("user_id", "purchase_id", "purchase_us", "click_id", "click_us")
+
+
+# --------------------------------------------------------------------------
+# q63 — hourly rollup derived FROM the 5-minute rollup via
+#        ts.cascade_rollup (continuous-aggregate cascade): sums/counts
+#        are algebraic, so the hourly numbers come from 12 fine partials
+#        per bucket instead of a raw re-scan — exactness proven by the
+#        oracle aggregating the RAW events directly at 1 h. Exact-cents
+#        integer sums end-to-end, so reuse is bit-identical.
+# --------------------------------------------------------------------------
+@register(
+    "q63_hourly_rollup_cascade",
+    oracle="""
+    SELECT epoch_us(ts) // 3600000000 * 3600 AS bucket_start_s,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS DOUBLE)/100 AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q63_hourly_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ts import cascade_rollup
+
+    e = _events(spark, sf_dir)
+    five_min = (
+        e.groupBy(
+            (F.expr("ts_us DIV 300000000") * 300).alias("bucket_start_s"),
+            "event_type",
+        ).agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+        )
+    )
+    hourly = cascade_rollup(
+        five_min,
+        fine_bucket_col="bucket_start_s",
+        coarse_seconds=3600,
+        fine_seconds=300,
+        group_cols=["event_type"],
+        sum_cols=["cents"],
+        count_col="n_events",
+    )
+    return hourly.select(
+        "bucket_start_s",
+        "event_type",
+        "n_events",
+        (F.col("cents").cast("double") / 100).alias("total_value"),
+    )

@@ -1,4 +1,9 @@
-from .resample import adjust_bars, align_to_calendar, resample_bars  # noqa: F401
+from .resample import (  # noqa: F401
+    adjust_bars,
+    align_to_calendar,
+    cascade_rollup,
+    resample_bars,
+)
 from .windows import (  # noqa: F401
     entity_window,
     ewm_mean,

@@ -159,3 +159,42 @@ def resample_bars(
         )
     )
     return out
+
+
+def cascade_rollup(
+    fine: DataFrame,
+    fine_bucket_col: str,
+    coarse_seconds: int,
+    fine_seconds: int,
+    group_cols: list[str],
+    sum_cols: list[str],
+    count_col: str | None = None,
+) -> DataFrame:
+    """Derive a coarser time-bucket aggregate FROM a finer one — the
+    continuous-aggregate cascade (TimescaleDB hypertable rollups,
+    Druid/Pinot star-tree levels): hourly = sum of twelve 5-minute
+    partials, daily = sum of 24 hourlies. Sums and counts are algebraic,
+    so reusing partials is exact while scanning ``coarse/fine``× fewer
+    rows than re-aggregating raw events — at 100 TB the raw scan is the
+    whole cost, and a maintained fine rollup (e.g. the streaming
+    ``windowed_aggregation`` → lakehouse sink) makes every coarser
+    granularity nearly free.
+
+    ``fine_bucket_col`` holds the fine bucket start in epoch SECONDS
+    (int); the output carries the coarse bucket start in the same
+    currency. ``count_col`` names a fine-level event count to roll up
+    via SUM (a COUNT of counts would be wrong).
+    """
+    if coarse_seconds % fine_seconds != 0:
+        raise ValueError(
+            f"coarse bucket ({coarse_seconds}s) must be a multiple of the "
+            f"fine bucket ({fine_seconds}s) for exact partial-aggregate reuse"
+        )
+    coarse = (
+        F.col(fine_bucket_col)
+        - F.pmod(F.col(fine_bucket_col), F.lit(coarse_seconds))
+    ).alias("bucket_start_s")
+    aggs = [F.sum(c).alias(c) for c in sum_cols]
+    if count_col is not None:
+        aggs.append(F.sum(count_col).alias(count_col))
+    return fine.groupBy(coarse, *group_cols).agg(*aggs)

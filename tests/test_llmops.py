@@ -1065,17 +1065,20 @@ def test_shingle_cache_lifecycle(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents").limit(200)
 
-    def n_cached():
-        return len(
-            [i for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()]
-        )
+    def cached_ids():
+        return {
+            i.id() for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        }
 
     dedup.release_shingle_caches()  # clean slate from earlier tests
-    base = n_cached()
+    # compare id SETS against the baseline (not a global count): unrelated
+    # cached blocks from other tests may be GC-cleaned concurrently, which
+    # must not flake this assertion — only NEW ids belong to us
+    base = cached_ids()
     dedup.jaccard_pairs(docs, "text", "doc_id", 0.6, persist_shingles=True).count()
-    assert n_cached() == base + 1
+    assert len(cached_ids() - base) == 1
     dedup.jaccard_pairs(docs, "text", "doc_id", 0.6, persist_shingles=True).count()
-    assert n_cached() == base + 1, "second call must release the first cache"
+    assert len(cached_ids() - base) == 1, "second call must release the first cache"
     released = dedup.release_shingle_caches()
     assert released == 1
-    assert n_cached() == base
+    assert len(cached_ids() - base) == 0
