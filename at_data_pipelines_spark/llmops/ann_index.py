@@ -119,8 +119,14 @@ def save_index(
     )
     lake.upsert(f"{prefix}_centroids", cent)
     lake.upsert(f"{prefix}_codebooks", books)
+    # The codes table is replaced UNCONDITIONALLY: even a quantizer-only
+    # save invalidates every previously-encoded row (old-quantizer codes
+    # decode as garbage under the new centroids/codebooks), so leaving
+    # them in place would silently corrupt later probes. A quantizer-only
+    # save therefore yields an EMPTY codes table that the streaming
+    # maintenance path repopulates under the new geometry.
+    lake.create(f"{prefix}_codes", _codes_schema(id_col), [], [id_col], mode="replace")
     if encoded is not None:
-        lake.create(f"{prefix}_codes", _codes_schema(id_col), [], [id_col], mode="replace")
         lake.upsert(f"{prefix}_codes", encoded)
 
 

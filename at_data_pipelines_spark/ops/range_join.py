@@ -61,6 +61,14 @@ def range_join(
     by = list(by or [])
     width = upper - lower
 
+    out_cols = list(left.columns) + [c for c in right.columns if c not in set(by)]
+    if how == "left":
+        # surrogate key so the unmatched-row anti-join below is null-safe
+        # and per-row (anti-joining on the raw left columns would both drop
+        # duplicate left rows and re-emit matched rows that contain NULLs,
+        # since join equality never matches NULL to NULL)
+        left = left.withColumn("_rj_id", F.monotonically_increasing_id())
+
     lo = F.col(on_left) + F.lit(lower)
     hi = F.col(on_left) + F.lit(upper)
 
@@ -80,12 +88,10 @@ def range_join(
     joined = lhs.join(rhs, [*by, "_bin"]).filter(cond).drop("_bin")
     if how == "inner":
         return joined
-    # left outer: re-attach left rows that matched nothing
-    matched = joined
-    missed = left.join(
-        matched.select(*left.columns).distinct(), left.columns, "left_anti"
-    )
+    # left outer: re-attach left rows that matched nothing, keyed by the
+    # surrogate id (single non-null key ⇒ null-safe, duplicate-safe)
+    missed = left.join(joined.select("_rj_id").distinct(), "_rj_id", "left_anti")
     for c in right.columns:
         if c not in set(by):
             missed = missed.withColumn(c, F.lit(None).cast(right.schema[c].dataType))
-    return matched.unionByName(missed.select(*matched.columns))
+    return joined.unionByName(missed.select(*joined.columns)).select(*out_cols)

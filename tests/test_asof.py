@@ -110,3 +110,73 @@ def test_range_join_matches_brute_force(spark):
         if lts - 600 <= rts <= lts
     }
     assert got_nokey == want_nokey
+
+
+def test_range_join_left_nulls_and_duplicates_vs_duckdb(spark):
+    """range_join(how='left') vs a DuckDB left interval join, on a fixture
+    that stresses every edge the advisor flagged: left rows whose PAYLOAD
+    columns contain NULLs (a null-unsafe anti-join re-emits matched rows as
+    spurious unmatched ones), exact duplicate left rows (each copy must
+    survive independently), and timestamps sitting exactly on interval and
+    bin boundaries."""
+    import random
+
+    import duckdb
+    import pandas as pd
+
+    from at_data_pipelines_spark.ops import range_join
+
+    rng = random.Random(29)
+    left_rows = []
+    for i in range(150):
+        payload = None if i % 3 == 0 else float(i)  # NULLs in a left column
+        left_rows.append((i, rng.randrange(0, 3), rng.randrange(0, 5_000), payload))
+    # exact duplicate left rows (same values incl. a NULL payload)
+    left_rows += [(7_000, 1, 1200, None)] * 3
+    # boundary-exact: right rows planted at lts+lower and lts+upper below
+    left_rows += [(8_000, 2, 2400, 1.5)]
+    right_rows = [
+        (1000 + i, rng.randrange(0, 3), rng.randrange(0, 5_000))
+        for i in range(120)
+    ]
+    right_rows += [(9_000, 2, 2400 - 600), (9_001, 2, 2400), (9_002, 2, 2400 - 601)]
+
+    lpdf = pd.DataFrame(left_rows, columns=["lid", "k", "lts", "payload"])
+    rpdf = pd.DataFrame(right_rows, columns=["rid", "k", "rts"])
+    ldf = spark.createDataFrame(lpdf)
+    rdf = spark.createDataFrame(rpdf)
+
+    got = (
+        range_join(ldf, rdf, "lts", "rts", lower=-600, upper=0, by=["k"], how="left")
+        .toPandas()
+        .sort_values(["lid", "payload", "rid"], na_position="first")
+        .reset_index(drop=True)
+    )
+
+    con = duckdb.connect()
+    con.register("l", lpdf)
+    con.register("r", rpdf)
+    exp = con.execute(
+        """
+        SELECT l.lid, l.k, l.lts, l.payload, r.rid, r.rts
+        FROM l LEFT JOIN r
+          ON l.k = r.k AND r.rts BETWEEN l.lts - 600 AND l.lts
+        ORDER BY lid, payload NULLS FIRST, rid
+        """
+    ).fetchdf().reset_index(drop=True)
+    con.close()
+
+    assert len(got) == len(exp), f"row count {len(got)} != oracle {len(exp)}"
+    pd.testing.assert_frame_equal(
+        got[["lid", "k", "lts", "payload", "rid", "rts"]].astype(
+            {"rid": "float64", "rts": "float64"}
+        ),
+        exp.astype({"rid": "float64", "rts": "float64"}),
+    )
+    # duplicate left rows: all 3 copies present (unmatched or matched alike)
+    assert (got.lid == 7_000).sum() >= 3
+    # matched-with-NULL-payload rows must NOT be re-emitted as unmatched:
+    # every lid appears with nulls on the right ONLY IF it truly had no match
+    matched_lids = set(got.loc[got.rid.notna(), "lid"])
+    null_lids = set(got.loc[got.rid.isna(), "lid"])
+    assert not (matched_lids & null_lids)

@@ -852,6 +852,34 @@ def test_ann_index_resave_smaller_geometry_replaces(spark, sf_dir, tmp_path):
     assert disk == mem
 
 
+def test_ann_index_quantizer_only_save_clears_stale_codes(spark, sf_dir, tmp_path):
+    """A quantizer-only save (encoded=None) must still REPLACE the codes
+    table: rows encoded under the OLD quantizer decode as garbage under
+    the new centroids/codebooks, so leaving them in place silently
+    corrupts probes. The documented retrain flow — save quantizer only,
+    then re-encode via streaming maintenance — must start from an empty
+    codes table."""
+    from at_data_pipelines_spark.catalog import Lakehouse
+    from at_data_pipelines_spark.llmops import ann_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    lake = Lakehouse(spark, str(tmp_path / "ann_lake3"))
+
+    old = ann_index.train_index(emb, n_centroids=8, m=4, k=8, seed=1)
+    ann_index.save_index(lake, "corpus", old, encoded=ann_index.encode_corpus(emb, old))
+    assert lake.table("corpus_codes").count() == emb.count()
+
+    new = ann_index.train_index(emb, n_centroids=4, m=4, k=8, seed=99)
+    ann_index.save_index(lake, "corpus", new)  # quantizer-only save
+
+    # stale old-quantizer codes are gone; the table exists and is empty,
+    # ready for incremental re-encoding under the new geometry
+    assert lake.exists("corpus_codes")
+    assert lake.table("corpus_codes").count() == 0
+    reloaded = ann_index.load_index(lake, "corpus")
+    assert reloaded.centroids.shape == new.centroids.shape
+
+
 def test_semantic_dedup_within_cluster(spark, sf_dir):
     """SemDeDup: planted near-identical embeddings collapse; reported
     pairs are a subset of the exact threshold join (the cross-cluster
