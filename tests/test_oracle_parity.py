@@ -30,6 +30,25 @@ def test_all_queries_have_callables():
         assert callable(QUERIES[name])
 
 
+def test_gate_window_is_pinned():
+    """The driver checks the FIRST 50 dict entries of queries(); the
+    registry must present exactly the committed GATE list there, with the
+    pytest-only extras behind it — so adding a query can never silently
+    rotate a gated query out of the driver's correctness window."""
+    from at_data_pipelines_spark.queries.gate import GATE, GATE_SIZE, PYTEST_ONLY
+
+    keys = list(QUERIES)
+    assert len(GATE) == GATE_SIZE
+    assert keys[:GATE_SIZE] == GATE
+    assert keys[GATE_SIZE:] == PYTEST_ONLY
+    # the driver contract module must expose the same order
+    import __spark_entry__ as m
+
+    assert list(m.queries())[:GATE_SIZE] == GATE
+    # every gated query has an oracle (full-strength driver check)
+    assert all(n in ORACLES for n in GATE)
+
+
 def test_entry_runs(spark):
     import __spark_entry__ as m
 
