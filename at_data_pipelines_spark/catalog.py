@@ -88,6 +88,12 @@ _META_FILE = "_bl_meta.json"
 _SEQ_COL = "_seq"
 
 
+class _FastPathUnsuitable(RuntimeError):
+    """Internal: the driver-side small-commit path hit a conversion or
+    layout it doesn't handle; the caller falls back to the distributed
+    insert+optimize path (nothing was committed)."""
+
+
 class ConcurrentWriteError(RuntimeError):
     """Another writer committed between this writer's manifest load and its
     commit PUT. The losing writer's generation directory is orphaned
@@ -159,18 +165,34 @@ class _HadoopFS:
         return out
 
     def read_text(self, p: str) -> str:
+        return self.read_bytes(p).decode("utf-8")
+
+    def write_text(self, p: str, text: str) -> None:
+        self.write_bytes(p, text.encode("utf-8"))
+
+    def read_bytes(self, p: str) -> bytes:
         stream = self._fs.open(self._Path(p))
         try:
-            return bytes(self._IOUtils.toByteArray(stream)).decode("utf-8")
+            return bytes(self._IOUtils.toByteArray(stream))
         finally:
             stream.close()
 
-    def write_text(self, p: str, text: str) -> None:
+    def write_bytes(self, p: str, data: bytes) -> None:
         stream = self._fs.create(self._Path(p), True)
         try:
-            stream.write(bytearray(text.encode("utf-8")))
+            stream.write(bytearray(data))
         finally:
             stream.close()
+
+    def list_files(self, p: str) -> list[tuple[str, int]]:
+        """(name, size) of plain files directly under ``p`` (no recursion)."""
+        if not self.exists(p):
+            return []
+        return [
+            (st.getPath().getName(), st.getLen())
+            for st in self._fs.listStatus(self._Path(p))
+            if st.isFile()
+        ]
 
 
 # Hive's default set of characters escaped in partition directory names
@@ -621,9 +643,193 @@ class Lakehouse:
                 self.fs.delete(base if rel == "" else f"{base}/{rel}")
 
     def upsert(self, name: str, df: DataFrame) -> None:
-        """The reference's writer idiom: insert(append) + optimize()."""
-        self.insert(name, df)
-        self.optimize(name)
+        """The reference's writer idiom: insert(append) + optimize().
+
+        Small batches take a driver-side fast path: the two-Spark-job
+        shape (staging write + dedup rewrite) costs ~1 s of pure job
+        overhead for a 10-row batch, which dominates incremental daily
+        flows (~13 tiny upserts/day). When the batch is small AND the
+        committed bases it touches are small, the merge is done on the
+        driver with pyarrow through the same Hadoop FS layer — one tiny
+        collect, zero distributed jobs, same append-only generation
+        layout and the same single-manifest-PUT commit point. Large
+        batches or large bases fall through to the distributed path, so
+        at 100 TB the protocol stays Spark-side where it belongs."""
+        if not self._fast_upsert(name, df):
+            self.insert(name, df)
+            self.optimize(name)
+
+    # driver-side fast-path guards: a batch bigger than this many rows, or
+    # touched committed bases bigger than this many bytes, go distributed
+    _FAST_UPSERT_MAX_ROWS = 20_000
+    _FAST_UPSERT_MAX_BASE_BYTES = 64 << 20
+
+    # partition-column types whose Python str() rendering matches Spark's
+    # hive-dir rendering (CAST AS STRING) — double/timestamp spellings
+    # differ, so those partition layouts stay on the distributed path
+    _FAST_PART_TYPES = (
+        T.ByteType,
+        T.ShortType,
+        T.IntegerType,
+        T.LongType,
+        T.StringType,
+        T.BooleanType,
+        T.DateType,
+    )
+
+    def _fast_upsert(self, name: str, df: DataFrame) -> bool:
+        """Attempt the driver-side small-commit path; True iff committed.
+
+        Protocol-equivalent to insert+optimize: the merged output lands in
+        a fresh ``_seq=K`` generation (append-only, attempt-token guarded),
+        visibility flips in one ``_commit_meta`` PUT, and superseded base
+        dirs are deleted post-commit (crash ⇒ vacuumable orphans). Only
+        engaged when no un-optimized deltas are pending, so it never has
+        to absorb another write's state."""
+        meta = self._load_meta(name)
+        if not meta.primary_keys:
+            return False
+        if meta.live_deltas or meta.dirty_partitions or meta.all_dirty:
+            return False  # pending deltas: let optimize() absorb them
+        declared = meta.schema
+        for k in meta.partition_keys:
+            if not isinstance(declared[k].dataType, self._FAST_PART_TYPES):
+                return False
+        try:
+            import pyarrow as pa
+
+            from pyspark.sql.pandas.types import to_arrow_schema
+
+            arrow_schema = to_arrow_schema(declared)
+        except Exception:
+            return False
+        try:
+            batch = df.limit(self._FAST_UPSERT_MAX_ROWS + 1).toArrow()
+        except Exception:
+            return False
+        if batch.num_rows > self._FAST_UPSERT_MAX_ROWS:
+            return False
+        if batch.num_rows == 0:
+            return True  # empty upsert: nothing to write or commit
+        seq = meta.next_seq
+        seq_dir = self._seq_dir(name, seq)
+        try:
+            new_committed = self._fast_merge_write(meta, batch, arrow_schema, seq_dir)
+        except _FastPathUnsuitable:
+            self.fs.delete(seq_dir)  # nothing committed; dir is orphan-safe
+            return False
+        if new_committed is None:
+            return False
+        token = f"{seq_dir}/_attempt-{uuid.uuid4().hex}"
+        self.fs.write_text(token, "")
+        old_committed = dict(meta.committed)
+        meta.committed.update(new_committed)
+        meta.next_seq = seq + 1
+        self._commit_meta(meta, token)  # commit point (concurrency-checked)
+        for rel, s in old_committed.items():
+            if rel in new_committed and s != new_committed[rel]:
+                base = self._seq_dir(name, s)
+                self.fs.delete(base if rel == "" else f"{base}/{rel}")
+        return True
+
+    def _fast_merge_write(self, meta, batch, arrow_schema, seq_dir):
+        """Driver-side merge of a small arrow batch with the committed
+        bases of the partitions it touches; writes the merged parquet
+        files under ``seq_dir``. Returns {rel: seq} to commit, or None
+        when a size guard says to go distributed. Raises
+        _FastPathUnsuitable on any conversion surprise (caller falls back
+        before anything is committed)."""
+        import io
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        declared = meta.schema
+        part_cols = list(meta.partition_keys)
+        file_fields = [f for f in declared.fields if f.name not in part_cols]
+        pk_in_file = [k for k in meta.primary_keys if k not in part_cols]
+        try:
+            file_schema = pa.schema(
+                [pa.field(f.name, arrow_schema.field(f.name).type) for f in file_fields]
+            )
+            batch = batch.select(declared.fieldNames())
+            batch = batch.cast(
+                pa.schema(
+                    [
+                        pa.field(f.name, arrow_schema.field(f.name).type)
+                        for f in declared.fields
+                    ]
+                )
+            )
+        except Exception as e:
+            raise _FastPathUnsuitable(str(e)) from e
+
+        # group batch rows by the hive rel dir they land in
+        if part_cols:
+            vals = {c: batch.column(c).to_pylist() for c in part_cols}
+            groups: dict[str, list[int]] = {}
+            for i in range(batch.num_rows):
+                rel = _hive_rel(part_cols, tuple(vals[c][i] for c in part_cols))
+                groups.setdefault(rel, []).append(i)
+        else:
+            groups = {"": list(range(batch.num_rows))}
+
+        # size guard on the committed bases this merge must read
+        name = meta.name
+        base_paths: dict[str, list[str]] = {}
+        total_base = 0
+        for rel in groups:
+            s = meta.committed.get(rel)
+            if s is None:
+                base_paths[rel] = []
+                continue
+            d = self._seq_dir(name, s) + ("" if rel == "" else f"/{rel}")
+            files = [
+                (f"{d}/{n}", sz)
+                for n, sz in self.fs.list_files(d)
+                if n.endswith(".parquet") and not n.startswith(("_", "."))
+            ]
+            base_paths[rel] = [p for p, _ in files]
+            total_base += sum(sz for _, sz in files)
+        if total_base > self._FAST_UPSERT_MAX_BASE_BYTES:
+            return None
+
+        import numpy as np
+
+        self.fs.delete(seq_dir)
+        batch_files_only = batch.select([f.name for f in file_fields])
+        new_committed: dict[str, int] = {}
+        seq = int(seq_dir.rsplit("=", 1)[1])
+        try:
+            for rel, idx in groups.items():
+                tables = []
+                for path in base_paths[rel]:
+                    t = pq.read_table(pa.BufferReader(self.fs.read_bytes(path)))
+                    tables.append(t.select([f.name for f in file_fields]).cast(file_schema))
+                tables.append(batch_files_only.take(pa.array(idx, type=pa.int64())))
+                combined = pa.concat_tables(tables)
+                if pk_in_file:
+                    key_df = combined.select(pk_in_file).to_pandas()
+                    # base rows precede batch rows ⇒ keep='last' is keep-newest
+                    keep = key_df.drop_duplicates(subset=pk_in_file, keep="last")
+                    # PK-sorted layout, same as optimize()'s compaction
+                    order = keep.sort_values(pk_in_file, kind="mergesort").index.to_numpy()
+                else:
+                    # PK ⊆ partition cols: every row in this rel shares one
+                    # PK value — keep only the newest row
+                    order = np.array([combined.num_rows - 1])
+                out = combined.take(pa.array(order, type=pa.int64()))
+                buf = io.BytesIO()
+                pq.write_table(out, buf, compression="snappy")
+                rel_dir = seq_dir if rel == "" else f"{seq_dir}/{rel}"
+                self.fs.mkdirs(rel_dir)
+                self.fs.write_bytes(
+                    f"{rel_dir}/part-00000-{uuid.uuid4().hex}.parquet", buf.getvalue()
+                )
+                new_committed[rel] = seq
+        except Exception as e:
+            raise _FastPathUnsuitable(str(e)) from e
+        return new_committed
 
     def vacuum(self, name: str | None = None) -> list[str]:
         """Reclaim generation directories the manifest does not reference —

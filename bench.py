@@ -78,8 +78,15 @@ def bench_commit_overhead(spark) -> dict[str, float]:
     lake.create("t", schema, ["part"], ["k", "part"])
     n = 8
     samples = []
+    import pandas as pd
+
     for i in range(n):
-        df = spark.createDataFrame([(j, i % 2, float(i)) for j in range(10)], schema)
+        # pandas-origin batch = one input partition, so the measurement is
+        # the commit protocol itself, not local-mode task-launch noise from
+        # a 10-row batch sharded over 32 near-empty partitions
+        df = spark.createDataFrame(
+            pd.DataFrame({"k": range(10), "part": i % 2, "v": float(i)}), schema
+        )
         t0 = time.perf_counter()
         lake.upsert("t", df)
         samples.append(time.perf_counter() - t0)

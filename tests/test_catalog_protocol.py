@@ -204,3 +204,128 @@ def test_fractional_timestamp_partition_roundtrip(lake, spark):
     assert got == {("B", 2.0)}
     meta = lake._load_meta("tsw")
     assert len(meta.committed) == 1, meta.committed
+
+
+# -- driver-side small-commit fast path ------------------------------------
+
+
+def _next_seq(lake, name):
+    return lake._load_meta(name).next_seq
+
+
+def test_fast_upsert_engages_and_matches_slow_path(lake, spark):
+    """A small upsert must take the driver-side path (ONE generation per
+    upsert — the distributed path burns two: staging + rewrite) and
+    produce exactly the keep-latest state the distributed path would."""
+    lake.create("prices", SCHEMA, ["year"], ["date", "ticker"])
+    s0 = _next_seq(lake, "prices")
+    lake.upsert("prices", _df(spark, [("A", "2024-01-02", 10.0), ("B", "2024-01-02", 20.0)]))
+    assert _next_seq(lake, "prices") == s0 + 1, "fast path should burn one seq"
+    lake.upsert("prices", _df(spark, [("A", "2024-01-02", 11.0)]))  # PK merge
+    assert _next_seq(lake, "prices") == s0 + 2
+    rows = {(r.ticker, str(r.date)): r.close for r in lake.table("prices").collect()}
+    assert rows == {("A", "2024-01-02"): 11.0, ("B", "2024-01-02"): 20.0}
+    meta = lake._load_meta("prices")
+    assert meta.live_deltas == [] and meta.dirty_partitions == []
+
+
+def test_fast_upsert_interoperates_with_distributed_path(lake, spark):
+    """Fast-path generations and Spark-written generations must read
+    together: fast upsert, then a big-batch (forced distributed) upsert,
+    then fast again — one coherent keep-latest table throughout."""
+    lake.create("prices", SCHEMA, ["year"], ["date", "ticker"])
+    lake.upsert("prices", _df(spark, [("A", "2024-01-02", 1.0)]))
+    # force the distributed path via the row guard
+    orig = Lakehouse._FAST_UPSERT_MAX_ROWS
+    Lakehouse._FAST_UPSERT_MAX_ROWS = 0
+    try:
+        lake.upsert("prices", _df(spark, [("A", "2024-01-02", 2.0), ("C", "2023-05-01", 3.0)]))
+    finally:
+        Lakehouse._FAST_UPSERT_MAX_ROWS = orig
+    lake.upsert("prices", _df(spark, [("C", "2023-05-01", 4.0)]))
+    rows = {(r.ticker, str(r.date)): r.close for r in lake.table("prices").collect()}
+    assert rows == {("A", "2024-01-02"): 2.0, ("C", "2023-05-01"): 4.0}
+    # partition pruning still works over mixed generations
+    assert lake.table("prices").filter(F.col("year") == 2023).count() == 1
+
+
+def test_fast_upsert_defers_to_pending_deltas(lake, spark):
+    """With un-optimized insert() deltas pending, upsert must fall back to
+    the distributed path so optimize() absorbs them (the fast path never
+    merges another write's live state)."""
+    lake.create("prices", SCHEMA, ["year"], ["date", "ticker"])
+    lake.insert("prices", _df(spark, [("A", "2024-01-02", 1.0)]))  # pending delta
+    assert lake._load_meta("prices").live_deltas
+    lake.upsert("prices", _df(spark, [("A", "2024-01-02", 2.0)]))
+    rows = {(r.ticker, str(r.date)): r.close for r in lake.table("prices").collect()}
+    assert rows == {("A", "2024-01-02"): 2.0}
+    meta = lake._load_meta("prices")
+    assert meta.live_deltas == [] and meta.dirty_partitions == []
+
+
+def test_fast_upsert_bails_on_unrenderable_partition_type(lake, spark):
+    """Double partition values spell differently in Python str() vs Spark's
+    CAST-AS-STRING dirs (1e-4 vs 1.0E-4) — the fast path must refuse and
+    leave the distributed path to write them, or the same logical
+    partition would split into two directories."""
+    schema = T.StructType(
+        [
+            T.StructField("ticker", T.StringType()),
+            T.StructField("w", T.DoubleType()),
+            T.StructField("v", T.DoubleType()),
+        ]
+    )
+    lake.create("dw", schema, ["w"], ["ticker", "w"])
+    lake.upsert("dw", spark.createDataFrame([("A", 1e-4, 1.0)], schema))
+    lake.upsert("dw", spark.createDataFrame([("A", 1e-4, 2.0)], schema))
+    got = [(r.ticker, r.w, r.v) for r in lake.table("dw").collect()]
+    assert got == [("A", 1e-4, 2.0)], got
+    meta = lake._load_meta("dw")
+    rels = list(meta.committed)
+    assert len(rels) == 1, f"logical partition split across dirs: {rels}"
+
+
+def test_fast_upsert_array_columns(lake, spark):
+    """Array-typed payloads (the ANN codes-table shape) ride the fast path:
+    arrow handles list columns end-to-end."""
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType(), False),
+            T.StructField("centroid", T.LongType(), False),
+            T.StructField("codes", T.ArrayType(T.IntegerType()), False),
+        ]
+    )
+    lake.create("codes", schema, [], ["vec_id"])
+    s0 = _next_seq(lake, "codes")
+    lake.upsert("codes", spark.createDataFrame([(1, 0, [1, 2]), (2, 1, [3, 4])], schema))
+    lake.upsert("codes", spark.createDataFrame([(2, 5, [9, 9])], schema))
+    assert _next_seq(lake, "codes") == s0 + 2, "array columns should stay on the fast path"
+    rows = {r.vec_id: (r.centroid, list(r.codes)) for r in lake.table("codes").collect()}
+    assert rows == {1: (0, [1, 2]), 2: (5, [9, 9])}
+
+
+def test_fast_upsert_concurrent_writer_detected(lake, spark):
+    """The fast path keeps the optimistic-concurrency contract: a rival
+    commit between its manifest load and its PUT must raise, and the
+    rival's data must survive."""
+    lake.create("prices", SCHEMA, ["year"], ["date", "ticker"])
+    lake.upsert("prices", _df(spark, [("A", "2024-01-02", 1.0)]))
+
+    rival = Lakehouse(spark, lake.root)
+    orig = Lakehouse._fast_merge_write
+
+    def interleaved(self, meta, batch, arrow_schema, seq_dir):
+        out = orig(self, meta, batch, arrow_schema, seq_dir)
+        rival.upsert("prices", _df(spark, [("R", "2024-01-03", 7.0)]))
+        return out
+
+    lake._fast_merge_write = types.MethodType(interleaved, lake)
+    with pytest.raises(ConcurrentWriteError):
+        lake.upsert("prices", _df(spark, [("A", "2024-01-02", 2.0)]))
+    del lake._fast_merge_write
+    rows = {(r.ticker, str(r.date)): r.close for r in lake.table("prices").collect()}
+    assert rows == {("A", "2024-01-02"): 1.0, ("R", "2024-01-03"): 7.0}
+    # the loser's retry succeeds from fresh state
+    lake.upsert("prices", _df(spark, [("A", "2024-01-02", 2.0)]))
+    rows = {(r.ticker, str(r.date)): r.close for r in lake.table("prices").collect()}
+    assert rows[("A", "2024-01-02")] == 2.0
