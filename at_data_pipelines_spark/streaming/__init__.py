@@ -4,12 +4,14 @@ from .ingest import (  # noqa: F401
     near_dup_ingest_stream,
 )
 from .events import (  # noqa: F401
+    SESSION_TABLE_SCHEMA,
     dedup_stream,
     enrich_stream,
     purchase_attribution_stream,
     read_events_stream,
     running_user_stats,
     sessionize_stream,
+    sessionize_to_lakehouse,
     stream_to_lakehouse,
     windowed_aggregation,
 )

@@ -38,13 +38,18 @@ def _events_schema(ts_type: T.DataType) -> T.StructType:
 EVENTS_SCHEMA = _events_schema(T.TimestampNTZType())
 
 
-def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
+def read_events_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
     """Streaming read of events parquet. The ``ts`` physical type is
     sniffed from the footer (TIMESTAMP_NTZ µs / TIMESTAMP(NANOS) / raw
     int64 — same variants as the batch loader, ``io.py``) and normalized
     to ``ts_ns``/``ts_us`` int64 plus a proper event-time ``ts`` column,
     all timezone-independently. File sources must be directories; a
-    single-file path is wrapped via a symlink dir."""
+    single-file path is wrapped via a symlink dir.
+    ``max_files_per_trigger`` chunks the backlog into multiple
+    micro-batches (also under availableNow), for exercising cross-batch
+    state paths."""
     import hashlib
     import os
     import tempfile
@@ -68,7 +73,10 @@ def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
         schema = _events_schema(T.TimestampNTZType())
     else:
         schema = _events_schema(T.TimestampType())
-    raw = spark.readStream.schema(schema).parquet(path)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
+    raw = reader.parquet(path)
     return _normalize_events_ts(raw, kind)
 
 
@@ -210,6 +218,86 @@ def purchase_attribution_stream(
         "click_id",
         "click_ts",
     )
+
+
+#: lakehouse session table written by ``sessionize_to_lakehouse`` —
+#: event-time boundaries as int64 epoch micros (timezone-independent),
+#: PK (user_id, session_start_us)
+SESSION_TABLE_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start_us", T.LongType()),
+        T.StructField("session_end_us", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+
+
+def sessionize_to_lakehouse(
+    events: DataFrame,
+    lake: Lakehouse,
+    table: str,
+    checkpoint_dir: str,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    available_now: bool = True,
+):
+    """Production-shaped sessionization: ``session_window`` sessions land
+    in a lakehouse PK table, instead of only in a memory sink (the q61
+    gate shape).
+
+    Output mode is APPEND — watermark-finalized sessions. Spark rejects
+    update mode for session-window aggregations outright
+    (STREAMING_OUTPUT_MODE.UNSUPPORTED_OPERATION: merging sessions would
+    emit evolving rows under CHANGING keys, which no keyed sink can
+    retract) — and that restriction is exactly why append is the correct
+    production shape: a session is emitted once, when the watermark
+    passes its close, with all merges of late events already applied in
+    the state store. The sink is then a plain PK upsert
+    (``insert + optimize``), so a replayed micro-batch — or a full
+    re-feed with a fresh checkpoint — reconverges to the identical table
+    (effective exactly-once). Emission latency is bounded by the
+    watermark delay; an infinite feed flushes continuously, a finite
+    availableNow drain leaves sessions younger than the watermark
+    horizon in state (they emit on the next run — or append a sentinel
+    event past the horizon, as the tests do, to force a full flush).
+
+    Event-time boundaries are stored as int64 epoch micros and sums as
+    exact cents, per the repo determinism policy (timezone-independent,
+    replay-bit-stable)."""
+    sessions = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("win.start")).alias("session_start_us"),
+            F.unix_micros(F.col("win.end")).alias("session_end_us"),
+            "n_events",
+            (F.col("cents").cast("double") / 100).alias("total_value"),
+        )
+    )
+    lake.create(
+        table, SESSION_TABLE_SCHEMA, [], ["user_id", "session_start_us"], mode="skip"
+    )
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        lake.upsert(table, batch_df)
+
+    writer = (
+        sessions.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 def stream_to_lakehouse(

@@ -358,3 +358,117 @@ def test_ann_index_maintenance_stream(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert again == want
+
+
+def test_sessionize_to_lakehouse_multi_batch_matches_q61(spark, sf_dir, tmp_path):
+    """Production sessionization shape: append-mode (watermark-finalized)
+    session windows through the lakehouse PK-upsert sink, fed in FOUR
+    chronological micro-batches (maxFilesPerTrigger=1) plus a sentinel
+    file past the watermark horizon (forces a full flush of a finite
+    feed), then the whole feed REPLAYED with a fresh checkpoint. Final
+    table must equal the q61 batch oracle exactly, with zero PK dups."""
+    from pyspark.sql.window import Window
+
+    from at_data_pipelines_spark.streaming import (
+        read_events_stream,
+        sessionize_to_lakehouse,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    feed_df = ev.select(
+        "event_id",
+        F.col("ts_ns").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    ).withColumn("_chunk", F.ntile(4).over(Window.orderBy("ts")))
+    feed = str(tmp_path / "feed")
+    for i in range(1, 5):  # chronological chunk files => in-order arrival
+        feed_df.filter(F.col("_chunk") == i).drop("_chunk").coalesce(1).write.mode(
+            "append"
+        ).parquet(feed)
+    # sentinel: one fake-user event 3 hours past the max ts pushes the final
+    # watermark beyond every real session's close so append emits them all
+    max_ns = feed_df.agg(F.max("ts")).collect()[0][0]
+    sentinel = [(999_999, max_ns + 3 * 3600 * 10**9, -1, "sentinel", 0.0, "{}")]
+    import time as _time
+
+    _time.sleep(1.1)  # later mtime => processed last
+    spark.createDataFrame(
+        sentinel, feed_df.drop("_chunk").schema
+    ).coalesce(1).write.mode("append").parquet(feed)
+
+    lake = Lakehouse(spark, str(tmp_path / "slake"))
+    for i in range(2):  # second pass = full replay, fresh checkpoint
+        stream = read_events_stream(spark, feed, max_files_per_trigger=1)
+        q = sessionize_to_lakehouse(stream, lake, "sessions", str(tmp_path / f"sck{i}"))
+        q.awaitTermination(300)
+
+    out = lake.table("sessions").filter(F.col("user_id") >= 0)
+    assert out.count() == out.select("user_id", "session_start_us").distinct().count()
+    got = {
+        (r.user_id, r.session_start_us, r.session_end_us, r.n_events,
+         round(r.total_value, 2))
+        for r in out.collect()
+    }
+    exp = {
+        (r.user_id, r.session_start_us, r.session_end_us, r.n_events,
+         round(r.total_value, 2))
+        for r in QUERIES["q61_stream_sessionization"](spark, sf_dir).collect()
+    }
+    assert got == exp
+
+
+def test_sessionize_to_lakehouse_merges_late_bridge(spark, tmp_path):
+    """A late bridging event must MERGE two open partial sessions in state
+    before emission: batch1 = A@10:00 and A@10:40 (30-min gap => two open
+    sessions), batch2 = A@10:20 (late but inside the 1-hour watermark),
+    batch3 = sentinel far ahead (flushes). Exactly ONE final session
+    10:00-11:10 with 3 events may land in the table — no stale partials,
+    and a full replay converges to the same row."""
+    import time as _time
+
+    from at_data_pipelines_spark.streaming import (
+        read_events_stream,
+        sessionize_to_lakehouse,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),  # epoch nanos
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    base_us = 1_700_000_000_000_000  # arbitrary epoch micros anchor
+    m = 60 * 1_000_000
+
+    def ns(mins):
+        return (base_us + mins * m) * 1000
+
+    feed = str(tmp_path / "mfeed")
+    batches = [
+        [(1, ns(0), 7, "click", 1.0, "{}"), (2, ns(40), 7, "click", 2.0, "{}")],
+        [(3, ns(20), 7, "click", 4.0, "{}")],  # late bridge, inside watermark
+        [(9, ns(600), -1, "sentinel", 0.0, "{}")],  # watermark flush
+    ]
+    for b in batches:
+        spark.createDataFrame(b, schema).coalesce(1).write.mode("append").parquet(feed)
+        _time.sleep(1.1)  # distinct mtimes => deterministic batch order
+
+    lake = Lakehouse(spark, str(tmp_path / "mlake"))
+    for i in range(2):  # replay idempotence on the merge case too
+        stream = read_events_stream(spark, feed, max_files_per_trigger=1)
+        q = sessionize_to_lakehouse(stream, lake, "sessions", str(tmp_path / f"mck{i}"))
+        q.awaitTermination(120)
+
+    rows = lake.table("sessions").filter(F.col("user_id") >= 0).collect()
+    got = {
+        (r.user_id, r.session_start_us, r.session_end_us, r.n_events, r.total_value)
+        for r in rows
+    }
+    assert got == {(7, base_us, base_us + 70 * m, 3, 7.0)}, got
