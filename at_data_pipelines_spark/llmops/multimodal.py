@@ -8,15 +8,18 @@ Real codecs, pure numpy/stdlib (the container has no PIL/cv2/librosa):
 - **PNG** — 8-bit non-interlaced grayscale (color type 0) and RGB (2):
   stdlib ``zlib`` inflate + full scanline filter reconstruction
   (None/Sub/Up/Average/Paeth);
+- **JPEG** — baseline sequential DCT (``llmops/jpeg.py``): Huffman
+  entropy decode, dequantize + IDCT, any chroma sampling, restart
+  markers; plus an Annex-K-table encoder for fixtures;
 - **WAV** — RIFF PCM, 8/16/32-bit integer samples.
 
 These are parseable with ``struct``/``zlib``/``np.frombuffer`` — so
 decode → filter → embed → ANN runs end-to-end on real bytes. Formats
-needing an entropy codec the stdlib lacks (JPEG/MP3/..., and PNG
-variants outside the supported subset) raise ``NotImplementedError``
-from the sniff: faking them would hide the dependency. A deterministic
-``FAKE`` header format remains for plumbing tests:
-``b"FAKE" + mode(1B) + width(4B LE) + height(4B LE) + payload``.
+still needing codecs the stdlib lacks (MP3/video, progressive/12-bit
+JPEG, PNG variants outside the supported subset) raise
+``NotImplementedError`` from the sniff: faking them would hide the
+dependency. A deterministic ``FAKE`` header format remains for plumbing
+tests: ``b"FAKE" + mode(1B) + width(4B LE) + height(4B LE) + payload``.
 
 Scale notes: binary payloads ride the normal columnar path (parquet binary
 + Arrow); keep per-file row groups small enough that a batch of payloads
@@ -287,13 +290,17 @@ def decode_image(buf: bytes) -> tuple[int, int, str, np.ndarray | None]:
         return _decode_ppm(buf)
     if buf[:8] == _PNG_SIG:
         return _decode_png(buf)
+    if buf[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(buf)
     if buf[:4] == b"FAKE":
         mode, w, h = struct.unpack("<BII", buf[4:13])
         return w, h, {1: "L", 3: "RGB"}.get(mode, f"M{mode}"), None
     raise NotImplementedError(
-        "unsupported image format (JPEG/... need a codec library); "
-        "supported: BMP (8/24-bit uncompressed), PPM/PGM binary, "
-        "PNG (8-bit non-interlaced gray/RGB), FAKE"
+        "unsupported image format; supported: BMP (8/24-bit uncompressed), "
+        "PPM/PGM binary, PNG (8-bit non-interlaced gray/RGB), JPEG "
+        "(baseline sequential — progressive/12-bit refuse honestly), FAKE"
     )
 
 

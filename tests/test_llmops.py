@@ -1110,3 +1110,97 @@ def test_shingle_cache_lifecycle(spark, sf_dir):
     released = dedup.release_shingle_caches()
     assert released == 1
     assert len(cached_ids() - base) == 0
+
+
+def _psnr(a, b):
+    import numpy as np
+
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    return 10 * np.log10(255**2 / mse) if mse else 99.0
+
+
+def test_jpeg_roundtrip_variants():
+    """Baseline JPEG encode → decode at high quality reconstructs smooth
+    images faithfully (lossy codec — PSNR threshold, not equality), for
+    gray / RGB 4:4:4 / RGB 4:2:0 / restart markers / odd block-unaligned
+    sizes; unsupported progressive streams refuse honestly."""
+    import numpy as np
+    import pytest
+
+    from at_data_pipelines_spark.llmops.jpeg import decode_jpeg, encode_jpeg
+
+    gray = (np.add.outer(np.linspace(0, 200, 48), np.linspace(0, 55, 80))).astype(
+        np.uint8
+    )
+    rgb = np.stack(
+        [
+            np.add.outer(np.linspace(0, 255, 41), np.zeros(67)),
+            np.add.outer(np.zeros(41), np.linspace(0, 255, 67)),
+            np.full((41, 67), 128.0),
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+
+    cases = [
+        (gray, dict(quality=90), "L", 45),
+        (rgb, dict(quality=90), "RGB", 42),
+        (rgb, dict(quality=90, subsample=True), "RGB", 35),
+        (rgb, dict(quality=90, restart_interval=3), "RGB", 42),
+        (rgb, dict(quality=90, subsample=True, restart_interval=2), "RGB", 35),
+    ]
+    for px, kw, mode, min_psnr in cases:
+        w, h, m, out = decode_jpeg(encode_jpeg(px, **kw))
+        assert (w, h, m) == (px.shape[1], px.shape[0], mode), kw
+        assert out.shape == px.shape
+        p = _psnr(px, out)
+        assert p >= min_psnr, f"{kw}: psnr {p:.1f} < {min_psnr}"
+
+    # progressive (SOF2) refuses instead of garbling
+    buf = bytearray(encode_jpeg(gray))
+    sof_at = buf.index(b"\xff\xc0")
+    buf[sof_at + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="baseline"):
+        decode_jpeg(bytes(buf))
+
+
+def test_jpeg_decode_filter_embed_ann(spark):
+    """Real JPEG bytes through the full pipeline: decode_image sniffs the
+    SOI marker, metadata extraction and pixel embeddings run in the same
+    mapInPandas passes as the other raster formats, and a JPEG of the
+    SAME image lands nearest its PNG twin in the ANN layer (high cosine —
+    lossy codec, so not exactly 1)."""
+    import numpy as np
+
+    from at_data_pipelines_spark.llmops.jpeg import encode_jpeg
+
+    rng = np.random.default_rng(23)
+    # smooth image (JPEG-friendly): low-frequency mixture
+    yy, xx = np.mgrid[0:24, 0:32]
+    img = np.stack(
+        [
+            128 + 100 * np.sin(xx / 7.0),
+            128 + 90 * np.cos(yy / 5.0),
+            np.clip(4 * (xx + yy), 0, 255),
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+    other = rng.integers(0, 256, size=(24, 32, 3), dtype=np.uint8)
+    media = spark.createDataFrame(
+        [
+            (1, "image", multimodal.encode_png(img), ("s", "image/png")),
+            (2, "image", encode_jpeg(img, quality=95), ("s", "image/jpeg")),
+            (3, "image", multimodal.encode_png(other), ("s", "image/png")),
+        ],
+        multimodal.MEDIA_SCHEMA,
+    )
+    meta = {
+        r.media_id: (r.width, r.height, r.mode)
+        for r in multimodal.decode_image_meta(media).collect()
+    }
+    assert meta[2] == (32, 24, "RGB")
+    vecs = {
+        r.media_id: np.array(r.embedding, dtype=np.float64)
+        for r in multimodal.extract_embeddings(media, dim=64).collect()
+    }
+    assert float(vecs[1] @ vecs[2]) > 0.99, "JPEG of same image far from its PNG twin"
+    assert float(vecs[1] @ vecs[3]) < 0.9
