@@ -143,11 +143,12 @@ def ann_index_maintenance_stream(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     available_now: bool = True,
+    compact_every: int = 1,
 ):
     """Incrementally maintain a persisted IVF+PQ index
     (``llmops.ann_index``) from a stream of embeddings: each micro-batch
     is assigned + residual-encoded under the SAVED quantizer (loaded once
-    at query start — a few KB, closure-broadcast) and PK-upserted into
+    at query start — a few KB, closure-broadcast) and merged into
     ``{prefix}_codes``. This is the online counterpart of
     ``ann_index.encode_corpus``: new/changed vectors become probeable
     without re-encoding the corpus, and replayed batches are idempotent
@@ -158,19 +159,38 @@ def ann_index_maintenance_stream(
     lifetime — retraining changes every code's meaning, so a retrain is a
     batch event: ``save_index`` (full snapshot replace) + fresh stream.
 
-    Scale: encoding is one Arrow pass per micro-batch (no shuffle); the
-    upsert's dedup shuffle is proportional to the batch, not the index.
+    Scale: the ENCODE is one Arrow pass per micro-batch (no shuffle) —
+    O(batch) regardless of index size. The COMMIT is the knob:
+    ``compact_every=1`` (default) runs the full PK upsert per batch —
+    strongest read guarantees, but compacting the codes table costs
+    O(index) per batch. ``compact_every=N>1`` is the LSM shape: each
+    batch is an O(batch) append-only ``insert`` and only every Nth batch
+    pays the PK compaction, amortizing it to O(index/N). Between
+    compactions a RE-encoded id can briefly hold two code rows (both
+    decoding the same vector under the frozen quantizer — probes see a
+    duplicate candidate, not a wrong one); fresh-id streams have no
+    duplicates at all. Replays stay idempotent: the next compaction's
+    keep-latest dedup collapses any re-inserted rows.
     """
     from ..llmops.ann_index import _codes_schema, encode_corpus, load_index
 
     index = load_index(lake, prefix)
     lake.create(f"{prefix}_codes", _codes_schema(id_col), [], [id_col])
+    pending = {"batches": 0}
 
     def sink(batch: DataFrame, epoch_id: int) -> None:
         if batch.isEmpty():
             return
         batch = batch.dropDuplicates([id_col])
-        lake.upsert(f"{prefix}_codes", encode_corpus(batch, index, id_col, vec_col))
+        encoded = encode_corpus(batch, index, id_col, vec_col)
+        if compact_every <= 1:
+            lake.upsert(f"{prefix}_codes", encoded)
+            return
+        lake.insert(f"{prefix}_codes", encoded)
+        pending["batches"] += 1
+        if pending["batches"] >= compact_every:
+            lake.optimize(f"{prefix}_codes")
+            pending["batches"] = 0
 
     writer = (
         vec_stream.writeStream.outputMode("update")

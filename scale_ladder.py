@@ -127,6 +127,18 @@ def main() -> None:
         queries = emb.filter(F.col("vec_id") < 20)
         return ivf_topk(emb, queries, 5, n_centroids=16, n_probe=4)
 
+    def q46_persist(spark_, sf_dir):
+        """q46 under the persist_shingles strategy (the documented
+        large-corpus opt-in): one cached ranked-shingle materialization
+        feeds candidate generation and both verify sides."""
+        from at_data_pipelines_spark.io import load_table
+        from at_data_pipelines_spark.llmops.dedup import jaccard_pairs
+
+        d = load_table(spark_, sf_dir, "documents")
+        return jaccard_pairs(
+            d, "text", "doc_id", threshold=0.6, shingle_n=3, persist_shingles=True
+        )
+
     callables = {q: QUERIES[q] for q in LADDER_QUERIES}
     callables["ann_ivf_top5"] = ann_ivf_top5
     results: dict[str, dict[str, float]] = {q: {} for q in callables}
@@ -141,6 +153,28 @@ def main() -> None:
             results[q][str(sf)] = round(min(samples), 3)
             results[q].setdefault("rows", {})[str(sf)] = n  # type: ignore[arg-type]
 
+    # q46-persist rides one rung HIGHER (sf2.0) than the main ladder: the
+    # persist strategy is the documented large-corpus opt-in, so its
+    # exponent at the top of the ladder is the number that matters
+    ladder_p = ladder + [(2.0, 20)]
+    d2 = f"{scale_root}/sf2.0"
+    if not (
+        os.path.exists(f"{d2}/documents.parquet")
+        and os.path.exists(f"{d2}/embeddings.parquet")
+    ):
+        generate_scaled(args.base, d2, 20)
+    dirs[2.0] = d2
+    results["q46_jaccard_persist"] = {}
+    for sf, _k in ladder_p:
+        samples = []
+        for _ in range(args.runs):
+            t0 = time.perf_counter()
+            n = q46_persist(spark, dirs[sf]).count()
+            samples.append(time.perf_counter() - t0)
+        release_shingle_caches()
+        results["q46_jaccard_persist"][str(sf)] = round(min(samples), 3)
+        results["q46_jaccard_persist"].setdefault("rows", {})[str(sf)] = n  # type: ignore[arg-type]
+
     import math
 
     exponents = {}
@@ -152,9 +186,88 @@ def main() -> None:
                 math.log(tb / ta) / math.log(sf_b / sf_a), 2
             )
         exponents[q] = segs
+    segs = {}
+    for (sf_a, _), (sf_b, _) in zip(ladder_p, ladder_p[1:]):
+        ta = results["q46_jaccard_persist"][str(sf_a)]
+        tb = results["q46_jaccard_persist"][str(sf_b)]
+        segs[f"{sf_a}->{sf_b}"] = round(math.log(tb / ta) / math.log(sf_b / sf_a), 2)
+    exponents["q46_jaccard_persist"] = segs
 
-    print(json.dumps({"times_s": results, "growth_exponents": exponents}))
+    ann_stream = {
+        f"index_{tag}": measure_ann_stream(spark, dirs[sf], compact_every)
+        for tag, sf, compact_every in [
+            ("2k_upsert", 0.1, 1),
+            ("20k_upsert", 1.0, 1),
+            ("2k_lsm10", 0.1, 10),
+            ("20k_lsm10", 1.0, 10),
+        ]
+    }
+
+    print(
+        json.dumps(
+            {
+                "times_s": results,
+                "growth_exponents": exponents,
+                "ann_maintenance_stream": ann_stream,
+            }
+        )
+    )
     spark.stop()
+
+
+def measure_ann_stream(spark, base_dir: str, compact_every: int) -> dict:
+    """Build + persist an IVF+PQ index over the given corpus, then stream
+    10 batches of 500 FRESH vectors through ``ann_index_maintenance_stream``
+    and report the per-batch wall time. Run at two index sizes (2k / 20k
+    vectors), a flat per-batch time is the O(batch) evidence for the
+    encode path; the upsert-vs-LSM(compact_every=10) pair separates the
+    encode cost from the commit/compaction policy."""
+    import tempfile
+    import time as _time
+
+    import pyspark.sql.functions as F
+
+    from at_data_pipelines_spark.catalog import Lakehouse
+    from at_data_pipelines_spark.io import load_table
+    from at_data_pipelines_spark.llmops import ann_index
+    from at_data_pipelines_spark.streaming import ann_index_maintenance_stream
+
+    work = tempfile.mkdtemp(prefix=f"annstream_{compact_every}_")
+    lake = Lakehouse(spark, f"{work}/lake")
+    emb = load_table(spark, base_dir, "embeddings")
+    idx = ann_index.train_index(emb, n_centroids=16, m=8, k=16)
+    ann_index.save_index(lake, "corpus", idx, encoded=ann_index.encode_corpus(emb, idx))
+    n_index = lake.table("corpus_codes").count()
+
+    feed = f"{work}/feed"
+    base = emb.select("vec_id", "embedding").limit(500)
+    n_batches, batch_rows = 10, base.count()
+    for b in range(n_batches):
+        base.select(
+            (F.col("vec_id") + 100_000_000 + b * 100_000).alias("vec_id"), "embedding"
+        ).coalesce(1).write.mode("append").parquet(feed)
+
+    stream = (
+        spark.readStream.schema(base.schema).option("maxFilesPerTrigger", 1).parquet(feed)
+    )
+    t0 = _time.perf_counter()
+    q = ann_index_maintenance_stream(
+        stream, lake, "corpus", f"{work}/ckpt", compact_every=compact_every
+    )
+    q.awaitTermination(600)
+    wall = _time.perf_counter() - t0
+    if compact_every > 1:  # final compaction so the table ends deduped
+        lake.optimize("corpus_codes")
+    final_rows = lake.table("corpus_codes").count()
+    assert final_rows == n_index + n_batches * batch_rows, (final_rows, n_index)
+    return {
+        "index_rows": n_index,
+        "batches": n_batches,
+        "batch_rows": batch_rows,
+        "compact_every": compact_every,
+        "wall_s": round(wall, 3),
+        "per_batch_s": round(wall / n_batches, 3),
+    }
 
 
 if __name__ == "__main__":

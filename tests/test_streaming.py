@@ -472,3 +472,51 @@ def test_sessionize_to_lakehouse_merges_late_bridge(spark, tmp_path):
         for r in rows
     }
     assert got == {(7, base_us, base_us + 70 * m, 3, 7.0)}, got
+
+
+def test_ann_index_maintenance_stream_lsm_mode(spark, sf_dir, tmp_path):
+    """compact_every=N: each batch is an O(batch) append-only insert;
+    every Nth batch pays the PK compaction. After a replay plus a final
+    optimize, the codes table must be exactly the deduped corpus and
+    probe identically to a batch-built index."""
+    from at_data_pipelines_spark.llmops import ann_index
+    from at_data_pipelines_spark.streaming import ann_index_maintenance_stream
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    n_total = emb.count()
+
+    lake = Lakehouse(spark, str(tmp_path / "lsm_lake"))
+    idx = ann_index.train_index(emb, n_centroids=8, m=4, k=16, seed=42)
+    ann_index.save_index(lake, "corpus", idx)
+
+    src = tmp_path / "lsm_src"
+    src.mkdir()
+    for i in range(4):
+        emb.filter(F.col("vec_id") % 4 == i).write.parquet(str(src / f"b{i}"))
+
+    def run(ckpt):
+        stream = spark.readStream.schema(emb.schema).option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(f"{src}/*")
+        q = ann_index_maintenance_stream(
+            stream, lake, "corpus", str(tmp_path / ckpt), compact_every=3
+        )
+        q.awaitTermination(180)
+
+    run("ck1")
+    run("ck2")  # full replay: duplicate inserts pending compaction
+    lake.optimize("corpus_codes")  # end-of-stream compaction
+    codes = lake.table("corpus_codes")
+    assert codes.count() == n_total
+
+    queries = emb.filter(F.col("vec_id") < 8)
+    batch_enc = ann_index.encode_corpus(emb, idx)
+    want = {
+        (r.query_id, r.neighbor_id, round(r.cosine, 12))
+        for r in ann_index.topk(emb, queries, idx, encoded=batch_enc, k=5).collect()
+    }
+    got = {
+        (r.query_id, r.neighbor_id, round(r.cosine, 12))
+        for r in ann_index.topk(emb, queries, idx, encoded=codes, k=5).collect()
+    }
+    assert got == want
