@@ -475,6 +475,53 @@ def q62_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q64 — LEFT-outer purchase attribution: q62's interval join with
+#        how='left', so purchases with NO qualifying click survive
+#        null-padded. Exercises the range_join outer path (surrogate-key
+#        anti-join: null-safe, duplicate-safe) under the DuckDB oracle —
+#        the oracle is a plain LEFT JOIN with the interval condition in
+#        the ON clause.
+# --------------------------------------------------------------------------
+@register(
+    "q64_purchase_attribution_left",
+    oracle="""
+    WITH c AS (SELECT user_id, event_id AS click_id, epoch_us(ts) AS click_us
+               FROM events WHERE event_type = 'click'),
+    p AS (SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS purchase_us
+          FROM events WHERE event_type = 'purchase')
+    SELECT p.user_id, p.purchase_id, p.purchase_us, c.click_id, c.click_us
+    FROM p LEFT JOIN c ON p.user_id = c.user_id
+      AND c.click_us >= p.purchase_us - 1800000000
+      AND c.click_us <= p.purchase_us
+    """,
+)
+def q64_purchase_attribution_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ops import range_join
+
+    e = _events(spark, sf_dir)
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts_us").alias("purchase_us"),
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts_us").alias("click_us"),
+    )
+    return range_join(
+        purchases,
+        clicks,
+        on_left="purchase_us",
+        on_right="click_us",
+        lower=-1_800_000_000,
+        upper=0,
+        by=["user_id"],
+        how="left",
+    ).select("user_id", "purchase_id", "purchase_us", "click_id", "click_us")
+
+
+# --------------------------------------------------------------------------
 # q63 — hourly rollup derived FROM the 5-minute rollup via
 #        ts.cascade_rollup (continuous-aggregate cascade): sums/counts
 #        are algebraic, so the hourly numbers come from 12 fine partials

@@ -447,13 +447,20 @@ def test_multimodal_decode_plumbing(spark):
 
 
 def test_multimodal_real_codec_stubbed(spark):
-    # JPEG needs an entropy codec the stdlib lacks — must refuse honestly
+    # genuinely unsupported container (GIF) must refuse honestly, and a
+    # truncated/corrupt JPEG must error rather than return garbage
     df = spark.createDataFrame(
-        [(1, "image", b"\xff\xd8\xff\xe0" + b"0" * 50, ("s3", "image/jpeg"))],
+        [(1, "image", b"GIF89a" + b"0" * 50, ("s3", "image/gif"))],
         multimodal.MEDIA_SCHEMA,
     )
     with pytest.raises(Exception, match="NotImplementedError|not available"):
         multimodal.decode_image_meta(df).collect()
+    corrupt = spark.createDataFrame(
+        [(1, "image", b"\xff\xd8\xff\xe0" + b"0" * 50, ("s3", "image/jpeg"))],
+        multimodal.MEDIA_SCHEMA,
+    )
+    with pytest.raises(Exception):
+        multimodal.decode_image_meta(corrupt).collect()
 
 
 def test_png_roundtrip_all_filters():

@@ -58,6 +58,7 @@ def test_near_dup_queries_have_no_theta_join(spark, sf_dir):
         "q51_simhash_near_dup_pairs",
         "q53_dup_clusters",
         "q62_purchase_attribution",  # bucketized range join: equi on (user, bin)
+        "q64_purchase_attribution_left",  # outer path: equi-join + anti-join only
     ]:
         plan = _plan(spark, sf_dir, name)
         assert "NestedLoop" not in plan, name
