@@ -459,8 +459,15 @@ class Lakehouse:
         """Append a batch as a new ``_seq=K`` delta directory (the sequence
         also orders keep-latest dedup). ``mode='overwrite'`` truncates:
         the manifest forgets all prior generations, whose directories
-        become vacuumable orphans."""
+        become vacuumable orphans.
+
+        Small batches take the driver-side fast path (same probe + pyarrow
+        write as the upsert fast path, minus any merge — an insert never
+        reads existing data), skipping the distributed write job whose
+        fixed cost dominates tiny appends."""
         meta = self._load_meta(name)
+        if self._fast_insert(name, meta, df, mode):
+            return
         declared = meta.schema
         cols = [F.col(f.name).cast(f.dataType).alias(f.name) for f in declared.fields]
         seq = meta.next_seq
@@ -691,24 +698,10 @@ class Lakehouse:
             return False
         if meta.live_deltas or meta.dirty_partitions or meta.all_dirty:
             return False  # pending deltas: let optimize() absorb them
-        declared = meta.schema
-        for k in meta.partition_keys:
-            if not isinstance(declared[k].dataType, self._FAST_PART_TYPES):
-                return False
-        try:
-            import pyarrow as pa
-
-            from pyspark.sql.pandas.types import to_arrow_schema
-
-            arrow_schema = to_arrow_schema(declared)
-        except Exception:
+        probed = self._probe_small_batch(meta, df)
+        if probed is None:
             return False
-        try:
-            batch = df.limit(self._FAST_UPSERT_MAX_ROWS + 1).toArrow()
-        except Exception:
-            return False
-        if batch.num_rows > self._FAST_UPSERT_MAX_ROWS:
-            return False
+        batch, arrow_schema = probed
         if batch.num_rows == 0:
             return True  # empty upsert: nothing to write or commit
         seq = meta.next_seq
@@ -732,26 +725,39 @@ class Lakehouse:
                 self.fs.delete(base if rel == "" else f"{base}/{rel}")
         return True
 
-    def _fast_merge_write(self, meta, batch, arrow_schema, seq_dir):
-        """Driver-side merge of a small arrow batch with the committed
-        bases of the partitions it touches; writes the merged parquet
-        files under ``seq_dir``. Returns {rel: seq} to commit, or None
-        when a size guard says to go distributed. Raises
-        _FastPathUnsuitable on any conversion surprise (caller falls back
-        before anything is committed)."""
-        import io
+    def _probe_small_batch(self, meta, df):
+        """Shared fast-path probe: partition-type renderability check,
+        arrow schema resolution, and a bounded ``limit().toArrow()``
+        collect. Returns ``(batch, arrow_schema)`` or None when the
+        distributed path should run instead."""
+        declared = meta.schema
+        for k in meta.partition_keys:
+            if not isinstance(declared[k].dataType, self._FAST_PART_TYPES):
+                return None
+        try:
+            from pyspark.sql.pandas.types import to_arrow_schema
 
+            arrow_schema = to_arrow_schema(declared)
+        except Exception:
+            return None
+        try:
+            batch = df.limit(self._FAST_UPSERT_MAX_ROWS + 1).toArrow()
+        except Exception:
+            return None
+        if batch.num_rows > self._FAST_UPSERT_MAX_ROWS:
+            return None
+        return batch, arrow_schema
+
+    @staticmethod
+    def _cast_and_group(meta, batch, arrow_schema):
+        """Cast an arrow batch to the declared schema and group its row
+        indices by the hive rel dir they land in. Raises
+        _FastPathUnsuitable on conversion surprises."""
         import pyarrow as pa
-        import pyarrow.parquet as pq
 
         declared = meta.schema
         part_cols = list(meta.partition_keys)
-        file_fields = [f for f in declared.fields if f.name not in part_cols]
-        pk_in_file = [k for k in meta.primary_keys if k not in part_cols]
         try:
-            file_schema = pa.schema(
-                [pa.field(f.name, arrow_schema.field(f.name).type) for f in file_fields]
-            )
             batch = batch.select(declared.fieldNames())
             batch = batch.cast(
                 pa.schema(
@@ -763,8 +769,6 @@ class Lakehouse:
             )
         except Exception as e:
             raise _FastPathUnsuitable(str(e)) from e
-
-        # group batch rows by the hive rel dir they land in
         if part_cols:
             vals = {c: batch.column(c).to_pylist() for c in part_cols}
             groups: dict[str, list[int]] = {}
@@ -773,6 +777,91 @@ class Lakehouse:
                 groups.setdefault(rel, []).append(i)
         else:
             groups = {"": list(range(batch.num_rows))}
+        return batch, groups
+
+    def _write_rel_file(self, table, rel_dir) -> None:
+        import io
+
+        import pyarrow.parquet as pq
+
+        buf = io.BytesIO()
+        pq.write_table(table, buf, compression="snappy")
+        self.fs.mkdirs(rel_dir)
+        self.fs.write_bytes(
+            f"{rel_dir}/part-00000-{uuid.uuid4().hex}.parquet", buf.getvalue()
+        )
+
+    def _fast_insert(self, name: str, meta: TableMeta, df: DataFrame, mode: str) -> bool:
+        """Driver-side small-append path; True iff committed. Mirrors the
+        distributed insert exactly — new ``_seq=K`` delta generation,
+        live_deltas/dirty_partitions bookkeeping, attempt token, one
+        manifest PUT — minus the Spark write job."""
+        probed = self._probe_small_batch(meta, df)
+        if probed is None:
+            return False
+        batch, arrow_schema = probed
+        seq = meta.next_seq
+        seq_dir = self._seq_dir(name, seq)
+        wrote_rows = batch.num_rows > 0
+        token = None
+        written_rels: list[str] = []
+        if wrote_rows:
+            import pyarrow as pa
+
+            try:
+                batch, groups = self._cast_and_group(meta, batch, arrow_schema)
+            except _FastPathUnsuitable:
+                return False
+            part_cols = list(meta.partition_keys)
+            file_names = [f.name for f in meta.schema.fields if f.name not in part_cols]
+            self.fs.delete(seq_dir)
+            body = batch.select(file_names)
+            for rel, idx in groups.items():
+                rows = body.take(pa.array(idx, type=pa.int64()))
+                self._write_rel_file(rows, seq_dir if rel == "" else f"{seq_dir}/{rel}")
+                written_rels.append(rel)
+            token = f"{seq_dir}/_attempt-{uuid.uuid4().hex}"
+            self.fs.write_text(token, "")
+        if mode != "append":
+            meta.committed = {}
+            meta.live_deltas = []
+            meta.dirty_partitions = []
+            meta.all_dirty = False
+        if wrote_rows:
+            meta.live_deltas.append(seq)
+        meta.next_seq = seq + 1
+        if wrote_rows and meta.partition_keys:
+            seen = set(meta.dirty_partitions)
+            for rel in sorted(written_rels):
+                if rel != "" and rel not in seen:
+                    meta.dirty_partitions.append(rel)
+                    seen.add(rel)
+        elif wrote_rows:
+            meta.all_dirty = True
+        self._commit_meta(meta, token)  # commit point
+        return True
+
+    def _fast_merge_write(self, meta, batch, arrow_schema, seq_dir):
+        """Driver-side merge of a small arrow batch with the committed
+        bases of the partitions it touches; writes the merged parquet
+        files under ``seq_dir``. Returns {rel: seq} to commit, or None
+        when a size guard says to go distributed. Raises
+        _FastPathUnsuitable on any conversion surprise (caller falls back
+        before anything is committed)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        declared = meta.schema
+        part_cols = list(meta.partition_keys)
+        file_fields = [f for f in declared.fields if f.name not in part_cols]
+        pk_in_file = [k for k in meta.primary_keys if k not in part_cols]
+        try:
+            file_schema = pa.schema(
+                [pa.field(f.name, arrow_schema.field(f.name).type) for f in file_fields]
+            )
+        except Exception as e:
+            raise _FastPathUnsuitable(str(e)) from e
+        batch, groups = self._cast_and_group(meta, batch, arrow_schema)
 
         # size guard on the committed bases this merge must read
         name = meta.name
@@ -819,13 +908,7 @@ class Lakehouse:
                     # PK value — keep only the newest row
                     order = np.array([combined.num_rows - 1])
                 out = combined.take(pa.array(order, type=pa.int64()))
-                buf = io.BytesIO()
-                pq.write_table(out, buf, compression="snappy")
-                rel_dir = seq_dir if rel == "" else f"{seq_dir}/{rel}"
-                self.fs.mkdirs(rel_dir)
-                self.fs.write_bytes(
-                    f"{rel_dir}/part-00000-{uuid.uuid4().hex}.parquet", buf.getvalue()
-                )
+                self._write_rel_file(out, seq_dir if rel == "" else f"{seq_dir}/{rel}")
                 new_committed[rel] = seq
         except Exception as e:
             raise _FastPathUnsuitable(str(e)) from e

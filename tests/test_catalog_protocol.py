@@ -42,7 +42,17 @@ def _df(spark, rows):
     )
 
 
-def test_concurrent_writer_version_moved_loses(lake, spark):
+@pytest.fixture
+def slow_path_only():
+    """Force the distributed insert/upsert path (the protocol these race
+    tests were written to exercise) by zeroing the fast-path row guard."""
+    orig = Lakehouse._FAST_UPSERT_MAX_ROWS
+    Lakehouse._FAST_UPSERT_MAX_ROWS = 0
+    yield
+    Lakehouse._FAST_UPSERT_MAX_ROWS = orig
+
+
+def test_concurrent_writer_version_moved_loses(lake, spark, slow_path_only):
     """Writer A loads the manifest, writes its generation; writer B commits
     in between (reusing A's sequence number — B cleared A's directory).
     A's commit must raise ConcurrentWriteError, B's commit must survive
@@ -73,7 +83,7 @@ def test_concurrent_writer_version_moved_loses(lake, spark):
     assert got == {"A", "R", "L"}
 
 
-def test_concurrent_writer_token_vanished_loses(lake, spark):
+def test_concurrent_writer_token_vanished_loses(lake, spark, slow_path_only):
     """A racing writer assigned the same sequence number clears the
     generation dir (taking the attempt token with it) but has not yet
     committed — the manifest version is unchanged, so only the token
@@ -92,6 +102,35 @@ def test_concurrent_writer_token_vanished_loses(lake, spark):
     del lake.__dict__["_write_seq"]
     # nothing committed: the table is still empty
     assert lake.table("prices").count() == 0
+
+
+def test_fast_insert_concurrent_writer_detected(lake, spark):
+    """The driver-side fast insert keeps the optimistic-concurrency
+    contract: a rival commit between its file writes and its manifest PUT
+    must raise, the rival's data must survive, and a retry succeeds."""
+    lake.create("prices", SCHEMA, ["year"], ["date", "ticker"])
+    lake.insert("prices", _df(spark, [("A", "2024-01-02", 10.0)]))
+
+    rival = Lakehouse(spark, lake.root)
+    orig = Lakehouse._write_rel_file
+    fired = {"done": False}
+
+    def interleaved(self, table, rel_dir):
+        orig(self, table, rel_dir)
+        if not fired["done"]:
+            fired["done"] = True
+            rival.insert("prices", _df(spark, [("R", "2024-01-03", 1.0)]))
+
+    lake._write_rel_file = types.MethodType(interleaved, lake)
+    with pytest.raises(ConcurrentWriteError):
+        lake.insert("prices", _df(spark, [("L", "2024-01-04", 2.0)]))
+    del lake.__dict__["_write_rel_file"]
+
+    got = {r.ticker for r in lake.table("prices").collect()}
+    assert got == {"A", "R"}
+    lake.insert("prices", _df(spark, [("L", "2024-01-04", 2.0)]))
+    got = {r.ticker for r in lake.table("prices").collect()}
+    assert got == {"A", "R", "L"}
 
 
 def test_legacy_layout_refused(lake, spark):
