@@ -368,3 +368,50 @@ def test_fast_upsert_concurrent_writer_detected(lake, spark):
     lake.upsert("prices", _df(spark, [("A", "2024-01-02", 2.0)]))
     rows = {(r.ticker, str(r.date)): r.close for r in lake.table("prices").collect()}
     assert rows[("A", "2024-01-02")] == 2.0
+
+
+def test_fast_and_slow_upsert_paths_agree_on_hostile_values(lake, spark, tmp_path):
+    """Differential test of the driver-side fast path vs the distributed
+    path over batch sequences with hostile values: NULL and empty-string
+    partition values (shared hive sentinel dir), hive-escaped characters
+    (= / % space unicode) in partition values, NULL primary-key
+    components, and PK ⊆ partition-cols rels. Both paths must produce
+    the IDENTICAL table after every upsert — in particular the same
+    hive-dir spelling, or the same logical partition would split across
+    directories and keep-latest would silently miss merges."""
+    import random
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.StringType()),
+            T.StructField("part", T.StringType()),
+            T.StructField("v", T.DoubleType()),
+            T.StructField("b", T.LongType()),
+        ]
+    )
+    parts = [None, "", "x y", "a=b", "p/q", "100%", "ünïcode", "plain", "2023"]
+    keys = [None, "", "k1", "k2", "k=3", "k4"]
+
+    fast = Lakehouse(spark, str(tmp_path / "fastlake"))
+    slow = Lakehouse(spark, str(tmp_path / "slowlake"))
+    for lk in (fast, slow):
+        lk.create("t", schema, ["part"], ["k", "part"])
+
+    rng = random.Random(41)
+    orig = Lakehouse._FAST_UPSERT_MAX_ROWS
+    for batch_no in range(4):
+        combos = rng.sample([(k, p) for k in keys for p in parts], rng.randint(3, 12))
+        rows = [(k, p, rng.random(), batch_no) for (k, p) in combos]
+        df = spark.createDataFrame(rows, schema)
+        fast.upsert("t", df)
+        assert fast._load_meta("t").next_seq == batch_no + 1, "fast path not engaged"
+        try:
+            Lakehouse._FAST_UPSERT_MAX_ROWS = 0  # force distributed
+            slow.upsert("t", df)
+        finally:
+            Lakehouse._FAST_UPSERT_MAX_ROWS = orig
+        got = {(r.k, r.part, round(r.v, 9), r.b) for r in fast.table("t").collect()}
+        want = {(r.k, r.part, round(r.v, 9), r.b) for r in slow.table("t").collect()}
+        assert got == want, f"paths diverged after batch {batch_no}"
+    # the same logical partitions must map to the same directory spellings
+    assert set(fast._load_meta("t").committed) == set(slow._load_meta("t").committed)
