@@ -415,3 +415,30 @@ def test_fast_and_slow_upsert_paths_agree_on_hostile_values(lake, spark, tmp_pat
         assert got == want, f"paths diverged after batch {batch_no}"
     # the same logical partitions must map to the same directory spellings
     assert set(fast._load_meta("t").committed) == set(slow._load_meta("t").committed)
+
+
+def test_insert_overwrite_truncates_on_both_paths(lake, spark):
+    """insert(mode='overwrite') resets visibility to the new batch alone —
+    prior generations become vacuumable orphans — identically through the
+    driver-side fast path and the distributed path."""
+    lake.create("prices", SCHEMA, ["year"], ["date", "ticker"])
+    lake.upsert("prices", _df(spark, [("A", "2023-05-01", 1.0), ("B", "2024-01-02", 2.0)]))
+
+    # fast-path overwrite
+    lake.insert("prices", _df(spark, [("C", "2024-02-01", 3.0)]), mode="overwrite")
+    assert {r.ticker for r in lake.table("prices").collect()} == {"C"}
+    meta = lake._load_meta("prices")
+    assert meta.committed == {} and len(meta.live_deltas) == 1
+
+    # distributed overwrite (forced) behaves identically
+    orig = Lakehouse._FAST_UPSERT_MAX_ROWS
+    try:
+        Lakehouse._FAST_UPSERT_MAX_ROWS = 0
+        lake.insert("prices", _df(spark, [("D", "2024-03-01", 4.0)]), mode="overwrite")
+    finally:
+        Lakehouse._FAST_UPSERT_MAX_ROWS = orig
+    assert {r.ticker for r in lake.table("prices").collect()} == {"D"}
+    # orphaned generations reclaimed
+    removed = lake.vacuum("prices")
+    assert removed, "expected orphaned pre-overwrite generations"
+    assert {r.ticker for r in lake.table("prices").collect()} == {"D"}
