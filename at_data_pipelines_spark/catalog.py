@@ -109,6 +109,14 @@ class LegacyLayoutError(RuntimeError):
     parquet into a ``_seq=0`` generation and add the manifest fields."""
 
 
+class SnapshotExpiredError(RuntimeError):
+    """A time-travel read (``table(name, version=N)`` / ``restore``) named a
+    manifest version whose data generations have been reclaimed — the
+    version is older than the table's ``retain_versions`` window, or the
+    table was created without retention. The manifest history itself is
+    kept forever (audit log); only the data expires."""
+
+
 class _HadoopFS:
     """Filesystem operations through the JVM Hadoop FileSystem API, so the
     lakehouse's metadata reads/writes and partition swaps run against ANY
@@ -220,6 +228,63 @@ def _hive_rel(keys: list[str], vals) -> str:
     return "/".join(f"{k}={_escape_partition_value(v)}" for k, v in zip(keys, vals))
 
 
+def _stat_encode(v):
+    """JSON-safe, ORDER-PRESERVING encoding of a zone-map stat value.
+    Numbers/strings/bools pass through; date/timestamp become ISO strings
+    (lexicographic order == temporal order; tz-aware values normalize to
+    UTC-naive, matching the UTC session the engine runs under). Returns
+    None for values no sound ordering can be JSON-roundtripped for (NaN,
+    exotic types) — the caller then records no stat, which only costs
+    prunability, never correctness."""
+    import datetime as dt
+    import math
+
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, dt.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(dt.timezone.utc).replace(tzinfo=None)
+        return v.isoformat(sep=" ")
+    if isinstance(v, dt.date):
+        return v.isoformat()
+    if isinstance(v, float):
+        return None if math.isnan(v) else v
+    if isinstance(v, (int, str)):
+        return v
+    return None
+
+
+def _zone_excludes(stats: dict, where: dict) -> bool:
+    """True iff the leaf's zone-map stats PROVE no row can satisfy the
+    conjunctive range predicate ``{col: (lo, hi)}`` (inclusive, None =
+    unbounded). Missing stats never exclude; ``[None, None]`` (leaf has
+    no non-null values for the column) always excludes, because a range
+    predicate never matches NULL. Non-ASCII strings fall back to
+    unprunable — Python's code-point compare and Spark's UTF8 binary
+    compare agree on ASCII, and we only prune where they provably agree."""
+    for c, (lo, hi) in where.items():
+        ent = stats.get(c)
+        if ent is None:
+            continue
+        mn, mx = ent
+        if mn is None and mx is None:
+            return True
+        lo_e, hi_e = _stat_encode(lo), _stat_encode(hi)
+        strs = [x for x in (mn, mx, lo_e, hi_e) if isinstance(x, str)]
+        if any(not s.isascii() for s in strs):
+            continue
+        try:
+            if lo_e is not None and mx < lo_e:
+                return True
+            if hi_e is not None and mn > hi_e:
+                return True
+        except TypeError:
+            continue  # incomparable encodings: don't prune
+    return False
+
+
 def _unescape_partition_value(s: str):
     """Inverse of ``_escape_partition_value`` (Spark's unescapePathName):
     ``None`` for the hive default-partition sentinel, %XX decoded
@@ -250,6 +315,18 @@ class TableMeta:
     committed: dict[str, int] = field(default_factory=dict)
     # insert batches visible but not yet absorbed by a compaction
     live_deltas: list[int] = field(default_factory=list)
+    # zone maps: columns whose per-generation-leaf min/max are tracked in
+    # the manifest (opt-in at create), and the stats themselves, keyed by
+    # the data-relative leaf dir ("_seq=3" or "_seq=3/year=2024") ->
+    # {col: [min, max]} over the leaf's non-null values. Generations are
+    # immutable, so an entry is valid for the leaf's whole lifetime.
+    stats_columns: list[str] = field(default_factory=list)
+    zone_maps: dict[str, dict[str, list]] = field(default_factory=dict)
+    # snapshot retention: how many past manifest versions keep their data
+    # generations alive (0 = reclaim superseded data eagerly, history is
+    # audit-only). Manifest history JSONs are archived regardless — they
+    # are O(100 bytes/commit); only DATA expiry is governed by this knob.
+    retain_versions: int = 0
 
     @property
     def schema(self) -> T.StructType:
@@ -353,7 +430,66 @@ class Lakehouse:
     def _save_meta(self, meta: TableMeta) -> None:
         self.fs.write_text(self._meta_path(meta.name), json.dumps(meta.__dict__))
 
-    def _commit_meta(self, meta: TableMeta, token: str | None = None) -> None:
+    # -- manifest history (time travel) ------------------------------------
+    def _history_dir(self, name: str) -> str:
+        return f"{self._dir(name)}/_history"
+
+    def _archive_meta(self, meta: TableMeta, action: str) -> None:
+        """Append-only audit/time-travel log: one tiny JSON per committed
+        manifest version. Written AFTER the current-manifest PUT (the
+        commit point) — a crash between the two loses only the archive
+        entry for that version, never table consistency."""
+        import datetime as _dt
+
+        rec = dict(meta.__dict__)
+        rec["_ts"] = _dt.datetime.now(_dt.timezone.utc).isoformat()
+        rec["_action"] = action
+        self.fs.mkdirs(self._history_dir(meta.name))
+        self.fs.write_text(
+            f"{self._history_dir(meta.name)}/v{meta.version:012d}.json",
+            json.dumps(rec),
+        )
+
+    def _history_versions(self, name: str) -> list[int]:
+        return sorted(
+            int(n[1:-5])
+            for n, _ in self.fs.list_files(self._history_dir(name))
+            if n.startswith("v") and n.endswith(".json")
+        )
+
+    def _load_version(self, name: str, version: int) -> tuple[TableMeta, dict]:
+        p = f"{self._history_dir(name)}/v{version:012d}.json"
+        if not self.fs.exists(p):
+            raise SnapshotExpiredError(
+                f"table {name!r} has no archived manifest for version {version} "
+                f"(known: {self._history_versions(name)})"
+            )
+        raw = json.loads(self.fs.read_text(p))
+        known = {f.name for f in dataclass_fields(TableMeta)}
+        return TableMeta(**{k: v for k, v in raw.items() if k in known}), raw
+
+    def history(self, name: str) -> list[dict]:
+        """The table's commit log, oldest first: one entry per manifest
+        version with its action, UTC timestamp, and visibility summary.
+        The Delta `DESCRIBE HISTORY` shape, backed by the `_history/`
+        archive that every commit appends to."""
+        out = []
+        for v in self._history_versions(name):
+            meta, raw = self._load_version(name, v)
+            out.append(
+                {
+                    "version": v,
+                    "ts": raw.get("_ts"),
+                    "action": raw.get("_action"),
+                    "live_deltas": len(meta.live_deltas),
+                    "committed_entries": len(meta.committed),
+                }
+            )
+        return out
+
+    def _commit_meta(
+        self, meta: TableMeta, token: str | None = None, action: str = "commit"
+    ) -> None:
         """The commit point of every mutation, with optimistic concurrency
         detection. Before the PUT we (a) verify the on-disk manifest
         version still equals the version this writer loaded — another
@@ -387,6 +523,7 @@ class Lakehouse:
             )
         meta.version += 1
         self._save_meta(meta)
+        self._archive_meta(meta, action)
 
     def exists(self, name: str) -> bool:
         return self.fs.exists(self._meta_path(name))
@@ -404,26 +541,45 @@ class Lakehouse:
         partition_keys: list[str] | None = None,
         primary_keys: list[str] | None = None,
         mode: str = "skip",
+        stats_columns: list[str] | None = None,
+        retain_versions: int = 0,
     ) -> None:
         """Reference create modes (pipelines/portfolio_weights_flow.py:152-163):
         ``skip`` = CREATE TABLE IF NOT EXISTS, ``replace`` = CREATE OR REPLACE.
-        """
+
+        ``stats_columns`` opts the table into manifest zone maps: every
+        write records per-generation-leaf min/max for these columns, and
+        ``scan(name, where=...)`` prunes whole files the way Delta/Iceberg
+        data skipping does. ``retain_versions=K`` keeps the data of the
+        last K manifest versions readable via ``table(name, version=N)``
+        (time travel) and restorable via ``restore``; 0 reclaims
+        superseded data eagerly (history stays as an audit log only)."""
         if mode not in ("skip", "replace"):
             raise ValueError(f"mode must be 'skip' or 'replace', got {mode!r}")
         if self.exists(name):
             if mode == "skip":
                 return
             self.fs.delete(self._dir(name))
-        for k in (partition_keys or []) + (primary_keys or []):
+        for k in (partition_keys or []) + (primary_keys or []) + (stats_columns or []):
             if k not in schema.fieldNames():
                 raise ValueError(f"key {k!r} not in schema for table {name!r}")
+        redundant = set(stats_columns or []) & set(partition_keys or [])
+        if redundant:
+            raise ValueError(
+                f"stats_columns {sorted(redundant)} are partition keys — "
+                "partition pruning already skips them; zone maps are for "
+                "non-partition columns"
+            )
         meta = TableMeta(
             name=name,
             schema_json=json.dumps(schema.jsonValue()),
             partition_keys=list(partition_keys or []),
             primary_keys=list(primary_keys or []),
+            stats_columns=list(stats_columns or []),
+            retain_versions=int(retain_versions),
         )
         self._save_meta(meta)
+        self._archive_meta(meta, "create")
 
     def drop(self, name: str) -> None:
         if self.exists(name):
@@ -503,7 +659,10 @@ class Lakehouse:
                     seen.add(rel)
         elif wrote_rows:
             meta.all_dirty = True
-        self._commit_meta(meta, token)  # commit point
+        if wrote_rows and meta.stats_columns:
+            meta.zone_maps.update(self._collect_zone_maps(name, meta, seq))
+        self._prune_zone_maps(meta)
+        self._commit_meta(meta, token, action=f"insert({mode})")  # commit point
 
     def _rel_filter(self, meta: TableMeta, rels) -> "F.Column | None":
         """Partition-pruning predicate selecting exactly the given hive rel
@@ -532,6 +691,108 @@ class Lakehouse:
             part_filter = cond if part_filter is None else (part_filter | cond)
         return part_filter
 
+    # -- zone maps ---------------------------------------------------------
+    @staticmethod
+    def _zone_key(seq: int, rel: str) -> str:
+        return f"{_SEQ_COL}={seq}" + (f"/{rel}" if rel else "")
+
+    def _row_stats(self, meta: TableMeta, r) -> dict[str, list]:
+        stats: dict[str, list] = {}
+        for c in meta.stats_columns:
+            if r[f"__ct__{c}"] == 0:
+                stats[c] = [None, None]  # no non-null values: provably empty
+                continue
+            emn, emx = _stat_encode(r[f"__mn__{c}"]), _stat_encode(r[f"__mx__{c}"])
+            if emn is not None and emx is not None:
+                stats[c] = [emn, emx]
+        return stats
+
+    def _collect_zone_maps(
+        self, name: str, meta: TableMeta, seq: int
+    ) -> dict[str, dict[str, list]]:
+        """Per-leaf min/max of the stats columns for one freshly written
+        generation — a column-pruned aggregate over ONLY that generation's
+        files (grouped by partition value), so the cost scales with the
+        batch just written, never the table. Parquet min/max footers make
+        this a near-metadata read for the scan side of the agg."""
+        seq_dir = self._seq_dir(name, seq)
+        if not meta.stats_columns or not self.fs.exists(seq_dir):
+            return {}
+        schema_with_seq = T.StructType(
+            meta.schema.fields + [T.StructField(_SEQ_COL, T.LongType(), True)]
+        )
+        df = (
+            self.spark.read.schema(schema_with_seq)
+            .option("basePath", f"{self._dir(name)}/data")
+            .parquet(seq_dir)
+        )
+        aggs = []
+        for c in meta.stats_columns:
+            aggs += [
+                F.min(c).alias(f"__mn__{c}"),
+                F.max(c).alias(f"__mx__{c}"),
+                F.count(c).alias(f"__ct__{c}"),
+            ]
+        out: dict[str, dict[str, list]] = {}
+        if meta.partition_keys:
+            # group by CAST(key AS STRING) — Spark's own hive-dir spelling,
+            # so the rebuilt rel strings match the directories exactly
+            rows = (
+                df.groupBy(
+                    *[F.col(k).cast("string").alias(k) for k in meta.partition_keys]
+                )
+                .agg(*aggs)
+                .collect()
+            )
+            for r in rows:
+                rel = _hive_rel(
+                    meta.partition_keys, tuple(r[k] for k in meta.partition_keys)
+                )
+                out[self._zone_key(seq, rel)] = self._row_stats(meta, r)
+        else:
+            r = df.agg(*aggs).collect()[0]
+            out[self._zone_key(seq, "")] = self._row_stats(meta, r)
+        return out
+
+    def _arrow_leaf_stats(self, meta: TableMeta, table) -> dict[str, list]:
+        """Zone-map stats for one leaf, computed in-memory from the arrow
+        table the driver-side fast path is about to write — zero extra
+        jobs, zero extra reads."""
+        import pyarrow.compute as pc
+
+        stats: dict[str, list] = {}
+        for c in meta.stats_columns:
+            col = table.column(c)
+            if len(col) - col.null_count == 0:
+                stats[c] = [None, None]
+                continue
+            mm = pc.min_max(col)
+            emn = _stat_encode(mm["min"].as_py())
+            emx = _stat_encode(mm["max"].as_py())
+            if emn is not None and emx is not None:
+                stats[c] = [emn, emx]
+        return stats
+
+    @staticmethod
+    def _prune_zone_maps(meta: TableMeta) -> None:
+        """Drop zone-map entries whose generation leaf is no longer visible
+        in THIS manifest (superseded by compaction/overwrite/delete).
+        Archived manifests keep their own zone_maps, so time-travel scans
+        stay prunable too."""
+        if not meta.zone_maps:
+            return
+        live = set(meta.live_deltas)
+        keep: dict[str, dict[str, list]] = {}
+        for key, stats in meta.zone_maps.items():
+            head, _, rel = key.partition("/")
+            try:
+                s = int(head.split("=", 1)[1])
+            except ValueError:
+                continue
+            if s in live or meta.committed.get(rel) == s:
+                keep[key] = stats
+        meta.zone_maps = keep
+
     def _visible_paths(self, name: str, meta: TableMeta) -> list[str]:
         """Exactly the directories the manifest commits to — never a bare
         scan of the data dir, so in-flight or crashed writes are
@@ -556,11 +817,138 @@ class Lakehouse:
             .parquet(*paths)
         )
 
-    def table(self, name: str) -> DataFrame:
+    def table(self, name: str, version: int | None = None) -> DataFrame:
         """Lazy scan (reference S1). Plain DataFrame — filter/select compose
-        lazily and Catalyst pushes them into the parquet scan."""
-        meta = self._load_meta(name)
+        lazily and Catalyst pushes them into the parquet scan.
+
+        ``version=N`` time-travels: the scan is built from the archived
+        manifest of commit N instead of the current one. Requires the
+        table's ``retain_versions`` window to still cover N's data
+        (``SnapshotExpiredError`` otherwise). Generations are immutable,
+        so a retained old manifest reproduces the old table bit-for-bit."""
+        meta = (
+            self._load_meta(name)
+            if version is None
+            else self._version_meta(name, version)
+        )
         return self._read_raw(name, meta).drop(_SEQ_COL)
+
+    def _version_meta(self, name: str, version: int) -> TableMeta:
+        """Archived manifest of commit ``version``, validated: every data
+        path it references must still exist on disk."""
+        meta, _ = self._load_version(name, version)
+        missing = [
+            p for p in self._visible_paths(name, meta) if not self.fs.exists(p)
+        ]
+        if missing:
+            raise SnapshotExpiredError(
+                f"table {name!r} version {version}: data expired "
+                f"({len(missing)} referenced generation paths reclaimed, "
+                f"e.g. {missing[0]!r}); raise retain_versions to keep "
+                "snapshots readable longer"
+            )
+        return meta
+
+    def restore(self, name: str, version: int) -> None:
+        """Roll the table back to the state of commit ``version`` — as a
+        NEW commit (roll-forward, the Delta RESTORE shape): the current
+        manifest's visibility pointers are replaced with the archived
+        ones, so history keeps the bad commits and a restore is itself
+        undoable. Requires the snapshot's data to still be retained."""
+        old = self._version_meta(name, version)
+        cur = self._load_meta(name)
+        for f_name in (
+            "schema_json",
+            "partition_keys",
+            "primary_keys",
+            "committed",
+            "live_deltas",
+            "dirty_partitions",
+            "all_dirty",
+            "stats_columns",
+            "zone_maps",
+        ):
+            setattr(cur, f_name, getattr(old, f_name))
+        # next_seq stays at the current high-water mark: sequence numbers
+        # are monotonic forever, so post-restore writes can never collide
+        # with generations any historical manifest references
+        self._commit_meta(cur, None, action=f"restore(v{version})")
+
+    def scan(
+        self,
+        name: str,
+        where: dict[str, tuple] | None = None,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Zone-map-pruned scan: ``where`` is a conjunction of inclusive
+        range predicates ``{col: (lo, hi)}`` (either bound may be None).
+        Result is EXACTLY ``table(name).filter(<where>)`` — the manifest's
+        per-generation-leaf min/max stats (``stats_columns`` at create)
+        are used to drop whole leaf directories from the read up front,
+        and the full predicate is still applied to whatever is read.
+
+        At 100 TB this is the Delta/Iceberg data-skipping move: the
+        driver eliminates files from manifest metadata alone — no task is
+        ever scheduled for a file the stats disprove — on top of the
+        row-group skipping parquet footers already give the survivors."""
+        meta = (
+            self._load_meta(name)
+            if version is None
+            else self._version_meta(name, version)
+        )
+        where = dict(where or {})
+        names = set(meta.schema.fieldNames())
+        for c, bounds in where.items():
+            if c not in names:
+                raise ValueError(f"unknown column {c!r} in scan predicate")
+            if len(tuple(bounds)) != 2:
+                raise ValueError(f"bounds for {c!r} must be (lo, hi), got {bounds!r}")
+
+        # enumerate visible LEAF dirs with their zone-map keys
+        leaves: list[tuple[str, str]] = []
+        depth = len(meta.partition_keys)
+        pattern = "/".join(["*=*"] * depth)
+        for s in meta.live_deltas:
+            base = self._seq_dir(name, s)
+            if depth:
+                for rel in self.fs.glob_dir_leaves(f"{base}/{pattern}", depth):
+                    leaves.append((f"{base}/{rel}", self._zone_key(s, rel)))
+            else:
+                leaves.append((base, self._zone_key(s, "")))
+        for rel, s in sorted(meta.committed.items()):
+            base = self._seq_dir(name, s)
+            leaves.append(
+                (base if rel == "" else f"{base}/{rel}", self._zone_key(s, rel))
+            )
+        if where:
+            kept = [
+                p
+                for p, zk in leaves
+                if not _zone_excludes(meta.zone_maps.get(zk, {}), where)
+            ]
+        else:
+            kept = [p for p, _ in leaves]
+
+        schema_with_seq = T.StructType(
+            meta.schema.fields + [T.StructField(_SEQ_COL, T.LongType(), True)]
+        )
+        if kept:
+            df = (
+                self.spark.read.schema(schema_with_seq)
+                .option("basePath", f"{self._dir(name)}/data")
+                .parquet(*kept)
+            ).drop(_SEQ_COL)
+        else:
+            df = self.spark.createDataFrame([], meta.schema)
+        cond = None
+        for c, (lo, hi) in where.items():
+            if lo is not None:
+                piece = F.col(c) >= F.lit(lo)
+                cond = piece if cond is None else cond & piece
+            if hi is not None:
+                piece = F.col(c) <= F.lit(hi)
+                cond = piece if cond is None else cond & piece
+        return df.filter(cond) if cond is not None else df
 
     def query(self, df: DataFrame):
         """Reference ``db.query(lazy) -> eager frame`` (pipelines/utils/data.py:12).
@@ -628,7 +1016,10 @@ class Lakehouse:
         meta.dirty_partitions = []
         meta.all_dirty = False
         meta.next_seq = seq + 1
-        self._commit_meta(meta, token)  # commit point
+        if meta.stats_columns and token is not None:
+            meta.zone_maps.update(self._collect_zone_maps(name, meta, seq))
+        self._prune_zone_maps(meta)
+        self._commit_meta(meta, token, action="optimize")  # commit point
         self._clean_superseded(name, meta, old_committed, old_deltas)
 
     def _clean_superseded(
@@ -641,7 +1032,13 @@ class Lakehouse:
         """Post-commit space reclaim of generation dirs the new manifest no
         longer references. Purely best-effort: a crash here leaves orphans
         for vacuum(), never an inconsistent table. (Like any vacuum, this
-        invalidates lazy DataFrames planned against the old manifest.)"""
+        invalidates lazy DataFrames planned against the old manifest.)
+
+        Under snapshot retention (``retain_versions > 0``) nothing is
+        deleted here: superseded generations stay readable for time
+        travel until ``vacuum()`` expires them past the window."""
+        if meta.retain_versions > 0:
+            return
         for s in old_deltas:
             self.fs.delete(self._seq_dir(name, s))
         for rel, s in old_committed.items():
@@ -707,22 +1104,26 @@ class Lakehouse:
         seq = meta.next_seq
         seq_dir = self._seq_dir(name, seq)
         try:
-            new_committed = self._fast_merge_write(meta, batch, arrow_schema, seq_dir)
+            merged = self._fast_merge_write(meta, batch, arrow_schema, seq_dir)
         except _FastPathUnsuitable:
             self.fs.delete(seq_dir)  # nothing committed; dir is orphan-safe
             return False
-        if new_committed is None:
+        if merged is None:
             return False
+        new_committed, new_zone = merged
         token = f"{seq_dir}/_attempt-{uuid.uuid4().hex}"
         self.fs.write_text(token, "")
         old_committed = dict(meta.committed)
         meta.committed.update(new_committed)
         meta.next_seq = seq + 1
-        self._commit_meta(meta, token)  # commit point (concurrency-checked)
-        for rel, s in old_committed.items():
-            if rel in new_committed and s != new_committed[rel]:
-                base = self._seq_dir(name, s)
-                self.fs.delete(base if rel == "" else f"{base}/{rel}")
+        meta.zone_maps.update(new_zone)
+        self._prune_zone_maps(meta)
+        self._commit_meta(meta, token, action="upsert")  # commit point
+        if meta.retain_versions == 0:
+            for rel, s in old_committed.items():
+                if rel in new_committed and s != new_committed[rel]:
+                    base = self._seq_dir(name, s)
+                    self.fs.delete(base if rel == "" else f"{base}/{rel}")
         return True
 
     def _probe_small_batch(self, meta, df):
@@ -816,10 +1217,15 @@ class Lakehouse:
             file_names = [f.name for f in meta.schema.fields if f.name not in part_cols]
             self.fs.delete(seq_dir)
             body = batch.select(file_names)
+            new_zone: dict[str, dict[str, list]] = {}
             for rel, idx in groups.items():
                 rows = body.take(pa.array(idx, type=pa.int64()))
                 self._write_rel_file(rows, seq_dir if rel == "" else f"{seq_dir}/{rel}")
                 written_rels.append(rel)
+                if meta.stats_columns:
+                    new_zone[self._zone_key(seq, rel)] = self._arrow_leaf_stats(
+                        meta, rows
+                    )
             token = f"{seq_dir}/_attempt-{uuid.uuid4().hex}"
             self.fs.write_text(token, "")
         if mode != "append":
@@ -838,16 +1244,19 @@ class Lakehouse:
                     seen.add(rel)
         elif wrote_rows:
             meta.all_dirty = True
-        self._commit_meta(meta, token)  # commit point
+        if wrote_rows and meta.stats_columns:
+            meta.zone_maps.update(new_zone)
+        self._prune_zone_maps(meta)
+        self._commit_meta(meta, token, action=f"insert({mode})")  # commit point
         return True
 
     def _fast_merge_write(self, meta, batch, arrow_schema, seq_dir):
         """Driver-side merge of a small arrow batch with the committed
         bases of the partitions it touches; writes the merged parquet
-        files under ``seq_dir``. Returns {rel: seq} to commit, or None
-        when a size guard says to go distributed. Raises
-        _FastPathUnsuitable on any conversion surprise (caller falls back
-        before anything is committed)."""
+        files under ``seq_dir``. Returns ({rel: seq} to commit, zone-map
+        entries for the written leaves), or None when a size guard says
+        to go distributed. Raises _FastPathUnsuitable on any conversion
+        surprise (caller falls back before anything is committed)."""
         import pyarrow as pa
         import pyarrow.parquet as pq
 
@@ -888,6 +1297,7 @@ class Lakehouse:
         self.fs.delete(seq_dir)
         batch_files_only = batch.select([f.name for f in file_fields])
         new_committed: dict[str, int] = {}
+        new_zone: dict[str, dict[str, list]] = {}
         seq = int(seq_dir.rsplit("=", 1)[1])
         try:
             for rel, idx in groups.items():
@@ -910,9 +1320,13 @@ class Lakehouse:
                 out = combined.take(pa.array(order, type=pa.int64()))
                 self._write_rel_file(out, seq_dir if rel == "" else f"{seq_dir}/{rel}")
                 new_committed[rel] = seq
+                if meta.stats_columns:
+                    new_zone[self._zone_key(seq, rel)] = self._arrow_leaf_stats(
+                        meta, out
+                    )
         except Exception as e:
             raise _FastPathUnsuitable(str(e)) from e
-        return new_committed
+        return new_committed, new_zone
 
     def vacuum(self, name: str | None = None) -> list[str]:
         """Reclaim generation directories the manifest does not reference —
@@ -921,7 +1335,14 @@ class Lakehouse:
         single-writer assumption: visibility is defined by the manifest
         alone, retries clear their own target dir before writing, and an
         unreferenced dir can never become referenced again (sequence
-        numbers only move forward). Returns the removed paths."""
+        numbers only move forward). Returns the removed paths.
+
+        Under snapshot retention the reachable set is the UNION of the
+        current manifest and the archived manifests of the last
+        ``retain_versions`` commits — vacuum is also the snapshot
+        EXPIRY: generations referenced only by versions older than the
+        window are reclaimed here (their history JSONs stay as audit
+        records; time-traveling to them raises SnapshotExpiredError)."""
         removed = []
         tables = [name] if name else self.tables()
         for t in tables:
@@ -932,10 +1353,21 @@ class Lakehouse:
                     self.fs.delete(p)
                     removed.append(p)
             meta = self._load_meta(t)
-            live = set(meta.live_deltas)
+            metas = [meta]
+            if meta.retain_versions > 0:
+                floor = max(0, meta.version - meta.retain_versions)
+                for v in self._history_versions(t):
+                    if floor <= v < meta.version:
+                        metas.append(self._load_version(t, v)[0])
+            live: set[int] = set()
             base_rels: dict[int, set[str]] = {}
-            for rel, s in meta.committed.items():
-                base_rels.setdefault(s, set()).add(rel)
+            for m in metas:
+                live.update(m.live_deltas)
+                for rel, s in m.committed.items():
+                    if rel == "":
+                        live.add(s)
+                    else:
+                        base_rels.setdefault(s, set()).add(rel)
             data_dir = f"{self._dir(t)}/data"
             for d in self.fs.list_subdirs(data_dir):
                 if not d.startswith(f"{_SEQ_COL}="):
@@ -947,7 +1379,7 @@ class Lakehouse:
                 if rels is None:
                     self.fs.delete(f"{data_dir}/{d}")
                     removed.append(f"{data_dir}/{d}")
-                elif "" not in rels and meta.partition_keys:
+                elif meta.partition_keys:
                     # partially-referenced base generation: drop only the
                     # partition subdirs no longer pointed at
                     depth = len(meta.partition_keys)
@@ -1033,5 +1465,8 @@ class Lakehouse:
         meta.dirty_partitions = []
         meta.all_dirty = False
         meta.next_seq = seq + 1
-        self._commit_meta(meta, token)  # commit point
+        if meta.stats_columns and token is not None:
+            meta.zone_maps.update(self._collect_zone_maps(name, meta, seq))
+        self._prune_zone_maps(meta)
+        self._commit_meta(meta, token, action="delete_where")  # commit point
         self._clean_superseded(name, meta, old_committed, old_deltas)

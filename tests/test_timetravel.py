@@ -1,0 +1,306 @@
+"""Time travel, snapshot retention, restore, and zone-map scans.
+
+The manifest protocol (catalog.py) archives every committed manifest
+version under ``_history/``; ``retain_versions=K`` keeps the data of the
+last K versions alive, so ``table(name, version=N)`` reproduces commit N
+bit-for-bit and ``restore`` rolls back as a new commit. ``stats_columns``
+opt a table into per-generation-leaf min/max zone maps used by
+``scan(name, where=...)`` for Delta/Iceberg-style file skipping.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import random
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from at_data_pipelines_spark.catalog import Lakehouse, SnapshotExpiredError
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("k", T.LongType()),
+        T.StructField("year", T.IntegerType()),
+        T.StructField("v", T.DoubleType()),
+        T.StructField("d", T.DateType()),
+        T.StructField("s", T.StringType()),
+    ]
+)
+
+
+def _batch(spark, lo, hi, year, vbase=0.0):
+    rows = [
+        (
+            k,
+            year,
+            vbase + float(k),
+            dt.date(2024, 1, 1) + dt.timedelta(days=k % 300),
+            f"doc-{k:05d}",
+        )
+        for k in range(lo, hi)
+    ]
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+@pytest.fixture()
+def lake(spark, tmp_path):
+    return Lakehouse(spark, str(tmp_path / "lake"))
+
+
+# -- history / time travel -------------------------------------------------
+
+
+def test_history_records_every_commit(lake, spark):
+    lake.create("t", SCHEMA, ["year"], ["k", "year"], retain_versions=10)
+    lake.upsert("t", _batch(spark, 0, 50, 2023))
+    lake.insert("t", _batch(spark, 50, 60, 2023))
+    lake.optimize("t")
+    hist = lake.history("t")
+    assert [h["action"] for h in hist] == [
+        "create",
+        "upsert",
+        "insert(append)",
+        "optimize",
+    ]
+    assert [h["version"] for h in hist] == [0, 1, 2, 3]
+    assert all(h["ts"] is not None for h in hist[1:])
+
+
+def test_table_version_reproduces_every_state(lake, spark):
+    lake.create("t", SCHEMA, ["year"], ["k", "year"], retain_versions=10)
+    states = {}
+    lake.upsert("t", _batch(spark, 0, 40, 2023))
+    states[1] = lake.table("t").orderBy("k").collect()
+    lake.upsert("t", _batch(spark, 20, 80, 2023, vbase=1000.0))  # overwrites 20-39
+    states[2] = lake.table("t").orderBy("k").collect()
+    lake.upsert("t", _batch(spark, 0, 10, 2024))
+    states[3] = lake.table("t").orderBy("year", "k").collect()
+    # every retained version reads back exactly as it was
+    assert lake.table("t", version=1).orderBy("k").collect() == states[1]
+    assert lake.table("t", version=2).orderBy("k").collect() == states[2]
+    assert lake.table("t", version=3).orderBy("year", "k").collect() == states[3]
+    # v0 is the empty create snapshot
+    assert lake.table("t", version=0).count() == 0
+
+
+def test_restore_rolls_back_as_new_commit(lake, spark):
+    lake.create("t", SCHEMA, ["year"], ["k", "year"], retain_versions=10)
+    lake.upsert("t", _batch(spark, 0, 30, 2023))
+    good = lake.table("t").orderBy("k").collect()
+    lake.upsert("t", _batch(spark, 0, 30, 2023, vbase=-1000.0))  # "bad" write
+    bad = lake.table("t").orderBy("k").collect()
+    assert bad != good
+    lake.restore("t", 1)
+    assert lake.table("t").orderBy("k").collect() == good
+    hist = lake.history("t")
+    assert hist[-1]["action"] == "restore(v1)"
+    # the bad commit stays in history — restore is roll-forward, so it is
+    # itself undoable
+    assert lake.table("t", version=2).orderBy("k").collect() == bad
+    lake.restore("t", 2)
+    assert lake.table("t").orderBy("k").collect() == bad
+
+
+def test_post_restore_writes_do_not_collide(lake, spark):
+    lake.create("t", SCHEMA, ["year"], ["k", "year"], retain_versions=10)
+    lake.upsert("t", _batch(spark, 0, 20, 2023))
+    lake.upsert("t", _batch(spark, 20, 40, 2023))
+    lake.restore("t", 1)
+    # next_seq stayed monotonic: this write must not clobber any
+    # generation a historical manifest references
+    lake.upsert("t", _batch(spark, 100, 120, 2023))
+    assert lake.table("t").count() == 40
+    assert lake.table("t", version=2).count() == 40  # pre-restore state intact
+
+
+def test_vacuum_expires_past_retention_window(lake, spark):
+    lake.create("t", SCHEMA, ["year"], ["k", "year"], retain_versions=2)
+    for i in range(5):
+        lake.upsert("t", _batch(spark, i * 10, (i + 1) * 10, 2023))
+    cur = lake.table("t").orderBy("k").collect()
+    assert len(cur) == 50
+    # retained window: versions 3..5 (current=5); 1 and 2 expire
+    removed = lake.vacuum("t")
+    assert removed, "vacuum should reclaim generations outside the window"
+    assert lake.table("t").orderBy("k").collect() == cur
+    assert lake.table("t", version=4).count() == 40  # inside window
+    with pytest.raises(SnapshotExpiredError):
+        lake.table("t", version=1)
+    # history JSONs survive as the audit log even when data expired
+    assert [h["version"] for h in lake.history("t")] == [0, 1, 2, 3, 4, 5]
+
+
+def test_no_retention_expires_eagerly(lake, spark):
+    lake.create("t", SCHEMA, ["year"], ["k", "year"])  # retain_versions=0
+    lake.upsert("t", _batch(spark, 0, 30, 2023))
+    lake.upsert("t", _batch(spark, 0, 30, 2023, vbase=5.0))
+    # superseded generation was reclaimed at commit time
+    with pytest.raises(SnapshotExpiredError):
+        lake.table("t", version=1)
+    # but the audit log still shows the commit
+    assert [h["action"] for h in lake.history("t")][:2] == ["create", "upsert"]
+
+
+def test_unknown_version_raises(lake, spark):
+    lake.create("t", SCHEMA, ["year"], ["k", "year"])
+    with pytest.raises(SnapshotExpiredError):
+        lake.table("t", version=99)
+
+
+# -- zone maps / scan ------------------------------------------------------
+
+
+def test_create_rejects_partition_stats_column(lake):
+    with pytest.raises(ValueError, match="partition keys"):
+        lake.create("t", SCHEMA, ["year"], ["k", "year"], stats_columns=["year"])
+
+
+def test_scan_prunes_files_and_matches_filter(lake, spark):
+    lake.create("t", SCHEMA, ["year"], ["k", "year"], stats_columns=["k", "v", "d"])
+    # three disjoint key ranges => three prunable generations
+    lake.upsert("t", _batch(spark, 0, 100, 2023))
+    lake.insert("t", _batch(spark, 1000, 1100, 2023))
+    lake.insert("t", _batch(spark, 2000, 2100, 2024))
+    pruned = lake.scan("t", where={"k": (1010, 1050)})
+    expect = lake.table("t").filter((F.col("k") >= 1010) & (F.col("k") <= 1050))
+    assert sorted(r.k for r in pruned.collect()) == sorted(
+        r.k for r in expect.collect()
+    )
+    assert len(pruned.inputFiles()) < len(lake.table("t").inputFiles())
+
+
+def test_scan_open_bounds_and_multi_column(lake, spark):
+    lake.create("t", SCHEMA, ["year"], ["k", "year"], stats_columns=["k", "v", "d"])
+    lake.upsert("t", _batch(spark, 0, 200, 2023))
+    lake.upsert("t", _batch(spark, 200, 400, 2024))
+    got = lake.scan(
+        "t",
+        where={
+            "d": (dt.date(2024, 1, 5), dt.date(2024, 3, 1)),
+            "v": (None, 150.0),
+            "k": (10, None),
+        },
+    )
+    exp = lake.table("t").filter(
+        (F.col("d") >= "2024-01-05")
+        & (F.col("d") <= "2024-03-01")
+        & (F.col("v") <= 150.0)
+        & (F.col("k") >= 10)
+    )
+    assert sorted(r.k for r in got.collect()) == sorted(r.k for r in exp.collect())
+
+
+def test_scan_string_bounds(lake, spark):
+    lake.create("t", SCHEMA, ["year"], ["k", "year"], stats_columns=["s"])
+    lake.upsert("t", _batch(spark, 0, 100, 2023))
+    lake.insert("t", _batch(spark, 5000, 5100, 2023))
+    got = lake.scan("t", where={"s": ("doc-05000", "doc-05009")})
+    assert got.count() == 10
+    assert len(got.inputFiles()) < len(lake.table("t").inputFiles())
+
+
+def test_scan_all_null_leaf_is_pruned(lake, spark):
+    lake.create("t", SCHEMA, ["year"], ["k", "year"], stats_columns=["v"])
+    lake.upsert("t", _batch(spark, 0, 50, 2023))
+    nulls = _batch(spark, 50, 100, 2024).withColumn(
+        "v", F.lit(None).cast("double")
+    )
+    lake.insert("t", nulls)
+    got = lake.scan("t", where={"v": (0.0, 1e9)})
+    # range predicates never match NULL, so the all-null generation is
+    # provably excluded — and the answer still matches the full filter
+    exp = lake.table("t").filter((F.col("v") >= 0.0) & (F.col("v") <= 1e9))
+    assert got.count() == exp.count() == 50
+    assert len(got.inputFiles()) < len(lake.table("t").inputFiles())
+
+
+def test_scan_without_stats_column_still_correct(lake, spark):
+    lake.create("t", SCHEMA, ["year"], ["k", "year"], stats_columns=["k"])
+    lake.upsert("t", _batch(spark, 0, 100, 2023))
+    # 'v' has no zone maps: no pruning, but the filter semantics hold
+    got = lake.scan("t", where={"v": (10.0, 20.0)})
+    exp = lake.table("t").filter((F.col("v") >= 10.0) & (F.col("v") <= 20.0))
+    assert got.count() == exp.count()
+
+
+def test_scan_unknown_column_raises(lake, spark):
+    lake.create("t", SCHEMA, ["year"], ["k", "year"], stats_columns=["k"])
+    lake.upsert("t", _batch(spark, 0, 10, 2023))
+    with pytest.raises(ValueError, match="unknown column"):
+        lake.scan("t", where={"nope": (0, 1)})
+
+
+def test_zone_maps_survive_optimize_and_delete(lake, spark):
+    lake.create("t", SCHEMA, ["year"], ["k", "year"], stats_columns=["k"])
+    lake.insert("t", _batch(spark, 0, 100, 2023))
+    lake.insert("t", _batch(spark, 1000, 1100, 2023))
+    lake.optimize("t")  # compacts both deltas into one generation
+    meta = lake._load_meta("t")
+    # superseded delta entries were pruned; the compacted leaf has stats
+    assert all(key.split("/")[0] == f"_seq={2}" for key in meta.zone_maps)
+    got = lake.scan("t", where={"k": (0, 50)})
+    assert got.count() == 51
+    lake.delete_where("t", F.col("k") < 25)
+    got2 = lake.scan("t", where={"k": (0, 50)})
+    assert got2.count() == 26
+    meta2 = lake._load_meta("t")
+    assert meta2.zone_maps, "delete_where must re-collect stats for its rewrite"
+
+
+def test_distributed_write_path_records_stats(lake, spark):
+    """A batch above the fast-path row cap goes through the distributed
+    insert; zone maps must come from the post-write aggregate there."""
+    lake.create("t", SCHEMA, ["year"], ["k", "year"], stats_columns=["k"])
+    n = Lakehouse._FAST_UPSERT_MAX_ROWS + 500
+    lake.insert("t", _batch(spark, 0, n, 2023))
+    meta = lake._load_meta("t")
+    assert meta.zone_maps
+    (stats,) = meta.zone_maps.values()
+    assert stats["k"] == [0, n - 1]
+    lake.insert("t", _batch(spark, 10 * n, 10 * n + 10, 2023))  # fast path
+    got = lake.scan("t", where={"k": (10 * n, None)})
+    assert got.count() == 10
+    assert len(got.inputFiles()) < len(lake.table("t").inputFiles())
+
+
+def test_scan_of_historical_version_uses_archived_zone_maps(lake, spark):
+    lake.create(
+        "t", SCHEMA, ["year"], ["k", "year"], stats_columns=["k"], retain_versions=10
+    )
+    lake.upsert("t", _batch(spark, 0, 100, 2023))
+    lake.insert("t", _batch(spark, 1000, 1100, 2023))
+    v = lake._load_meta("t").version
+    lake.delete_where("t", F.col("k") >= 1000)  # current loses the 1000s
+    assert lake.scan("t", where={"k": (1000, None)}).count() == 0
+    old = lake.scan("t", where={"k": (1000, None)}, version=v)
+    assert old.count() == 100
+
+
+def test_scan_differential_random(lake, spark):
+    """Differential property test: random batches + random range
+    predicates — scan() must equal table().filter() exactly, every time."""
+    rng = random.Random(7)
+    lake.create("t", SCHEMA, ["year"], ["k", "year"], stats_columns=["k", "v"])
+    nxt = 0
+    for i in range(6):
+        lo = rng.randrange(0, 5000)
+        lake.insert("t", _batch(spark, lo, lo + rng.randrange(5, 80), 2020 + i % 3))
+        nxt += 1
+        if i % 3 == 2:
+            lake.optimize("t")
+    for _ in range(8):
+        a, b = sorted((rng.randrange(0, 5200), rng.randrange(0, 5200)))
+        bounds = rng.choice([(a, b), (None, b), (a, None)])
+        got = lake.scan("t", where={"k": bounds})
+        lo, hi = bounds
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (F.col("k") >= lo)
+        if hi is not None:
+            cond = cond & (F.col("k") <= hi)
+        exp = lake.table("t").filter(cond)
+        assert sorted((r.k, r.v) for r in got.collect()) == sorted(
+            (r.k, r.v) for r in exp.collect()
+        )
