@@ -1,0 +1,102 @@
+"""BM25 ranked retrieval over a document corpus.
+
+Okapi BM25 (Robertson & Zaragoza 2009, the Lucene-default scoring
+formula) expressed as a pure DataFrame plan: tokenize → term-filtered
+inverted postings (doc, term, tf) → document frequencies → score. No
+index structure is materialized — at 100 TB the postings build IS the
+inverted index, and the plan shape is the classic one:
+
+- the tokenize/explode is map-side, pruned to the query terms BEFORE the
+  shuffle (the filter on the exploded term cuts the postings to only
+  the terms being scored — a thousand-fold reduction for short queries);
+- document frequencies and the corpus aggregate (N, avgdl) are tiny and
+  broadcast;
+- the per-(doc, term) score is one codegen projection; the final top-k
+  is a TakeOrderedAndProject, never a global sort.
+
+The idf uses the non-negative Lucene form ``ln(1 + (N - df + .5)/(df + .5))``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def bm25_per_term(
+    docs: DataFrame,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-(doc_id, term) BM25 partial scores for the given query terms —
+    columns ``doc_id, term, s``. Summing ``s`` over a document's matched
+    terms gives the document's BM25 score for the query; callers that
+    need bit-reproducible totals should add the per-term values in a
+    fixed order (see q65) instead of a float SUM aggregate."""
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    toks = F.split(F.col(text_col), " ")
+    base = docs.select(F.col(id_col).alias("doc_id"), toks.alias("_toks"))
+    dl = base.select("doc_id", F.size("_toks").alias("dl"))
+    corpus = dl.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    postings = base.select(
+        "doc_id", F.explode("_toks").alias("term")
+    ).filter(F.col("term").isin(list(query_terms)))
+    tf = postings.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    s = (
+        idf
+        * (F.col("tf") * F.lit(k1 + 1.0))
+        / (
+            F.col("tf")
+            + F.lit(k1)
+            * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    return scored.select("doc_id", "term", s.alias("s"))
+
+
+def bm25_search(
+    docs: DataFrame,
+    query_terms: list[str],
+    top_k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k documents for one query (the OR of ``query_terms``), ranked
+    by summed BM25 score (desc, doc_id tiebreak). The per-term partials
+    are added in the fixed order of ``query_terms`` — conditional sums,
+    one posting per (doc, term), so the total is bit-reproducible across
+    engines and runs (a float SUM aggregate is not)."""
+    per_term = bm25_per_term(docs, query_terms, k1, b, id_col, text_col)
+    parts = [
+        F.coalesce(
+            F.sum(F.when(F.col("term") == t, F.col("s"))), F.lit(0.0)
+        ).alias(f"_s{i}")
+        for i, t in enumerate(query_terms)
+    ]
+    agg = per_term.groupBy("doc_id").agg(*parts)
+    total = F.col("_s0")
+    for i in range(1, len(query_terms)):
+        total = total + F.col(f"_s{i}")
+    return (
+        agg.select("doc_id", F.round(total, 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(top_k)
+    )

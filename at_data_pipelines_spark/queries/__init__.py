@@ -7,6 +7,7 @@ from . import windows  # noqa: F401,E402
 from . import llm  # noqa: F401,E402
 from . import streaming_q  # noqa: F401,E402
 from . import subqueries  # noqa: F401,E402
+from . import sketches  # noqa: F401,E402
 
 # Pin the driver-gate window: the driver checks the first 50 dict entries,
 # so the registry is reordered to the committed gate declaration (fails

@@ -93,6 +93,11 @@ PYTEST_ONLY: list[str] = [
     # path's null/duplicate edges also carry a dedicated DuckDB property
     # test in tests/test_asof.py)
     "q64_purchase_attribution_left",
+    # r6: BM25 ranked retrieval (llmops/retrieval.py) and the KMV
+    # bottom-k distinct sketch (ops/sketch.py) — both oracle-checked by
+    # tests/test_oracle_parity.py like every registry entry
+    "q65_bm25_search",
+    "q66_kmv_distinct_users",
 ]
 
 GATE_SIZE = 50

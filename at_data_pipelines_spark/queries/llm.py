@@ -517,3 +517,42 @@ def q50_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.sparkSession.createDataFrame(
         rows, "source string, n_docs long, target_share double, keep_frac double"
     )
+
+
+# --------------------------------------------------------------------------
+# q65 — BM25 ranked retrieval: top-10 documents for a 3-term query, the
+#        inverted-postings plan from llmops/retrieval.py (term-filtered
+#        explode before the shuffle, broadcast df/corpus stats, fixed-order
+#        score addition for cross-engine bit-reproducibility).
+# --------------------------------------------------------------------------
+@register(
+    "q65_bm25_search",
+    oracle="""
+    WITH base AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    dl AS (SELECT doc_id, len(toks) AS dl FROM base),
+    corpus AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+    tok AS (SELECT doc_id, unnest(toks) AS term FROM base),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+           WHERE term IN ('spark', 'join', 'window') GROUP BY 1, 2),
+    dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    st AS (SELECT tf.doc_id, tf.term,
+                  ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                    * (tf * 2.2)
+                    / (tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl)) AS s
+           FROM tf JOIN dfq USING (term)
+                   JOIN dl ON tf.doc_id = dl.doc_id
+                   CROSS JOIN corpus),
+    agg AS (SELECT doc_id,
+                   COALESCE(SUM(CASE WHEN term = 'spark'  THEN s END), 0)
+                 + COALESCE(SUM(CASE WHEN term = 'join'   THEN s END), 0)
+                 + COALESCE(SUM(CASE WHEN term = 'window' THEN s END), 0) AS sc
+            FROM st GROUP BY doc_id)
+    SELECT doc_id, ROUND(sc, 6) AS score FROM agg
+    ORDER BY ROUND(sc, 6) DESC, doc_id LIMIT 10
+    """,
+)
+def q65_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llmops.retrieval import bm25_search
+
+    d = load_table(spark, sf_dir, "documents")
+    return bm25_search(d, ["spark", "join", "window"], top_k=10)

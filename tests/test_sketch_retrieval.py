@@ -1,0 +1,123 @@
+"""KMV distinct sketch (ops/sketch.py) and BM25 retrieval
+(llmops/retrieval.py): accuracy vs exact/reference, determinism, and
+the 100 TB plan shapes."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from at_data_pipelines_spark.llmops.retrieval import bm25_search
+from at_data_pipelines_spark.ops.sketch import kmv_distinct
+
+
+# -- KMV ------------------------------------------------------------------
+
+
+def test_kmv_exact_below_k(spark):
+    df = spark.createDataFrame(
+        [(g, v) for g in ("a", "b") for v in range(g == "b" and 40 or 10)],
+        ["g", "v"],
+    )
+    got = {r.g: r.distinct_est for r in kmv_distinct(df, ["g"], "v", k=64).collect()}
+    assert got == {"a": 10.0, "b": 40.0}
+
+
+def test_kmv_duplicates_do_not_inflate(spark):
+    rows = [("g", v % 30) for v in range(3000)]  # 30 distinct, heavy dupes
+    df = spark.createDataFrame(rows, ["g", "v"])
+    (r,) = kmv_distinct(df, ["g"], "v", k=64).collect()
+    assert r.distinct_est == 30.0
+
+
+def test_kmv_accuracy_above_k(spark):
+    n = 5000
+    df = spark.createDataFrame([("g", v) for v in range(n)], ["g", "v"])
+    for k, tol in ((64, 0.40), (256, 0.20)):
+        (r,) = kmv_distinct(df, ["g"], "v", k=k).collect()
+        rel = abs(r.distinct_est - n) / n
+        # theoretical std err ~ 1/sqrt(k-2); tol is ~3 sigma
+        assert rel < tol, f"k={k}: est {r.distinct_est} vs {n} (rel {rel:.3f})"
+
+
+def test_kmv_deterministic_across_layouts(spark):
+    rows = [("g", v) for v in range(2000)]
+    a = kmv_distinct(
+        spark.createDataFrame(rows, ["g", "v"]), ["g"], "v", k=64
+    ).collect()
+    b = kmv_distinct(
+        spark.createDataFrame(rows[::-1], ["g", "v"]).repartition(13),
+        ["g"],
+        "v",
+        k=64,
+    ).collect()
+    assert a == b  # estimate depends only on the value SET, never layout
+
+
+# -- BM25 -----------------------------------------------------------------
+
+
+def _bm25_reference(docs: list[tuple[int, str]], terms: list[str], k1=1.2, b=0.75):
+    """Plain-Python Okapi BM25 for parity checking."""
+    toks = {i: t.split(" ") for i, t in docs}
+    n = len(docs)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    out = {}
+    for term in terms:
+        df = sum(1 for v in toks.values() if term in v)
+        if df == 0:
+            continue
+        idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+        for i, v in toks.items():
+            tf = v.count(term)
+            if tf:
+                s = idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(v) / avgdl))
+                out[i] = out.get(i, 0.0) + s
+    return out
+
+
+def test_bm25_matches_reference(spark):
+    docs = [
+        (0, "spark join window agg spark"),
+        (1, "join join join filter scan"),
+        (2, "window window spark"),
+        (3, "table scan filter value"),
+        (4, "spark"),
+    ]
+    terms = ["spark", "join", "window"]
+    got = {
+        r.doc_id: r.score
+        for r in bm25_search(
+            spark.createDataFrame(docs, ["doc_id", "text"]), terms, top_k=5
+        ).collect()
+    }
+    ref = _bm25_reference(docs, terms)
+    assert set(got) == set(ref)  # doc 3 matches nothing -> absent
+    for i, s in ref.items():
+        assert abs(got[i] - s) < 1e-6
+
+
+def test_bm25_ranking_and_tiebreak(spark):
+    # identical docs => identical scores => doc_id ascending tiebreak
+    docs = [(i, "spark join") for i in range(6)]
+    top = bm25_search(
+        spark.createDataFrame(docs, ["doc_id", "text"]), ["spark"], top_k=3
+    ).collect()
+    assert [r.doc_id for r in top] == [0, 1, 2]
+
+
+def test_bm25_plan_shape(spark, sf_dir):
+    """100 TB gates: df/corpus stats broadcast (no shuffled join for the
+    tiny sides), top-k compiles to TakeOrderedAndProject, and no
+    nested-loop anywhere."""
+    from at_data_pipelines_spark.io import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    df = bm25_search(d, ["spark", "join", "window"], top_k=10)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # the only nested-loop is the 1-row corpus-stats broadcast attach
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
