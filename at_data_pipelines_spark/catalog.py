@@ -585,6 +585,121 @@ class Lakehouse:
         if self.exists(name):
             self.fs.delete(self._dir(name))
 
+    def add_columns(self, name: str, new_fields) -> None:
+        """Widen the table schema — METADATA-ONLY, no data rewrite: the
+        declared schema drives every read (``_read_raw`` passes it to the
+        parquet reader), and a parquet scan with a superset schema fills
+        absent columns with NULL. Old generations therefore read the new
+        column as NULL without being touched; time travel to an older
+        version still reads with that version's archived (narrower)
+        schema. ``new_fields`` is a StructType or list of StructFields;
+        names must be new."""
+        fields = (
+            list(new_fields.fields)
+            if isinstance(new_fields, T.StructType)
+            else list(new_fields)
+        )
+        if not fields:
+            raise ValueError("no fields to add")
+        meta = self._load_meta(name)
+        existing = set(meta.schema.fieldNames())
+        for f_ in fields:
+            if f_.name in existing:
+                raise ValueError(f"column {f_.name!r} already exists in {name!r}")
+        meta.schema_json = json.dumps(
+            T.StructType(meta.schema.fields + fields).jsonValue()
+        )
+        self._commit_meta(
+            meta, None, action=f"add_columns({[f_.name for f_ in fields]})"
+        )
+
+    def set_stats_columns(self, name: str, stats_columns: list[str]) -> None:
+        """Enable/alter zone maps on an existing table. Applies to FUTURE
+        writes: leaves written before this call have no stats and simply
+        stay unprunable (sound — scan() only skips what stats disprove).
+        Running ``optimize`` afterwards rewrites dirty partitions with
+        stats; a full backfill is an insert(overwrite) away."""
+        meta = self._load_meta(name)
+        names = set(meta.schema.fieldNames())
+        for c in stats_columns:
+            if c not in names:
+                raise ValueError(f"stats column {c!r} not in schema for {name!r}")
+            if c in meta.partition_keys:
+                raise ValueError(f"stats column {c!r} is a partition key")
+        meta.stats_columns = list(stats_columns)
+        # entries for dropped stat columns are harmless (ignored by scan),
+        # but prune them for manifest hygiene
+        for key, stats in meta.zone_maps.items():
+            meta.zone_maps[key] = {
+                c: v for c, v in stats.items() if c in meta.stats_columns
+            }
+        self._commit_meta(meta, None, action=f"set_stats_columns({stats_columns})")
+
+    def table_changes(
+        self, name: str, since_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """Change-data-feed between two retained snapshots (the Delta CDF
+        shape), DERIVED by primary-key diff rather than stored per
+        commit: rows only in the new snapshot are ``insert``, rows only
+        in the old are ``delete``, PK matches whose value columns differ
+        emit ``update_preimage`` + ``update_postimage``. Output = the
+        current table columns (old snapshots' missing added-columns read
+        as NULL) plus ``_change_type``.
+
+        Scale shape: one PK-hash shuffle join of the two snapshots —
+        cost ∝ the two snapshots, independent of how many commits lie
+        between them, which is exactly when a derived diff beats
+        replaying per-commit logs. Requires primary keys and
+        ``retain_versions`` covering ``since_version``."""
+        meta = self._load_meta(name)
+        if not meta.primary_keys:
+            raise ValueError(f"table_changes needs primary keys on {name!r}")
+        pk = list(meta.primary_keys)
+        cols = meta.schema.fieldNames()
+        value_cols = [c for c in cols if c not in pk]
+
+        def _aligned(df: DataFrame) -> DataFrame:
+            for f_ in meta.schema.fields:
+                if f_.name not in df.columns:
+                    df = df.withColumn(f_.name, F.lit(None).cast(f_.dataType))
+            return df.select(*cols)
+
+        old = _aligned(self.table(name, version=since_version)).withColumn(
+            "_o", F.lit(1)
+        )
+        new = _aligned(
+            self.table(name, version=to_version)
+            if to_version is not None
+            else self.table(name)
+        ).withColumn("_n", F.lit(1))
+        o_vals = old.select(
+            *pk, *[F.col(c).alias(f"_old_{c}") for c in value_cols], "_o"
+        )
+        n_vals = new.select(
+            *pk, *[F.col(c).alias(f"_new_{c}") for c in value_cols], "_n"
+        )
+        j = n_vals.join(o_vals, pk, "full_outer")
+        same = F.lit(True)
+        for c in value_cols:
+            same = same & F.col(f"_new_{c}").eqNullSafe(F.col(f"_old_{c}"))
+
+        def _emit(side: str, rows: DataFrame, tag: str) -> DataFrame:
+            return rows.select(
+                *pk,
+                *[F.col(f"_{side}_{c}").alias(c) for c in value_cols],
+                F.lit(tag).alias("_change_type"),
+            )
+
+        inserts = _emit("new", j.filter(F.col("_o").isNull()), "insert")
+        deletes = _emit("old", j.filter(F.col("_n").isNull()), "delete")
+        updated = j.filter(
+            F.col("_o").isNotNull() & F.col("_n").isNotNull() & ~same
+        )
+        pre = _emit("old", updated, "update_preimage")
+        post = _emit("new", updated, "update_postimage")
+        out = inserts.unionByName(deletes).unionByName(pre).unionByName(post)
+        return out.select(*cols, "_change_type")
+
     # -- DML ---------------------------------------------------------------
     def _seq_dir(self, name: str, seq: int) -> str:
         return f"{self._dir(name)}/data/{_SEQ_COL}={seq}"

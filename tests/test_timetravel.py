@@ -304,3 +304,96 @@ def test_scan_differential_random(lake, spark):
         assert sorted((r.k, r.v) for r in got.collect()) == sorted(
             (r.k, r.v) for r in exp.collect()
         )
+
+
+# -- schema evolution ------------------------------------------------------
+
+
+def test_add_columns_metadata_only(lake, spark):
+    lake.create("t", SCHEMA, ["year"], ["k", "year"], retain_versions=10)
+    lake.upsert("t", _batch(spark, 0, 20, 2023))
+    v_old = lake._load_meta("t").version
+    lake.add_columns("t", [T.StructField("score", T.DoubleType())])
+    # old generations read the new column as NULL — no rewrite happened
+    assert lake.table("t").filter(F.col("score").isNull()).count() == 20
+    # new writes carry the column
+    wide = _batch(spark, 20, 30, 2023).withColumn("score", F.lit(0.5))
+    lake.upsert("t", wide)
+    got = lake.table("t")
+    assert got.filter(F.col("score") == 0.5).count() == 10
+    assert got.count() == 30
+    # time travel reads with the ARCHIVED (narrower) schema
+    old = lake.table("t", version=v_old)
+    assert "score" not in old.columns and old.count() == 20
+    with pytest.raises(ValueError, match="already exists"):
+        lake.add_columns("t", [T.StructField("score", T.DoubleType())])
+
+
+def test_set_stats_columns_applies_to_future_writes(lake, spark):
+    lake.create("t", SCHEMA, ["year"], ["k", "year"])
+    lake.insert("t", _batch(spark, 0, 100, 2023))  # pre-stats leaf
+    lake.set_stats_columns("t", ["k"])
+    lake.insert("t", _batch(spark, 5000, 5100, 2023))  # stats-bearing leaf
+    got = lake.scan("t", where={"k": (5000, 5050)})
+    exp = lake.table("t").filter((F.col("k") >= 5000) & (F.col("k") <= 5050))
+    # correctness holds; the pre-stats leaf stays (soundly) unpruned
+    assert sorted(r.k for r in got.collect()) == sorted(r.k for r in exp.collect())
+    with pytest.raises(ValueError, match="partition key"):
+        lake.set_stats_columns("t", ["year"])
+
+
+# -- change data feed ------------------------------------------------------
+
+
+def test_table_changes_classifies_all_kinds(lake, spark):
+    lake.create("t", SCHEMA, ["year"], ["k", "year"], retain_versions=10)
+    lake.upsert("t", _batch(spark, 0, 10, 2023))
+    v0 = lake._load_meta("t").version
+    # update keys 0-4 (new v values), insert 10-14, delete 7-9
+    lake.upsert("t", _batch(spark, 0, 5, 2023, vbase=100.0))
+    lake.upsert("t", _batch(spark, 10, 15, 2023))
+    lake.delete_where("t", (F.col("k") >= 7) & (F.col("k") <= 9))
+    ch = lake.table_changes("t", v0).collect()
+    by_kind = {}
+    for r in ch:
+        by_kind.setdefault(r._change_type, set()).add(r.k)
+    assert by_kind["insert"] == set(range(10, 15))
+    assert by_kind["delete"] == {7, 8, 9}
+    assert by_kind["update_preimage"] == set(range(5))
+    assert by_kind["update_postimage"] == set(range(5))
+    # pre/post carry the respective values
+    pre = {r.k: r.v for r in ch if r._change_type == "update_preimage"}
+    post = {r.k: r.v for r in ch if r._change_type == "update_postimage"}
+    assert pre == {k: float(k) for k in range(5)}
+    assert post == {k: 100.0 + k for k in range(5)}
+    # unchanged keys (5, 6) emit nothing
+    assert {r.k for r in ch} == set(range(15)) - {5, 6}
+
+
+def test_table_changes_between_two_versions_and_schema_evolution(lake, spark):
+    lake.create("t", SCHEMA, ["year"], ["k", "year"], retain_versions=10)
+    lake.upsert("t", _batch(spark, 0, 5, 2023))
+    v0 = lake._load_meta("t").version
+    lake.add_columns("t", [T.StructField("score", T.DoubleType())])
+    lake.upsert(
+        "t", _batch(spark, 3, 8, 2023, vbase=50.0).withColumn("score", F.lit(1.0))
+    )
+    v1 = lake._load_meta("t").version
+    lake.upsert("t", _batch(spark, 100, 101, 2023).withColumn("score", F.lit(2.0)))
+    # bounded window [v0, v1]: the 100-key insert is outside it
+    ch = lake.table_changes("t", v0, to_version=v1).collect()
+    kinds = {r._change_type for r in ch}
+    assert 100 not in {r.k for r in ch}
+    assert {r.k for r in ch if r._change_type == "insert"} == {5, 6, 7}
+    assert {r.k for r in ch if r._change_type == "update_postimage"} == {3, 4}
+    assert kinds == {"insert", "update_preimage", "update_postimage"}
+    # the old snapshot's missing 'score' aligns as NULL in preimages
+    assert all(
+        r.score is None for r in ch if r._change_type == "update_preimage"
+    )
+
+
+def test_table_changes_requires_primary_keys(lake, spark):
+    lake.create("t", SCHEMA, ["year"])
+    with pytest.raises(ValueError, match="primary keys"):
+        lake.table_changes("t", 0)
