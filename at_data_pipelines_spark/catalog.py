@@ -285,6 +285,40 @@ def _zone_excludes(stats: dict, where: dict) -> bool:
     return False
 
 
+def _morton_expr(cols: list[str], bounds: dict[str, tuple], bits: int = 10):
+    """Z-order (Morton) interleave of up to a few numeric columns: each
+    value is bucketed into 2^bits uniform buckets between its column's
+    observed min/max, and the bucket bits are interleaved into one long.
+    Sorting by this value gives multi-dimensional locality — rows close
+    in EVERY dimension land in the same file, which is what makes
+    per-file min/max boxes tight in all dimensions at once (a PK sort
+    only tightens the leading column). Pure codegen arithmetic:
+    width_bucket + shift/or, no UDF."""
+    n = 1 << bits
+    total = F.lit(0).cast("long")
+    for ci, c in enumerate(cols):
+        lo, hi = bounds[c]
+        if lo is None or hi is None or not float(hi) > float(lo):
+            continue  # constant/empty column contributes no bits
+        bkt = (
+            F.width_bucket(
+                F.col(c).cast("double"),
+                F.lit(float(lo)),
+                F.lit(float(hi)),
+                F.lit(n),
+            )
+            - 1
+        )
+        bkt = F.greatest(
+            F.lit(0).cast("long"),
+            F.least(F.coalesce(bkt, F.lit(0)).cast("long"), F.lit(n - 1).cast("long")),
+        )
+        for i in range(bits):
+            bit = F.shiftright(bkt, i).bitwiseAND(F.lit(1))
+            total = total.bitwiseOR(F.shiftleft(bit, i * len(cols) + ci))
+    return total
+
+
 def _unescape_partition_value(s: str):
     """Inverse of ``_escape_partition_value`` (Spark's unescapePathName):
     ``None`` for the hive default-partition sentinel, %XX decoded
@@ -823,7 +857,7 @@ class Lakehouse:
         return stats
 
     def _collect_zone_maps(
-        self, name: str, meta: TableMeta, seq: int
+        self, name: str, meta: TableMeta, seq: int, per_file: bool = False
     ) -> dict[str, dict[str, list]]:
         """Per-leaf min/max of the stats columns for one freshly written
         generation — a column-pruned aggregate over ONLY that generation's
@@ -849,21 +883,23 @@ class Lakehouse:
                 F.count(c).alias(f"__ct__{c}"),
             ]
         out: dict[str, dict[str, list]] = {}
-        if meta.partition_keys:
-            # group by CAST(key AS STRING) — Spark's own hive-dir spelling,
-            # so the rebuilt rel strings match the directories exactly
-            rows = (
-                df.groupBy(
-                    *[F.col(k).cast("string").alias(k) for k in meta.partition_keys]
-                )
-                .agg(*aggs)
-                .collect()
-            )
+        # group by CAST(key AS STRING) — Spark's own hive-dir spelling,
+        # so the rebuilt rel strings match the directories exactly
+        grp = [F.col(k).cast("string").alias(k) for k in meta.partition_keys]
+        if per_file:
+            # file-granularity stats (Z-ordered compactions): one zone
+            # entry per output file, keyed leaf/<filename>
+            grp = grp + [F.input_file_name().alias("__file")]
+        if grp:
+            rows = df.groupBy(*grp).agg(*aggs).collect()
             for r in rows:
                 rel = _hive_rel(
                     meta.partition_keys, tuple(r[k] for k in meta.partition_keys)
                 )
-                out[self._zone_key(seq, rel)] = self._row_stats(meta, r)
+                key = self._zone_key(seq, rel)
+                if per_file:
+                    key = f"{key}/{r['__file'].rsplit('/', 1)[1]}"
+                out[key] = self._row_stats(meta, r)
         else:
             r = df.agg(*aggs).collect()[0]
             out[self._zone_key(seq, "")] = self._row_stats(meta, r)
@@ -893,13 +929,16 @@ class Lakehouse:
         """Drop zone-map entries whose generation leaf is no longer visible
         in THIS manifest (superseded by compaction/overwrite/delete).
         Archived manifests keep their own zone_maps, so time-travel scans
-        stay prunable too."""
+        stay prunable too. Keys may be leaf-dir level (``_seq=3/year=2024``)
+        or file level (``.../part-x.parquet``, written by Z-ordered
+        compactions); a file key belongs to the leaf dir containing it."""
         if not meta.zone_maps:
             return
         live = set(meta.live_deltas)
         keep: dict[str, dict[str, list]] = {}
         for key, stats in meta.zone_maps.items():
-            head, _, rel = key.partition("/")
+            leaf = key.rsplit("/", 1)[0] if key.endswith(".parquet") else key
+            head, _, rel = leaf.partition("/")
             try:
                 s = int(head.split("=", 1)[1])
             except ValueError:
@@ -1035,14 +1074,27 @@ class Lakehouse:
             leaves.append(
                 (base if rel == "" else f"{base}/{rel}", self._zone_key(s, rel))
             )
-        if where:
-            kept = [
-                p
-                for p, zk in leaves
-                if not _zone_excludes(meta.zone_maps.get(zk, {}), where)
-            ]
-        else:
-            kept = [p for p, _ in leaves]
+        # file-level zone keys (written by Z-ordered compactions) grouped
+        # under their leaf: when present they BOTH refine pruning to file
+        # granularity AND replace the leaf's LIST call — the manifest
+        # already names every file
+        file_keys: dict[str, list[str]] = {}
+        for zk in meta.zone_maps:
+            if zk.endswith(".parquet"):
+                file_keys.setdefault(zk.rsplit("/", 1)[0], []).append(zk)
+        kept = []
+        for p, zk in leaves:
+            per_file = file_keys.get(zk)
+            if per_file:
+                for fk in per_file:
+                    if not (
+                        where and _zone_excludes(meta.zone_maps.get(fk, {}), where)
+                    ):
+                        kept.append(f"{p}/{fk.rsplit('/', 1)[1]}")
+            elif not (
+                where and _zone_excludes(meta.zone_maps.get(zk, {}), where)
+            ):
+                kept.append(p)
 
         schema_with_seq = T.StructType(
             meta.schema.fields + [T.StructField(_SEQ_COL, T.LongType(), True)]
@@ -1071,24 +1123,48 @@ class Lakehouse:
         return df.toPandas()
 
     # -- upsert completion -------------------------------------------------
-    def optimize(self, name: str) -> None:
+    def optimize(
+        self,
+        name: str,
+        zorder_by: list[str] | None = None,
+        zorder_files: int = 8,
+        full: bool = False,
+    ) -> None:
         """Deduplicate by primary key, keeping the latest inserted row
         (reference S4: 'Optimize table (deduplicate)',
         pipelines/portfolio_weights_flow.py:168-169).
 
         Only dirty partitions are rewritten, so the cost scales with the
-        ingest, not the table. The rewrite is a new ``_seq=K`` generation;
-        the manifest repoints the rewritten partitions and drops the
-        absorbed deltas in ONE metadata PUT, so readers switch from the
-        old state to the new state atomically (never a mixture). The
-        superseded generation dirs are deleted after the commit — a crash
-        in that cleanup only leaves vacuumable orphans.
-        """
+        ingest, not the table (``full=True`` forces a whole-table
+        rewrite — the re-clustering maintenance pass). The rewrite is a
+        new ``_seq=K`` generation; the manifest repoints the rewritten
+        partitions and drops the absorbed deltas in ONE metadata PUT, so
+        readers switch from the old state to the new state atomically
+        (never a mixture). The superseded generation dirs are deleted
+        after the commit — a crash in that cleanup only leaves
+        vacuumable orphans.
+
+        ``zorder_by=[cols]`` lays the rewrite out Z-ordered (the Delta
+        OPTIMIZE ZORDER move): rows are range-partitioned and sorted by
+        the Morton interleave of the named numeric columns,
+        ``zorder_files`` files per rewritten partition, and — when the
+        table has ``stats_columns`` — zone maps are recorded PER FILE,
+        so multi-dimensional range scans prune at file granularity with
+        tight boxes in every Z dimension."""
         meta = self._load_meta(name)
         if not meta.primary_keys:
             return
+        if full:
+            meta.all_dirty = True
         if not (meta.dirty_partitions or meta.all_dirty):
             return
+        if zorder_by:
+            names = set(meta.schema.fieldNames())
+            for c in zorder_by:
+                if c not in names:
+                    raise ValueError(f"zorder column {c!r} not in schema")
+                if c in meta.partition_keys:
+                    raise ValueError(f"zorder column {c!r} is a partition key")
         raw = self._read_raw(name, meta)
         if meta.partition_keys and not meta.all_dirty:
             part_filter = self._rel_filter(meta, meta.dirty_partitions)
@@ -1097,18 +1173,38 @@ class Lakehouse:
         deduped = (
             raw.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
         )
-        # Lay files out PK-sorted: cluster rows by hive-partition value
-        # (one task per rewritten partition → one file, not one per
-        # upstream task) and sort by primary key inside, so parquet
-        # row-group min/max stats are tight and PK-range scans skip
-        # whole row groups — the compaction-time data-skipping layout a
-        # Delta OPTIMIZE ZORDER gives, for the single-key-prefix case.
-        cluster = list(meta.partition_keys) + list(meta.primary_keys)
-        deduped = (
-            deduped.repartition(*[F.col(k) for k in meta.partition_keys])
-            if meta.partition_keys
-            else deduped
-        ).sortWithinPartitions(*cluster)
+        if zorder_by:
+            # Z-order layout: bucket bounds come from the (pruned) input
+            # scan — a cheap column min/max — then rows range-partition
+            # and sort on the Morton code, so each output file is a tight
+            # box in every Z dimension
+            baggs = []
+            for c in zorder_by:
+                baggs += [F.min(c).alias(f"__mn__{c}"), F.max(c).alias(f"__mx__{c}")]
+            b = raw.agg(*baggs).collect()[0]
+            bounds = {c: (b[f"__mn__{c}"], b[f"__mx__{c}"]) for c in zorder_by}
+            n_rewritten = len(meta.dirty_partitions) or len(meta.committed) or 1
+            nparts = n_rewritten * int(zorder_files)
+            deduped = deduped.withColumn("_z", _morton_expr(zorder_by, bounds))
+            range_keys = [F.col(k) for k in meta.partition_keys] + [F.col("_z")]
+            deduped = (
+                deduped.repartitionByRange(nparts, *range_keys)
+                .sortWithinPartitions(*meta.partition_keys, "_z")
+                .drop("_z")
+            )
+        else:
+            # Lay files out PK-sorted: cluster rows by hive-partition value
+            # (one task per rewritten partition → one file, not one per
+            # upstream task) and sort by primary key inside, so parquet
+            # row-group min/max stats are tight and PK-range scans skip
+            # whole row groups — the compaction-time data-skipping layout a
+            # Delta OPTIMIZE ZORDER gives, for the single-key-prefix case.
+            cluster = list(meta.partition_keys) + list(meta.primary_keys)
+            deduped = (
+                deduped.repartition(*[F.col(k) for k in meta.partition_keys])
+                if meta.partition_keys
+                else deduped
+            ).sortWithinPartitions(*cluster)
         seq = meta.next_seq
         token = self._write_seq(name, meta, deduped.drop(_SEQ_COL), seq)
         old_committed = dict(meta.committed)
@@ -1132,9 +1228,12 @@ class Lakehouse:
         meta.all_dirty = False
         meta.next_seq = seq + 1
         if meta.stats_columns and token is not None:
-            meta.zone_maps.update(self._collect_zone_maps(name, meta, seq))
+            meta.zone_maps.update(
+                self._collect_zone_maps(name, meta, seq, per_file=bool(zorder_by))
+            )
         self._prune_zone_maps(meta)
-        self._commit_meta(meta, token, action="optimize")  # commit point
+        action = f"optimize(zorder={zorder_by})" if zorder_by else "optimize"
+        self._commit_meta(meta, token, action)  # commit point
         self._clean_superseded(name, meta, old_committed, old_deltas)
 
     def _clean_superseded(

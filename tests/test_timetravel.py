@@ -397,3 +397,92 @@ def test_table_changes_requires_primary_keys(lake, spark):
     lake.create("t", SCHEMA, ["year"])
     with pytest.raises(ValueError, match="primary keys"):
         lake.table_changes("t", 0)
+
+
+# -- Z-order clustering ----------------------------------------------------
+
+
+def _zbatch(spark, n, year, seed=0):
+    rng = random.Random(seed)
+    rows = [
+        (
+            k,
+            year,
+            float(rng.randrange(0, 10_000)),
+            dt.date(2024, 1, 1) + dt.timedelta(days=k % 300),
+            f"doc-{k:05d}",
+        )
+        for k in range(n)
+    ]
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def test_zorder_optimize_correct_and_prunes_per_file(lake, spark):
+    """Z-ordered compaction must (a) keep exactly the PK-deduped rows,
+    (b) record file-level zone maps, and (c) let a 2-D box predicate
+    read fewer files than the whole table holds."""
+    lake.create("t", SCHEMA, ["year"], ["k", "year"], stats_columns=["k", "v"])
+    data = _zbatch(spark, 4000, 2023, seed=1)
+    lake.insert("t", data)
+    before = lake.table("t").orderBy("k").collect()
+    lake.optimize("t", zorder_by=["k", "v"], zorder_files=8)
+    after = lake.table("t").orderBy("k").collect()
+    assert after == before  # layout changed, content identical
+    meta = lake._load_meta("t")
+    fkeys = [z for z in meta.zone_maps if z.endswith(".parquet")]
+    assert len(fkeys) >= 4  # multi-file leaf
+    # 2-D box: both dimensions selective
+    got = lake.scan("t", where={"k": (100, 500), "v": (1000.0, 2000.0)})
+    exp = lake.table("t").filter(
+        (F.col("k") >= 100) & (F.col("k") <= 500)
+        & (F.col("v") >= 1000.0) & (F.col("v") <= 2000.0)
+    )
+    assert sorted(r.k for r in got.collect()) == sorted(r.k for r in exp.collect())
+    n_all = len(lake.table("t").inputFiles())
+    n_box = len(got.inputFiles())
+    assert n_box < n_all, f"Z-order box scan read all {n_all} files"
+
+
+def test_zorder_beats_single_dim_cluster_on_second_dimension(lake, spark):
+    """The point of Z-order: with the SAME file count, a predicate on the
+    second dimension alone prunes Z-ordered files, while a layout
+    clustered only on k reads essentially everything (v is uniform
+    within every k-range file)."""
+    data = _zbatch(spark, 4000, 2023, seed=2)
+    for tname, z in (("k_only", ["k"]), ("zordered", ["v", "k"])):
+        lake.create(tname, SCHEMA, ["year"], ["k", "year"], stats_columns=["k", "v"])
+        lake.insert(tname, data)
+        lake.optimize(tname, zorder_by=z, zorder_files=8)
+    where = {"v": (4000.0, 4500.0)}
+    k_files = len(lake.scan("k_only", where=where).inputFiles())
+    z_files = len(lake.scan("zordered", where=where).inputFiles())
+    assert z_files < k_files, f"Z-order read {z_files} files, 1-D layout {k_files}"
+    # both layouts still answer identically
+    a = sorted(r.k for r in lake.scan("k_only", where=where).collect())
+    b = sorted(r.k for r in lake.scan("zordered", where=where).collect())
+    assert a == b
+
+
+def test_zorder_full_rewrite_and_later_upserts(lake, spark):
+    lake.create("t", SCHEMA, ["year"], ["k", "year"], stats_columns=["k", "v"])
+    lake.upsert("t", _zbatch(spark, 1000, 2023, seed=3))
+    # table is clean: plain optimize would no-op; full=True re-clusters
+    lake.optimize("t", zorder_by=["k", "v"], zorder_files=4, full=True)
+    meta = lake._load_meta("t")
+    assert any(z.endswith(".parquet") for z in meta.zone_maps)
+    n0 = lake.table("t").count()
+    # later upserts keep working and keep the manifest consistent
+    lake.upsert("t", _zbatch(spark, 100, 2023, seed=4))
+    assert lake.table("t").count() == n0  # same keys 0-99 overwritten
+    got = lake.scan("t", where={"k": (0, 50)})
+    exp = lake.table("t").filter((F.col("k") >= 0) & (F.col("k") <= 50))
+    assert sorted(r.k for r in got.collect()) == sorted(r.k for r in exp.collect())
+
+
+def test_zorder_rejects_bad_columns(lake, spark):
+    lake.create("t", SCHEMA, ["year"], ["k", "year"])
+    lake.insert("t", _zbatch(spark, 10, 2023))
+    with pytest.raises(ValueError, match="partition key"):
+        lake.optimize("t", zorder_by=["year"])
+    with pytest.raises(ValueError, match="not in schema"):
+        lake.optimize("t", zorder_by=["nope"])
