@@ -361,6 +361,10 @@ class TableMeta:
     # audit-only). Manifest history JSONs are archived regardless — they
     # are O(100 bytes/commit); only DATA expiry is governed by this knob.
     retain_versions: int = 0
+    # ANALYZE output (analyze()): row count + per-column null count,
+    # min/max, KMV distinct estimate, stamped with the manifest version
+    # it was computed against — the CBO-stats slot of the manifest.
+    table_stats: dict = field(default_factory=dict)
 
     @property
     def schema(self) -> T.StructType:
@@ -668,6 +672,85 @@ class Lakehouse:
                 c: v for c, v in stats.items() if c in meta.stats_columns
             }
         self._commit_meta(meta, None, action=f"set_stats_columns({stats_columns})")
+
+    # column types analyze() computes full stats for (orderable atomics);
+    # anything else gets null counts only
+    _ANALYZE_TYPES = (
+        T.ByteType,
+        T.ShortType,
+        T.IntegerType,
+        T.LongType,
+        T.FloatType,
+        T.DoubleType,
+        T.StringType,
+        T.BooleanType,
+        T.DateType,
+        T.TimestampType,
+        T.TimestampNTZType,
+    )
+
+    def analyze(self, name: str, columns: list[str] | None = None, k: int = 256) -> dict:
+        """ANALYZE TABLE: row count plus per-column null count, min/max,
+        and a KMV distinct-count estimate (ops/sketch.py, sketch size
+        ``k``), persisted into the manifest (``table_stats``, stamped
+        with the version analyzed) and returned. Two passes over the
+        table: one codegen aggregate for count/nulls/min-max, and ONE
+        shared shuffle for every column's distinct sketch (the per-column
+        hashes are exploded into (column, hash) pairs first, so adding
+        columns adds no stages). Non-orderable columns get null counts
+        only."""
+        from .ops.sketch import kmv_distinct
+
+        meta = self._load_meta(name)
+        names = [f.name for f in meta.schema.fields]
+        cols = list(columns) if columns is not None else names
+        for c in cols:
+            if c not in names:
+                raise ValueError(f"unknown column {c!r} in analyze")
+        orderable = [
+            c for c in cols if isinstance(meta.schema[c].dataType, self._ANALYZE_TYPES)
+        ]
+        df = self._read_raw(name, meta).drop(_SEQ_COL)
+        aggs = [F.count(F.lit(1)).alias("__rows")]
+        for c in cols:
+            aggs.append(F.count(c).alias(f"__ct__{c}"))
+        for c in orderable:
+            aggs += [F.min(c).alias(f"__mn__{c}"), F.max(c).alias(f"__mx__{c}")]
+        r = df.agg(*aggs).collect()[0]
+        rows = r["__rows"]
+        # one shared sketch pass: (column name, value) pairs — every
+        # column's distinct sketch rides the same shuffle
+        if orderable and rows:
+            pairs = df.select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(c).alias("column"),
+                                F.col(c).cast("string").alias("val"),
+                            )
+                            for c in orderable
+                        ]
+                    )
+                ).alias("p")
+            ).select("p.column", "p.val")
+            dists = {
+                row.column: row.distinct_est
+                for row in kmv_distinct(pairs, ["column"], "val", k=k).collect()
+            }
+        else:
+            dists = {}
+        out: dict = {"as_of_version": meta.version, "rows": rows, "columns": {}}
+        for c in cols:
+            ent: dict = {"nulls": rows - r[f"__ct__{c}"]}
+            if c in orderable:
+                ent["min"] = _stat_encode(r[f"__mn__{c}"])
+                ent["max"] = _stat_encode(r[f"__mx__{c}"])
+                ent["distinct_est"] = dists.get(c, 0.0)
+            out["columns"][c] = ent
+        meta.table_stats = out
+        self._commit_meta(meta, None, action="analyze")
+        return out
 
     def table_changes(
         self, name: str, since_version: int, to_version: int | None = None

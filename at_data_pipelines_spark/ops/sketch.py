@@ -55,9 +55,14 @@ def kmv_distinct(
     decimals (the engine-parity convention for irrational floats)."""
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
-    hashed = df.select(
-        *group_cols, uniform_hash(value_col).alias("_u")
-    ).distinct()
+    # NULL values are not counted as a distinct value (SQL COUNT(DISTINCT)
+    # semantics) — and a NULL hash would sort before every real hash and
+    # corrupt the k-th-smallest statistic
+    hashed = (
+        df.select(*group_cols, uniform_hash(value_col).alias("_u"))
+        .filter(F.col("_u").isNotNull())
+        .distinct()
+    )
     w = W.partitionBy(*group_cols).orderBy("_u")
     ranked = hashed.withColumn("_rn", F.row_number().over(w)).filter(
         F.col("_rn") <= k

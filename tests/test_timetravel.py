@@ -486,3 +486,38 @@ def test_zorder_rejects_bad_columns(lake, spark):
         lake.optimize("t", zorder_by=["year"])
     with pytest.raises(ValueError, match="not in schema"):
         lake.optimize("t", zorder_by=["nope"])
+
+
+# -- analyze ---------------------------------------------------------------
+
+
+def test_analyze_column_stats(lake, spark):
+    lake.create("t", SCHEMA, ["year"], ["k", "year"])
+    df = _batch(spark, 0, 500, 2023)
+    # null out v for a third of the rows
+    df = df.withColumn(
+        "v", F.when(F.col("k") % 3 == 0, F.lit(None)).otherwise(F.col("v"))
+    )
+    lake.insert("t", df)
+    stats = lake.analyze("t")
+    assert stats["rows"] == 500
+    ck, cv, cd = (stats["columns"][c] for c in ("k", "v", "d"))
+    assert ck == {"nulls": 0, "min": 0, "max": 499, "distinct_est": ck["distinct_est"]}
+    assert abs(ck["distinct_est"] - 500) / 500 < 0.25  # k=256 sketch
+    assert cv["nulls"] == 167  # k % 3 == 0 for 167 of 0..499
+    assert cd["min"] == "2024-01-01"
+    # persisted into the manifest, stamped with the analyzed version
+    meta = lake._load_meta("t")
+    assert meta.table_stats["rows"] == 500
+    assert meta.table_stats["as_of_version"] == stats["as_of_version"]
+    assert lake.history("t")[-1]["action"] == "analyze"
+
+
+def test_analyze_exact_below_sketch_k(lake, spark):
+    lake.create("t", SCHEMA, ["year"], ["k", "year"])
+    lake.insert("t", _batch(spark, 0, 100, 2023))
+    stats = lake.analyze("t", columns=["year", "s"])
+    assert stats["columns"]["year"]["distinct_est"] == 1.0  # single year
+    assert stats["columns"]["s"]["distinct_est"] == 100.0  # below k: exact
+    with pytest.raises(ValueError, match="unknown column"):
+        lake.analyze("t", columns=["nope"])
