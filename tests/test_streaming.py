@@ -520,3 +520,41 @@ def test_ann_index_maintenance_stream_lsm_mode(spark, sf_dir, tmp_path):
         for r in ann_index.topk(emb, queries, idx, encoded=codes, k=5).collect()
     }
     assert got == want
+
+
+def test_stream_sink_maintains_zone_maps(spark, sf_dir, tmp_path, events_stream):
+    """A streaming sink into a stats-enabled table must keep manifest zone
+    maps consistent across micro-batch upserts: scan() stays exactly
+    equal to table().filter() and prunes once windows diverge."""
+    import pyspark.sql.functions as F
+
+    lake = Lakehouse(spark, str(tmp_path / "lake"))
+    schema = T.StructType(
+        [
+            T.StructField("window_start", T.TimestampType()),
+            T.StructField("window_end", T.TimestampType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("total_value", T.DoubleType()),
+        ]
+    )
+    lake.create(
+        "event_rollup",
+        schema,
+        [],
+        ["window_start", "event_type"],
+        stats_columns=["n_events", "total_value"],
+    )
+    q = stream_to_lakehouse(
+        windowed_aggregation(events_stream),
+        lake,
+        "event_rollup",
+        str(tmp_path / "ckpt_zm"),
+    )
+    q.awaitTermination(120)
+    meta = lake._load_meta("event_rollup")
+    assert meta.zone_maps, "streaming upserts must record zone maps"
+    hi = lake.table("event_rollup").agg(F.max("n_events")).collect()[0][0]
+    got = lake.scan("event_rollup", where={"n_events": (hi, None)})
+    exp = lake.table("event_rollup").filter(F.col("n_events") >= hi)
+    assert got.count() == exp.count() > 0
