@@ -3,9 +3,16 @@
     python -m at_data_pipelines_spark backfill --lake /tmp/lake
     python -m at_data_pipelines_spark daily   --lake /tmp/lake --date 2023-12-29
     python -m at_data_pipelines_spark bench
+    python -m at_data_pipelines_spark lake --lake /tmp/lake history  <table>
+    python -m at_data_pipelines_spark lake --lake /tmp/lake analyze  <table>
+    python -m at_data_pipelines_spark lake --lake /tmp/lake optimize <table> --zorder a,b
+    python -m at_data_pipelines_spark lake --lake /tmp/lake restore  <table> --version 3
+    python -m at_data_pipelines_spark lake --lake /tmp/lake vacuum   [table]
 
 Backfill/daily run the full DAG on the synthetic market fixtures (real
-deployments inject connector DataFrames instead — see sources/).
+deployments inject connector DataFrames instead — see sources/); `lake`
+is the table-maintenance surface (commit log, ANALYZE stats, Z-order
+compaction, snapshot restore, retention vacuum).
 """
 
 from __future__ import annotations
@@ -34,7 +41,55 @@ def main(argv: list[str] | None = None) -> int:
     cu.add_argument("--max-top-gram-frac", type=float, default=None)
     cu.add_argument("--val-frac", type=float, default=None)
     cu.add_argument("--redact", action="store_true")
+    lk = sub.add_parser("lake", help="table maintenance")
+    lk.add_argument("--lake", required=True)
+    lk.add_argument("op", choices=["history", "analyze", "optimize", "restore", "vacuum"])
+    lk.add_argument("table", nargs="?", default=None)
+    lk.add_argument("--zorder", default=None, help="comma-separated Z-order columns")
+    lk.add_argument("--zorder-files", type=int, default=8)
+    lk.add_argument("--full", action="store_true", help="optimize: rewrite all partitions")
+    lk.add_argument("--version", type=int, default=None, help="restore target version")
     args = p.parse_args(argv)
+
+    if args.cmd == "lake":
+        import json
+
+        from pyspark.sql import SparkSession
+
+        from .catalog import Lakehouse
+        from .session import get_spark
+
+        # only stop a session this CLI created (embedding callers — tests,
+        # notebooks — keep theirs)
+        owns_session = SparkSession.getActiveSession() is None
+        spark = get_spark(app_name=f"atdp-lake-{args.op}")
+        lake = Lakehouse(spark, args.lake)
+        if args.op != "vacuum" and not args.table:
+            p.error(f"lake {args.op} requires a table name")
+        if args.op == "history":
+            for h in lake.history(args.table):
+                print(json.dumps(h))
+        elif args.op == "analyze":
+            print(json.dumps(lake.analyze(args.table)))
+        elif args.op == "optimize":
+            lake.optimize(
+                args.table,
+                zorder_by=args.zorder.split(",") if args.zorder else None,
+                zorder_files=args.zorder_files,
+                full=args.full,
+            )
+            print(f"optimized {args.table}")
+        elif args.op == "restore":
+            if args.version is None:
+                p.error("restore requires --version")
+            lake.restore(args.table, args.version)
+            print(f"restored {args.table} to v{args.version}")
+        else:
+            removed = lake.vacuum(args.table)
+            print(json.dumps({"removed": removed}))
+        if owns_session:
+            spark.stop()
+        return 0
 
     if args.cmd == "bench":
         import bench

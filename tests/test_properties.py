@@ -166,3 +166,98 @@ def test_partition_value_escape_roundtrip(vals):
         esc = _escape_partition_value(s)
         assert "/" not in esc and "=" not in esc.replace("%3D", "")
         assert _unescape_partition_value(esc) == s
+
+
+# -- zone-map pruning soundness (catalog.scan) -----------------------------
+
+_zm_floats = st.one_of(
+    st.floats(-1e12, 1e12, allow_nan=False), st.just(float("nan"))
+)
+_zm_ints = st.integers(-(2**40), 2**40)
+_zm_strings = st.text(max_size=12)  # includes non-ASCII
+_zm_dates = st.dates(dt.date(1971, 1, 1), dt.date(2200, 1, 1))
+_zm_datetimes = st.datetimes(
+    dt.datetime(1971, 1, 1), dt.datetime(2200, 1, 1)
+)
+
+
+def _spark_min_max(vals):
+    """Spark aggregate semantics: nulls skipped; NaN ranks LARGEST among
+    doubles (so max of {1.0, NaN} is NaN)."""
+    nn = [v for v in vals if v is not None]
+    if not nn:
+        return None, None
+    if any(isinstance(v, float) for v in nn):
+        import math
+
+        nans = [v for v in nn if isinstance(v, float) and math.isnan(v)]
+        reals = [v for v in nn if not (isinstance(v, float) and math.isnan(v))]
+        mx = nans[0] if nans else max(reals)
+        mn = min(reals) if reals else nans[0]
+        return mn, mx
+    return min(nn), max(nn)
+
+
+def _row_matches(v, lo, hi):
+    """Spark SQL semantics of lo <= v AND v <= hi (each side omitted when
+    unbounded): NULL never matches; NaN ranks larger than every double."""
+    import math
+
+    if v is None:
+        return False
+
+    def _cmp(a, b):  # a <= b under Spark's NaN-largest total order
+        a_nan = isinstance(a, float) and math.isnan(a)
+        b_nan = isinstance(b, float) and math.isnan(b)
+        if a_nan:
+            return b_nan
+        if b_nan:
+            return True
+        return a <= b
+
+    if lo is not None and not _cmp(lo, v):
+        return False
+    if hi is not None and not _cmp(v, hi):
+        return False
+    return True
+
+
+@st.composite
+def _zone_case(draw):
+    kind = draw(st.sampled_from(["f", "i", "s", "d", "ts"]))
+    elem = {
+        "f": _zm_floats,
+        "i": _zm_ints,
+        "s": _zm_strings,
+        "d": _zm_dates,
+        "ts": _zm_datetimes,
+    }[kind]
+    vals = draw(st.lists(st.one_of(st.none(), elem), min_size=0, max_size=20))
+    lo = draw(st.one_of(st.none(), elem))
+    hi = draw(st.one_of(st.none(), elem))
+    return vals, lo, hi
+
+
+@given(_zone_case())
+@settings(max_examples=500, deadline=None)
+def test_zone_excludes_is_sound(case):
+    """If _zone_excludes says a leaf can be skipped, NO row in it can
+    satisfy the predicate under Spark comparison semantics — for every
+    value type, with NULLs, NaNs, and non-ASCII strings in play.
+    (Completeness is not required — failing to prune is always safe —
+    but a single unsound exclusion silently drops rows.)"""
+    from at_data_pipelines_spark.catalog import _stat_encode, _zone_excludes
+
+    vals, lo, hi = case
+    mn, mx = _spark_min_max(vals)
+    if mn is None and mx is None:
+        stats = {"c": [None, None]}
+    else:
+        emn, emx = _stat_encode(mn), _stat_encode(mx)
+        stats = {"c": [emn, emx]} if emn is not None and emx is not None else {}
+    if _zone_excludes(stats, {"c": (lo, hi)}):
+        matching = [v for v in vals if _row_matches(v, lo, hi)]
+        assert matching == [], (
+            f"pruned a leaf containing matches: vals={vals!r} "
+            f"bounds=({lo!r}, {hi!r}) stats={stats!r} -> {matching!r}"
+        )

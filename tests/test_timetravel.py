@@ -521,3 +521,75 @@ def test_analyze_exact_below_sketch_k(lake, spark):
     assert stats["columns"]["s"]["distinct_est"] == 100.0  # below k: exact
     with pytest.raises(ValueError, match="unknown column"):
         lake.analyze("t", columns=["nope"])
+
+
+# -- lake admin CLI --------------------------------------------------------
+
+
+def test_lake_cli_admin_ops(lake, spark, capsys):
+    """history / analyze / optimize --zorder / restore / vacuum through the
+    CLI surface (the session is reused — get_spark returns the active
+    one)."""
+    import json
+
+    from at_data_pipelines_spark.__main__ import main
+
+    lake.create("t", SCHEMA, ["year"], ["k", "year"], retain_versions=5,
+                stats_columns=["k", "v"])
+    lake.upsert("t", _batch(spark, 0, 200, 2023))
+    lake.upsert("t", _batch(spark, 0, 50, 2023, vbase=9.0))
+    root = lake.root
+
+    assert main(["lake", "--lake", root, "history", "t"]) == 0
+    lines = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    assert [h["action"] for h in lines][:2] == ["create", "upsert"]
+
+    assert main(["lake", "--lake", root, "analyze", "t"]) == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["rows"] == 200
+
+    assert main(["lake", "--lake", root, "optimize", "t",
+                 "--zorder", "k,v", "--full"]) == 0
+    capsys.readouterr()
+    meta = lake._load_meta("t")
+    assert any(z.endswith(".parquet") for z in meta.zone_maps)
+
+    assert main(["lake", "--lake", root, "restore", "t", "--version", "1"]) == 0
+    capsys.readouterr()
+    (r0,) = lake.table("t").filter(F.col("k") == 0).collect()
+    assert r0.v == 0.0  # pre-overwrite value — the vbase=9.0 upsert rolled back
+
+    assert main(["lake", "--lake", root, "vacuum"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "removed" in out
+
+
+def test_restore_loses_race_to_concurrent_writer(lake, spark):
+    """restore commits through the same optimistic-concurrency gate as
+    every write: a writer that lands between the restore's manifest load
+    and its PUT must surface as ConcurrentWriteError, never a silently
+    dropped commit."""
+    from at_data_pipelines_spark.catalog import ConcurrentWriteError
+
+    lake.create("t", SCHEMA, ["year"], ["k", "year"], retain_versions=10)
+    lake.upsert("t", _batch(spark, 0, 20, 2023))
+    lake.upsert("t", _batch(spark, 20, 40, 2023))
+
+    real_load = lake._load_meta
+    def racing_load(name):
+        meta = real_load(name)
+        if getattr(racing_load, "armed", False):
+            racing_load.armed = False
+            # another writer commits AFTER this restore loaded its state
+            lake.upsert("t", _batch(spark, 900, 910, 2023))
+        return meta
+
+    racing_load.armed = True
+    lake._load_meta = racing_load
+    try:
+        with pytest.raises(ConcurrentWriteError):
+            lake.restore("t", 1)
+    finally:
+        lake._load_meta = real_load
+    # the racing writer's commit survived intact
+    assert lake.table("t").filter(F.col("k") >= 900).count() == 10
