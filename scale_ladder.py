@@ -86,11 +86,76 @@ def generate_scaled(base_dir: str, out_dir: str, k: int) -> None:
     pq.write_table(table, f"{out_dir}/embeddings.parquet")
 
 
+def measure_zone_scan(spark, gens: int, rows_per_gen: int = 20_000) -> dict:
+    """Zone-map file-skipping at a growing table: ``gens`` generations of
+    ``rows_per_gen`` rows with strictly increasing keys (so generations
+    are disjoint in key space — the shape of any append-mostly fact
+    table), then ONE selective 5k-key range probed two ways: the
+    zone-map ``scan`` (manifest prunes to the matching generation) vs
+    the full ``table().filter`` (reads everything, filters in tasks).
+    The claim under test: scan cost stays ~flat as the table grows,
+    full-filter cost grows with the table."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from at_data_pipelines_spark.catalog import Lakehouse
+
+    lake = Lakehouse(spark, tempfile.mkdtemp(prefix=f"zonescale_{gens}_"))
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("part", T.IntegerType()),
+            T.StructField("v", T.DoubleType()),
+        ]
+    )
+    lake.create("t", schema, ["part"], ["k", "part"], stats_columns=["k"])
+    for g in range(gens):
+        df = spark.range(g * rows_per_gen, (g + 1) * rows_per_gen).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 4).cast("int").alias("part"),
+            (F.col("id") * 0.5).alias("v"),
+        )
+        lake.insert("t", df)
+    mid = gens * rows_per_gen // 2
+    where = {"k": (mid, mid + 5_000)}
+    out: dict = {"gens": gens, "rows": gens * rows_per_gen}
+    for tag, make in (
+        ("scan", lambda: lake.scan("t", where=where)),
+        (
+            "full_filter",
+            lambda: lake.table("t").filter(
+                (F.col("k") >= where["k"][0]) & (F.col("k") <= where["k"][1])
+            ),
+        ),
+    ):
+        samples, n = [], 0
+        for _ in range(3):
+            t0 = time.perf_counter()
+            n = make().count()
+            samples.append(time.perf_counter() - t0)
+        out[f"{tag}_s"] = round(min(samples), 3)
+        out[f"{tag}_files"] = len(make().inputFiles())
+        out[f"{tag}_rows"] = n
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--runs", type=int, default=2)
     ap.add_argument("--base", default="/root/testdata/sf0.1")
+    ap.add_argument(
+        "--sections",
+        default="all",
+        help="comma list of {queries,persist,ann_stream,zone} (default all)",
+    )
     args = ap.parse_args()
+    sections = (
+        {"queries", "persist", "ann_stream", "zone"}
+        if args.sections == "all"
+        else set(args.sections.split(","))
+    )
 
     from at_data_pipelines_spark.llmops.dedup import release_shingle_caches
     from at_data_pipelines_spark.queries import QUERIES
@@ -99,19 +164,21 @@ def main() -> None:
     scale_root = os.environ.get("SPARK_GRAFT_SCALE_DIR", "/tmp/scale")
     ladder = [(0.1, 1), (0.5, 5), (1.0, 10)]
     dirs = {}
-    for sf, k in ladder:
-        if k == 1:
-            dirs[sf] = args.base
-            continue
-        d = f"{scale_root}/sf{sf}"
-        if not (
-            os.path.exists(f"{d}/documents.parquet")
-            and os.path.exists(f"{d}/embeddings.parquet")
-        ):
-            generate_scaled(args.base, d, k)
-        dirs[sf] = d
+    if sections & {"queries", "persist", "ann_stream"}:
+        for sf, k in ladder:
+            if k == 1:
+                dirs[sf] = args.base
+                continue
+            d = f"{scale_root}/sf{sf}"
+            if not (
+                os.path.exists(f"{d}/documents.parquet")
+                and os.path.exists(f"{d}/embeddings.parquet")
+            ):
+                generate_scaled(args.base, d, k)
+            dirs[sf] = d
 
     spark = get_spark(app_name="scale_ladder")
+    out: dict = {}
 
     def ann_ivf_top5(spark_, sf_dir):
         """The approximate counterpart of q48 — same 20 queries / top-5,
@@ -139,79 +206,86 @@ def main() -> None:
             d, "text", "doc_id", threshold=0.6, shingle_n=3, persist_shingles=True
         )
 
-    callables = {q: QUERIES[q] for q in LADDER_QUERIES}
-    callables["ann_ivf_top5"] = ann_ivf_top5
-    results: dict[str, dict[str, float]] = {q: {} for q in callables}
-    for sf, _k in ladder:
-        for q, fn in callables.items():
+    import math
+
+    results: dict[str, dict[str, float]] = {}
+    exponents: dict[str, dict[str, float]] = {}
+
+    if "queries" in sections:
+        callables = {q: QUERIES[q] for q in LADDER_QUERIES}
+        callables["ann_ivf_top5"] = ann_ivf_top5
+        results.update({q: {} for q in callables})
+        for sf, _k in ladder:
+            for q, fn in callables.items():
+                samples = []
+                for _ in range(args.runs):
+                    t0 = time.perf_counter()
+                    n = fn(spark, dirs[sf]).count()
+                    samples.append(time.perf_counter() - t0)
+                release_shingle_caches()
+                results[q][str(sf)] = round(min(samples), 3)
+                results[q].setdefault("rows", {})[str(sf)] = n  # type: ignore[arg-type]
+        for q in callables:
+            segs = {}
+            for (sf_a, _), (sf_b, _) in zip(ladder, ladder[1:]):
+                ta, tb = results[q][str(sf_a)], results[q][str(sf_b)]
+                segs[f"{sf_a}->{sf_b}"] = round(
+                    math.log(tb / ta) / math.log(sf_b / sf_a), 2
+                )
+            exponents[q] = segs
+
+    if "persist" in sections:
+        # q46-persist rides one rung HIGHER (sf2.0) than the main ladder:
+        # the persist strategy is the documented large-corpus opt-in, so
+        # its exponent at the top of the ladder is the number that matters
+        ladder_p = ladder + [(2.0, 20)]
+        d2 = f"{scale_root}/sf2.0"
+        if not (
+            os.path.exists(f"{d2}/documents.parquet")
+            and os.path.exists(f"{d2}/embeddings.parquet")
+        ):
+            generate_scaled(args.base, d2, 20)
+        dirs[2.0] = d2
+        results["q46_jaccard_persist"] = {}
+        for sf, _k in ladder_p:
             samples = []
             for _ in range(args.runs):
                 t0 = time.perf_counter()
-                n = fn(spark, dirs[sf]).count()
+                n = q46_persist(spark, dirs[sf]).count()
                 samples.append(time.perf_counter() - t0)
             release_shingle_caches()
-            results[q][str(sf)] = round(min(samples), 3)
-            results[q].setdefault("rows", {})[str(sf)] = n  # type: ignore[arg-type]
-
-    # q46-persist rides one rung HIGHER (sf2.0) than the main ladder: the
-    # persist strategy is the documented large-corpus opt-in, so its
-    # exponent at the top of the ladder is the number that matters
-    ladder_p = ladder + [(2.0, 20)]
-    d2 = f"{scale_root}/sf2.0"
-    if not (
-        os.path.exists(f"{d2}/documents.parquet")
-        and os.path.exists(f"{d2}/embeddings.parquet")
-    ):
-        generate_scaled(args.base, d2, 20)
-    dirs[2.0] = d2
-    results["q46_jaccard_persist"] = {}
-    for sf, _k in ladder_p:
-        samples = []
-        for _ in range(args.runs):
-            t0 = time.perf_counter()
-            n = q46_persist(spark, dirs[sf]).count()
-            samples.append(time.perf_counter() - t0)
-        release_shingle_caches()
-        results["q46_jaccard_persist"][str(sf)] = round(min(samples), 3)
-        results["q46_jaccard_persist"].setdefault("rows", {})[str(sf)] = n  # type: ignore[arg-type]
-
-    import math
-
-    exponents = {}
-    for q in callables:
+            results["q46_jaccard_persist"][str(sf)] = round(min(samples), 3)
+            results["q46_jaccard_persist"].setdefault("rows", {})[str(sf)] = n  # type: ignore[arg-type]
         segs = {}
-        for (sf_a, _), (sf_b, _) in zip(ladder, ladder[1:]):
-            ta, tb = results[q][str(sf_a)], results[q][str(sf_b)]
+        for (sf_a, _), (sf_b, _) in zip(ladder_p, ladder_p[1:]):
+            ta = results["q46_jaccard_persist"][str(sf_a)]
+            tb = results["q46_jaccard_persist"][str(sf_b)]
             segs[f"{sf_a}->{sf_b}"] = round(
                 math.log(tb / ta) / math.log(sf_b / sf_a), 2
             )
-        exponents[q] = segs
-    segs = {}
-    for (sf_a, _), (sf_b, _) in zip(ladder_p, ladder_p[1:]):
-        ta = results["q46_jaccard_persist"][str(sf_a)]
-        tb = results["q46_jaccard_persist"][str(sf_b)]
-        segs[f"{sf_a}->{sf_b}"] = round(math.log(tb / ta) / math.log(sf_b / sf_a), 2)
-    exponents["q46_jaccard_persist"] = segs
+        exponents["q46_jaccard_persist"] = segs
 
-    ann_stream = {
-        f"index_{tag}": measure_ann_stream(spark, dirs[sf], compact_every)
-        for tag, sf, compact_every in [
-            ("2k_upsert", 0.1, 1),
-            ("20k_upsert", 1.0, 1),
-            ("2k_lsm10", 0.1, 10),
-            ("20k_lsm10", 1.0, 10),
-        ]
-    }
+    if results:
+        out["times_s"] = results
+        out["growth_exponents"] = exponents
 
-    print(
-        json.dumps(
-            {
-                "times_s": results,
-                "growth_exponents": exponents,
-                "ann_maintenance_stream": ann_stream,
-            }
-        )
-    )
+    if "ann_stream" in sections:
+        out["ann_maintenance_stream"] = {
+            f"index_{tag}": measure_ann_stream(spark, dirs[sf], compact_every)
+            for tag, sf, compact_every in [
+                ("2k_upsert", 0.1, 1),
+                ("20k_upsert", 1.0, 1),
+                ("2k_lsm10", 0.1, 10),
+                ("20k_lsm10", 1.0, 10),
+            ]
+        }
+
+    if "zone" in sections:
+        out["zone_scan"] = {
+            str(g): measure_zone_scan(spark, g) for g in (5, 25, 50)
+        }
+
+    print(json.dumps(out))
     spark.stop()
 
 
