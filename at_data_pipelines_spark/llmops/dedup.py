@@ -644,3 +644,49 @@ def simhash_near_dups(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    sep: str = "\n\n",
+    min_chars: int = 0,
+) -> DataFrame:
+    """Paragraph-granular exact dedup and reassembly — the C4/RefinedWeb
+    repeated-boilerplate removal move: split every document on ``sep``,
+    keep only the FIRST occurrence of each distinct paragraph corpus-wide
+    (lowest ``id_col``, then position — a total order, so the survivor
+    set is deterministic), and rebuild each document from its surviving
+    paragraphs in original order. Documents whose paragraphs all lose
+    disappear from the output. ``min_chars`` exempts short paragraphs
+    (headers, list markers) from dedup — they survive in place.
+
+    Scale shape: one posexplode (map-side), one md5-hash shuffle for the
+    first-occurrence window — the same uniform-digest groupBy plan as
+    exact_dedup — and one groupBy(id) to reassemble. No skew beyond
+    genuinely viral paragraphs, which the hash shuffle spreads by
+    paragraph, not by document."""
+    parts = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
+    )
+    w = W.partitionBy(F.md5(F.col("para"))).orderBy(F.col(id_col), F.col("pos"))
+    exempt = F.length(F.col("para")) < F.lit(min_chars)
+    kept = parts.withColumn("_rn", F.row_number().over(w)).filter(
+        (F.col("_rn") == 1) | exempt
+    )
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("pos"), F.col("para")))
+                    ),
+                    lambda s: s["para"],
+                ),
+                sep,
+            ).alias(text_col)
+        )
+    )

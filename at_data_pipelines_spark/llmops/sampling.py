@@ -190,3 +190,44 @@ def temperature_mixture_sample(
     return mixture_sample(
         df, temperature_weights(df, temperature, strata_col), strata_col, id_col, salt
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    n: int,
+    by: list[str] | None = None,
+    id_col: str = "doc_id",
+    salt: str = "ws",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement — the
+    Efraimidis-Spirakis A-ES reservoir (Inf. Proc. Letters 2006): each
+    item draws u ~ Uniform(0,1) and the n largest u^(1/w) win, which
+    selects exactly with probability proportional to weight. Here u is
+    the 48-bit md5 hash of (id, salt) — ops/sketch.py's engine-
+    reproducible uniform — and items are ranked by the order-equivalent
+    ln(u)/w (monotone of u^(1/w), avoids a pow), so the SAME items win
+    in any engine evaluating the same expression: the curation move for
+    quality-weighted corpus subsampling, reproducible run-to-run.
+
+    ``by`` groups make it a per-group reservoir (one window shuffle);
+    without ``by`` it is a global top-n (TakeOrderedAndProject — no full
+    sort). Rows with NULL or non-positive weight never win. Ties (u
+    collisions) break by id for full determinism."""
+    from pyspark.sql.window import Window as W
+
+    from ..ops.sketch import uniform_hash
+
+    u = uniform_hash(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    key = F.log(u) / F.col(weight_col)
+    base = df.filter(F.col(weight_col) > 0).withColumn("_wkey", key)
+    if by:
+        w = W.partitionBy(*by).orderBy(F.desc("_wkey"), F.col(id_col))
+        out = (
+            base.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= n)
+            .drop("_rn")
+        )
+    else:
+        out = base.orderBy(F.desc("_wkey"), F.col(id_col)).limit(n)
+    return out.drop("_wkey")

@@ -98,6 +98,9 @@ PYTEST_ONLY: list[str] = [
     # tests/test_oracle_parity.py like every registry entry
     "q65_bm25_search",
     "q66_kmv_distinct_users",
+    # r6: deterministic A-ES weighted reservoir (llmops/sampling.py) —
+    # even the sampling sits under the exact hash-parity oracle
+    "q67_weighted_sample",
 ]
 
 GATE_SIZE = 50

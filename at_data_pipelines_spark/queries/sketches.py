@@ -50,3 +50,40 @@ def q66_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "events")
     return kmv_distinct(e, ["event_type"], "user_id", k=64).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# q67 — per-source weighted sample (5 docs per source, weight = n_chars)
+#        via the deterministic A-ES reservoir. The oracle replays the
+#        identical md5-uniform draw and ln(u)/w ranking, so even the
+#        SAMPLING is under the exact cross-engine parity gate. Output is
+#        integer/string columns only — selection, not float emission.
+# --------------------------------------------------------------------------
+@register(
+    "q67_weighted_sample",
+    oracle="""
+    WITH h AS (
+      SELECT source, doc_id, n_chars,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'ws'), 1, 12))::BIGINT
+               / power(16, 12) AS u
+      FROM documents WHERE n_chars > 0
+    ),
+    r AS (
+      SELECT source, doc_id, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY ln(u) / n_chars DESC, doc_id) AS rn
+      FROM h
+    )
+    SELECT source, doc_id, n_chars FROM r WHERE rn <= 5
+    ORDER BY source, doc_id
+    """,
+)
+def q67_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llmops.sampling import weighted_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        weighted_sample(d, "n_chars", 5, by=["source"])
+        .select("source", "doc_id", "n_chars")
+        .orderBy("source", "doc_id")
+    )

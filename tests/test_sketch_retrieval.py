@@ -121,3 +121,129 @@ def test_bm25_plan_shape(spark, sf_dir):
     assert "CartesianProduct" not in plan
     # the only nested-loop is the 1-row corpus-stats broadcast attach
     assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+# -- weighted sampling -----------------------------------------------------
+
+
+def _aes_reference(ids_weights, n, salt="ws"):
+    """Plain-Python replica of weighted_sample's selection: md5-48bit
+    uniform, rank by ln(u)/w desc with id tiebreak."""
+    import hashlib
+    import math
+
+    keyed = []
+    for i, w in ids_weights:
+        if w is None or w <= 0:
+            continue
+        u = int(hashlib.md5(f"{i}{salt}".encode()).hexdigest()[:12], 16) / 16**12
+        keyed.append((math.log(u) / w, i))
+    keyed.sort(key=lambda t: (-t[0], t[1]))
+    return [i for _, i in keyed[:n]]
+
+
+def test_weighted_sample_matches_python_reference(spark):
+    from at_data_pipelines_spark.llmops.sampling import weighted_sample
+
+    rows = [(i, float(1 + (i * 7) % 50)) for i in range(200)]
+    rows += [(900, 0.0), (901, -3.0), (902, None)]  # never win
+    df = spark.createDataFrame(rows, ["doc_id", "w"])
+    got = sorted(
+        r.doc_id for r in weighted_sample(df, "w", 20, id_col="doc_id").collect()
+    )
+    assert got == sorted(_aes_reference(rows, 20))
+
+
+def test_weighted_sample_is_weight_proportional(spark):
+    """Statistical sanity across salts: an item with 10x the weight of
+    the rest must be selected far more often."""
+    from at_data_pipelines_spark.llmops.sampling import weighted_sample
+
+    rows = [(i, 10.0 if i == 0 else 1.0) for i in range(100)]
+    df = spark.createDataFrame(rows, ["doc_id", "w"])
+    hits = sum(
+        any(
+            r.doc_id == 0
+            for r in weighted_sample(df, "w", 10, id_col="doc_id", salt=f"s{t}").collect()
+        )
+        for t in range(12)
+    )
+    # P(select) ≈ 1 - (1-10/109)^10-ish ≈ 0.65; uniform would be ~0.1.
+    assert hits >= 6, f"10x-weight item selected only {hits}/12 times"
+
+
+def test_weighted_sample_grouped(spark):
+    from at_data_pipelines_spark.llmops.sampling import weighted_sample
+
+    rows = [(g, i, 1.0 + i) for g in ("a", "b") for i in range(50)]
+    df = spark.createDataFrame(rows, ["g", "doc_id", "w"])
+    out = weighted_sample(df, "w", 5, by=["g"], id_col="doc_id").collect()
+    from collections import Counter
+
+    assert Counter(r.g for r in out) == {"a": 5, "b": 5}
+
+
+# -- paragraph dedup -------------------------------------------------------
+
+
+def test_paragraph_dedup_vs_duckdb(spark):
+    """Differential vs a DuckDB replica on synthetic multi-paragraph docs
+    with corpus-wide repeated boilerplate."""
+    import duckdb
+
+    from at_data_pipelines_spark.llmops.dedup import paragraph_dedup
+
+    boiler = "subscribe to our newsletter"
+    docs = [
+        (0, f"alpha beta\n\n{boiler}\n\ngamma delta"),
+        (1, f"{boiler}\n\nunique one\n\nalpha beta"),
+        (2, f"unique two\n\n{boiler}"),
+        (3, boiler),  # all paragraphs lose -> doc vanishes
+        (4, "unique three"),
+    ]
+    got = {
+        r.doc_id: r.text
+        for r in paragraph_dedup(
+            spark.createDataFrame(docs, ["doc_id", "text"]), "text", "doc_id"
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d AS SELECT * FROM (VALUES " +
+                ",".join(f"({i}, '{t}')" for i, t in
+                         [(i, t.replace(chr(10), "\\n")) for i, t in docs]) +
+                ") t(doc_id, txt)")
+    ref = dict(con.execute(r"""
+        WITH parts AS (
+          SELECT doc_id, unnest(ps) AS para, generate_subscripts(ps, 1) AS pos
+          FROM (SELECT doc_id, string_split(replace(txt, '\n', chr(10)), chr(10)||chr(10)) AS ps FROM d)
+        ),
+        kept AS (
+          SELECT doc_id, para, pos,
+                 ROW_NUMBER() OVER (PARTITION BY md5(para) ORDER BY doc_id, pos) AS rn
+          FROM parts
+        )
+        SELECT doc_id, string_agg(para, chr(10)||chr(10) ORDER BY pos) AS text
+        FROM kept WHERE rn = 1 GROUP BY doc_id
+    """).fetchall())
+    assert got == ref
+    assert 3 not in got  # boilerplate-only doc removed
+    assert got[0] == f"alpha beta\n\n{boiler}\n\ngamma delta"  # first keeps all
+    assert got[1] == "unique one"
+
+
+def test_paragraph_dedup_min_chars_exemption(spark):
+    from at_data_pipelines_spark.llmops.dedup import paragraph_dedup
+
+    docs = [(0, "hi\n\nlong paragraph body"), (1, "hi\n\nother body")]
+    out = {
+        r.doc_id: r.text
+        for r in paragraph_dedup(
+            spark.createDataFrame(docs, ["doc_id", "text"]),
+            "text",
+            "doc_id",
+            min_chars=5,
+        ).collect()
+    }
+    # 'hi' is under min_chars: exempt, survives in BOTH docs
+    assert out[0] == "hi\n\nlong paragraph body"
+    assert out[1] == "hi\n\nother body"
