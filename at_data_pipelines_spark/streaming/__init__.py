@@ -14,4 +14,5 @@ from .events import (  # noqa: F401
     sessionize_to_lakehouse,
     stream_to_lakehouse,
     windowed_aggregation,
+    windowed_distinct_users,
 )

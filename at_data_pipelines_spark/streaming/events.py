@@ -322,3 +322,64 @@ def stream_to_lakehouse(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def windowed_distinct_users(
+    events: DataFrame, window_minutes: int = 5, k: int = 64
+) -> DataFrame:
+    """Bounded-state streaming distinct-count: per (tumbling window,
+    event_type), maintain the k SMALLEST md5-48-bit user hashes in state
+    (``ops/sketch.py``'s KMV bottom-k) and emit the running distinct-user
+    estimate each micro-batch.
+
+    Why this exists: an EXACT streaming distinct needs a per-group set
+    that grows with cardinality — the classic state-store explosion. The
+    KMV sketch caps state at k doubles per group, forever, with
+    ~1/sqrt(k-2) relative error, and — because the hash is the engine-
+    reproducible md5 spec — the converged estimate equals the BATCH
+    ``kmv_distinct`` on the same data exactly (asserted in
+    test_streaming.py), replay-deterministic like every sink here.
+
+    State shape: array<double> of ≤k hashes; merging a batch is
+    merge+sort+truncate in the Arrow-batched python fn. The window id is
+    a derived epoch bucket, so group keys are (window_start_us, type) —
+    a uniform shuffle."""
+    import pandas as pd  # noqa: F811
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    width_us = window_minutes * 60 * 1_000_000
+    keyed = events.withColumn(
+        "win_start_us",
+        (F.col("ts_us") - F.pmod(F.col("ts_us"), F.lit(width_us))),
+    )
+    out_schema = (
+        "win_start_us long, event_type string, distinct_est double, state_size int"
+    )
+    state_schema = "hashes array<double>"
+
+    def fn(key, pdfs, state: GroupState):
+        import hashlib
+
+        held = list(state.get[0]) if state.exists else []
+        for pdf in pdfs:
+            for uid in pdf["user_id"]:
+                h = hashlib.md5(str(int(uid)).encode()).hexdigest()[:12]
+                held.append(int(h, 16) / 16**12)
+        held = sorted(set(held))[:k]
+        state.update((held,))
+        if len(held) < k:
+            est = float(len(held))
+        else:
+            est = round((k - 1) / held[-1], 6)
+        yield pd.DataFrame(
+            {
+                "win_start_us": [key[0]],
+                "event_type": [key[1]],
+                "distinct_est": [est],
+                "state_size": [len(held)],
+            }
+        )
+
+    return keyed.groupBy("win_start_us", "event_type").applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

@@ -558,3 +558,47 @@ def test_stream_sink_maintains_zone_maps(spark, sf_dir, tmp_path, events_stream)
     got = lake.scan("event_rollup", where={"n_events": (hi, None)})
     exp = lake.table("event_rollup").filter(F.col("n_events") >= hi)
     assert got.count() == exp.count() > 0
+
+
+def test_windowed_distinct_users_matches_batch_kmv(spark, sf_dir, tmp_path):
+    """Bounded-state streaming distinct (KMV in applyInPandasWithState)
+    must converge to EXACTLY the batch kmv_distinct estimate per
+    (window, type) — same md5 hash spec, same bottom-k, same estimator."""
+    import pyspark.sql.functions as F
+
+    from at_data_pipelines_spark.io import load_table
+    from at_data_pipelines_spark.ops.sketch import kmv_distinct
+    from at_data_pipelines_spark.streaming import read_events_stream, windowed_distinct_users
+
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    out = windowed_distinct_users(stream, window_minutes=60, k=32)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("wdu")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    emitted = spark.sql("select * from wdu").toPandas()
+    # last emission per key is the converged sketch
+    last = (
+        emitted.groupby(["win_start_us", "event_type"]).last().reset_index()
+    )
+    got = {
+        (int(r.win_start_us), r.event_type): r.distinct_est
+        for r in last.itertuples()
+    }
+    width_us = 60 * 60 * 1_000_000
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "win_start_us", F.col("ts_us") - F.pmod(F.col("ts_us"), F.lit(width_us))
+    )
+    exp = {
+        (r.win_start_us, r.event_type): r.distinct_est
+        for r in kmv_distinct(
+            ev, ["win_start_us", "event_type"], "user_id", k=32
+        ).collect()
+    }
+    assert got == exp
+    # bounded state: never more than k hashes per group
+    assert (emitted["state_size"] <= 32).all()

@@ -593,3 +593,27 @@ def test_restore_loses_race_to_concurrent_writer(lake, spark):
         lake._load_meta = real_load
     # the racing writer's commit survived intact
     assert lake.table("t").filter(F.col("k") >= 900).count() == 10
+
+
+def test_scan_timestamp_bounds(lake, spark):
+    """Timestamp stat columns: arrow fast-path writes store tz-aware
+    datetimes, distributed writes store session-naive ones — both
+    normalize to the same UTC ISO encoding, so pruning is consistent."""
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("v", T.DoubleType()),
+        ]
+    )
+    lake.create("tt", schema, [], ["k"], stats_columns=["ts"])
+    base = dt.datetime(2024, 3, 1, 12, 0, 0)
+    rows = [(k, base + dt.timedelta(minutes=k), float(k)) for k in range(100)]
+    lake.insert("tt", spark.createDataFrame(rows, schema))  # fast path
+    far = [(1000 + k, base + dt.timedelta(days=30, minutes=k), 0.0) for k in range(100)]
+    lake.insert("tt", spark.createDataFrame(far, schema))
+    lo, hi = base + dt.timedelta(minutes=10), base + dt.timedelta(minutes=20)
+    got = lake.scan("tt", where={"ts": (lo, hi)})
+    exp = lake.table("tt").filter((F.col("ts") >= lo) & (F.col("ts") <= hi))
+    assert got.count() == exp.count() == 11
+    assert len(got.inputFiles()) < len(lake.table("tt").inputFiles())
