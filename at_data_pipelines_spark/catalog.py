@@ -1687,6 +1687,151 @@ class Lakehouse:
                             removed.append(f"{data_dir}/{d}/{rel}")
         return removed
 
+    def merge(
+        self,
+        name: str,
+        source: DataFrame,
+        delete_condition=None,
+        insert_unmatched: bool = True,
+        update_matched: bool = True,
+    ) -> None:
+        """Delta-style MERGE INTO, keyed on the table's primary keys:
+
+        - MATCHED and ``delete_condition`` (a Column/SQL string over the
+          SOURCE row) → row deleted;
+        - MATCHED otherwise → updated to the source row
+          (``update_matched=False`` keeps the target row — insert-only
+          merge);
+        - NOT MATCHED (source-only) → inserted unless
+          ``insert_unmatched=False``;
+        - target rows never named by the source pass through unchanged.
+
+        One read-modify-write commit: only the partitions the SOURCE
+        touches (plus any with un-absorbed deltas) are rewritten, like
+        ``delete_where``; rewrite cost ∝ source's partition footprint,
+        not table size. Source must carry the full table schema (it IS
+        the post-image for updates/inserts). Duplicate source keys are
+        collapsed to one arbitrary-but-deterministic winner (highest
+        sort order) before merging."""
+        meta = self._load_meta(name)
+        if not meta.primary_keys:
+            raise ValueError(f"merge needs primary keys on {name!r}")
+        pk = list(meta.primary_keys)
+        cols = meta.schema.fieldNames()
+        declared = meta.schema
+        src = source.select(
+            *[F.col(f.name).cast(f.dataType).alias(f.name) for f in declared.fields]
+        )
+        # collapse duplicate source keys deterministically (max over the
+        # non-key tuple — order-free, so layout can't change the winner)
+        non_pk = [c for c in cols if c not in pk]
+        if non_pk:
+            src = src.groupBy(*pk).agg(
+                F.max(F.struct(*non_pk)).alias("_s")
+            ).select(*pk, *[F.col(f"_s.{c}").alias(c) for c in non_pk])
+        else:
+            src = src.dropDuplicates(pk)
+        if delete_condition is not None:
+            dcond = (
+                F.expr(delete_condition)
+                if isinstance(delete_condition, str)
+                else delete_condition
+            )
+            src = src.withColumn("_del", F.coalesce(dcond, F.lit(False)))
+        else:
+            src = src.withColumn("_del", F.lit(False))
+
+        raw = self._read_raw(name, meta)
+        seq = meta.next_seq
+        if meta.partition_keys:
+            vals = (
+                src.select(
+                    *[
+                        F.col(k).cast("string").alias(k)
+                        for k in meta.partition_keys
+                    ]
+                )
+                .distinct()
+                .collect()
+            )
+            affected = {
+                _hive_rel(meta.partition_keys, tuple(r)) for r in vals
+            } | set(meta.dirty_partitions)
+            if not affected:
+                return
+            part_filter = self._rel_filter(meta, sorted(affected))
+            sub = raw.filter(part_filter)
+        else:
+            affected = set()
+            sub = raw
+        # absorb pending deltas: latest row per PK, as optimize() would
+        w = W.partitionBy(*pk).orderBy(F.desc(_SEQ_COL))
+        tgt = (
+            sub.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", _SEQ_COL)
+        )
+        # PK-only tables still need a payload struct for the chosen-row
+        # logic; a constant field keeps the shape without changing output
+        payload = [F.col(c) for c in non_pk] or [F.lit(0).alias("_nop")]
+        t = tgt.select(
+            *pk, F.struct(*payload).alias("_t"), F.lit(1).alias("_has_t")
+        )
+        s = src.select(
+            *pk,
+            F.struct(*payload).alias("_sv"),
+            "_del",
+            F.lit(1).alias("_has_s"),
+        )
+        j = t.join(s, pk, "full_outer")
+        matched = F.col("_has_t").isNotNull() & F.col("_has_s").isNotNull()
+        keep = F.when(
+            matched & F.col("_del"), F.lit(False)
+        ).otherwise(
+            # source-only rows insert (unless disabled, or flagged delete —
+            # a delete of an absent key is a no-op)
+            F.when(
+                F.col("_has_t").isNull(),
+                F.lit(insert_unmatched) & ~F.col("_del"),
+            ).otherwise(F.lit(True))
+        )
+        chosen = F.when(
+            matched, F.col("_sv") if update_matched else F.col("_t")
+        ).otherwise(F.coalesce(F.col("_t"), F.col("_sv")))
+        merged = (
+            j.filter(keep)
+            .select(*pk, chosen.alias("_row"))
+            .select(*pk, *[F.col(f"_row.{c}").alias(c) for c in non_pk])
+            .select(*cols)
+        )
+        token = self._write_seq(name, meta, merged, seq)
+        old_committed = dict(meta.committed)
+        old_deltas = list(meta.live_deltas)
+        if meta.partition_keys:
+            depth = len(meta.partition_keys)
+            pattern = "/".join(["*=*"] * depth)
+            written = set(
+                self.fs.glob_dir_leaves(f"{self._seq_dir(name, seq)}/{pattern}", depth)
+            )
+            for rel in written:
+                meta.committed[rel] = seq
+            for rel in affected:
+                if rel not in written:
+                    meta.committed.pop(rel, None)  # partition fully deleted
+        elif token is not None:
+            meta.committed[""] = seq
+        else:
+            meta.committed.pop("", None)
+        meta.live_deltas = []
+        meta.dirty_partitions = []
+        meta.all_dirty = False
+        meta.next_seq = seq + 1
+        if meta.stats_columns and token is not None:
+            meta.zone_maps.update(self._collect_zone_maps(name, meta, seq))
+        self._prune_zone_maps(meta)
+        self._commit_meta(meta, token, action="merge")  # commit point
+        self._clean_superseded(name, meta, old_committed, old_deltas)
+
     def delete_where(self, name: str, predicate) -> None:
         """Targeted delete (beyond the reference's surface; needed for any
         real lakehouse — corrections, retention, GDPR erasure).
