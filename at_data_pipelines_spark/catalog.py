@@ -365,6 +365,10 @@ class TableMeta:
     # min/max, KMV distinct estimate, stamped with the manifest version
     # it was computed against — the CBO-stats slot of the manifest.
     table_stats: dict = field(default_factory=dict)
+    # free-form table properties (the Delta TBLPROPERTIES slot) — used by
+    # e.g. incremental view maintenance to record the last source
+    # version applied; committed like any other manifest change.
+    properties: dict = field(default_factory=dict)
 
     @property
     def schema(self) -> T.StructType:
@@ -751,6 +755,20 @@ class Lakehouse:
         meta.table_stats = out
         self._commit_meta(meta, None, action="analyze")
         return out
+
+    def set_properties(self, name: str, props: dict) -> None:
+        """Merge key/value pairs into the table's properties (a None value
+        deletes the key). One manifest commit."""
+        meta = self._load_meta(name)
+        for k, v in props.items():
+            if v is None:
+                meta.properties.pop(k, None)
+            else:
+                meta.properties[k] = v
+        self._commit_meta(meta, None, action=f"set_properties({sorted(props)})")
+
+    def get_properties(self, name: str) -> dict:
+        return dict(self._load_meta(name).properties)
 
     def table_changes(
         self, name: str, since_version: int, to_version: int | None = None

@@ -1,0 +1,140 @@
+"""Incremental view maintenance (ops/ivm.py): the materialized aggregate
+must track the source EXACTLY through arbitrary change sequences, with
+refresh cost proportional to the changes, and refreshes idempotent."""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from at_data_pipelines_spark.catalog import Lakehouse
+from at_data_pipelines_spark.ops.ivm import build_aggregate, refresh_aggregate
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("k", T.LongType()),
+        T.StructField("grp", T.StringType()),
+        T.StructField("v", T.DoubleType()),
+    ]
+)
+
+
+def _rows_df(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+@pytest.fixture()
+def lake(spark, tmp_path):
+    return Lakehouse(spark, str(tmp_path / "lake"))
+
+
+def _full(lake):
+    return {
+        r.grp: (r.n, r.sum_v)
+        for r in lake.table("src")
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.coalesce(F.col("v"), F.lit(0.0))).alias("sum_v"),
+        )
+        .collect()
+    }
+
+
+def _view(lake):
+    return {r.grp: (r.n, r.sum_v) for r in lake.table("view").collect()}
+
+
+def _assert_matches(lake):
+    got, exp = _view(lake), _full(lake)
+    assert set(got) == set(exp)
+    for g in exp:
+        assert got[g][0] == exp[g][0], f"count mismatch for {g}"
+        np.testing.assert_allclose(got[g][1], exp[g][1], rtol=1e-9, atol=1e-9)
+
+
+def test_ivm_tracks_random_change_stream(lake, spark):
+    rng = random.Random(5)
+    lake.create("src", SCHEMA, [], ["k"], retain_versions=500)
+
+    def batch(n):
+        ks = rng.sample(range(300), n)
+        return [
+            (k, f"g{rng.randrange(6)}", round(rng.uniform(-50, 50), 2))
+            for k in ks
+        ]
+
+    lake.upsert("src", _rows_df(spark, batch(60)))
+    build_aggregate(lake, "src", "view", ["grp"], ["v"])
+    _assert_matches(lake)
+
+    for step in range(6):
+        op = rng.choice(["upsert", "delete", "merge_del"])
+        if op == "upsert":
+            lake.upsert("src", _rows_df(spark, batch(rng.randrange(5, 40))))
+        elif op == "delete":
+            lo = rng.randrange(0, 300)
+            lake.delete_where(
+                "src", (F.col("k") >= lo) & (F.col("k") < lo + 40)
+            )
+        else:
+            lake.merge(
+                "src",
+                _rows_df(spark, batch(rng.randrange(5, 30))),
+                delete_condition=F.col("v") > 25,
+            )
+        n = refresh_aggregate(lake, "src", "view", ["grp"], ["v"])
+        assert n >= 0
+        _assert_matches(lake)
+
+    # idempotence: nothing new => no-op, view untouched
+    before = _view(lake)
+    assert refresh_aggregate(lake, "src", "view", ["grp"], ["v"]) == 0
+    assert _view(lake) == before
+
+
+def test_ivm_group_vanishes_at_zero_count(lake, spark):
+    lake.create("src", SCHEMA, [], ["k"], retain_versions=100)
+    lake.upsert(
+        "src", _rows_df(spark, [(1, "a", 10.0), (2, "a", 5.0), (3, "b", 1.0)])
+    )
+    build_aggregate(lake, "src", "view", ["grp"], ["v"])
+    lake.delete_where("src", F.col("grp") == "a")
+    refresh_aggregate(lake, "src", "view", ["grp"], ["v"])
+    got = _view(lake)
+    assert "a" not in got and got["b"] == (1, 1.0)
+
+
+def test_ivm_null_measures(lake, spark):
+    lake.create("src", SCHEMA, [], ["k"], retain_versions=100)
+    lake.upsert("src", _rows_df(spark, [(1, "a", None), (2, "a", 3.0)]))
+    build_aggregate(lake, "src", "view", ["grp"], ["v"])
+    assert _view(lake) == {"a": (2, 3.0)}
+    lake.upsert("src", _rows_df(spark, [(3, "a", None)]))
+    refresh_aggregate(lake, "src", "view", ["grp"], ["v"])
+    assert _view(lake) == {"a": (3, 3.0)}
+    lake.delete_where("src", F.col("k") == 2)
+    refresh_aggregate(lake, "src", "view", ["grp"], ["v"])
+    assert _view(lake) == {"a": (2, 0.0)}
+
+
+def test_ivm_requires_build_first(lake, spark):
+    lake.create("src", SCHEMA, [], ["k"], retain_versions=10)
+    lake.create(
+        "view",
+        T.StructType(
+            [
+                T.StructField("grp", T.StringType()),
+                T.StructField("n", T.LongType()),
+                T.StructField("sum_v", T.DoubleType()),
+            ]
+        ),
+        [],
+        ["grp"],
+    )
+    with pytest.raises(ValueError, match="build_aggregate"):
+        refresh_aggregate(lake, "src", "view", ["grp"], ["v"])
