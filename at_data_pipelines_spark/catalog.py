@@ -781,10 +781,14 @@ class Lakehouse:
         current table columns (old snapshots' missing added-columns read
         as NULL) plus ``_change_type``.
 
-        Scale shape: one PK-hash shuffle join of the two snapshots —
-        cost ∝ the two snapshots, independent of how many commits lie
-        between them, which is exactly when a derived diff beats
-        replaying per-commit logs. Requires primary keys and
+        Scale shape: the manifests PROVE which partitions can differ —
+        generations are immutable, so any partition whose committed
+        pointer is identical in both manifests (and that no live delta
+        touches in either) is bit-for-bit unchanged and is pruned from
+        BOTH sides before the diff join. The PK-hash shuffle therefore
+        covers only partitions a change actually touched: cost ∝ the
+        changed partitions, independent of table size AND of how many
+        commits lie between the versions. Requires primary keys and
         ``retain_versions`` covering ``since_version``."""
         meta = self._load_meta(name)
         if not meta.primary_keys:
@@ -793,20 +797,48 @@ class Lakehouse:
         cols = meta.schema.fieldNames()
         value_cols = [c for c in cols if c not in pk]
 
+        old_meta = self._version_meta(name, since_version)
+        new_meta = (
+            self._version_meta(name, to_version)
+            if to_version is not None
+            else meta
+        )
+
         def _aligned(df: DataFrame) -> DataFrame:
             for f_ in meta.schema.fields:
                 if f_.name not in df.columns:
                     df = df.withColumn(f_.name, F.lit(None).cast(f_.dataType))
             return df.select(*cols)
 
-        old = _aligned(self.table(name, version=since_version)).withColumn(
-            "_o", F.lit(1)
-        )
-        new = _aligned(
-            self.table(name, version=to_version)
-            if to_version is not None
-            else self.table(name)
-        ).withColumn("_n", F.lit(1))
+        if (
+            meta.partition_keys
+            and not old_meta.all_dirty
+            and not new_meta.all_dirty
+        ):
+            # manifest-proven change pruning (see docstring): only rels
+            # whose pointer moved, or that a live delta touches, can hold
+            # any difference. Pruning is at the PATH level — unchanged
+            # partitions are never even listed.
+            changed = {
+                rel
+                for rel in set(old_meta.committed) | set(new_meta.committed)
+                if old_meta.committed.get(rel) != new_meta.committed.get(rel)
+            }
+            changed |= set(old_meta.dirty_partitions)
+            changed |= set(new_meta.dirty_partitions)
+            if not changed:
+                out_schema = T.StructType(
+                    meta.schema.fields
+                    + [T.StructField("_change_type", T.StringType())]
+                )
+                return self.spark.createDataFrame([], out_schema)
+            old_df = self._read_rels(name, old_meta, changed)
+            new_df = self._read_rels(name, new_meta, changed)
+        else:
+            old_df = self._read_raw(name, old_meta)
+            new_df = self._read_raw(name, new_meta)
+        old = _aligned(old_df.drop(_SEQ_COL)).withColumn("_o", F.lit(1))
+        new = _aligned(new_df.drop(_SEQ_COL)).withColumn("_n", F.lit(1))
         o_vals = old.select(
             *pk, *[F.col(c).alias(f"_old_{c}") for c in value_cols], "_o"
         )
@@ -1057,6 +1089,30 @@ class Lakehouse:
             base = self._seq_dir(name, s)
             paths.append(base if rel == "" else f"{base}/{rel}")
         return paths
+
+    def _read_rels(self, name: str, meta: TableMeta, rels) -> DataFrame:
+        """Read ONLY the given partition rels of a manifest state: the
+        committed base leaf per rel plus any live-delta leaf that exists
+        for it. Path-level restriction — nothing else is listed."""
+        paths = []
+        for rel in sorted(rels):
+            s = meta.committed.get(rel)
+            if s is not None:
+                paths.append(f"{self._seq_dir(name, s)}/{rel}")
+            for d in meta.live_deltas:
+                p = f"{self._seq_dir(name, d)}/{rel}"
+                if self.fs.exists(p):
+                    paths.append(p)
+        schema_with_seq = T.StructType(
+            meta.schema.fields + [T.StructField(_SEQ_COL, T.LongType(), True)]
+        )
+        if not paths:
+            return self.spark.createDataFrame([], schema_with_seq)
+        return (
+            self.spark.read.schema(schema_with_seq)
+            .option("basePath", f"{self._dir(name)}/data")
+            .parquet(*paths)
+        )
 
     def _read_raw(self, name: str, meta: TableMeta) -> DataFrame:
         data_dir = f"{self._dir(name)}/data"

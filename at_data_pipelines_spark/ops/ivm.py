@@ -74,10 +74,11 @@ def refresh_aggregate(
     dst: str,
     group_cols: list[str],
     sum_cols: list[str],
-) -> int:
+) -> bool:
     """Apply all source changes since the last build/refresh to ``dst``.
-    Returns the number of corrected groups (0 = nothing to do). Cost ∝
-    the change feed, never the source or view size."""
+    Returns True if a correction was applied, False for an empty change
+    window (no-op). Cost ∝ the change feed (manifest-pruned to the
+    partitions changes touched), never the source size."""
     props = lake.get_properties(dst)
     since = props.get(_SRC_VERSION_PROP)
     if since is None:
@@ -86,7 +87,7 @@ def refresh_aggregate(
         )
     src_version = lake._load_meta(src).version
     if src_version == since:
-        return 0
+        return False
     ch = lake.table_changes(src, since, to_version=src_version)
     sign = F.when(
         F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
@@ -113,8 +114,7 @@ def refresh_aggregate(
             for c in sum_cols
         ],
     )
-    n_groups = post.count()
     # groups whose count reaches zero disappear from the view
     lake.merge(dst, post, delete_condition=F.col("n") <= 0)
     lake.set_properties(dst, {_SRC_VERSION_PROP: src_version})
-    return n_groups
+    return True

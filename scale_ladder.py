@@ -141,6 +141,63 @@ def measure_zone_scan(spark, gens: int, rows_per_gen: int = 20_000) -> dict:
     return out
 
 
+def measure_ivm(spark, src_rows: int, change_rows: int = 200) -> dict:
+    """Incremental view maintenance cost vs source size: build a source
+    of ``src_rows`` and its materialized per-group aggregate, apply one
+    fixed-size change batch, and time refresh_aggregate against a full
+    rebuild. The claim under test: refresh cost tracks the CHANGE size
+    (flat across source sizes), rebuild cost tracks the SOURCE."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from at_data_pipelines_spark.catalog import Lakehouse
+    from at_data_pipelines_spark.ops.ivm import build_aggregate, refresh_aggregate
+
+    lake = Lakehouse(spark, tempfile.mkdtemp(prefix=f"ivm_{src_rows}_"))
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("part", T.IntegerType()),
+            T.StructField("grp", T.StringType()),
+            T.StructField("v", T.DoubleType()),
+        ]
+    )
+    # date-like layout: FIXED partition size, so a bigger table has MORE
+    # partitions — and a change batch touching one partition exercises
+    # table_changes' manifest-proven pruning (only moved pointers scan)
+    rows_per_part = 25_000
+    lake.create("src", schema, ["part"], ["k", "part"], retain_versions=50)
+    base = spark.range(src_rows).select(
+        F.col("id").alias("k"),
+        (F.col("id") / rows_per_part).cast("int").alias("part"),
+        F.concat(F.lit("g"), (F.col("id") % 64).cast("string")).alias("grp"),
+        (F.col("id") * 0.25).alias("v"),
+    )
+    lake.insert("src", base)
+    t0 = time.perf_counter()
+    build_aggregate(lake, "src", "view", ["grp"], ["v"])
+    build_s = time.perf_counter() - t0
+    change = spark.range(change_rows).select(
+        F.col("id").alias("k"),  # keys 0..change_rows: all in partition 0
+        F.lit(0).alias("part"),
+        F.concat(F.lit("g"), (F.col("id") % 64).cast("string")).alias("grp"),
+        (F.col("id") * 1.5).alias("v"),
+    )
+    lake.upsert("src", change)
+    t0 = time.perf_counter()
+    refresh_aggregate(lake, "src", "view", ["grp"], ["v"])
+    refresh_s = time.perf_counter() - t0
+    return {
+        "src_rows": src_rows,
+        "partitions": src_rows // rows_per_part,
+        "change_rows": change_rows,
+        "build_s": round(build_s, 3),
+        "refresh_s": round(refresh_s, 3),
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--runs", type=int, default=2)
@@ -148,11 +205,11 @@ def main() -> None:
     ap.add_argument(
         "--sections",
         default="all",
-        help="comma list of {queries,persist,ann_stream,zone} (default all)",
+        help="comma list of {queries,persist,ann_stream,zone,ivm} (default all)",
     )
     args = ap.parse_args()
     sections = (
-        {"queries", "persist", "ann_stream", "zone"}
+        {"queries", "persist", "ann_stream", "zone", "ivm"}
         if args.sections == "all"
         else set(args.sections.split(","))
     )
@@ -283,6 +340,11 @@ def main() -> None:
     if "zone" in sections:
         out["zone_scan"] = {
             str(g): measure_zone_scan(spark, g) for g in (5, 25, 50)
+        }
+
+    if "ivm" in sections:
+        out["ivm_refresh"] = {
+            str(n): measure_ivm(spark, n) for n in (100_000, 500_000, 1_000_000)
         }
 
     print(json.dumps(out))

@@ -87,13 +87,12 @@ def test_ivm_tracks_random_change_stream(lake, spark):
                 _rows_df(spark, batch(rng.randrange(5, 30))),
                 delete_condition=F.col("v") > 25,
             )
-        n = refresh_aggregate(lake, "src", "view", ["grp"], ["v"])
-        assert n >= 0
+        assert refresh_aggregate(lake, "src", "view", ["grp"], ["v"]) is True
         _assert_matches(lake)
 
     # idempotence: nothing new => no-op, view untouched
     before = _view(lake)
-    assert refresh_aggregate(lake, "src", "view", ["grp"], ["v"]) == 0
+    assert refresh_aggregate(lake, "src", "view", ["grp"], ["v"]) is False
     assert _view(lake) == before
 
 

@@ -711,3 +711,28 @@ def test_merge_vs_duckdb_differential(lake, spark):
         WHERE NOT (s.k IS NOT NULL AND s.k % 7 = 0)
     """).fetchall())
     assert got == ref
+
+
+def test_table_changes_prunes_unchanged_partitions(lake, spark):
+    """Generations are immutable, so a partition whose committed pointer
+    is identical in both manifests is provably unchanged — table_changes
+    must not scan it at all, and an empty change window must not scan
+    anything."""
+    lake.create("t", SCHEMA, ["year"], ["k", "year"], retain_versions=20)
+    lake.upsert("t", _batch(spark, 0, 2000, 2023))
+    lake.upsert("t", _batch(spark, 3000, 5000, 2024))
+    lake.optimize("t")
+    v0 = lake._load_meta("t").version
+    lake.upsert("t", _batch(spark, 3000, 3050, 2024, vbase=9.0))  # only 2024 moves
+    ch = lake.table_changes("t", v0)
+    rows = ch.collect()
+    assert {r._change_type for r in rows} == {"update_preimage", "update_postimage"}
+    assert {r.k for r in rows} == set(range(3000, 3050))
+    # the untouched 2023 partition's files never enter the diff plan
+    files = ch.inputFiles()
+    assert files and all("year=2023" not in f for f in files)
+    # empty window: no scan, empty frame, schema intact
+    v1 = lake._load_meta("t").version
+    empty = lake.table_changes("t", v1)
+    assert empty.count() == 0 and empty.inputFiles() == []
+    assert empty.columns[-1] == "_change_type"
