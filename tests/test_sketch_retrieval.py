@@ -247,3 +247,66 @@ def test_paragraph_dedup_min_chars_exemption(spark):
     # 'hi' is under min_chars: exempt, survives in BOTH docs
     assert out[0] == "hi\n\nlong paragraph body"
     assert out[1] == "hi\n\nother body"
+
+
+# -- PageRank --------------------------------------------------------------
+
+
+def _pagerank_reference(edges, damping=0.85, iters=24):
+    """Dense numpy power iteration, ranks summing to N."""
+    import numpy as np
+
+    nodes = sorted({x for e in edges for x in e})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    out = np.zeros(n)
+    for s, _ in edges:
+        out[idx[s]] += 1
+    r = np.ones(n)
+    for _ in range(iters):
+        contrib = np.zeros(n)
+        for s, d in edges:
+            contrib[idx[d]] += r[idx[s]] / out[idx[s]]
+        dangling = r[out == 0].sum()
+        r = (1 - damping) + damping * (contrib + dangling / n)
+    return {v: r[idx[v]] for v in nodes}
+
+
+def test_pagerank_matches_numpy_reference(spark):
+    from at_data_pipelines_spark.ops.graph import pagerank
+
+    edges = [
+        (1, 2), (1, 3), (2, 3), (3, 1), (4, 3), (5, 4), (5, 3), (6, 5),
+        (7, 1),  # 7 has no in-links; 6 dangles into the chain
+    ]
+    got = {
+        r.id: r.rank
+        for r in pagerank(
+            spark.createDataFrame(edges, ["src", "dst"]), max_iter=24, tol=0.0
+        ).collect()
+    }
+    ref = _pagerank_reference(edges)
+    assert set(got) == set(ref)
+    for v in ref:
+        # identical iteration counts => identical partial sums up to fp assoc
+        assert abs(got[v] - ref[v]) < 1e-9, (v, got[v], ref[v])
+    # mass conservation: ranks sum to N
+    assert abs(sum(got.values()) - len(got)) < 1e-9
+    # the hub (3) outranks everything; friendless 7 is at the floor
+    assert got[3] == max(got.values())
+    assert got[7] == min(got.values())
+
+
+def test_pagerank_dangling_nodes_conserve_mass(spark):
+    from at_data_pipelines_spark.ops.graph import pagerank
+
+    # star into a sink: 0..4 -> 9 (9 dangles)
+    edges = [(i, 9) for i in range(5)]
+    got = {
+        r.id: r.rank
+        for r in pagerank(
+            spark.createDataFrame(edges, ["src", "dst"]), max_iter=16, tol=0.0
+        ).collect()
+    }
+    assert abs(sum(got.values()) - 6) < 1e-9
+    assert got[9] == max(got.values())
