@@ -265,6 +265,8 @@ def _zone_excludes(stats: dict, where: dict) -> bool:
     unprunable — Python's code-point compare and Spark's UTF8 binary
     compare agree on ASCII, and we only prune where they provably agree."""
     for c, (lo, hi) in where.items():
+        if lo is None and hi is None:
+            continue  # no constraint on this column: nothing to disprove
         ent = stats.get(c)
         if ent is None:
             continue
@@ -358,8 +360,11 @@ class TableMeta:
     zone_maps: dict[str, dict[str, list]] = field(default_factory=dict)
     # snapshot retention: how many past manifest versions keep their data
     # generations alive (0 = reclaim superseded data eagerly, history is
-    # audit-only). Manifest history JSONs are archived regardless — they
-    # are O(100 bytes/commit); only DATA expiry is governed by this knob.
+    # audit-only). Manifest history JSONs are archived regardless — each
+    # is a full manifest copy (O(partitions + zone-map entries), i.e.
+    # kilobytes typically, more for per-file-stats tables — see
+    # SCALING.md "Manifest scale limits"); only DATA expiry is governed
+    # by this knob.
     retain_versions: int = 0
     # ANALYZE output (analyze()): row count + per-column null count,
     # min/max, KMV distinct estimate, stamped with the manifest version
@@ -510,13 +515,18 @@ class Lakehouse:
         known = {f.name for f in dataclass_fields(TableMeta)}
         return TableMeta(**{k: v for k, v in raw.items() if k in known}), raw
 
-    def history(self, name: str) -> list[dict]:
+    def history(self, name: str, limit: int | None = None) -> list[dict]:
         """The table's commit log, oldest first: one entry per manifest
         version with its action, UTC timestamp, and visibility summary.
         The Delta `DESCRIBE HISTORY` shape, backed by the `_history/`
-        archive that every commit appends to."""
+        archive that every commit appends to. Each entry costs one
+        archive read (a full manifest copy), so pass ``limit`` for the
+        most recent N on long-lived tables."""
+        versions = self._history_versions(name)
+        if limit is not None:
+            versions = versions[-limit:]
         out = []
-        for v in self._history_versions(name):
+        for v in versions:
             meta, raw = self._load_version(name, v)
             out.append(
                 {
@@ -837,15 +847,41 @@ class Lakehouse:
         else:
             old_df = self._read_raw(name, old_meta)
             new_df = self._read_raw(name, new_meta)
-        old = _aligned(old_df.drop(_SEQ_COL)).withColumn("_o", F.lit(1))
-        new = _aligned(new_df.drop(_SEQ_COL)).withColumn("_n", F.lit(1))
+
+        def _latest(df: DataFrame) -> DataFrame:
+            # absorb un-optimized deltas: the snapshot's LOGICAL content is
+            # the newest row per PK, exactly what optimize() would keep —
+            # diffing raw rows would fan out the PK join on duplicates
+            w_ = W.partitionBy(*pk).orderBy(F.desc(_SEQ_COL))
+            return (
+                df.withColumn("_rn", F.row_number().over(w_))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn", _SEQ_COL)
+            )
+
+        old = _aligned(_latest(old_df)).withColumn("_o", F.lit(1))
+        new = _aligned(_latest(new_df)).withColumn("_n", F.lit(1))
         o_vals = old.select(
             *pk, *[F.col(c).alias(f"_old_{c}") for c in value_cols], "_o"
-        )
+        ).alias("_ocdc")
         n_vals = new.select(
             *pk, *[F.col(c).alias(f"_new_{c}") for c in value_cols], "_n"
+        ).alias("_ncdc")
+        # null-safe PK equality, same reason as merge(): NULL keys must
+        # pair up, not appear as a spurious insert+delete
+        cond = F.lit(True)
+        for k in pk:
+            cond = cond & F.col(f"_ncdc.{k}").eqNullSafe(F.col(f"_ocdc.{k}"))
+        j = n_vals.join(o_vals, cond, "full_outer").select(
+            *[
+                F.coalesce(F.col(f"_ncdc.{k}"), F.col(f"_ocdc.{k}")).alias(k)
+                for k in pk
+            ],
+            *[F.col(f"_new_{c}") for c in value_cols],
+            *[F.col(f"_old_{c}") for c in value_cols],
+            "_n",
+            "_o",
         )
-        j = n_vals.join(o_vals, pk, "full_outer")
         same = F.lit(True)
         for c in value_cols:
             same = same & F.col(f"_new_{c}").eqNullSafe(F.col(f"_old_{c}"))
@@ -1322,6 +1358,12 @@ class Lakehouse:
                     raise ValueError(f"zorder column {c!r} not in schema")
                 if c in meta.partition_keys:
                     raise ValueError(f"zorder column {c!r} is a partition key")
+                if not isinstance(meta.schema[c].dataType, T.NumericType):
+                    raise ValueError(
+                        f"zorder column {c!r} must be numeric "
+                        f"(got {meta.schema[c].dataType.simpleString()}); "
+                        "derive an epoch/ordinal column for dates"
+                    )
         raw = self._read_raw(name, meta)
         if meta.partition_keys and not meta.all_dirty:
             part_filter = self._rel_filter(meta, meta.dirty_partitions)
@@ -1814,6 +1856,11 @@ class Lakehouse:
             src = src.withColumn("_del", F.coalesce(dcond, F.lit(False)))
         else:
             src = src.withColumn("_del", F.lit(False))
+        # materialize the prepared source ONCE: both the affected-partition
+        # collect below and the diff join reuse it, instead of re-running
+        # an arbitrarily expensive upstream plan twice (the same
+        # double-execution insert() was refactored to remove)
+        src = src.localCheckpoint()
 
         raw = self._read_raw(name, meta)
         seq = meta.next_seq
@@ -1850,14 +1897,30 @@ class Lakehouse:
         payload = [F.col(c) for c in non_pk] or [F.lit(0).alias("_nop")]
         t = tgt.select(
             *pk, F.struct(*payload).alias("_t"), F.lit(1).alias("_has_t")
-        )
+        ).alias("_tside")
         s = src.select(
             *pk,
             F.struct(*payload).alias("_sv"),
             "_del",
             F.lit(1).alias("_has_s"),
+        ).alias("_sside")
+        # null-SAFE key equality: a plain equi-join never matches NULL to
+        # NULL, which would both duplicate NULL-keyed rows (matched row
+        # re-inserted) and lose their updates
+        cond = F.lit(True)
+        for k in pk:
+            cond = cond & F.col(f"_tside.{k}").eqNullSafe(F.col(f"_sside.{k}"))
+        j = t.join(s, cond, "full_outer").select(
+            *[
+                F.coalesce(F.col(f"_tside.{k}"), F.col(f"_sside.{k}")).alias(k)
+                for k in pk
+            ],
+            F.col("_tside._t").alias("_t"),
+            F.col("_tside._has_t").alias("_has_t"),
+            F.col("_sside._sv").alias("_sv"),
+            F.col("_sside._del").alias("_del"),
+            F.col("_sside._has_s").alias("_has_s"),
         )
-        j = t.join(s, pk, "full_outer")
         matched = F.col("_has_t").isNotNull() & F.col("_has_s").isNotNull()
         keep = F.when(
             matched & F.col("_del"), F.lit(False)

@@ -667,9 +667,14 @@ def paragraph_dedup(
     exact_dedup — and one groupBy(id) to reassemble. No skew beyond
     genuinely viral paragraphs, which the hash shuffle spreads by
     paragraph, not by document."""
+    # F.split takes a REGEX; the rejoin emits the separator literally —
+    # quote it so metachar separators ('. ', '|', '***') split on the
+    # literal string they rejoin with
+    import re as _re
+
     parts = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
+        F.posexplode(F.split(F.col(text_col), _re.escape(sep))).alias("pos", "para"),
     )
     w = W.partitionBy(F.md5(F.col("para"))).orderBy(F.col(id_col), F.col("pos"))
     exempt = F.length(F.col("para")) < F.lit(min_chars)

@@ -103,14 +103,21 @@ def refresh_aggregate(
         ],
     )
     cur = lake.table(dst)
-    joined = corr.join(cur, group_cols, "left")
+    # null-SAFE group join: SQL GROUP BY keeps a NULL group, and a plain
+    # equi-join would lose its prior count and duplicate its view row
+    c_a, v_a = corr.alias("_ivc"), cur.alias("_ivv")
+    cond = F.lit(True)
+    for g in group_cols:
+        cond = cond & F.col(f"_ivc.{g}").eqNullSafe(F.col(f"_ivv.{g}"))
+    joined = c_a.join(v_a, cond, "left")
     post = joined.select(
-        *group_cols,
-        (F.coalesce(F.col("n"), F.lit(0)) + F.col("_dn")).alias("n"),
+        *[F.col(f"_ivc.{g}").alias(g) for g in group_cols],
+        (F.coalesce(F.col("_ivv.n"), F.lit(0)) + F.col("_dn")).alias("n"),
         *[
-            (F.coalesce(F.col(f"sum_{c}"), F.lit(0.0)) + F.col(f"_ds_{c}")).alias(
-                f"sum_{c}"
-            )
+            (
+                F.coalesce(F.col(f"_ivv.sum_{c}"), F.lit(0.0))
+                + F.col(f"_ds_{c}")
+            ).alias(f"sum_{c}")
             for c in sum_cols
         ],
     )

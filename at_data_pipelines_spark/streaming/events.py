@@ -363,6 +363,8 @@ def windowed_distinct_users(
         held = list(state.get[0]) if state.exists else []
         for pdf in pdfs:
             for uid in pdf["user_id"]:
+                if pd.isna(uid):
+                    continue  # NULL is not a distinct value (batch parity)
                 h = hashlib.md5(str(int(uid)).encode()).hexdigest()[:12]
                 held.append(int(h, 16) / 16**12)
         held = sorted(set(held))[:k]

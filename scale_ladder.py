@@ -176,6 +176,11 @@ def measure_ivm(spark, src_rows: int, change_rows: int = 200) -> dict:
         (F.col("id") * 0.25).alias("v"),
     )
     lake.insert("src", base)
+    # compact before the baseline version: with a live delta pending, the
+    # build version's manifest has every partition dirty and table_changes
+    # could not prune anything — after optimize, only partitions the
+    # change batch actually moves are diffed (the mechanism under test)
+    lake.optimize("src")
     t0 = time.perf_counter()
     build_aggregate(lake, "src", "view", ["grp"], ["v"])
     build_s = time.perf_counter() - t0

@@ -137,3 +137,41 @@ def test_ivm_requires_build_first(lake, spark):
     )
     with pytest.raises(ValueError, match="build_aggregate"):
         refresh_aggregate(lake, "src", "view", ["grp"], ["v"])
+
+
+def test_ivm_null_group_and_pending_delta(lake, spark):
+    """r6 review regressions: a NULL group must keep its running count
+    through refreshes (null-safe joins end-to-end), and un-optimized
+    source deltas must not fan out the CDC diff."""
+    lake.create("src", SCHEMA, [], ["k"], retain_versions=100)
+    lake.upsert(
+        "src", _rows_df(spark, [(1, None, 2.0), (2, None, 3.0), (3, "b", 1.0)])
+    )
+    build_aggregate(lake, "src", "view", ["grp"], ["v"])
+    none_key = [r for r in lake.table("view").collect() if r.grp is None]
+    assert len(none_key) == 1 and none_key[0].n == 2
+    # change the NULL group via a PK-overwriting APPEND (delta, no optimize)
+    lake.insert("src", _rows_df(spark, [(1, None, 10.0)]))
+    refresh_aggregate(lake, "src", "view", ["grp"], ["v"])
+    # reference: compact first — table() exposes raw delta rows until
+    # optimize, while the CDC view reflects latest-per-PK semantics
+    lake.optimize("src")
+    _assert_matches_with_nulls(lake)
+
+
+def _assert_matches_with_nulls(lake):
+    got = {r.grp: (r.n, r.sum_v) for r in lake.table("view").collect()}
+    exp = {
+        r.grp: (r.n, r.sum_v)
+        for r in lake.table("src")
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.coalesce(F.col("v"), F.lit(0.0))).alias("sum_v"),
+        )
+        .collect()
+    }
+    assert set(got) == set(exp)
+    for g in exp:
+        assert got[g][0] == exp[g][0], f"count mismatch for {g!r}: {got[g]} vs {exp[g]}"
+        np.testing.assert_allclose(got[g][1], exp[g][1], rtol=1e-9, atol=1e-9)

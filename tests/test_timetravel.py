@@ -736,3 +736,78 @@ def test_table_changes_prunes_unchanged_partitions(lake, spark):
     empty = lake.table_changes("t", v1)
     assert empty.count() == 0 and empty.inputFiles() == []
     assert empty.columns[-1] == "_change_type"
+
+
+# -- review regressions (r6 code-review findings) --------------------------
+
+
+def test_table_changes_absorbs_live_deltas(lake, spark):
+    """An un-optimized append that overwrites a PK must surface as ONE
+    update pair, not a fanned-out join over duplicate physical rows."""
+    lake.create("t", SCHEMA, ["year"], ["k", "year"], retain_versions=20)
+    lake.upsert("t", _batch(spark, 0, 5, 2023))
+    v0 = lake._load_meta("t").version
+    lake.insert("t", _batch(spark, 0, 2, 2023, vbase=70.0))  # delta, no optimize
+    ch = lake.table_changes("t", v0).collect()
+    kinds = {}
+    for r in ch:
+        kinds.setdefault(r._change_type, []).append(r.k)
+    assert sorted(kinds["update_preimage"]) == [0, 1]
+    assert sorted(kinds["update_postimage"]) == [0, 1]
+    assert set(kinds) == {"update_preimage", "update_postimage"}
+    post = {r.k: r.v for r in ch if r._change_type == "update_postimage"}
+    assert post == {0: 70.0, 1: 71.0}
+
+
+def test_merge_with_null_pk_values(lake, spark):
+    """NULL primary-key components must pair up null-safely: updates
+    apply once, no duplicate NULL-keyed rows appear."""
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("v", T.DoubleType()),
+        ]
+    )
+    lake.create("t", schema, [], ["k"])
+    lake.upsert(
+        "t", spark.createDataFrame([(None, 1.0), (1, 10.0)], schema)
+    )
+    lake.merge(
+        "t", spark.createDataFrame([(None, 2.0), (2, 20.0)], schema)
+    )
+    rows = sorted(
+        ((r.k if r.k is not None else -1), r.v) for r in lake.table("t").collect()
+    )
+    assert rows == [(-1, 2.0), (1, 10.0), (2, 20.0)]
+
+
+def test_table_changes_null_pk_pairs_as_update(lake, spark):
+    schema = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("v", T.DoubleType())]
+    )
+    lake.create("t", schema, [], ["k"], retain_versions=10)
+    lake.upsert("t", spark.createDataFrame([(None, 1.0), (1, 10.0)], schema))
+    v0 = lake._load_meta("t").version
+    lake.upsert("t", spark.createDataFrame([(None, 2.0)], schema))
+    ch = lake.table_changes("t", v0).collect()
+    assert {r._change_type for r in ch} == {"update_preimage", "update_postimage"}
+    assert all(r.k is None for r in ch)
+
+
+def test_scan_noop_bounds_keep_all_null_leaves(lake, spark):
+    """(None, None) bounds constrain nothing — all-NULL leaves must NOT
+    be pruned, preserving scan ≡ table().filter(<empty>)."""
+    lake.create("t", SCHEMA, ["year"], ["k", "year"], stats_columns=["v"])
+    nulls = _batch(spark, 0, 20, 2023).withColumn("v", F.lit(None).cast("double"))
+    lake.insert("t", nulls)
+    got = lake.scan("t", where={"v": (None, None)})
+    assert got.count() == lake.table("t").count() == 20
+
+
+def test_zorder_rejects_non_numeric_column(lake, spark):
+    lake.create("t", SCHEMA, ["year"], ["k", "year"])
+    lake.insert("t", _batch(spark, 0, 10, 2023))
+    with pytest.raises(ValueError, match="must be numeric"):
+        lake.optimize("t", zorder_by=["s"], full=True)
+    with pytest.raises(ValueError, match="must be numeric"):
+        lake.optimize("t", zorder_by=["d"], full=True)
