@@ -929,7 +929,9 @@ class Lakehouse:
         self.fs.write_text(token, "")
         return token
 
-    def insert(self, name: str, df: DataFrame, mode: str = "append") -> None:
+    def insert(
+        self, name: str, df: DataFrame, mode: str = "append", allow_fast: bool = True
+    ) -> None:
         """Append a batch as a new ``_seq=K`` delta directory (the sequence
         also orders keep-latest dedup). ``mode='overwrite'`` truncates:
         the manifest forgets all prior generations, whose directories
@@ -938,9 +940,11 @@ class Lakehouse:
         Small batches take the driver-side fast path (same probe + pyarrow
         write as the upsert fast path, minus any merge — an insert never
         reads existing data), skipping the distributed write job whose
-        fixed cost dominates tiny appends."""
+        fixed cost dominates tiny appends. ``allow_fast=False`` skips the
+        probe — upsert() passes it when its own probe already rejected
+        the batch, so a large upstream plan isn't executed twice."""
         meta = self._load_meta(name)
-        if self._fast_insert(name, meta, df, mode):
+        if allow_fast and self._fast_insert(name, meta, df, mode):
             return
         declared = meta.schema
         cols = [F.col(f.name).cast(f.dataType).alias(f.name) for f in declared.fields]
@@ -1471,10 +1475,17 @@ class Lakehouse:
         collect, zero distributed jobs, same append-only generation
         layout and the same single-manifest-PUT commit point. Large
         batches or large bases fall through to the distributed path, so
-        at 100 TB the protocol stays Spark-side where it belongs."""
-        if not self._fast_upsert(name, df):
-            self.insert(name, df)
-            self.optimize(name)
+        at 100 TB the protocol stays Spark-side where it belongs.
+
+        The fallback tells insert() whether the small-batch probe already
+        failed — a big batch must not pay the limit-collect probe twice
+        (once here, once inside insert) on the exact path where the
+        upstream plan is expensive."""
+        res = self._fast_upsert(name, df)
+        if res is True:
+            return
+        self.insert(name, df, allow_fast=(res == "structural"))
+        self.optimize(name)
 
     # driver-side fast-path guards: a batch bigger than this many rows, or
     # touched committed bases bigger than this many bytes, go distributed
@@ -1494,8 +1505,14 @@ class Lakehouse:
         T.DateType,
     )
 
-    def _fast_upsert(self, name: str, df: DataFrame) -> bool:
-        """Attempt the driver-side small-commit path; True iff committed.
+    def _fast_upsert(self, name: str, df: DataFrame):
+        """Attempt the driver-side small-commit path. Returns True iff
+        committed; otherwise a fallback hint for upsert(): "structural"
+        (the fast path was unavailable for reasons that say nothing about
+        the batch — no PK, pending deltas — so insert() may still try its
+        own fast path) or "unsuitable" (the small-batch probe or merge
+        already failed, so insert() must NOT probe again — the probe
+        executes the upstream plan).
 
         Protocol-equivalent to insert+optimize: the merged output lands in
         a fresh ``_seq=K`` generation (append-only, attempt-token guarded),
@@ -1505,12 +1522,12 @@ class Lakehouse:
         to absorb another write's state."""
         meta = self._load_meta(name)
         if not meta.primary_keys:
-            return False
+            return "structural"
         if meta.live_deltas or meta.dirty_partitions or meta.all_dirty:
-            return False  # pending deltas: let optimize() absorb them
+            return "structural"  # pending deltas: let optimize() absorb them
         probed = self._probe_small_batch(meta, df)
         if probed is None:
-            return False
+            return "unsuitable"
         batch, arrow_schema = probed
         if batch.num_rows == 0:
             return True  # empty upsert: nothing to write or commit
@@ -1520,9 +1537,11 @@ class Lakehouse:
             merged = self._fast_merge_write(meta, batch, arrow_schema, seq_dir)
         except _FastPathUnsuitable:
             self.fs.delete(seq_dir)  # nothing committed; dir is orphan-safe
-            return False
+            return "unsuitable"
         if merged is None:
-            return False
+            # committed bases too big for a driver merge — the BATCH
+            # itself is small, so insert()'s delta fast path still applies
+            return "structural"
         new_committed, new_zone = merged
         token = f"{seq_dir}/_attempt-{uuid.uuid4().hex}"
         self.fs.write_text(token, "")
@@ -1532,11 +1551,7 @@ class Lakehouse:
         meta.zone_maps.update(new_zone)
         self._prune_zone_maps(meta)
         self._commit_meta(meta, token, action="upsert")  # commit point
-        if meta.retain_versions == 0:
-            for rel, s in old_committed.items():
-                if rel in new_committed and s != new_committed[rel]:
-                    base = self._seq_dir(name, s)
-                    self.fs.delete(base if rel == "" else f"{base}/{rel}")
+        self._clean_superseded(name, meta, old_committed, [])
         return True
 
     def _probe_small_batch(self, meta, df):

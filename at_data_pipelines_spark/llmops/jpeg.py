@@ -244,6 +244,10 @@ def decode_jpeg(buf: bytes) -> tuple[int, int, str, np.ndarray]:
     while True:
         if buf[pos] != 0xFF:
             raise ValueError("marker expected")
+        # T.81 B.1.1.2: markers may be preceded by any number of 0xFF
+        # fill bytes (EXIF/camera writers pad) — skip them
+        while buf[pos + 1] == 0xFF:
+            pos += 1
         marker = buf[pos + 1]
         pos += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
@@ -294,6 +298,14 @@ def decode_jpeg(buf: bytes) -> tuple[int, int, str, np.ndarray]:
             if frame is None:
                 raise ValueError("SOS before SOF")
             ns = seg[0]
+            if ns < len(frame[2]):
+                # a scan covering a subset of components means separate
+                # per-component scans follow — refuse honestly instead of
+                # KeyError-ing mid-decode
+                raise NotImplementedError(
+                    "multi-scan baseline JPEG (separate per-component "
+                    "scans) not supported; only a single interleaved scan"
+                )
             sel = {}
             for i in range(ns):
                 cs, tt = seg[1 + 2 * i : 3 + 2 * i]
@@ -303,6 +315,31 @@ def decode_jpeg(buf: bytes) -> tuple[int, int, str, np.ndarray]:
                 buf, data_pos, frame, sel, qts, dc_tabs, ac_tabs, restart_interval
             )
         pos += seglen
+
+
+def _read_block(r: "_BitReader", c: dict) -> np.ndarray:
+    """Decode one 8×8 data unit (DC diff + AC runs) for component c,
+    updating its DC predictor."""
+    blk = np.zeros(64)
+    s = r.read_huff(c["dc"])
+    diff = _extend(r.read_bits(s), s) if s else 0
+    c["pred"] += diff
+    blk[0] = c["pred"]
+    k = 1
+    while k < 64:
+        rs = r.read_huff(c["ac"])
+        rr, ss = rs >> 4, rs & 0xF
+        if ss == 0:
+            if rr == 15:
+                k += 16  # ZRL
+                continue
+            break  # EOB
+        k += rr
+        if k > 63:
+            raise ValueError("AC run past end of block")
+        blk[ZIGZAG[k]] = _extend(r.read_bits(ss), ss)
+        k += 1
+    return blk
 
 
 def _decode_scan(buf, pos, frame, sel, qts, dc_tabs, ac_tabs, restart_interval):
@@ -318,43 +355,51 @@ def _decode_scan(buf, pos, frame, sel, qts, dc_tabs, ac_tabs, restart_interval):
         c["q"] = qts[c["tq"]]
         c["blocks_w"] = mcus_x * c["h"]
         c["blocks_h"] = mcus_y * c["v"]
-        c["coef"] = np.zeros((c["blocks_h"] * c["blocks_w"], 64))
         c["pred"] = 0
 
     r = _BitReader(bytes(buf), pos)
-    mcu_count = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+    if len(comps) == 1:
+        # T.81 A.2.2: a single-component scan is NON-interleaved — the
+        # MCU is one data unit, traversed in raster order with
+        # ceil(dim/8) geometry. (The interleaved path would wrongly tile
+        # h×v-block MCUs when the lone component declares sampling
+        # factors > 1, scrambling the image with no error.)
+        c = comps[0]
+        c["blocks_w"] = -(-w // 8)
+        c["blocks_h"] = -(-h // 8)
+        c["coef"] = np.zeros((c["blocks_h"] * c["blocks_w"], 64))
+        c["h"] = c["v"] = 1
+        hmax = vmax = 1  # upsample step becomes identity
+        unit = 0
+        for idx in range(c["blocks_h"] * c["blocks_w"]):
+            if restart_interval and unit and unit % restart_interval == 0:
                 r.restart()
+                c["pred"] = 0
+            unit += 1
+            c["coef"][idx] = _read_block(r, c)
+    else:
+        for c in comps:
+            c["coef"] = np.zeros((c["blocks_h"] * c["blocks_w"], 64))
+        mcu_count = 0
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if (
+                    restart_interval
+                    and mcu_count
+                    and mcu_count % restart_interval == 0
+                ):
+                    r.restart()
+                    for c in comps:
+                        c["pred"] = 0
+                mcu_count += 1
                 for c in comps:
-                    c["pred"] = 0
-            mcu_count += 1
-            for c in comps:
-                for by in range(c["v"]):
-                    for bx in range(c["h"]):
-                        blk = np.zeros(64)
-                        s = r.read_huff(c["dc"])
-                        diff = _extend(r.read_bits(s), s) if s else 0
-                        c["pred"] += diff
-                        blk[0] = c["pred"]
-                        k = 1
-                        while k < 64:
-                            rs = r.read_huff(c["ac"])
-                            rr, ss = rs >> 4, rs & 0xF
-                            if ss == 0:
-                                if rr == 15:
-                                    k += 16  # ZRL
-                                    continue
-                                break  # EOB
-                            k += rr
-                            if k > 63:
-                                raise ValueError("AC run past end of block")
-                            blk[ZIGZAG[k]] = _extend(r.read_bits(ss), ss)
-                            k += 1
-                        row = my * c["v"] + by
-                        col = mx * c["h"] + bx
-                        c["coef"][row * c["blocks_w"] + col] = blk
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            row = my * c["v"] + by
+                            col = mx * c["h"] + bx
+                            c["coef"][row * c["blocks_w"] + col] = _read_block(
+                                r, c
+                            )
 
     planes = []
     for c in comps:

@@ -66,8 +66,15 @@ def range_join(
         # surrogate key so the unmatched-row anti-join below is null-safe
         # and per-row (anti-joining on the raw left columns would both drop
         # duplicate left rows and re-emit matched rows that contain NULLs,
-        # since join equality never matches NULL to NULL)
-        left = left.withColumn("_rj_id", F.monotonically_increasing_id())
+        # since join equality never matches NULL to NULL).
+        # localCheckpoint pins the ids: monotonically_increasing_id is
+        # nondeterministic under re-evaluation, and this plan feeds TWO
+        # subplans (the join and the anti-join) — without materialization
+        # a shuffled input could assign different ids per branch and
+        # corrupt the reattachment
+        left = left.withColumn(
+            "_rj_id", F.monotonically_increasing_id()
+        ).localCheckpoint(eager=False)
 
     lo = F.col(on_left) + F.lit(lower)
     hi = F.col(on_left) + F.lit(upper)

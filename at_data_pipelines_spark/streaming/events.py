@@ -256,8 +256,18 @@ def sessionize_to_lakehouse(
     passes its close, with all merges of late events already applied in
     the state store. The sink is then a plain PK upsert
     (``insert + optimize``), so a replayed micro-batch — or a full
-    re-feed with a fresh checkpoint — reconverges to the identical table
-    (effective exactly-once). Emission latency is bounded by the
+    re-feed with a fresh checkpoint that sees the SAME events inside the
+    watermark — reconverges to the identical table (effective
+    exactly-once). One honest caveat: reconvergence is keyed by
+    (user, session_start). If a replay observes DIFFERENT watermark
+    drops than the original run (e.g. a bridging late event was dropped
+    live but survives a single-batch replay, merging two sessions into
+    one), the merged session overwrites its own start key but the other
+    fragment's row remains — stale overlap that no insert-only keyed
+    sink can retract. That is inherent to append-mode session sinks;
+    the repair is the batch backfill (the q61 batch query overwriting
+    the affected horizon), same as any streaming/batch lambda pair.
+    Emission latency is bounded by the
     watermark delay; an infinite feed flushes continuously, a finite
     availableNow drain leaves sessions younger than the watermark
     horizon in state (they emit on the next run — or append a sentinel

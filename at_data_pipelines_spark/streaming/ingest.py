@@ -176,7 +176,6 @@ def ann_index_maintenance_stream(
 
     index = load_index(lake, prefix)
     lake.create(f"{prefix}_codes", _codes_schema(id_col), [], [id_col])
-    pending = {"batches": 0}
 
     def sink(batch: DataFrame, epoch_id: int) -> None:
         if batch.isEmpty():
@@ -187,10 +186,13 @@ def ann_index_maintenance_stream(
             lake.upsert(f"{prefix}_codes", encoded)
             return
         lake.insert(f"{prefix}_codes", encoded)
-        pending["batches"] += 1
-        if pending["batches"] >= compact_every:
+        # amortization cadence is derived from the MANIFEST (pending
+        # live-delta count), not a driver-local counter: a stream
+        # restart therefore resumes the cadence where the table actually
+        # is, instead of deferring compaction indefinitely under
+        # frequent restarts
+        if len(lake._load_meta(f"{prefix}_codes").live_deltas) >= compact_every:
             lake.optimize(f"{prefix}_codes")
-            pending["batches"] = 0
 
     writer = (
         vec_stream.writeStream.outputMode("update")

@@ -180,3 +180,45 @@ def test_range_join_left_nulls_and_duplicates_vs_duckdb(spark):
     matched_lids = set(got.loc[got.rid.notna(), "lid"])
     null_lids = set(got.loc[got.rid.isna(), "lid"])
     assert not (matched_lids & null_lids)
+
+
+def test_range_join_left_deterministic_under_shuffled_input(spark):
+    """r6 review: the left-outer surrogate id must be PINNED across the
+    join and anti-join branches even when the left side is produced by a
+    shuffle (aggregation) — re-evaluated monotonically_increasing_id
+    would corrupt the reattachment."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from at_data_pipelines_spark.ops.range_join import range_join
+
+    rng = random.Random(3)
+    raw = [(i, rng.randrange(0, 4), rng.randrange(0, 10_000), 1) for i in range(600)]
+    # left comes out of a groupBy (shuffle): nondeterministic row order
+    left = (
+        spark.createDataFrame(raw, ["lid", "k", "lts", "one"])
+        .groupBy("lid", "k", "lts")
+        .agg(F.sum("one").alias("n"))
+        .repartition(11)
+    )
+    right = spark.createDataFrame(
+        [(j, rng.randrange(0, 4), rng.randrange(0, 10_000)) for j in range(300)],
+        ["rid", "k", "rts"],
+    )
+    out = range_join(left, right, "lts", "rts", -500, 0, by=["k"], how="left")
+    rows = out.collect()
+    # per-left-row accounting: matched rows OR exactly one null row, never both
+    by_lid = {}
+    for r in rows:
+        by_lid.setdefault(r.lid, []).append(r.rid)
+    assert set(by_lid) == {t[0] for t in raw}  # every left row present
+    rvals = [(r.rid, r.k, r.rts) for r in right.collect()]
+    for lid, k, lts, _ in raw:
+        expect = sorted(rid for rid, rk, rts in rvals if rk == k and lts - 500 <= rts <= lts)
+        got = sorted(x for x in by_lid[lid] if x is not None)
+        if expect:
+            assert got == expect, f"lid={lid}"
+            assert None not in by_lid[lid], f"matched lid={lid} also null-padded"
+        else:
+            assert by_lid[lid] == [None], f"unmatched lid={lid} wrong: {by_lid[lid]}"

@@ -1211,3 +1211,56 @@ def test_jpeg_decode_filter_embed_ann(spark):
     }
     assert float(vecs[1] @ vecs[2]) > 0.99, "JPEG of same image far from its PNG twin"
     assert float(vecs[1] @ vecs[3]) < 0.9
+
+
+def test_jpeg_review_regressions():
+    """r6 review: (a) 0xFF fill bytes before markers are legal (T.81
+    B.1.1.2) and must parse; (b) a single-component frame declaring
+    sampling factors > 1 is a NON-interleaved scan (MCU = 1 data unit,
+    raster order) and must decode identically to the 1x1 declaration;
+    (c) multi-scan baseline files refuse honestly, not KeyError."""
+    import numpy as np
+    import pytest
+
+    from at_data_pipelines_spark.llmops.jpeg import decode_jpeg, encode_jpeg
+
+    gray = (np.add.outer(np.linspace(0, 200, 40), np.linspace(0, 55, 56))).astype(
+        np.uint8
+    )
+    buf = encode_jpeg(gray, quality=90)
+    base = decode_jpeg(buf)
+
+    # (a) insert fill bytes before the DQT marker
+    dqt_at = buf.index(b"\xff\xdb")
+    padded = buf[:dqt_at] + b"\xff\xff\xff" + buf[dqt_at:]
+    w, h, m, out = decode_jpeg(padded)
+    assert (w, h, m) == base[:3]
+    assert np.array_equal(out, base[3])
+
+    # (b) patch the lone component's sampling factors to 2x2: the scan is
+    # single-component hence non-interleaved — identical pixels
+    sof_at = buf.index(b"\xff\xc0")
+    patched = bytearray(buf)
+    assert patched[sof_at + 11] == 0x11  # id, THEN hv byte
+    patched[sof_at + 11] = 0x22
+    w2, h2, m2, out2 = decode_jpeg(bytes(patched))
+    assert (w2, h2, m2) == base[:3]
+    assert np.array_equal(out2, base[3])
+
+    # (c) RGB file whose SOS names only one component => multi-scan file
+    rgb = np.dstack([gray, gray, gray])
+    rbuf = encode_jpeg(rgb, quality=90)
+    sos_at = rbuf.index(b"\xff\xda")
+    seglen = int.from_bytes(rbuf[sos_at + 2 : sos_at + 4], "big")
+    seg = rbuf[sos_at + 4 : sos_at + 2 + seglen]
+    ns = seg[0]
+    assert ns == 3
+    new_seg = bytes([1]) + seg[1:3] + seg[1 + 2 * ns :]
+    new = (
+        rbuf[:sos_at + 2]
+        + (len(new_seg) + 2).to_bytes(2, "big")
+        + new_seg
+        + rbuf[sos_at + 2 + seglen :]
+    )
+    with pytest.raises(NotImplementedError, match="multi-scan"):
+        decode_jpeg(new)
