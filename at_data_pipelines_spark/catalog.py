@@ -109,6 +109,12 @@ class LegacyLayoutError(RuntimeError):
     parquet into a ``_seq=0`` generation and add the manifest fields."""
 
 
+class CheckViolationError(RuntimeError):
+    """A write produced rows violating a table CHECK constraint. Nothing
+    was committed: the offending generation directory is deleted (or at
+    worst left as a vacuumable orphan) and the manifest is untouched."""
+
+
 class SnapshotExpiredError(RuntimeError):
     """A time-travel read (``table(name, version=N)`` / ``restore``) named a
     manifest version whose data generations have been reclaimed — the
@@ -374,6 +380,10 @@ class TableMeta:
     # e.g. incremental view maintenance to record the last source
     # version applied; committed like any other manifest change.
     properties: dict = field(default_factory=dict)
+    # CHECK constraints: name -> SQL boolean expression every NEW
+    # generation must satisfy (validated post-write, pre-commit — a
+    # violating write deletes its generation and raises, nothing commits)
+    checks: dict = field(default_factory=dict)
 
     @property
     def schema(self) -> T.StructType:
@@ -595,6 +605,7 @@ class Lakehouse:
         mode: str = "skip",
         stats_columns: list[str] | None = None,
         retain_versions: int = 0,
+        checks: dict[str, str] | None = None,
     ) -> None:
         """Reference create modes (pipelines/portfolio_weights_flow.py:152-163):
         ``skip`` = CREATE TABLE IF NOT EXISTS, ``replace`` = CREATE OR REPLACE.
@@ -605,7 +616,12 @@ class Lakehouse:
         data skipping does. ``retain_versions=K`` keeps the data of the
         last K manifest versions readable via ``table(name, version=N)``
         (time travel) and restorable via ``restore``; 0 reclaims
-        superseded data eagerly (history stays as an audit log only)."""
+        superseded data eagerly (history stays as an audit log only).
+        ``checks`` are Delta-style CHECK constraints ({name: SQL boolean
+        expr}) enforced on every new generation insert/upsert/merge
+        writes — validated post-write pre-commit, so a violating batch
+        commits nothing (CheckViolationError). NULL check results count
+        as violations (a constraint must PROVE the row valid)."""
         if mode not in ("skip", "replace"):
             raise ValueError(f"mode must be 'skip' or 'replace', got {mode!r}")
         if self.exists(name):
@@ -629,6 +645,7 @@ class Lakehouse:
             primary_keys=list(primary_keys or []),
             stats_columns=list(stats_columns or []),
             retain_versions=int(retain_versions),
+            checks=dict(checks or {}),
         )
         self._save_meta(meta)
         self._archive_meta(meta, "create")
@@ -950,6 +967,8 @@ class Lakehouse:
         cols = [F.col(f.name).cast(f.dataType).alias(f.name) for f in declared.fields]
         seq = meta.next_seq
         token = self._write_seq(name, meta, df.select(*cols), seq)
+        if token is not None:
+            self._validate_checks(name, meta, seq)  # raises before any commit
         # an empty batch writes no directory (token is None) — it must not
         # enter the manifest, or readers would enumerate a nonexistent path
         wrote_rows = token is not None
@@ -1077,6 +1096,76 @@ class Lakehouse:
             r = df.agg(*aggs).collect()[0]
             out[self._zone_key(seq, "")] = self._row_stats(meta, r)
         return out
+
+    def _validate_checks(self, name: str, meta: TableMeta, seq: int) -> None:
+        """Enforce CHECK constraints on a freshly written generation
+        BEFORE its commit: one column-pruned aggregate over ONLY that
+        generation counts violations of every check at once (cost ∝ the
+        batch, never the table). On violation the generation directory
+        is deleted and CheckViolationError raised — the manifest never
+        names it, so readers are untouched and a crash mid-delete leaves
+        only a vacuumable orphan. NULL check results count as violations
+        (the constraint must PROVE the row valid, the SQL-standard-
+        opposite choice made deliberately: silently passing NULLs is how
+        bad rows sneak through)."""
+        seq_dir = self._seq_dir(name, seq)
+        if not meta.checks or not self.fs.exists(seq_dir):
+            return
+        schema_with_seq = T.StructType(
+            meta.schema.fields + [T.StructField(_SEQ_COL, T.LongType(), True)]
+        )
+        df = (
+            self.spark.read.schema(schema_with_seq)
+            .option("basePath", f"{self._dir(name)}/data")
+            .parquet(seq_dir)
+        )
+        aggs = [
+            F.sum(
+                F.when(~F.coalesce(F.expr(expr), F.lit(False)), 1).otherwise(0)
+            ).alias(f"__ck__{nm}")
+            for nm, expr in meta.checks.items()
+        ]
+        r = df.agg(*aggs).collect()[0]
+        bad = {
+            nm: int(r[f"__ck__{nm}"])
+            for nm in meta.checks
+            if (r[f"__ck__{nm}"] or 0) > 0
+        }
+        if bad:
+            self.fs.delete(seq_dir)
+            raise CheckViolationError(
+                f"table {name!r}: write violates CHECK constraints "
+                f"{ {k: f'{v} rows' for k, v in bad.items()} } — nothing committed"
+            )
+
+    def add_check(self, name: str, check_name: str, expr: str) -> None:
+        """Add a CHECK constraint to an existing table. The CURRENT data
+        must already satisfy it (one validation scan) — that preserves
+        the invariant that every committed generation passed its checks,
+        which is what lets writes validate only their own generation."""
+        meta = self._load_meta(name)
+        if check_name in meta.checks:
+            raise ValueError(f"check {check_name!r} already exists on {name!r}")
+        viol = (
+            self._read_raw(name, meta)
+            .filter(~F.coalesce(F.expr(expr), F.lit(False)))
+            .limit(1)
+            .count()
+        )
+        if viol:
+            raise CheckViolationError(
+                f"table {name!r}: existing rows violate {expr!r}; clean the "
+                "data (delete_where / merge) before adding the constraint"
+            )
+        meta.checks[check_name] = expr
+        self._commit_meta(meta, None, action=f"add_check({check_name})")
+
+    def drop_check(self, name: str, check_name: str) -> None:
+        meta = self._load_meta(name)
+        if check_name not in meta.checks:
+            raise ValueError(f"no check {check_name!r} on {name!r}")
+        del meta.checks[check_name]
+        self._commit_meta(meta, None, action=f"drop_check({check_name})")
 
     def _arrow_leaf_stats(self, meta: TableMeta, table) -> dict[str, list]:
         """Zone-map stats for one leaf, computed in-memory from the arrow
@@ -1545,6 +1634,7 @@ class Lakehouse:
         new_committed, new_zone = merged
         token = f"{seq_dir}/_attempt-{uuid.uuid4().hex}"
         self.fs.write_text(token, "")
+        self._validate_checks(name, meta, seq)  # raises before any commit
         old_committed = dict(meta.committed)
         meta.committed.update(new_committed)
         meta.next_seq = seq + 1
@@ -1656,6 +1746,7 @@ class Lakehouse:
                     )
             token = f"{seq_dir}/_attempt-{uuid.uuid4().hex}"
             self.fs.write_text(token, "")
+            self._validate_checks(name, meta, seq)  # raises before any commit
         if mode != "append":
             meta.committed = {}
             meta.live_deltas = []
@@ -1957,6 +2048,8 @@ class Lakehouse:
             .select(*cols)
         )
         token = self._write_seq(name, meta, merged, seq)
+        if token is not None:
+            self._validate_checks(name, meta, seq)  # raises before any commit
         old_committed = dict(meta.committed)
         old_deltas = list(meta.live_deltas)
         if meta.partition_keys:

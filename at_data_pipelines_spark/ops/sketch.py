@@ -74,3 +74,68 @@ def kmv_distinct(
         F.lit(float(k - 1)) / F.col("_kth")
     )
     return agg.select(*group_cols, F.round(est, 6).alias(out_col))
+
+
+def _cms_cells(col: F.Column | str, d: int, w: int, salt: str) -> F.Column:
+    """Array of (row, col) sketch coordinates for one value: row i uses
+    the 48-bit md5 of (value, salt, i) mod w — independent-enough hash
+    rows, each a plain SQL expression any engine reproduces exactly."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row"),
+                F.pmod(
+                    F.conv(
+                        F.substring(
+                            F.md5(F.concat(c.cast("string"), F.lit(salt), F.lit(str(i)))),
+                            1,
+                            12,
+                        ),
+                        16,
+                        10,
+                    ).cast("long"),
+                    F.lit(w),
+                ).alias("col"),
+            )
+            for i in range(d)
+        ]
+    )
+
+
+def cms_build(
+    df: DataFrame, value_col: str, d: int = 4, w: int = 1024, salt: str = "cms"
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) of value
+    frequencies: d hash rows × w counters as a (row, col, cnt)
+    DataFrame of at most d·w rows — a fixed-size summary of an
+    arbitrarily large stream, mergeable by simple cnt addition.
+    Estimates only ever OVER-count (collisions add), by ≤ n·e/w with
+    probability 1-e^-d. Like the KMV sketch, the hashes are md5-derived
+    SQL expressions, so an external engine reproduces the sketch and
+    its estimates bit-for-bit (the oracle for q68)."""
+    cells = df.select(
+        F.explode(_cms_cells(value_col, d, w, salt)).alias("c")
+    ).select("c.row", "c.col")
+    return cells.groupBy("row", "col").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    items: DataFrame,
+    value_col: str,
+    d: int = 4,
+    w: int = 1024,
+    salt: str = "cms",
+    out_col: str = "est",
+) -> DataFrame:
+    """Point-frequency estimate for each item: min over the d probed
+    counters (absent counter = 0). The sketch side is ≤ d·w rows —
+    broadcast — so estimating any number of items is one map-side join."""
+    probes = items.select(
+        value_col, F.explode(_cms_cells(value_col, d, w, salt)).alias("c")
+    ).select(value_col, "c.row", "c.col")
+    joined = probes.join(F.broadcast(sketch), ["row", "col"], "left").fillna(
+        {"cnt": 0}
+    )
+    return joined.groupBy(value_col).agg(F.min("cnt").alias(out_col))

@@ -101,6 +101,9 @@ PYTEST_ONLY: list[str] = [
     # r6: deterministic A-ES weighted reservoir (llmops/sampling.py) —
     # even the sampling sits under the exact hash-parity oracle
     "q67_weighted_sample",
+    # r6: count-min heavy hitters (ops/sketch.py) — the frequency-domain
+    # sibling of q66's KMV, same engine-reproducible md5 hashing
+    "q68_cms_heavy_hitters",
 ]
 
 GATE_SIZE = 50

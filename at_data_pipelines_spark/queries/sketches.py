@@ -87,3 +87,47 @@ def q67_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "doc_id", "n_chars")
         .orderBy("source", "doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# q68 — count-min heavy hitters: users with an estimated >= 80 events via
+#        a 4x1024 CMS. The oracle rebuilds the identical sketch (same md5
+#        row hashes, same min-over-rows estimator) — the second
+#        engine-reproducible sketch family (frequency, next to q66's
+#        cardinality), both under the exact hash-parity gate.
+# --------------------------------------------------------------------------
+@register(
+    "q68_cms_heavy_hitters",
+    oracle="""
+    WITH rows_i AS (SELECT unnest([0, 1, 2, 3]) AS i),
+    cells AS (
+      SELECT i,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR) || 'cms' || i), 1, 12))::BIGINT
+               % 1024 AS col
+      FROM events CROSS JOIN rows_i
+    ),
+    sk AS (SELECT i, col, COUNT(*) AS cnt FROM cells GROUP BY 1, 2),
+    cand AS (SELECT DISTINCT user_id FROM events),
+    probes AS (
+      SELECT user_id, i,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR) || 'cms' || i), 1, 12))::BIGINT
+               % 1024 AS col
+      FROM cand CROSS JOIN rows_i
+    ),
+    est AS (
+      SELECT user_id, MIN(COALESCE(cnt, 0)) AS est
+      FROM probes LEFT JOIN sk USING (i, col) GROUP BY user_id
+    )
+    SELECT user_id, est FROM est WHERE est >= 80 ORDER BY user_id
+    """,
+)
+def q68_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..ops.sketch import cms_build, cms_estimate
+
+    e = load_table(spark, sf_dir, "events")
+    sketch = cms_build(e, "user_id")
+    cand = e.select("user_id").distinct()
+    est = cms_estimate(sketch, cand, "user_id")
+    return est.filter(F.col("est") >= 80).orderBy("user_id")

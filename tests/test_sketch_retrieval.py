@@ -310,3 +310,51 @@ def test_pagerank_dangling_nodes_conserve_mass(spark):
     }
     assert abs(sum(got.values()) - 6) < 1e-9
     assert got[9] == max(got.values())
+
+
+# -- count-min sketch ------------------------------------------------------
+
+
+def test_cms_never_underestimates_and_exact_when_wide(spark):
+    from collections import Counter
+
+    from at_data_pipelines_spark.ops.sketch import cms_build, cms_estimate
+
+    vals = [i % 37 for i in range(3000)]  # 37 distinct, skewed none
+    vals += [999] * 500  # one heavy hitter
+    true = Counter(vals)
+    df = spark.createDataFrame([(v,) for v in vals], ["x"])
+    items = df.distinct()
+    # narrow sketch: only-overestimates property
+    sk = cms_build(df, "x", d=4, w=64)
+    est = {r.x: r.est for r in cms_estimate(sk, items, "x", d=4, w=64).collect()}
+    assert set(est) == set(true)
+    for v, t in true.items():
+        assert est[v] >= t, f"underestimate for {v}"
+    # wide sketch: no collisions => exact
+    sk2 = cms_build(df, "x", d=4, w=65536)
+    est2 = {
+        r.x: r.est
+        for r in cms_estimate(sk2, items, "x", d=4, w=65536).collect()
+    }
+    assert est2 == dict(true)
+
+
+def test_cms_is_mergeable(spark):
+    """Sketches of two shards merged by counter addition equal the sketch
+    of the union — the property that makes CMS a distributed/streaming
+    summary."""
+    from at_data_pipelines_spark.ops.sketch import cms_build
+
+    a = spark.createDataFrame([(i % 11,) for i in range(400)], ["x"])
+    b = spark.createDataFrame([(i % 7,) for i in range(300)], ["x"])
+    merged = (
+        cms_build(a, "x", d=3, w=128)
+        .unionByName(cms_build(b, "x", d=3, w=128))
+        .groupBy("row", "col")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = cms_build(a.unionByName(b), "x", d=3, w=128)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )

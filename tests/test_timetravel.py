@@ -811,3 +811,62 @@ def test_zorder_rejects_non_numeric_column(lake, spark):
         lake.optimize("t", zorder_by=["s"], full=True)
     with pytest.raises(ValueError, match="must be numeric"):
         lake.optimize("t", zorder_by=["d"], full=True)
+
+
+# -- CHECK constraints -----------------------------------------------------
+
+
+def test_check_constraints_block_bad_writes_on_all_paths(lake, spark):
+    from at_data_pipelines_spark.catalog import CheckViolationError
+
+    lake.create(
+        "t", SCHEMA, ["year"], ["k", "year"],
+        checks={"v_nonneg": "v >= 0", "k_bounded": "k < 100000"},
+    )
+    lake.upsert("t", _batch(spark, 0, 20, 2023))  # valid (fast path)
+    n0 = lake.table("t").count()
+    bad = _batch(spark, 20, 25, 2023, vbase=-1e6)  # v < 0
+    # fast upsert path
+    with pytest.raises(CheckViolationError, match="v_nonneg"):
+        lake.upsert("t", bad)
+    # fast insert path
+    with pytest.raises(CheckViolationError, match="v_nonneg"):
+        lake.insert("t", bad)
+    # distributed insert path (above the probe cap)
+    big_bad = _batch(spark, 0, Lakehouse._FAST_UPSERT_MAX_ROWS + 100, 2023).withColumn(
+        "v", F.lit(-1.0)
+    )
+    with pytest.raises(CheckViolationError, match="v_nonneg"):
+        lake.insert("t", big_bad)
+    # merge path
+    with pytest.raises(CheckViolationError, match="v_nonneg"):
+        lake.merge("t", bad)
+    # NOTHING committed by any failed attempt; manifest and data intact
+    assert lake.table("t").count() == n0
+    meta = lake._load_meta("t")
+    assert meta.live_deltas == [] or lake.table("t").count() == n0
+    # NULL check result counts as a violation
+    withnull = _batch(spark, 30, 32, 2023).withColumn("v", F.lit(None).cast("double"))
+    with pytest.raises(CheckViolationError, match="v_nonneg"):
+        lake.insert("t", withnull)
+    # failed generations are vacuumable orphans at worst
+    lake.vacuum("t")
+    assert lake.table("t").count() == n0
+
+
+def test_add_and_drop_check(lake, spark):
+    from at_data_pipelines_spark.catalog import CheckViolationError
+
+    lake.create("t", SCHEMA, ["year"], ["k", "year"])
+    lake.upsert("t", _batch(spark, 0, 10, 2023))
+    # adding a check the data violates refuses
+    with pytest.raises(CheckViolationError, match="existing rows"):
+        lake.add_check("t", "v_big", "v > 100")
+    lake.add_check("t", "v_nonneg", "v >= 0")
+    with pytest.raises(CheckViolationError, match="v_nonneg"):
+        lake.upsert("t", _batch(spark, 50, 55, 2023, vbase=-1e6))
+    lake.drop_check("t", "v_nonneg")
+    lake.upsert("t", _batch(spark, 50, 55, 2023, vbase=-1e6))  # now passes
+    assert lake.table("t").filter(F.col("v") < 0).count() == 5
+    acts = [h["action"] for h in lake.history("t")]
+    assert "add_check(v_nonneg)" in acts and "drop_check(v_nonneg)" in acts
