@@ -316,15 +316,30 @@ def stream_to_lakehouse(
     table: str,
     checkpoint_dir: str,
     available_now: bool = True,
+    compact_every: int = 1,
 ):
     """foreachBatch upsert sink: each micro-batch runs the Lakehouse
     append + PK-dedup optimize, so replayed batches are idempotent
-    (exactly-once effect on the table)."""
+    (exactly-once effect on the table).
+
+    ``compact_every=N>1`` is the LSM shape (same knob as the ANN ingest
+    sink): each batch is an O(batch) append-only insert and the PK
+    compaction runs only when the manifest's pending-delta count
+    reaches N — amortized to O(table/N), restart-proof because the
+    cadence is read from the manifest, not a driver counter. Between
+    compactions readers see append semantics (PK duplicates resolve at
+    the next optimize); use the default for strongest per-batch
+    guarantees."""
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        lake.upsert(table, batch_df)
+        if compact_every <= 1:
+            lake.upsert(table, batch_df)
+            return
+        lake.insert(table, batch_df)
+        if len(lake._load_meta(table).live_deltas) >= compact_every:
+            lake.optimize(table)
 
     writer = agg.writeStream.outputMode("update").foreachBatch(sink).option(
         "checkpointLocation", checkpoint_dir

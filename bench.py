@@ -54,6 +54,15 @@ HEADLINE = [
     "q48_cosine_top5",
 ]
 
+# round-6 additions, timed as their OWN cohort and reported separately —
+# the 16-query headline total stays comparable round-over-round
+EXTRAS = [
+    "q65_bm25_search",
+    "q66_kmv_distinct_users",
+    "q67_weighted_sample",
+    "q68_cms_heavy_hitters",
+]
+
 
 def bench_commit_overhead(spark) -> dict[str, float]:
     """Micro-benchmark of the lakehouse commit path: tiny upserts into a
@@ -162,7 +171,9 @@ def bench_pipelines(spark, runs: int = 2) -> dict[str, dict[str, float]]:
     }
 
 
-def bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, dict[str, float]]]:
+def bench_queries(
+    spark, sf_dir: str, names: list[str] | None = None
+) -> tuple[dict[str, float], dict[str, dict[str, float]]]:
     """min-of-N warm runs per query, with per-query spread reported so
     round-over-round deltas are attributable to plans vs session noise
     (r2 showed an unexplainable uniform +12% drift under min-of-2)."""
@@ -180,7 +191,7 @@ def bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, dict[
     # 2.36 s, identical plan and rows); counting JIT tiers as "spread"
     # misattributes compiler warm-up to plan noise
     warmups = int(os.environ.get("SPARK_GRAFT_BENCH_WARMUPS", "2"))
-    for name in HEADLINE:
+    for name in names if names is not None else HEADLINE:
         if name not in QUERIES:
             continue
         samples: list[float] = []
@@ -216,6 +227,9 @@ def run_cohort(cohort: str, sf_dir: str) -> None:
     elif cohort == "queries":
         timings, stats = bench_queries(spark, sf_dir)
         out = {"queries": timings, "query_stats": stats}
+    elif cohort == "extras":
+        timings, stats = bench_queries(spark, sf_dir, names=EXTRAS)
+        out = {"extras": timings, "extras_stats": stats}
     else:
         raise SystemExit(f"unknown cohort {cohort!r}")
     print(json.dumps(out))
@@ -253,7 +267,7 @@ def main() -> None:
     # orchestrate: one fresh JVM per cohort so no cohort inherits another's
     # session pressure; order no longer matters, kept stable for logs
     merged: dict = {}
-    for cohort in ("pipelines", "commit", "queries"):
+    for cohort in ("pipelines", "commit", "queries", "extras"):
         merged.update(_run_isolated(cohort, sf_dir))
 
     timings = merged.get("queries", {})
@@ -266,6 +280,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "query_stats": merged.get("query_stats", {}),
+                "extras": merged.get("extras", {}),
+                "extras_stats": merged.get("extras_stats", {}),
                 "pipelines": {
                     k: v["min"] for k, v in merged.get("pipeline_stats", {}).items()
                 },

@@ -602,3 +602,35 @@ def test_windowed_distinct_users_matches_batch_kmv(spark, sf_dir, tmp_path):
     assert got == exp
     # bounded state: never more than k hashes per group
     assert (emitted["state_size"] <= 32).all()
+
+
+def test_stream_to_lakehouse_lsm_mode(spark, sf_dir, tmp_path, events_stream):
+    """compact_every=N: append-only batches with amortized PK compaction
+    must converge (after a final optimize) to the same table the
+    per-batch-upsert mode produces."""
+    lake = Lakehouse(spark, str(tmp_path / "lake"))
+    schema = T.StructType(
+        [
+            T.StructField("window_start", T.TimestampType()),
+            T.StructField("window_end", T.TimestampType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("total_value", T.DoubleType()),
+        ]
+    )
+    for t in ("rollup_upsert", "rollup_lsm"):
+        lake.create(t, schema, [], ["window_start", "event_type"])
+    q = stream_to_lakehouse(
+        windowed_aggregation(events_stream), lake, "rollup_upsert",
+        str(tmp_path / "ck_u"),
+    )
+    q.awaitTermination(120)
+    q = stream_to_lakehouse(
+        windowed_aggregation(events_stream), lake, "rollup_lsm",
+        str(tmp_path / "ck_l"), compact_every=4,
+    )
+    q.awaitTermination(120)
+    lake.optimize("rollup_lsm")  # close the final partial window
+    a = sorted(map(tuple, lake.table("rollup_upsert").collect()))
+    b = sorted(map(tuple, lake.table("rollup_lsm").collect()))
+    assert a == b
