@@ -43,12 +43,25 @@ def main(argv: list[str] | None = None) -> int:
     cu.add_argument("--redact", action="store_true")
     lk = sub.add_parser("lake", help="table maintenance")
     lk.add_argument("--lake", required=True)
-    lk.add_argument("op", choices=["history", "analyze", "optimize", "restore", "vacuum"])
+    lk.add_argument(
+        "op",
+        choices=[
+            "history",
+            "analyze",
+            "optimize",
+            "restore",
+            "vacuum",
+            "changes",
+            "properties",
+        ],
+    )
     lk.add_argument("table", nargs="?", default=None)
     lk.add_argument("--zorder", default=None, help="comma-separated Z-order columns")
     lk.add_argument("--zorder-files", type=int, default=8)
     lk.add_argument("--full", action="store_true", help="optimize: rewrite all partitions")
     lk.add_argument("--version", type=int, default=None, help="restore target version")
+    lk.add_argument("--since", type=int, default=None, help="changes: from version")
+    lk.add_argument("--to", type=int, default=None, help="changes: to version (default current)")
     args = p.parse_args(argv)
 
     if args.cmd == "lake":
@@ -84,6 +97,14 @@ def main(argv: list[str] | None = None) -> int:
                 p.error("restore requires --version")
             lake.restore(args.table, args.version)
             print(f"restored {args.table} to v{args.version}")
+        elif args.op == "changes":
+            if args.since is None:
+                p.error("changes requires --since")
+            ch = lake.table_changes(args.table, args.since, to_version=args.to)
+            for row in ch.toJSON().collect():
+                print(row)
+        elif args.op == "properties":
+            print(json.dumps(lake.get_properties(args.table)))
         else:
             removed = lake.vacuum(args.table)
             print(json.dumps({"removed": removed}))

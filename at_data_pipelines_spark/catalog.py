@@ -293,29 +293,39 @@ def _zone_excludes(stats: dict, where: dict) -> bool:
     return False
 
 
-def _morton_expr(cols: list[str], bounds: dict[str, tuple], bits: int = 10):
-    """Z-order (Morton) interleave of up to a few numeric columns: each
-    value is bucketed into 2^bits uniform buckets between its column's
-    observed min/max, and the bucket bits are interleaved into one long.
-    Sorting by this value gives multi-dimensional locality — rows close
-    in EVERY dimension land in the same file, which is what makes
-    per-file min/max boxes tight in all dimensions at once (a PK sort
-    only tightens the leading column). Pure codegen arithmetic:
+def _zorder_ordinal(dtype) -> "F.Column":
+    """Order-preserving double-valued expression for a Z-order column:
+    numerics cast directly; dates become epoch days, timestamps epoch
+    micros (UTC session — ordering is tz-independent either way)."""
+
+    def make(c: str) -> F.Column:
+        if isinstance(dtype, T.DateType):
+            return F.unix_date(F.col(c)).cast("double")
+        if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+            return F.unix_micros(F.col(c).cast("timestamp")).cast("double")
+        return F.col(c).cast("double")
+
+    return make
+
+
+def _morton_expr(cols: list[tuple["F.Column", float, float]], bits: int = 10):
+    """Z-order (Morton) interleave of up to a few columns, given as
+    (ordinal double expression, observed lo, observed hi): each value is
+    bucketed into 2^bits uniform buckets between its column's observed
+    min/max, and the bucket bits are interleaved into one long. Sorting
+    by this value gives multi-dimensional locality — rows close in
+    EVERY dimension land in the same file, which is what makes per-file
+    min/max boxes tight in all dimensions at once (a PK sort only
+    tightens the leading column). Pure codegen arithmetic:
     width_bucket + shift/or, no UDF."""
     n = 1 << bits
     total = F.lit(0).cast("long")
-    for ci, c in enumerate(cols):
-        lo, hi = bounds[c]
+    nd = len(cols)
+    for ci, (expr, lo, hi) in enumerate(cols):
         if lo is None or hi is None or not float(hi) > float(lo):
             continue  # constant/empty column contributes no bits
         bkt = (
-            F.width_bucket(
-                F.col(c).cast("double"),
-                F.lit(float(lo)),
-                F.lit(float(hi)),
-                F.lit(n),
-            )
-            - 1
+            F.width_bucket(expr, F.lit(float(lo)), F.lit(float(hi)), F.lit(n)) - 1
         )
         bkt = F.greatest(
             F.lit(0).cast("long"),
@@ -323,7 +333,7 @@ def _morton_expr(cols: list[str], bounds: dict[str, tuple], bits: int = 10):
         )
         for i in range(bits):
             bit = F.shiftright(bkt, i).bitwiseAND(F.lit(1))
-            total = total.bitwiseOR(F.shiftleft(bit, i * len(cols) + ci))
+            total = total.bitwiseOR(F.shiftleft(bit, i * nd + ci))
     return total
 
 
@@ -1451,11 +1461,13 @@ class Lakehouse:
                     raise ValueError(f"zorder column {c!r} not in schema")
                 if c in meta.partition_keys:
                     raise ValueError(f"zorder column {c!r} is a partition key")
-                if not isinstance(meta.schema[c].dataType, T.NumericType):
+                if not isinstance(
+                    meta.schema[c].dataType,
+                    (T.NumericType, T.DateType, T.TimestampType, T.TimestampNTZType),
+                ):
                     raise ValueError(
-                        f"zorder column {c!r} must be numeric "
-                        f"(got {meta.schema[c].dataType.simpleString()}); "
-                        "derive an epoch/ordinal column for dates"
+                        f"zorder column {c!r} must be numeric or date/"
+                        f"timestamp (got {meta.schema[c].dataType.simpleString()})"
                     )
         raw = self._read_raw(name, meta)
         if meta.partition_keys and not meta.all_dirty:
@@ -1470,14 +1482,22 @@ class Lakehouse:
             # scan — a cheap column min/max — then rows range-partition
             # and sort on the Morton code, so each output file is a tight
             # box in every Z dimension
+            ordinals = {
+                c: _zorder_ordinal(meta.schema[c].dataType)(c) for c in zorder_by
+            }
             baggs = []
             for c in zorder_by:
-                baggs += [F.min(c).alias(f"__mn__{c}"), F.max(c).alias(f"__mx__{c}")]
+                baggs += [
+                    F.min(ordinals[c]).alias(f"__mn__{c}"),
+                    F.max(ordinals[c]).alias(f"__mx__{c}"),
+                ]
             b = raw.agg(*baggs).collect()[0]
-            bounds = {c: (b[f"__mn__{c}"], b[f"__mx__{c}"]) for c in zorder_by}
+            zcols = [
+                (ordinals[c], b[f"__mn__{c}"], b[f"__mx__{c}"]) for c in zorder_by
+            ]
             n_rewritten = len(meta.dirty_partitions) or len(meta.committed) or 1
             nparts = n_rewritten * int(zorder_files)
-            deduped = deduped.withColumn("_z", _morton_expr(zorder_by, bounds))
+            deduped = deduped.withColumn("_z", _morton_expr(zcols))
             range_keys = [F.col(k) for k in meta.partition_keys] + [F.col("_z")]
             deduped = (
                 deduped.repartitionByRange(nparts, *range_keys)

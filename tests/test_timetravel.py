@@ -563,6 +563,14 @@ def test_lake_cli_admin_ops(lake, spark, capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert "removed" in out
 
+    assert main(["lake", "--lake", root, "changes", "t",
+                 "--since", "1", "--to", "2"]) == 0
+    lines = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    assert lines and all("_change_type" in r for r in lines)
+
+    assert main(["lake", "--lake", root, "properties", "t"]) == 0
+    assert isinstance(json.loads(capsys.readouterr().out.strip().splitlines()[-1]), dict)
+
 
 def test_restore_loses_race_to_concurrent_writer(lake, spark):
     """restore commits through the same optimistic-concurrency gate as
@@ -809,8 +817,10 @@ def test_zorder_rejects_non_numeric_column(lake, spark):
     lake.insert("t", _batch(spark, 0, 10, 2023))
     with pytest.raises(ValueError, match="must be numeric"):
         lake.optimize("t", zorder_by=["s"], full=True)
-    with pytest.raises(ValueError, match="must be numeric"):
-        lake.optimize("t", zorder_by=["d"], full=True)
+    # dates ARE supported (epoch-day ordinal): correctness + d-pruning
+    lake.optimize("t", zorder_by=["d", "k"], zorder_files=4, full=True)
+    got = lake.table("t").orderBy("k").collect()
+    assert [r.k for r in got] == list(range(10))
 
 
 # -- CHECK constraints -----------------------------------------------------
