@@ -59,13 +59,22 @@ def curate_corpus(
     (``redact=True`` — applied last, so dedup keys/filters see the
     original text).
     """
+    in_cols = list(df.columns)  # the curated output keeps the INPUT schema
     n0 = df.count()
+
+    def _pin(d: DataFrame) -> DataFrame:
+        # each funnel stage is counted AND consumed by the next stage:
+        # without materialization every count re-executes all prior
+        # stages (O(stages^2) scans/shuffles of the corpus). A lazy
+        # localCheckpoint materializes each stage once, at its count.
+        return d.localCheckpoint(eager=False)
 
     if allowed_langs:
         if lang_col and lang_col in df.columns:
             df = df.filter(F.col(lang_col).isin(allowed_langs))
         else:
             df = langid(df, text_col).filter(F.col("lang_pred").isin(allowed_langs))
+    df = _pin(df)
     n_lang = df.count()
 
     df = quality_features(df, text_col).filter(
@@ -73,6 +82,7 @@ def curate_corpus(
         & (F.col("n_tokens") <= max_tokens)
         & (F.col("stopword_ratio") <= max_stopword_ratio)
     )
+    df = _pin(df)
     n_quality = df.count()
 
     if max_top_gram_frac is not None:
@@ -83,6 +93,7 @@ def curate_corpus(
         lm = unigram_logprob_score(df, text_col, id_col)
         garbage = lm.filter(F.col("mean_logprob") < min_mean_logprob).select(id_col)
         df = df.join(garbage, id_col, "left_anti")
+    df = _pin(df)
     n_repetition = df.count()
 
     if eval_docs is not None:
@@ -90,25 +101,30 @@ def curate_corpus(
             df, eval_docs, text_col, id_col, decontaminate_ngram
         ).select(id_col)
         df = df.join(tainted, id_col, "left_anti")
+    df = _pin(df)
     n_decontaminated = df.count()
 
     # exact dedup: keep the lowest id per content digest
     keep_exact = exact_dedup(df, text_col, id_col).select(
         F.col("keep_id").alias(id_col)
     )
-    df = df.join(keep_exact, id_col, "left_semi")
+    df = _pin(df.join(keep_exact, id_col, "left_semi"))
     n_exact = df.count()
 
     # near-dup clusters: keep the canonical (min-id) doc per cluster
     clusters = dedup_clusters(df, text_col, id_col, near_dup_threshold)
     keepers = clusters.filter(F.col(id_col) == F.col("cluster")).select(id_col)
-    curated = df.join(keepers, id_col, "left_semi")
+    curated = _pin(df.join(keepers, id_col, "left_semi"))
     n_near = curated.count()
 
     if target_mixture:
         curated = mixture_sample(curated, target_mixture, mixture_col, id_col)
     n_final = curated.count()
 
+    # drop intermediate feature columns (n_tokens, stopword_ratio,
+    # lang_pred, ...) — the curated corpus keeps the INPUT schema, plus
+    # only the explicitly requested 'split' column below
+    curated = curated.select(*in_cols)
     if val_frac is not None:
         curated = deterministic_split(curated, id_col, val_frac)
     if redact:

@@ -460,6 +460,15 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # exhausted max_iter with labels still moving: silently returning
+        # would split one true component into several "canonical" ids and
+        # under-dedup with no signal — refuse instead
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(component diameter exceeds the iteration budget); raise "
+            "max_iter or use connected_components_star (O(log^2) rounds)"
+        )
     return labels.select(F.col("node").alias(node_col), F.col("label").alias("cluster"))
 
 

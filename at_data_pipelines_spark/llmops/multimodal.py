@@ -122,8 +122,26 @@ def _decode_bmp(buf: bytes) -> tuple[int, int, str, np.ndarray]:
     raster = np.frombuffer(buf, np.uint8, count=stride * h, offset=file_off)
     rows = raster.reshape(h, stride)
     if bpp == 8:
-        px = rows[:, :w]
-        mode = "L"
+        # 8-bit BMP pixels are PALETTE INDICES, not intensities: apply
+        # the color table (at 14+hdr_size, BGRA entries). A gray-ramp
+        # palette yields mode 'L'; any other palette decodes to its true
+        # RGB colors — returning raw indices would silently corrupt any
+        # indexed-color or inverted-gray image
+        clr_used = struct.unpack("<I", buf[46:50])[0] or 256
+        pal_off = 14 + hdr_size
+        pal = (
+            np.frombuffer(buf, np.uint8, count=clr_used * 4, offset=pal_off)
+            .reshape(clr_used, 4)[:, :3][:, ::-1]  # BGRA -> RGB
+        )
+        idx = rows[:, :w]
+        if idx.max(initial=0) >= clr_used:
+            raise ValueError("BMP pixel index outside its color table")
+        if bool(np.all(pal[:, 0] == pal[:, 1]) and np.all(pal[:, 1] == pal[:, 2])):
+            px = pal[idx, 0]
+            mode = "L"
+        else:
+            px = pal[idx]
+            mode = "RGB"
     else:
         px = rows[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR → RGB
         mode = "RGB"
@@ -304,15 +322,69 @@ def decode_image(buf: bytes) -> tuple[int, int, str, np.ndarray | None]:
     )
 
 
+def probe_image(buf: bytes) -> tuple[int, int, str]:
+    """HEADER-ONLY (width, height, mode): no raster decode, no inflate,
+    no entropy decoding — the cheap sniff a resolution/mode pre-filter
+    over a large corpus needs. Falls back to the full decoder only for
+    formats without a parseable header."""
+    buf = bytes(buf)
+    if buf[:2] == b"BM":
+        hdr_size, w, h = struct.unpack("<Iii", buf[14:26])
+        bpp = struct.unpack("<H", buf[28:30])[0]
+        if bpp == 24:
+            return w, abs(h), "RGB"
+        if bpp == 8:
+            clr_used = struct.unpack("<I", buf[46:50])[0] or 256
+            pal = np.frombuffer(
+                buf, np.uint8, count=clr_used * 4, offset=14 + hdr_size
+            ).reshape(clr_used, 4)
+            gray = bool(
+                np.all(pal[:, 0] == pal[:, 1]) and np.all(pal[:, 1] == pal[:, 2])
+            )
+            return w, abs(h), "L" if gray else "RGB"
+    elif buf[:2] in (b"P5", b"P6"):
+        toks = buf[2:200].split()
+        return int(toks[0]), int(toks[1]), "L" if buf[:2] == b"P5" else "RGB"
+    elif buf[:8] == _PNG_SIG:
+        w, h = struct.unpack(">II", buf[16:24])
+        color_type = buf[25]
+        return w, h, {0: "L", 2: "RGB"}.get(color_type, f"CT{color_type}")
+    elif buf[:2] == b"\xff\xd8":
+        pos = 2
+        while pos + 4 <= len(buf):
+            if buf[pos] != 0xFF:
+                break
+            while buf[pos + 1] == 0xFF:
+                pos += 1
+            marker = buf[pos + 1]
+            pos += 2
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                continue
+            if marker == 0xD9 or marker == 0xDA:
+                break
+            (seglen,) = struct.unpack(">H", buf[pos : pos + 2])
+            if marker in (0xC0, 0xC1, 0xC2):  # SOF: dims live here
+                _, h, w, nc = struct.unpack(">BHHB", buf[pos + 2 : pos + 8])
+                return w, h, "L" if nc == 1 else "RGB"
+            pos += seglen
+    elif buf[:4] == b"FAKE":
+        mode, w, h = struct.unpack("<BII", buf[4:13])
+        return w, h, {1: "L", 3: "RGB"}.get(mode, f"M{mode}")
+    w, h, mode, _ = decode_image(buf)  # fallback: full decode
+    return w, h, mode
+
+
 def decode_image_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
-    """Decode image metadata from payloads (mapInPandas, Arrow batches;
-    BMP/PPM headers are parsed directly, FAKE is the plumbing stub)."""
+    """Image metadata from payloads (mapInPandas, Arrow batches) via the
+    HEADER-ONLY probe — a metadata/resolution pass over a corpus must
+    not pay pixel decodes (PNG inflate, JPEG Huffman) for fields the
+    headers already carry."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, buf in zip(pdf["media_id"], pdf[payload_col]):
-                w, h, mode, _ = decode_image(bytes(buf))
+                w, h, mode = probe_image(bytes(buf))
                 rows.append((int(mid), w, h, mode, len(buf)))
             yield pd.DataFrame(
                 rows, columns=["media_id", "width", "height", "mode", "payload_bytes"]

@@ -110,5 +110,10 @@ def pack_sequences(
         )
         return res
 
-    out_schema = f"{id_col} long, n_tokens long, seq_id long, pos int, overflow boolean"
+    # pass the id through with its INPUT type — corpora with string/UUID
+    # ids are first-class everywhere else in llmops
+    id_dt = df.schema[id_col].dataType.simpleString()
+    out_schema = (
+        f"{id_col} {id_dt}, n_tokens long, seq_id long, pos int, overflow boolean"
+    )
     return keyed.groupBy("_pid").applyInPandas(pack, out_schema)

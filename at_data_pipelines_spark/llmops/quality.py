@@ -40,6 +40,11 @@ class TokenClassifier:
     prior_logit: float
     n_buckets: int
     salt: str
+    # NB log-odds of a bucket with ZERO training tokens: both class
+    # likelihoods collapse to the smoothing mass, leaving
+    # log(tn + s*B) - log(tp + s*B) — nonzero whenever the class token
+    # totals are imbalanced (0.0 only in the balanced case)
+    unseen_log_odds: float = 0.0
 
 
 def _bucket(token_col, n_buckets: int, salt: str):
@@ -91,7 +96,7 @@ def train_token_classifier(
         F.sum(lbl).alias("p"), F.sum(1 - lbl).alias("n")
     ).collect()[0]
     prior = log((int(n_docs.p) + smoothing) / (int(n_docs.n) + smoothing))
-    return TokenClassifier(model, prior, n_buckets, salt)
+    return TokenClassifier(model, prior, n_buckets, salt, denom_n - denom_p)
 
 
 def score_token_classifier(
@@ -101,9 +106,11 @@ def score_token_classifier(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Score every document: ``(id, quality_logit)``, higher = more like
-    the positive class. Unseen buckets contribute the smoothed prior
-    ratio (≈ 0 when class token totals are balanced; exactly the NB
-    unseen-token term). One explode + broadcast model join + one
+    the positive class. Unseen buckets contribute the smoothed
+    unseen-token term ``log(tn+sB) - log(tp+sB)`` (``≈ 0`` only when
+    class token totals are balanced) — a garbage/unseen-vocabulary
+    document is pushed toward the SMALLER class per token, exactly as
+    the NB model dictates. One explode + broadcast model join + one
     groupBy — no Python anywhere.
 
     EVERY corpus document gets a row: a token-less document (empty or
@@ -119,7 +126,9 @@ def score_token_classifier(
     )
     joined = keyed.join(F.broadcast(clf.model), "bucket", "left")
     sums = joined.groupBy(id_col).agg(
-        F.sum(F.coalesce(F.col("log_odds"), F.lit(0.0))).alias("_s")
+        F.sum(
+            F.coalesce(F.col("log_odds"), F.lit(clf.unseen_log_odds))
+        ).alias("_s")
     )
     return (
         corpus.select(id_col)

@@ -38,7 +38,12 @@ def bm25_per_term(
     fixed order (see q65) instead of a float SUM aggregate."""
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
-    toks = F.split(F.col(text_col), " ")
+    # split on ANY whitespace run and drop empties: a newline-separated
+    # document must still match its terms, and runs of spaces must not
+    # inflate dl with empty tokens
+    toks = F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda t: t != F.lit("")
+    )
     base = docs.select(F.col(id_col).alias("doc_id"), toks.alias("_toks"))
     dl = base.select("doc_id", F.size("_toks").alias("dl"))
     corpus = dl.agg(

@@ -151,12 +151,14 @@ def cosine_threshold_pairs_blocked(
     pair_schema = f"id_a {id_type}, id_b {id_type}"
     blk = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks))
     partners = F.explode(F.array([F.lit(i) for i in range(n_blocks)])).alias("p")
+    # each vector lands in a block-pair group (lo, hi) exactly once per
+    # distinct partner value — no dedup filter is needed (and none would
+    # do anything: either blk or p IS the least by construction)
     keyed = (
         emb.withColumn("blk", blk)
         .select(id_col, vec_col, "blk", partners)
         .withColumn("lo", F.least("blk", "p"))
         .withColumn("hi", F.greatest("blk", "p"))
-        .where((F.col("blk") == F.col("lo")) | (F.col("p") == F.col("lo")))
     )
     lo_t = float(threshold) - float(margin)
 
@@ -339,9 +341,21 @@ def ivf_topk(
 
         return assign
 
-    schema = f"{id_col} long, {vec_col} array<float>, centroid long"
-    cassign = corpus.select(id_col, vec_col).mapInPandas(assign_factory(1), schema)
-    qassign = queries.select(id_col, vec_col).mapInPandas(assign_factory(n_probe), schema)
+    # derive the pass-through types from the INPUT schemas: pinning
+    # array<float> would silently truncate an array<double> corpus and
+    # perturb the "exact" re-rank cosines (~1e-7 — enough to swap
+    # near-tied neighbors), and pinning a long id would crash string ids
+    def _schema_for(df: DataFrame) -> str:
+        idt = df.schema[id_col].dataType.simpleString()
+        vdt = df.schema[vec_col].dataType.simpleString()
+        return f"{id_col} {idt}, {vec_col} {vdt}, centroid long"
+
+    cassign = corpus.select(id_col, vec_col).mapInPandas(
+        assign_factory(1), _schema_for(corpus)
+    )
+    qassign = queries.select(id_col, vec_col).mapInPandas(
+        assign_factory(n_probe), _schema_for(queries)
+    )
 
     cb = cassign.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("ce_raw"), "centroid"

@@ -1264,3 +1264,32 @@ def test_jpeg_review_regressions():
     )
     with pytest.raises(NotImplementedError, match="multi-scan"):
         decode_jpeg(new)
+
+
+def test_quality_classifier_unseen_tokens_push_to_minority_class(spark):
+    """r6 review: with imbalanced class token totals, a document of
+    entirely UNSEEN tokens must score the smoothed NB unseen term per
+    token (toward the smaller class), not the bare prior."""
+    import math
+
+    from at_data_pipelines_spark.llmops import quality
+
+    # positives have 10x the token mass of negatives
+    rows = [(1, "good solid prose " * 20)] * 10 + [(0, "spam junk")] * 2
+    clf = quality.train_token_classifier(
+        spark.createDataFrame(
+            [(i, y, t) for i, (y, t) in enumerate(rows)], ["doc_id", "label", "text"]
+        )
+    )
+    assert clf.unseen_log_odds < 0  # tp >> tn => unseen leans negative
+    held = spark.createDataFrame(
+        [(0, "zzz qqq vvv www"), (1, "")], ["doc_id", "text"]
+    )
+    got = {r.doc_id: r.quality_logit for r in
+           quality.score_token_classifier(held, clf).collect()}
+    # empty doc = pure prior; unseen-token doc = prior + 4 * unseen term
+    assert math.isclose(got[1], clf.prior_logit, rel_tol=1e-12)
+    assert math.isclose(
+        got[0], clf.prior_logit + 4 * clf.unseen_log_odds, rel_tol=1e-9
+    )
+    assert got[0] < got[1]

@@ -60,7 +60,7 @@ def test_kmv_deterministic_across_layouts(spark):
 
 def _bm25_reference(docs: list[tuple[int, str]], terms: list[str], k1=1.2, b=0.75):
     """Plain-Python Okapi BM25 for parity checking."""
-    toks = {i: t.split(" ") for i, t in docs}
+    toks = {i: t.split() for i, t in docs}  # any whitespace, no empties
     n = len(docs)
     avgdl = sum(len(v) for v in toks.values()) / n
     out = {}
@@ -358,3 +358,18 @@ def test_cms_is_mergeable(spark):
     assert sorted(map(tuple, merged.collect())) == sorted(
         map(tuple, whole.collect())
     )
+
+
+def test_bm25_multiline_and_multispace_tokens(spark):
+    """r6 review: newline/tab separators and space runs must tokenize
+    like whitespace everywhere — a two-line doc matches its terms."""
+    docs = [(0, "spark\njoin"), (1, "spark  join"), (2, "spark join")]
+    got = {
+        r.doc_id: r.score
+        for r in bm25_search(
+            spark.createDataFrame(docs, ["doc_id", "text"]), ["spark", "join"], top_k=3
+        ).collect()
+    }
+    # all three docs are token-identical => identical scores
+    assert len(got) == 3
+    assert abs(got[0] - got[2]) < 1e-12 and abs(got[1] - got[2]) < 1e-12
