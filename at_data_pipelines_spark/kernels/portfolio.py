@@ -26,6 +26,13 @@ ANNUALIZATION = np.sqrt(252.0)
 
 def project_simplex(v: np.ndarray) -> np.ndarray:
     """Euclidean projection onto {w : Σw = 1, w ≥ 0}."""
+    if not np.all(np.isfinite(v)):
+        # an all-False support mask below would otherwise die with an
+        # opaque IndexError deep inside the executor task
+        raise ValueError(
+            "project_simplex: non-finite input — NaN/inf alphas or "
+            "covariance entries must be filtered before the QP"
+        )
     u = np.sort(v)[::-1]
     css = np.cumsum(u)
     rho = np.nonzero(u * np.arange(1, len(v) + 1) > (css - 1))[0][-1]

@@ -17,3 +17,6 @@ class PipelineConfig:
     target_active_risk: float = 0.05
     risk_tolerance: float = 0.005
     benchmark_ticker: str = "SPY"
+    # the alpha signal the portfolio QP consumes — the alphas table's
+    # grain is (ticker, date, SIGNAL), so the fan-out must select one
+    signal: str = "reversal"

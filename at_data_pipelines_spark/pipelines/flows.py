@@ -259,16 +259,43 @@ def reversal_flow(lake: Lakehouse, cfg: PipelineConfig) -> None:
     _upsert(lake, "scores", _with_year(scores))
 
     iv = lake.table("idio_vol").select("ticker", "date", "idio_vol")
-    # LEFT join like the reference (reversal_flow.py:50): score rows with no
-    # idio_vol produce null-alpha rows that ARE stored; the alphas accessor
-    # filters `alpha IS NOT NULL` on read, so downstream is unchanged but
-    # the stored table matches the reference byte-for-byte.
-    alphas = (
+    alphas = _alphas_from_scores(scores, iv, cfg.ic)
+    _upsert(lake, "alphas", _with_year(alphas))
+
+
+def _benchmark_weights_and_returns(uni: DataFrame, ret: DataFrame):
+    """ONE definition of the benchmark semantics, shared by the full flow
+    and the daily incremental path (they drifted once — r6 review):
+
+    - weights are 1/len over the FULL universe⟕returns LEFT join
+      (reference benchmark_flow.py:16 ``pl.len().over("date")``):
+      null-return members still dilute the denominator and receive a
+      weight row (first date of history, listing gaps);
+    - the weighted return sum skips nulls (Polars semantics) and
+      coalesces to 0.0 on an all-null date rather than Spark's NULL."""
+    from pyspark.sql.window import Window as W
+
+    ur = uni.join(ret, ["date", "ticker"], "left")
+    weights = ur.withColumn(
+        "weight", F.lit(1.0) / F.count(F.lit(1)).over(W.partitionBy("date"))
+    )
+    brets = weights.groupBy("date").agg(
+        F.coalesce(F.sum(F.col("return") * F.col("weight")), F.lit(0.0)).alias("return")
+    )
+    return weights, brets
+
+
+def _alphas_from_scores(scores: DataFrame, iv: DataFrame, ic: float) -> DataFrame:
+    """ONE definition of alpha = IC·score·σ, shared by both paths: LEFT
+    join like the reference (reversal_flow.py:50) — score rows with no
+    idio_vol produce null-alpha rows that ARE stored; the alphas
+    accessor filters ``alpha IS NOT NULL`` on read, so downstream is
+    unchanged but the stored table matches the reference byte-for-byte."""
+    return (
         scores.join(iv, ["ticker", "date"], "left")
-        .withColumn("alpha", F.lit(cfg.ic) * F.col("score") * F.col("idio_vol"))
+        .withColumn("alpha", F.lit(ic) * F.col("score") * F.col("idio_vol"))
         .select("ticker", "date", "signal", "alpha")
     )
-    _upsert(lake, "alphas", _with_year(alphas))
 
 
 def benchmark_flow(lake: Lakehouse, cfg: PipelineConfig) -> None:
@@ -276,22 +303,8 @@ def benchmark_flow(lake: Lakehouse, cfg: PipelineConfig) -> None:
     universe (A6/W10) and its weighted return (A1)."""
     uni = lake.table("universe").select("date", "ticker")
     ret = lake.table("stock_returns").select("ticker", "date", "return")
-    # keep null-return members: the reference weights 1/len over the FULL
-    # universe⟕returns join (benchmark_flow.py:16 pl.len().over("date")),
-    # so missing-return members still dilute the denominator and receive
-    # a weight row (first date of history, listing gaps).
-    ur = uni.join(ret, ["date", "ticker"], "left")
-    from pyspark.sql.window import Window as W
-
-    weights = ur.withColumn(
-        "weight", F.lit(1.0) / F.count(F.lit(1)).over(W.partitionBy("date"))
-    )
+    weights, brets = _benchmark_weights_and_returns(uni, ret)
     _upsert(lake, "benchmark_weights", _with_year(weights.select("ticker", "date", "weight")))
-    # sum skips null returns (Polars semantics); coalesce matches Polars'
-    # 0.0 for an all-null date rather than Spark's NULL
-    brets = weights.groupBy("date").agg(
-        F.coalesce(F.sum(F.col("return") * F.col("weight")), F.lit(0.0)).alias("return")
-    )
     _upsert(lake, "benchmark_returns", brets)
 
 
@@ -322,9 +335,17 @@ def portfolio_weights_flow(lake: Lakehouse, cfg: PipelineConfig) -> None:
     — the shuffle delivers exactly each date's slice to one task, no
     object store, no driver materialization.
     """
-    alphas = lake.table("alphas").select(
-        "date", "ticker", F.lit(None).cast("string").alias("factor2"),
-        F.col("alpha").alias("value"), F.lit("alpha").alias("kind"),
+    # the alphas grain is (ticker, date, signal): select the configured
+    # signal (a second signal would otherwise duplicate the per-ticker
+    # alpha index inside solve_one_date), and only non-null alphas are
+    # investable (a NaN would poison the QP's projection)
+    alphas = (
+        lake.table("alphas")
+        .filter((F.col("signal") == cfg.signal) & F.col("alpha").isNotNull())
+        .select(
+            "date", "ticker", F.lit(None).cast("string").alias("factor2"),
+            F.col("alpha").alias("value"), F.lit("alpha").alias("kind"),
+        )
     )
     load = lake.table("factor_loadings").select(
         "date", "ticker", F.col("factor").alias("factor2"),
@@ -582,26 +603,15 @@ def _daily_reversal(lake, cfg, warm, emit) -> None:
     scores = zscore_global(sig, "value", "score").select("ticker", "date", "signal", "score")
     lake.upsert("scores", _with_year(scores.filter(emit)))
     iv = lake.table("idio_vol").select("ticker", "date", "idio_vol")
-    alphas = (
-        scores.filter(emit)
-        .join(iv, ["ticker", "date"])
-        .withColumn("alpha", F.lit(cfg.ic) * F.col("score") * F.col("idio_vol"))
-        .select("ticker", "date", "signal", "alpha")
-    )
+    alphas = _alphas_from_scores(scores.filter(emit), iv, cfg.ic)
     lake.upsert("alphas", _with_year(alphas))
 
 
 def _daily_benchmark(lake, cfg, warm, emit) -> None:
-    from pyspark.sql.window import Window as W
-
     uni = lake.table("universe").select("date", "ticker").filter(emit)
     ret = lake.table("stock_returns").select("ticker", "date", "return")
-    ur = uni.join(ret, ["date", "ticker"], "left").na.drop(subset=["return"])
-    weights = ur.withColumn(
-        "weight", F.lit(1.0) / F.count(F.lit(1)).over(W.partitionBy("date"))
-    )
+    weights, brets = _benchmark_weights_and_returns(uni, ret)
     lake.upsert("benchmark_weights", _with_year(weights.select("ticker", "date", "weight")))
-    brets = weights.groupBy("date").agg(F.sum(F.col("return") * F.col("weight")).alias("return"))
     lake.upsert("benchmark_returns", brets)
 
 

@@ -53,20 +53,27 @@ def pct_change(col: str | Column, w: WindowSpec) -> Column:
     return F.when(prev != 0, c / prev - 1)
 
 
-def _rolling(agg: Column, w: WindowSpec, window: int, min_periods: int | None) -> Column:
+def _rolling(
+    agg: Column, c: Column, w: WindowSpec, window: int, min_periods: int | None
+) -> Column:
+    # Polars/pandas min_periods counts NON-NULL observations, not window
+    # rows — count(c) skips nulls, count(lit(1)) would not (r6 review: a
+    # null inside a full window must still yield NULL, not an aggregate
+    # quietly computed over the non-null subset)
     mp = window if min_periods is None else min_periods
     frame = w.rowsBetween(-(window - 1), 0)
-    guarded = F.when(F.count(F.lit(1)).over(frame) >= mp, agg)
+    guarded = F.when(F.count(c).over(frame) >= mp, agg)
     return guarded
 
 
 def rolling_sum(
     col: str | Column, w: WindowSpec, window: int, min_periods: int | None = None
 ) -> Column:
-    """Polars ``rolling_sum(window)`` — NULL until min_periods rows seen (W2)."""
+    """Polars ``rolling_sum(window)`` — NULL until min_periods non-null
+    observations seen (W2)."""
     c = F.col(col) if isinstance(col, str) else col
     frame = w.rowsBetween(-(window - 1), 0)
-    return _rolling(F.sum(c).over(frame), w, window, min_periods)
+    return _rolling(F.sum(c).over(frame), c, w, window, min_periods)
 
 
 def rolling_mean(
@@ -74,7 +81,7 @@ def rolling_mean(
 ) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     frame = w.rowsBetween(-(window - 1), 0)
-    return _rolling(F.avg(c).over(frame), w, window, min_periods)
+    return _rolling(F.avg(c).over(frame), c, w, window, min_periods)
 
 
 def rolling_std(
@@ -83,7 +90,7 @@ def rolling_std(
     """Polars ``rolling_std(window)`` — sample std, NULL-padded (W3)."""
     c = F.col(col) if isinstance(col, str) else col
     frame = w.rowsBetween(-(window - 1), 0)
-    return _rolling(F.stddev_samp(c).over(frame), w, window, min_periods)
+    return _rolling(F.stddev_samp(c).over(frame), c, w, window, min_periods)
 
 
 def zscore_global(df: DataFrame, col: str, out_col: str = "zscore") -> DataFrame:
@@ -97,7 +104,15 @@ def zscore_global(df: DataFrame, col: str, out_col: str = "zscore") -> DataFrame
     )
     return (
         df.crossJoin(F.broadcast(stats))
-        .withColumn(out_col, (F.col(col) - F.col("_mu")) / F.col("_sigma"))
+        # σ = 0 (constant column) or NULL (single row) → NULL z-score:
+        # ANSI mode makes a bare 0-divide a runtime error (same guard
+        # rationale as pct_change above)
+        .withColumn(
+            out_col,
+            F.when(
+                F.col("_sigma") != 0, (F.col(col) - F.col("_mu")) / F.col("_sigma")
+            ),
+        )
         .drop("_mu", "_sigma")
     )
 

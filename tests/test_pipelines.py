@@ -123,3 +123,91 @@ def test_rerun_is_idempotent(lake):
         lake.table("signals").groupBy("ticker", "date", "signal").count().filter("count > 1").count()
     )
     assert pk_dupes == 0
+
+
+def test_daily_benchmark_matches_full_flow_with_missing_returns(spark, tmp_path):
+    """r6 review: the daily path had drifted from benchmark_flow (dropped
+    null-return members, skipped the all-null coalesce). Both paths now
+    share one helper — a universe member with no return row must dilute
+    the denominator identically in both."""
+    import datetime as dtm
+
+    from at_data_pipelines_spark.catalog import Lakehouse
+    from at_data_pipelines_spark.pipelines import flows
+    from at_data_pipelines_spark.pipelines.flows import PipelineConfig, create_all_tables
+
+    d = dtm.date(2023, 3, 6)
+    uni = spark.createDataFrame(
+        [(t, d) for t in ("AAA", "BBB", "CCC")], ["ticker", "date"]
+    )
+    ret = spark.createDataFrame(
+        [("AAA", d, 0.01), ("BBB", d, 0.03)], ["ticker", "date", "return"]
+    )  # CCC has NO return row
+    cfg = PipelineConfig()
+
+    def build(fn):
+        lake = Lakehouse(spark, str(tmp_path / fn.__name__))
+        create_all_tables(lake)
+        lake.upsert("universe", uni.withColumn("year", F.lit(2023)))
+        lake.upsert(
+            "stock_returns",
+            ret.withColumn("year", F.lit(2023)),
+        )
+        fn(lake)
+        w = {r.ticker: r.weight for r in lake.table("benchmark_weights").collect()}
+        b = {r.date: r["return"] for r in lake.table("benchmark_returns").collect()}
+        return w, b
+
+    full_w, full_b = build(lambda lake: flows.benchmark_flow(lake, cfg))
+    daily_w, daily_b = build(
+        lambda lake: flows._daily_benchmark(
+            lake, cfg, lambda df: df, F.col("date") == F.lit(d)
+        )
+    )
+    assert full_w == daily_w and set(full_w) == {"AAA", "BBB", "CCC"}
+    assert abs(full_w["CCC"] - 1 / 3) < 1e-12  # null-return member still weighted
+    assert full_b == daily_b
+    assert abs(full_b[d] - (0.01 + 0.03) / 3) < 1e-12
+
+
+def test_zscore_global_constant_column_is_null_not_crash(spark):
+    from at_data_pipelines_spark.ts import zscore_global
+
+    df = spark.createDataFrame([(i, 5.0) for i in range(4)], ["id", "v"])
+    out = zscore_global(df, "v").collect()
+    assert all(r.zscore is None for r in out)  # ANSI-safe, no DIVIDE_BY_ZERO
+
+
+def test_rolling_min_periods_counts_non_null(spark):
+    """Polars/pandas parity: a NULL inside a full-size window yields NULL
+    (min_periods counts observations, not rows)."""
+    import pandas as pd
+
+    from at_data_pipelines_spark.ts import entity_window, rolling_sum
+
+    vals = [1.0, 2.0, None, 4.0, 5.0, 6.0]
+    df = spark.createDataFrame(
+        [("t", i, v) for i, v in enumerate(vals)], ["ticker", "date", "v"]
+    )
+    w = entity_window(["ticker"], ["date"])
+    got = [
+        r.rs
+        for r in df.select("date", rolling_sum("v", w, 3).alias("rs"))
+        .orderBy("date")
+        .collect()
+    ]
+    ref = pd.Series(vals).rolling(3, min_periods=3).sum()
+    for g, e in zip(got, ref):
+        assert (g is None) == bool(pd.isna(e))
+        if g is not None:
+            assert abs(g - e) < 1e-12
+
+
+def test_project_simplex_rejects_non_finite():
+    import numpy as np
+    import pytest as pt
+
+    from at_data_pipelines_spark.kernels.portfolio import project_simplex
+
+    with pt.raises(ValueError, match="non-finite"):
+        project_simplex(np.array([0.1, np.nan, 0.3]))
