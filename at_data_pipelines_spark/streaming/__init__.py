@@ -9,6 +9,7 @@ from .events import (  # noqa: F401
     enrich_stream,
     purchase_attribution_stream,
     read_events_stream,
+    repair_sessions,
     running_user_stats,
     sessionize_stream,
     sessionize_to_lakehouse,

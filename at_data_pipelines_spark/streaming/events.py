@@ -410,3 +410,50 @@ def windowed_distinct_users(
     return keyed.groupBy("win_start_us", "event_type").applyInPandasWithState(
         fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def repair_sessions(
+    events: DataFrame,
+    lake: Lakehouse,
+    table: str,
+    gap: str = "30 minutes",
+) -> None:
+    """Batch repair for the append-mode session sink's documented caveat:
+    when replays observe different watermark drops than the live run,
+    stale overlapping session fragments can persist (see
+    ``sessionize_to_lakehouse``). This is the lambda-architecture
+    backfill: recompute sessions over the given events slice with the
+    BATCH ``session_window`` (state-free, sees everything — no watermark
+    to drop anything) and REPLACE every stored session that starts in
+    the slice's time range in one delete + upsert.
+
+    The caller owns horizon hygiene: the events slice should cover full
+    sessions (extend its edges by at least ``gap`` beyond the window
+    being repaired), exactly like any batch backfill over event time."""
+    sessions = (
+        events.groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("win.start")).alias("session_start_us"),
+            F.unix_micros(F.col("win.end")).alias("session_end_us"),
+            "n_events",
+            (F.col("cents").cast("double") / 100).alias("total_value"),
+        )
+    )
+    lake.create(
+        table, SESSION_TABLE_SCHEMA, [], ["user_id", "session_start_us"], mode="skip"
+    )
+    bounds = sessions.agg(
+        F.min("session_start_us").alias("lo"), F.max("session_start_us").alias("hi")
+    ).collect()[0]
+    if bounds.lo is not None:
+        lake.delete_where(
+            table,
+            (F.col("session_start_us") >= F.lit(bounds.lo))
+            & (F.col("session_start_us") <= F.lit(bounds.hi)),
+        )
+    lake.upsert(table, sessions)

@@ -634,3 +634,34 @@ def test_stream_to_lakehouse_lsm_mode(spark, sf_dir, tmp_path, events_stream):
     a = sorted(map(tuple, lake.table("rollup_upsert").collect()))
     b = sorted(map(tuple, lake.table("rollup_lsm").collect()))
     assert a == b
+
+
+def test_repair_sessions_removes_stale_fragments(spark, sf_dir, tmp_path):
+    """The documented append-sink caveat, repaired: plant a stale
+    overlapping session fragment, run the batch repair over the full
+    event slice, and the table must equal the batch truth exactly."""
+    import pyspark.sql.functions as F
+
+    from at_data_pipelines_spark.io import load_table
+    from at_data_pipelines_spark.streaming import repair_sessions
+    from at_data_pipelines_spark.streaming.events import SESSION_TABLE_SCHEMA
+
+    lake = Lakehouse(spark, str(tmp_path / "lake"))
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    # ground truth via the same batch sessionization
+    repair_sessions(events, lake, "truth")
+    truth = sorted(map(tuple, lake.table("truth").collect()))
+    # sessions table with a planted stale fragment: a fake session for a
+    # real user starting mid-range that the live run could have left
+    lake.create("sessions", SESSION_TABLE_SCHEMA, [], ["user_id", "session_start_us"])
+    real = lake.table("truth")
+    mid = real.agg(F.expr("percentile(session_start_us, 0.5)")).collect()[0][0]
+    stale = spark.createDataFrame(
+        [(1, int(mid) + 123_456, int(mid) + 999_999, 7, 1.23)], SESSION_TABLE_SCHEMA
+    )
+    lake.upsert("sessions", real.unionByName(stale))
+    assert len(sorted(map(tuple, lake.table("sessions").collect()))) == len(truth) + 1
+    repair_sessions(events, lake, "sessions")
+    assert sorted(map(tuple, lake.table("sessions").collect())) == truth
