@@ -175,3 +175,69 @@ def _assert_matches_with_nulls(lake):
     for g in exp:
         assert got[g][0] == exp[g][0], f"count mismatch for {g!r}: {got[g]} vs {exp[g]}"
         np.testing.assert_allclose(got[g][1], exp[g][1], rtol=1e-9, atol=1e-9)
+
+
+def test_streaming_materialized_view_via_cdc_refresh(spark, tmp_path):
+    """End-to-end composition: a stream upserts into a source table and
+    refreshes its materialized aggregate from the CHANGE FEED inside the
+    same foreachBatch — after the drain (and an idempotent replay) the
+    view equals a full recomputation exactly."""
+    import os
+
+    from at_data_pipelines_spark.streaming.events import (
+        read_events_stream,
+        windowed_aggregation,
+    )
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    lake = Lakehouse(spark, str(tmp_path / "lake"))
+    src_schema = T.StructType(
+        [
+            T.StructField("window_start", T.TimestampType()),
+            T.StructField("window_end", T.TimestampType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("total_value", T.DoubleType()),
+        ]
+    )
+    lake.create(
+        "rollup", src_schema, [], ["window_start", "event_type"], retain_versions=100
+    )
+    build_aggregate(lake, "rollup", "by_type", ["event_type"], ["total_value"])
+
+    def sink(batch_df, epoch_id):
+        if batch_df.isEmpty():
+            return
+        lake.upsert("rollup", batch_df)
+        refresh_aggregate(lake, "rollup", "by_type", ["event_type"], ["total_value"])
+
+    for i in range(2):  # second run = full replay, must be a no-op overall
+        stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+        q = (
+            windowed_aggregation(stream)
+            .writeStream.outputMode("update")
+            .foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / f"ck{i}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    got = {
+        r.event_type: (r.n, r.sum_total_value)
+        for r in lake.table("by_type").collect()
+    }
+    exp = {
+        r.event_type: (r.n, r.s)
+        for r in lake.table("rollup")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.coalesce(F.col("total_value"), F.lit(0.0))).alias("s"),
+        )
+        .collect()
+    }
+    assert set(got) == set(exp)
+    for k in exp:
+        assert got[k][0] == exp[k][0]
+        np.testing.assert_allclose(got[k][1], exp[k][1], rtol=1e-9)
