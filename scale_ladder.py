@@ -273,28 +273,34 @@ def main() -> None:
     results: dict[str, dict[str, float]] = {}
     exponents: dict[str, dict[str, float]] = {}
 
+    def _measure_rungs(q: str, fn, rungs) -> None:
+        """ONE measurement + exponent protocol for every ladder entry
+        (the per-query copy of this loop had started to drift — r6
+        review): min-of-runs per rung, shingle caches released between,
+        log-log segment slopes recorded."""
+        results[q] = {}
+        for sf, _k in rungs:
+            samples = []
+            for _ in range(args.runs):
+                t0 = time.perf_counter()
+                n = fn(spark, dirs[sf]).count()
+                samples.append(time.perf_counter() - t0)
+            release_shingle_caches()
+            results[q][str(sf)] = round(min(samples), 3)
+            results[q].setdefault("rows", {})[str(sf)] = n  # type: ignore[arg-type]
+        segs = {}
+        for (sf_a, _), (sf_b, _) in zip(rungs, rungs[1:]):
+            ta, tb = results[q][str(sf_a)], results[q][str(sf_b)]
+            segs[f"{sf_a}->{sf_b}"] = round(
+                math.log(tb / ta) / math.log(sf_b / sf_a), 2
+            )
+        exponents[q] = segs
+
     if "queries" in sections:
         callables = {q: QUERIES[q] for q in LADDER_QUERIES}
         callables["ann_ivf_top5"] = ann_ivf_top5
-        results.update({q: {} for q in callables})
-        for sf, _k in ladder:
-            for q, fn in callables.items():
-                samples = []
-                for _ in range(args.runs):
-                    t0 = time.perf_counter()
-                    n = fn(spark, dirs[sf]).count()
-                    samples.append(time.perf_counter() - t0)
-                release_shingle_caches()
-                results[q][str(sf)] = round(min(samples), 3)
-                results[q].setdefault("rows", {})[str(sf)] = n  # type: ignore[arg-type]
-        for q in callables:
-            segs = {}
-            for (sf_a, _), (sf_b, _) in zip(ladder, ladder[1:]):
-                ta, tb = results[q][str(sf_a)], results[q][str(sf_b)]
-                segs[f"{sf_a}->{sf_b}"] = round(
-                    math.log(tb / ta) / math.log(sf_b / sf_a), 2
-                )
-            exponents[q] = segs
+        for q, fn in callables.items():
+            _measure_rungs(q, fn, ladder)
 
     if "persist" in sections:
         # q46-persist rides one rung HIGHER (sf2.0) than the main ladder:
@@ -308,24 +314,7 @@ def main() -> None:
         ):
             generate_scaled(args.base, d2, 20)
         dirs[2.0] = d2
-        results["q46_jaccard_persist"] = {}
-        for sf, _k in ladder_p:
-            samples = []
-            for _ in range(args.runs):
-                t0 = time.perf_counter()
-                n = q46_persist(spark, dirs[sf]).count()
-                samples.append(time.perf_counter() - t0)
-            release_shingle_caches()
-            results["q46_jaccard_persist"][str(sf)] = round(min(samples), 3)
-            results["q46_jaccard_persist"].setdefault("rows", {})[str(sf)] = n  # type: ignore[arg-type]
-        segs = {}
-        for (sf_a, _), (sf_b, _) in zip(ladder_p, ladder_p[1:]):
-            ta = results["q46_jaccard_persist"][str(sf_a)]
-            tb = results["q46_jaccard_persist"][str(sf_b)]
-            segs[f"{sf_a}->{sf_b}"] = round(
-                math.log(tb / ta) / math.log(sf_b / sf_a), 2
-            )
-        exponents["q46_jaccard_persist"] = segs
+        _measure_rungs("q46_jaccard_persist", q46_persist, ladder_p)
 
     if results:
         out["times_s"] = results
