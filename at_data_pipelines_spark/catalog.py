@@ -600,6 +600,14 @@ class Lakehouse:
     def exists(self, name: str) -> bool:
         return self.fs.exists(self._meta_path(name))
 
+    def pending_deltas(self, name: str) -> int:
+        """Number of insert generations not yet absorbed by a compaction —
+        the PUBLIC cadence signal for LSM-style sinks (compact when this
+        reaches N). Reading it from the manifest (one metadata GET) makes
+        the cadence restart-proof: a recovered stream resumes where the
+        TABLE is, not where a driver-local counter was."""
+        return len(self._load_meta(name).live_deltas)
+
     def tables(self) -> list[str]:
         return sorted(
             d for d in self.fs.list_subdirs(self.root) if self.exists(d)

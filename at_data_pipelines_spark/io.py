@@ -19,9 +19,18 @@ calendar logic per row).
 
 NTZ wall-clocks are interpreted as UTC via ``timestampdiff(MICROSECOND,
 TIMESTAMP_NTZ '1970-01-01', ts)`` — pure wall arithmetic, so the result is
-independent of ``spark.sql.session.timeZone`` (we never mutate session conf;
-a caller's timezone setting is left untouched and load order cannot change
-downstream behavior).
+independent of ``spark.sql.session.timeZone`` (the caller's timezone
+setting is left untouched and results cannot depend on it).
+
+One documented exception to "no session-conf mutation": legacy
+TIMESTAMP(NANOS) parquet (the "ns" footer kind) is unreadable by Spark
+without ``spark.sql.legacy.parquet.nanosAsLong=true``, which is a
+session-level conf consulted at scan planning — there is no per-read
+scoping for it. ``get_spark`` pins it at session build; the loaders set
+it (idempotently) only when an ns-kind file is actually opened, so a
+foreign session gains the ability to read such files at the cost of any
+OTHER TIMESTAMP(NANOS) parquet in that session resolving as LongType
+from then on. Timezone semantics are never touched.
 """
 
 from __future__ import annotations

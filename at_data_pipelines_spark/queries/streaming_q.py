@@ -8,12 +8,35 @@ just its batch equivalent.
 
 from __future__ import annotations
 
-import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .registry import register
+
+
+def _drain_to_memory(agg, name_prefix: str):
+    """Run an availableNow stream to completion into a memory sink and
+    return the result table. FAILS LOUDLY on timeout — a partial drain
+    would otherwise flow into the oracle compare as a silently wrong
+    (or empty) result. Uses a FIXED sink name per query and drops the
+    previous run's temp view first, so repeated invocations (gate +
+    pytest parametrize + bench) don't pin one full result copy per run
+    in driver memory for the session's lifetime."""
+    spark = agg.sparkSession
+    name = f"{name_prefix}_out"
+    spark.catalog.dropTempView(name)  # no-op if absent
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(f"{name_prefix}: availableNow drain exceeded 300s")
+    return spark.table(name)
 
 
 @register(
@@ -40,16 +63,7 @@ def q60_stream_tumbling_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
         )
     )
-    name = f"q60_out_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
-    out = spark.table(name)
+    out = _drain_to_memory(agg, "q60")
     # unix_timestamp of an instant is timezone-independent
     return out.select(
         F.unix_timestamp(F.col("win.start")).alias("bucket_start_s"),
@@ -99,16 +113,7 @@ def q61_stream_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
         )
     )
-    name = f"q61_out_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
-    out = spark.table(name)
+    out = _drain_to_memory(agg, "q61")
     return out.select(
         "user_id",
         F.unix_micros(F.col("win.start")).alias("session_start_us"),

@@ -234,6 +234,27 @@ SESSION_TABLE_SCHEMA = T.StructType(
 )
 
 
+def _session_agg(events: DataFrame, gap: str) -> DataFrame:
+    """ONE definition of the session aggregate shape, shared by the
+    streaming sink and the batch repair — the repair only reconverges to
+    the sink's rows if the cents scaling, epoch-µs boundaries, and
+    column names are byte-equivalent (they had been two copies)."""
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("win.start")).alias("session_start_us"),
+            F.unix_micros(F.col("win.end")).alias("session_end_us"),
+            "n_events",
+            (F.col("cents").cast("double") / 100).alias("total_value"),
+        )
+    )
+
+
 def sessionize_to_lakehouse(
     events: DataFrame,
     lake: Lakehouse,
@@ -276,21 +297,7 @@ def sessionize_to_lakehouse(
     Event-time boundaries are stored as int64 epoch micros and sums as
     exact cents, per the repo determinism policy (timezone-independent,
     replay-bit-stable)."""
-    sessions = (
-        events.withWatermark("ts", watermark)
-        .groupBy(F.session_window("ts", gap).alias("win"), "user_id")
-        .agg(
-            F.count("*").alias("n_events"),
-            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
-        )
-        .select(
-            "user_id",
-            F.unix_micros(F.col("win.start")).alias("session_start_us"),
-            F.unix_micros(F.col("win.end")).alias("session_end_us"),
-            "n_events",
-            (F.col("cents").cast("double") / 100).alias("total_value"),
-        )
-    )
+    sessions = _session_agg(events.withWatermark("ts", watermark), gap)
     lake.create(
         table, SESSION_TABLE_SCHEMA, [], ["user_id", "session_start_us"], mode="skip"
     )
@@ -338,7 +345,7 @@ def stream_to_lakehouse(
             lake.upsert(table, batch_df)
             return
         lake.insert(table, batch_df)
-        if len(lake._load_meta(table).live_deltas) >= compact_every:
+        if lake.pending_deltas(table) >= compact_every:
             lake.optimize(table)
 
     writer = agg.writeStream.outputMode("update").foreachBatch(sink).option(
@@ -430,25 +437,17 @@ def repair_sessions(
     The caller owns horizon hygiene: the events slice should cover full
     sessions (extend its edges by at least ``gap`` beyond the window
     being repaired), exactly like any batch backfill over event time."""
-    sessions = (
-        events.groupBy(F.session_window("ts", gap).alias("win"), "user_id")
-        .agg(
-            F.count("*").alias("n_events"),
-            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
-        )
-        .select(
-            "user_id",
-            F.unix_micros(F.col("win.start")).alias("session_start_us"),
-            F.unix_micros(F.col("win.end")).alias("session_end_us"),
-            "n_events",
-            (F.col("cents").cast("double") / 100).alias("total_value"),
-        )
-    )
+    sessions = _session_agg(events, gap)
     lake.create(
         table, SESSION_TABLE_SCHEMA, [], ["user_id", "session_start_us"], mode="skip"
     )
+    # delete bound: [min start, max END]. A stale fragment starts at some
+    # real event time inside its merged true session, so its start can
+    # exceed every TRUE session's start (a tail fragment) but never the
+    # last true session's end — bounding by max(start) would leave tail
+    # fragments alive (r6 review)
     bounds = sessions.agg(
-        F.min("session_start_us").alias("lo"), F.max("session_start_us").alias("hi")
+        F.min("session_start_us").alias("lo"), F.max("session_end_us").alias("hi")
     ).collect()[0]
     if bounds.lo is not None:
         lake.delete_where(

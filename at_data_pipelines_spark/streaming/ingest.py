@@ -91,11 +91,14 @@ def near_dup_ingest_stream(
         # them a synthetic exact-fingerprint band (band = -1, key = md5 of
         # the raw text): exact duplicates of short docs then collide through
         # the very same joins, with exact- instead of near-dup semantics.
+        # NULL text coalesces to '' first: md5(NULL) is NULL, and a NULL
+        # band_key would never join-collide (every NULL-text re-delivery
+        # kept as "novel") AND would violate the index PK (r6 review).
         short = batch.join(
             batch_bands.select(id_col).distinct(), id_col, "left_anti"
         ).select(
             F.lit(-1).alias("band"),
-            F.md5(F.col(text_col)).alias("band_key"),
+            F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("band_key"),
             F.col(id_col),
         )
         batch_bands = batch_bands.unionByName(short)
@@ -191,7 +194,7 @@ def ann_index_maintenance_stream(
         # restart therefore resumes the cadence where the table actually
         # is, instead of deferring compaction indefinitely under
         # frequent restarts
-        if len(lake._load_meta(f"{prefix}_codes").live_deltas) >= compact_every:
+        if lake.pending_deltas(f"{prefix}_codes") >= compact_every:
             lake.optimize(f"{prefix}_codes")
 
     writer = (

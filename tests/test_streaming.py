@@ -658,10 +658,21 @@ def test_repair_sessions_removes_stale_fragments(spark, sf_dir, tmp_path):
     lake.create("sessions", SESSION_TABLE_SCHEMA, [], ["user_id", "session_start_us"])
     real = lake.table("truth")
     mid = real.agg(F.expr("percentile(session_start_us, 0.5)")).collect()[0][0]
+    b = real.agg(
+        F.max("session_start_us").alias("last_start"),
+        F.max("session_end_us").alias("last_end"),
+    ).collect()[0]
     stale = spark.createDataFrame(
-        [(1, int(mid) + 123_456, int(mid) + 999_999, 7, 1.23)], SESSION_TABLE_SCHEMA
+        [
+            (1, int(mid) + 123_456, int(mid) + 999_999, 7, 1.23),
+            # TAIL fragment: starts AFTER every true session start (but
+            # inside the last true session's span) — the case a
+            # max(start) delete bound would leave alive (r6 review)
+            (2, (int(b.last_start) + int(b.last_end)) // 2, int(b.last_end), 3, 0.5),
+        ],
+        SESSION_TABLE_SCHEMA,
     )
     lake.upsert("sessions", real.unionByName(stale))
-    assert len(sorted(map(tuple, lake.table("sessions").collect()))) == len(truth) + 1
+    assert len(sorted(map(tuple, lake.table("sessions").collect()))) == len(truth) + 2
     repair_sessions(events, lake, "sessions")
     assert sorted(map(tuple, lake.table("sessions").collect())) == truth
