@@ -600,6 +600,13 @@ class Lakehouse:
     def exists(self, name: str) -> bool:
         return self.fs.exists(self._meta_path(name))
 
+    def file_stats(self, name: str) -> dict:
+        """The table's zone maps as recorded in the manifest: leaf-dir or
+        per-file keys → {column: [min, max]}. Introspection surface for
+        operators/tooling deciding whether a scan predicate will prune
+        (and the debugging view of what Z-order produced)."""
+        return dict(self._load_meta(name).zone_maps)
+
     def pending_deltas(self, name: str) -> int:
         """Number of insert generations not yet absorbed by a compaction —
         the PUBLIC cadence signal for LSM-style sinks (compact when this

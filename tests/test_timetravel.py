@@ -880,3 +880,18 @@ def test_add_and_drop_check(lake, spark):
     assert lake.table("t").filter(F.col("v") < 0).count() == 5
     acts = [h["action"] for h in lake.history("t")]
     assert "add_check(v_nonneg)" in acts and "drop_check(v_nonneg)" in acts
+
+
+def test_file_stats_and_pending_deltas_accessors(lake, spark):
+    lake.create("t", SCHEMA, ["year"], ["k", "year"], stats_columns=["k"])
+    assert lake.file_stats("t") == {} and lake.pending_deltas("t") == 0
+    lake.insert("t", _batch(spark, 0, 50, 2023))
+    lake.insert("t", _batch(spark, 50, 99, 2023))
+    assert lake.pending_deltas("t") == 2
+    stats = lake.file_stats("t")
+    assert len(stats) == 2
+    assert sorted(v["k"] for v in stats.values()) == [[0, 49], [50, 98]]
+    lake.optimize("t")
+    assert lake.pending_deltas("t") == 0
+    (merged,) = lake.file_stats("t").values()
+    assert merged["k"] == [0, 98]
