@@ -808,15 +808,23 @@ class Lakehouse:
         self._commit_meta(meta, None, action="analyze")
         return out
 
-    def set_properties(self, name: str, props: dict) -> None:
-        """Merge key/value pairs into the table's properties (a None value
-        deletes the key). One manifest commit."""
-        meta = self._load_meta(name)
+    @staticmethod
+    def _apply_properties(meta: TableMeta, props: dict) -> None:
         for k, v in props.items():
             if v is None:
                 meta.properties.pop(k, None)
             else:
                 meta.properties[k] = v
+
+    def set_properties(self, name: str, props: dict) -> None:
+        """Merge key/value pairs into the table's properties (a None value
+        deletes the key). One manifest commit. For properties that must
+        move WITH a data change (e.g. IVM's last-applied source version),
+        pass ``properties=`` to insert()/merge() instead — a separate
+        set_properties commit leaves a crash window in which the data
+        change is visible but the property is stale."""
+        meta = self._load_meta(name)
+        self._apply_properties(meta, props)
         self._commit_meta(meta, None, action=f"set_properties({sorted(props)})")
 
     def get_properties(self, name: str) -> dict:
@@ -972,7 +980,12 @@ class Lakehouse:
         return token
 
     def insert(
-        self, name: str, df: DataFrame, mode: str = "append", allow_fast: bool = True
+        self,
+        name: str,
+        df: DataFrame,
+        mode: str = "append",
+        allow_fast: bool = True,
+        properties: dict | None = None,
     ) -> None:
         """Append a batch as a new ``_seq=K`` delta directory (the sequence
         also orders keep-latest dedup). ``mode='overwrite'`` truncates:
@@ -984,9 +997,14 @@ class Lakehouse:
         reads existing data), skipping the distributed write job whose
         fixed cost dominates tiny appends. ``allow_fast=False`` skips the
         probe — upsert() passes it when its own probe already rejected
-        the batch, so a large upstream plan isn't executed twice."""
+        the batch, so a large upstream plan isn't executed twice.
+
+        ``properties`` (set_properties semantics) are applied in the SAME
+        manifest PUT as the data — the atomic data+metadata commit that
+        incremental consumers (ops/ivm.py) need so a crash can never leave
+        the data applied but its watermark property stale."""
         meta = self._load_meta(name)
-        if allow_fast and self._fast_insert(name, meta, df, mode):
+        if allow_fast and self._fast_insert(name, meta, df, mode, properties):
             return
         declared = meta.schema
         cols = [F.col(f.name).cast(f.dataType).alias(f.name) for f in declared.fields]
@@ -1028,6 +1046,8 @@ class Lakehouse:
         if wrote_rows and meta.stats_columns:
             meta.zone_maps.update(self._collect_zone_maps(name, meta, seq))
         self._prune_zone_maps(meta)
+        if properties:
+            self._apply_properties(meta, properties)
         self._commit_meta(meta, token, action=f"insert({mode})")  # commit point
 
     def _rel_filter(self, meta: TableMeta, rels) -> "F.Column | None":
@@ -1745,7 +1765,14 @@ class Lakehouse:
             f"{rel_dir}/part-00000-{uuid.uuid4().hex}.parquet", buf.getvalue()
         )
 
-    def _fast_insert(self, name: str, meta: TableMeta, df: DataFrame, mode: str) -> bool:
+    def _fast_insert(
+        self,
+        name: str,
+        meta: TableMeta,
+        df: DataFrame,
+        mode: str,
+        properties: dict | None = None,
+    ) -> bool:
         """Driver-side small-append path; True iff committed. Mirrors the
         distributed insert exactly — new ``_seq=K`` delta generation,
         live_deltas/dirty_partitions bookkeeping, attempt token, one
@@ -1801,6 +1828,8 @@ class Lakehouse:
         if wrote_rows and meta.stats_columns:
             meta.zone_maps.update(new_zone)
         self._prune_zone_maps(meta)
+        if properties:
+            self._apply_properties(meta, properties)
         self._commit_meta(meta, token, action=f"insert({mode})")  # commit point
         return True
 
@@ -1951,6 +1980,7 @@ class Lakehouse:
         delete_condition=None,
         insert_unmatched: bool = True,
         update_matched: bool = True,
+        properties: dict | None = None,
     ) -> None:
         """Delta-style MERGE INTO, keyed on the table's primary keys:
 
@@ -1969,7 +1999,23 @@ class Lakehouse:
         not table size. Source must carry the full table schema (it IS
         the post-image for updates/inserts). Duplicate source keys are
         collapsed to one arbitrary-but-deterministic winner (highest
-        sort order) before merging."""
+        sort order) before merging.
+
+        HARD PRECONDITION on partitioned tables (shared with upsert/
+        optimize, but MERGE's framing invites violating it): a primary
+        key's partition values must be stable — the source row for a
+        matched PK must land in the SAME partition the stored row lives
+        in (partition keys functionally determined by the PK, e.g.
+        year = year(date) with date in the PK). The rewrite is pruned to
+        the partitions the source names; a matched PK whose stored row
+        lives in a partition the source doesn't name is never joined, so
+        the source row would insert into the new partition while the
+        stale row survives in the old one — duplicate primary keys.
+        Moving a row across partitions requires delete_where + merge.
+
+        ``properties`` (set_properties semantics) commit in the SAME
+        manifest PUT as the merged data — the atomic data+watermark
+        commit ops/ivm.py's idempotence depends on."""
         meta = self._load_meta(name)
         if not meta.primary_keys:
             raise ValueError(f"merge needs primary keys on {name!r}")
@@ -2020,6 +2066,11 @@ class Lakehouse:
                 _hive_rel(meta.partition_keys, tuple(r)) for r in vals
             } | set(meta.dirty_partitions)
             if not affected:
+                # empty merge rewrote nothing; still honor requested
+                # properties (their own commit — there is no data PUT
+                # to ride)
+                if properties:
+                    self.set_properties(name, properties)
                 return
             part_filter = self._rel_filter(meta, sorted(affected))
             sub = raw.filter(part_filter)
@@ -2109,6 +2160,8 @@ class Lakehouse:
         if meta.stats_columns and token is not None:
             meta.zone_maps.update(self._collect_zone_maps(name, meta, seq))
         self._prune_zone_maps(meta)
+        if properties:
+            self._apply_properties(meta, properties)
         self._commit_meta(meta, token, action="merge")  # commit point
         self._clean_superseded(name, meta, old_committed, old_deltas)
 

@@ -17,7 +17,11 @@ Composition of this engine's lakehouse primitives:
   zero;
 - table ``properties`` record the last source version applied, so
   refreshes chain correctly and replays are idempotent by construction
-  (re-running refresh sees an empty change window).
+  (re-running refresh sees an empty change window). The property
+  commits ATOMICALLY with the data (``insert``/``merge`` take a
+  ``properties=`` rider applied in the same manifest PUT) — a crash can
+  never leave the correction applied but the watermark stale, which
+  would double-apply the same change window on the next refresh.
 
 Determinism note: float sums accumulate in different orders under
 incremental vs full recomputation, so the invariant is counts exactly
@@ -64,8 +68,11 @@ def build_aggregate(
     for c in sum_cols:
         fields.append(T.StructField(f"sum_{c}", T.DoubleType()))
     lake.create(dst, T.StructType(fields), [], list(group_cols), mode="skip")
-    lake.insert(dst, agg, mode="overwrite")
-    lake.set_properties(dst, {_SRC_VERSION_PROP: src_meta.version})
+    # data + watermark in ONE manifest PUT: a crash mid-build either
+    # leaves the old state entirely or the new state entirely
+    lake.insert(
+        dst, agg, mode="overwrite", properties={_SRC_VERSION_PROP: src_meta.version}
+    )
 
 
 def refresh_aggregate(
@@ -121,7 +128,14 @@ def refresh_aggregate(
             for c in sum_cols
         ],
     )
-    # groups whose count reaches zero disappear from the view
-    lake.merge(dst, post, delete_condition=F.col("n") <= 0)
-    lake.set_properties(dst, {_SRC_VERSION_PROP: src_version})
+    # groups whose count reaches zero disappear from the view; the
+    # consumed-version watermark rides the SAME manifest PUT, so the
+    # correction and its bookkeeping are atomic (no crash window in
+    # which the next refresh would re-apply this change window)
+    lake.merge(
+        dst,
+        post,
+        delete_condition=F.col("n") <= 0,
+        properties={_SRC_VERSION_PROP: src_version},
+    )
     return True

@@ -96,6 +96,56 @@ def test_ivm_tracks_random_change_stream(lake, spark):
     assert _view(lake) == before
 
 
+def test_ivm_refresh_commits_data_and_watermark_atomically(lake, spark):
+    """The applied correction and the consumed-source-version property
+    must land in ONE manifest PUT: a crash at any point either applies
+    both or neither, so a replayed refresh can never double-count."""
+    lake.create("src", SCHEMA, [], ["k"], retain_versions=100)
+    lake.upsert("src", _rows_df(spark, [(1, "a", 10.0), (2, "b", 5.0)]))
+    build_aggregate(lake, "src", "view", ["grp"], ["v"])
+    lake.upsert("src", _rows_df(spark, [(3, "a", 7.0)]))
+
+    # one refresh == exactly one view commit, carrying the watermark
+    v_before = lake._load_meta("view").version
+    assert refresh_aggregate(lake, "src", "view", ["grp"], ["v"]) is True
+    meta = lake._load_meta("view")
+    assert meta.version == v_before + 1, "refresh must be a single commit"
+    assert meta.properties["ivm.src_version"] == lake._load_meta("src").version
+    _assert_matches(lake)
+
+    # crash AFTER the commit point (post-commit cleanup dies): the data
+    # and watermark are both already visible; the re-run is a no-op
+    lake.upsert("src", _rows_df(spark, [(4, "b", -2.0)]))
+    orig = Lakehouse._clean_superseded
+    try:
+        def boom(self, *a, **k):
+            raise RuntimeError("crash after commit")
+
+        Lakehouse._clean_superseded = boom
+        with pytest.raises(RuntimeError, match="crash after commit"):
+            refresh_aggregate(lake, "src", "view", ["grp"], ["v"])
+    finally:
+        Lakehouse._clean_superseded = orig
+    assert refresh_aggregate(lake, "src", "view", ["grp"], ["v"]) is False
+    _assert_matches(lake)
+
+    # crash BEFORE the commit point (manifest PUT dies): neither is
+    # visible; the re-run applies the window exactly once
+    lake.upsert("src", _rows_df(spark, [(5, "a", 1.0)]))
+    orig_commit = Lakehouse._commit_meta
+    try:
+        def boom2(self, *a, **k):
+            raise RuntimeError("crash before commit")
+
+        Lakehouse._commit_meta = boom2
+        with pytest.raises(RuntimeError, match="crash before commit"):
+            refresh_aggregate(lake, "src", "view", ["grp"], ["v"])
+    finally:
+        Lakehouse._commit_meta = orig_commit
+    assert refresh_aggregate(lake, "src", "view", ["grp"], ["v"]) is True
+    _assert_matches(lake)
+
+
 def test_ivm_group_vanishes_at_zero_count(lake, spark):
     lake.create("src", SCHEMA, [], ["k"], retain_versions=100)
     lake.upsert(
