@@ -178,6 +178,62 @@ def test_insert_executes_input_exactly_once(lake, spark):
     assert sorted(meta.dirty_partitions) == ["year=2020", "year=2021"]
 
 
+def test_large_upsert_executes_expensive_plan_exactly_once(lake, spark):
+    """r6 verdict #1: a >20k-row upsert whose input plan contains a
+    shuffle must NOT run the upstream DAG twice (once for the small-batch
+    probe's limit-collect, once for the distributed fallback write). The
+    probe and the write share one lazily-localCheckpointed input, so an
+    accumulator inside a post-aggregation UDF counts each row exactly
+    once across the whole upsert."""
+    acc = spark.sparkContext.accumulator(0)
+
+    def bump(x):
+        acc.add(1)
+        return float(x)
+
+    u = F.udf(bump, "double")
+    n = 30_000
+    schema = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("v", T.DoubleType())]
+    )
+    lake.create("big", schema, [], ["k"])
+    # aggregation => shuffle => expensive-to-recompute plan; the UDF runs
+    # after it, so every (re)execution of the DAG re-counts all rows
+    df = (
+        spark.range(n)
+        .groupBy(F.col("id").alias("k"))
+        .agg(F.sum("id").alias("s"))
+        .select("k", u(F.col("s")).alias("v"))
+    )
+    lake.upsert("big", df)
+    assert lake.table("big").count() == n
+    assert acc.value == n, f"expensive upstream plan executed {acc.value / n:.2f}x"
+
+
+def test_upsert_large_hint_skips_probe(lake, spark):
+    """hint='large' must go straight to the distributed path: no 20k-row
+    probe collect, no checkpoint materialization — the plan executes once
+    in the write itself."""
+    acc = spark.sparkContext.accumulator(0)
+
+    def bump(x):
+        acc.add(1)
+        return float(x)
+
+    u = F.udf(bump, "double")
+    schema = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("v", T.DoubleType())]
+    )
+    lake.create("hinted", schema, [], ["k"])
+    df = spark.range(500).select(F.col("id").alias("k"), u(F.col("id")).alias("v"))
+    lake.upsert("hinted", df, hint="large")
+    assert lake.table("hinted").count() == 500
+    assert acc.value == 500, f"input plan executed {acc.value / 500:.2f}x"
+    # result identical to the probed path
+    lake.upsert("hinted", df)
+    assert lake.table("hinted").count() == 500
+
+
 DW_SCHEMA = T.StructType(
     [
         T.StructField("ticker", T.StringType()),
