@@ -35,9 +35,15 @@ def bm25_per_term(
     columns ``doc_id, term, s``. Summing ``s`` over a document's matched
     terms gives the document's BM25 score for the query; callers that
     need bit-reproducible totals should add the per-term values in a
-    fixed order (see q65) instead of a float SUM aggregate."""
+    fixed order (see q65) instead of a float SUM aggregate.
+
+    Duplicate ``query_terms`` are collapsed (first occurrence kept):
+    query term frequency is saturated at 1, i.e. the classic BM25 with
+    the qtf factor at its k3→0 limit (Robertson & Zaragoza 2009 §3.3) —
+    a repeated term must not silently double its contribution."""
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
+    query_terms = list(dict.fromkeys(query_terms))
     # split on ANY whitespace run and drop empties: a newline-separated
     # document must still match its terms, and runs of spaces must not
     # inflate dl with empty tokens
@@ -88,7 +94,9 @@ def bm25_search(
     by summed BM25 score (desc, doc_id tiebreak). The per-term partials
     are added in the fixed order of ``query_terms`` — conditional sums,
     one posting per (doc, term), so the total is bit-reproducible across
-    engines and runs (a float SUM aggregate is not)."""
+    engines and runs (a float SUM aggregate is not). Duplicate query
+    terms contribute ONCE (binary qtf — see ``bm25_per_term``)."""
+    query_terms = list(dict.fromkeys(query_terms))
     per_term = bm25_per_term(docs, query_terms, k1, b, id_col, text_col)
     parts = [
         F.coalesce(

@@ -84,6 +84,16 @@ GATE: list[str] = [
 # operators whose siblings already sit in the gate: cube ≈ rollup (q12),
 # time-RANGE frame ≈ row-frame rolling (q20), first/last ≈ keep-latest
 # (q29), ntile/percent_rank ≈ percentiles (q18).
+#
+# PROMOTION ORDER (r6 verdict #6, an explicit decision — never rotate
+# silently): if the driver window ever widens, or a redundant gate row is
+# deliberately retired, promote in this order:
+#   1. q64_purchase_attribution_left  (left/outer range-join semantics —
+#      the one join surface the gate's q62 inner variant doesn't cover)
+#   2. q66_kmv_distinct_users         (sketch-state semantics shared by
+#      the streaming bounded-state distinct)
+#   3. q65_bm25_search, q68_cms_heavy_hitters, q67_weighted_sample,
+#      then the q35-q38 sibling variants.
 PYTEST_ONLY: list[str] = [
     "q35_cube_orders",
     "q36_trailing_10min_sum",

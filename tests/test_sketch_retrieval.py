@@ -98,6 +98,27 @@ def test_bm25_matches_reference(spark):
         assert abs(got[i] - s) < 1e-6
 
 
+def test_bm25_duplicate_query_terms_count_once(spark):
+    """r6 verdict #5: repeated query terms must not double their per-term
+    contribution — query tf saturates at 1 (binary qtf), so a query with
+    duplicates scores identically to its deduplicated form and matches
+    the python reference on the deduped terms."""
+    docs = [
+        (0, "spark join window agg spark"),
+        (1, "join join join filter scan"),
+        (2, "window window spark"),
+        (3, "spark"),
+    ]
+    sdf = spark.createDataFrame(docs, ["doc_id", "text"])
+    dup = {r.doc_id: r.score for r in bm25_search(sdf, ["spark", "join", "spark", "spark"], top_k=4).collect()}
+    ded = {r.doc_id: r.score for r in bm25_search(sdf, ["spark", "join"], top_k=4).collect()}
+    assert dup == ded
+    ref = _bm25_reference(docs, ["spark", "join"])
+    assert set(dup) == set(ref)
+    for i, s in ref.items():
+        assert abs(dup[i] - s) < 1e-6
+
+
 def test_bm25_ranking_and_tiebreak(spark):
     # identical docs => identical scores => doc_id ascending tiebreak
     docs = [(i, "spark join") for i in range(6)]
