@@ -357,7 +357,10 @@ def stream_to_lakehouse(
 
 
 def windowed_distinct_users(
-    events: DataFrame, window_minutes: int = 5, k: int = 64
+    events: DataFrame,
+    window_minutes: int = 5,
+    k: int = 64,
+    evict_lateness_ms: int | None = 30 * 60 * 1000,
 ) -> DataFrame:
     """Bounded-state streaming distinct-count: per (tumbling window,
     event_type), maintain the k SMALLEST md5-48-bit user hashes in state
@@ -375,7 +378,23 @@ def windowed_distinct_users(
     State shape: array<double> of ≤k hashes; merging a batch is
     merge+sort+truncate in the Arrow-batched python fn. The window id is
     a derived epoch bucket, so group keys are (window_start_us, type) —
-    a uniform shuffle."""
+    a uniform shuffle.
+
+    State EVICTION (r6 verdict #2): per-group state is bounded at k
+    doubles, but on an infinite stream the NUMBER of (window, type)
+    groups grows without bound unless closed windows are dropped.
+    ``evict_lateness_ms`` arms an EVENT-TIME timeout per group at
+    ``window_end + lateness``: an internal watermark on the event time
+    (derived from ``ts_us`` — timezone-independent epoch arithmetic)
+    advances with the data, and once it passes a window's end plus the
+    lateness bound the group is removed from the state store — exactly
+    a watermark-finalized window close, deterministic under replay
+    (processing-time timeouts would evict on wall clock, which replays
+    differently; they also interact badly with availableNow drains).
+    An event arriving AFTER its window was evicted re-creates the group
+    from empty — the same undercount a watermark drop would have
+    produced. ``evict_lateness_ms=None`` restores the unbounded
+    NoTimeout behavior for finite replays."""
     import pandas as pd  # noqa: F811
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -384,6 +403,13 @@ def windowed_distinct_users(
         "win_start_us",
         (F.col("ts_us") - F.pmod(F.col("ts_us"), F.lit(width_us))),
     )
+    if evict_lateness_ms is not None:
+        # event-time clock for the eviction watermark, derived from the
+        # int64 epoch micros so any input (with or without a typed ts
+        # column) gets the same timezone-independent behavior
+        keyed = keyed.withColumn(
+            "_evt_ts", F.timestamp_micros(F.col("ts_us"))
+        ).withWatermark("_evt_ts", f"{int(evict_lateness_ms)} milliseconds")
     out_schema = (
         "win_start_us long, event_type string, distinct_est double, state_size int"
     )
@@ -392,6 +418,16 @@ def windowed_distinct_users(
     def fn(key, pdfs, state: GroupState):
         import hashlib
 
+        if state.hasTimedOut:
+            # watermark passed window end + lateness: the window is
+            # final — drop the group from the state store and emit
+            # nothing (its last estimate was emitted when it last
+            # updated). The empty Arrow iterator must still be drained
+            # or the worker protocol desynchronizes.
+            for _ in pdfs:
+                pass
+            state.remove()
+            return
         held = list(state.get[0]) if state.exists else []
         for pdf in pdfs:
             for uid in pdf["user_id"]:
@@ -401,6 +437,15 @@ def windowed_distinct_users(
                 held.append(int(h, 16) / 16**12)
         held = sorted(set(held))[:k]
         state.update((held,))
+        if evict_lateness_ms is not None:
+            # int(): the grouping key arrives as numpy int64, which the
+            # state-properties JSON encoder refuses
+            close_ms = (int(key[0]) + width_us) // 1000 + int(evict_lateness_ms)
+            # a timeout timestamp must sit beyond the current watermark
+            # (a window already past it closes at the next batch)
+            state.setTimeoutTimestamp(
+                max(close_ms, int(state.getCurrentWatermarkMs()) + 1)
+            )
         if len(held) < k:
             est = float(len(held))
         else:
@@ -414,8 +459,13 @@ def windowed_distinct_users(
             }
         )
 
+    timeout = (
+        GroupStateTimeout.NoTimeout
+        if evict_lateness_ms is None
+        else GroupStateTimeout.EventTimeTimeout
+    )
     return keyed.groupBy("win_start_us", "event_type").applyInPandasWithState(
-        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        fn, out_schema, state_schema, "update", timeout
     )
 
 

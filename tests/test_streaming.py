@@ -604,6 +604,70 @@ def test_windowed_distinct_users_matches_batch_kmv(spark, sf_dir, tmp_path):
     assert (emitted["state_size"] <= 32).all()
 
 
+def test_windowed_distinct_users_evicts_closed_windows(spark, tmp_path):
+    """r6 verdict #2: (window, type) groups must leave the state store
+    once the event-time watermark passes window end + lateness —
+    otherwise closed windows accrete forever on an infinite stream. The
+    state row count must FALL back after later events advance the
+    watermark past the old windows."""
+    import pyspark.sql.types as T
+
+    from at_data_pipelines_spark.streaming import windowed_distinct_users
+
+    schema = T.StructType(
+        [
+            T.StructField("ts_us", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    (tmp_path / "src").mkdir()
+    W = 5 * 60 * 1_000_000  # 5-minute window in µs
+    emitted: list = []
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(src)
+        out = windowed_distinct_users(
+            stream, window_minutes=5, k=8, evict_lateness_ms=60_000
+        )
+        q = (
+            out.writeStream.outputMode("update")
+            .foreachBatch(lambda df, eid: emitted.extend(df.collect()))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    def state_keys():
+        st = spark.read.format("statestore").load(ckpt)
+        return sorted(r.key.win_start_us for r in st.collect())
+
+    # run 1: two live windows (1 and 2)
+    spark.createDataFrame(
+        [(W + 1, 1, "click"), (W + 2, 2, "click"), (2 * W + 1, 3, "click")], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    drain()
+    assert state_keys() == [W, 2 * W]
+
+    # run 2: one event far in the future sweeps the watermark past both
+    # old windows' close + lateness -> they are evicted; only the new
+    # window's group remains
+    spark.createDataFrame([(50 * W, 4, "click")], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    drain()
+    assert state_keys() == [50 * W], "closed windows must leave the state store"
+
+    # the evicted windows' estimates were emitted while they were live
+    got = {(r.win_start_us, r.event_type): r.distinct_est for r in emitted}
+    assert got[(W, "click")] == 2.0
+    assert got[(2 * W, "click")] == 1.0
+    assert got[(50 * W, "click")] == 1.0
+
+
 def test_stream_to_lakehouse_lsm_mode(spark, sf_dir, tmp_path, events_stream):
     """compact_every=N: append-only batches with amortized PK compaction
     must converge (after a final optimize) to the same table the
