@@ -262,6 +262,10 @@ def _stat_encode(v):
     return None
 
 
+_DATE_SHAPE = re.compile(r"^\d{4}-\d{2}-\d{2}$")
+_DATETIME_SHAPE = re.compile(r"^\d{4}-\d{2}-\d{2}[ T]\d{2}:\d{2}:\d{2}(\.\d+)?$")
+
+
 def _zone_excludes(stats: dict, where: dict) -> bool:
     """True iff the leaf's zone-map stats PROVE no row can satisfy the
     conjunctive range predicate ``{col: (lo, hi)}`` (inclusive, None =
@@ -269,7 +273,15 @@ def _zone_excludes(stats: dict, where: dict) -> bool:
     no non-null values for the column) always excludes, because a range
     predicate never matches NULL. Non-ASCII strings fall back to
     unprunable — Python's code-point compare and Spark's UTF8 binary
-    compare agree on ASCII, and we only prune where they provably agree."""
+    compare agree on ASCII, and we only prune where they provably agree.
+    Mixed temporal encodings (a date's 'YYYY-MM-DD' against a datetime's
+    'YYYY-MM-DD HH:MM:SS') also refuse to prune: their lexicographic
+    order does NOT match Spark's date→timestamp promotion semantics
+    ('2024-01-02' < '2024-01-02 00:00:00' would drop a leaf whose max
+    date matches the bound exactly). ``scan()`` coerces bounds to the
+    column's encoding first (``_prune_bound``), so well-typed scans keep
+    full prunability; this guard is the soundness net for everything
+    else."""
     for c, (lo, hi) in where.items():
         if lo is None and hi is None:
             continue  # no constraint on this column: nothing to disprove
@@ -283,6 +295,12 @@ def _zone_excludes(stats: dict, where: dict) -> bool:
         strs = [x for x in (mn, mx, lo_e, hi_e) if isinstance(x, str)]
         if any(not s.isascii() for s in strs):
             continue
+        shapes = {
+            "date" if _DATE_SHAPE.match(s) else "dt" if _DATETIME_SHAPE.match(s) else "other"
+            for s in strs
+        }
+        if "date" in shapes and "dt" in shapes:
+            continue  # mixed temporal encodings: lexicographic order unsound
         try:
             if lo_e is not None and mx < lo_e:
                 return True
@@ -291,6 +309,42 @@ def _zone_excludes(stats: dict, where: dict) -> bool:
         except TypeError:
             continue  # incomparable encodings: don't prune
     return False
+
+
+#: sentinel: a bound that cannot be soundly compared against this
+#: column's stat encoding — the column must not exclude any leaf
+_NO_PRUNE = object()
+
+
+def _prune_bound(dtype, v, side: str):
+    """Coerce one scan-predicate bound to the stat-encoding domain of the
+    column it constrains, mirroring Spark's comparison semantics:
+
+    - DateType column, naive-datetime bound: Spark promotes the date to
+      its midnight timestamp, so date d matches ``d₀ >= lo`` iff
+      d >= ceil_date(lo) and ``d₀ <= hi`` iff d <= hi.date() — the bound
+      becomes a date with direction-aware rounding.
+    - Timestamp column, date bound: the date literal promotes to its
+      midnight timestamp.
+    - tz-aware datetime against a DateType column: refused (session-tz
+      interaction has no tz-independent encoding) — ``_NO_PRUNE``.
+
+    Everything else passes through (same-type compares are already
+    order-preserving under ``_stat_encode``)."""
+    import datetime as dt
+
+    if v is None:
+        return None
+    if isinstance(dtype, T.DateType) and isinstance(v, dt.datetime):
+        if v.tzinfo is not None:
+            return _NO_PRUNE
+        if side == "lo":
+            return v.date() if v.time() == dt.time(0) else v.date() + dt.timedelta(days=1)
+        return v.date()
+    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+        if isinstance(v, dt.date) and not isinstance(v, dt.datetime):
+            return dt.datetime.combine(v, dt.time(0))
+    return v
 
 
 def _zorder_ordinal(dtype) -> "F.Column":
@@ -649,10 +703,20 @@ class Lakehouse:
         as violations (a constraint must PROVE the row valid)."""
         if mode not in ("skip", "replace"):
             raise ValueError(f"mode must be 'skip' or 'replace', got {mode!r}")
+        replaced = None
         if self.exists(name):
             if mode == "skip":
                 return
-            self.fs.delete(self._dir(name))
+            # replace drops the DATA, never the audit log: _history/ is
+            # the append-only commit evidence history() documents as kept
+            # forever. Versioning and sequence numbers continue past the
+            # old table's high-water marks so archived manifests are
+            # never silently re-pointed at new data (their data is gone —
+            # reads of pre-replace versions fail honestly) and the new
+            # create can't overwrite an archived version file.
+            replaced = self._load_meta(name)
+            self.fs.delete(f"{self._dir(name)}/data")
+            self.fs.delete(self._meta_path(name))
         for k in (partition_keys or []) + (primary_keys or []) + (stats_columns or []):
             if k not in schema.fieldNames():
                 raise ValueError(f"key {k!r} not in schema for table {name!r}")
@@ -672,8 +736,12 @@ class Lakehouse:
             retain_versions=int(retain_versions),
             checks=dict(checks or {}),
         )
+        if replaced is not None:
+            hist = self._history_versions(name)
+            meta.version = max([replaced.version] + hist) + 1
+            meta.next_seq = replaced.next_seq
         self._save_meta(meta)
-        self._archive_meta(meta, "create")
+        self._archive_meta(meta, "create(replace)" if replaced is not None else "create")
 
     def drop(self, name: str) -> None:
         if self.exists(name):
@@ -1344,9 +1412,33 @@ class Lakehouse:
         NEW commit (roll-forward, the Delta RESTORE shape): the current
         manifest's visibility pointers are replaced with the archived
         ones, so history keeps the bad commits and a restore is itself
-        undoable. Requires the snapshot's data to still be retained."""
+        undoable. Requires the snapshot's data to still be retained.
+
+        CURRENT checks are revalidated against the restored rows first
+        and the restore REFUSES (like add_check) if any would be
+        violated — a check added after ``version`` only ever validated
+        then-current data, and silently restoring rows that break it
+        would void the invariant that lets writes validate only their
+        own generation. ``table_stats`` (stamped against the abandoned
+        version) are cleared; re-run analyze() after a restore."""
         old = self._version_meta(name, version)
         cur = self._load_meta(name)
+        if cur.checks:
+            # validate against the restored visibility, not the current
+            probe = self._read_raw(name, old)
+            conds = [
+                (nm, ~F.coalesce(F.expr(expr), F.lit(False)))
+                for nm, expr in cur.checks.items()
+            ]
+            viol = F.lit(False)
+            for _, c in conds:
+                viol = viol | c
+            if probe.filter(viol).limit(1).count():
+                raise CheckViolationError(
+                    f"table {name!r}: restoring v{version} would violate "
+                    f"current CHECK constraints {sorted(cur.checks)}; drop "
+                    "the checks or restore a compliant version"
+                )
         for f_name in (
             "schema_json",
             "partition_keys",
@@ -1359,6 +1451,8 @@ class Lakehouse:
             "zone_maps",
         ):
             setattr(cur, f_name, getattr(old, f_name))
+        # stats describe a version this table no longer reflects
+        cur.table_stats = {}
         # next_seq stays at the current high-water mark: sequence numbers
         # are monotonic forever, so post-restore writes can never collide
         # with generations any historical manifest references
@@ -1393,6 +1487,19 @@ class Lakehouse:
                 raise ValueError(f"unknown column {c!r} in scan predicate")
             if len(tuple(bounds)) != 2:
                 raise ValueError(f"bounds for {c!r} must be (lo, hi), got {bounds!r}")
+        # bounds coerced to each column's stat-encoding domain, used for
+        # PRUNING only (the Spark filter below keeps the caller's values):
+        # a datetime bound on a DateType column compares via Spark's
+        # date→midnight-timestamp promotion, which 'YYYY-MM-DD' vs
+        # 'YYYY-MM-DD HH:MM:SS' lexicographic order does not model
+        where_prune: dict[str, tuple] = {}
+        for c, (lo, hi) in where.items():
+            dtype = meta.schema[c].dataType
+            lo_p = _prune_bound(dtype, lo, "lo")
+            hi_p = _prune_bound(dtype, hi, "hi")
+            if lo_p is _NO_PRUNE or hi_p is _NO_PRUNE:
+                continue  # unsound to compare: this column never excludes
+            where_prune[c] = (lo_p, hi_p)
 
         # enumerate visible LEAF dirs with their zone-map keys
         leaves: list[tuple[str, str]] = []
@@ -1424,11 +1531,12 @@ class Lakehouse:
             if per_file:
                 for fk in per_file:
                     if not (
-                        where and _zone_excludes(meta.zone_maps.get(fk, {}), where)
+                        where_prune
+                        and _zone_excludes(meta.zone_maps.get(fk, {}), where_prune)
                     ):
                         kept.append(f"{p}/{fk.rsplit('/', 1)[1]}")
             elif not (
-                where and _zone_excludes(meta.zone_maps.get(zk, {}), where)
+                where_prune and _zone_excludes(meta.zone_maps.get(zk, {}), where_prune)
             ):
                 kept.append(p)
 

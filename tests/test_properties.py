@@ -200,13 +200,31 @@ def _spark_min_max(vals):
 
 def _row_matches(v, lo, hi):
     """Spark SQL semantics of lo <= v AND v <= hi (each side omitted when
-    unbounded): NULL never matches; NaN ranks larger than every double."""
+    unbounded): NULL never matches; NaN ranks larger than every double;
+    a date compared against a datetime promotes to its midnight
+    timestamp (Spark's date→timestamp implicit cast)."""
     import math
+
+    def _promote(a, b):
+        if (
+            isinstance(a, dt.date)
+            and not isinstance(a, dt.datetime)
+            and isinstance(b, dt.datetime)
+        ):
+            return dt.datetime.combine(a, dt.time(0)), b
+        if (
+            isinstance(b, dt.date)
+            and not isinstance(b, dt.datetime)
+            and isinstance(a, dt.datetime)
+        ):
+            return a, dt.datetime.combine(b, dt.time(0))
+        return a, b
 
     if v is None:
         return False
 
     def _cmp(a, b):  # a <= b under Spark's NaN-largest total order
+        a, b = _promote(a, b)
         a_nan = isinstance(a, float) and math.isnan(a)
         b_nan = isinstance(b, float) and math.isnan(b)
         if a_nan:
@@ -224,40 +242,63 @@ def _row_matches(v, lo, hi):
 
 @st.composite
 def _zone_case(draw):
-    kind = draw(st.sampled_from(["f", "i", "s", "d", "ts"]))
-    elem = {
+    # d2ts / ts2d are the MIXED temporal cases the r6 advisor flagged:
+    # date-typed stats probed with datetime bounds and vice versa
+    kind = draw(st.sampled_from(["f", "i", "s", "d", "ts", "d2ts", "ts2d"]))
+    velem = {
         "f": _zm_floats,
         "i": _zm_ints,
         "s": _zm_strings,
         "d": _zm_dates,
         "ts": _zm_datetimes,
+        "d2ts": _zm_dates,
+        "ts2d": _zm_datetimes,
     }[kind]
-    vals = draw(st.lists(st.one_of(st.none(), elem), min_size=0, max_size=20))
-    lo = draw(st.one_of(st.none(), elem))
-    hi = draw(st.one_of(st.none(), elem))
-    return vals, lo, hi
+    belem = {"d2ts": _zm_datetimes, "ts2d": _zm_dates}.get(kind, velem)
+    vals = draw(st.lists(st.one_of(st.none(), velem), min_size=0, max_size=20))
+    lo = draw(st.one_of(st.none(), belem))
+    hi = draw(st.one_of(st.none(), belem))
+    return kind, vals, lo, hi
 
 
 @given(_zone_case())
 @settings(max_examples=500, deadline=None)
 def test_zone_excludes_is_sound(case):
-    """If _zone_excludes says a leaf can be skipped, NO row in it can
-    satisfy the predicate under Spark comparison semantics — for every
-    value type, with NULLs, NaNs, and non-ASCII strings in play.
+    """If scan()'s pruning (bound coercion + _zone_excludes) says a leaf
+    can be skipped, NO row in it can satisfy the predicate under Spark
+    comparison semantics — for every value type, with NULLs, NaNs,
+    non-ASCII strings, and mixed date/datetime encodings in play.
     (Completeness is not required — failing to prune is always safe —
     but a single unsound exclusion silently drops rows.)"""
-    from at_data_pipelines_spark.catalog import _stat_encode, _zone_excludes
+    from pyspark.sql import types as T
 
-    vals, lo, hi = case
+    from at_data_pipelines_spark.catalog import (
+        _NO_PRUNE,
+        _prune_bound,
+        _stat_encode,
+        _zone_excludes,
+    )
+
+    kind, vals, lo, hi = case
     mn, mx = _spark_min_max(vals)
     if mn is None and mx is None:
         stats = {"c": [None, None]}
     else:
         emn, emx = _stat_encode(mn), _stat_encode(mx)
         stats = {"c": [emn, emx]} if emn is not None and emx is not None else {}
-    if _zone_excludes(stats, {"c": (lo, hi)}):
+    # scan()'s coercion step, with the column dtype the kind implies
+    dtype = {
+        "d": T.DateType(),
+        "d2ts": T.DateType(),
+        "ts": T.TimestampNTZType(),
+        "ts2d": T.TimestampNTZType(),
+    }.get(kind, T.StringType())
+    lo_p, hi_p = _prune_bound(dtype, lo, "lo"), _prune_bound(dtype, hi, "hi")
+    if lo_p is _NO_PRUNE or hi_p is _NO_PRUNE:
+        return  # scan refuses to prune on this column: vacuously sound
+    if _zone_excludes(stats, {"c": (lo_p, hi_p)}):
         matching = [v for v in vals if _row_matches(v, lo, hi)]
         assert matching == [], (
-            f"pruned a leaf containing matches: vals={vals!r} "
+            f"pruned a leaf containing matches: kind={kind} vals={vals!r} "
             f"bounds=({lo!r}, {hi!r}) stats={stats!r} -> {matching!r}"
         )

@@ -115,6 +115,82 @@ def test_post_restore_writes_do_not_collide(lake, spark):
     assert lake.table("t", version=2).count() == 40  # pre-restore state intact
 
 
+def test_restore_revalidates_current_checks(lake, spark):
+    """A CHECK added after the target version only validated then-current
+    data: restoring rows that would violate it must refuse (like
+    add_check), and table_stats stamped against the abandoned version
+    must be cleared."""
+    from at_data_pipelines_spark.catalog import CheckViolationError
+
+    lake.create("t", SCHEMA, ["year"], ["k", "year"], retain_versions=10)
+    lake.upsert("t", _batch(spark, 0, 20, 2023, vbase=-5000.0))  # v1: negatives
+    lake.delete_where("t", F.col("v") < 0)  # v2: clean
+    lake.upsert("t", _batch(spark, 0, 20, 2023, vbase=100.0))  # v3
+    lake.add_check("t", "v_nonneg", "v >= 0")  # validated current data only
+    lake.analyze("t")
+    assert lake._load_meta("t").table_stats  # stamped
+    with pytest.raises(CheckViolationError, match="v_nonneg"):
+        lake.restore("t", 1)  # v1 rows violate the newer check
+    # compliant version restores fine, and stats are cleared
+    lake.restore("t", 3)
+    meta = lake._load_meta("t")
+    assert meta.table_stats == {}
+    assert lake.table("t").filter(F.col("v") < 0).count() == 0
+
+
+def test_create_replace_preserves_history(lake, spark):
+    """mode='replace' drops the data but never the append-only audit log:
+    prior commit evidence stays in _history/, versions and sequence
+    numbers continue past the old high-water marks (no archived version
+    file is ever overwritten, no seq dir ever reused)."""
+    lake.create("t", SCHEMA, ["year"], ["k", "year"], retain_versions=10)
+    lake.upsert("t", _batch(spark, 0, 30, 2023))
+    lake.upsert("t", _batch(spark, 30, 40, 2023))
+    old_versions = [h["version"] for h in lake.history("t")]
+    old_next_seq = lake._load_meta("t").next_seq
+    lake.create("t", SCHEMA, ["year"], ["k", "year"], mode="replace")
+    hist = lake.history("t")
+    # all old entries still present, replace appended (never rewound)
+    assert [h["version"] for h in hist][: len(old_versions)] == old_versions
+    assert hist[-1]["action"] == "create(replace)"
+    assert hist[-1]["version"] == max(old_versions) + 1
+    meta = lake._load_meta("t")
+    assert meta.next_seq == old_next_seq  # seq numbers never reused
+    assert lake.table("t").count() == 0  # data IS gone
+    lake.upsert("t", _batch(spark, 0, 5, 2024))
+    assert lake.table("t").count() == 5
+
+
+def test_scan_date_column_with_datetime_bounds(lake, spark):
+    """r7 advisor: a datetime bound on a DateType stats column must not
+    prune the leaf holding the boundary date — Spark promotes the date
+    to its midnight timestamp, which 'YYYY-MM-DD' < 'YYYY-MM-DD
+    HH:MM:SS' lexicographic compare does not model."""
+    lake.create("t", SCHEMA, [], ["k"], stats_columns=["d"])
+    rows = [
+        (1, 2024, 1.0, dt.date(2024, 1, 1), "a"),
+        (2, 2024, 2.0, dt.date(2024, 1, 2), "b"),
+    ]
+    lake.upsert("t", spark.createDataFrame(rows, SCHEMA))
+    # leaf stats: d in ['2024-01-01', '2024-01-02']; bound lo = midnight
+    # of the max date — the advisor's exact unsound-prune scenario
+    got = lake.scan(
+        "t", where={"d": (dt.datetime(2024, 1, 2, 0, 0), None)}
+    ).collect()
+    assert [r.k for r in got] == [2]
+    # non-midnight lo past the last date: excludes soundly (empty result
+    # via pruning or filtering — either way no rows)
+    assert (
+        lake.scan("t", where={"d": (dt.datetime(2024, 1, 2, 0, 0, 1), None)}).count()
+        == 0
+    )
+    # datetime hi: dates on the hi boundary match
+    got = lake.scan(
+        "t", where={"d": (None, dt.datetime(2024, 1, 1, 12, 0))}
+    ).collect()
+    assert [r.k for r in got] == [1]
+
+
 def test_vacuum_expires_past_retention_window(lake, spark):
     lake.create("t", SCHEMA, ["year"], ["k", "year"], retain_versions=2)
     for i in range(5):
