@@ -74,6 +74,7 @@ restated in a plain hive layout):
 
 from __future__ import annotations
 
+import copy
 import json
 import re
 import uuid
@@ -207,6 +208,20 @@ class _HadoopFS:
             for st in self._fs.listStatus(self._Path(p))
             if st.isFile()
         ]
+
+    def create_exclusive(self, p: str) -> bool:
+        """Create ``p`` only if it does not exist (Hadoop create with
+        overwrite=false); True iff this caller won. Atomic on local/HDFS;
+        on S3A it degrades to HEAD-then-PUT (the FS API exposes no
+        conditional PUT) — same residual window every Hadoop-FS-based
+        commit protocol carries, shrunk from job-length to one
+        round-trip."""
+        try:
+            out = self._fs.create(self._Path(p), False)
+            out.close()
+            return True
+        except Exception:
+            return False
 
 
 # Hive's default set of characters escaped in partition directory names
@@ -539,6 +554,10 @@ class Lakehouse:
                     f"(e.g. {legacy_dirs[0]!r}); migrate it into a _seq=K "
                     "generation before reading"
                 )
+        return self._meta_from_raw(raw)
+
+    @staticmethod
+    def _meta_from_raw(raw: dict) -> TableMeta:
         known = {f.name for f in dataclass_fields(TableMeta)}
         meta = TableMeta(**{k: v for k, v in raw.items() if k in known})
         # pre-r4 metas recorded dirty partitions as value tuples; rel strings now
@@ -614,42 +633,198 @@ class Lakehouse:
         return out
 
     def _commit_meta(
-        self, meta: TableMeta, token: str | None = None, action: str = "commit"
-    ) -> None:
+        self,
+        meta: TableMeta,
+        token: str | None = None,
+        action: str = "commit",
+        rebase=None,
+    ) -> TableMeta:
         """The commit point of every mutation, with optimistic concurrency
-        detection. Before the PUT we (a) verify the on-disk manifest
-        version still equals the version this writer loaded — another
-        writer's commit in between bumps it — and (b) verify this writer's
-        attempt-token file still exists in its generation dir: a racing
-        writer that was assigned the same ``next_seq`` clears that dir
-        before writing its own data, so a missing token means our data
-        files were clobbered even though no manifest was committed yet.
-        Either check failing raises ConcurrentWriteError and commits
-        nothing (our orphaned generation is vacuumable).
+        detection AND (where the op provides a ``rebase``) optimistic
+        rebase of provably-disjoint commits. Before the PUT we (a) check
+        the on-disk manifest version still equals the version this writer
+        loaded — another writer's commit in between bumps it — and (b)
+        verify this writer's attempt-token file still exists in its
+        generation dir (defense in depth; generation numbers are uniquely
+        reserved via ``_reserve_seq``, so data clobbering cannot happen
+        by protocol).
 
-        This is detect-and-raise, not compare-and-swap: a true CAS needs a
-        conditional PUT, which the Hadoop FS API does not expose uniformly.
-        The window between the re-read and the PUT is milliseconds instead
-        of the whole job runtime, and — unlike last-writer-wins — every
-        detected race surfaces as an error instead of a silently dropped
-        commit. Single-writer deployments (the reference's assumption) pay
-        one extra metadata GET per commit."""
-        on_disk = json.loads(self.fs.read_text(self._meta_path(meta.name)))
-        if on_disk.get("version", 0) != meta.version:
-            raise ConcurrentWriteError(
-                f"table {meta.name!r}: manifest version moved "
-                f"{meta.version} -> {on_disk.get('version', 0)} since load; "
-                "another writer committed — retry from a fresh state"
-            )
-        if token is not None and not self.fs.exists(token):
-            raise ConcurrentWriteError(
-                f"table {meta.name!r}: generation attempt token vanished — "
-                "a concurrent writer reused this sequence number and "
-                "cleared its directory; retry from a fresh state"
-            )
-        meta.version += 1
-        self._save_meta(meta)
-        self._archive_meta(meta, action)
+        When (a) fails and the op passed ``rebase``, the fresh on-disk
+        manifest is loaded and ``rebase(fresh) -> TableMeta | None``
+        re-applies this writer's mutation onto it — returning None when
+        the two commits are NOT provably disjoint (then we raise as
+        before). Generations are append-only and uniquely numbered, so a
+        successful rebase repoints only partitions the other commit
+        demonstrably didn't touch. Up to 5 rebase rounds (each losing the
+        race to yet another writer) are attempted. Returns the committed
+        meta — callers must use the RETURN VALUE for post-commit state,
+        not their (possibly stale) local object.
+
+        This is detect-and-retry, not compare-and-swap: a true CAS needs
+        a conditional PUT, which the Hadoop FS API does not expose
+        uniformly. The window between the re-read and the PUT is
+        milliseconds instead of the whole job runtime, and — unlike
+        last-writer-wins — every unresolvable race surfaces as an error
+        instead of a silently dropped commit."""
+        for _ in range(5):
+            on_disk = json.loads(self.fs.read_text(self._meta_path(meta.name)))
+            if on_disk.get("version", 0) != meta.version:
+                rebased = (
+                    rebase(self._meta_from_raw(on_disk)) if rebase is not None else None
+                )
+                if rebased is None:
+                    raise ConcurrentWriteError(
+                        f"table {meta.name!r}: manifest version moved "
+                        f"{meta.version} -> {on_disk.get('version', 0)} since load "
+                        "and the concurrent commit is not provably disjoint — "
+                        "retry from a fresh state"
+                    )
+                meta = rebased
+                continue
+            if token is not None and not self.fs.exists(token):
+                raise ConcurrentWriteError(
+                    f"table {meta.name!r}: generation attempt token vanished — "
+                    "this generation's directory was cleared externally; "
+                    "retry from a fresh state"
+                )
+            meta.version += 1
+            self._save_meta(meta)
+            self._archive_meta(meta, action)
+            return meta
+        raise ConcurrentWriteError(
+            f"table {meta.name!r}: lost the commit race 5 times in a row — "
+            "retry from a fresh state"
+        )
+
+    def _reserve_seq(self, name: str, meta: TableMeta) -> int:
+        """Allocate a generation number no concurrent writer can share:
+        exclusive-create a claim file under ``_claims/`` starting at the
+        loaded ``next_seq`` and probing upward. Two writers that loaded
+        the same manifest therefore write to DIFFERENT ``_seq=K`` dirs —
+        a racing writer can never clear a directory another writer's
+        commit (past or pending) references, which is what makes the
+        optimistic rebase in ``_commit_meta`` sound. Claim files are one
+        empty object per generation (same order as the history archive)
+        and are never reused, so crashed reservations only skip numbers
+        — sequence monotonicity is preserved."""
+        claims = f"{self._dir(name)}/_claims"
+        self.fs.mkdirs(claims)
+        k = meta.next_seq
+        for _ in range(10_000):
+            if self.fs.create_exclusive(f"{claims}/seq-{k:012d}"):
+                return k
+            k += 1
+        raise ConcurrentWriteError(
+            f"table {name!r}: could not reserve a generation number "
+            f"after 10000 probes from {meta.next_seq}"
+        )
+
+    @staticmethod
+    def _snapshot_meta(meta: TableMeta) -> TableMeta:
+        """Deep copy of the manifest as loaded — the 'before' image the
+        rebase diff is computed against."""
+        return TableMeta(
+            **{
+                f.name: copy.deepcopy(getattr(meta, f.name))
+                for f in dataclass_fields(TableMeta)
+            }
+        )
+
+    @staticmethod
+    def _struct_unchanged(before: TableMeta, fresh: TableMeta) -> bool:
+        """A rebase is only meaningful while the table's structural
+        contract is what this writer compiled its plan against."""
+        return (
+            fresh.schema_json == before.schema_json
+            and fresh.partition_keys == before.partition_keys
+            and fresh.primary_keys == before.primary_keys
+            and fresh.checks == before.checks
+            and fresh.stats_columns == before.stats_columns
+            and fresh.retain_versions == before.retain_versions
+        )
+
+    def _make_rebase(
+        self,
+        before: TableMeta,
+        after: TableMeta,
+        kind: str,
+        base_rels: "set[str] | None" = None,
+        properties: dict | None = None,
+    ):
+        """Build the ``rebase(fresh) -> TableMeta | None`` closure for
+        ``_commit_meta``: re-applies THIS writer's manifest mutation
+        (the before→after diff) onto a fresh manifest another writer
+        committed meanwhile, iff the two commits are provably disjoint.
+
+        ``kind='append'`` (insert mode=append): an appended delta
+        generation commutes with any other commit that kept the table's
+        structure — replay unconditionally.
+
+        ``kind='rmw'`` (optimize/upsert/merge/delete_where): the rewrite
+        was derived from a snapshot of ``base_rels`` (None = the whole
+        table), the pending deltas, and the dirty set; rebase only when
+        the fresh manifest proves the other commit touched NONE of them:
+        every base partition pointer unchanged, live_deltas and
+        dirty_partitions exactly as loaded. Anything else returns None
+        and the caller raises."""
+        repointed = {
+            rel: s
+            for rel, s in after.committed.items()
+            if before.committed.get(rel) != s
+        }
+        popped = [rel for rel in before.committed if rel not in after.committed]
+        added_deltas = [s for s in after.live_deltas if s not in before.live_deltas]
+        added_dirty = [
+            r for r in after.dirty_partitions if r not in before.dirty_partitions
+        ]
+        zone_diff = {
+            k: v
+            for k, v in after.zone_maps.items()
+            if before.zone_maps.get(k) != v
+        }
+
+        def rebase(fresh: TableMeta) -> "TableMeta | None":
+            if not self._struct_unchanged(before, fresh):
+                return None
+            if kind == "append":
+                fresh.live_deltas.extend(added_deltas)
+                seen = set(fresh.dirty_partitions)
+                for r in added_dirty:
+                    if r not in seen:
+                        fresh.dirty_partitions.append(r)
+                        seen.add(r)
+                if after.all_dirty and not before.all_dirty:
+                    fresh.all_dirty = True
+            else:
+                if fresh.live_deltas != before.live_deltas:
+                    return None  # other commit consumed/added deltas we read
+                if sorted(fresh.dirty_partitions) != sorted(before.dirty_partitions):
+                    return None
+                if fresh.all_dirty != before.all_dirty:
+                    return None
+                if base_rels is None:
+                    # whole-table rewrite: any committed-map change conflicts
+                    if fresh.committed != before.committed:
+                        return None
+                else:
+                    for rel in set(base_rels) | set(repointed) | set(popped):
+                        if fresh.committed.get(rel) != before.committed.get(rel):
+                            return None
+                fresh.live_deltas = list(after.live_deltas)
+                fresh.dirty_partitions = list(after.dirty_partitions)
+                fresh.all_dirty = after.all_dirty
+                for rel, s in repointed.items():
+                    fresh.committed[rel] = s
+                for rel in popped:
+                    fresh.committed.pop(rel, None)
+            fresh.zone_maps.update(zone_diff)
+            fresh.next_seq = max(fresh.next_seq, after.next_seq)
+            self._prune_zone_maps(fresh)
+            if properties:
+                self._apply_properties(fresh, properties)
+            return fresh
+
+        return rebase
 
     def exists(self, name: str) -> bool:
         return self.fs.exists(self._meta_path(name))
@@ -1026,17 +1201,17 @@ class Lakehouse:
         return f"{self._dir(name)}/data/{_SEQ_COL}={seq}"
 
     def _write_seq(self, name: str, meta: TableMeta, df: DataFrame, seq: int) -> str | None:
-        """Write one immutable ``_seq=K`` generation. The target directory
-        is cleared first so a retry after a crashed attempt (same K —
-        ``next_seq`` only advances at commit) can never mix old partial
-        files into its output.
+        """Write one immutable ``_seq=K`` generation. ``seq`` comes from
+        ``_reserve_seq``, so the directory is uniquely this attempt's; the
+        clear-first is belt-and-braces against leftovers under a manually
+        recycled number.
 
         Returns the path of an attempt-token file dropped into the written
         directory (underscore-prefixed, so parquet readers ignore it), or
         None for an empty batch that wrote no directory. ``_commit_meta``
-        re-checks the token at commit: a racing writer assigned the same
-        seq clears this directory first, so a vanished token proves the
-        data under this generation is no longer ours."""
+        re-checks the token at commit as defense in depth — with reserved
+        sequence numbers a vanished token can only mean external
+        interference with this generation's directory."""
         self.fs.delete(self._seq_dir(name, seq))
         writer = df.withColumn(_SEQ_COL, F.lit(seq)).write.mode("append")
         writer = writer.partitionBy(_SEQ_COL, *meta.partition_keys)
@@ -1072,16 +1247,17 @@ class Lakehouse:
         incremental consumers (ops/ivm.py) need so a crash can never leave
         the data applied but its watermark property stale."""
         meta = self._load_meta(name)
+        before = self._snapshot_meta(meta)
         if allow_fast:
             # same no-double-execution guarantee as upsert(): probe and
             # fallback write share one input (no-op for a df upsert()
             # already checkpointed — its plan is a plain RDD scan)
             df = self._shared_probe_input(df)
-            if self._fast_insert(name, meta, df, mode, properties):
+            if self._fast_insert(name, meta, df, mode, properties, before):
                 return
         declared = meta.schema
         cols = [F.col(f.name).cast(f.dataType).alias(f.name) for f in declared.fields]
-        seq = meta.next_seq
+        seq = self._reserve_seq(name, meta)
         token = self._write_seq(name, meta, df.select(*cols), seq)
         if token is not None:
             self._validate_checks(name, meta, seq)  # raises before any commit
@@ -1097,7 +1273,7 @@ class Lakehouse:
             meta.all_dirty = False
         if wrote_rows:
             meta.live_deltas.append(seq)
-        meta.next_seq = seq + 1
+        meta.next_seq = max(meta.next_seq, seq + 1)
         if wrote_rows and meta.partition_keys:
             # the partition values this batch touched are literally the
             # hive directory names the write just created — read them off
@@ -1121,7 +1297,14 @@ class Lakehouse:
         self._prune_zone_maps(meta)
         if properties:
             self._apply_properties(meta, properties)
-        self._commit_meta(meta, token, action=f"insert({mode})")  # commit point
+        # an append commutes with any structure-preserving concurrent
+        # commit: rebase instead of raising when we lose the PUT race
+        rebase = (
+            self._make_rebase(before, meta, "append", properties=properties)
+            if mode == "append"
+            else None
+        )
+        self._commit_meta(meta, token, action=f"insert({mode})", rebase=rebase)
 
     def _rel_filter(self, meta: TableMeta, rels) -> "F.Column | None":
         """Partition-pruning predicate selecting exactly the given hive rel
@@ -1598,6 +1781,7 @@ class Lakehouse:
         meta = self._load_meta(name)
         if not meta.primary_keys:
             return
+        before = self._snapshot_meta(meta)
         if full:
             meta.all_dirty = True
         if not (meta.dirty_partitions or meta.all_dirty):
@@ -1665,7 +1849,7 @@ class Lakehouse:
                 if meta.partition_keys
                 else deduped
             ).sortWithinPartitions(*cluster)
-        seq = meta.next_seq
+        seq = self._reserve_seq(name, meta)
         token = self._write_seq(name, meta, deduped.drop(_SEQ_COL), seq)
         old_committed = dict(meta.committed)
         old_deltas = list(meta.live_deltas)
@@ -1686,14 +1870,22 @@ class Lakehouse:
         meta.live_deltas = []
         meta.dirty_partitions = []
         meta.all_dirty = False
-        meta.next_seq = seq + 1
+        meta.next_seq = max(meta.next_seq, seq + 1)
         if meta.stats_columns and token is not None:
             meta.zone_maps.update(
                 self._collect_zone_maps(name, meta, seq, per_file=bool(zorder_by))
             )
         self._prune_zone_maps(meta)
         action = f"optimize(zorder={zorder_by})" if zorder_by else "optimize"
-        self._commit_meta(meta, token, action)  # commit point
+        # the rewrite read the dirty partitions' bases (or the whole table
+        # for full/all-dirty/unpartitioned rewrites)
+        base = (
+            None
+            if (before.all_dirty or full or not meta.partition_keys)
+            else set(before.dirty_partitions)
+        )
+        rebase = self._make_rebase(before, meta, "rmw", base_rels=base)
+        meta = self._commit_meta(meta, token, action, rebase=rebase)  # commit point
         self._clean_superseded(name, meta, old_committed, old_deltas)
 
     def _clean_superseded(
@@ -1822,13 +2014,14 @@ class Lakehouse:
             return "structural"
         if meta.live_deltas or meta.dirty_partitions or meta.all_dirty:
             return "structural"  # pending deltas: let optimize() absorb them
+        before = self._snapshot_meta(meta)
         probed = self._probe_small_batch(meta, df)
         if probed is None:
             return "unsuitable"
         batch, arrow_schema = probed
         if batch.num_rows == 0:
             return True  # empty upsert: nothing to write or commit
-        seq = meta.next_seq
+        seq = self._reserve_seq(name, meta)
         seq_dir = self._seq_dir(name, seq)
         try:
             merged = self._fast_merge_write(meta, batch, arrow_schema, seq_dir)
@@ -1845,10 +2038,12 @@ class Lakehouse:
         self._validate_checks(name, meta, seq)  # raises before any commit
         old_committed = dict(meta.committed)
         meta.committed.update(new_committed)
-        meta.next_seq = seq + 1
+        meta.next_seq = max(meta.next_seq, seq + 1)
         meta.zone_maps.update(new_zone)
         self._prune_zone_maps(meta)
-        self._commit_meta(meta, token, action="upsert")  # commit point
+        # the merge read exactly the committed bases of the rels it wrote
+        rebase = self._make_rebase(before, meta, "rmw", base_rels=set(new_committed))
+        meta = self._commit_meta(meta, token, action="upsert", rebase=rebase)
         self._clean_superseded(name, meta, old_committed, [])
         return True
 
@@ -1925,16 +2120,20 @@ class Lakehouse:
         df: DataFrame,
         mode: str,
         properties: dict | None = None,
+        before: "TableMeta | None" = None,
     ) -> bool:
         """Driver-side small-append path; True iff committed. Mirrors the
         distributed insert exactly — new ``_seq=K`` delta generation,
         live_deltas/dirty_partitions bookkeeping, attempt token, one
-        manifest PUT — minus the Spark write job."""
+        manifest PUT (with append-rebase on commit races) — minus the
+        Spark write job."""
         probed = self._probe_small_batch(meta, df)
         if probed is None:
             return False
+        if before is None:
+            before = self._snapshot_meta(meta)
         batch, arrow_schema = probed
-        seq = meta.next_seq
+        seq = self._reserve_seq(name, meta)
         seq_dir = self._seq_dir(name, seq)
         wrote_rows = batch.num_rows > 0
         token = None
@@ -1969,7 +2168,7 @@ class Lakehouse:
             meta.all_dirty = False
         if wrote_rows:
             meta.live_deltas.append(seq)
-        meta.next_seq = seq + 1
+        meta.next_seq = max(meta.next_seq, seq + 1)
         if wrote_rows and meta.partition_keys:
             seen = set(meta.dirty_partitions)
             for rel in sorted(written_rels):
@@ -1983,7 +2182,12 @@ class Lakehouse:
         self._prune_zone_maps(meta)
         if properties:
             self._apply_properties(meta, properties)
-        self._commit_meta(meta, token, action=f"insert({mode})")  # commit point
+        rebase = (
+            self._make_rebase(before, meta, "append", properties=properties)
+            if mode == "append"
+            else None
+        )
+        self._commit_meta(meta, token, action=f"insert({mode})", rebase=rebase)
         return True
 
     def _fast_merge_write(self, meta, batch, arrow_schema, seq_dir):
@@ -2172,6 +2376,7 @@ class Lakehouse:
         meta = self._load_meta(name)
         if not meta.primary_keys:
             raise ValueError(f"merge needs primary keys on {name!r}")
+        before = self._snapshot_meta(meta)
         pk = list(meta.primary_keys)
         cols = meta.schema.fieldNames()
         declared = meta.schema
@@ -2203,7 +2408,7 @@ class Lakehouse:
         src = src.localCheckpoint()
 
         raw = self._read_raw(name, meta)
-        seq = meta.next_seq
+        seq = self._reserve_seq(name, meta)
         if meta.partition_keys:
             vals = (
                 src.select(
@@ -2309,13 +2514,17 @@ class Lakehouse:
         meta.live_deltas = []
         meta.dirty_partitions = []
         meta.all_dirty = False
-        meta.next_seq = seq + 1
+        meta.next_seq = max(meta.next_seq, seq + 1)
         if meta.stats_columns and token is not None:
             meta.zone_maps.update(self._collect_zone_maps(name, meta, seq))
         self._prune_zone_maps(meta)
         if properties:
             self._apply_properties(meta, properties)
-        self._commit_meta(meta, token, action="merge")  # commit point
+        base = set(affected) if meta.partition_keys else None
+        rebase = self._make_rebase(
+            before, meta, "rmw", base_rels=base, properties=properties
+        )
+        meta = self._commit_meta(meta, token, action="merge", rebase=rebase)
         self._clean_superseded(name, meta, old_committed, old_deltas)
 
     def delete_where(self, name: str, predicate) -> None:
@@ -2330,11 +2539,12 @@ class Lakehouse:
         affected partitions, not table size.
         """
         meta = self._load_meta(name)
+        before = self._snapshot_meta(meta)
         pred = F.expr(predicate) if isinstance(predicate, str) else predicate
         # NULL predicate results must mean "keep", not silently vanish
         pred = F.coalesce(pred, F.lit(False))
         raw = self._read_raw(name, meta)
-        seq = meta.next_seq
+        seq = self._reserve_seq(name, meta)
         if meta.partition_keys:
             # affected = partitions with matching rows (pruned aggregate,
             # tiny collect) ∪ partitions with live delta data (the rewrite
@@ -2392,9 +2602,11 @@ class Lakehouse:
         meta.live_deltas = []
         meta.dirty_partitions = []
         meta.all_dirty = False
-        meta.next_seq = seq + 1
+        meta.next_seq = max(meta.next_seq, seq + 1)
         if meta.stats_columns and token is not None:
             meta.zone_maps.update(self._collect_zone_maps(name, meta, seq))
         self._prune_zone_maps(meta)
-        self._commit_meta(meta, token, action="delete_where")  # commit point
+        base = set(affected) if meta.partition_keys else None
+        rebase = self._make_rebase(before, meta, "rmw", base_rels=base)
+        meta = self._commit_meta(meta, token, action="delete_where", rebase=rebase)
         self._clean_superseded(name, meta, old_committed, old_deltas)

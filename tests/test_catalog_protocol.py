@@ -52,11 +52,12 @@ def slow_path_only():
     Lakehouse._FAST_UPSERT_MAX_ROWS = orig
 
 
-def test_concurrent_writer_version_moved_loses(lake, spark, slow_path_only):
+def test_concurrent_append_rebases_onto_rival_commit(lake, spark, slow_path_only):
     """Writer A loads the manifest, writes its generation; writer B commits
-    in between (reusing A's sequence number — B cleared A's directory).
-    A's commit must raise ConcurrentWriteError, B's commit must survive
-    intact, and a retry of A from fresh state must succeed."""
+    in between. Sequence numbers are uniquely reserved (no directory is
+    shared), and two appends commute — A's commit REBASES onto B's fresh
+    manifest instead of raising, so BOTH batches become visible with one
+    call each (r6 verdict #4)."""
     lake.create("prices", SCHEMA, ["year"], ["date", "ticker"])
     lake.insert("prices", _df(spark, [("A", "2024-01-02", 10.0)]))
 
@@ -70,15 +71,14 @@ def test_concurrent_writer_version_moved_loses(lake, spark, slow_path_only):
         return token
 
     lake._write_seq = types.MethodType(interleaved, lake)
-    with pytest.raises(ConcurrentWriteError, match="version moved"):
-        lake.insert("prices", _df(spark, [("L", "2024-01-04", 2.0)]))
+    lake.insert("prices", _df(spark, [("L", "2024-01-04", 2.0)]))
     del lake.__dict__["_write_seq"]
 
-    # the winner's commit is intact; the loser's rows never became visible
+    # both concurrent appends committed; nothing lost, nothing clobbered
     got = {r.ticker for r in lake.table("prices").collect()}
-    assert got == {"A", "R"}
-    # retry from fresh state succeeds
-    lake.insert("prices", _df(spark, [("L", "2024-01-04", 2.0)]))
+    assert got == {"A", "R", "L"}
+    # and the table still optimizes cleanly (both deltas absorbed)
+    lake.optimize("prices")
     got = {r.ticker for r in lake.table("prices").collect()}
     assert got == {"A", "R", "L"}
 
@@ -104,10 +104,10 @@ def test_concurrent_writer_token_vanished_loses(lake, spark, slow_path_only):
     assert lake.table("prices").count() == 0
 
 
-def test_fast_insert_concurrent_writer_detected(lake, spark):
-    """The driver-side fast insert keeps the optimistic-concurrency
-    contract: a rival commit between its file writes and its manifest PUT
-    must raise, the rival's data must survive, and a retry succeeds."""
+def test_fast_insert_concurrent_append_rebases(lake, spark):
+    """The driver-side fast insert keeps the same rebase semantics as the
+    distributed path: a rival append committed between its file writes
+    and its manifest PUT is rebased onto, both batches visible."""
     lake.create("prices", SCHEMA, ["year"], ["date", "ticker"])
     lake.insert("prices", _df(spark, [("A", "2024-01-02", 10.0)]))
 
@@ -122,13 +122,9 @@ def test_fast_insert_concurrent_writer_detected(lake, spark):
             rival.insert("prices", _df(spark, [("R", "2024-01-03", 1.0)]))
 
     lake._write_rel_file = types.MethodType(interleaved, lake)
-    with pytest.raises(ConcurrentWriteError):
-        lake.insert("prices", _df(spark, [("L", "2024-01-04", 2.0)]))
+    lake.insert("prices", _df(spark, [("L", "2024-01-04", 2.0)]))
     del lake.__dict__["_write_rel_file"]
 
-    got = {r.ticker for r in lake.table("prices").collect()}
-    assert got == {"A", "R"}
-    lake.insert("prices", _df(spark, [("L", "2024-01-04", 2.0)]))
     got = {r.ticker for r in lake.table("prices").collect()}
     assert got == {"A", "R", "L"}
 
@@ -424,6 +420,138 @@ def test_fast_upsert_concurrent_writer_detected(lake, spark):
     lake.upsert("prices", _df(spark, [("A", "2024-01-02", 2.0)]))
     rows = {(r.ticker, str(r.date)): r.close for r in lake.table("prices").collect()}
     assert rows[("A", "2024-01-02")] == 2.0
+
+
+def test_concurrent_disjoint_partition_upserts_both_commit(lake, spark):
+    """r6 verdict #4, deterministic interleaving: writer B commits an
+    upsert to year=2023 exactly between writer A's merge write and A's
+    manifest PUT for year=2024. The partition sets are disjoint and
+    append-only generations prove it, so A REBASES and both commits
+    land — the table equals the serial result."""
+    lake.create("prices", SCHEMA, ["year"], ["date", "ticker"])
+    lake.upsert("prices", _df(spark, [("A", "2023-01-02", 1.0), ("B", "2024-01-02", 2.0)]))
+
+    rival = Lakehouse(spark, lake.root)
+    orig = Lakehouse._fast_merge_write
+    fired = {"done": False}
+
+    def interleaved(self, meta, batch, arrow_schema, seq_dir):
+        out = orig(self, meta, batch, arrow_schema, seq_dir)
+        if not fired["done"]:
+            fired["done"] = True
+            rival.upsert("prices", _df(spark, [("A", "2023-01-02", 10.0)]))
+        return out
+
+    lake._fast_merge_write = types.MethodType(interleaved, lake)
+    lake.upsert("prices", _df(spark, [("B", "2024-01-02", 20.0)]))
+    del lake.__dict__["_fast_merge_write"]
+
+    rows = {(r.ticker, str(r.date)): r.close for r in lake.table("prices").collect()}
+    # == the serial result of both upserts, whatever their order
+    assert rows == {("A", "2023-01-02"): 10.0, ("B", "2024-01-02"): 20.0}
+    # PK dedup intact after both commits
+    assert lake.table("prices").count() == 2
+
+
+def test_concurrent_upserts_two_threads_disjoint_partitions(lake, spark):
+    """Wall-clock thread race (non-deterministic interleaving): many
+    upserts to DIFFERENT year= partitions from two threads must all
+    commit — rebase absorbs any version race — and the final table must
+    equal the serial result."""
+    import threading
+
+    lake.create("prices", SCHEMA, ["year"], ["date", "ticker"])
+    lakes = [Lakehouse(spark, lake.root), Lakehouse(spark, lake.root)]
+    errs: list = []
+    barrier = threading.Barrier(2)
+
+    def writer(i, year):
+        try:
+            barrier.wait(timeout=60)
+            for step in range(3):
+                lakes[i].upsert(
+                    "prices",
+                    _df(spark, [(f"T{i}", f"{year}-01-{2 + step:02d}", float(step))]),
+                )
+        except Exception as e:  # pragma: no cover - failure reporting
+            errs.append(e)
+
+    ts = [
+        threading.Thread(target=writer, args=(0, "2023")),
+        threading.Thread(target=writer, args=(1, "2024")),
+    ]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=300)
+    assert not errs, f"concurrent disjoint upserts must not conflict: {errs}"
+    rows = {(r.ticker, str(r.date)) for r in lake.table("prices").collect()}
+    assert rows == {
+        (f"T{i}", f"{y}-01-{2 + s:02d}")
+        for i, y in ((0, "2023"), (1, "2024"))
+        for s in range(3)
+    }
+
+
+def test_concurrent_same_partition_upserts_still_raise(lake, spark):
+    """Conflicting writers (same partition) must NOT rebase: the rival's
+    commit repointed the very base our merge read, so the race surfaces
+    as ConcurrentWriteError exactly as before."""
+    lake.create("prices", SCHEMA, ["year"], ["date", "ticker"])
+    lake.upsert("prices", _df(spark, [("A", "2024-01-02", 1.0)]))
+
+    rival = Lakehouse(spark, lake.root)
+    orig = Lakehouse._fast_merge_write
+    fired = {"done": False}
+
+    def interleaved(self, meta, batch, arrow_schema, seq_dir):
+        out = orig(self, meta, batch, arrow_schema, seq_dir)
+        if not fired["done"]:
+            fired["done"] = True
+            rival.upsert("prices", _df(spark, [("R", "2024-01-03", 7.0)]))
+        return out
+
+    lake._fast_merge_write = types.MethodType(interleaved, lake)
+    with pytest.raises(ConcurrentWriteError, match="not provably disjoint"):
+        lake.upsert("prices", _df(spark, [("A", "2024-01-02", 2.0)]))
+    del lake.__dict__["_fast_merge_write"]
+    # the rival's commit is intact, the loser's rows never became visible
+    rows = {(r.ticker, str(r.date)): r.close for r in lake.table("prices").collect()}
+    assert rows == {("A", "2024-01-02"): 1.0, ("R", "2024-01-03"): 7.0}
+    # the loser's retry from fresh state succeeds
+    lake.upsert("prices", _df(spark, [("A", "2024-01-02", 2.0)]))
+    rows = {(r.ticker, str(r.date)): r.close for r in lake.table("prices").collect()}
+    assert rows[("A", "2024-01-02")] == 2.0
+
+
+def test_optimize_conflicting_with_new_delta_raises(lake, spark, slow_path_only):
+    """A compaction whose read snapshot went stale (rival appended a NEW
+    delta after our load) must refuse to rebase — setting live_deltas=[]
+    would silently drop the rival's rows."""
+    lake.create("prices", SCHEMA, ["year"], ["date", "ticker"])
+    lake.insert("prices", _df(spark, [("A", "2024-01-02", 1.0)]))
+
+    rival = Lakehouse(spark, lake.root)
+    orig = Lakehouse._write_seq
+    fired = {"done": False}
+
+    def interleaved(self, name, meta, df, seq):
+        token = orig(self, name, meta, df, seq)
+        if not fired["done"]:
+            fired["done"] = True
+            rival.insert("prices", _df(spark, [("R", "2024-01-03", 7.0)]))
+        return token
+
+    lake._write_seq = types.MethodType(interleaved, lake)
+    with pytest.raises(ConcurrentWriteError, match="not provably disjoint"):
+        lake.optimize("prices")
+    del lake.__dict__["_write_seq"]
+    # nothing lost: both deltas still visible, and a fresh optimize works
+    got = {r.ticker for r in lake.table("prices").collect()}
+    assert got == {"A", "R"}
+    lake.optimize("prices")
+    got = {r.ticker for r in lake.table("prices").collect()}
+    assert got == {"A", "R"}
 
 
 def test_fast_and_slow_upsert_paths_agree_on_hostile_values(lake, spark, tmp_path):
