@@ -23,13 +23,28 @@ Composition of this engine's lakehouse primitives:
   never leave the correction applied but the watermark stale, which
   would double-apply the same change window on the next refresh.
 
+MIN/MAX (``min_cols``/``max_cols``) are NOT algebraic under deletes —
+removing the current extreme cannot be corrected from the delta alone.
+The classic fix (e.g. Gupta-Mumick's IVM taxonomy) is a scoped
+fallback, implemented here: inserts tighten incrementally
+(``least(stored, batch_min)``), and a delete whose value TIES OR BEATS
+the stored extreme flags ITS GROUP for recompute — one source scan
+semi-joined to exactly the flagged groups, never the whole view. Cost
+is O(changes) when no extreme is deleted, O(source rows of the flagged
+groups' scan) when one is; a workload that routinely deletes extremes
+should keep a sorted/zone-mapped layout on the measure so that scan
+prunes.
+
 Determinism note: float sums accumulate in different orders under
 incremental vs full recomputation, so the invariant is counts exactly
 equal + sums equal to ~1e-9 relative (asserted by the differential
 test); use scaled-integer measures when bit-exactness is required.
+MIN/MAX are order-free and therefore exactly equal.
 """
 
 from __future__ import annotations
+
+from functools import reduce
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -37,13 +52,43 @@ from pyspark.sql import functions as F
 _SRC_VERSION_PROP = "ivm.src_version"
 
 
-def _aggregate(df: DataFrame, group_cols: list[str], sum_cols: list[str]) -> DataFrame:
-    # NULL measures contribute 0 (not SQL's all-NULL→NULL): the only
+def _logical_source(lake, src: str) -> DataFrame:
+    """The source's LOGICAL rows (latest per primary key): ``table()``
+    exposes raw pending-delta duplicates until optimize(), but the CDC
+    feed — and therefore the view — reflects keep-latest semantics, so
+    every full read the view derives from must too."""
+    from pyspark.sql.window import Window
+
+    from ..catalog import _SEQ_COL
+
+    meta = lake._load_meta(src)
+    raw = lake._read_raw(src, meta)
+    if meta.primary_keys and meta.live_deltas:
+        w = Window.partitionBy(*meta.primary_keys).orderBy(F.desc(_SEQ_COL))
+        raw = (
+            raw.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+    return raw.drop(_SEQ_COL)
+
+
+def _aggregate(
+    df: DataFrame,
+    group_cols: list[str],
+    sum_cols: list[str],
+    min_cols: list[str] | None = None,
+    max_cols: list[str] | None = None,
+) -> DataFrame:
+    # NULL sum measures contribute 0 (not SQL's all-NULL→NULL): the only
     # convention under which incremental correction and full
-    # recomputation provably agree for every change sequence
+    # recomputation provably agree for every change sequence. MIN/MAX
+    # keep SQL semantics (NULLs skipped; all-NULL group → NULL).
     aggs = [F.count(F.lit(1)).alias("n")] + [
         F.sum(F.coalesce(F.col(c), F.lit(0.0))).alias(f"sum_{c}") for c in sum_cols
     ]
+    aggs += [F.min(c).alias(f"min_{c}") for c in (min_cols or [])]
+    aggs += [F.max(c).alias(f"max_{c}") for c in (max_cols or [])]
     return df.groupBy(*group_cols).agg(*aggs)
 
 
@@ -53,20 +98,27 @@ def build_aggregate(
     dst: str,
     group_cols: list[str],
     sum_cols: list[str],
+    min_cols: list[str] | None = None,
+    max_cols: list[str] | None = None,
 ) -> None:
     """Full (re)build of the materialized aggregate ``dst`` =
-    ``SELECT group_cols, COUNT(*) AS n, SUM(c) AS sum_c... FROM src
-    GROUP BY group_cols``, recording the source version it reflects.
-    The source must have primary keys (table_changes needs them) and
+    ``SELECT group_cols, COUNT(*) AS n, SUM(c) AS sum_c...,
+    MIN(c) AS min_c..., MAX(c) AS max_c... FROM src GROUP BY
+    group_cols``, recording the source version it reflects. The source
+    must have primary keys (table_changes needs them) and
     ``retain_versions`` covering the refresh cadence."""
     from pyspark.sql import types as T
 
     src_meta = lake._load_meta(src)
-    agg = _aggregate(lake.table(src), group_cols, sum_cols)
+    agg = _aggregate(_logical_source(lake, src), group_cols, sum_cols, min_cols, max_cols)
     fields = [src_meta.schema[c] for c in group_cols]
     fields.append(T.StructField("n", T.LongType()))
     for c in sum_cols:
         fields.append(T.StructField(f"sum_{c}", T.DoubleType()))
+    for c in min_cols or []:
+        fields.append(T.StructField(f"min_{c}", src_meta.schema[c].dataType))
+    for c in max_cols or []:
+        fields.append(T.StructField(f"max_{c}", src_meta.schema[c].dataType))
     lake.create(dst, T.StructType(fields), [], list(group_cols), mode="skip")
     # data + watermark in ONE manifest PUT: a crash mid-build either
     # leaves the old state entirely or the new state entirely
@@ -81,11 +133,17 @@ def refresh_aggregate(
     dst: str,
     group_cols: list[str],
     sum_cols: list[str],
+    min_cols: list[str] | None = None,
+    max_cols: list[str] | None = None,
 ) -> bool:
     """Apply all source changes since the last build/refresh to ``dst``.
     Returns True if a correction was applied, False for an empty change
     window (no-op). Cost ∝ the change feed (manifest-pruned to the
-    partitions changes touched), never the source size."""
+    partitions changes touched) — plus, ONLY when a delete removed a
+    group's stored min/max, one source scan semi-joined to the flagged
+    groups (see module docstring)."""
+    min_cols = list(min_cols or [])
+    max_cols = list(max_cols or [])
     props = lake.get_properties(dst)
     since = props.get(_SRC_VERSION_PROP)
     if since is None:
@@ -96,10 +154,19 @@ def refresh_aggregate(
     if src_version == since:
         return False
     ch = lake.table_changes(src, since, to_version=src_version)
-    sign = F.when(
-        F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
-    ).otherwise(F.lit(-1))
-    delta = ch.withColumn("_sign", sign)
+    ins = F.col("_change_type").isin("insert", "update_postimage")
+    delta = ch.withColumn("_sign", F.when(ins, F.lit(1)).otherwise(F.lit(-1)))
+    extreme_aggs = []
+    for c in min_cols:
+        extreme_aggs += [
+            F.min(F.when(ins, F.col(c))).alias(f"_mni_{c}"),
+            F.min(F.when(~ins, F.col(c))).alias(f"_mnd_{c}"),
+        ]
+    for c in max_cols:
+        extreme_aggs += [
+            F.max(F.when(ins, F.col(c))).alias(f"_mxi_{c}"),
+            F.max(F.when(~ins, F.col(c))).alias(f"_mxd_{c}"),
+        ]
     corr = delta.groupBy(*group_cols).agg(
         F.sum("_sign").alias("_dn"),
         *[
@@ -108,6 +175,7 @@ def refresh_aggregate(
             )
             for c in sum_cols
         ],
+        *extreme_aggs,
     )
     cur = lake.table(dst)
     # null-SAFE group join: SQL GROUP BY keeps a NULL group, and a plain
@@ -117,6 +185,64 @@ def refresh_aggregate(
     for g in group_cols:
         cond = cond & F.col(f"_ivc.{g}").eqNullSafe(F.col(f"_ivv.{g}"))
     joined = c_a.join(v_a, cond, "left")
+    # a deleted value that TIES OR BEATS the stored extreme may have BEEN
+    # the extreme (duplicates unknowable from the delta) -> flag the
+    # group for a scoped recompute of its min/max from the source
+    need_re = F.lit(False)
+    for c in min_cols:
+        need_re = need_re | (
+            F.col(f"_mnd_{c}").isNotNull()
+            & F.col(f"_ivv.min_{c}").isNotNull()
+            & (F.col(f"_mnd_{c}") <= F.col(f"_ivv.min_{c}"))
+        )
+    for c in max_cols:
+        need_re = need_re | (
+            F.col(f"_mxd_{c}").isNotNull()
+            & F.col(f"_ivv.max_{c}").isNotNull()
+            & (F.col(f"_mxd_{c}") >= F.col(f"_ivv.max_{c}"))
+        )
+    joined = joined.withColumn("_re", need_re)
+    min_max_exprs = []
+    if min_cols or max_cols:
+        flagged = joined.filter(F.col("_re")).select(
+            *[F.col(f"_ivc.{g}").alias(g) for g in group_cols]
+        )
+        re_agg = (
+            _logical_source(lake, src)
+            .alias("_ivs")
+            .join(
+                F.broadcast(flagged.alias("_ivg")),
+                # null-safe: a NULL group key is a real group
+                reduce(
+                    lambda a, g: a & F.col(f"_ivs.{g}").eqNullSafe(F.col(f"_ivg.{g}")),
+                    group_cols,
+                    F.lit(True),
+                ),
+                "leftsemi",
+            )
+            .groupBy(*group_cols)
+            .agg(
+                *[F.min(c).alias(f"_re_min_{c}") for c in min_cols],
+                *[F.max(c).alias(f"_re_max_{c}") for c in max_cols],
+            )
+            .alias("_ivr")
+        )
+        rcond = F.lit(True)
+        for g in group_cols:
+            rcond = rcond & F.col(f"_ivc.{g}").eqNullSafe(F.col(f"_ivr.{g}"))
+        joined = joined.join(re_agg, rcond, "left")
+        for c in min_cols:
+            min_max_exprs.append(
+                F.when(F.col("_re"), F.col(f"_ivr._re_min_{c}"))
+                .otherwise(F.least(F.col(f"_ivv.min_{c}"), F.col(f"_mni_{c}")))
+                .alias(f"min_{c}")
+            )
+        for c in max_cols:
+            min_max_exprs.append(
+                F.when(F.col("_re"), F.col(f"_ivr._re_max_{c}"))
+                .otherwise(F.greatest(F.col(f"_ivv.max_{c}"), F.col(f"_mxi_{c}")))
+                .alias(f"max_{c}")
+            )
     post = joined.select(
         *[F.col(f"_ivc.{g}").alias(g) for g in group_cols],
         (F.coalesce(F.col("_ivv.n"), F.lit(0)) + F.col("_dn")).alias("n"),
@@ -127,6 +253,7 @@ def refresh_aggregate(
             ).alias(f"sum_{c}")
             for c in sum_cols
         ],
+        *min_max_exprs,
     )
     # groups whose count reaches zero disappear from the view; the
     # consumed-version watermark rides the SAME manifest PUT, so the

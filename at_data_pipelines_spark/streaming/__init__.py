@@ -10,6 +10,7 @@ from .events import (  # noqa: F401
     purchase_attribution_stream,
     read_events_stream,
     repair_sessions,
+    run_sessions_daily,
     running_user_stats,
     sessionize_stream,
     sessionize_to_lakehouse,

@@ -469,11 +469,29 @@ def windowed_distinct_users(
     )
 
 
+def _interval_us(spec: str) -> int:
+    """Parse a Spark-style interval string ('30 minutes', '1 hour',
+    '2 days', '45 seconds') into microseconds."""
+    n, unit = spec.strip().split()
+    per = {
+        "second": 1_000_000,
+        "seconds": 1_000_000,
+        "minute": 60_000_000,
+        "minutes": 60_000_000,
+        "hour": 3_600_000_000,
+        "hours": 3_600_000_000,
+        "day": 86_400_000_000,
+        "days": 86_400_000_000,
+    }[unit.lower()]
+    return int(n) * per
+
+
 def repair_sessions(
     events: DataFrame,
     lake: Lakehouse,
     table: str,
     gap: str = "30 minutes",
+    repair_from_us: int | None = None,
 ) -> None:
     """Batch repair for the append-mode session sink's documented caveat:
     when replays observe different watermark drops than the live run,
@@ -482,27 +500,89 @@ def repair_sessions(
     backfill: recompute sessions over the given events slice with the
     BATCH ``session_window`` (state-free, sees everything — no watermark
     to drop anything) and REPLACE every stored session that starts in
-    the slice's time range in one delete + upsert.
+    the repaired range in one delete + upsert.
 
-    The caller owns horizon hygiene: the events slice should cover full
-    sessions (extend its edges by at least ``gap`` beyond the window
-    being repaired), exactly like any batch backfill over event time."""
+    ``repair_from_us=None`` treats the whole slice as truth (the caller
+    owns horizon hygiene: the slice must cover full sessions).
+    ``repair_from_us=R`` is the SCOPED trailing repair: the events slice
+    must extend back to at least ``R - gap``, and only recomputed
+    sessions with ``session_start_us >= R`` are trusted and written. The
+    cutoff is sound because a true session starting at ``s >= R`` has
+    all its events at or after ``s`` (a session's start IS its first
+    event), so it is fully inside the slice; conversely a left-truncated
+    fragment of a session that began before the slice must have its
+    first in-slice event chained within ``gap`` of a pre-slice event,
+    i.e. its start lands strictly below ``R`` — never inside the trusted
+    range. Stored sessions starting before ``R`` are left untouched."""
     sessions = _session_agg(events, gap)
+    if repair_from_us is not None:
+        sessions = sessions.filter(
+            F.col("session_start_us") >= F.lit(int(repair_from_us))
+        )
     lake.create(
         table, SESSION_TABLE_SCHEMA, [], ["user_id", "session_start_us"], mode="skip"
     )
-    # delete bound: [min start, max END]. A stale fragment starts at some
-    # real event time inside its merged true session, so its start can
-    # exceed every TRUE session's start (a tail fragment) but never the
-    # last true session's end — bounding by max(start) would leave tail
-    # fragments alive (r6 review)
+    # delete bound: [repair start, max END]. A stale fragment starts at
+    # some real event time inside its merged true session, so its start
+    # can exceed every TRUE session's start (a tail fragment) but never
+    # the last true session's end — bounding by max(start) would leave
+    # tail fragments alive (r6 review)
     bounds = sessions.agg(
         F.min("session_start_us").alias("lo"), F.max("session_end_us").alias("hi")
     ).collect()[0]
     if bounds.lo is not None:
+        lo = bounds.lo if repair_from_us is None else int(repair_from_us)
         lake.delete_where(
             table,
-            (F.col("session_start_us") >= F.lit(bounds.lo))
+            (F.col("session_start_us") >= F.lit(lo))
             & (F.col("session_start_us") <= F.lit(bounds.hi)),
         )
     lake.upsert(table, sessions)
+
+
+def run_sessions_daily(
+    events_stream: DataFrame,
+    events_batch: DataFrame,
+    lake: Lakehouse,
+    table: str,
+    checkpoint_dir: str,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    repair_horizon: str = "1 day",
+    await_secs: int = 600,
+) -> None:
+    """The streaming/batch lambda pair as ONE daily entry point (r6
+    verdict #8, the orchestration the sink/repair docstrings describe):
+
+    1. drain new events through the streaming session sink
+       (``sessionize_to_lakehouse``, availableNow) — low-latency path,
+       exactly-once per the PK upsert;
+    2. batch-repair the trailing ``repair_horizon``: recompute sessions
+       from ``events_batch`` over ``[hi - horizon - gap, ∞)`` (``hi`` =
+       newest stored session end) and replace every stored session
+       starting in ``[hi - horizon, ∞)`` — healing both the
+       replay-divergence caveat (stale fragments from differing
+       watermark drops) and sessions the watermark had not yet flushed.
+
+    Sessions older than the horizon are never touched, so daily cost is
+    O(horizon's events), not O(history). Choose the horizon at least as
+    large as the replay window you expect (watermark delay + redelivery
+    spread)."""
+    q = sessionize_to_lakehouse(
+        events_stream,
+        lake,
+        table,
+        checkpoint_dir,
+        gap=gap,
+        watermark=watermark,
+        available_now=True,
+    )
+    q.awaitTermination(await_secs)
+    hi = lake.table(table).agg(F.max("session_end_us")).collect()[0][0]
+    if hi is None:
+        return  # nothing stored yet: nothing to repair
+    repair_from = int(hi) - _interval_us(repair_horizon)
+    slice_df = events_batch.filter(
+        F.col("ts_us") >= F.lit(repair_from - _interval_us(gap))
+    )
+    repair_sessions(slice_df, lake, table, gap=gap, repair_from_us=repair_from)

@@ -700,6 +700,82 @@ def test_stream_to_lakehouse_lsm_mode(spark, sf_dir, tmp_path, events_stream):
     assert a == b
 
 
+def test_run_sessions_daily_heals_trailing_horizon(spark, sf_dir, tmp_path):
+    """r6 verdict #8: the daily lambda entry point must (1) drain the
+    stream sink, (2) batch-repair ONLY the trailing horizon — a planted
+    replay-divergence fragment inside the horizon is healed, one before
+    the horizon is deliberately left alone (scoped cost), and every
+    session starting in the horizon equals the batch truth."""
+    import pyspark.sql.functions as F
+
+    from at_data_pipelines_spark.io import load_table
+    from at_data_pipelines_spark.streaming import (
+        read_events_stream,
+        repair_sessions,
+        run_sessions_daily,
+    )
+    from at_data_pipelines_spark.streaming.events import (
+        SESSION_TABLE_SCHEMA,
+        _interval_us,
+    )
+
+    lake = Lakehouse(spark, str(tmp_path / "lake"))
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    repair_sessions(events, lake, "truth")  # batch ground truth
+    truth = lake.table("truth")
+    b = truth.agg(
+        F.min("session_start_us").alias("first"),
+        F.max("session_end_us").alias("last"),
+    ).collect()[0]
+    span_us = int(b.last) - int(b.first)
+    # horizon covering the second half of the data
+    horizon_hours = max(1, (span_us // 2) // 3_600_000_000)
+    horizon = f"{horizon_hours} hours"
+    cut = int(b.last) - horizon_hours * 3_600_000_000
+
+    # seed the sessions table with the truth plus two stale fragments:
+    # one inside the repair horizon (must be healed), one before it
+    # (must be left untouched — repair is scoped)
+    lake.create("sessions", SESSION_TABLE_SCHEMA, [], ["user_id", "session_start_us"])
+    stale_out = (int(b.first) + cut) // 2  # before the horizon
+    stale_in = (cut + int(b.last)) // 2  # inside the horizon
+    stale = spark.createDataFrame(
+        [
+            (11, stale_out, stale_out + 60_000_000, 4, 2.0),
+            (12, stale_in, stale_in + 60_000_000, 5, 3.0),
+        ],
+        SESSION_TABLE_SCHEMA,
+    )
+    lake.upsert("sessions", truth.unionByName(stale))
+
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    run_sessions_daily(
+        stream,
+        events,
+        lake,
+        "sessions",
+        str(tmp_path / "ckpt"),
+        repair_horizon=horizon,
+    )
+
+    got = lake.table("sessions")
+    # inside the horizon: exactly the batch truth (fragment healed)
+    got_in = sorted(
+        map(tuple, got.filter(F.col("session_start_us") >= cut).collect())
+    )
+    exp_in = sorted(
+        map(tuple, truth.filter(F.col("session_start_us") >= cut).collect())
+    )
+    assert got_in == exp_in
+    assert (stale_in,) not in {(r.session_start_us,) for r in got.collect()}
+    # before the horizon: untouched — including the planted fragment
+    assert got.filter(F.col("session_start_us") == stale_out).count() == 1
+    # repair_from derivation used the stored hi; slice extended by gap
+    assert _interval_us("30 minutes") == 1_800_000_000
+
+
 def test_repair_sessions_removes_stale_fragments(spark, sf_dir, tmp_path):
     """The documented append-sink caveat, repaired: plant a stale
     overlapping session fragment, run the batch repair over the full
