@@ -210,11 +210,11 @@ def main() -> None:
     ap.add_argument(
         "--sections",
         default="all",
-        help="comma list of {queries,persist,ann_stream,zone,ivm} (default all)",
+        help="comma list of {queries,persist,ann_stream,zone,ivm,pagerank} (default all)",
     )
     args = ap.parse_args()
     sections = (
-        {"queries", "persist", "ann_stream", "zone", "ivm"}
+        {"queries", "persist", "ann_stream", "zone", "ivm", "pagerank"}
         if args.sections == "all"
         else set(args.sections.split(","))
     )
@@ -341,8 +341,49 @@ def main() -> None:
             str(n): measure_ivm(spark, n) for n in (100_000, 500_000, 1_000_000)
         }
 
+    if "pagerank" in sections:
+        out["pagerank"] = {
+            tag: measure_pagerank(spark, n)
+            for tag, n in [("1M_edges", 1_000_000), ("5M_edges", 5_000_000)]
+        }
+
     print(json.dumps(out))
     spark.stop()
+
+
+def measure_pagerank(spark, n_edges: int, iters=(4, 12, 20)) -> dict:
+    """r7 ladder rung: per-iteration wall must be FLAT across iterations
+    (the r6 defect was partial lineage re-execution growing with the
+    distance to the last checkpoint). Protocol: run pagerank to
+    increasing max_iter on the same synthetic graph and difference the
+    walls — per_iter_s segments should agree (the first segment absorbs
+    JIT warmup)."""
+    from pyspark.sql import functions as F
+
+    from at_data_pipelines_spark.ops.graph import pagerank
+
+    nodes = max(1000, n_edges // 10)
+    edges = (
+        spark.range(n_edges)
+        .select(
+            (F.col("id") % nodes).alias("src"),
+            ((F.col("id") * 2654435761) % nodes).alias("dst"),
+        )
+        .localCheckpoint()
+    )
+    walls = {}
+    for it in iters:
+        samples = []
+        for _ in range(3):  # min-of-3: JIT/GC noise rivals one iteration
+            t0 = time.perf_counter()
+            pagerank(edges, max_iter=it, tol=0.0, check_every=100).count()
+            samples.append(time.perf_counter() - t0)
+        walls[str(it)] = round(min(samples), 3)
+    per_iter = {
+        f"{a}->{b}": round((walls[str(b)] - walls[str(a)]) / (b - a), 3)
+        for a, b in zip(iters, iters[1:])
+    }
+    return {"edges": n_edges, "nodes": nodes, "walls_s": walls, "per_iter_s": per_iter}
 
 
 def measure_ann_stream(spark, base_dir: str, compact_every: int) -> dict:
