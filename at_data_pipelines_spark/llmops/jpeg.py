@@ -2,18 +2,24 @@
 PIL/libjpeg), so real ``.jpg`` corpus bytes decode end-to-end through
 decode → filter → embed → ANN like the other raster formats.
 
-Scope (ITU-T T.81 baseline sequential DCT, the format >99% of web JPEGs
-use):
+Scope (ITU-T T.81 Huffman DCT modes — baseline sequential AND
+progressive, together the formats ~all web JPEGs use):
 
-- **decode**: SOF0 (baseline), 8-bit, grayscale or 3-component YCbCr,
-  any sampling factors (4:4:4 / 4:2:2 / 4:2:0 tested), restart markers,
-  16-bit quant-table precision, multiple DQT/DHT segments, APPn/COM
-  skipped. Progressive (SOF2), arithmetic coding, 12-bit, and hierarchical
-  modes raise ``NotImplementedError`` — honestly unsupported, not faked.
+- **decode**: SOF0/SOF1 (sequential) and SOF2 (progressive — spectral
+  selection + successive approximation per T.81 G.1.2, r7), 8-bit,
+  grayscale or 3-component YCbCr, any sampling factors (4:4:4 / 4:2:2 /
+  4:2:0 tested), restart markers, 16-bit quant-table precision,
+  multiple DQT/DHT segments, APPn/COM skipped. Arithmetic coding,
+  12-bit, hierarchical, and lossless modes raise
+  ``NotImplementedError`` — honestly unsupported, not faked.
 - **encode**: fixture generator for tests and synthetic corpora —
-  baseline, standard Annex K quantization + Huffman tables, grayscale or
-  YCbCr with 4:4:4 or 4:2:0 chroma subsampling, quality 1-100 via the
-  IJG scaling curve.
+  baseline (standard Annex K quantization + Huffman tables) or
+  progressive (``progressive=True``: the canonical jpegtran scan script
+  with per-scan OPTIMAL Huffman tables — Annex K tables lack the EOBn
+  symbols progressive needs), grayscale or YCbCr with 4:4:4 or 4:2:0
+  chroma subsampling, quality 1-100 via the IJG scaling curve. Both
+  modes code the same quantized coefficients, so they must decode to
+  IDENTICAL pixels — the differential the tests assert.
 
 All tables (zigzag order, Annex K quantization matrices, the standard
 DC/AC Huffman specifications) are from the public ITU-T T.81 spec.
@@ -229,10 +235,13 @@ class _BitReader:
 
 
 def decode_jpeg(buf: bytes) -> tuple[int, int, str, np.ndarray]:
-    """Decode baseline JPEG bytes → ``(width, height, mode, pixels)``
-    with mode 'L' (grayscale) or 'RGB'. Raises NotImplementedError for
-    progressive/arithmetic/12-bit streams and ValueError for corrupt
-    ones."""
+    """Decode baseline (SOF0/1) or progressive (SOF2) JPEG bytes →
+    ``(width, height, mode, pixels)`` with mode 'L' (grayscale) or
+    'RGB'. Progressive streams accumulate coefficients across their
+    scans (spectral selection + successive approximation, T.81 G.1.2)
+    and reconstruct at EOI. Raises NotImplementedError for
+    arithmetic-coded/12-bit/hierarchical streams and ValueError for
+    corrupt ones."""
     if buf[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -241,6 +250,8 @@ def decode_jpeg(buf: bytes) -> tuple[int, int, str, np.ndarray]:
     ac_tabs: dict[int, dict] = {}
     frame = None  # (h, w, components)
     restart_interval = 0
+    progressive = False
+    prog_ready = False  # at least one scan decoded
     while True:
         if buf[pos] != 0xFF:
             raise ValueError("marker expected")
@@ -252,7 +263,14 @@ def decode_jpeg(buf: bytes) -> tuple[int, int, str, np.ndarray]:
         pos += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             continue
-        if marker == 0xD9:  # EOI before SOS
+        if marker == 0xD9:  # EOI
+            if progressive and prog_ready:
+                h, w, comps = frame
+                hmax = max(c["h"] for c in comps)
+                vmax = max(c["v"] for c in comps)
+                for c in comps:
+                    c["q"] = qts[c["tq"]]
+                return _reconstruct(h, w, comps, hmax, vmax)
             raise ValueError("no scan data")
         (seglen,) = struct.unpack(">H", buf[pos : pos + 2])
         seg = buf[pos + 2 : pos + seglen]
@@ -279,7 +297,8 @@ def decode_jpeg(buf: bytes) -> tuple[int, int, str, np.ndarray]:
                 vals = list(seg[p + 17 : p + 17 + n])
                 (dc_tabs if cls == 0 else ac_tabs)[tid] = _decode_tables(bits, vals)
                 p += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1: baseline/ext sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
+            progressive = marker == 0xC2
             prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit JPEG not supported")
@@ -288,9 +307,12 @@ def decode_jpeg(buf: bytes) -> tuple[int, int, str, np.ndarray]:
                 cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
             frame = (h, w, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            if progressive:
+                _alloc_progressive(frame)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "only baseline sequential JPEG (SOF0/SOF1) is supported"
+                "only baseline (SOF0/SOF1) and progressive (SOF2) DCT "
+                "JPEG is supported"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
@@ -298,6 +320,27 @@ def decode_jpeg(buf: bytes) -> tuple[int, int, str, np.ndarray]:
             if frame is None:
                 raise ValueError("SOS before SOF")
             ns = seg[0]
+            sel = {}
+            for i in range(ns):
+                cs, tt = seg[1 + 2 * i : 3 + 2 * i]
+                sel[cs] = (tt >> 4, tt & 0xF)
+            if progressive:
+                ss, se, a = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+                pos = _decode_progressive_scan(
+                    buf,
+                    pos + seglen,
+                    frame,
+                    sel,
+                    ss,
+                    se,
+                    a >> 4,
+                    a & 0xF,
+                    dc_tabs,
+                    ac_tabs,
+                    restart_interval,
+                )
+                prog_ready = True
+                continue
             if ns < len(frame[2]):
                 # a scan covering a subset of components means separate
                 # per-component scans follow — refuse honestly instead of
@@ -306,10 +349,6 @@ def decode_jpeg(buf: bytes) -> tuple[int, int, str, np.ndarray]:
                     "multi-scan baseline JPEG (separate per-component "
                     "scans) not supported; only a single interleaved scan"
                 )
-            sel = {}
-            for i in range(ns):
-                cs, tt = seg[1 + 2 * i : 3 + 2 * i]
-                sel[cs] = (tt >> 4, tt & 0xF)
             data_pos = pos + seglen
             return _decode_scan(
                 buf, data_pos, frame, sel, qts, dc_tabs, ac_tabs, restart_interval
@@ -401,9 +440,18 @@ def _decode_scan(buf, pos, frame, sel, qts, dc_tabs, ac_tabs, restart_interval):
                                 r, c
                             )
 
+    return _reconstruct(h, w, comps, hmax, vmax)
+
+
+def _reconstruct(h, w, comps, hmax, vmax):
+    """Dequantize + inverse DCT + upsample + color-convert the decoded
+    coefficient planes (shared by the baseline single-scan path and the
+    progressive at-EOI path). Coefficients are in RASTER index order
+    within each 64-vector; the block grid is raster over
+    (blocks_h, blocks_w)."""
     planes = []
     for c in comps:
-        deq = (c["coef"] * c["q"][None, :]).reshape(-1, 8, 8)
+        deq = (c["coef"].astype(np.float64) * c["q"][None, :]).reshape(-1, 8, 8)
         pix = np.einsum("kj,njl,lm->nkm", _C.T, deq, _C) + 128.0
         bh, bw = c["blocks_h"], c["blocks_w"]
         plane = (
@@ -422,6 +470,200 @@ def _decode_scan(buf, pos, frame, sel, qts, dc_tabs, ac_tabs, restart_interval):
         [y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb], axis=-1
     )
     return w, h, "RGB", np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# -- progressive decoding (T.81 G.1.2) --------------------------------------
+
+
+def _alloc_progressive(frame) -> None:
+    """Allocate each component's full-precision coefficient plane (int32,
+    two's complement — successive-approximation refinement is bitwise)
+    on the interleaved MCU grid, plus the non-interleaved block geometry
+    AC scans traverse (ceil of the component's true sample dimensions,
+    T.81 A.2.2 — a subset of the MCU grid's dummy-padded blocks)."""
+    h, w, comps = frame
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if len(comps) == 1:
+        c = comps[0]
+        # single-component frames are always non-interleaved: geometry
+        # ignores the declared sampling factors (same rule as baseline)
+        c["h"] = c["v"] = 1
+        hmax = vmax = 1
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    for c in comps:
+        c["blocks_w"] = mcus_x * c["h"]
+        c["blocks_h"] = mcus_y * c["v"]
+        # true (non-interleaved) dims: ceil(sample dim / 8)
+        c["nbw"] = -(-(-(-w * c["h"] // hmax)) // 8)
+        c["nbh"] = -(-(-(-h * c["v"] // vmax)) // 8)
+        c["coef"] = np.zeros((c["blocks_h"] * c["blocks_w"], 64), dtype=np.int64)
+        c["pred"] = 0
+
+
+def _decode_progressive_scan(
+    buf, pos, frame, sel, ss, se, ah, al, dc_tabs, ac_tabs, restart_interval
+):
+    """Entropy-decode one progressive scan into the components'
+    coefficient planes; returns the buffer offset of the next marker.
+    DC scans (ss == 0) may interleave several components; AC scans are
+    always single-component and non-interleaved (T.81 B.2.3)."""
+    h, w, comps = frame
+    r = _BitReader(bytes(buf), pos)
+    scan = [c for c in comps if c["id"] in sel]
+    if len(scan) != len(sel):
+        raise ValueError("scan names a component absent from the frame")
+    if ss == 0:
+        if se != 0:
+            raise ValueError("progressive DC scan must have Se=0")
+        for c in scan:
+            if ah == 0:
+                c["dc"] = dc_tabs[sel[c["id"]][0]]
+            c["pred"] = 0
+        if len(scan) > 1:
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcus_x = -(-w // (8 * hmax))
+            mcus_y = -(-h // (8 * vmax))
+            unit = 0
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    if restart_interval and unit and unit % restart_interval == 0:
+                        r.restart()
+                        for c in scan:
+                            c["pred"] = 0
+                    unit += 1
+                    for c in scan:
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                row = my * c["v"] + by
+                                col = mx * c["h"] + bx
+                                _dc_unit(
+                                    r, c, c["coef"][row * c["blocks_w"] + col], ah, al
+                                )
+        else:
+            c = scan[0]
+            unit = 0
+            for row in range(c["nbh"]):
+                for col in range(c["nbw"]):
+                    if restart_interval and unit and unit % restart_interval == 0:
+                        r.restart()
+                        c["pred"] = 0
+                    unit += 1
+                    _dc_unit(r, c, c["coef"][row * c["blocks_w"] + col], ah, al)
+    else:
+        if len(scan) != 1:
+            raise ValueError("progressive AC scans are never interleaved")
+        c = scan[0]
+        actab = ac_tabs[sel[c["id"]][1]]
+        state = {"eobrun": 0}
+        unit = 0
+        for row in range(c["nbh"]):
+            for col in range(c["nbw"]):
+                if restart_interval and unit and unit % restart_interval == 0:
+                    r.restart()
+                    state["eobrun"] = 0
+                unit += 1
+                blk = c["coef"][row * c["blocks_w"] + col]
+                if ah == 0:
+                    _ac_first(r, blk, actab, ss, se, al, state)
+                else:
+                    _ac_refine(r, blk, actab, ss, se, al, state)
+    # the entropy segment ends at the next non-RST, non-stuffing marker
+    p = r.pos
+    while not (
+        buf[p] == 0xFF and buf[p + 1] != 0x00 and not (0xD0 <= buf[p + 1] <= 0xD7)
+    ):
+        p += 1
+    return p
+
+
+def _dc_unit(r: "_BitReader", c: dict, blk, ah: int, al: int) -> None:
+    """One DC data unit: first pass (ah=0) decodes the diff at point
+    transform al (value << al); refinement appends bit al to the
+    two's-complement value (T.81 G.1.2.1)."""
+    if ah == 0:
+        s = r.read_huff(c["dc"])
+        diff = _extend(r.read_bits(s), s) if s else 0
+        c["pred"] += diff
+        blk[0] = c["pred"] << al
+    elif r.read_bit():
+        blk[0] |= 1 << al
+
+def _ac_first(r: "_BitReader", blk, actab, ss, se, al, state) -> None:
+    """First pass over an AC spectral band: baseline run/size coding plus
+    EOBn codes spanning 2^n..2^(n+1)-1 all-zero band remainders across
+    consecutive blocks (T.81 G.1.2.2)."""
+    if state["eobrun"] > 0:
+        state["eobrun"] -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = r.read_huff(actab)
+        rr, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if rr != 15:
+                state["eobrun"] = (1 << rr) - 1
+                if rr:
+                    state["eobrun"] += r.read_bits(rr)
+                return
+            k += 16  # ZRL
+            continue
+        k += rr
+        if k > se:
+            raise ValueError("AC run past spectral band")
+        blk[int(ZIGZAG[k])] = _extend(r.read_bits(s), s) << al
+        k += 1
+
+
+def _ac_refine(r: "_BitReader", blk, actab, ss, se, al, state) -> None:
+    """Successive-approximation refinement of an AC band (T.81 G.1.2.3):
+    every nonzero-history coefficient passed gets one correction bit;
+    run lengths count only zero-history positions; EOBn covers the
+    remainder of this block (still emitting correction bits) plus whole
+    following blocks."""
+    p1 = 1 << al
+    m1 = -p1
+    k = ss
+    if state["eobrun"] == 0:
+        while k <= se:
+            rs = r.read_huff(actab)
+            rr, s = rs >> 4, rs & 0xF
+            val = 0
+            if s == 0:
+                if rr != 15:
+                    state["eobrun"] = 1 << rr
+                    if rr:
+                        state["eobrun"] += r.read_bits(rr)
+                    break
+                # rr == 15 (ZRL): skip 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("AC refinement magnitude must be 1")
+                val = p1 if r.read_bit() else m1
+            while k <= se:
+                z = int(ZIGZAG[k])
+                if blk[z] != 0:
+                    if r.read_bit() and (blk[z] & p1) == 0:
+                        blk[z] += p1 if blk[z] > 0 else m1
+                else:
+                    if rr == 0:
+                        break
+                    rr -= 1
+                k += 1
+            if val != 0:
+                if k > se:
+                    raise ValueError("newly-nonzero coefficient past band")
+                blk[int(ZIGZAG[k])] = val
+            k += 1
+    if state["eobrun"] > 0:
+        while k <= se:
+            z = int(ZIGZAG[k])
+            if blk[z] != 0 and r.read_bit() and (blk[z] & p1) == 0:
+                blk[z] += p1 if blk[z] > 0 else m1
+            k += 1
+        state["eobrun"] -= 1
 
 
 # -- encoder (fixture generator) -------------------------------------------
@@ -490,11 +732,19 @@ def encode_jpeg(
     quality: int = 85,
     subsample: bool = False,
     restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
     """Encode a (h, w) gray or (h, w, 3) RGB uint8 array as baseline JPEG
     with the standard Annex K tables. ``subsample=True`` uses 4:2:0
     chroma (box-mean downsample); default 4:4:4. ``restart_interval=N``
-    emits a DRI segment and an RSTn marker every N MCUs."""
+    emits a DRI segment and an RSTn marker every N MCUs (baseline only).
+    ``progressive=True`` writes an SOF2 stream with the canonical
+    jpegtran scan script (DC first at Al=1 → AC bands 1-5/6-63 at Al=2 →
+    AC refine to Al=1 → DC refine → AC refine to Al=0) and per-scan
+    OPTIMAL Huffman tables (progressive EOBn symbols don't exist in the
+    Annex K tables, so optimized tables are mandatory, as in libjpeg).
+    Both modes encode the same quantized coefficients, so they decode to
+    identical pixels — the differential the tests assert."""
     px = np.asarray(pixels, dtype=np.float64)
     gray = px.ndim == 2
     h, w = px.shape[:2]
@@ -532,6 +782,11 @@ def encode_jpeg(
         th, tw = mcus_y * sv * 8, mcus_x * sh * 8
         padded.append(
             np.pad(pl, ((0, th - pl.shape[0]), (0, tw - pl.shape[1])), mode="edge")
+        )
+
+    if progressive:
+        return _encode_progressive(
+            gray, h, w, samp, qsel, padded, qt_l, qt_c, mcus_x, mcus_y
         )
 
     dc_l = _canonical_codes(*HUFF_DC_LUMA)
@@ -593,3 +848,314 @@ def encode_jpeg(
         out += seg(0xDD, struct.pack(">H", restart_interval))
     out += seg(0xDA, sos) + bytes(bw.out) + b"\xff\xd9"
     return out
+
+
+# -- progressive encoding (T.81 G.1; scan script per jpegtran's default) ----
+
+
+def _quantized_blocks(pl: np.ndarray, qt: np.ndarray) -> np.ndarray:
+    """Forward DCT + quantization of one padded plane; returns
+    (blocks_h, blocks_w, 64) int64 in ZIGZAG order. Per-block matmul in
+    EXACTLY _encode_block's expression order — a vectorized einsum sums
+    in a different float order and can round a knife-edge coefficient
+    the other way, breaking the progressive ≡ baseline pixel identity
+    the tests assert."""
+    bh, bw = pl.shape[0] // 8, pl.shape[1] // 8
+    qt8 = qt.reshape(8, 8)
+    out = np.zeros((bh, bw, 64), dtype=np.int64)
+    for by in range(bh):
+        for bx in range(bw):
+            blk = pl[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+            q = np.round((_C @ (blk - 128.0) @ _C.T) / qt8).astype(np.int64)
+            out[by, bx] = q.reshape(-1)[ZIGZAG]
+    return out
+
+
+def _gen_optimal_table(freq: dict[int, int]) -> tuple[list[int], list[int]]:
+    """Optimal Huffman table from symbol frequencies — the T.81 Annex K.2
+    flowchart (pairing least-frequent, then the 16-bit length
+    adjustment), same procedure libjpeg's jpeg_gen_optimal_table uses.
+    Symbol 256 is the reserved never-emitted code that guarantees no
+    real symbol gets the all-ones code."""
+    f = [0] * 257
+    for sym, n in freq.items():
+        f[sym] = n
+    f[256] = 1
+    codesize = [0] * 257
+    others = [-1] * 257
+    while True:
+        c1, v = -1, None
+        for i in range(257):
+            if f[i] and (v is None or f[i] <= v):
+                v, c1 = f[i], i
+        c2, v = -1, None
+        for i in range(257):
+            if f[i] and i != c1 and (v is None or f[i] <= v):
+                v, c2 = f[i], i
+        if c2 < 0:
+            break
+        f[c1] += f[c2]
+        f[c2] = 0
+        codesize[c1] += 1
+        while others[c1] >= 0:
+            c1 = others[c1]
+            codesize[c1] += 1
+        others[c1] = c2
+        codesize[c2] += 1
+        while others[c2] >= 0:
+            c2 = others[c2]
+            codesize[c2] += 1
+    bits = [0] * 33
+    for i in range(257):
+        if codesize[i]:
+            bits[codesize[i]] += 1
+    i = 32
+    while i > 16:  # JPEG caps code lengths at 16 bits
+        while bits[i] > 0:
+            j = i - 2
+            while bits[j] == 0:
+                j -= 1
+            bits[i] -= 2
+            bits[i - 1] += 1
+            bits[j + 1] += 2
+            bits[j] -= 1
+        i -= 1
+    while bits[i] == 0:
+        i -= 1
+    bits[i] -= 1  # drop the reserved symbol's slot (longest code)
+    vals = [s for s in sorted(range(256), key=lambda s: (codesize[s], s)) if codesize[s]]
+    return bits[1:17], vals
+
+
+def _mag_bits(v: int, s: int) -> int:
+    return v if v > 0 else v + (1 << s) - 1
+
+
+def _pt_ac(v: int, al: int) -> int:
+    """AC point transform: magnitude shift, truncation toward zero
+    (T.81 G.1.2.2 — DC uses an arithmetic shift instead)."""
+    return (v >> al) if v >= 0 else -((-v) >> al)
+
+
+def _ev_dc_first(coefs, cis, samp, mcus_x, mcus_y, al, tid_of, events) -> None:
+    preds = {ci: 0 for ci in cis}
+    order = []
+    if len(cis) > 1:
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for ci in cis:
+                    sh, sv = samp[ci]
+                    for by in range(sv):
+                        for bx in range(sh):
+                            order.append((ci, my * sv + by, mx * sh + bx))
+    else:
+        ci = cis[0]
+        bh, bw = coefs[ci].shape[:2]
+        order = [(ci, r_, c_) for r_ in range(bh) for c_ in range(bw)]
+    for ci, row, col in order:
+        v = int(coefs[ci][row, col, 0]) >> al
+        diff = v - preds[ci]
+        preds[ci] = v
+        s = abs(diff).bit_length()
+        events.append(("h", tid_of[ci], s))
+        if s:
+            events.append(("b", _mag_bits(diff, s), s))
+
+
+def _ev_dc_refine(coefs, cis, samp, mcus_x, mcus_y, al, events) -> None:
+    if len(cis) > 1:
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for ci in cis:
+                    sh, sv = samp[ci]
+                    for by in range(sv):
+                        for bx in range(sh):
+                            v = int(coefs[ci][my * sv + by, mx * sh + bx, 0])
+                            events.append(("b", (v >> al) & 1, 1))
+    else:
+        ci = cis[0]
+        for row in coefs[ci].reshape(-1, 64):
+            events.append(("b", (int(row[0]) >> al) & 1, 1))
+
+
+def _ev_ac_first(coef, nbh, nbw, bw_stride, ss, se, al, events) -> None:
+    eobrun = 0
+
+    def flush_eob():
+        nonlocal eobrun
+        if eobrun:
+            rb = eobrun.bit_length() - 1
+            events.append(("h", 0, rb << 4))
+            if rb:
+                events.append(("b", eobrun & ((1 << rb) - 1), rb))
+            eobrun = 0
+
+    flat = coef.reshape(-1, 64)
+    for row in range(nbh):
+        for col in range(nbw):
+            zz = flat[row * bw_stride + col]
+            run = 0
+            for k in range(ss, se + 1):
+                t = _pt_ac(int(zz[k]), al)
+                if t == 0:
+                    run += 1
+                    continue
+                flush_eob()
+                while run > 15:
+                    events.append(("h", 0, 0xF0))
+                    run -= 16
+                s = abs(t).bit_length()
+                events.append(("h", 0, (run << 4) | s))
+                events.append(("b", _mag_bits(t, s), s))
+                run = 0
+            if run > 0:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eob()
+    flush_eob()
+
+
+def _ev_ac_refine(coef, nbh, nbw, bw_stride, ss, se, al, events) -> None:
+    """Refinement-scan encoder (T.81 G.1.2.3, the jcphuff structure):
+    newly-nonzero coefficients emit (run,1)+sign; already-nonzero ones
+    emit buffered correction bits; band tails fold into EOBn runs whose
+    buffered bits ride just after the EOBn symbol."""
+    eobrun = 0
+    bebits: list[int] = []
+
+    def flush_eob():
+        nonlocal eobrun, bebits
+        if eobrun:
+            rb = eobrun.bit_length() - 1
+            events.append(("h", 0, rb << 4))
+            if rb:
+                events.append(("b", eobrun & ((1 << rb) - 1), rb))
+            eobrun = 0
+        for b in bebits:
+            events.append(("b", b, 1))
+        bebits = []
+
+    flat = coef.reshape(-1, 64)
+    for row in range(nbh):
+        for col in range(nbw):
+            zz = flat[row * bw_stride + col]
+            absv = [0] * (se + 1)
+            eobpos = ss - 1
+            for k in range(ss, se + 1):
+                m = int(zz[k])
+                m = m if m >= 0 else -m
+                absv[k] = m >> al
+                if absv[k] == 1:
+                    eobpos = k
+            run = 0
+            br: list[int] = []
+            for k in range(ss, se + 1):
+                t = absv[k]
+                if t == 0:
+                    run += 1
+                    continue
+                while run > 15 and k <= eobpos:
+                    flush_eob()
+                    events.append(("h", 0, 0xF0))
+                    run -= 16
+                    for b in br:
+                        events.append(("b", b, 1))
+                    br = []
+                if t > 1:
+                    br.append(t & 1)  # correction bit for a history coef
+                    continue
+                flush_eob()
+                events.append(("h", 0, (run << 4) | 1))
+                events.append(("b", 1 if int(zz[k]) > 0 else 0, 1))
+                for b in br:
+                    events.append(("b", b, 1))
+                br = []
+                run = 0
+            if run > 0 or br:
+                eobrun += 1
+                bebits.extend(br)
+                if eobrun == 0x7FFF or len(bebits) > 900:
+                    flush_eob()
+    flush_eob()
+
+
+def _encode_progressive(
+    gray, h, w, samp, qsel, padded, qt_l, qt_c, mcus_x, mcus_y
+) -> bytes:
+    ncomp = len(padded)
+    coefs = [
+        _quantized_blocks(pl, qt_l if qsel[ci] == 0 else qt_c)
+        for ci, pl in enumerate(padded)
+    ]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    nbw = [-(-(-(-w * samp[ci][0] // hmax)) // 8) for ci in range(ncomp)]
+    nbh = [-(-(-(-h * samp[ci][1] // vmax)) // 8) for ci in range(ncomp)]
+    tid_of = {ci: (0 if ci == 0 else 1) for ci in range(ncomp)}
+
+    cis = list(range(ncomp))
+    script: list[tuple] = [("dc0", cis, 0, 0, 0, 1)]
+    for ci in cis:
+        script += [("ac0", [ci], 1, 5, 0, 2), ("ac0", [ci], 6, 63, 0, 2)]
+    for ci in cis:
+        script.append(("acr", [ci], 1, 63, 2, 1))
+    script.append(("dcr", cis, 0, 0, 1, 0))
+    for ci in cis:
+        script.append(("acr", [ci], 1, 63, 1, 0))
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    def dqt(tid: int, qt: np.ndarray) -> bytes:
+        return seg(0xDB, bytes([tid]) + bytes(qt.reshape(-1)[ZIGZAG].astype(np.uint8)))
+
+    out = b"\xff\xd8" + dqt(0, qt_l)
+    if not gray:
+        out += dqt(1, qt_c)
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for i in range(ncomp):
+        sof += bytes([i + 1, (samp[i][0] << 4) | samp[i][1], qsel[i]])
+    out += seg(0xC2, sof)
+
+    for kind, scan_cis, ss, se, ah, al in script:
+        events: list[tuple] = []
+        if kind == "dc0":
+            _ev_dc_first(coefs, scan_cis, samp, mcus_x, mcus_y, al, tid_of, events)
+        elif kind == "dcr":
+            _ev_dc_refine(coefs, scan_cis, samp, mcus_x, mcus_y, al, events)
+        else:
+            ci = scan_cis[0]
+            stride = coefs[ci].shape[1]
+            if kind == "ac0":
+                _ev_ac_first(coefs[ci], nbh[ci], nbw[ci], stride, ss, se, al, events)
+            else:
+                _ev_ac_refine(coefs[ci], nbh[ci], nbw[ci], stride, ss, se, al, events)
+        # per-scan optimal Huffman tables (EOBn symbols are absent from
+        # the Annex K tables, so this is mandatory, not an optimization)
+        freqs: dict[int, dict[int, int]] = {}
+        for ev in events:
+            if ev[0] == "h":
+                freqs.setdefault(ev[1], {}).setdefault(ev[2], 0)
+                freqs[ev[1]][ev[2]] += 1
+        codes = {}
+        for tid, f in sorted(freqs.items()):
+            spec = _gen_optimal_table(f)
+            cls = 0 if kind == "dc0" else 1
+            out += seg(0xC4, bytes([(cls << 4) | tid]) + bytes(spec[0]) + bytes(spec[1]))
+            codes[tid] = _canonical_codes(*spec)
+        sos = bytes([len(scan_cis)])
+        for ci in scan_cis:
+            td = tid_of[ci] if kind == "dc0" else 0
+            ta = 0 if kind in ("dc0", "dcr") else tid_of[ci] * 0  # AC tables use id 0
+            sos += bytes([ci + 1, (td << 4) | ta])
+        sos += bytes([ss, se, (ah << 4) | al])
+        bw_ = _BitWriter()
+        for ev in events:
+            if ev[0] == "h":
+                code, ln = codes[ev[1]][ev[2]]
+                bw_.write(code, ln)
+            else:
+                bw_.write(ev[1], ev[2])
+        bw_.flush()
+        out += seg(0xDA, sos) + bytes(bw_.out)
+    return out + b"\xff\xd9"

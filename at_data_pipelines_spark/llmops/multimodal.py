@@ -15,7 +15,7 @@ Real codecs, pure numpy/stdlib (the container has no PIL/cv2/librosa):
 
 These are parseable with ``struct``/``zlib``/``np.frombuffer`` — so
 decode → filter → embed → ANN runs end-to-end on real bytes. Formats
-still needing codecs the stdlib lacks (MP3/video, progressive/12-bit
+still needing codecs the stdlib lacks (MP3/video, arithmetic/12-bit
 JPEG, PNG variants outside the supported subset) raise
 ``NotImplementedError`` from the sniff: faking them would hide the
 dependency. A deterministic ``FAKE`` header format remains for plumbing
@@ -318,7 +318,8 @@ def decode_image(buf: bytes) -> tuple[int, int, str, np.ndarray | None]:
     raise NotImplementedError(
         "unsupported image format; supported: BMP (8/24-bit uncompressed), "
         "PPM/PGM binary, PNG (8-bit non-interlaced gray/RGB), JPEG "
-        "(baseline sequential — progressive/12-bit refuse honestly), FAKE"
+        "(baseline sequential + progressive — arithmetic/12-bit refuse "
+        "honestly), FAKE"
     )
 
 

@@ -1162,12 +1162,61 @@ def test_jpeg_roundtrip_variants():
         p = _psnr(px, out)
         assert p >= min_psnr, f"{kw}: psnr {p:.1f} < {min_psnr}"
 
-    # progressive (SOF2) refuses instead of garbling
+    # arithmetic-coded (SOF9) still refuses instead of garbling
     buf = bytearray(encode_jpeg(gray))
     sof_at = buf.index(b"\xff\xc0")
-    buf[sof_at + 1] = 0xC2
-    with pytest.raises(NotImplementedError, match="baseline"):
+    buf[sof_at + 1] = 0xC9
+    with pytest.raises(NotImplementedError, match="SOF2"):
         decode_jpeg(bytes(buf))
+    # a baseline stream relabeled SOF2 is malformed (a progressive DC
+    # scan cannot carry Se=63) — corrupt, not silently garbled
+    buf[sof_at + 1] = 0xC2
+    with pytest.raises(ValueError, match="Se=0"):
+        decode_jpeg(bytes(buf))
+
+
+def test_jpeg_progressive_decodes_identically_to_baseline():
+    """r6 verdict #9 (stretch): SOF2 progressive support. Baseline and
+    progressive encodes of the same image carry the SAME quantized
+    coefficients, so they must decode to IDENTICAL pixels — an exact
+    differential covering DC first+refine, AC spectral bands, EOB runs,
+    and two successive-approximation refinement rounds (the jpegtran
+    scan script), across gray/RGB, 4:4:4/4:2:0, smooth and dense-noise
+    content."""
+    import numpy as np
+
+    from at_data_pipelines_spark.llmops.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(7)
+    gray = (np.add.outer(np.linspace(0, 200, 48), np.linspace(0, 55, 80))).astype(
+        np.uint8
+    )
+    noise = rng.integers(0, 256, (37, 53), dtype=np.uint8)
+    rgb = np.stack(
+        [
+            np.add.outer(np.linspace(0, 255, 41), np.zeros(67)),
+            np.add.outer(np.zeros(41), np.linspace(0, 255, 67)),
+            np.full((41, 67), 128.0),
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+    rgb_noise = rng.integers(0, 256, (24, 31, 3), dtype=np.uint8)
+    cases = [
+        (gray, dict(quality=90)),
+        (noise, dict(quality=40)),  # dense coefficients: EOB runs + refinements
+        (noise, dict(quality=10)),  # sparse coefficients: long EOB runs
+        (rgb, dict(quality=90)),
+        (rgb, dict(quality=90, subsample=True)),
+        (rgb_noise, dict(quality=75, subsample=True)),
+    ]
+    for px, kw in cases:
+        base = decode_jpeg(encode_jpeg(px, **kw))
+        prog_bytes = encode_jpeg(px, progressive=True, **kw)
+        prog = decode_jpeg(prog_bytes)
+        assert base[:3] == prog[:3], kw
+        assert np.array_equal(base[3], prog[3]), f"pixel mismatch for {kw}"
+        # and it really is an SOF2 multi-scan stream
+        assert b"\xff\xc2" in prog_bytes and prog_bytes.count(b"\xff\xda") > 3
 
 
 def test_jpeg_decode_filter_embed_ann(spark):
