@@ -215,13 +215,17 @@ class _HadoopFS:
         on S3A it degrades to HEAD-then-PUT (the FS API exposes no
         conditional PUT) — same residual window every Hadoop-FS-based
         commit protocol carries, shrunk from job-length to one
-        round-trip."""
+        round-trip. A create failure only means 'lost the claim' when
+        the path actually exists — transient IO errors (credentials,
+        throttling) re-raise instead of masquerading as contention."""
         try:
             out = self._fs.create(self._Path(p), False)
             out.close()
             return True
         except Exception:
-            return False
+            if self.exists(p):
+                return False
+            raise
 
 
 # Hive's default set of characters escaped in partition directory names
@@ -750,6 +754,8 @@ class Lakehouse:
         kind: str,
         base_rels: "set[str] | None" = None,
         properties: dict | None = None,
+        delta_rels: "list[str] | None" = None,
+        delta_all_dirty: bool = False,
     ):
         """Build the ``rebase(fresh) -> TableMeta | None`` closure for
         ``_commit_meta``: re-applies THIS writer's manifest mutation
@@ -758,7 +764,14 @@ class Lakehouse:
 
         ``kind='append'`` (insert mode=append): an appended delta
         generation commutes with any other commit that kept the table's
-        structure — replay unconditionally.
+        structure — replay unconditionally. The dirty set is replayed
+        from ``delta_rels`` — the partitions the delta ACTUALLY wrote —
+        never from a before/after set difference: a partition that was
+        already dirty at load contributes nothing to the difference, and
+        if the concurrent commit was an optimize() that cleaned it, the
+        replay would leave a live delta with no dirty entry, which a
+        later partition-pruned optimize() would silently drop (data
+        loss). ``delta_all_dirty`` is the unpartitioned analogue.
 
         ``kind='rmw'`` (optimize/upsert/merge/delete_where): the rewrite
         was derived from a snapshot of ``base_rels`` (None = the whole
@@ -774,9 +787,6 @@ class Lakehouse:
         }
         popped = [rel for rel in before.committed if rel not in after.committed]
         added_deltas = [s for s in after.live_deltas if s not in before.live_deltas]
-        added_dirty = [
-            r for r in after.dirty_partitions if r not in before.dirty_partitions
-        ]
         zone_diff = {
             k: v
             for k, v in after.zone_maps.items()
@@ -789,11 +799,11 @@ class Lakehouse:
             if kind == "append":
                 fresh.live_deltas.extend(added_deltas)
                 seen = set(fresh.dirty_partitions)
-                for r in added_dirty:
+                for r in delta_rels or []:
                     if r not in seen:
                         fresh.dirty_partitions.append(r)
                         seen.add(r)
-                if after.all_dirty and not before.all_dirty:
+                if delta_all_dirty:
                     fresh.all_dirty = True
             else:
                 if fresh.live_deltas != before.live_deltas:
@@ -1274,6 +1284,7 @@ class Lakehouse:
         if wrote_rows:
             meta.live_deltas.append(seq)
         meta.next_seq = max(meta.next_seq, seq + 1)
+        written: list[str] = []
         if wrote_rows and meta.partition_keys:
             # the partition values this batch touched are literally the
             # hive directory names the write just created — read them off
@@ -1282,11 +1293,11 @@ class Lakehouse:
             # upstream join/window a second time per ingest)
             depth = len(meta.partition_keys)
             pattern = "/".join(["*=*"] * depth)
-            written = self.fs.glob_dir_leaves(
-                f"{self._seq_dir(name, seq)}/{pattern}", depth
+            written = sorted(
+                self.fs.glob_dir_leaves(f"{self._seq_dir(name, seq)}/{pattern}", depth)
             )
             seen = set(meta.dirty_partitions)
-            for rel in sorted(written):
+            for rel in written:
                 if rel not in seen:
                     meta.dirty_partitions.append(rel)
                     seen.add(rel)
@@ -1300,7 +1311,14 @@ class Lakehouse:
         # an append commutes with any structure-preserving concurrent
         # commit: rebase instead of raising when we lose the PUT race
         rebase = (
-            self._make_rebase(before, meta, "append", properties=properties)
+            self._make_rebase(
+                before,
+                meta,
+                "append",
+                properties=properties,
+                delta_rels=written,
+                delta_all_dirty=wrote_rows and not meta.partition_keys,
+            )
             if mode == "append"
             else None
         )
@@ -1574,6 +1592,22 @@ class Lakehouse:
         )
         return self._read_raw(name, meta).drop(_SEQ_COL)
 
+    def _read_logical(self, name: str, meta: TableMeta) -> DataFrame:
+        """The manifest state's LOGICAL rows: latest per primary key when
+        un-absorbed deltas shadow older rows (``table()`` exposes the raw
+        duplicates until optimize()). The one shared keep-latest dedup —
+        consumers that must see snapshot semantics (restore's check
+        probe, IVM's recompute/build reads) go through here."""
+        raw = self._read_raw(name, meta)
+        if meta.primary_keys and meta.live_deltas:
+            w = W.partitionBy(*meta.primary_keys).orderBy(F.desc(_SEQ_COL))
+            raw = (
+                raw.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+        return raw.drop(_SEQ_COL)
+
     def _version_meta(self, name: str, version: int) -> TableMeta:
         """Archived manifest of commit ``version``, validated: every data
         path it references must still exist on disk."""
@@ -1607,8 +1641,11 @@ class Lakehouse:
         old = self._version_meta(name, version)
         cur = self._load_meta(name)
         if cur.checks:
-            # validate against the restored visibility, not the current
-            probe = self._read_raw(name, old)
+            # validate against the restored visibility's LOGICAL rows —
+            # raw reads include duplicate-PK rows shadowed by the
+            # snapshot's pending deltas, and refusing a restore over a
+            # superseded physical row would block a compliant version
+            probe = self._read_logical(name, old)
             conds = [
                 (nm, ~F.coalesce(F.expr(expr), F.lit(False)))
                 for nm, expr in cur.checks.items()
@@ -2183,7 +2220,14 @@ class Lakehouse:
         if properties:
             self._apply_properties(meta, properties)
         rebase = (
-            self._make_rebase(before, meta, "append", properties=properties)
+            self._make_rebase(
+                before,
+                meta,
+                "append",
+                properties=properties,
+                delta_rels=[r for r in sorted(written_rels) if r != ""],
+                delta_all_dirty=wrote_rows and not meta.partition_keys,
+            )
             if mode == "append"
             else None
         )

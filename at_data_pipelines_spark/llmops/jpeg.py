@@ -185,6 +185,10 @@ class _BitReader:
         self.acc = 0
 
     def _fill(self) -> None:
+        if self.pos + 1 >= len(self.d):
+            # entropy data ran off the end of the buffer: corrupt input,
+            # not an unsupported feature — keep the ValueError contract
+            raise ValueError("truncated JPEG stream")
         b = self.d[self.pos]
         if b == 0xFF:
             nxt = self.d[self.pos + 1]
@@ -253,12 +257,16 @@ def decode_jpeg(buf: bytes) -> tuple[int, int, str, np.ndarray]:
     progressive = False
     prog_ready = False  # at least one scan decoded
     while True:
+        if pos + 1 >= len(buf):
+            raise ValueError("truncated JPEG stream")
         if buf[pos] != 0xFF:
             raise ValueError("marker expected")
         # T.81 B.1.1.2: markers may be preceded by any number of 0xFF
         # fill bytes (EXIF/camera writers pad) — skip them
-        while buf[pos + 1] == 0xFF:
+        while pos + 1 < len(buf) and buf[pos + 1] == 0xFF:
             pos += 1
+        if pos + 1 >= len(buf):
+            raise ValueError("truncated JPEG stream")
         marker = buf[pos + 1]
         pos += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
@@ -272,8 +280,12 @@ def decode_jpeg(buf: bytes) -> tuple[int, int, str, np.ndarray]:
                     c["q"] = qts[c["tq"]]
                 return _reconstruct(h, w, comps, hmax, vmax)
             raise ValueError("no scan data")
+        if pos + 2 > len(buf):
+            raise ValueError("truncated JPEG stream")
         (seglen,) = struct.unpack(">H", buf[pos : pos + 2])
         seg = buf[pos + 2 : pos + seglen]
+        if len(seg) != seglen - 2:
+            raise ValueError("truncated JPEG segment")
         if marker == 0xDB:  # DQT
             p = 0
             while p < len(seg):
@@ -295,6 +307,8 @@ def decode_jpeg(buf: bytes) -> tuple[int, int, str, np.ndarray]:
                 bits = list(seg[p + 1 : p + 17])
                 n = sum(bits)
                 vals = list(seg[p + 17 : p + 17 + n])
+                if len(bits) < 16 or len(vals) < n:
+                    raise ValueError("truncated DHT segment")
                 (dc_tabs if cls == 0 else ac_tabs)[tid] = _decode_tables(bits, vals)
                 p += 17 + n
         elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
@@ -572,10 +586,12 @@ def _decode_progressive_scan(
                     _ac_refine(r, blk, actab, ss, se, al, state)
     # the entropy segment ends at the next non-RST, non-stuffing marker
     p = r.pos
-    while not (
+    while p + 1 < len(buf) and not (
         buf[p] == 0xFF and buf[p + 1] != 0x00 and not (0xD0 <= buf[p + 1] <= 0xD7)
     ):
         p += 1
+    if p + 1 >= len(buf):
+        raise ValueError("truncated JPEG stream (no marker after scan)")
     return p
 
 

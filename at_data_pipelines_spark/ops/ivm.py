@@ -56,21 +56,9 @@ def _logical_source(lake, src: str) -> DataFrame:
     """The source's LOGICAL rows (latest per primary key): ``table()``
     exposes raw pending-delta duplicates until optimize(), but the CDC
     feed — and therefore the view — reflects keep-latest semantics, so
-    every full read the view derives from must too."""
-    from pyspark.sql.window import Window
-
-    from ..catalog import _SEQ_COL
-
-    meta = lake._load_meta(src)
-    raw = lake._read_raw(src, meta)
-    if meta.primary_keys and meta.live_deltas:
-        w = Window.partitionBy(*meta.primary_keys).orderBy(F.desc(_SEQ_COL))
-        raw = (
-            raw.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
-        )
-    return raw.drop(_SEQ_COL)
+    every full read the view derives from must too (shared dedup:
+    ``Lakehouse._read_logical``)."""
+    return lake._read_logical(src, lake._load_meta(src))
 
 
 def _aggregate(
@@ -177,6 +165,11 @@ def refresh_aggregate(
         ],
         *extreme_aggs,
     )
+    # PIN the correction before it branches (merge source AND the
+    # flagged-groups semi-join below): the CDC dedup's row_number tie is
+    # nondeterministic across re-evaluations, and the snapshot-diff join
+    # is the expensive part of a refresh — one execution, reused
+    corr = corr.localCheckpoint(eager=False)
     cur = lake.table(dst)
     # null-SAFE group join: SQL GROUP BY keeps a NULL group, and a plain
     # equi-join would lose its prior count and duplicate its view row

@@ -519,6 +519,10 @@ def repair_sessions(
         sessions = sessions.filter(
             F.col("session_start_us") >= F.lit(int(repair_from_us))
         )
+    # pin the recomputed sessions ONCE: the bounds collect below and the
+    # upsert both consume the shuffle-heavy session aggregate — without
+    # this the whole slice's sessionization runs twice per repair
+    sessions = sessions.localCheckpoint(eager=False)
     lake.create(
         table, SESSION_TABLE_SCHEMA, [], ["user_id", "session_start_us"], mode="skip"
     )
@@ -577,7 +581,17 @@ def run_sessions_daily(
         watermark=watermark,
         available_now=True,
     )
-    q.awaitTermination(await_secs)
+    if not q.awaitTermination(await_secs):
+        # the repair must NEVER run concurrently with a still-draining
+        # sink (delete_where/upsert would race its foreachBatch commits
+        # on the same table, and the horizon would anchor on a
+        # half-drained hi)
+        q.stop()
+        raise TimeoutError(
+            f"session sink did not drain within {await_secs}s; stopped the "
+            "query — re-run with a larger await_secs (the checkpoint "
+            "resumes where it left off)"
+        )
     hi = lake.table(table).agg(F.max("session_end_us")).collect()[0][0]
     if hi is None:
         return  # nothing stored yet: nothing to repair

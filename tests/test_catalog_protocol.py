@@ -493,6 +493,45 @@ def test_concurrent_upserts_two_threads_disjoint_partitions(lake, spark):
     }
 
 
+def test_append_rebase_redirties_partition_cleaned_by_rival_optimize(
+    lake, spark, slow_path_only
+):
+    """Review fix: a delta appended to an ALREADY-dirty partition, racing
+    an optimize() that cleans it, must re-dirty that partition on rebase
+    — replayed from the partitions the delta WROTE, not a before/after
+    dirty-set difference (which is empty here). Otherwise a later
+    partition-pruned optimize clears live_deltas without absorbing the
+    delta's rows: silent data loss."""
+    lake.create("prices", SCHEMA, ["year"], ["date", "ticker"])
+    lake.insert("prices", _df(spark, [("A", "2024-01-02", 1.0)]))  # year=2024 dirty
+
+    rival = Lakehouse(spark, lake.root)
+    orig = Lakehouse._write_seq
+    fired = {"done": False}
+
+    def interleaved(self, name, meta, df, seq):
+        token = orig(self, name, meta, df, seq)
+        if not fired["done"]:
+            fired["done"] = True
+            rival.optimize("prices")  # absorbs A's delta, cleans the dirty set
+        return token
+
+    lake._write_seq = types.MethodType(interleaved, lake)
+    lake.insert("prices", _df(spark, [("B", "2024-01-03", 2.0)]))  # rebases
+    del lake.__dict__["_write_seq"]
+
+    meta = lake._load_meta("prices")
+    assert meta.dirty_partitions == ["year=2024"], (
+        "rebased delta must re-dirty the partition it wrote"
+    )
+    # the loss scenario the invariant prevents: dirty a DIFFERENT
+    # partition, run the pruned optimize, and B must survive it
+    lake.insert("prices", _df(spark, [("C", "2023-01-02", 3.0)]))
+    lake.optimize("prices")
+    got = {r.ticker for r in lake.table("prices").collect()}
+    assert got == {"A", "B", "C"}
+
+
 def test_concurrent_same_partition_upserts_still_raise(lake, spark):
     """Conflicting writers (same partition) must NOT rebase: the rival's
     commit repointed the very base our merge read, so the race surfaces

@@ -1218,6 +1218,15 @@ def test_jpeg_progressive_decodes_identically_to_baseline():
         # and it really is an SOF2 multi-scan stream
         assert b"\xff\xc2" in prog_bytes and prog_bytes.count(b"\xff\xda") > 3
 
+    # truncation anywhere keeps the ValueError contract (corrupt input
+    # must never surface as IndexError)
+    import pytest
+
+    full = encode_jpeg(gray, progressive=True, quality=90)
+    for cut in (len(full) // 3, len(full) // 2, len(full) - 3):
+        with pytest.raises(ValueError):
+            decode_jpeg(full[:cut])
+
 
 def test_jpeg_decode_filter_embed_ann(spark):
     """Real JPEG bytes through the full pipeline: decode_image sniffs the

@@ -138,6 +138,27 @@ def test_restore_revalidates_current_checks(lake, spark):
     assert lake.table("t").filter(F.col("v") < 0).count() == 0
 
 
+def test_restore_check_probe_judges_logical_rows(lake, spark):
+    """Review fix: restore's check revalidation must see the snapshot's
+    LOGICAL content — a violating row shadowed by the snapshot's own
+    pending delta (same PK, newer generation) must not block a restore
+    whose keep-latest state is compliant."""
+    lake.create("t", SCHEMA, ["year"], ["k", "year"], retain_versions=10)
+    lake.insert("t", _batch(spark, 0, 5, 2023, vbase=-100.0))  # v1: negatives
+    lake.insert("t", _batch(spark, 0, 5, 2023, vbase=100.0))  # v2: shadows them
+    lake.optimize("t")  # v3
+    lake.upsert("t", _batch(spark, 5, 8, 2023, vbase=50.0))  # v4
+    lake.add_check("t", "v_nonneg", "v >= 0")
+    # v2's RAW rows include the shadowed negatives; its LOGICAL rows are
+    # all positive — the restore must go through
+    lake.restore("t", 2)
+    # compact the restored pending deltas: the keep-latest state is the
+    # compliant one the probe judged
+    lake.optimize("t")
+    vals = [r.v for r in lake.table("t").collect()]
+    assert vals and all(v >= 0 for v in vals)
+
+
 def test_create_replace_preserves_history(lake, spark):
     """mode='replace' drops the data but never the append-only audit log:
     prior commit evidence stays in _history/, versions and sequence
