@@ -2315,11 +2315,17 @@ class Lakehouse:
     def vacuum(self, name: str | None = None) -> list[str]:
         """Reclaim generation directories the manifest does not reference —
         the leavings of writes that crashed before their commit (or of a
-        cleanup that crashed after one). Safe at any time under the
-        single-writer assumption: visibility is defined by the manifest
-        alone, retries clear their own target dir before writing, and an
-        unreferenced dir can never become referenced again (sequence
-        numbers only move forward). Returns the removed paths.
+        cleanup that crashed after one). Safe at any time: visibility is
+        defined by the manifest alone, and an unreferenced dir can never
+        become referenced again (sequence numbers are uniquely claimed
+        and only move forward). Returns the removed paths.
+
+        ``_claims/`` files are deliberately NOT vacuumed: a claim for a
+        seq ≥ the current next_seq may belong to an in-flight writer,
+        and next_seq alone cannot prove otherwise — deleting one would
+        let a third writer re-claim the number and clobber the in-flight
+        generation. They are one empty object per generation (the same
+        growth rate as the `_history/` audit archive).
 
         Under snapshot retention the reachable set is the UNION of the
         current manifest and the archived manifests of the last

@@ -146,6 +146,35 @@ def test_png_codec_roundtrip_property(h, w, gray, filters, seed):
 
 
 @given(
+    h=st.integers(1, 40),
+    w=st.integers(1, 40),
+    gray=st.booleans(),
+    subsample=st.booleans(),
+    quality=st.integers(5, 98),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=25, deadline=None)
+def test_jpeg_progressive_equals_baseline_property(h, w, gray, subsample, quality, seed):
+    """Progressive and baseline encodes of ANY image carry the same
+    quantized coefficients, so they must decode to IDENTICAL pixels —
+    fuzzing sizes (incl. non-multiple-of-8/16), content, quality, and
+    chroma subsampling exercises the AC refinement correction-bit and
+    EOB-run machinery far beyond the fixed-case tests."""
+    import numpy as np
+
+    from at_data_pipelines_spark.llmops.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(seed)
+    shape = (h, w) if gray else (h, w, 3)
+    px = rng.integers(0, 256, shape, dtype=np.uint8)
+    kw = dict(quality=quality, subsample=(subsample and not gray))
+    base = decode_jpeg(encode_jpeg(px, **kw))
+    prog = decode_jpeg(encode_jpeg(px, progressive=True, **kw))
+    assert base[:3] == prog[:3]
+    assert np.array_equal(base[3], prog[3])
+
+
+@given(
     st.lists(
         st.floats(-1e9, 1e9, allow_nan=False).filter(lambda x: x == x),
         min_size=1,
