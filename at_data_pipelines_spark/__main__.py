@@ -57,6 +57,13 @@ def main(argv: list[str] | None = None) -> int:
     )
     lk.add_argument("table", nargs="?", default=None)
     lk.add_argument("--zorder", default=None, help="comma-separated Z-order columns")
+    lk.add_argument(
+        "--grace-s",
+        type=int,
+        default=3600,
+        help="vacuum: skip unreferenced generations younger than this "
+        "(in-flight-writer guard); 0 only in maintenance windows",
+    )
     lk.add_argument("--zorder-files", type=int, default=8)
     lk.add_argument("--full", action="store_true", help="optimize: rewrite all partitions")
     lk.add_argument("--version", type=int, default=None, help="restore target version")
@@ -106,7 +113,7 @@ def main(argv: list[str] | None = None) -> int:
         elif args.op == "properties":
             print(json.dumps(lake.get_properties(args.table)))
         else:
-            removed = lake.vacuum(args.table)
+            removed = lake.vacuum(args.table, grace_s=args.grace_s)
             print(json.dumps({"removed": removed}))
         if owns_session:
             spark.stop()

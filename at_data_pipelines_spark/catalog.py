@@ -209,6 +209,12 @@ class _HadoopFS:
             if st.isFile()
         ]
 
+    def mtime(self, p: str) -> int:
+        """Modification time of ``p`` in epoch millis (0 if absent)."""
+        if not self.exists(p):
+            return 0
+        return int(self._fs.getFileStatus(self._Path(p)).getModificationTime())
+
     def create_exclusive(self, p: str) -> bool:
         """Create ``p`` only if it does not exist (Hadoop create with
         overwrite=false); True iff this caller won. Atomic on local/HDFS;
@@ -1155,12 +1161,7 @@ class Lakehouse:
             # absorb un-optimized deltas: the snapshot's LOGICAL content is
             # the newest row per PK, exactly what optimize() would keep —
             # diffing raw rows would fan out the PK join on duplicates
-            w_ = W.partitionBy(*pk).orderBy(F.desc(_SEQ_COL))
-            return (
-                df.withColumn("_rn", F.row_number().over(w_))
-                .filter(F.col("_rn") == 1)
-                .drop("_rn", _SEQ_COL)
-            )
+            return self._keep_latest(df, pk).drop(_SEQ_COL)
 
         old = _aligned(_latest(old_df)).withColumn("_o", F.lit(1))
         new = _aligned(_latest(new_df)).withColumn("_n", F.lit(1))
@@ -1465,8 +1466,11 @@ class Lakehouse:
         meta = self._load_meta(name)
         if check_name in meta.checks:
             raise ValueError(f"check {check_name!r} already exists on {name!r}")
+        # probe the LOGICAL rows (keep-latest): a violating row shadowed
+        # by a pending same-PK delta must not block a compliant
+        # constraint — the same snapshot semantics restore()'s probe uses
         viol = (
-            self._read_raw(name, meta)
+            self._read_logical(name, meta)
             .filter(~F.coalesce(F.expr(expr), F.lit(False)))
             .limit(1)
             .count()
@@ -1592,20 +1596,30 @@ class Lakehouse:
         )
         return self._read_raw(name, meta).drop(_SEQ_COL)
 
+    @staticmethod
+    def _keep_latest(df: DataFrame, primary_keys: list[str]) -> DataFrame:
+        """THE keep-latest-per-PK dedup (newest generation wins via
+        ``_seq``): every consumer of snapshot semantics — optimize's
+        rewrite, delete_where's absorb, merge's target, the CDC
+        snapshots, logical reads — shares this one window so the tie
+        rule can never drift between them. Input must carry ``_seq``;
+        it is preserved in the output."""
+        w = W.partitionBy(*primary_keys).orderBy(F.desc(_SEQ_COL))
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
     def _read_logical(self, name: str, meta: TableMeta) -> DataFrame:
         """The manifest state's LOGICAL rows: latest per primary key when
         un-absorbed deltas shadow older rows (``table()`` exposes the raw
-        duplicates until optimize()). The one shared keep-latest dedup —
-        consumers that must see snapshot semantics (restore's check
-        probe, IVM's recompute/build reads) go through here."""
+        duplicates until optimize()). Consumers that must see snapshot
+        semantics (restore's and add_check's probes, IVM's
+        recompute/build reads) go through here."""
         raw = self._read_raw(name, meta)
         if meta.primary_keys and meta.live_deltas:
-            w = W.partitionBy(*meta.primary_keys).orderBy(F.desc(_SEQ_COL))
-            raw = (
-                raw.withColumn("_rn", F.row_number().over(w))
-                .filter(F.col("_rn") == 1)
-                .drop("_rn")
-            )
+            raw = self._keep_latest(raw, meta.primary_keys)
         return raw.drop(_SEQ_COL)
 
     def _version_meta(self, name: str, version: int) -> TableMeta:
@@ -1842,10 +1856,7 @@ class Lakehouse:
         if meta.partition_keys and not meta.all_dirty:
             part_filter = self._rel_filter(meta, meta.dirty_partitions)
             raw = raw.filter(part_filter)  # partition-pruned scan
-        w = W.partitionBy(*meta.primary_keys).orderBy(F.desc(_SEQ_COL))
-        deduped = (
-            raw.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
-        )
+        deduped = self._keep_latest(raw, meta.primary_keys)
         if zorder_by:
             # Z-order layout: bucket bounds come from the (pruned) input
             # scan — a cheap column min/max — then rows range-partition
@@ -2312,13 +2323,20 @@ class Lakehouse:
             raise _FastPathUnsuitable(str(e)) from e
         return new_committed, new_zone
 
-    def vacuum(self, name: str | None = None) -> list[str]:
+    def vacuum(self, name: str | None = None, grace_s: int = 3600) -> list[str]:
         """Reclaim generation directories the manifest does not reference —
         the leavings of writes that crashed before their commit (or of a
-        cleanup that crashed after one). Safe at any time: visibility is
-        defined by the manifest alone, and an unreferenced dir can never
-        become referenced again (sequence numbers are uniquely claimed
-        and only move forward). Returns the removed paths.
+        cleanup that crashed after one). Returns the removed paths.
+
+        ``grace_s`` is the concurrency guard (the Delta VACUUM
+        retention-hours move): an IN-FLIGHT writer's generation is
+        unreferenced until its commit, so directories modified within
+        the grace window are skipped — only dirs that have sat
+        unreferenced AND untouched for ``grace_s`` seconds are provably
+        abandoned (a write that stalls longer than the grace then loses
+        its race via the attempt-token check at commit, never silently).
+        Pass 0 only when no writers can be in flight (tests,
+        maintenance windows).
 
         ``_claims/`` files are deliberately NOT vacuumed: a claim for a
         seq ≥ the current next_seq may belong to an in-flight writer,
@@ -2333,7 +2351,10 @@ class Lakehouse:
         EXPIRY: generations referenced only by versions older than the
         window are reclaimed here (their history JSONs stay as audit
         records; time-traveling to them raises SnapshotExpiredError)."""
+        import time as _time
+
         removed = []
+        cutoff_ms = (_time.time() - grace_s) * 1000.0
         tables = [name] if name else self.tables()
         for t in tables:
             # legacy staging dirs from the pre-manifest protocol
@@ -2365,6 +2386,8 @@ class Lakehouse:
                 s = int(d.split("=", 1)[1])
                 if s in live:
                     continue
+                if grace_s and self.fs.mtime(f"{data_dir}/{d}") > cutoff_ms:
+                    continue  # possibly an in-flight writer's generation
                 rels = base_rels.get(s)
                 if rels is None:
                     self.fs.delete(f"{data_dir}/{d}")
@@ -2486,12 +2509,7 @@ class Lakehouse:
             affected = set()
             sub = raw
         # absorb pending deltas: latest row per PK, as optimize() would
-        w = W.partitionBy(*pk).orderBy(F.desc(_SEQ_COL))
-        tgt = (
-            sub.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn", _SEQ_COL)
-        )
+        tgt = self._keep_latest(sub, pk).drop(_SEQ_COL)
         # PK-only tables still need a payload struct for the chosen-row
         # logic; a constant field keeps the shape without changing output
         payload = [F.col(c) for c in non_pk] or [F.lit(0).alias("_nop")]
@@ -2618,10 +2636,7 @@ class Lakehouse:
             part_filter = self._rel_filter(meta, sorted(affected))
             sub = raw.filter(part_filter)
             if meta.primary_keys:
-                w = W.partitionBy(*meta.primary_keys).orderBy(F.desc(_SEQ_COL))
-                sub = sub.withColumn("_rn", F.row_number().over(w)).filter(
-                    F.col("_rn") == 1
-                ).drop("_rn")
+                sub = self._keep_latest(sub, meta.primary_keys)
             kept = sub.filter(~pred)
             token = self._write_seq(name, meta, kept.drop(_SEQ_COL), seq)
             depth = len(meta.partition_keys)
@@ -2637,10 +2652,7 @@ class Lakehouse:
         else:
             sub = raw
             if meta.primary_keys:
-                w = W.partitionBy(*meta.primary_keys).orderBy(F.desc(_SEQ_COL))
-                sub = sub.withColumn("_rn", F.row_number().over(w)).filter(
-                    F.col("_rn") == 1
-                ).drop("_rn")
+                sub = self._keep_latest(sub, meta.primary_keys)
             kept = sub.filter(~pred)
             token = self._write_seq(name, meta, kept.drop(_SEQ_COL), seq)
             old_committed = dict(meta.committed)

@@ -221,8 +221,14 @@ class _BitReader:
         """Byte-align and consume an RSTn marker."""
         self.bits = 0
         self.acc = 0
-        while self.d[self.pos] == 0xFF and self.d[self.pos + 1] == 0xFF:
+        while (
+            self.pos + 1 < len(self.d)
+            and self.d[self.pos] == 0xFF
+            and self.d[self.pos + 1] == 0xFF
+        ):
             self.pos += 1  # fill bytes
+        if self.pos + 1 >= len(self.d):
+            raise ValueError("truncated JPEG stream (expected RST marker)")
         if self.d[self.pos] != 0xFF or not (0xD0 <= self.d[self.pos + 1] <= 0xD7):
             raise ValueError("expected RST marker in entropy stream")
         self.pos += 2
@@ -313,9 +319,13 @@ def decode_jpeg(buf: bytes) -> tuple[int, int, str, np.ndarray]:
                 p += 17 + n
         elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             progressive = marker == 0xC2
+            if len(seg) < 6:
+                raise ValueError("truncated SOF segment")
             prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit JPEG not supported")
+            if len(seg) < 6 + 3 * nc:
+                raise ValueError("truncated SOF segment")
             comps = []
             for i in range(nc):
                 cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]
@@ -329,10 +339,14 @@ def decode_jpeg(buf: bytes) -> tuple[int, int, str, np.ndarray]:
                 "JPEG is supported"
             )
         elif marker == 0xDD:  # DRI
+            if len(seg) < 2:
+                raise ValueError("truncated DRI segment")
             (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("SOS before SOF")
+            if len(seg) < 1 or len(seg) < 1 + 2 * seg[0] + 3:
+                raise ValueError("truncated SOS segment")
             ns = seg[0]
             sel = {}
             for i in range(ns):

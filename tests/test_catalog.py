@@ -253,12 +253,12 @@ def test_vacuum_removes_orphan_staging_dirs(lake, spark):
     lake.upsert("prices", _df(spark, [("A", "2024-01-02", 1.0)]))
     # simulate a crashed compaction: orphan staging dir with junk
     lake.fs.mkdirs(f"{lake._dir('prices')}/.compact_tmp/year=2024")
-    removed = lake.vacuum()
+    removed = lake.vacuum(grace_s=0)
     assert any(".compact_tmp" in p for p in removed)
     assert not lake.fs.exists(f"{lake._dir('prices')}/.compact_tmp")
     # table untouched
     assert lake.table("prices").count() == 1
-    assert lake.vacuum() == []  # idempotent
+    assert lake.vacuum(grace_s=0) == []  # idempotent
 
 
 def test_crashed_optimize_is_invisible_then_recovers(lake, spark):
@@ -296,7 +296,7 @@ def test_crashed_optimize_is_invisible_then_recovers(lake, spark):
     rows = {(r.ticker, str(r.date)): r.close for r in lake.table("prices").collect()}
     assert rows == {("A", "2023-06-01"): 1.0, ("A", "2024-01-02"): 3.0}
 
-    removed = lake.vacuum("prices")
+    removed = lake.vacuum("prices", grace_s=0)
     assert lake.table("prices").count() == 2  # vacuum never touches live data
     assert removed == [] or all("_seq=" in p for p in removed)
 
@@ -332,6 +332,6 @@ def test_unreferenced_generation_invisible_and_vacuumed(lake, spark):
         "append"
     ).parquet(f"{lake._dir('prices')}/data")
     assert {r.ticker for r in lake.table("prices").collect()} == {"A"}
-    removed = lake.vacuum("prices")
+    removed = lake.vacuum("prices", grace_s=0)
     assert any("_seq=99" in p for p in removed)
     assert {r.ticker for r in lake.table("prices").collect()} == {"A"}

@@ -134,5 +134,5 @@ def test_lakehouse_random_ops_match_model(spark, tmp_path, seed):
             assert s_got == s_exp, f"scan divergence after step {step}"
 
     # end-state sanity: vacuum reclaims nothing referenced, content intact
-    lake.vacuum("t")
+    lake.vacuum("t", grace_s=0)
     assert _state(lake) == model

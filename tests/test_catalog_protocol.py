@@ -532,6 +532,27 @@ def test_append_rebase_redirties_partition_cleaned_by_rival_optimize(
     assert got == {"A", "B", "C"}
 
 
+def test_vacuum_grace_spares_in_flight_generations(lake, spark):
+    """vacuum's grace window (the Delta retention-hours move) must skip
+    unreferenced generations modified recently — they may belong to an
+    in-flight writer whose commit hasn't landed yet; only with
+    grace_s=0 (maintenance window) are they reclaimed immediately."""
+    lake.create("prices", SCHEMA, ["year"], ["date", "ticker"])
+    lake.insert("prices", _df(spark, [("A", "2024-01-02", 1.0)]))
+    # simulate an in-flight writer: a claimed, written, uncommitted gen
+    meta = lake._load_meta("prices")
+    seq = lake._reserve_seq("prices", meta)
+    lake._write_seq("prices", meta, lake.table("prices"), seq)
+    orphan = lake._seq_dir("prices", seq)
+    assert lake.fs.exists(orphan)
+    assert lake.vacuum("prices") == []  # default grace: spared
+    assert lake.fs.exists(orphan)
+    removed = lake.vacuum("prices", grace_s=0)  # maintenance window
+    assert orphan in removed and not lake.fs.exists(orphan)
+    # committed data untouched either way
+    assert lake.table("prices").count() == 1
+
+
 def test_concurrent_same_partition_upserts_still_raise(lake, spark):
     """Conflicting writers (same partition) must NOT rebase: the rival's
     commit repointed the very base our merge read, so the race surfaces
@@ -662,6 +683,6 @@ def test_insert_overwrite_truncates_on_both_paths(lake, spark):
         Lakehouse._FAST_UPSERT_MAX_ROWS = orig
     assert {r.ticker for r in lake.table("prices").collect()} == {"D"}
     # orphaned generations reclaimed
-    removed = lake.vacuum("prices")
+    removed = lake.vacuum("prices", grace_s=0)
     assert removed, "expected orphaned pre-overwrite generations"
     assert {r.ticker for r in lake.table("prices").collect()} == {"D"}

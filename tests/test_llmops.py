@@ -1218,14 +1218,29 @@ def test_jpeg_progressive_decodes_identically_to_baseline():
         # and it really is an SOF2 multi-scan stream
         assert b"\xff\xc2" in prog_bytes and prog_bytes.count(b"\xff\xda") > 3
 
-    # truncation anywhere keeps the ValueError contract (corrupt input
-    # must never surface as IndexError)
+    # truncation ANYWHERE keeps the ValueError contract (corrupt input
+    # must never surface as IndexError/struct.error) — sweep every cut
+    # point of a progressive stream and of a restart-interval baseline
+    # stream (the RST-consume path was a second review finding)
     import pytest
 
-    full = encode_jpeg(gray, progressive=True, quality=90)
-    for cut in (len(full) // 3, len(full) // 2, len(full) - 3):
-        with pytest.raises(ValueError):
-            decode_jpeg(full[:cut])
+    for full in (
+        encode_jpeg(gray, progressive=True, quality=90),
+        encode_jpeg(gray, quality=90, restart_interval=2),
+    ):
+        for cut in range(2, len(full) - 1):
+            try:
+                decode_jpeg(full[:cut])
+            except (ValueError, NotImplementedError):
+                pass  # the documented contract
+    # internally-short (but seglen-consistent) segment bodies too
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\xff\xd8\xff\xdd\x00\x02\xff\xd9")  # empty DRI body
+    sof = encode_jpeg(gray, quality=90)
+    sos_at = sof.index(b"\xff\xda")
+    with pytest.raises(ValueError):
+        # SOS with an empty body
+        decode_jpeg(sof[:sos_at] + b"\xff\xda\x00\x02" + b"\xff\xd9")
 
 
 def test_jpeg_decode_filter_embed_ann(spark):

@@ -219,7 +219,7 @@ def test_vacuum_expires_past_retention_window(lake, spark):
     cur = lake.table("t").orderBy("k").collect()
     assert len(cur) == 50
     # retained window: versions 3..5 (current=5); 1 and 2 expire
-    removed = lake.vacuum("t")
+    removed = lake.vacuum("t", grace_s=0)
     assert removed, "vacuum should reclaim generations outside the window"
     assert lake.table("t").orderBy("k").collect() == cur
     assert lake.table("t", version=4).count() == 40  # inside window
@@ -957,7 +957,7 @@ def test_check_constraints_block_bad_writes_on_all_paths(lake, spark):
     with pytest.raises(CheckViolationError, match="v_nonneg"):
         lake.insert("t", withnull)
     # failed generations are vacuumable orphans at worst
-    lake.vacuum("t")
+    lake.vacuum("t", grace_s=0)
     assert lake.table("t").count() == n0
 
 
