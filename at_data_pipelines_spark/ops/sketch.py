@@ -139,3 +139,113 @@ def cms_estimate(
         {"cnt": 0}
     )
     return joined.groupBy(value_col).agg(F.min("cnt").alias(out_col))
+
+
+def _bloom_positions(col: F.Column | str, k: int, m_bits: int, salt: str) -> F.Column:
+    """Array of the k bit positions for one value: position i is the
+    48-bit md5 of (value, salt, i) mod m — the same engine-reproducible
+    hash family as the CMS rows."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.array(
+        *[
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(c.cast("string"), F.lit(salt), F.lit(str(i)))),
+                        1,
+                        12,
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+                F.lit(m_bits),
+            )
+            for i in range(k)
+        ]
+    )
+
+
+def bloom_build(
+    df: DataFrame,
+    value_col: str,
+    m_bits: int = 1 << 20,
+    k: int = 5,
+    salt: str = "bloom",
+) -> DataFrame:
+    """SPARSE distributed Bloom filter of ``value_col``'s members:
+    m bits packed into 64-bit words, returned as a (word, bits)
+    DataFrame holding only the non-zero words. Everything is codegen
+    SQL (md5 positions, shiftleft masks, bit_or aggregate) — no UDF, no
+    driver-side bitset — so the build is one uniform shuffle of ≤ k·n
+    (word, mask) pairs and the filter itself scales past driver memory
+    (a dense m=2^33 filter is just more rows). md5-derived positions
+    make the sketch bit-reproducible across engines, like the KMV/CMS
+    sketches. NULL is never a member. Mergeable: union two sketches and
+    re-aggregate (``bloom_merge``) — exactly equal to building from the
+    union, since bit_or is associative and the hashes deterministic.
+
+    Why alongside KMV/CMS: the membership sketch a 100 TB incremental
+    dedup needs — "have we EVER ingested this content hash?" — with
+    O(m/64) state instead of O(distinct), no false negatives, and FPR
+    ≈ (1 - e^(-k·n/m))^k chosen at build time."""
+    if m_bits % 64:
+        raise ValueError(f"m_bits must be a multiple of 64, got {m_bits}")
+    cells = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(F.explode(_bloom_positions(value_col, k, m_bits, salt)).alias("pos"))
+        .select(
+            (F.col("pos") / F.lit(64)).cast("long").alias("word"),
+            F.expr("shiftleft(1L, cast(pmod(pos, 64) as int))").alias("mask"),
+        )
+    )
+    return cells.groupBy("word").agg(F.expr("bit_or(mask)").alias("bits"))
+
+
+def bloom_probe(
+    sketch: DataFrame,
+    items: DataFrame,
+    value_col: str,
+    m_bits: int = 1 << 20,
+    k: int = 5,
+    salt: str = "bloom",
+    out_col: str = "maybe_member",
+) -> DataFrame:
+    """Membership probe: one row per distinct ``value_col`` with
+    ``maybe_member`` — False is definitive (no false negatives), True
+    is membership up to the filter's FPR. The probe explodes each item
+    into its k (word, mask) coordinates and equi-joins the sparse
+    sketch on ``word`` (broadcast when the sketch is small; a dense
+    multi-GB filter falls back to a uniform shuffle join — both
+    shapes scale). NULL probes report False."""
+    probes = items.select(
+        F.col(value_col),
+        F.explode(
+            F.coalesce(
+                _bloom_positions(value_col, k, m_bits, salt),
+                F.array(*[F.lit(None).cast("long") for _ in range(k)]),
+            )
+        ).alias("pos"),
+    ).select(
+        value_col,
+        (F.col("pos") / F.lit(64)).cast("long").alias("word"),
+        F.expr("shiftleft(1L, cast(pmod(pos, 64) as int))").alias("mask"),
+    )
+    joined = probes.join(F.broadcast(sketch), ["word"], "left")
+    hit = (
+        F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("mask")) != F.lit(0)
+    ).alias("hit")
+    return (
+        joined.select(value_col, hit)
+        .groupBy(value_col)
+        .agg(F.coalesce(F.expr("bool_and(hit)"), F.lit(False)).alias(out_col))
+    )
+
+
+def bloom_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """OR-merge two Bloom sketches built with identical (m, k, salt):
+    exactly the sketch of the union of their inputs."""
+    return (
+        a.unionByName(b)
+        .groupBy("word")
+        .agg(F.expr("bit_or(bits)").alias("bits"))
+    )

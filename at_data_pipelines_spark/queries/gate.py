@@ -114,6 +114,10 @@ PYTEST_ONLY: list[str] = [
     # r6: count-min heavy hitters (ops/sketch.py) — the frequency-domain
     # sibling of q66's KMV, same engine-reproducible md5 hashing
     "q68_cms_heavy_hitters",
+    # r7: sparse distributed Bloom membership (ops/sketch.py) — small
+    # (m=4096) on purpose so even the FALSE POSITIVES reproduce exactly
+    # across engines under the hash-parity oracle
+    "q69_bloom_membership",
 ]
 
 GATE_SIZE = 50

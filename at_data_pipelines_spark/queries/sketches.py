@@ -131,3 +131,53 @@ def q68_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = e.select("user_id").distinct()
     est = cms_estimate(sketch, cand, "user_id")
     return est.filter(F.col("est") >= 80).orderBy("user_id")
+
+
+# --------------------------------------------------------------------------
+# q69 — Bloom-filter membership: build a small (m=512, k=3) filter over
+#        the src1 source doc_ids and probe EVERY doc_id. The filter is
+#        deliberately small enough to produce false positives — and
+#        because the positions are the md5-derived SQL expressions both
+#        engines evaluate bit-identically, even the FALSE POSITIVES
+#        match exactly: the approximate structure sits under the exact
+#        cross-engine parity gate like q66/q68.
+# --------------------------------------------------------------------------
+@register(
+    "q69_bloom_membership",
+    oracle="""
+    WITH ks AS (SELECT unnest([0, 1, 2]) AS i),
+    members AS (SELECT DISTINCT doc_id FROM documents WHERE source = 'src1'),
+    setbits AS (
+      SELECT DISTINCT
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'bloom' || i), 1, 12))::BIGINT
+               % 512 AS pos
+      FROM members CROSS JOIN ks
+    ),
+    cand AS (SELECT DISTINCT doc_id FROM documents),
+    probes AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'bloom' || i), 1, 12))::BIGINT
+               % 512 AS pos
+      FROM cand CROSS JOIN ks
+    ),
+    hit AS (
+      SELECT p.doc_id, bool_and(s.pos IS NOT NULL) AS m
+      FROM probes p LEFT JOIN setbits s USING (pos)
+      GROUP BY p.doc_id
+    )
+    SELECT doc_id FROM hit WHERE m ORDER BY doc_id
+    """,
+)
+def q69_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..ops.sketch import bloom_build, bloom_probe
+
+    d = load_table(spark, sf_dir, "documents")
+    sketch = bloom_build(
+        d.filter(F.col("source") == "src1"), "doc_id", m_bits=512, k=3
+    )
+    probed = bloom_probe(
+        sketch, d.select("doc_id").distinct(), "doc_id", m_bits=512, k=3
+    )
+    return probed.filter(F.col("maybe_member")).select("doc_id").orderBy("doc_id")

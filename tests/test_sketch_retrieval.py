@@ -394,3 +394,76 @@ def test_bm25_multiline_and_multispace_tokens(spark):
     # all three docs are token-identical => identical scores
     assert len(got) == 3
     assert abs(got[0] - got[2]) < 1e-12 and abs(got[1] - got[2]) < 1e-12
+
+
+# -- Bloom filter (ops/sketch.py, r7) ---------------------------------------
+
+
+def test_bloom_no_false_negatives_and_fpr(spark):
+    """Every inserted member MUST probe True (no false negatives —
+    exact), and the false-positive rate on a disjoint probe set must sit
+    near the theoretical (1 - e^(-kn/m))^k for the chosen geometry."""
+    import math
+
+    from at_data_pipelines_spark.ops.sketch import bloom_build, bloom_probe
+
+    n, m, k = 2000, 1 << 14, 5  # theory fpr ~ 0.0094
+    members = spark.range(n).select(F.concat(F.lit("doc-"), F.col("id")).alias("v"))
+    sketch = bloom_build(members, "v", m_bits=m, k=k)
+    got = {
+        r.v: r.maybe_member
+        for r in bloom_probe(sketch, members, "v", m_bits=m, k=k).collect()
+    }
+    assert len(got) == n and all(got.values()), "false negative!"
+    absent = spark.range(n).select(
+        F.concat(F.lit("other-"), F.col("id")).alias("v")
+    )
+    fp = sum(
+        1
+        for r in bloom_probe(sketch, absent, "v", m_bits=m, k=k).collect()
+        if r.maybe_member
+    )
+    theory = (1 - math.exp(-k * n / m)) ** k
+    assert fp / n < theory * 3 + 0.01, f"fpr {fp / n:.4f} vs theory {theory:.4f}"
+
+
+def test_bloom_merge_equals_union_build(spark):
+    """bit_or is associative and the hashes deterministic, so merging
+    two sketches equals building one from the union EXACTLY (sketch
+    row-for-row), and NULLs are never members."""
+    from at_data_pipelines_spark.ops.sketch import (
+        bloom_build,
+        bloom_merge,
+        bloom_probe,
+    )
+
+    a = spark.createDataFrame([("x",), ("y",), (None,)], ["v"])
+    b = spark.createDataFrame([("y",), ("z",)], ["v"])
+    m, k = 1 << 10, 3
+    merged = bloom_merge(
+        bloom_build(a, "v", m_bits=m, k=k), bloom_build(b, "v", m_bits=m, k=k)
+    )
+    direct = bloom_build(a.unionByName(b), "v", m_bits=m, k=k)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+    probed = {
+        r.v: r.maybe_member
+        for r in bloom_probe(
+            merged, spark.createDataFrame([("x",), ("z",), (None,)], ["v"]), "v",
+            m_bits=m, k=k,
+        ).collect()
+    }
+    assert probed["x"] and probed["z"] and probed[None] is False
+
+
+def test_bloom_plan_is_codegen_joins(spark):
+    """The probe must stay a broadcast equi-join + aggregate — zero
+    python UDFs, no nested-loop/cartesian plans."""
+    from at_data_pipelines_spark.ops.sketch import bloom_build, bloom_probe
+
+    members = spark.range(500).select(F.col("id").cast("string").alias("v"))
+    sketch = bloom_build(members, "v", m_bits=1 << 12, k=4)
+    plan = bloom_probe(sketch, members, "v", m_bits=1 << 12, k=4)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
