@@ -54,13 +54,14 @@ HEADLINE = [
     "q48_cosine_top5",
 ]
 
-# round-6 additions, timed as their OWN cohort and reported separately —
+# round-6/7 additions, timed as their OWN cohort and reported separately —
 # the 16-query headline total stays comparable round-over-round
 EXTRAS = [
     "q65_bm25_search",
     "q66_kmv_distinct_users",
     "q67_weighted_sample",
     "q68_cms_heavy_hitters",
+    "q69_bloom_membership",
 ]
 
 
