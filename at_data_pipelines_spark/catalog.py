@@ -44,15 +44,21 @@ restated in a plain hive layout):
   bit-for-bit; the half-written ``_seq=K`` directory is orphaned and
   reclaimed by ``vacuum()`` (retries also clear their own target dir
   first, so a crashed attempt can never leak rows into a later one).
-- CONCURRENT WRITERS are detected, not merged: every manifest carries a
-  ``version`` stamp bumped by each commit, and each write drops an
-  attempt-token file into its generation directory. ``_commit_meta``
-  re-reads the manifest and re-checks the token immediately before its
-  PUT; a moved version or a vanished token (a racing writer reused our
-  sequence number and cleared our directory) raises
-  ``ConcurrentWriteError`` instead of silently dropping the other
-  writer's commit. The loser's generation is an orphan for ``vacuum()``;
-  retrying the whole operation from a fresh ``_load_meta`` succeeds.
+- CONCURRENT WRITERS (r7): generation numbers are uniquely reserved by
+  exclusive-create claim files under ``_claims/`` (``_reserve_seq``),
+  so no two writers ever share — or clear — the same ``_seq=K``
+  directory. Every manifest carries a ``version`` stamp bumped by each
+  commit; ``_commit_meta`` re-reads it immediately before its PUT, and
+  on a moved version REBASES provably-disjoint commits (appends always
+  commute; optimize/upsert/merge/delete_where rebase iff every base
+  partition pointer, the pending-delta list, and the dirty set they
+  read are untouched — the op supplies the closure via
+  ``_make_rebase``). Conflicting commits raise ``ConcurrentWriteError``
+  instead of silently dropping either writer; the loser's generation is
+  an orphan for ``vacuum()`` (whose grace window spares in-flight
+  writers), and retrying from a fresh ``_load_meta`` succeeds. An
+  attempt-token check remains as defense in depth against external
+  directory interference.
 
 100 TB scale notes:
 

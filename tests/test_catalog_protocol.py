@@ -532,6 +532,53 @@ def test_append_rebase_redirties_partition_cleaned_by_rival_optimize(
     assert got == {"A", "B", "C"}
 
 
+def test_concurrent_mixed_ops_stress_converges(lake, spark):
+    """Three threads, each upserting a sequence of values into its OWN
+    year= partition, retrying on ConcurrentWriteError like a real client
+    — whatever the interleaving (fast paths, rebases, occasional
+    conflicts via shared optimize state), the final table must equal
+    every thread's last write, PK-deduped, and still compact/vacuum
+    cleanly."""
+    import threading
+
+    lake.create("prices", SCHEMA, ["year"], ["date", "ticker"])
+    lakes = [Lakehouse(spark, lake.root) for _ in range(3)]
+    years = ["2021", "2022", "2023"]
+    errs: list = []
+    barrier = threading.Barrier(3)
+
+    def writer(i):
+        try:
+            barrier.wait(timeout=60)
+            for step in range(4):
+                for attempt in range(6):
+                    try:
+                        lakes[i].upsert(
+                            "prices",
+                            _df(spark, [(f"T{i}", f"{years[i]}-01-02", float(step))]),
+                        )
+                        break
+                    except ConcurrentWriteError:
+                        if attempt == 5:
+                            raise
+        except Exception as e:  # pragma: no cover - failure reporting
+            errs.append(e)
+
+    ts = [threading.Thread(target=writer, args=(i,)) for i in range(3)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=600)
+    assert not errs, f"stress writers failed: {errs}"
+    rows = {(r.ticker, str(r.date)): r.close for r in lake.table("prices").collect()}
+    assert rows == {(f"T{i}", f"{years[i]}-01-02"): 3.0 for i in range(3)}
+    lake.optimize("prices")
+    assert lake.table("prices").count() == 3
+    lake.vacuum("prices", grace_s=0)
+    rows = {(r.ticker, str(r.date)): r.close for r in lake.table("prices").collect()}
+    assert rows == {(f"T{i}", f"{years[i]}-01-02"): 3.0 for i in range(3)}
+
+
 def test_vacuum_grace_spares_in_flight_generations(lake, spark):
     """vacuum's grace window (the Delta retention-hours move) must skip
     unreferenced generations modified recently — they may belong to an
