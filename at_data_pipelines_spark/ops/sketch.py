@@ -209,14 +209,17 @@ def bloom_probe(
     k: int = 5,
     salt: str = "bloom",
     out_col: str = "maybe_member",
+    broadcast: bool = True,
 ) -> DataFrame:
     """Membership probe: one row per distinct ``value_col`` with
     ``maybe_member`` — False is definitive (no false negatives), True
     is membership up to the filter's FPR. The probe explodes each item
     into its k (word, mask) coordinates and equi-joins the sparse
-    sketch on ``word`` (broadcast when the sketch is small; a dense
-    multi-GB filter falls back to a uniform shuffle join — both
-    shapes scale). NULL probes report False."""
+    sketch on ``word`` — ``broadcast=True`` (default) for the common
+    small-filter case; pass ``broadcast=False`` for a dense multi-GB
+    filter, which then probes via a uniform shuffle equi-join instead
+    of an impossible broadcast. Both shapes are skew-free (md5
+    positions are uniform). NULL probes report False."""
     probes = items.select(
         F.col(value_col),
         F.explode(
@@ -230,7 +233,8 @@ def bloom_probe(
         (F.col("pos") / F.lit(64)).cast("long").alias("word"),
         F.expr("shiftleft(1L, cast(pmod(pos, 64) as int))").alias("mask"),
     )
-    joined = probes.join(F.broadcast(sketch), ["word"], "left")
+    sk = F.broadcast(sketch) if broadcast else sketch
+    joined = probes.join(sk, ["word"], "left")
     hit = (
         F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("mask")) != F.lit(0)
     ).alias("hit")
