@@ -253,3 +253,41 @@ def bloom_merge(a: DataFrame, b: DataFrame) -> DataFrame:
         .groupBy("word")
         .agg(F.expr("bit_or(bits)").alias("bits"))
     )
+
+
+def bloom_update_table(
+    lake,
+    table: str,
+    df: DataFrame,
+    value_col: str,
+    m_bits: int = 1 << 20,
+    k: int = 5,
+    salt: str = "bloom",
+) -> None:
+    """Incrementally maintain a lakehouse-PERSISTED Bloom filter (the
+    'have we ever ingested this?' membership set of an incremental
+    corpus dedup): build the batch's sparse sketch, OR it into the
+    stored words it touches, and PK-upsert ONLY those words — cost
+    O(batch's distinct words) per update, never O(filter). bit_or is
+    idempotent and associative, so replays and out-of-order batches
+    converge to exactly the union filter; concurrent updates hitting
+    the same commit window surface as ConcurrentWriteError (retry), as
+    with any unpartitioned upsert."""
+    from pyspark.sql import types as T
+
+    lake.create(
+        table,
+        T.StructType(
+            [T.StructField("word", T.LongType()), T.StructField("bits", T.LongType())]
+        ),
+        [],
+        ["word"],
+        mode="skip",
+    )
+    batch = bloom_build(df, value_col, m_bits=m_bits, k=k, salt=salt)
+    existing = lake.table(table).withColumnRenamed("bits", "_old")
+    merged = batch.join(existing, ["word"], "left").select(
+        "word",
+        F.coalesce(F.col("_old"), F.lit(0)).bitwiseOR(F.col("bits")).alias("bits"),
+    )
+    lake.upsert(table, merged)

@@ -115,9 +115,13 @@ PYTEST_ONLY: list[str] = [
     # sibling of q66's KMV, same engine-reproducible md5 hashing
     "q68_cms_heavy_hitters",
     # r7: sparse distributed Bloom membership (ops/sketch.py) — small
-    # (m=4096) on purpose so even the FALSE POSITIVES reproduce exactly
+    # (m=512) on purpose so even the FALSE POSITIVES reproduce exactly
     # across engines under the hash-parity oracle
     "q69_bloom_membership",
+    # r7: overlapping character chunking (llmops/packing.py) — the
+    # RAG-prep sibling of sequence packing, window arithmetic under
+    # exact parity incl. the empty-text edge
+    "q70_chunk_documents",
 ]
 
 GATE_SIZE = 50

@@ -558,3 +558,38 @@ def q65_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return bm25_search(d, ["spark", "join", "window"], top_k=10)
+
+
+# --------------------------------------------------------------------------
+# q70 — fixed-width overlapping character chunking (llmops/packing.py's
+#        chunk_documents): 200-char windows, 50-char overlap (stride
+#        150). Pure codegen sequence+posexplode+substring; the oracle
+#        replays the identical window arithmetic with range/substr, so
+#        chunk boundaries, overlap bytes, and the empty-text edge all
+#        sit under exact parity.
+# --------------------------------------------------------------------------
+@register(
+    "q70_chunk_documents",
+    oracle="""
+    WITH d AS (SELECT doc_id, COALESCE(text, '') AS t FROM documents),
+    x AS (
+      SELECT doc_id, t,
+             unnest(range(1 + CAST(ceil(greatest(length(t) - 200, 0) / 150.0) AS INT)))
+               AS chunk_id
+      FROM d
+    )
+    SELECT doc_id,
+           CAST(chunk_id AS INT) AS chunk_id,
+           CAST(chunk_id * 150 AS BIGINT) AS chunk_start,
+           substr(t, CAST(chunk_id * 150 + 1 AS INT), 200) AS chunk_text
+    FROM x
+    ORDER BY doc_id, chunk_id
+    """,
+)
+def q70_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llmops.packing import chunk_documents
+
+    d = load_table(spark, sf_dir, "documents")
+    return chunk_documents(d, chunk_chars=200, overlap=50).orderBy(
+        "doc_id", "chunk_id"
+    )

@@ -467,3 +467,32 @@ def test_bloom_plan_is_codegen_joins(spark):
     plan = bloom_probe(sketch, members, "v", m_bits=1 << 12, k=4)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
+
+
+def test_bloom_update_table_incremental(spark, tmp_path):
+    """Lakehouse-persisted filter: three incremental batches must
+    converge to EXACTLY the one-shot union build (bit_or idempotent +
+    associative), replays must be no-ops on the bits, and probes through
+    the stored table must see every member."""
+    from at_data_pipelines_spark.catalog import Lakehouse
+    from at_data_pipelines_spark.ops.sketch import (
+        bloom_build,
+        bloom_probe,
+        bloom_update_table,
+    )
+
+    lake = Lakehouse(spark, str(tmp_path / "lake"))
+    m, k = 1 << 10, 3
+    batches = [
+        spark.createDataFrame([(f"doc-{i}",) for i in range(lo, lo + 40)], ["v"])
+        for lo in (0, 40, 80)
+    ]
+    for b in batches:
+        bloom_update_table(lake, "bloom", b, "v", m_bits=m, k=k)
+    bloom_update_table(lake, "bloom", batches[1], "v", m_bits=m, k=k)  # replay
+    stored = sorted(map(tuple, lake.table("bloom").collect()))
+    union = batches[0].unionByName(batches[1]).unionByName(batches[2])
+    direct = sorted(map(tuple, bloom_build(union, "v", m_bits=m, k=k).collect()))
+    assert stored == direct
+    probed = bloom_probe(lake.table("bloom"), union, "v", m_bits=m, k=k)
+    assert all(r.maybe_member for r in probed.collect())
