@@ -62,6 +62,7 @@ EXTRAS = [
     "q67_weighted_sample",
     "q68_cms_heavy_hitters",
     "q69_bloom_membership",
+    "q70_chunk_documents",
 ]
 
 
