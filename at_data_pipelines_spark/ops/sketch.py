@@ -291,3 +291,64 @@ def bloom_update_table(
         F.coalesce(F.col("_old"), F.lit(0)).bitwiseOR(F.col("bits")).alias("bits"),
     )
     lake.upsert(table, merged)
+
+
+def quantile_sketch(
+    df: DataFrame,
+    value_col: str,
+    key_col: str,
+    k: int = 256,
+    salt: str = "qsk",
+) -> DataFrame:
+    """The quartet's QUANTILE member (next to KMV cardinality, CMS
+    frequency, Bloom membership): a deterministic uniform row sample —
+    the k rows whose md5-uniform hash of (key, salt) is smallest — kept
+    as (value, hash) rows. Because the hash orders ROWS (by their key),
+    not values, the sample is uniform over rows and any quantile of the
+    sample estimates the population quantile with the standard
+    O(1/sqrt(k)) error; because it is md5-derived it is deterministic,
+    layout-independent, engine-reproducible, and MERGEABLE: union two
+    sketches and re-take the bottom-k (``quantile_sketch_merge``) —
+    exactly the sketch of the union. Spark's builtin approx_percentile
+    does this job faster but with engine-private internals no oracle
+    can replay. NULL values and NULL keys are excluded (a quantile of
+    NULLs is undefined; a NULL key cannot be hashed)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    h = uniform_hash(F.concat(F.col(key_col).cast("string"), F.lit(salt)))
+    base = df.filter(
+        F.col(value_col).isNotNull() & F.col(key_col).isNotNull()
+    ).select(F.col(value_col).alias("value"), h.alias("h"))
+    # bottom-k via sort+limit = TakeOrderedAndProject: per-partition
+    # top-k then a k-row merge on the driver side of the exchange —
+    # never a global single-task window. `value` tiebreak keeps
+    # duplicate-key ties deterministic.
+    return base.orderBy("h", "value").limit(k)
+
+
+def quantile_sketch_merge(a: DataFrame, b: DataFrame, k: int = 256) -> DataFrame:
+    """Bottom-k of the union of two sketches — exactly the sketch of the
+    combined input (hashes are deterministic, so the k smallest of the
+    union's rows are the k smallest among the two bottom-k sets)."""
+    return a.unionByName(b).orderBy("h", "value").limit(k)
+
+
+def quantile_estimate(
+    sketch: DataFrame, quantiles: list[float], out_col: str = "q"
+) -> DataFrame:
+    """Quantile estimates from the sample: the ANSI PERCENTILE_CONT
+    (linear interpolation) of the sampled values at each requested
+    quantile — one row per quantile, deterministic given the sketch."""
+    qs = list(quantiles)
+    aggs = [
+        F.expr(f"percentile(value, {float(p)!r})").alias(f"_q{i}")
+        for i, p in enumerate(qs)
+    ]
+    row = sketch.agg(*aggs)
+    pairs = F.array(
+        *[
+            F.struct(F.lit(float(p)).alias(out_col), F.col(f"_q{i}").alias("value"))
+            for i, p in enumerate(qs)
+        ]
+    )
+    return row.select(F.explode(pairs).alias("p")).select(f"p.{out_col}", "p.value")

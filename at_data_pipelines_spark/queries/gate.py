@@ -122,6 +122,10 @@ PYTEST_ONLY: list[str] = [
     # RAG-prep sibling of sequence packing, window arithmetic under
     # exact parity incl. the empty-text edge
     "q70_chunk_documents",
+    # r7: deterministic quantile sketch (ops/sketch.py) — the fourth
+    # sketch family (bottom-k-hash row sample + PERCENTILE_CONT), same
+    # md5 parity discipline as q66/q68/q69
+    "q71_quantile_sketch",
 ]
 
 GATE_SIZE = 50

@@ -181,3 +181,41 @@ def q69_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         sketch, d.select("doc_id").distinct(), "doc_id", m_bits=512, k=3
     )
     return probed.filter(F.col("maybe_member")).select("doc_id").orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# q71 — quantile sketch: n_chars quartile/median/p90 estimated from the
+#        deterministic bottom-256-hash row sample (ops/sketch.py). The
+#        oracle replays the identical md5 draw, the identical ORDER BY
+#        (h, value) LIMIT 256 sample, and PERCENTILE_CONT over it — the
+#        fourth sketch family (quantiles, after cardinality/frequency/
+#        membership), all under the exact hash-parity gate.
+# --------------------------------------------------------------------------
+@register(
+    "q71_quantile_sketch",
+    oracle="""
+    WITH h AS (
+      SELECT CAST(n_chars AS DOUBLE) AS value,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'qsk'), 1, 12))::BIGINT
+               / power(16, 12) AS h
+      FROM documents WHERE n_chars IS NOT NULL AND doc_id IS NOT NULL
+    ),
+    s AS (SELECT value FROM h ORDER BY h, value LIMIT 256)
+    SELECT q, ROUND(v, 6) AS value FROM (
+      SELECT 0.25 AS q, (SELECT quantile_cont(value, 0.25) FROM s) AS v
+      UNION ALL
+      SELECT 0.5 AS q, (SELECT quantile_cont(value, 0.5) FROM s) AS v
+      UNION ALL
+      SELECT 0.9 AS q, (SELECT quantile_cont(value, 0.9) FROM s) AS v
+    ) ORDER BY q
+    """,
+)
+def q71_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..ops.sketch import quantile_estimate, quantile_sketch
+
+    d = load_table(spark, sf_dir, "documents")
+    sk = quantile_sketch(d, "n_chars", "doc_id", k=256)
+    est = quantile_estimate(sk, [0.25, 0.5, 0.9])
+    return est.select("q", F.round("value", 6).alias("value")).orderBy("q")

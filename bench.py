@@ -63,6 +63,7 @@ EXTRAS = [
     "q68_cms_heavy_hitters",
     "q69_bloom_membership",
     "q70_chunk_documents",
+    "q71_quantile_sketch",
 ]
 
 

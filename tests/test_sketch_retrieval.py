@@ -496,3 +496,56 @@ def test_bloom_update_table_incremental(spark, tmp_path):
     assert stored == direct
     probed = bloom_probe(lake.table("bloom"), union, "v", m_bits=m, k=k)
     assert all(r.maybe_member for r in probed.collect())
+
+
+# -- quantile sketch (ops/sketch.py, r7) ------------------------------------
+
+
+def test_quantile_sketch_accuracy_merge_and_plan(spark):
+    """The quartet's quantile member: estimates within the O(1/sqrt(k))
+    band on a known distribution, exact below k rows, merge ≡ union
+    build exactly, deterministic across layouts, and the bottom-k
+    compiles to TakeOrderedAndProject (never a global one-task
+    window)."""
+    from at_data_pipelines_spark.ops.sketch import (
+        quantile_estimate,
+        quantile_sketch,
+        quantile_sketch_merge,
+    )
+
+    n = 20_000
+    df = spark.range(n).select(
+        F.col("id").alias("k"), F.col("id").cast("double").alias("v")
+    )
+    sk = quantile_sketch(df, "v", "k", k=512)
+    got = {r.q: r.value for r in quantile_estimate(sk, [0.1, 0.5, 0.9]).collect()}
+    for p in (0.1, 0.5, 0.9):
+        assert abs(got[p] - p * n) / n < 0.08, f"q{p}: {got[p]}"
+
+    # exact below k: the sample IS the data
+    small = spark.range(100).select(
+        F.col("id").alias("k"), F.col("id").cast("double").alias("v")
+    )
+    sk_small = quantile_sketch(small, "v", "k", k=512)
+    (r,) = quantile_estimate(sk_small, [0.5]).collect()
+    assert r.value == 49.5  # exact PERCENTILE_CONT of 0..99
+
+    # merge ≡ union build, row for row (deterministic hashes)
+    a = spark.range(0, 5000).select(F.col("id").alias("k"), F.col("id").cast("double").alias("v"))
+    b = spark.range(5000, 10000).select(F.col("id").alias("k"), F.col("id").cast("double").alias("v"))
+    merged = sorted(map(tuple, quantile_sketch_merge(
+        quantile_sketch(a, "v", "k", k=128), quantile_sketch(b, "v", "k", k=128), k=128
+    ).collect()))
+    direct = sorted(map(tuple, quantile_sketch(a.unionByName(b), "v", "k", k=128).collect()))
+    assert merged == direct
+
+    # layout independence
+    shuffled = df.repartition(17)
+    assert sorted(map(tuple, quantile_sketch(shuffled, "v", "k", k=64).collect())) == sorted(
+        map(tuple, quantile_sketch(df, "v", "k", k=64).collect())
+    )
+
+    # plan: TakeOrderedAndProject, no global single-partition Sort+Window
+    plan = quantile_sketch(df, "v", "k", k=512)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
