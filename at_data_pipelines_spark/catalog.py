@@ -38,17 +38,29 @@ restated in a plain hive layout):
   from; key ``""`` is the whole-table base of an unpartitioned table).
   Readers enumerate exactly those paths — an in-flight or crashed
   write's directory is unreachable because no manifest names it.
-- The commit point of every operation is the single ``_commit_meta`` PUT
-  (atomic on local/HDFS create+overwrite and on S3, where an object PUT
-  is all-or-nothing). Crash before it: readers keep the old state
+- The commit point of every operation is the single ``_commit_meta`` PUT,
+  made atomic PER SCHEME: on file/HDFS it is a temp-file write followed
+  by an atomic ``rename()`` swap (a bare create+overwrite there is
+  truncate-then-write and a concurrent reader could see an empty
+  manifest — r7's one defect); on S3 an object PUT is already
+  all-or-nothing. A reader therefore resolves the old manifest or the
+  new one, never a half-swapped mixture, and a bounded re-read in
+  ``_read_meta_raw`` absorbs torn reads on filesystems with neither
+  guarantee. Crash before it: readers keep the old state
   bit-for-bit; the half-written ``_seq=K`` directory is orphaned and
   reclaimed by ``vacuum()`` (retries also clear their own target dir
   first, so a crashed attempt can never leak rows into a later one).
-- CONCURRENT WRITERS (r7): generation numbers are uniquely reserved by
-  exclusive-create claim files under ``_claims/`` (``_reserve_seq``),
-  so no two writers ever share — or clear — the same ``_seq=K``
-  directory. Every manifest carries a ``version`` stamp bumped by each
-  commit; ``_commit_meta`` re-reads it immediately before its PUT, and
+- CONCURRENT WRITERS (r7, hardened r8): generation numbers are uniquely
+  reserved by exclusive-create claim files under ``_claims/``
+  (``_reserve_seq``; exclusive-create is POSIX ``O_CREAT|O_EXCL`` on
+  file:// — Hadoop's local ``create(overwrite=false)`` is check-then-act
+  and NOT atomic), so no two writers ever share — or clear — the same
+  ``_seq=K`` directory. Every manifest carries a ``version`` stamp
+  bumped by each commit; ``_commit_meta`` serializes its re-read →
+  validate → PUT section under a short leased per-table commit lock
+  (without it, two writers can both pass the version check and the
+  second PUT silently drops the first commit — observed ~1 run in 10
+  by the two-thread race test), re-reads the version inside it, and
   on a moved version REBASES provably-disjoint commits (appends always
   commute; optimize/upsert/merge/delete_where rebase iff every base
   partition pointer, the pending-delta list, and the dirty set they
@@ -80,10 +92,11 @@ restated in a plain hive layout):
 
 from __future__ import annotations
 
-import copy
 import json
 import re
+import time
 import uuid
+from contextlib import contextmanager
 from dataclasses import dataclass, field, fields as dataclass_fields
 
 from pyspark.sql import DataFrame, SparkSession
@@ -138,19 +151,29 @@ class _HadoopFS:
     resolved from the session's hadoopConfiguration (credentials,
     endpoints and committers configured there apply here too).
 
-    Atomicity note: the lakehouse never renames — its commit protocol is
-    append-only data plus a single metadata PUT (see module docstring) —
-    so the copy+delete semantics of object-store renames are irrelevant
-    here. ``write_text`` (create with overwrite) is the commit primitive:
-    atomic on local/HDFS rename-into-place and on S3, where a PUT either
-    fully replaces the object or doesn't happen.
+    Atomicity note: the lakehouse never renames DATA — its commit
+    protocol is append-only generation directories plus a single metadata
+    PUT (see module docstring) — so the copy+delete semantics of
+    object-store renames never touch table contents. The metadata PUT
+    itself is scheme-aware (``write_text_atomic``): on S3 a plain
+    overwrite PUT is already all-or-nothing, but on file:// and HDFS a
+    Hadoop ``create(overwrite=true)`` is truncate-then-write — a
+    concurrent reader between create and close sees a ZERO-LENGTH
+    manifest. There the PUT is temp-file + ``rename()`` over the target,
+    which POSIX ``rename(2)`` / HDFS ``rename2`` make an atomic swap.
+    Renaming the one tiny metadata file on exactly the schemes where
+    rename IS atomic does not reintroduce the object-store rename hazard
+    the data path avoids.
     """
 
     def __init__(self, spark: SparkSession, root: str):
         jvm = spark._jvm
+        self._jvm = jvm
         self._Path = jvm.org.apache.hadoop.fs.Path
         self._IOUtils = jvm.org.apache.commons.io.IOUtils
         self._fs = self._Path(root).getFileSystem(spark._jsc.hadoopConfiguration())
+        self._conf = spark._jsc.hadoopConfiguration()
+        self.scheme = self._Path(root).toUri().getScheme() or "file"
 
     def exists(self, p: str) -> bool:
         return self._fs.exists(self._Path(p))
@@ -205,6 +228,70 @@ class _HadoopFS:
         finally:
             stream.close()
 
+    def _raw_fs(self):
+        """The unchecksummed filesystem under a ChecksumFileSystem wrapper
+        (LocalFileSystem → RawLocalFileSystem); falls back to the wrapped
+        fs when there is no raw layer (HDFS, object stores)."""
+        try:
+            return self._fs.getRawFileSystem()
+        except Exception:
+            return self._fs
+
+    def write_text_atomic(self, p: str, text: str) -> None:
+        self.write_bytes_atomic(p, text.encode("utf-8"))
+
+    def write_bytes_atomic(self, p: str, data: bytes) -> None:
+        """All-or-nothing replace of ``p``: a concurrent reader observes
+        either the old bytes or the new bytes, never a truncated file.
+
+        - ``file://``: write a temp file via the RAW local fs (no ``.crc``
+          sidecar — a checksum sidecar would swap non-atomically alongside
+          the data) and ``rename()`` it over the target. Java's
+          ``File.renameTo`` is POSIX ``rename(2)``: an atomic replace.
+          Any stale ``.crc`` left by the pre-atomic overwrite path is
+          deleted BEFORE the swap, so no reader ever pairs new bytes with
+          an old checksum (absent sidecar ⇒ readers skip verification).
+        - ``hdfs://``/``viewfs://``: temp file + ``FileContext.rename``
+          with ``Options.Rename.OVERWRITE`` (HDFS ``rename2`` — atomic).
+        - anything else (s3a://, ...): a plain overwrite PUT, which on
+          object stores already replaces the object atomically.
+        """
+        if self.scheme == "file":
+            raw = self._raw_fs()
+            tmp = f"{p}.tmp-{uuid.uuid4().hex}"
+            stream = raw.create(self._Path(tmp), True)
+            try:
+                stream.write(bytearray(data))
+            finally:
+                stream.close()
+            parent, name = p.rsplit("/", 1)
+            crc = self._Path(f"{parent}/.{name}.crc")
+            if raw.exists(crc):
+                raw.delete(crc, False)
+            if not raw.rename(self._Path(tmp), self._Path(p)):
+                raw.delete(self._Path(tmp), False)
+                raise IOError(f"atomic rename {tmp!r} -> {p!r} failed")
+        elif self.scheme in ("hdfs", "viewfs"):
+            tmp = f"{p}.tmp-{uuid.uuid4().hex}"
+            self.write_bytes(tmp, data)
+            try:
+                fc = self._jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+                    self._Path(p).toUri(), self._conf
+                )
+                overwrite = getattr(
+                    self._jvm.org.apache.hadoop.fs.Options, "Rename"
+                ).OVERWRITE
+                fc.rename(self._Path(tmp), self._Path(p), overwrite)
+            except Exception:
+                # last resort: non-atomic delete+rename still shrinks the
+                # torn window to a missing-file (not truncated-JSON) read,
+                # which the bounded manifest re-read absorbs
+                self._fs.delete(self._Path(p), False)
+                if not self._fs.rename(self._Path(tmp), self._Path(p)):
+                    raise IOError(f"rename {tmp!r} -> {p!r} failed")
+        else:
+            self.write_bytes(p, data)
+
     def list_files(self, p: str) -> list[tuple[str, int]]:
         """(name, size) of plain files directly under ``p`` (no recursion)."""
         if not self.exists(p):
@@ -216,20 +303,71 @@ class _HadoopFS:
         ]
 
     def mtime(self, p: str) -> int:
-        """Modification time of ``p`` in epoch millis (0 if absent)."""
+        """Modification time of ``p`` in epoch millis (0 if absent — also
+        when ``p`` vanishes between the existence check and the stat, as
+        a contended lock file routinely does)."""
+        if self.scheme == "file":
+            import os
+
+            try:
+                return int(os.stat(self._local_path(p)).st_mtime * 1000)
+            except FileNotFoundError:
+                return 0
         if not self.exists(p):
             return 0
-        return int(self._fs.getFileStatus(self._Path(p)).getModificationTime())
+        try:
+            return int(self._fs.getFileStatus(self._Path(p)).getModificationTime())
+        except Exception:
+            if self.exists(p):
+                raise
+            return 0
+
+    def max_mtime(self, p: str) -> int:
+        """Newest modification time (epoch ms) among ``p`` AND every file
+        under it. Object-store Hadoop connectors (S3A, ...) report
+        synthetic/zero mtimes for DIRECTORIES, so a dir-only stat would
+        silently disable any mtime-based grace guard there — the files
+        inside carry the real write times."""
+        best = self.mtime(p)
+        if not self.exists(p):
+            return best
+        try:
+            it = self._fs.listFiles(self._Path(p), True)
+            while it.hasNext():
+                best = max(best, int(it.next().getModificationTime()))
+        except Exception:
+            if self.exists(p):
+                raise
+        return best
+
+    def _local_path(self, p: str) -> str:
+        """OS path of ``p`` — only meaningful when scheme == 'file'."""
+        return self._Path(p).toUri().getPath()
 
     def create_exclusive(self, p: str) -> bool:
-        """Create ``p`` only if it does not exist (Hadoop create with
-        overwrite=false); True iff this caller won. Atomic on local/HDFS;
-        on S3A it degrades to HEAD-then-PUT (the FS API exposes no
+        """Create ``p`` only if it does not exist; True iff this caller
+        won. On file:// this uses POSIX ``open(O_CREAT|O_EXCL)`` — a true
+        atomic claim (Hadoop's RawLocalFileSystem ``create(overwrite=
+        false)`` is exists-check-then-FileOutputStream, i.e. check-then-
+        act: two local threads could both 'win' it). On HDFS the
+        namenode arbitrates ``create(overwrite=false)`` atomically; on
+        S3A it degrades to HEAD-then-PUT (the FS API exposes no
         conditional PUT) — same residual window every Hadoop-FS-based
         commit protocol carries, shrunk from job-length to one
         round-trip. A create failure only means 'lost the claim' when
         the path actually exists — transient IO errors (credentials,
         throttling) re-raise instead of masquerading as contention."""
+        if self.scheme == "file":
+            import os
+
+            try:
+                fd = os.open(
+                    self._local_path(p), os.O_CREAT | os.O_EXCL | os.O_WRONLY
+                )
+            except FileExistsError:
+                return False
+            os.close(fd)
+            return True
         try:
             out = self._fs.create(self._Path(p), False)
             out.close()
@@ -238,6 +376,23 @@ class _HadoopFS:
             if self.exists(p):
                 return False
             raise
+
+    def rename_exact(self, src: str, dst: str) -> bool:
+        """Atomic ``src -> dst`` move; False iff ``src`` no longer exists
+        (someone else moved it first — the arbitration a lock-breaker
+        relies on). file:// uses POSIX rename(2) directly."""
+        if self.scheme == "file":
+            import os
+
+            try:
+                os.rename(self._local_path(src), self._local_path(dst))
+                return True
+            except FileNotFoundError:
+                return False
+        try:
+            return bool(self._fs.rename(self._Path(src), self._Path(dst)))
+        except Exception:
+            return not self.exists(src)
 
 
 # Hive's default set of characters escaped in partition directory names
@@ -552,8 +707,32 @@ class Lakehouse:
     def _meta_path(self, name: str) -> str:
         return f"{self._dir(name)}/{_META_FILE}"
 
+    def _read_meta_raw(self, name: str) -> dict:
+        """Read+parse the current manifest, absorbing transient torn reads.
+
+        The manifest PUT is an atomic swap on file/hdfs/s3a
+        (``write_bytes_atomic``), so a torn read should be impossible
+        there — this bounded retry is defense in depth for tables written
+        by pre-atomic versions of this engine and for exotic filesystems
+        where neither rename nor PUT is atomic: an empty/truncated JSON
+        body or a checksum-sidecar mismatch is treated as an in-flight
+        swap and re-read, never surfaced as ``JSONDecodeError``. Missing
+        files and real IO errors raise immediately."""
+        last: Exception | None = None
+        for attempt in range(8):
+            try:
+                return json.loads(self.fs.read_text(self._meta_path(name)))
+            except ValueError as e:  # torn/empty JSON body
+                last = e
+            except Exception as e:
+                if "ChecksumException" not in str(e):
+                    raise
+                last = e  # new bytes paired with a stale .crc mid-swap
+            time.sleep(0.005 * (attempt + 1))
+        raise last
+
     def _load_meta(self, name: str) -> TableMeta:
-        raw = json.loads(self.fs.read_text(self._meta_path(name)))
+        raw = self._read_meta_raw(name)
         if "committed" not in raw and "live_deltas" not in raw:
             # pre-manifest metadata: if data exists under the old layout
             # (hive dirs not wrapped in _seq=K generations), reading via
@@ -584,7 +763,7 @@ class Lakehouse:
         return meta
 
     def _save_meta(self, meta: TableMeta) -> None:
-        self.fs.write_text(self._meta_path(meta.name), json.dumps(meta.__dict__))
+        self.fs.write_text_atomic(self._meta_path(meta.name), json.dumps(meta.__dict__))
 
     # -- manifest history (time travel) ------------------------------------
     def _history_dir(self, name: str) -> str:
@@ -601,7 +780,7 @@ class Lakehouse:
         rec["_ts"] = _dt.datetime.now(_dt.timezone.utc).isoformat()
         rec["_action"] = action
         self.fs.mkdirs(self._history_dir(meta.name))
-        self.fs.write_text(
+        self.fs.write_text_atomic(
             f"{self._history_dir(meta.name)}/v{meta.version:012d}.json",
             json.dumps(rec),
         )
@@ -676,41 +855,90 @@ class Lakehouse:
         meta — callers must use the RETURN VALUE for post-commit state,
         not their (possibly stale) local object.
 
-        This is detect-and-retry, not compare-and-swap: a true CAS needs
-        a conditional PUT, which the Hadoop FS API does not expose
-        uniformly. The window between the re-read and the PUT is
-        milliseconds instead of the whole job runtime, and — unlike
-        last-writer-wins — every unresolvable race surfaces as an error
-        instead of a silently dropped commit."""
-        for _ in range(5):
-            on_disk = json.loads(self.fs.read_text(self._meta_path(meta.name)))
-            if on_disk.get("version", 0) != meta.version:
-                rebased = (
-                    rebase(self._meta_from_raw(on_disk)) if rebase is not None else None
-                )
-                if rebased is None:
+        The re-read → validate → PUT sequence runs inside a short leased
+        per-table COMMIT LOCK (``_commit_lock``): without it, two
+        writers can both pass the version check and the second PUT
+        silently erases the first commit (a lost update the r7 protocol
+        carried — its window was 'milliseconds instead of the whole job
+        runtime', but the two-thread race test hit it ~1 run in 10).
+        The lock serializes only this metadata section (~10 ms), never
+        the data writes, so writer throughput at scale is unaffected —
+        the same serialization point every Delta/Iceberg commit
+        service has. Races that began before the lock (another commit
+        landed between this writer's load and its lock) still resolve
+        through the optimistic rebase."""
+        with self._commit_lock(meta.name):
+            for _ in range(5):
+                on_disk = self._read_meta_raw(meta.name)
+                if on_disk.get("version", 0) != meta.version:
+                    rebased = (
+                        rebase(self._meta_from_raw(on_disk))
+                        if rebase is not None
+                        else None
+                    )
+                    if rebased is None:
+                        raise ConcurrentWriteError(
+                            f"table {meta.name!r}: manifest version moved "
+                            f"{meta.version} -> {on_disk.get('version', 0)} since "
+                            "load and the concurrent commit is not provably "
+                            "disjoint — retry from a fresh state"
+                        )
+                    meta = rebased
+                    continue
+                if token is not None and not self.fs.exists(token):
                     raise ConcurrentWriteError(
-                        f"table {meta.name!r}: manifest version moved "
-                        f"{meta.version} -> {on_disk.get('version', 0)} since load "
-                        "and the concurrent commit is not provably disjoint — "
+                        f"table {meta.name!r}: generation attempt token vanished — "
+                        "this generation's directory was cleared externally; "
                         "retry from a fresh state"
                     )
-                meta = rebased
-                continue
-            if token is not None and not self.fs.exists(token):
-                raise ConcurrentWriteError(
-                    f"table {meta.name!r}: generation attempt token vanished — "
-                    "this generation's directory was cleared externally; "
-                    "retry from a fresh state"
-                )
-            meta.version += 1
-            self._save_meta(meta)
-            self._archive_meta(meta, action)
-            return meta
+                meta.version += 1
+                self._save_meta(meta)
+                self._archive_meta(meta, action)
+                return meta
         raise ConcurrentWriteError(
             f"table {meta.name!r}: lost the commit race 5 times in a row — "
             "retry from a fresh state"
         )
+
+    # commit-lock lease: a holder that has been silent this long is
+    # presumed crashed and its lock is broken (the section it guards is
+    # ~10 ms of metadata ops, so a LIVE holder exceeding the lease would
+    # need a minutes-long driver stall mid-commit)
+    _LOCK_LEASE_MS = 60_000
+    _LOCK_TIMEOUT_S = 120.0
+
+    @contextmanager
+    def _commit_lock(self, name: str):
+        """Serialize the manifest commit section per table via an
+        exclusive-create lock file (atomic on file://'s O_EXCL and
+        HDFS's namenode-arbitrated create; HEAD-then-PUT residual on
+        S3A, documented at ``create_exclusive``). Crashed holders are
+        evicted after ``_LOCK_LEASE_MS`` — the break itself is
+        arbitrated by an atomic rename, so exactly one breaker wins and
+        a freshly re-created lock (new mtime) is never stolen."""
+        lock = f"{self._dir(name)}/_commit.lock"
+        deadline = time.monotonic() + self._LOCK_TIMEOUT_S
+        while True:
+            if self.fs.create_exclusive(lock):
+                break
+            held_ms = self.fs.mtime(lock)
+            if held_ms and (time.time() * 1000 - held_ms) > self._LOCK_LEASE_MS:
+                tomb = f"{lock}.broken-{uuid.uuid4().hex}"
+                if self.fs.rename_exact(lock, tomb):
+                    self.fs.delete(tomb)
+                continue
+            if time.monotonic() > deadline:
+                raise ConcurrentWriteError(
+                    f"table {name!r}: commit lock held for over "
+                    f"{self._LOCK_TIMEOUT_S:.0f}s — crashed writer or "
+                    "pathological contention; inspect/remove "
+                    f"{lock!r} if no writer is live"
+                )
+            time.sleep(0.003)
+        try:
+            yield
+        finally:
+            self.fs.delete(lock)
 
     def _reserve_seq(self, name: str, meta: TableMeta) -> int:
         """Allocate a generation number no concurrent writer can share:
@@ -737,14 +965,13 @@ class Lakehouse:
 
     @staticmethod
     def _snapshot_meta(meta: TableMeta) -> TableMeta:
-        """Deep copy of the manifest as loaded — the 'before' image the
-        rebase diff is computed against."""
-        return TableMeta(
-            **{
-                f.name: copy.deepcopy(getattr(meta, f.name))
-                for f in dataclass_fields(TableMeta)
-            }
-        )
+        """Copy of the manifest as loaded — the 'before' image the rebase
+        diff is computed against. JSON round-trip, not ``copy.deepcopy``:
+        every field is JSON-plain by construction (it IS the serialized
+        manifest), and on a manifest tracking thousands of partitions the
+        generic deepcopy's per-object dispatch is ~10× slower than the C
+        JSON codec (part of the r7 commit-overhead growth)."""
+        return Lakehouse._meta_from_raw(json.loads(json.dumps(meta.__dict__)))
 
     @staticmethod
     def _struct_unchanged(before: TableMeta, fresh: TableMeta) -> bool:
@@ -1990,7 +2217,13 @@ class Lakehouse:
         blocks are released by the ContextCleaner when the DataFrame goes
         out of scope after the write."""
         try:
-            plan = df._jdf.queryExecution().optimizedPlan().toString()
+            # analyzed (not optimized) plan: same logical node names the
+            # regex matches, without paying a SECOND optimizer run per
+            # upsert just to decide — execution optimizes anyway, and a
+            # node the optimizer would have eliminated only costs a
+            # harmless extra checkpoint (r7 verdict #2: the plan-render
+            # probe was ~a third of the commit-overhead growth)
+            plan = df._jdf.queryExecution().analyzed().toString()
         except Exception:
             return df
         if not self._EXPENSIVE_NODE_RE.search(plan):
@@ -2356,7 +2589,20 @@ class Lakehouse:
         ``retain_versions`` commits — vacuum is also the snapshot
         EXPIRY: generations referenced only by versions older than the
         window are reclaimed here (their history JSONs stay as audit
-        records; time-traveling to them raises SnapshotExpiredError)."""
+        records; time-traveling to them raises SnapshotExpiredError).
+
+        Two guards make this safe next to live writers (r8, closing the
+        r7 advisory): the grace mtime is the MAX over the generation
+        dir and every file inside it (object-store connectors report
+        synthetic/zero mtimes for directories, which would silently
+        disable a dir-only guard), and the CURRENT manifest is re-read
+        immediately before each delete — a generation committed between
+        vacuum's initial manifest load and its delete pass is seen and
+        spared (one metadata GET per deletion; deletions are rare). The
+        residual window is a reference committed AND superseded again
+        between that re-read and the delete — two commits inside one
+        round-trip, additionally covered by the grace guard wherever
+        mtimes work."""
         import time as _time
 
         removed = []
@@ -2386,27 +2632,44 @@ class Lakehouse:
                     else:
                         base_rels.setdefault(s, set()).add(rel)
             data_dir = f"{self._dir(t)}/data"
+            candidates: list[tuple[str, int, str | None]] = []
             for d in self.fs.list_subdirs(data_dir):
                 if not d.startswith(f"{_SEQ_COL}="):
                     continue
                 s = int(d.split("=", 1)[1])
                 if s in live:
                     continue
-                if grace_s and self.fs.mtime(f"{data_dir}/{d}") > cutoff_ms:
+                if grace_s and self.fs.max_mtime(f"{data_dir}/{d}") > cutoff_ms:
                     continue  # possibly an in-flight writer's generation
                 rels = base_rels.get(s)
                 if rels is None:
-                    self.fs.delete(f"{data_dir}/{d}")
-                    removed.append(f"{data_dir}/{d}")
+                    candidates.append((f"{data_dir}/{d}", s, None))
                 elif meta.partition_keys:
                     # partially-referenced base generation: drop only the
                     # partition subdirs no longer pointed at
                     depth = len(meta.partition_keys)
                     pattern = "/".join(["*=*"] * depth)
-                    for rel in self.fs.glob_dir_leaves(f"{data_dir}/{d}/{pattern}", depth):
+                    for rel in self.fs.glob_dir_leaves(
+                        f"{data_dir}/{d}/{pattern}", depth
+                    ):
                         if rel not in rels:
-                            self.fs.delete(f"{data_dir}/{d}/{rel}")
-                            removed.append(f"{data_dir}/{d}/{rel}")
+                            candidates.append((f"{data_dir}/{d}/{rel}", s, rel))
+            for path, s, rel in candidates:
+                # last-moment liveness re-check against the CURRENT
+                # manifest: spare anything a commit referenced since our
+                # initial load (in-flight writers finish; mtime-blind
+                # object stores still don't lose committed data)
+                fresh = self._meta_from_raw(self._read_meta_raw(t))
+                if s in fresh.live_deltas:
+                    continue
+                if rel is None and (
+                    s in fresh.committed.values() or s in fresh.live_deltas
+                ):
+                    continue
+                if rel is not None and fresh.committed.get(rel) == s:
+                    continue
+                self.fs.delete(path)
+                removed.append(path)
         return removed
 
     def merge(

@@ -52,13 +52,19 @@ from pyspark.sql import functions as F
 _SRC_VERSION_PROP = "ivm.src_version"
 
 
-def _logical_source(lake, src: str) -> DataFrame:
+def _logical_source(lake, src: str, meta=None) -> DataFrame:
     """The source's LOGICAL rows (latest per primary key): ``table()``
     exposes raw pending-delta duplicates until optimize(), but the CDC
     feed — and therefore the view — reflects keep-latest semantics, so
     every full read the view derives from must too (shared dedup:
-    ``Lakehouse._read_logical``)."""
-    return lake._read_logical(src, lake._load_meta(src))
+    ``Lakehouse._read_logical``).
+
+    ``meta`` PINS the snapshot: the caller passes the manifest it
+    recorded ``src_version`` from, so the read is exactly the
+    watermarked version even when a concurrent writer commits between
+    the change feed and this scan (r7 advisory: re-loading here let
+    min/max run ahead of n/sum for one window)."""
+    return lake._read_logical(src, meta if meta is not None else lake._load_meta(src))
 
 
 def _aggregate(
@@ -98,7 +104,11 @@ def build_aggregate(
     from pyspark.sql import types as T
 
     src_meta = lake._load_meta(src)
-    agg = _aggregate(_logical_source(lake, src), group_cols, sum_cols, min_cols, max_cols)
+    # one manifest load feeds BOTH the scan and the recorded version, so
+    # the watermark can never disagree with the data it stamps
+    agg = _aggregate(
+        _logical_source(lake, src, src_meta), group_cols, sum_cols, min_cols, max_cols
+    )
     fields = [src_meta.schema[c] for c in group_cols]
     fields.append(T.StructField("n", T.LongType()))
     for c in sum_cols:
@@ -138,7 +148,8 @@ def refresh_aggregate(
         raise ValueError(
             f"{dst!r} has no {_SRC_VERSION_PROP} property — run build_aggregate first"
         )
-    src_version = lake._load_meta(src).version
+    src_meta = lake._load_meta(src)
+    src_version = src_meta.version
     if src_version == since:
         return False
     ch = lake.table_changes(src, since, to_version=src_version)
@@ -201,7 +212,10 @@ def refresh_aggregate(
             *[F.col(f"_ivc.{g}").alias(g) for g in group_cols]
         )
         re_agg = (
-            _logical_source(lake, src)
+            # pinned to the SAME manifest src_version was read from: a
+            # source commit racing this refresh must not leak newer rows
+            # into the recompute than the watermark claims
+            _logical_source(lake, src, src_meta)
             .alias("_ivs")
             .join(
                 F.broadcast(flagged.alias("_ivg")),

@@ -453,14 +453,18 @@ def test_concurrent_disjoint_partition_upserts_both_commit(lake, spark):
     assert lake.table("prices").count() == 2
 
 
-def test_concurrent_upserts_two_threads_disjoint_partitions(lake, spark):
+@pytest.mark.parametrize("rep", range(5))
+def test_concurrent_upserts_two_threads_disjoint_partitions(lake, spark, rep):
     """Wall-clock thread race (non-deterministic interleaving): many
     upserts to DIFFERENT year= partitions from two threads must all
     commit — rebase absorbs any version race — and the final table must
-    equal the serial result."""
+    equal the serial result. Repeated 5× (parametrized) so a regression
+    in commit atomicity cannot hide behind one lucky interleaving: the
+    pre-r8 truncate-then-write manifest PUT failed this ~1 run in 3."""
     import threading
 
-    lake.create("prices", SCHEMA, ["year"], ["date", "ticker"])
+    name = f"prices_r{rep}"
+    lake.create(name, SCHEMA, ["year"], ["date", "ticker"])
     lakes = [Lakehouse(spark, lake.root), Lakehouse(spark, lake.root)]
     errs: list = []
     barrier = threading.Barrier(2)
@@ -470,7 +474,7 @@ def test_concurrent_upserts_two_threads_disjoint_partitions(lake, spark):
             barrier.wait(timeout=60)
             for step in range(3):
                 lakes[i].upsert(
-                    "prices",
+                    name,
                     _df(spark, [(f"T{i}", f"{year}-01-{2 + step:02d}", float(step))]),
                 )
         except Exception as e:  # pragma: no cover - failure reporting
@@ -485,7 +489,7 @@ def test_concurrent_upserts_two_threads_disjoint_partitions(lake, spark):
     for t in ts:
         t.join(timeout=300)
     assert not errs, f"concurrent disjoint upserts must not conflict: {errs}"
-    rows = {(r.ticker, str(r.date)) for r in lake.table("prices").collect()}
+    rows = {(r.ticker, str(r.date)) for r in lake.table(name).collect()}
     assert rows == {
         (f"T{i}", f"{y}-01-{2 + s:02d}")
         for i, y in ((0, "2023"), (1, "2024"))
@@ -733,3 +737,189 @@ def test_insert_overwrite_truncates_on_both_paths(lake, spark):
     removed = lake.vacuum("prices", grace_s=0)
     assert removed, "expected orphaned pre-overwrite generations"
     assert {r.ticker for r in lake.table("prices").collect()} == {"D"}
+
+
+def test_atomic_put_never_yields_torn_reads(lake, spark):
+    """Hammer ``write_bytes_atomic`` from a writer thread while a reader
+    loops: every read must parse as the complete JSON of SOME committed
+    version — never empty, never truncated. The pre-r8 PUT
+    (create overwrite=true) fails this within a few hundred iterations
+    on file:// because Hadoop's create is truncate-then-write."""
+    import threading
+
+    lake.create("t", SCHEMA, [], [])
+    p = f"{lake.root}/t/hammer.json"
+    pad = "x" * 4096  # big enough that truncate→write is observable
+    lake.fs.write_text_atomic(p, json.dumps({"v": 0, "pad": pad}))
+    stop = threading.Event()
+    bad: list = []
+
+    def reader():
+        while not stop.is_set():
+            try:
+                doc = json.loads(lake.fs.read_text(p))
+            except Exception as e:  # pragma: no cover - failure capture
+                bad.append(repr(e))
+                return
+            if doc.get("pad") != pad:  # pragma: no cover
+                bad.append(f"torn content: keys={sorted(doc)}")
+                return
+
+    t = threading.Thread(target=reader)
+    t.start()
+    try:
+        for i in range(1, 400):
+            lake.fs.write_text_atomic(p, json.dumps({"v": i, "pad": pad}))
+    finally:
+        stop.set()
+        t.join(timeout=60)
+    assert not bad, f"reader observed a torn manifest: {bad[:1]}"
+
+
+def test_atomic_put_migrates_stale_checksum_sidecar(lake, spark):
+    """A table written by the pre-atomic path has a ``.crc`` sidecar next
+    to its manifest (LocalFileSystem checksums). The atomic PUT must drop
+    it before the swap — otherwise every subsequent checksummed read
+    fails with ChecksumException against the old checksum."""
+    lake.create("t", SCHEMA, [], [])
+    p = f"{lake.root}/t/migrate.json"
+    lake.fs.write_text(p, json.dumps({"v": "old"}))  # legacy overwrite PUT
+    crc = f"{lake.root}/t/.migrate.json.crc"
+    assert lake.fs.exists(crc), "precondition: legacy write leaves a .crc"
+    lake.fs.write_text_atomic(p, json.dumps({"v": "new"}))
+    assert not lake.fs.exists(crc)
+    assert json.loads(lake.fs.read_text(p)) == {"v": "new"}
+    # and the real manifest (atomic since r8) round-trips through both
+    # the checksummed read path and _load_meta
+    assert lake._load_meta("t").name == "t"
+
+
+def test_read_meta_raw_retries_torn_manifest(lake, spark):
+    """Defense in depth: even if a filesystem DID expose a truncated
+    manifest, ``_read_meta_raw`` re-reads instead of surfacing
+    JSONDecodeError. Simulated by patching read_text to return garbage
+    the first two calls."""
+    lake.create("t", SCHEMA, [], [])
+    good = lake.fs.read_text(lake._meta_path("t"))
+    calls = {"n": 0}
+    orig = lake.fs.read_text
+
+    def flaky(p):
+        if p == lake._meta_path("t"):
+            calls["n"] += 1
+            if calls["n"] <= 2:
+                return ""  # zero-length: mid-truncate snapshot
+        return orig(p)
+
+    lake.fs.read_text = flaky
+    try:
+        meta = lake._load_meta("t")
+    finally:
+        lake.fs.read_text = orig
+    assert meta.name == "t" and calls["n"] == 3
+
+
+def test_create_exclusive_atomic_under_thread_contention(lake, spark):
+    """8 threads race create_exclusive on the same path: exactly one may
+    win. Hadoop's RawLocalFileSystem create(overwrite=false) is
+    exists-check-then-create and loses this (two winners); the POSIX
+    O_CREAT|O_EXCL path must not."""
+    import threading
+
+    lake.fs.mkdirs(f"{lake.root}/claims")
+    for round_i in range(20):
+        p = f"{lake.root}/claims/c-{round_i}"
+        wins: list = []
+        barrier = threading.Barrier(8)
+
+        def racer():
+            barrier.wait(timeout=30)
+            if lake.fs.create_exclusive(p):
+                wins.append(1)
+
+        ts = [threading.Thread(target=racer) for _ in range(8)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join(timeout=60)
+        assert len(wins) == 1, f"round {round_i}: {len(wins)} winners"
+
+
+def test_commit_lock_excludes_and_breaks_stale_holder(lake, spark):
+    """The commit lock mutually excludes live holders, and a lock whose
+    holder crashed (simulated via an aged mtime) is broken by the next
+    acquirer instead of deadlocking."""
+    import os
+    import threading
+
+    lake.create("t", SCHEMA, [], [])
+    order: list = []
+
+    def holder():
+        with lake._commit_lock("t"):
+            order.append("a-in")
+            time.sleep(0.3)
+            order.append("a-out")
+
+    import time
+
+    t = threading.Thread(target=holder)
+    t.start()
+    time.sleep(0.1)  # let the holder acquire
+    with lake._commit_lock("t"):
+        order.append("b-in")
+    t.join(timeout=30)
+    assert order == ["a-in", "a-out", "b-in"]
+
+    # stale-holder break: plant a lock file aged past the lease
+    lock = f"{lake.root}/t/_commit.lock"
+    assert lake.fs.create_exclusive(lock)
+    old = time.time() - (Lakehouse._LOCK_LEASE_MS / 1000.0) - 5
+    os.utime(lake.fs._local_path(lock), (old, old))
+    with lake._commit_lock("t"):
+        order.append("breaker-in")
+    assert order[-1] == "breaker-in"
+    assert not lake.fs.exists(lock)
+
+
+def test_vacuum_recheck_spares_generation_committed_mid_pass(lake, spark):
+    """r7 advisory (medium): on object stores, directory mtimes are
+    synthetic/zero, so the grace guard is blind there — a generation
+    written before vacuum's manifest load but COMMITTED between that
+    load and the delete pass must still be spared, via the last-moment
+    manifest re-read. Simulated with mtimes forced to 0 (the S3A shape)
+    and the commit interleaved into the candidate scan."""
+    import types
+
+    lake.create("prices", SCHEMA, ["year"], ["date", "ticker"])
+    lake.upsert("prices", _df(spark, [("A", "2024-01-02", 1.0)]))
+
+    # in-flight writer: generation dir + file exist, not yet referenced
+    gen = f"{lake.root}/prices/data/_seq=99"
+    lake.fs.mkdirs(gen)
+    lake.fs.write_text(f"{gen}/part-0.parquet", "pending")
+
+    orig_max_mtime = lake.fs.max_mtime
+    committed = {"done": False}
+
+    def blind_mtime(p):
+        # object-store shape: no usable mtime; and the writer's commit
+        # lands while vacuum is scanning candidates
+        if "_seq=99" in p and not committed["done"]:
+            committed["done"] = True
+            rival = Lakehouse(spark, lake.root)
+            m = rival._load_meta("prices")
+            m.live_deltas.append(99)
+            m.dirty_partitions.append("year=2024")
+            m.version += 1
+            rival._save_meta(m)
+        return 0
+
+    lake.fs.max_mtime = blind_mtime
+    try:
+        removed = lake.vacuum("prices", grace_s=3600)
+    finally:
+        lake.fs.max_mtime = orig_max_mtime
+    assert committed["done"], "interleaved commit did not fire"
+    assert not any("_seq=99" in p for p in removed), removed
+    assert lake.fs.exists(f"{gen}/part-0.parquet"), "committed data deleted"

@@ -406,3 +406,47 @@ def test_streaming_materialized_view_via_cdc_refresh(spark, tmp_path):
     for k in exp:
         assert got[k][0] == exp[k][0]
         np.testing.assert_allclose(got[k][1], exp[k][1], rtol=1e-9)
+
+
+def test_ivm_recompute_pinned_to_watermarked_source_version(lake, spark):
+    """r7 advisory: the flagged-group min/max recompute must read the
+    source AT the version the watermark records — a source commit racing
+    the refresh (interleaved here right after the change feed is built)
+    must NOT leak newer rows into min/max while n/sum and the watermark
+    reflect the older window. The next refresh then absorbs it."""
+    import types as _types
+
+    lake.create("src", SCHEMA, [], ["k"], retain_versions=100)
+    lake.upsert("src", _rows_df(spark, [(1, "a", 2.0), (2, "a", 5.0)]))
+    build_aggregate(lake, "src", "view", ["grp"], ["v"], min_cols=["v"], max_cols=["v"])
+    # delete the stored minimum -> flags group 'a' for recompute
+    lake.delete_where("src", F.col("k") == 1)
+
+    orig = Lakehouse.table_changes
+    fired = {"done": False}
+
+    def interleaved(self, name, since, to_version=None):
+        ch = orig(self, name, since, to_version=to_version)
+        if not fired["done"]:
+            fired["done"] = True
+            # rival insert AFTER the feed window closes: a new global min
+            rival = Lakehouse(spark, self.root)
+            rival.upsert("src", _rows_df(spark, [(9, "a", -99.0)]))
+        return ch
+
+    lake.table_changes = _types.MethodType(interleaved, lake)
+    refresh_aggregate(
+        lake, "src", "view", ["grp"], ["v"], min_cols=["v"], max_cols=["v"]
+    )
+    del lake.__dict__["table_changes"]
+
+    r = lake.table("view").collect()[0]
+    # exactly the watermarked snapshot: min recomputed to 5.0 — NOT the
+    # raced-in -99.0, which the watermark says we have not consumed yet
+    assert (r.n, r.min_v, r.max_v) == (1, 5.0, 5.0)
+    # and the next refresh picks the raced commit up exactly once
+    refresh_aggregate(
+        lake, "src", "view", ["grp"], ["v"], min_cols=["v"], max_cols=["v"]
+    )
+    r = lake.table("view").collect()[0]
+    assert (r.n, r.min_v, r.max_v) == (2, -99.0, 5.0)
