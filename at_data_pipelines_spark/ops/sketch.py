@@ -219,29 +219,40 @@ def bloom_probe(
     small-filter case; pass ``broadcast=False`` for a dense multi-GB
     filter, which then probes via a uniform shuffle equi-join instead
     of an impossible broadcast. Both shapes are skew-free (md5
-    positions are uniform). NULL probes report False."""
+    positions are uniform). NULL probes report False: a NULL value
+    hashes to k NULL positions, whose NULL words never join and whose
+    NULL-mask hits are NULL, so the final coalesced bool_and is False —
+    no special-case branch needed. Duplicate ``word`` rows in the
+    sketch (the append-only LSM shape ``bloom_update_table`` writes
+    between compactions) are OR-collapsed before the mask test, so
+    probing an uncompacted filter is exactly as correct as probing a
+    compacted one."""
+    if value_col in ("word", "bits"):
+        raise ValueError(
+            f"value_col {value_col!r} collides with the sketch's internal "
+            "(word, bits) columns — rename the probe column first"
+        )
     probes = items.select(
         F.col(value_col),
-        F.explode(
-            F.coalesce(
-                _bloom_positions(value_col, k, m_bits, salt),
-                F.array(*[F.lit(None).cast("long") for _ in range(k)]),
-            )
-        ).alias("pos"),
+        F.explode(_bloom_positions(value_col, k, m_bits, salt)).alias("_bloom_pos"),
     ).select(
         value_col,
-        (F.col("pos") / F.lit(64)).cast("long").alias("word"),
-        F.expr("shiftleft(1L, cast(pmod(pos, 64) as int))").alias("mask"),
+        (F.col("_bloom_pos") / F.lit(64)).cast("long").alias("word"),
+        F.expr("shiftleft(1L, cast(pmod(_bloom_pos, 64) as int))").alias(
+            "_bloom_mask"
+        ),
     )
-    sk = F.broadcast(sketch) if broadcast else sketch
+    sk = sketch.groupBy("word").agg(F.expr("bit_or(bits)").alias("bits"))
+    sk = F.broadcast(sk) if broadcast else sk
     joined = probes.join(sk, ["word"], "left")
     hit = (
-        F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("mask")) != F.lit(0)
-    ).alias("hit")
+        F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("_bloom_mask"))
+        != F.lit(0)
+    ).alias("_bloom_hit")
     return (
         joined.select(value_col, hit)
         .groupBy(value_col)
-        .agg(F.coalesce(F.expr("bool_and(hit)"), F.lit(False)).alias(out_col))
+        .agg(F.coalesce(F.expr("bool_and(_bloom_hit)"), F.lit(False)).alias(out_col))
     )
 
 
@@ -255,6 +266,29 @@ def bloom_merge(a: DataFrame, b: DataFrame) -> DataFrame:
     )
 
 
+def bloom_table_sketch(lake, table: str) -> DataFrame:
+    """The persisted filter's LOGICAL (word, bits) view: OR-collapse the
+    append-only word rows ``bloom_update_table`` wrote. bit_or over
+    duplicate word rows is exact (associative, idempotent), so the view
+    equals the one-shot build of everything ever ingested, compacted or
+    not. Feed this to ``bloom_probe``/``bloom_merge`` (probe also
+    collapses internally, so passing the raw table works too)."""
+    return (
+        lake.table(table)
+        .groupBy("word")
+        .agg(F.expr("bit_or(bits)").alias("bits"))
+    )
+
+
+def bloom_compact_table(lake, table: str) -> None:
+    """Rewrite the persisted filter to one row per word (bit_or of the
+    accumulated deltas) in a single overwrite commit — the LSM
+    compaction. NOT keep-latest-per-PK (that would drop bits recorded
+    by older rows), which is why the table is created WITHOUT primary
+    keys: ``optimize()`` must never touch it."""
+    lake.insert(table, bloom_table_sketch(lake, table), mode="overwrite")
+
+
 def bloom_update_table(
     lake,
     table: str,
@@ -263,17 +297,33 @@ def bloom_update_table(
     m_bits: int = 1 << 20,
     k: int = 5,
     salt: str = "bloom",
+    compact_every: int = 8,
 ) -> None:
     """Incrementally maintain a lakehouse-PERSISTED Bloom filter (the
     'have we ever ingested this?' membership set of an incremental
-    corpus dedup): build the batch's sparse sketch, OR it into the
-    stored words it touches, and PK-upsert ONLY those words — cost
-    O(batch's distinct words) per update, never O(filter). bit_or is
-    idempotent and associative, so replays and out-of-order batches
-    converge to exactly the union filter; concurrent updates hitting
-    the same commit window surface as ConcurrentWriteError (retry), as
-    with any unpartitioned upsert."""
+    corpus dedup) in LSM shape: APPEND the batch's sparse (word, bits)
+    sketch as a new delta generation — cost truly O(batch's distinct
+    words) per update, never O(filter) — and compact to one row per
+    word every ``compact_every`` pending deltas (cadence read from the
+    table manifest, so it is restart-proof). The r7 version PK-upserted
+    into an unpartitioned words table, which recompacted the WHOLE
+    filter on every batch — O(filter) per update for the dense multi-GB
+    filters this module advertises.
+
+    Readers use ``bloom_table_sketch`` (or ``bloom_probe`` directly,
+    which OR-collapses duplicate word rows itself). bit_or is
+    idempotent and associative, so replayed and out-of-order batches
+    converge to exactly the union filter regardless of when compaction
+    runs. Appends commute (the commit protocol rebases them), so
+    concurrent updaters never conflict; a compaction racing an append
+    surfaces as ConcurrentWriteError and is simply skipped — the next
+    update retries it. The table is created WITHOUT primary keys:
+    duplicate words are state, and keep-latest dedup would lose bits
+    (mirrors ann_index_maintenance_stream's compact_every design,
+    streaming/ingest.py)."""
     from pyspark.sql import types as T
+
+    from ..catalog import ConcurrentWriteError
 
     lake.create(
         table,
@@ -281,16 +331,16 @@ def bloom_update_table(
             [T.StructField("word", T.LongType()), T.StructField("bits", T.LongType())]
         ),
         [],
-        ["word"],
+        [],
         mode="skip",
     )
     batch = bloom_build(df, value_col, m_bits=m_bits, k=k, salt=salt)
-    existing = lake.table(table).withColumnRenamed("bits", "_old")
-    merged = batch.join(existing, ["word"], "left").select(
-        "word",
-        F.coalesce(F.col("_old"), F.lit(0)).bitwiseOR(F.col("bits")).alias("bits"),
-    )
-    lake.upsert(table, merged)
+    lake.insert(table, batch, mode="append")
+    if compact_every and lake.pending_deltas(table) >= compact_every:
+        try:
+            bloom_compact_table(lake, table)
+        except ConcurrentWriteError:
+            pass  # a concurrent append won the commit; next update recompacts
 
 
 def quantile_sketch(
@@ -301,9 +351,9 @@ def quantile_sketch(
     salt: str = "qsk",
 ) -> DataFrame:
     """The quartet's QUANTILE member (next to KMV cardinality, CMS
-    frequency, Bloom membership): a deterministic uniform row sample —
-    the k rows whose md5-uniform hash of (key, salt) is smallest — kept
-    as (value, hash) rows. Because the hash orders ROWS (by their key),
+    frequency, Bloom membership): a deterministic row sample — the k
+    rows whose md5-uniform hash of (key, salt) is smallest — kept as
+    (value, hash) rows. Because the hash orders ROWS (by their key),
     not values, the sample is uniform over rows and any quantile of the
     sample estimates the population quantile with the standard
     O(1/sqrt(k)) error; because it is md5-derived it is deterministic,
@@ -312,7 +362,16 @@ def quantile_sketch(
     exactly the sketch of the union. Spark's builtin approx_percentile
     does this job faster but with engine-private internals no oracle
     can replay. NULL values and NULL keys are excluded (a quantile of
-    NULLs is undefined; a NULL key cannot be hashed)."""
+    NULLs is undefined; a NULL key cannot be hashed).
+
+    ``key_col`` MUST identify rows uniquely (a PK or row id): the hash
+    draws once per KEY, so duplicate keys share one draw and the
+    (h, value) tiebreak then keeps the smallest values of the tied
+    cluster — with non-unique keys the sample, and every quantile from
+    it, is biased LOW, not uniform. Synthesize a unique key (e.g.
+    ``concat(key, '#', file, '#', pos)``) when no natural one exists;
+    the hash input just has to be a deterministic row identity both
+    engines can rebuild."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     h = uniform_hash(F.concat(F.col(key_col).cast("string"), F.lit(salt)))

@@ -210,11 +210,11 @@ def main() -> None:
     ap.add_argument(
         "--sections",
         default="all",
-        help="comma list of {queries,persist,ann_stream,zone,ivm,pagerank} (default all)",
+        help="comma list of {queries,persist,ann_stream,zone,ivm,pagerank,bloom} (default all)",
     )
     args = ap.parse_args()
     sections = (
-        {"queries", "persist", "ann_stream", "zone", "ivm", "pagerank"}
+        {"queries", "persist", "ann_stream", "zone", "ivm", "pagerank", "bloom"}
         if args.sections == "all"
         else set(args.sections.split(","))
     )
@@ -347,6 +347,12 @@ def main() -> None:
             for tag, n in [("1M_edges", 1_000_000), ("5M_edges", 5_000_000)]
         }
 
+    if "bloom" in sections:
+        out["bloom_updates"] = {
+            tag: measure_bloom_updates(spark, n)
+            for tag, n in [("100k_prefill", 100_000), ("1M_prefill", 1_000_000)]
+        }
+
     print(json.dumps(out))
     spark.stop()
 
@@ -384,6 +390,51 @@ def measure_pagerank(spark, n_edges: int, iters=(4, 12, 20)) -> dict:
         for a, b in zip(iters, iters[1:])
     }
     return {"edges": n_edges, "nodes": nodes, "walls_s": walls, "per_iter_s": per_iter}
+
+
+def measure_bloom_updates(spark, prefill_words: int, n_updates: int = 8) -> dict:
+    """Per-update wall time of the LSM persisted-Bloom maintenance
+    (ops/sketch.py bloom_update_table) against a pre-filled filter.
+    Run at two prefill sizes (e.g. 100k / 1M member prefill → ~10×
+    filter words): a flat per-update time is the O(batch)-not-O(filter)
+    evidence — the r7 PK-upsert shape recompacted the whole filter per
+    batch and grew linearly with the prefill here."""
+    import tempfile
+    import time as _time
+
+    import pyspark.sql.functions as F
+
+    from at_data_pipelines_spark.catalog import Lakehouse
+    from at_data_pipelines_spark.ops.sketch import bloom_update_table
+
+    work = tempfile.mkdtemp(prefix=f"bloomlsm_{prefill_words}_")
+    lake = Lakehouse(spark, f"{work}/lake")
+    m = 1 << 24  # 16M bits / 256k words: dense enough to dwarf a batch
+    prefill = spark.range(prefill_words).select(
+        F.concat(F.lit("member-"), F.col("id")).alias("v")
+    )
+    bloom_update_table(lake, "bloom", prefill, "v", m_bits=m, k=5, compact_every=0)
+    filter_words = lake.table("bloom").count()
+
+    walls = []
+    for b in range(n_updates):
+        batch = spark.range(500).select(
+            F.concat(F.lit(f"new-{b}-"), F.col("id")).alias("v")
+        )
+        t0 = _time.perf_counter()
+        # compaction cadence disabled so the rung isolates the per-update
+        # append cost (the compaction itself is amortized and measured by
+        # the ann_stream rung's identical policy)
+        bloom_update_table(lake, "bloom", batch, "v", m_bits=m, k=5, compact_every=0)
+        walls.append(_time.perf_counter() - t0)
+    return {
+        "prefill_members": prefill_words,
+        "filter_words": filter_words,
+        "updates": n_updates,
+        "batch_rows": 500,
+        "per_update_s_min": round(min(walls), 3),
+        "per_update_s_median": round(sorted(walls)[len(walls) // 2], 3),
+    }
 
 
 def measure_ann_stream(spark, base_dir: str, compact_every: int) -> dict:

@@ -470,14 +470,18 @@ def test_bloom_plan_is_codegen_joins(spark):
 
 
 def test_bloom_update_table_incremental(spark, tmp_path):
-    """Lakehouse-persisted filter: three incremental batches must
-    converge to EXACTLY the one-shot union build (bit_or idempotent +
-    associative), replays must be no-ops on the bits, and probes through
-    the stored table must see every member."""
+    """Lakehouse-persisted filter in LSM shape: incremental batches are
+    APPENDED (O(batch) per update), the logical OR-collapsed view must
+    equal the one-shot union build exactly, probes through the RAW
+    uncompacted table (duplicate word rows present) must still see every
+    member with no false negatives, replays must be no-ops on the bits,
+    and compaction must leave one row per word == the direct build."""
     from at_data_pipelines_spark.catalog import Lakehouse
     from at_data_pipelines_spark.ops.sketch import (
         bloom_build,
+        bloom_compact_table,
         bloom_probe,
+        bloom_table_sketch,
         bloom_update_table,
     )
 
@@ -488,14 +492,58 @@ def test_bloom_update_table_incremental(spark, tmp_path):
         for lo in (0, 40, 80)
     ]
     for b in batches:
-        bloom_update_table(lake, "bloom", b, "v", m_bits=m, k=k)
-    bloom_update_table(lake, "bloom", batches[1], "v", m_bits=m, k=k)  # replay
-    stored = sorted(map(tuple, lake.table("bloom").collect()))
+        bloom_update_table(lake, "bloom", b, "v", m_bits=m, k=k, compact_every=0)
+    bloom_update_table(
+        lake, "bloom", batches[1], "v", m_bits=m, k=k, compact_every=0
+    )  # replay
+    # append-only: 4 pending deltas, duplicate word rows in the raw table
+    assert lake.pending_deltas("bloom") == 4
     union = batches[0].unionByName(batches[1]).unionByName(batches[2])
     direct = sorted(map(tuple, bloom_build(union, "v", m_bits=m, k=k).collect()))
-    assert stored == direct
+    logical = sorted(map(tuple, bloom_table_sketch(lake, "bloom").collect()))
+    assert logical == direct
+    # probing the RAW table (duplicates present) is exactly as correct
     probed = bloom_probe(lake.table("bloom"), union, "v", m_bits=m, k=k)
     assert all(r.maybe_member for r in probed.collect())
+    absent = spark.createDataFrame([(f"nope-{i}",) for i in range(200)], ["v"])
+    raw_fpr = {
+        r.v: r.maybe_member
+        for r in bloom_probe(lake.table("bloom"), absent, "v", m_bits=m, k=k).collect()
+    }
+    compact_fpr = {
+        r.v: r.maybe_member
+        for r in bloom_probe(
+            bloom_table_sketch(lake, "bloom"), absent, "v", m_bits=m, k=k
+        ).collect()
+    }
+    assert raw_fpr == compact_fpr, "raw and collapsed probes must agree exactly"
+    # compaction: one overwrite commit, one row per word, bits unchanged
+    bloom_compact_table(lake, "bloom")
+    assert lake.pending_deltas("bloom") == 1
+    stored = sorted(map(tuple, lake.table("bloom").collect()))
+    assert stored == direct
+
+
+def test_bloom_update_table_compaction_cadence_from_manifest(spark, tmp_path):
+    """compact_every is driven by the table manifest (restart-proof):
+    pending deltas accumulate to the threshold, then one compaction
+    collapses them; a fresh Lakehouse handle (simulated restart)
+    continues the cadence with no driver-local state."""
+    from at_data_pipelines_spark.catalog import Lakehouse
+    from at_data_pipelines_spark.ops.sketch import bloom_update_table
+
+    lake = Lakehouse(spark, str(tmp_path / "lake"))
+    m, k = 1 << 9, 3
+
+    def upd(handle, lo):
+        df = spark.createDataFrame([(f"d{i}",) for i in range(lo, lo + 10)], ["v"])
+        bloom_update_table(handle, "bloom", df, "v", m_bits=m, k=k, compact_every=3)
+
+    upd(lake, 0)
+    upd(lake, 10)
+    assert lake.pending_deltas("bloom") == 2
+    upd(Lakehouse(spark, lake.root), 20)  # restart: cadence from manifest
+    assert lake.pending_deltas("bloom") == 1  # compacted at threshold 3
 
 
 # -- quantile sketch (ops/sketch.py, r7) ------------------------------------
