@@ -143,6 +143,39 @@ class SnapshotExpiredError(RuntimeError):
     kept forever (audit log); only the data expires."""
 
 
+def _boto3_conditional_create_factory():
+    """A conditional-create hook for s3a:// roots built on boto3's
+    public ``PutObject`` + ``If-None-Match: *`` (S3 returns 412 when the
+    object already exists — an atomic server-side CAS, closing the
+    HEAD-then-PUT residual race the Hadoop FS API cannot). Returns None
+    when boto3 is unavailable (the documented Hadoop-only fallback);
+    credentials resolve through boto3's standard chain, which matches
+    the instance-profile/env setups S3A itself typically uses."""
+    try:
+        import boto3
+        from botocore.exceptions import ClientError
+    except Exception:
+        return None
+    client = {}
+
+    def hook(p: str) -> bool:
+        rest = p.split("://", 1)[1]
+        bucket, _, key = rest.partition("/")
+        if "c" not in client:  # one client per hook, built lazily
+            client["c"] = boto3.client("s3")
+        try:
+            client["c"].put_object(Bucket=bucket, Key=key, Body=b"", IfNoneMatch="*")
+            return True
+        except ClientError as e:
+            code = str(e.response.get("Error", {}).get("Code", ""))
+            status = e.response.get("ResponseMetadata", {}).get("HTTPStatusCode")
+            if code == "PreconditionFailed" or status == 412:
+                return False
+            raise
+
+    return hook
+
+
 class _HadoopFS:
     """Filesystem operations through the JVM Hadoop FileSystem API, so the
     lakehouse's metadata reads/writes and partition swaps run against ANY
@@ -174,6 +207,10 @@ class _HadoopFS:
         self._fs = self._Path(root).getFileSystem(spark._jsc.hadoopConfiguration())
         self._conf = spark._jsc.hadoopConfiguration()
         self.scheme = self._Path(root).toUri().getScheme() or "file"
+        if self.scheme == "s3a":
+            hook = _boto3_conditional_create_factory()
+            if hook is not None:
+                self.conditional_create_hook = hook
 
     def exists(self, p: str) -> bool:
         return self._fs.exists(self._Path(p))
@@ -293,7 +330,20 @@ class _HadoopFS:
             self.write_bytes(p, data)
 
     def list_files(self, p: str) -> list[tuple[str, int]]:
-        """(name, size) of plain files directly under ``p`` (no recursion)."""
+        """(name, size) of plain files directly under ``p`` (no recursion).
+        file:// short-circuits through os.scandir — this sits on the
+        manifest-load hot path (the per-load ``_log/`` probe), where two
+        JVM roundtrips per call would tax every commit."""
+        if self.scheme == "file":
+            import os
+
+            try:
+                with os.scandir(self._local_path(p)) as it:
+                    return [
+                        (e.name, e.stat().st_size) for e in it if e.is_file()
+                    ]
+            except (FileNotFoundError, NotADirectoryError):
+                return []
         if not self.exists(p):
             return []
         return [
@@ -344,19 +394,35 @@ class _HadoopFS:
         """OS path of ``p`` — only meaningful when scheme == 'file'."""
         return self._Path(p).toUri().getPath()
 
+    # Pluggable atomic conditional-create for schemes where the Hadoop FS
+    # API cannot express one (S3A): ``hook(path_uri) -> bool`` creates the
+    # object iff absent and returns True iff THIS caller created it —
+    # False only on a genuine precondition failure (someone else holds
+    # it). S3 supports this publicly via `PutObject` + `If-None-Match: *`
+    # (412 on conflict); ``_boto3_conditional_create`` wires it through
+    # boto3 and is installed automatically for s3a:// roots when boto3
+    # imports. Without a hook, S3A claims fall back to HEAD-then-PUT —
+    # the documented residual one-round-trip race every Hadoop-FS commit
+    # protocol carries. Instance attribute so tests (and deployments
+    # with bespoke stores) can inject their own.
+    conditional_create_hook = None
+
     def create_exclusive(self, p: str) -> bool:
         """Create ``p`` only if it does not exist; True iff this caller
         won. On file:// this uses POSIX ``open(O_CREAT|O_EXCL)`` — a true
         atomic claim (Hadoop's RawLocalFileSystem ``create(overwrite=
         false)`` is exists-check-then-FileOutputStream, i.e. check-then-
         act: two local threads could both 'win' it). On HDFS the
-        namenode arbitrates ``create(overwrite=false)`` atomically; on
-        S3A it degrades to HEAD-then-PUT (the FS API exposes no
-        conditional PUT) — same residual window every Hadoop-FS-based
+        namenode arbitrates ``create(overwrite=false)`` atomically. On
+        S3A a registered ``conditional_create_hook`` (If-None-Match PUT)
+        makes the claim a true CAS; without one it degrades to
+        HEAD-then-PUT — same residual window every Hadoop-FS-based
         commit protocol carries, shrunk from job-length to one
         round-trip. A create failure only means 'lost the claim' when
         the path actually exists — transient IO errors (credentials,
         throttling) re-raise instead of masquerading as contention."""
+        if self.conditional_create_hook is not None and self.scheme != "file":
+            return bool(self.conditional_create_hook(p))
         if self.scheme == "file":
             import os
 
@@ -707,10 +773,10 @@ class Lakehouse:
     def _meta_path(self, name: str) -> str:
         return f"{self._dir(name)}/{_META_FILE}"
 
-    def _read_meta_raw(self, name: str) -> dict:
-        """Read+parse the current manifest, absorbing transient torn reads.
+    def _read_json_retry(self, p: str) -> dict:
+        """Read+parse one metadata JSON, absorbing transient torn reads.
 
-        The manifest PUT is an atomic swap on file/hdfs/s3a
+        Metadata PUTs are atomic swaps on file/hdfs/s3a
         (``write_bytes_atomic``), so a torn read should be impossible
         there — this bounded retry is defense in depth for tables written
         by pre-atomic versions of this engine and for exotic filesystems
@@ -721,7 +787,7 @@ class Lakehouse:
         last: Exception | None = None
         for attempt in range(8):
             try:
-                return json.loads(self.fs.read_text(self._meta_path(name)))
+                return json.loads(self.fs.read_text(p))
             except ValueError as e:  # torn/empty JSON body
                 last = e
             except Exception as e:
@@ -730,6 +796,66 @@ class Lakehouse:
                 last = e  # new bytes paired with a stale .crc mid-swap
             time.sleep(0.005 * (attempt + 1))
         raise last
+
+    # -- segmented manifest log (r8) ---------------------------------------
+    # Above this many (committed + zone_maps) entries, each commit appends
+    # a small DIFF SEGMENT to _log/ instead of rewriting the full manifest
+    # (measured: the full-rewrite shape costs ~16 MB + 0.3 s ser/de per
+    # commit at 100k partitions, 156 MB + ~9 s at 1M — see SCALING.md).
+    # A full checkpoint (the ordinary _bl_meta.json) is rewritten every
+    # _LOG_CHECKPOINT_EVERY segments and doubles as the time-travel
+    # archive anchor. Below the threshold, commits are exactly the r7
+    # single-PUT — the log machinery is never touched.
+    _LOG_SEGMENT_THRESHOLD = 20_000
+    _LOG_CHECKPOINT_EVERY = 20
+
+    def _log_dir(self, name: str) -> str:
+        return f"{self._dir(name)}/_log"
+
+    def _log_segments(self, name: str) -> list[int]:
+        return sorted(
+            int(n[1:-5])
+            for n, _ in self.fs.list_files(self._log_dir(name))
+            if n.startswith("v") and n.endswith(".json")
+        )
+
+    # manifest fields stored as DELTAS in a segment (the two that grow
+    # with partition count); everything else is carried whole per segment
+    _LOG_DELTA_FIELDS = ("committed", "zone_maps")
+
+    @staticmethod
+    def _apply_segment(raw: dict, seg: dict) -> dict:
+        """Fold one diff segment into a raw manifest dict (in place)."""
+        raw.update(seg["full"])
+        for field_name in Lakehouse._LOG_DELTA_FIELDS:
+            target = raw.setdefault(field_name, {})
+            for k, v in seg.get(f"{field_name}_delta", {}).items():
+                if v is None:
+                    target.pop(k, None)
+                else:
+                    target[k] = v
+        raw["version"] = seg["version"]
+        for audit in ("_ts", "_action"):
+            if audit in seg:
+                raw[audit] = seg[audit]
+        return raw
+
+    def _read_meta_raw(self, name: str) -> dict:
+        """Current manifest STATE: the checkpoint (_bl_meta.json) plus any
+        newer diff segments from ``_log/`` applied in version order. For
+        tables that never crossed the segment threshold this is one GET
+        plus one (negative) existence probe of ``_log/``. The
+        checkpoint's own version is recorded as ``_ckpt_version`` (a
+        private key ``_meta_from_raw`` filters out) so the committer
+        knows when the checkpoint cadence is due."""
+        raw = self._read_json_retry(self._meta_path(name))
+        raw["_ckpt_version"] = raw.get("version", 0)
+        for v in self._log_segments(name):
+            if v > raw["version"]:
+                raw = self._apply_segment(
+                    raw, self._read_json_retry(f"{self._log_dir(name)}/v{v:012d}.json")
+                )
+        return raw
 
     def _load_meta(self, name: str) -> TableMeta:
         raw = self._read_meta_raw(name)
@@ -794,14 +920,33 @@ class Lakehouse:
 
     def _load_version(self, name: str, version: int) -> tuple[TableMeta, dict]:
         p = f"{self._history_dir(name)}/v{version:012d}.json"
-        if not self.fs.exists(p):
-            raise SnapshotExpiredError(
-                f"table {name!r} has no archived manifest for version {version} "
-                f"(known: {self._history_versions(name)})"
-            )
-        raw = json.loads(self.fs.read_text(p))
-        known = {f.name for f in dataclass_fields(TableMeta)}
-        return TableMeta(**{k: v for k, v in raw.items() if k in known}), raw
+        if self.fs.exists(p):
+            raw = self._read_json_retry(p)
+            known = {f.name for f in dataclass_fields(TableMeta)}
+            return TableMeta(**{k: v for k, v in raw.items() if k in known}), raw
+        # segmented mode archives only every checkpoint; intermediate
+        # versions reconstruct as nearest archived anchor ≤ version plus
+        # the diff segments up to it (segments are append-only and never
+        # deleted, so reconstruction works as far back as the anchors go)
+        anchors = [w for w in self._history_versions(name) if w <= version]
+        if anchors:
+            have = set(self._log_segments(name))
+            w = max(anchors)
+            if all(v in have for v in range(w + 1, version + 1)):
+                raw = self._read_json_retry(
+                    f"{self._history_dir(name)}/v{w:012d}.json"
+                )
+                for v in range(w + 1, version + 1):
+                    raw = self._apply_segment(
+                        raw,
+                        self._read_json_retry(f"{self._log_dir(name)}/v{v:012d}.json"),
+                    )
+                known = {f.name for f in dataclass_fields(TableMeta)}
+                return TableMeta(**{k: v for k, v in raw.items() if k in known}), raw
+        raise SnapshotExpiredError(
+            f"table {name!r} has no archived manifest for version {version} "
+            f"(known anchors: {self._history_versions(name)})"
+        )
 
     def history(self, name: str, limit: int | None = None) -> list[dict]:
         """The table's commit log, oldest first: one entry per manifest
@@ -809,8 +954,10 @@ class Lakehouse:
         The Delta `DESCRIBE HISTORY` shape, backed by the `_history/`
         archive that every commit appends to. Each entry costs one
         archive read (a full manifest copy), so pass ``limit`` for the
-        most recent N on long-lived tables."""
-        versions = self._history_versions(name)
+        most recent N on long-lived tables. Segmented-mode commits
+        (diff segments between checkpoints) appear too — their entries
+        reconstruct from the nearest checkpoint anchor."""
+        versions = sorted(set(self._history_versions(name)) | set(self._log_segments(name)))
         if limit is not None:
             versions = versions[-limit:]
         out = []
@@ -892,13 +1039,57 @@ class Lakehouse:
                         "retry from a fresh state"
                     )
                 meta.version += 1
-                self._save_meta(meta)
-                self._archive_meta(meta, action)
+                self._commit_state(meta, on_disk, action)
                 return meta
         raise ConcurrentWriteError(
             f"table {meta.name!r}: lost the commit race 5 times in a row — "
             "retry from a fresh state"
         )
+
+    def _commit_state(self, meta: TableMeta, on_disk: dict, action: str) -> None:
+        """The durable commit write. Small manifests (the overwhelmingly
+        common case) keep the r7 shape: one full-manifest atomic PUT plus
+        a full archive copy. Past ``_LOG_SEGMENT_THRESHOLD`` tracked
+        entries, the commit instead appends a DIFF SEGMENT —
+        O(partitions this commit touched), not O(table) — to ``_log/``,
+        and rewrites the full checkpoint (plus its archive copy, the
+        time-travel anchor) only every ``_LOG_CHECKPOINT_EVERY``
+        segments. The segment PUT is the commit point (atomic swap);
+        a crash before the checkpoint loses nothing — readers fold
+        newer segments into the checkpoint on every load. Runs inside
+        the commit lock, so segment versions never collide."""
+        if len(meta.committed) + len(meta.zone_maps) < self._LOG_SEGMENT_THRESHOLD:
+            self._save_meta(meta)
+            self._archive_meta(meta, action)
+            return
+        import datetime as _dt
+
+        seg: dict = {
+            "version": meta.version,
+            "_action": action,
+            "_ts": _dt.datetime.now(_dt.timezone.utc).isoformat(),
+            "full": {
+                f.name: getattr(meta, f.name)
+                for f in dataclass_fields(TableMeta)
+                if f.name not in self._LOG_DELTA_FIELDS
+            },
+        }
+        for field_name in self._LOG_DELTA_FIELDS:
+            old = on_disk.get(field_name, {})
+            new = getattr(meta, field_name)
+            delta = {k: v for k, v in new.items() if old.get(k) != v}
+            delta.update({k: None for k in old if k not in new})
+            seg[f"{field_name}_delta"] = delta
+        self.fs.mkdirs(self._log_dir(meta.name))
+        self.fs.write_text_atomic(
+            f"{self._log_dir(meta.name)}/v{meta.version:012d}.json", json.dumps(seg)
+        )
+        if (
+            meta.version - on_disk.get("_ckpt_version", 0)
+            >= self._LOG_CHECKPOINT_EVERY
+        ):
+            self._save_meta(meta)
+            self._archive_meta(meta, action)
 
     # commit-lock lease: a holder that has been silent this long is
     # presumed crashed and its lock is broken (the section it guards is
@@ -2619,7 +2810,13 @@ class Lakehouse:
             metas = [meta]
             if meta.retain_versions > 0:
                 floor = max(0, meta.version - meta.retain_versions)
-                for v in self._history_versions(t):
+                # archived anchors AND segmented-mode intermediate commits:
+                # a generation referenced only by a mid-segment retained
+                # version must survive vacuum for time travel to hold
+                retained = sorted(
+                    set(self._history_versions(t)) | set(self._log_segments(t))
+                )
+                for v in retained:
                     if floor <= v < meta.version:
                         metas.append(self._load_version(t, v)[0])
             live: set[int] = set()

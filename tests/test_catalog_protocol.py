@@ -923,3 +923,106 @@ def test_vacuum_recheck_spares_generation_committed_mid_pass(lake, spark):
     assert committed["done"], "interleaved commit did not fire"
     assert not any("_seq=99" in p for p in removed), removed
     assert lake.fs.exists(f"{gen}/part-0.parquet"), "committed data deleted"
+
+
+def test_conditional_create_hook_arbitrates_seq_claims(lake, spark):
+    """S3-shaped claim arbitration: with a conditional-create hook
+    installed (modeling S3's If-None-Match PUT), 8 threads reserving a
+    generation number against the SAME loaded manifest must get 8
+    DISTINCT numbers — the hook is the only arbiter (no HEAD-then-PUT
+    fallback involved)."""
+    import threading
+
+    lake.create("prices", SCHEMA, ["year"], ["date", "ticker"])
+    meta = lake._load_meta("prices")
+    claimed: set = set()
+    mu = threading.Lock()
+    calls = {"n": 0}
+
+    def stub(p):  # atomic CAS, as S3 If-None-Match provides
+        with mu:
+            calls["n"] += 1
+            if p in claimed:
+                return False
+            claimed.add(p)
+            return True
+
+    orig_scheme = lake.fs.scheme
+    lake.fs.conditional_create_hook = stub
+    lake.fs.scheme = "s3a"
+    seqs: list = []
+    try:
+        barrier = threading.Barrier(8)
+
+        def worker():
+            barrier.wait(timeout=30)
+            s = lake._reserve_seq("prices", meta)
+            with mu:
+                seqs.append(s)
+
+        ts = [threading.Thread(target=worker) for _ in range(8)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join(timeout=60)
+    finally:
+        lake.fs.scheme = orig_scheme
+        del lake.fs.__dict__["conditional_create_hook"]
+    assert len(seqs) == 8 and len(set(seqs)) == 8, seqs
+    assert calls["n"] >= 8, "claims must route through the hook"
+
+
+def test_boto3_conditional_create_412_maps_to_lost_claim(monkeypatch):
+    """The boto3-backed hook translates S3's PreconditionFailed (412 on
+    If-None-Match) into 'lost the claim' (False) and re-raises anything
+    else — exercised against a fake boto3 injected into sys.modules, so
+    the logic is tested without AWS."""
+    import sys
+    import types as _t
+
+    from at_data_pipelines_spark import catalog as cat
+
+    class FakeClientError(Exception):
+        def __init__(self, code, status):
+            self.response = {
+                "Error": {"Code": code},
+                "ResponseMetadata": {"HTTPStatusCode": status},
+            }
+
+    state = {"objects": set()}
+
+    class FakeS3:
+        def put_object(self, Bucket, Key, Body, IfNoneMatch):
+            assert IfNoneMatch == "*"
+            if (Bucket, Key) in state["objects"]:
+                raise FakeClientError("PreconditionFailed", 412)
+            state["objects"].add((Bucket, Key))
+
+    fake_boto3 = _t.ModuleType("boto3")
+    fake_boto3.client = lambda svc: FakeS3()
+    fake_botocore = _t.ModuleType("botocore")
+    fake_exc = _t.ModuleType("botocore.exceptions")
+    fake_exc.ClientError = FakeClientError
+    fake_botocore.exceptions = fake_exc
+    monkeypatch.setitem(sys.modules, "boto3", fake_boto3)
+    monkeypatch.setitem(sys.modules, "botocore", fake_botocore)
+    monkeypatch.setitem(sys.modules, "botocore.exceptions", fake_exc)
+
+    hook = cat._boto3_conditional_create_factory()
+    assert hook is not None
+    assert hook("s3a://bucket/t/_claims/seq-0") is True
+    assert hook("s3a://bucket/t/_claims/seq-0") is False  # 412 -> lost
+    assert hook("s3a://bucket/t/_claims/seq-1") is True
+
+    # non-412 errors re-raise (credentials, throttling must not look
+    # like contention)
+    class FakeS3Err(FakeS3):
+        def put_object(self, **kw):
+            raise FakeClientError("SlowDown", 503)
+
+    fake_boto3.client = lambda svc: FakeS3Err()
+    hook2 = cat._boto3_conditional_create_factory()
+    import pytest as _pytest
+
+    with _pytest.raises(FakeClientError):
+        hook2("s3a://bucket/t/_claims/seq-2")

@@ -1,0 +1,239 @@
+"""Segmented manifest log (r8): past a size threshold, commits append
+O(touched-partitions) diff segments to ``_log/`` instead of rewriting the
+whole manifest, with a full checkpoint every N segments. These tests
+force the mode on (threshold=0) and check it is OBSERVATIONALLY
+IDENTICAL to the classic single-PUT protocol: same table contents, same
+manifest state, time travel to mid-segment versions, crash tolerance at
+every point around the checkpoint, and the same concurrency guarantees.
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from at_data_pipelines_spark.catalog import Lakehouse
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("ticker", T.StringType()),
+        T.StructField("date", T.DateType()),
+        T.StructField("year", T.IntegerType()),
+        T.StructField("close", T.DoubleType()),
+    ]
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        [(t, datetime.date.fromisoformat(d), int(d[:4]), c) for t, d, c in rows],
+        SCHEMA,
+    )
+
+
+@pytest.fixture
+def segmented():
+    """Force every commit through the segmented path."""
+    orig = Lakehouse._LOG_SEGMENT_THRESHOLD
+    Lakehouse._LOG_SEGMENT_THRESHOLD = 0
+    yield
+    Lakehouse._LOG_SEGMENT_THRESHOLD = orig
+
+
+@pytest.fixture
+def lake(spark, tmp_path, segmented):
+    return Lakehouse(spark, str(tmp_path / "lake"))
+
+
+def _state(lake, name):
+    m = lake._load_meta(name)
+    return (
+        m.version,
+        dict(m.committed),
+        list(m.live_deltas),
+        sorted(m.dirty_partitions),
+        m.all_dirty,
+        dict(m.zone_maps),
+        dict(m.properties),
+    )
+
+
+def test_segmented_differential_vs_classic(spark, tmp_path, segmented):
+    """The same op sequence through the segmented log and the classic
+    protocol must produce identical table contents AND identical logical
+    manifest state after every step (versions included — one commit is
+    one version either way)."""
+    seg = Lakehouse(spark, str(tmp_path / "seg"))
+    orig = Lakehouse._LOG_SEGMENT_THRESHOLD
+    Lakehouse._LOG_SEGMENT_THRESHOLD = 10**9  # classic for this handle only
+
+    class Classic(Lakehouse):
+        _LOG_SEGMENT_THRESHOLD = 10**9
+
+    Lakehouse._LOG_SEGMENT_THRESHOLD = 0
+    classic = Classic(spark, str(tmp_path / "classic"))
+
+    def step(op):
+        op(seg)
+        op(classic)
+        assert _state(seg, "t") == _state(classic, "t")
+        a = sorted(map(tuple, seg.table("t").collect()))
+        b = sorted(map(tuple, classic.table("t").collect()))
+        assert a == b
+
+    try:
+        for lk in (seg, classic):
+            lk.create(
+                "t", SCHEMA, ["year"], ["date", "ticker"], stats_columns=["close"]
+            )
+        step(lambda lk: lk.insert("t", _df(spark, [("A", "2023-01-02", 1.0)])))
+        step(lambda lk: lk.insert("t", _df(spark, [("B", "2024-01-02", 2.0)])))
+        step(lambda lk: lk.optimize("t"))
+        step(lambda lk: lk.upsert("t", _df(spark, [("A", "2023-01-02", 3.0)])))
+        step(lambda lk: lk.upsert("t", _df(spark, [("C", "2024-02-02", 4.0)])))
+        step(lambda lk: lk.delete_where("t", F.col("ticker") == "B"))
+        step(lambda lk: lk.set_properties("t", {"owner": "x"}))
+        step(lambda lk: lk.insert("t", _df(spark, [("D", "2025-01-02", 5.0)])))
+        step(lambda lk: lk.optimize("t"))
+    finally:
+        Lakehouse._LOG_SEGMENT_THRESHOLD = orig
+    # and the segmented table really did commit via segments
+    assert seg._log_segments("t"), "no diff segments were written"
+
+
+def test_checkpoint_cadence_and_fold(spark, tmp_path, segmented):
+    """Commits accumulate as segments; at _LOG_CHECKPOINT_EVERY the full
+    checkpoint is rewritten. A fresh handle (no in-memory state) folds
+    checkpoint+segments to the exact current state."""
+    lake = Lakehouse(spark, str(tmp_path / "lake"))
+    lake.create("t", SCHEMA, [], ["ticker", "date"])
+    v0 = lake._load_meta("t").version
+    n = Lakehouse._LOG_CHECKPOINT_EVERY + 3
+    for i in range(n):
+        lake.upsert("t", _df(spark, [("A", f"2024-01-{2 + i:02d}", float(i))]))
+    meta = Lakehouse(spark, lake.root)._load_meta("t")
+    ckpt = json.loads(lake.fs.read_text(lake._meta_path("t")))
+    assert meta.version > ckpt["version"] >= v0 + Lakehouse._LOG_CHECKPOINT_EVERY
+    assert lake.table("t").count() == n
+    # history() shows every commit, anchors and segments alike
+    hist = lake.history("t")
+    assert [h["version"] for h in hist] == list(range(v0, meta.version + 1))
+
+
+def test_crash_before_checkpoint_loses_nothing(spark, tmp_path, segmented):
+    """The segment PUT is the commit point: a crash between it and the
+    cadence checkpoint rewrite must leave the commit fully visible, and
+    a later commit heals the checkpoint."""
+    lake = Lakehouse(spark, str(tmp_path / "lake"))
+    lake.create("t", SCHEMA, [], ["ticker", "date"])
+
+    orig_save = Lakehouse._save_meta
+    boom = {"armed": False}
+
+    def crashing_save(self, meta):
+        if boom["armed"]:
+            boom["armed"] = False
+            raise RuntimeError("simulated crash before checkpoint rewrite")
+        return orig_save(self, meta)
+
+    Lakehouse._save_meta = crashing_save
+    try:
+        for i in range(Lakehouse._LOG_CHECKPOINT_EVERY - 1):
+            lake.upsert("t", _df(spark, [("A", f"2024-01-{2 + i:02d}", float(i))]))
+        boom["armed"] = True
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            lake.upsert("t", _df(spark, [("Z", "2024-03-01", 9.0)]))
+    finally:
+        Lakehouse._save_meta = orig_save
+    # the crashed commit IS committed (segment visible), checkpoint stale
+    fresh = Lakehouse(spark, lake.root)
+    rows = {r.ticker for r in fresh.table("t").collect()}
+    assert "Z" in rows
+    stale_ckpt = json.loads(fresh.fs.read_text(fresh._meta_path("t")))
+    assert stale_ckpt["version"] < fresh._load_meta("t").version
+    # the next cadence-due commit rewrites the checkpoint
+    fresh.upsert("t", _df(spark, [("Y", "2024-03-02", 10.0)]))
+    healed = json.loads(fresh.fs.read_text(fresh._meta_path("t")))
+    assert healed["version"] == fresh._load_meta("t").version
+    assert {r.ticker for r in fresh.table("t").collect()} >= {"Z", "Y"}
+
+
+def test_time_travel_reconstructs_mid_segment_versions(spark, tmp_path, segmented):
+    """table(name, version=N) for an N that has no archived full manifest
+    must reconstruct from the nearest checkpoint anchor + segments, and
+    retained snapshots referenced only by such versions must survive
+    vacuum."""
+    lake = Lakehouse(spark, str(tmp_path / "lake"))
+    lake.create("t", SCHEMA, [], ["ticker", "date"], retain_versions=50)
+    seen = {}
+    for i in range(6):
+        lake.upsert("t", _df(spark, [("A", f"2024-01-{2 + i:02d}", float(i))]))
+        seen[lake._load_meta("t").version] = i + 1
+    lake.vacuum("t", grace_s=0)
+    for v, n_rows in seen.items():
+        assert lake.table("t", version=v).count() == n_rows, f"version {v}"
+    # restore to a mid-segment version works too
+    target = sorted(seen)[2]
+    lake.restore("t", target)
+    assert lake.table("t").count() == seen[target]
+
+
+def test_segmented_concurrent_disjoint_upserts(spark, tmp_path, segmented):
+    """The two-thread disjoint-partition race, run entirely through the
+    segmented commit path: all commits land, none lost."""
+    import threading
+
+    lake = Lakehouse(spark, str(tmp_path / "lake"))
+    lake.create("prices", SCHEMA, ["year"], ["date", "ticker"])
+    lakes = [Lakehouse(spark, lake.root), Lakehouse(spark, lake.root)]
+    errs: list = []
+    barrier = threading.Barrier(2)
+
+    def writer(i, year):
+        try:
+            barrier.wait(timeout=60)
+            for step in range(3):
+                lakes[i].upsert(
+                    "prices",
+                    _df(spark, [(f"T{i}", f"{year}-01-{2 + step:02d}", float(step))]),
+                )
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    ts = [
+        threading.Thread(target=writer, args=(0, "2023")),
+        threading.Thread(target=writer, args=(1, "2024")),
+    ]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=300)
+    assert not errs, errs
+    rows = {(r.ticker, str(r.date)) for r in lake.table("prices").collect()}
+    assert rows == {
+        (f"T{i}", f"{y}-01-{2 + s:02d}")
+        for i, y in ((0, "2023"), (1, "2024"))
+        for s in range(3)
+    }
+    assert lake._log_segments("prices"), "race ran outside the segmented path"
+
+
+def test_segment_size_is_o_touched_not_o_table(spark, tmp_path, segmented):
+    """The point of the log: with many committed partitions, one commit's
+    segment names only the partitions it touched — the classic full
+    manifest would carry all of them."""
+    lake = Lakehouse(spark, str(tmp_path / "lake"))
+    lake.create("t", SCHEMA, ["year"], ["date", "ticker"])
+    years = [(f"T{y}", f"{2000 + y}-01-02", 1.0) for y in range(25)]
+    lake.upsert("t", _df(spark, years))  # 25 partitions committed
+    lake.upsert("t", _df(spark, [("X", "2003-01-03", 2.0)]))  # touches ONE
+    last = max(lake._log_segments("t"))
+    seg = json.loads(lake.fs.read_text(f"{lake._log_dir('t')}/v{last:012d}.json"))
+    touched = set(seg["committed_delta"])
+    assert touched == {"year=2003"}, touched
+    full = lake._load_meta("t")
+    assert len(full.committed) == 25
