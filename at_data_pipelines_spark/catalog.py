@@ -171,6 +171,15 @@ def _boto3_conditional_create_factory():
             status = e.response.get("ResponseMetadata", {}).get("HTTPStatusCode")
             if code == "PreconditionFailed" or status == 412:
                 return False
+            # S3 answers a conditional PUT racing ANOTHER in-flight
+            # conditional write on the same key with 409
+            # ConditionalRequestConflict (documented; AWS says retry).
+            # Either writer may in fact have won, but treating it as
+            # 'lost the claim' is always SAFE here: claims are one-shot
+            # sequence/lock probes, and a false loss only costs probing
+            # the next number / another wait round — never a shared seq.
+            if code == "ConditionalRequestConflict" or status == 409:
+                return False
             raise
 
     return hook
@@ -320,12 +329,15 @@ class _HadoopFS:
                 ).OVERWRITE
                 fc.rename(self._Path(tmp), self._Path(p), overwrite)
             except Exception:
-                # last resort: non-atomic delete+rename still shrinks the
-                # torn window to a missing-file (not truncated-JSON) read,
-                # which the bounded manifest re-read absorbs
-                self._fs.delete(self._Path(p), False)
-                if not self._fs.rename(self._Path(tmp), self._Path(p)):
-                    raise IOError(f"rename {tmp!r} -> {p!r} failed")
+                # last resort: plain truncate-and-write (the r7 shape).
+                # NOT delete-then-rename — a deleted manifest window makes
+                # the table look nonexistent (exists() false, a concurrent
+                # create(mode='skip') would truncate it) and a crash
+                # between delete and rename loses the manifest outright.
+                # The truncate window's torn-JSON read IS absorbed by
+                # _read_json_retry's bounded retry.
+                self._fs.delete(self._Path(tmp), False)
+                self.write_bytes(p, data)
         else:
             self.write_bytes(p, data)
 
@@ -407,9 +419,11 @@ class _HadoopFS:
     # with bespoke stores) can inject their own.
     conditional_create_hook = None
 
-    def create_exclusive(self, p: str) -> bool:
-        """Create ``p`` only if it does not exist; True iff this caller
-        won. On file:// this uses POSIX ``open(O_CREAT|O_EXCL)`` — a true
+    def create_exclusive(self, p: str, data: bytes = b"") -> bool:
+        """Create ``p`` (with optional ``data`` as its content, written
+        under the same exclusive handle) only if it does not exist; True
+        iff this caller won. On file:// this uses POSIX
+        ``open(O_CREAT|O_EXCL)`` — a true
         atomic claim (Hadoop's RawLocalFileSystem ``create(overwrite=
         false)`` is exists-check-then-FileOutputStream, i.e. check-then-
         act: two local threads could both 'win' it). On HDFS the
@@ -432,16 +446,43 @@ class _HadoopFS:
                 )
             except FileExistsError:
                 return False
-            os.close(fd)
+            try:
+                if data:
+                    os.write(fd, data)
+            finally:
+                os.close(fd)
             return True
         try:
             out = self._fs.create(self._Path(p), False)
-            out.close()
+            try:
+                if data:
+                    out.write(bytearray(data))
+            finally:
+                out.close()
             return True
         except Exception:
             if self.exists(p):
                 return False
             raise
+
+    def link_exact(self, src: str, dst: str) -> bool:
+        """Materialize ``dst`` as ``src``'s content WITHOUT overwriting an
+        existing ``dst``; False when ``dst`` exists or ``src`` vanished.
+        file:// uses ``os.link`` (atomic, EEXIST-arbitrated by the
+        kernel); other schemes fall back to Hadoop rename, which refuses
+        an existing destination on HDFS."""
+        if self.scheme == "file":
+            import os
+
+            try:
+                os.link(self._local_path(src), self._local_path(dst))
+                return True
+            except (FileExistsError, FileNotFoundError):
+                return False
+        try:
+            return bool(self._fs.rename(self._Path(src), self._Path(dst)))
+        except Exception:
+            return False
 
     def rename_exact(self, src: str, dst: str) -> bool:
         """Atomic ``src -> dst`` move; False iff ``src`` no longer exists
@@ -1098,26 +1139,72 @@ class Lakehouse:
     _LOCK_LEASE_MS = 60_000
     _LOCK_TIMEOUT_S = 120.0
 
+    def _store_now_ms(self, near: str) -> int:
+        """The STORAGE SYSTEM's current clock, estimated by stamping a
+        probe file next to ``near`` and reading its mtime back. Lease
+        staleness must be judged in the store's clock — the lock mtime
+        was stamped by the namenode/S3, and a breaker host whose wall
+        clock runs a minute ahead would otherwise evict a LIVE holder
+        the instant it acquired (r8 review finding). One tiny write,
+        only on the rare already-looks-stale path."""
+        probe = f"{near}.clock-{uuid.uuid4().hex}"
+        try:
+            self.fs.write_bytes(probe, b"")
+            return self.fs.mtime(probe)
+        finally:
+            self.fs.delete(probe)
+
+    def _break_stale_lock(self, lock: str) -> None:
+        """Evict a crashed holder's lock, arbitrated so concurrent
+        breakers cannot destroy a LIVE lock: (1) the rename moves
+        exactly one file (losers no-op); (2) rename preserves mtime, so
+        the tombstone carries the true age of whatever was moved — if it
+        turns out FRESH (a rival breaker already evicted and a new
+        holder re-acquired between our staleness check and our rename),
+        it is restored via a no-overwrite link, never deleted. The
+        residual exposure — a restore finding the path re-taken by a
+        third acquirer within that microsecond window — requires a live
+        holder to also have stalled past the lease, which is the
+        documented correctness boundary of ANY lease-based lock."""
+        tomb = f"{lock}.broken-{uuid.uuid4().hex}"
+        if not self.fs.rename_exact(lock, tomb):
+            return  # another breaker won the eviction
+        tomb_ms = self.fs.mtime(tomb)
+        if tomb_ms and (
+            self._store_now_ms(lock) - tomb_ms > self._LOCK_LEASE_MS
+        ):
+            self.fs.delete(tomb)  # genuinely stale: eviction complete
+            return
+        self.fs.link_exact(tomb, lock)  # fresh victim: put it back
+        self.fs.delete(tomb)
+
     @contextmanager
     def _commit_lock(self, name: str):
         """Serialize the manifest commit section per table via an
         exclusive-create lock file (atomic on file://'s O_EXCL and
-        HDFS's namenode-arbitrated create; HEAD-then-PUT residual on
-        S3A, documented at ``create_exclusive``). Crashed holders are
-        evicted after ``_LOCK_LEASE_MS`` — the break itself is
-        arbitrated by an atomic rename, so exactly one breaker wins and
-        a freshly re-created lock (new mtime) is never stolen."""
+        HDFS's namenode-arbitrated create; If-None-Match CAS on S3 when
+        the boto3 hook is installed, HEAD-then-PUT residual otherwise —
+        documented at ``create_exclusive``). The lock content is this
+        holder's identity token: release deletes the lock only while it
+        is still OURS, so a holder that stalled past the lease and was
+        evicted cannot destroy its evictor's fresh lock. Crashed holders
+        are evicted after ``_LOCK_LEASE_MS``, judged in the STORE's
+        clock and arbitrated by ``_break_stale_lock``. Every loop
+        iteration sleeps and checks the deadline — a persistently
+        failing eviction degrades to the timeout error, never an
+        unbounded busy-spin."""
         lock = f"{self._dir(name)}/_commit.lock"
+        token = uuid.uuid4().hex.encode()
         deadline = time.monotonic() + self._LOCK_TIMEOUT_S
         while True:
-            if self.fs.create_exclusive(lock):
+            if self.fs.create_exclusive(lock, token):
                 break
             held_ms = self.fs.mtime(lock)
             if held_ms and (time.time() * 1000 - held_ms) > self._LOCK_LEASE_MS:
-                tomb = f"{lock}.broken-{uuid.uuid4().hex}"
-                if self.fs.rename_exact(lock, tomb):
-                    self.fs.delete(tomb)
-                continue
+                # looks stale by the local clock — confirm in the store's
+                # clock and evict with rename-arbitrated restore-on-error
+                if self._store_now_ms(lock) - held_ms > self._LOCK_LEASE_MS:
+                    self._break_stale_lock(lock)
             if time.monotonic() > deadline:
                 raise ConcurrentWriteError(
                     f"table {name!r}: commit lock held for over "
@@ -1129,7 +1216,11 @@ class Lakehouse:
         try:
             yield
         finally:
-            self.fs.delete(lock)
+            try:
+                if self.fs.read_bytes(lock) == token:
+                    self.fs.delete(lock)
+            except Exception:
+                pass  # lock vanished: we were evicted past our lease
 
     def _reserve_seq(self, name: str, meta: TableMeta) -> int:
         """Allocate a generation number no concurrent writer can share:
@@ -2358,6 +2449,52 @@ class Lakehouse:
         )
         rebase = self._make_rebase(before, meta, "rmw", base_rels=base)
         meta = self._commit_meta(meta, token, action, rebase=rebase)  # commit point
+        self._clean_superseded(name, meta, old_committed, old_deltas)
+
+    def rewrite(self, name: str, transform) -> None:
+        """Whole-table READ-MODIFY-WRITE with a caller-supplied
+        ``transform(df) -> DataFrame`` (same schema): read the table's
+        current rows — pending deltas included — PINNED to the manifest
+        loaded at entry, land the transformed result as one new
+        generation, and commit it as the table's entire visible state in
+        one manifest PUT. The commit carries the whole-table rmw guard:
+        ANY concurrent commit, even a plain append, raises
+        ConcurrentWriteError instead of being silently absorbed by the
+        rewrite (an append landing between a naive read and a naive
+        overwrite's own manifest load would pass the version check yet
+        be missing from the output — the r8 review's Bloom-compaction
+        race). This is the compaction primitive for LSM-style aggregate
+        tables (the persisted Bloom filter's bit_or collapse, custom
+        roll-ups) where ``optimize()``'s keep-latest-per-PK would be the
+        wrong merge; for routine PK dedup use ``optimize()``, which
+        prunes to dirty partitions instead of rewriting everything."""
+        meta = self._load_meta(name)
+        before = self._snapshot_meta(meta)
+        out = transform(self._read_raw(name, meta).drop(_SEQ_COL))
+        seq = self._reserve_seq(name, meta)
+        token = self._write_seq(name, meta, out, seq)
+        old_committed = dict(meta.committed)
+        old_deltas = list(meta.live_deltas)
+        if meta.partition_keys:
+            depth = len(meta.partition_keys)
+            pattern = "/".join(["*=*"] * depth)
+            written = self.fs.glob_dir_leaves(
+                f"{self._seq_dir(name, seq)}/{pattern}", depth
+            )
+            meta.committed = {rel: seq for rel in written}
+        elif token is not None:
+            meta.committed = {"": seq}
+        else:
+            meta.committed = {}
+        meta.live_deltas = []
+        meta.dirty_partitions = []
+        meta.all_dirty = False
+        meta.next_seq = max(meta.next_seq, seq + 1)
+        if meta.stats_columns and token is not None:
+            meta.zone_maps.update(self._collect_zone_maps(name, meta, seq))
+        self._prune_zone_maps(meta)
+        rebase = self._make_rebase(before, meta, "rmw", base_rels=None)
+        meta = self._commit_meta(meta, token, action="rewrite", rebase=rebase)
         self._clean_superseded(name, meta, old_committed, old_deltas)
 
     def _clean_superseded(

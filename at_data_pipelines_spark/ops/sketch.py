@@ -282,11 +282,20 @@ def bloom_table_sketch(lake, table: str) -> DataFrame:
 
 def bloom_compact_table(lake, table: str) -> None:
     """Rewrite the persisted filter to one row per word (bit_or of the
-    accumulated deltas) in a single overwrite commit — the LSM
+    accumulated deltas) in a single read-modify-write commit — the LSM
     compaction. NOT keep-latest-per-PK (that would drop bits recorded
     by older rows), which is why the table is created WITHOUT primary
-    keys: ``optimize()`` must never touch it."""
-    lake.insert(table, bloom_table_sketch(lake, table), mode="overwrite")
+    keys: ``optimize()`` must never touch it. Built on
+    ``Lakehouse.rewrite``, whose read is pinned to one manifest load
+    and whose commit conflicts with ANY concurrent commit — an append
+    landing mid-compaction raises ConcurrentWriteError rather than
+    being silently dropped from the compacted output (r8 review: a
+    bloom_table_sketch-then-overwrite compaction had a read/load gap an
+    append could fall into)."""
+    lake.rewrite(
+        table,
+        lambda df: df.groupBy("word").agg(F.expr("bit_or(bits)").alias("bits")),
+    )
 
 
 def bloom_update_table(
