@@ -517,11 +517,14 @@ def test_bloom_update_table_incremental(spark, tmp_path):
         ).collect()
     }
     assert raw_fpr == compact_fpr, "raw and collapsed probes must agree exactly"
-    # compaction: one overwrite commit, one row per word, bits unchanged
+    # compaction: one rewrite() commit, one row per word, bits unchanged.
+    # Data check FIRST (the point of the test), cadence bookkeeping after:
+    # rewrite() commits the compacted output as the table BASE, so no
+    # pending deltas remain.
     bloom_compact_table(lake, "bloom")
-    assert lake.pending_deltas("bloom") == 1
     stored = sorted(map(tuple, lake.table("bloom").collect()))
     assert stored == direct
+    assert lake.pending_deltas("bloom") == 0
 
 
 def test_bloom_update_table_compaction_cadence_from_manifest(spark, tmp_path):
@@ -543,7 +546,8 @@ def test_bloom_update_table_compaction_cadence_from_manifest(spark, tmp_path):
     upd(lake, 10)
     assert lake.pending_deltas("bloom") == 2
     upd(Lakehouse(spark, lake.root), 20)  # restart: cadence from manifest
-    assert lake.pending_deltas("bloom") == 1  # compacted at threshold 3
+    # compacted at threshold 3: rewrite() folds all deltas into the base
+    assert lake.pending_deltas("bloom") == 0
 
 
 # -- quantile sketch (ops/sketch.py, r7) ------------------------------------
