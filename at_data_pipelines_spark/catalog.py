@@ -93,6 +93,7 @@ restated in a plain hive layout):
 from __future__ import annotations
 
 import json
+import random
 import re
 import time
 import uuid
@@ -158,13 +159,20 @@ def _boto3_conditional_create_factory():
         return None
     client = {}
 
-    def hook(p: str) -> bool:
+    def hook(p: str, data: bytes = b"") -> bool:
         rest = p.split("://", 1)[1]
         bucket, _, key = rest.partition("/")
         if "c" not in client:  # one client per hook, built lazily
             client["c"] = boto3.client("s3")
         try:
-            client["c"].put_object(Bucket=bucket, Key=key, Body=b"", IfNoneMatch="*")
+            # Body carries the caller's payload — the commit lock stores
+            # its holder token here, and release only deletes while the
+            # lock still reads back as OUR token. An empty body (the r8
+            # shape) made that check never match: every commit leaked
+            # its lock and the next writer waited out the full lease.
+            client["c"].put_object(
+                Bucket=bucket, Key=key, Body=data, IfNoneMatch="*"
+            )
             return True
         except ClientError as e:
             code = str(e.response.get("Error", {}).get("Code", ""))
@@ -180,6 +188,59 @@ def _boto3_conditional_create_factory():
             # the next number / another wait round — never a shared seq.
             if code == "ConditionalRequestConflict" or status == 409:
                 return False
+            raise
+
+    return hook
+
+
+def _boto3_delete_if_older_factory():
+    """An atomic stale-object eviction hook for s3a:// roots:
+    ``hook(path, cutoff_ms) -> bool`` deletes the object iff it was last
+    written before ``cutoff_ms`` (epoch millis, store clock), keyed on
+    the ETag observed by the same HEAD that read the timestamp — a
+    DeleteObject with ``If-Match`` is a server-side CAS, so a lock
+    re-acquired between our HEAD and our DELETE survives (412 → False).
+    Stores that reject If-Match on delete fall back to an unconditional
+    delete right after the HEAD — one round-trip of residual exposure,
+    the same class as the documented HEAD-then-PUT claim fallback.
+    Returns None when boto3 is unavailable."""
+    try:
+        import boto3
+        from botocore.exceptions import ClientError
+    except Exception:
+        return None
+    client = {}
+
+    def hook(p: str, cutoff_ms: int) -> bool:
+        rest = p.split("://", 1)[1]
+        bucket, _, key = rest.partition("/")
+        if "c" not in client:
+            client["c"] = boto3.client("s3")
+        try:
+            head = client["c"].head_object(Bucket=bucket, Key=key)
+        except ClientError as e:
+            status = e.response.get("ResponseMetadata", {}).get("HTTPStatusCode")
+            code = str(e.response.get("Error", {}).get("Code", ""))
+            if status == 404 or code in ("404", "NoSuchKey", "NotFound"):
+                return False  # already gone
+            raise
+        if int(head["LastModified"].timestamp() * 1000) >= cutoff_ms:
+            return False  # fresh: a live holder (re-)acquired it
+        try:
+            client["c"].delete_object(
+                Bucket=bucket, Key=key, IfMatch=str(head["ETag"]).strip('"')
+            )
+            return True
+        except ClientError as e:
+            code = str(e.response.get("Error", {}).get("Code", ""))
+            status = e.response.get("ResponseMetadata", {}).get("HTTPStatusCode")
+            if code in ("PreconditionFailed", "ConditionalRequestConflict") or (
+                status in (412, 409)
+            ):
+                return False  # replaced since the HEAD: not ours to evict
+            if code in ("NotImplemented", "InvalidRequest") or status == 501:
+                client["c"].delete_object(Bucket=bucket, Key=key)
+                return True
             raise
 
     return hook
@@ -220,6 +281,9 @@ class _HadoopFS:
             hook = _boto3_conditional_create_factory()
             if hook is not None:
                 self.conditional_create_hook = hook
+            dhook = _boto3_delete_if_older_factory()
+            if dhook is not None:
+                self.delete_if_older_hook = dhook
 
     def exists(self, p: str) -> bool:
         return self._fs.exists(self._Path(p))
@@ -407,17 +471,21 @@ class _HadoopFS:
         return self._Path(p).toUri().getPath()
 
     # Pluggable atomic conditional-create for schemes where the Hadoop FS
-    # API cannot express one (S3A): ``hook(path_uri) -> bool`` creates the
-    # object iff absent and returns True iff THIS caller created it —
-    # False only on a genuine precondition failure (someone else holds
-    # it). S3 supports this publicly via `PutObject` + `If-None-Match: *`
-    # (412 on conflict); ``_boto3_conditional_create`` wires it through
-    # boto3 and is installed automatically for s3a:// roots when boto3
-    # imports. Without a hook, S3A claims fall back to HEAD-then-PUT —
-    # the documented residual one-round-trip race every Hadoop-FS commit
-    # protocol carries. Instance attribute so tests (and deployments
-    # with bespoke stores) can inject their own.
+    # API cannot express one (S3A): ``hook(path_uri, data) -> bool``
+    # creates the object WITH ``data`` as its body iff absent and returns
+    # True iff THIS caller created it — False only on a genuine
+    # precondition failure (someone else holds it). S3 supports this
+    # publicly via `PutObject` + `If-None-Match: *` (412 on conflict);
+    # ``_boto3_conditional_create`` wires it through boto3 and is
+    # installed automatically for s3a:// roots when boto3 imports.
+    # Without a hook, S3A claims fall back to HEAD-then-PUT — the
+    # documented residual one-round-trip race every Hadoop-FS commit
+    # protocol carries. Instance attributes so tests (and deployments
+    # with bespoke stores) can inject their own. ``delete_if_older_hook
+    # (path_uri, cutoff_ms) -> bool`` is the eviction counterpart: delete
+    # iff the object predates ``cutoff_ms``, atomically (ETag CAS on S3).
     conditional_create_hook = None
+    delete_if_older_hook = None
 
     def create_exclusive(self, p: str, data: bytes = b"") -> bool:
         """Create ``p`` (with optional ``data`` as its content, written
@@ -436,7 +504,7 @@ class _HadoopFS:
         the path actually exists — transient IO errors (credentials,
         throttling) re-raise instead of masquerading as contention."""
         if self.conditional_create_hook is not None and self.scheme != "file":
-            return bool(self.conditional_create_hook(p))
+            return bool(self.conditional_create_hook(p, data))
         if self.scheme == "file":
             import os
 
@@ -1156,16 +1224,41 @@ class Lakehouse:
 
     def _break_stale_lock(self, lock: str) -> None:
         """Evict a crashed holder's lock, arbitrated so concurrent
-        breakers cannot destroy a LIVE lock: (1) the rename moves
-        exactly one file (losers no-op); (2) rename preserves mtime, so
-        the tombstone carries the true age of whatever was moved — if it
-        turns out FRESH (a rival breaker already evicted and a new
-        holder re-acquired between our staleness check and our rename),
-        it is restored via a no-overwrite link, never deleted. The
-        residual exposure — a restore finding the path re-taken by a
-        third acquirer within that microsecond window — requires a live
-        holder to also have stalled past the lease, which is the
-        documented correctness boundary of ANY lease-based lock."""
+        breakers cannot destroy a LIVE lock.
+
+        file:// and HDFS — where rename is an atomic move that preserves
+        mtime: (1) the rename moves exactly one file (losers no-op);
+        (2) rename preserves mtime, so the tombstone carries the true
+        age of whatever was moved — if it turns out FRESH (a rival
+        breaker already evicted and a new holder re-acquired between our
+        staleness check and our rename), it is restored via a
+        no-overwrite link, never deleted. The residual exposure — a
+        restore finding the path re-taken by a third acquirer within
+        that microsecond window — requires a live holder to also have
+        stalled past the lease, which is the documented correctness
+        boundary of ANY lease-based lock.
+
+        Object stores (s3a, ...) — where rename is copy+delete and the
+        tombstone is stamped with the COPY time, so the restore dance
+        cannot judge age (r8 review: a genuinely stale lock was
+        unbreakable on s3a): evict via ``delete_if_older_hook`` when
+        installed — one HEAD reads (ETag, LastModified) together and the
+        DELETE is If-Match keyed on that ETag, so a lock re-acquired
+        in between survives (server-side CAS). Without a hook, re-read
+        the lock's mtime (S3 Last-Modified IS acquisition time — the
+        object is never modified in place) and plain-delete — one
+        round-trip of residual exposure, the same class as the
+        HEAD-then-PUT claim fallback documented at
+        ``create_exclusive``."""
+        if self.fs.scheme not in ("file", "hdfs", "viewfs"):
+            cutoff = self._store_now_ms(lock) - self._LOCK_LEASE_MS
+            if self.fs.delete_if_older_hook is not None:
+                self.fs.delete_if_older_hook(lock, cutoff)
+                return
+            held_ms = self.fs.mtime(lock)
+            if held_ms and held_ms < cutoff:
+                self.fs.delete(lock)
+            return
         tomb = f"{lock}.broken-{uuid.uuid4().hex}"
         if not self.fs.rename_exact(lock, tomb):
             return  # another breaker won the eviction
@@ -1196,13 +1289,22 @@ class Lakehouse:
         lock = f"{self._dir(name)}/_commit.lock"
         token = uuid.uuid4().hex.encode()
         deadline = time.monotonic() + self._LOCK_TIMEOUT_S
+        delay = 0.003
         while True:
             if self.fs.create_exclusive(lock, token):
                 break
             held_ms = self.fs.mtime(lock)
-            if held_ms and (time.time() * 1000 - held_ms) > self._LOCK_LEASE_MS:
-                # looks stale by the local clock — confirm in the store's
-                # clock and evict with rename-arbitrated restore-on-error
+            # Local-clock prefilter, store-clock confirm. A breaker host
+            # whose clock runs far BEHIND the store's never sees the
+            # lock as stale locally and degrades to the timeout error
+            # below rather than eviction — safe (no live lock is ever at
+            # risk from a slow clock), just slower; past HALF the
+            # timeout we consult the store clock regardless, so a
+            # crashed holder is still evicted within the deadline.
+            past_half = time.monotonic() > deadline - self._LOCK_TIMEOUT_S / 2
+            if held_ms and (
+                (time.time() * 1000 - held_ms) > self._LOCK_LEASE_MS or past_half
+            ):
                 if self._store_now_ms(lock) - held_ms > self._LOCK_LEASE_MS:
                     self._break_stale_lock(lock)
             if time.monotonic() > deadline:
@@ -1212,7 +1314,13 @@ class Lakehouse:
                     "pathological contention; inspect/remove "
                     f"{lock!r} if no writer is live"
                 )
-            time.sleep(0.003)
+            # exponential backoff with jitter: a bare 3 ms spin is ~300
+            # conditional PUTs/s per waiting writer against S3 —
+            # throttling bait. Cap at 250 ms; the guarded section is
+            # ~10 ms, so the cap costs at most one section-length extra
+            # wait while keeping contended request rates civil.
+            time.sleep(delay * (0.5 + random.random()))
+            delay = min(delay * 2, 0.25)
         try:
             yield
         finally:
@@ -1480,6 +1588,23 @@ class Lakehouse:
         self._commit_meta(
             meta, None, action=f"add_columns({[f_.name for f_ in fields]})"
         )
+
+    def set_primary_keys(self, name: str, primary_keys: list[str]) -> None:
+        """Change the table's primary-key declaration — METADATA-ONLY, no
+        data rewrite. The PKs drive ``optimize()``'s keep-latest dedup
+        and ``upsert()``'s merge identity for FUTURE operations; rows
+        already written are untouched (declaring new PKs does not
+        retroactively dedup — run ``optimize()`` for that). Dropping the
+        PKs (``[]``) turns the table append-only with duplicates as
+        state — the LSM-aggregate shape (e.g. the persisted Bloom
+        filter), where keep-latest would LOSE information."""
+        meta = self._load_meta(name)
+        names = set(meta.schema.fieldNames())
+        for c in primary_keys:
+            if c not in names:
+                raise ValueError(f"primary key {c!r} not in schema for {name!r}")
+        meta.primary_keys = list(primary_keys)
+        self._commit_meta(meta, None, action=f"set_primary_keys({primary_keys})")
 
     def set_stats_columns(self, name: str, stats_columns: list[str]) -> None:
         """Enable/alter zone maps on an existing table. Applies to FUTURE

@@ -939,7 +939,7 @@ def test_conditional_create_hook_arbitrates_seq_claims(lake, spark):
     mu = threading.Lock()
     calls = {"n": 0}
 
-    def stub(p):  # atomic CAS, as S3 If-None-Match provides
+    def stub(p, data=b""):  # atomic CAS, as S3 If-None-Match provides
         with mu:
             calls["n"] += 1
             if p in claimed:
@@ -989,7 +989,7 @@ def test_boto3_conditional_create_412_maps_to_lost_claim(monkeypatch):
                 "ResponseMetadata": {"HTTPStatusCode": status},
             }
 
-    state = {"objects": set()}
+    state = {"objects": set(), "bodies": {}}
 
     class FakeS3:
         def put_object(self, Bucket, Key, Body, IfNoneMatch):
@@ -997,6 +997,7 @@ def test_boto3_conditional_create_412_maps_to_lost_claim(monkeypatch):
             if (Bucket, Key) in state["objects"]:
                 raise FakeClientError("PreconditionFailed", 412)
             state["objects"].add((Bucket, Key))
+            state["bodies"][(Bucket, Key)] = Body
 
     fake_boto3 = _t.ModuleType("boto3")
     fake_boto3.client = lambda svc: FakeS3()
@@ -1013,6 +1014,11 @@ def test_boto3_conditional_create_412_maps_to_lost_claim(monkeypatch):
     assert hook("s3a://bucket/t/_claims/seq-0") is True
     assert hook("s3a://bucket/t/_claims/seq-0") is False  # 412 -> lost
     assert hook("s3a://bucket/t/_claims/seq-1") is True
+    # the payload reaches S3 as the object body — the commit lock's
+    # holder token travels this path (empty Body = leaked locks, r8 bug)
+    assert hook("s3a://bucket/t/_commit.lock", b"tok-123") is True
+    assert state["bodies"][("bucket", "t/_commit.lock")] == b"tok-123"
+    assert state["bodies"][("bucket", "t/_claims/seq-1")] == b""
 
     # non-412 errors re-raise (credentials, throttling must not look
     # like contention)
@@ -1026,3 +1032,184 @@ def test_boto3_conditional_create_412_maps_to_lost_claim(monkeypatch):
 
     with _pytest.raises(FakeClientError):
         hook2("s3a://bucket/t/_claims/seq-2")
+
+
+def test_commit_lock_token_roundtrip_through_hook_s3a(lake, spark):
+    """s3a-shaped commit lock: the holder token must travel THROUGH the
+    conditional-create hook into the lock body (r8 bug: the hook put
+    Body=b'', so release's read-back-token check never matched and every
+    commit leaked its lock — the next writer waited out the full 60 s
+    lease). With a faithful stub: the lock carries the token while held,
+    release deletes it, and an immediate re-acquisition is instant."""
+    import os
+    import time as _time
+
+    lake.create("prices", SCHEMA, ["year"], ["date", "ticker"])
+    lock = f"{lake._dir('prices')}/_commit.lock"
+    captured = {}
+
+    def stub(p, data=b""):  # models S3 If-None-Match PUT with a Body
+        if os.path.exists(p):
+            return False
+        captured[p] = data
+        with open(p, "wb") as f:
+            f.write(data)
+        return True
+
+    orig_scheme = lake.fs.scheme
+    lake.fs.conditional_create_hook = stub
+    lake.fs.scheme = "s3a"
+    try:
+        with lake._commit_lock("prices"):
+            tok = lake.fs.read_bytes(lock)
+            assert tok == captured[lock] and len(tok) == 32, (
+                "lock body must carry the holder token"
+            )
+        assert not os.path.exists(lock), "release must delete a matching lock"
+        # the leak's symptom was here: a second acquisition stalling 60 s
+        t0 = _time.monotonic()
+        with lake._commit_lock("prices"):
+            pass
+        assert _time.monotonic() - t0 < 5, "re-acquisition must not wait a lease"
+        assert not os.path.exists(lock)
+    finally:
+        lake.fs.scheme = orig_scheme
+        del lake.fs.__dict__["conditional_create_hook"]
+
+
+def test_break_stale_lock_object_store_paths(lake, spark):
+    """Object-store eviction must NOT use the rename dance (s3a rename is
+    copy+delete: the tombstone always looks fresh and a genuinely stale
+    lock was unbreakable — r8 advisory). With a delete_if_older_hook the
+    eviction is one ETag-CAS delete; without one it is a
+    recheck-then-delete. Both paths: stale lock goes, fresh lock stays."""
+    import os
+    import time as _time
+
+    lake.create("prices", SCHEMA, ["year"], ["date", "ticker"])
+    lock = f"{lake._dir('prices')}/_commit.lock"
+
+    def make_lock(age_s):
+        with open(lock, "wb") as f:
+            f.write(b"deadbeef" * 4)
+        old = _time.time() - age_s
+        os.utime(lock, (old, old))
+
+    calls = []
+
+    def dhook(p, cutoff_ms):  # models boto3 HEAD + DeleteObject If-Match
+        calls.append((p, cutoff_ms))
+        if os.path.exists(p) and os.stat(p).st_mtime * 1000 < cutoff_ms:
+            os.remove(p)
+            return True
+        return False
+
+    orig_scheme = lake.fs.scheme
+    lake.fs.scheme = "s3a"
+    try:
+        # hook path: stale evicted, fresh survives
+        lake.fs.delete_if_older_hook = dhook
+        make_lock(age_s=120)
+        lake._break_stale_lock(lock)
+        assert calls and not os.path.exists(lock), "stale lock must be evicted"
+        make_lock(age_s=0)
+        lake._break_stale_lock(lock)
+        assert os.path.exists(lock), "fresh lock must survive the hook path"
+        os.remove(lock)
+        # hookless path: recheck-then-delete
+        lake.fs.delete_if_older_hook = None
+        make_lock(age_s=120)
+        lake._break_stale_lock(lock)
+        assert not os.path.exists(lock), "stale lock must be evicted hookless"
+        make_lock(age_s=0)
+        lake._break_stale_lock(lock)
+        assert os.path.exists(lock), "fresh lock must survive hookless"
+    finally:
+        lake.fs.scheme = orig_scheme
+        lake.fs.__dict__.pop("delete_if_older_hook", None)
+
+
+def test_boto3_delete_if_older_hook(monkeypatch):
+    """The boto3 eviction hook against a fake S3: deletes only objects
+    older than the cutoff, keys the delete on the HEAD's ETag (412 →
+    False, the lock was re-acquired in between), 404 → False, and falls
+    back to an unconditional delete where If-Match is unsupported."""
+    import datetime as _dt
+    import sys
+    import types as _t
+
+    from at_data_pipelines_spark import catalog as cat
+
+    class FakeClientError(Exception):
+        def __init__(self, code, status):
+            self.response = {
+                "Error": {"Code": code},
+                "ResponseMetadata": {"HTTPStatusCode": status},
+            }
+
+    now = _dt.datetime.now(_dt.timezone.utc)
+    state = {
+        "objects": {
+            ("b", "t/old.lock"): (now - _dt.timedelta(seconds=120), "etag-old"),
+            ("b", "t/new.lock"): (now, "etag-new"),
+            ("b", "t/raced.lock"): (now - _dt.timedelta(seconds=120), "etag-r"),
+        },
+        "deleted": [],
+        "if_match_supported": True,
+    }
+
+    class FakeS3:
+        def head_object(self, Bucket, Key):
+            if (Bucket, Key) not in state["objects"]:
+                raise FakeClientError("NoSuchKey", 404)
+            ts, etag = state["objects"][(Bucket, Key)]
+            return {"LastModified": ts, "ETag": f'"{etag}"'}
+
+        def delete_object(self, Bucket, Key, IfMatch=None):
+            if IfMatch is not None and not state["if_match_supported"]:
+                raise FakeClientError("NotImplemented", 501)
+            _, etag = state["objects"].get((Bucket, Key), (None, None))
+            if IfMatch is not None and IfMatch != etag:
+                raise FakeClientError("PreconditionFailed", 412)
+            state["objects"].pop((Bucket, Key), None)
+            state["deleted"].append((Bucket, Key, IfMatch))
+
+    fake_boto3 = _t.ModuleType("boto3")
+    fake_boto3.client = lambda svc: FakeS3()
+    fake_botocore = _t.ModuleType("botocore")
+    fake_exc = _t.ModuleType("botocore.exceptions")
+    fake_exc.ClientError = FakeClientError
+    fake_botocore.exceptions = fake_exc
+    monkeypatch.setitem(sys.modules, "boto3", fake_boto3)
+    monkeypatch.setitem(sys.modules, "botocore", fake_botocore)
+    monkeypatch.setitem(sys.modules, "botocore.exceptions", fake_exc)
+
+    hook = cat._boto3_delete_if_older_factory()
+    assert hook is not None
+    cutoff = int((now - _dt.timedelta(seconds=60)).timestamp() * 1000)
+    assert hook("s3a://b/t/old.lock", cutoff) is True
+    assert state["deleted"] == [("b", "t/old.lock", "etag-old")]
+    assert hook("s3a://b/t/new.lock", cutoff) is False  # fresh: kept
+    assert ("b", "t/new.lock") in state["objects"]
+    assert hook("s3a://b/t/gone.lock", cutoff) is False  # 404 → already gone
+    # raced re-acquisition: ETag changed between HEAD and DELETE → kept
+    real_head = FakeS3.head_object
+
+    def raced_head(self, Bucket, Key):
+        out = real_head(self, Bucket, Key)
+        if Key == "t/raced.lock":
+            state["objects"][(Bucket, Key)] = (now, "etag-NEW")
+        return out
+
+    monkeypatch.setattr(FakeS3, "head_object", raced_head)
+    assert hook("s3a://b/t/raced.lock", cutoff) is False
+    assert ("b", "t/raced.lock") in state["objects"]
+    monkeypatch.setattr(FakeS3, "head_object", real_head)
+    # If-Match unsupported → unconditional delete right after the HEAD
+    state["if_match_supported"] = False
+    state["objects"][("b", "t/old2.lock")] = (
+        now - _dt.timedelta(seconds=120),
+        "etag-o2",
+    )
+    assert hook("s3a://b/t/old2.lock", cutoff) is True
+    assert ("b", "t/old2.lock") not in state["objects"]
