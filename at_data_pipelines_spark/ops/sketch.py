@@ -343,6 +343,21 @@ def bloom_update_table(
         [],
         mode="skip",
     )
+    # Migration guard: a words table created by the r7 (PK-upsert) layout
+    # carries primary_keys=["word"]. Appending duplicate-word deltas into
+    # a PK table is a trap — any routine optimize() would keep-latest and
+    # silently DROP OR'd bits (Bloom false negatives). Migrate in place:
+    # collapse to one row per word (bit_or preserves every bit present),
+    # then clear the PK so duplicates become legitimate LSM state. Both
+    # steps are idempotent — a crash between them re-runs the (no-op)
+    # collapse on the next update before the PK is cleared, and no append
+    # lands in between because the guard runs before this batch's insert.
+    if lake._load_meta(table).primary_keys:
+        lake.rewrite(
+            table,
+            lambda d: d.groupBy("word").agg(F.expr("bit_or(bits)").alias("bits")),
+        )
+        lake.set_primary_keys(table, [])
     batch = bloom_build(df, value_col, m_bits=m_bits, k=k, salt=salt)
     lake.insert(table, batch, mode="append")
     if compact_every and lake.pending_deltas(table) >= compact_every:

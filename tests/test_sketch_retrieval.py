@@ -601,3 +601,50 @@ def test_quantile_sketch_accuracy_merge_and_plan(spark):
     plan = quantile_sketch(df, "v", "k", k=512)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "Window" not in plan
+
+
+def test_bloom_update_table_migrates_r7_pk_layout(spark, tmp_path):
+    """A words table created by the r7 layout carries primary_keys=
+    ['word']; feeding it through the r8 append path without a guard
+    would let any routine optimize() keep-latest and silently drop OR'd
+    bits (false negatives). The guard must collapse + clear the PK on
+    first touch, and probes must stay exact through optimize()."""
+    from pyspark.sql import types as T
+
+    from at_data_pipelines_spark.catalog import Lakehouse
+    from at_data_pipelines_spark.ops.sketch import (
+        bloom_build,
+        bloom_probe,
+        bloom_table_sketch,
+        bloom_update_table,
+    )
+
+    lake = Lakehouse(spark, str(tmp_path / "lake"))
+    m, k = 1 << 10, 3
+    b0 = spark.createDataFrame([(f"doc-{i}",) for i in range(40)], ["v"])
+    b1 = spark.createDataFrame([(f"doc-{i}",) for i in range(20, 60)], ["v"])
+    # r7 shape: PK-upserted words table holding batch0's filter
+    lake.create(
+        "bloom",
+        T.StructType(
+            [T.StructField("word", T.LongType()), T.StructField("bits", T.LongType())]
+        ),
+        [],
+        ["word"],
+    )
+    lake.insert("bloom", bloom_build(b0, "v", m_bits=m, k=k))
+    # r8 update path must migrate (collapse + drop PK) before appending
+    bloom_update_table(lake, "bloom", b1, "v", m_bits=m, k=k, compact_every=0)
+    assert lake._load_meta("bloom").primary_keys == []
+    # the hazard the guard closes: optimize() must now be bit-preserving
+    lake.optimize("bloom")
+    union = b0.unionByName(b1)
+    direct = sorted(map(tuple, bloom_build(union, "v", m_bits=m, k=k).collect()))
+    logical = sorted(map(tuple, bloom_table_sketch(lake, "bloom").collect()))
+    assert logical == direct, "bits lost across migration + optimize()"
+    probed = bloom_probe(lake.table("bloom"), union, "v", m_bits=m, k=k)
+    assert all(r.maybe_member for r in probed.collect()), "false negatives"
+    # idempotent: a second update through the migrated table stays clean
+    bloom_update_table(lake, "bloom", b0, "v", m_bits=m, k=k, compact_every=0)
+    logical = sorted(map(tuple, bloom_table_sketch(lake, "bloom").collect()))
+    assert logical == direct
