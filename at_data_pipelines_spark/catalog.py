@@ -95,6 +95,7 @@ from __future__ import annotations
 import json
 import random
 import re
+import threading
 import time
 import uuid
 from contextlib import contextmanager
@@ -809,6 +810,11 @@ class TableMeta:
     # generation must satisfy (validated post-write, pre-commit — a
     # violating write deletes its generation and raises, nothing commits)
     checks: dict = field(default_factory=dict)
+    # stable identity minted at create(): distinguishes two LIVES of the
+    # same table name (drop+recreate, create(replace)) so the log-mode
+    # manifest cache can never fold one life's segments onto another
+    # life's base ("" on pre-r9 manifests — they predate the cache)
+    table_uuid: str = ""
 
     @property
     def schema(self) -> T.StructType:
@@ -827,6 +833,12 @@ class Lakehouse:
         self.root = root.rstrip("/")
         self.fs = _HadoopFS(spark, self.root)
         self.fs.mkdirs(self.root)
+        # per-handle folded-manifest cache for log-mode tables (see
+        # _read_meta_raw): name -> the last folded raw manifest dict.
+        # Guarded by a lock because handles are shared across threads
+        # (folds mutate the cached dict in place).
+        self._meta_cache: dict[str, dict] = {}
+        self._meta_cache_mu = threading.Lock()
 
     # fsspec/Polars-style option names → Hadoop s3a configuration keys
     # (the surface bl.connect_s3(path, storage_options) exposes —
@@ -928,6 +940,60 @@ class Lakehouse:
             if n.startswith("v") and n.endswith(".json")
         )
 
+    # Segments already folded into a checkpoint are RELOCATED here (not
+    # deleted — they reconstruct mid-segment versions for time travel),
+    # so the ``_log/`` LIST every manifest load pays stays O(checkpoint
+    # window), never O(total commits). This directory is listed only by
+    # time-travel/history calls.
+    def _archived_seg_dir(self, name: str) -> str:
+        return f"{self._history_dir(name)}/segments"
+
+    def _archived_segments(self, name: str) -> list[int]:
+        return sorted(
+            int(n[1:-5])
+            for n, _ in self.fs.list_files(self._archived_seg_dir(name))
+            if n.startswith("v") and n.endswith(".json")
+        )
+
+    def _read_segment(self, name: str, v: int) -> dict:
+        """One diff segment by version, wherever it lives: ``_log/``
+        first (the live window), then ``_history/segments/`` (relocated
+        past a checkpoint). A segment mid-relocation exists in at least
+        one of the two (the relocator copies before it deletes)."""
+        p = f"{self._log_dir(name)}/v{v:012d}.json"
+        if self.fs.exists(p):
+            try:
+                return self._read_json_retry(p)
+            except Exception:
+                pass  # relocated between the exists probe and the read
+        return self._read_json_retry(f"{self._archived_seg_dir(name)}/v{v:012d}.json")
+
+    def _relocate_log_segments(self, name: str, cutoff: int) -> None:
+        """Move segments with version < ``cutoff`` (the checkpoint just
+        written covers them) out of ``_log/`` into ``_history/segments/``.
+        The newest segment — version == cutoff, the one this commit wrote
+        — is kept as a FENCE: ``_log/`` is never empty once a table has
+        entered log mode, which is what lets the manifest cache detect a
+        rival's checkpoint+relocation as a version gap instead of
+        silently serving stale state. Best-effort and crash-safe: copy
+        before delete, so a reader always finds each segment in at least
+        one location; a failed move just leaves the segment for the next
+        checkpoint to retry."""
+        segs = [v for v in self._log_segments(name) if v < cutoff]
+        if not segs:
+            return
+        dst_dir = self._archived_seg_dir(name)
+        self.fs.mkdirs(dst_dir)
+        for v in segs:
+            src = f"{self._log_dir(name)}/v{v:012d}.json"
+            dst = f"{dst_dir}/v{v:012d}.json"
+            try:
+                if not self.fs.exists(dst):
+                    self.fs.write_text_atomic(dst, self.fs.read_text(src))
+                self.fs.delete(src)
+            except Exception:
+                continue  # retried at the next checkpoint; reads use both dirs
+
     # manifest fields stored as DELTAS in a segment (the two that grow
     # with partition count); everything else is carried whole per segment
     _LOG_DELTA_FIELDS = ("committed", "zone_maps")
@@ -949,6 +1015,30 @@ class Lakehouse:
                 raw[audit] = seg[audit]
         return raw
 
+    @staticmethod
+    def _copy_raw(raw: dict) -> dict:
+        """Hand-out copy of a cached raw manifest: shallow except the
+        container fields callers mutate. One level is enough — the
+        protocol only ever REBINDS inner values (zone-map stat dicts,
+        per-column analyze entries); nothing mutates them in place, so
+        sharing the leaves is safe and keeps a cache hit O(entries)
+        dict-copies instead of an O(bytes) JSON round-trip (the 9 s /
+        156 MB parse at 1M entries this cache exists to avoid)."""
+        out = dict(raw)
+        for k in ("committed", "zone_maps", "table_stats", "properties", "checks"):
+            if isinstance(out.get(k), dict):
+                out[k] = dict(out[k])
+        for k in (
+            "live_deltas",
+            "dirty_partitions",
+            "partition_keys",
+            "primary_keys",
+            "stats_columns",
+        ):
+            if isinstance(out.get(k), list):
+                out[k] = list(out[k])
+        return out
+
     def _read_meta_raw(self, name: str) -> dict:
         """Current manifest STATE: the checkpoint (_bl_meta.json) plus any
         newer diff segments from ``_log/`` applied in version order. For
@@ -956,14 +1046,66 @@ class Lakehouse:
         plus one (negative) existence probe of ``_log/``. The
         checkpoint's own version is recorded as ``_ckpt_version`` (a
         private key ``_meta_from_raw`` filters out) so the committer
-        knows when the checkpoint cadence is due."""
+        knows when the checkpoint cadence is due; ``_has_log`` records
+        that the table is in log mode (and stays there — see
+        ``_commit_state``).
+
+        LOG-MODE CACHE: for tables past the segment threshold the
+        checkpoint parse is the expensive part of every load (O(table
+        entries), measured ~0.3 s/16 MB at 100k and ~9 s/156 MB at 1M —
+        SCALING.md), so each handle keeps the last FOLDED raw manifest
+        per table and advances it by applying only the segments newer
+        than its version — O(touched-this-commit) per load. Soundness
+        does NOT rest on clocks or mtimes: commits bump the version by
+        exactly 1 under the commit lock, every log-mode commit writes a
+        segment, and relocation always keeps the newest segment in
+        ``_log/`` as a fence — so a rival's commits appear either as a
+        CONTIGUOUS run of segments cached_version+1.. (folded — same
+        state a full read would produce, since a checkpoint is just the
+        fold of its segments) or as a GAP / an empty ``_log/`` (cache
+        dropped, full re-read). Never a silent stale serve."""
+        segs = self._log_segments(name)
+        with self._meta_cache_mu:
+            cached = self._meta_cache.get(name)
+            if cached is not None:
+                newer = [v for v in segs if v > cached["version"]]
+                # valid hit: either no new commits (the fence is exactly
+                # our version) or a contiguous run starting right after
+                # it. Anything else — a gap (a rival checkpointed and
+                # relocated), an empty log (dropped/replaced table), a
+                # fence BELOW our version (a recreated life) — drops the
+                # cache and takes the full read.
+                ok = (
+                    bool(segs)
+                    and (
+                        newer
+                        == list(range(cached["version"] + 1, cached["version"] + 1 + len(newer)))
+                    )
+                    and (max(segs) == cached["version"] if not newer else True)
+                )
+                if ok:
+                    try:
+                        for v in newer:
+                            seg = self._read_segment(name, v)
+                            if (
+                                seg.get("full", {}).get("table_uuid", "")
+                                != cached.get("table_uuid", "")
+                            ):
+                                raise LookupError("segment from another table life")
+                            self._apply_segment(cached, seg)
+                        return self._copy_raw(cached)
+                    except Exception:
+                        pass  # vanished segment / foreign life: full read
+                self._meta_cache.pop(name, None)
         raw = self._read_json_retry(self._meta_path(name))
         raw["_ckpt_version"] = raw.get("version", 0)
-        for v in self._log_segments(name):
+        for v in segs:
             if v > raw["version"]:
-                raw = self._apply_segment(
-                    raw, self._read_json_retry(f"{self._log_dir(name)}/v{v:012d}.json")
-                )
+                raw = self._apply_segment(raw, self._read_segment(name, v))
+        raw["_has_log"] = bool(segs)
+        if segs:
+            with self._meta_cache_mu:
+                self._meta_cache[name] = self._copy_raw(raw)
         return raw
 
     def _load_meta(self, name: str) -> TableMeta:
@@ -1035,21 +1177,19 @@ class Lakehouse:
             return TableMeta(**{k: v for k, v in raw.items() if k in known}), raw
         # segmented mode archives only every checkpoint; intermediate
         # versions reconstruct as nearest archived anchor ≤ version plus
-        # the diff segments up to it (segments are append-only and never
-        # deleted, so reconstruction works as far back as the anchors go)
+        # the diff segments up to it (segments are relocated to
+        # _history/segments/ past a checkpoint, never deleted, so
+        # reconstruction works as far back as the anchors go)
         anchors = [w for w in self._history_versions(name) if w <= version]
         if anchors:
-            have = set(self._log_segments(name))
+            have = set(self._log_segments(name)) | set(self._archived_segments(name))
             w = max(anchors)
             if all(v in have for v in range(w + 1, version + 1)):
                 raw = self._read_json_retry(
                     f"{self._history_dir(name)}/v{w:012d}.json"
                 )
                 for v in range(w + 1, version + 1):
-                    raw = self._apply_segment(
-                        raw,
-                        self._read_json_retry(f"{self._log_dir(name)}/v{v:012d}.json"),
-                    )
+                    raw = self._apply_segment(raw, self._read_segment(name, v))
                 known = {f.name for f in dataclass_fields(TableMeta)}
                 return TableMeta(**{k: v for k, v in raw.items() if k in known}), raw
         raise SnapshotExpiredError(
@@ -1065,20 +1205,34 @@ class Lakehouse:
         archive read (a full manifest copy), so pass ``limit`` for the
         most recent N on long-lived tables. Segmented-mode commits
         (diff segments between checkpoints) appear too — their entries
-        reconstruct from the nearest checkpoint anchor."""
-        versions = sorted(set(self._history_versions(name)) | set(self._log_segments(name)))
+        FOLD FORWARD from the previous entry where versions are
+        contiguous (one segment read each, O(n) total for a full
+        listing), falling back to anchor reconstruction only at the
+        start of a ``limit`` window."""
+        versions = sorted(
+            set(self._history_versions(name))
+            | set(self._log_segments(name))
+            | set(self._archived_segments(name))
+        )
         if limit is not None:
             versions = versions[-limit:]
         out = []
+        cur: dict | None = None
         for v in versions:
-            meta, raw = self._load_version(name, v)
+            anchor = f"{self._history_dir(name)}/v{v:012d}.json"
+            if self.fs.exists(anchor):
+                cur = self._read_json_retry(anchor)
+            elif cur is not None and v == cur.get("version", -1) + 1:
+                cur = self._apply_segment(cur, self._read_segment(name, v))
+            else:
+                cur = self._load_version(name, v)[1]
             out.append(
                 {
                     "version": v,
-                    "ts": raw.get("_ts"),
-                    "action": raw.get("_action"),
-                    "live_deltas": len(meta.live_deltas),
-                    "committed_entries": len(meta.committed),
+                    "ts": cur.get("_ts"),
+                    "action": cur.get("_action"),
+                    "live_deltas": len(cur.get("live_deltas") or []),
+                    "committed_entries": len(cur.get("committed") or {}),
                 }
             )
         return out
@@ -1166,8 +1320,19 @@ class Lakehouse:
         segments. The segment PUT is the commit point (atomic swap);
         a crash before the checkpoint loses nothing — readers fold
         newer segments into the checkpoint on every load. Runs inside
-        the commit lock, so segment versions never collide."""
-        if len(meta.committed) + len(meta.zone_maps) < self._LOG_SEGMENT_THRESHOLD:
+        the commit lock, so segment versions never collide.
+
+        Log mode is STICKY: once a table has written segments, every
+        later commit writes one too — even if a compaction shrinks the
+        table back under the threshold. A small-path commit on a table
+        with live segments would be invisible to the manifest cache's
+        segment-based invalidation (no new segment, no gap), and
+        'checkpoint every 20 tiny commits' costs nothing on a small
+        table anyway."""
+        if (
+            len(meta.committed) + len(meta.zone_maps) < self._LOG_SEGMENT_THRESHOLD
+            and not on_disk.get("_has_log")
+        ):
             self._save_meta(meta)
             self._archive_meta(meta, action)
             return
@@ -1199,6 +1364,17 @@ class Lakehouse:
         ):
             self._save_meta(meta)
             self._archive_meta(meta, action)
+            self._relocate_log_segments(meta.name, meta.version)
+            # keep this handle's cadence counter current — the cached
+            # fold never re-reads the checkpoint, so without this the
+            # handle would believe a checkpoint is due on EVERY commit
+            # from here on (rival checkpoints advancing _ckpt_version
+            # go unseen too; that only costs an occasional duplicate
+            # checkpoint write, never correctness)
+            with self._meta_cache_mu:
+                c = self._meta_cache.get(meta.name)
+                if c is not None:
+                    c["_ckpt_version"] = meta.version
 
     # commit-lock lease: a holder that has been silent this long is
     # presumed crashed and its lock is broken (the section it guards is
@@ -1531,6 +1707,13 @@ class Lakehouse:
             replaced = self._load_meta(name)
             self.fs.delete(f"{self._dir(name)}/data")
             self.fs.delete(self._meta_path(name))
+            # relocate ALL log segments (no fence): the replaced table
+            # starts a fresh non-log life, and an EMPTY _log/ is exactly
+            # the signal that makes every handle's manifest cache drop
+            # its pre-replace fold instead of serving it as current
+            self._relocate_log_segments(name, replaced.version + 1)
+            with self._meta_cache_mu:
+                self._meta_cache.pop(name, None)
         for k in (partition_keys or []) + (primary_keys or []) + (stats_columns or []):
             if k not in schema.fieldNames():
                 raise ValueError(f"key {k!r} not in schema for table {name!r}")
@@ -1549,6 +1732,7 @@ class Lakehouse:
             stats_columns=list(stats_columns or []),
             retain_versions=int(retain_versions),
             checks=dict(checks or {}),
+            table_uuid=uuid.uuid4().hex,
         )
         if replaced is not None:
             hist = self._history_versions(name)
@@ -1560,6 +1744,8 @@ class Lakehouse:
     def drop(self, name: str) -> None:
         if self.exists(name):
             self.fs.delete(self._dir(name))
+        with self._meta_cache_mu:
+            self._meta_cache.pop(name, None)
 
     def add_columns(self, name: str, new_fields) -> None:
         """Widen the table schema — METADATA-ONLY, no data rewrite: the

@@ -237,3 +237,107 @@ def test_segment_size_is_o_touched_not_o_table(spark, tmp_path, segmented):
     assert touched == {"year=2003"}, touched
     full = lake._load_meta("t")
     assert len(full.committed) == 25
+
+
+def test_log_dir_stays_bounded_and_history_complete(spark, tmp_path, segmented):
+    """r9: segments already folded into a checkpoint are relocated to
+    _history/segments/, so _log/ holds at most one checkpoint window
+    (plus the fence) no matter how many commits the table has seen —
+    the manifest-load LIST is O(window), not O(total commits). History
+    and mid-segment time travel must still cover every version."""
+    lake = Lakehouse(spark, str(tmp_path / "lake"))
+    lake.create("t", SCHEMA, [], ["ticker", "date"])
+    v0 = lake._load_meta("t").version
+    n = 3 * Lakehouse._LOG_CHECKPOINT_EVERY + 5
+    for i in range(n):
+        lake.upsert("t", _df(spark, [("A", f"2024-{1 + i // 27:02d}-{1 + i % 27:02d}", float(i))]))
+    live = lake._log_segments("t")
+    assert len(live) <= Lakehouse._LOG_CHECKPOINT_EVERY + 1, live
+    # nothing lost: every version enumerable, oldest first
+    hist = lake.history("t")
+    vcur = lake._load_meta("t").version
+    assert [h["version"] for h in hist] == list(range(v0, vcur + 1))
+    # relocated segments still reconstruct mid-segment versions
+    relocated = lake._archived_segments("t")
+    assert relocated, "no segments were relocated"
+    mid = relocated[len(relocated) // 2]
+    meta_mid = lake._version_meta("t", mid)
+    assert meta_mid.version == mid
+
+
+def test_manifest_cache_folds_and_matches_full_read(spark, tmp_path, segmented):
+    """The per-handle cache must be observationally identical to a fresh
+    handle's checkpoint+segments fold after every commit."""
+    lake = Lakehouse(spark, str(tmp_path / "lake"))
+    lake.create("t", SCHEMA, ["year"], ["date", "ticker"], stats_columns=["close"])
+    for i in range(8):
+        lake.upsert("t", _df(spark, [(f"T{i % 3}", f"{2020 + i % 4}-01-{2 + i:02d}", float(i))]))
+        assert _state(lake, "t") == _state(Lakehouse(spark, lake.root), "t"), i
+    assert "t" in lake._meta_cache, "log-mode table never populated the cache"
+
+
+def test_manifest_cache_detects_rival_checkpoint_gap(spark, tmp_path, segmented):
+    """A handle that last read at version V while a rival advanced past a
+    checkpoint (relocating the segments V+1..) must take the full
+    re-read, never serve its stale fold."""
+    a = Lakehouse(spark, str(tmp_path / "lake"))
+    a.create("t", SCHEMA, [], ["ticker", "date"])
+    a.upsert("t", _df(spark, [("A", "2024-01-02", 1.0)]))
+    assert a.table("t").count() == 1  # a's cache now holds this fold
+    b = Lakehouse(spark, a.root)
+    for i in range(Lakehouse._LOG_CHECKPOINT_EVERY + 2):
+        b.upsert("t", _df(spark, [("B", f"2024-02-{1 + i:02d}", float(i))]))
+    assert b._archived_segments("t"), "rival checkpoint did not relocate"
+    # a's next load crosses the relocation gap -> full re-read
+    assert a.table("t").count() == 1 + Lakehouse._LOG_CHECKPOINT_EVERY + 2
+    assert a._load_meta("t").version == b._load_meta("t").version
+
+
+def test_manifest_cache_never_bleeds_across_table_lives(spark, tmp_path, segmented):
+    """drop+recreate and create(replace) start a new table LIFE; a handle
+    still holding the old life's fold must re-read, never serve it."""
+    a = Lakehouse(spark, str(tmp_path / "lake"))
+    a.create("t", SCHEMA, [], ["ticker", "date"])
+    a.upsert("t", _df(spark, [("OLD", "2024-01-02", 1.0)]))
+    assert {r.ticker for r in a.table("t").collect()} == {"OLD"}
+
+    b = Lakehouse(spark, a.root)
+    b.create("t", SCHEMA, [], ["ticker", "date"], mode="replace")
+    b.upsert("t", _df(spark, [("NEW", "2024-01-03", 2.0)]))
+    assert {r.ticker for r in a.table("t").collect()} == {"NEW"}, (
+        "stale pre-replace fold served as current"
+    )
+
+    b.drop("t")
+    b.create("t", SCHEMA, [], ["ticker", "date"])
+    b.upsert("t", _df(spark, [("THIRD", "2024-01-04", 3.0)]))
+    assert {r.ticker for r in a.table("t").collect()} == {"THIRD"}, (
+        "stale pre-drop fold served as current"
+    )
+
+
+def test_log_mode_is_sticky_after_shrink(spark, tmp_path):
+    """A table that entered log mode and then shrank under the threshold
+    must KEEP committing segments — a small-path commit would be
+    invisible to segment-based cache invalidation."""
+    orig = Lakehouse._LOG_SEGMENT_THRESHOLD
+    Lakehouse._LOG_SEGMENT_THRESHOLD = 3
+    try:
+        lake = Lakehouse(spark, str(tmp_path / "lake"))
+        lake.create("t", SCHEMA, ["year"], ["date", "ticker"])
+        rows = [(f"T{y}", f"{2000 + y}-01-02", 1.0) for y in range(6)]
+        lake.upsert("t", _df(spark, rows))  # 6 partitions > threshold
+        lake.upsert("t", _df(spark, [("X", "2001-01-03", 2.0)]))
+        assert lake._log_segments("t"), "table never entered log mode"
+        # shrink to one partition: now under the threshold
+        lake.delete_where("t", F.col("year") != 2001)
+        lake.optimize("t")
+        assert len(lake._load_meta("t").committed) <= 2
+        before = set(lake._log_segments("t")) | set(lake._archived_segments("t"))
+        lake.upsert("t", _df(spark, [("Y", "2001-01-04", 3.0)]))
+        after = set(lake._log_segments("t")) | set(lake._archived_segments("t"))
+        assert after - before, "post-shrink commit bypassed the log"
+        # and a rival handle agrees on the state
+        assert _state(lake, "t") == _state(Lakehouse(spark, lake.root), "t")
+    finally:
+        Lakehouse._LOG_SEGMENT_THRESHOLD = orig
