@@ -1063,7 +1063,14 @@ class Lakehouse:
         CONTIGUOUS run of segments cached_version+1.. (folded — same
         state a full read would produce, since a checkpoint is just the
         fold of its segments) or as a GAP / an empty ``_log/`` (cache
-        dropped, full re-read). Never a silent stale serve."""
+        dropped, full re-read). A drop+recreate whose new life lands on
+        EXACTLY the cached version would look like a fence hit, so every
+        fence-only hit re-reads the fence segment (one O(touched-size)
+        JSON GET) and verifies its ``table_uuid`` against the cached
+        life — a remembered "already verified" marker would be unsound,
+        because the file at that version can be REPLACED by a new life
+        between loads while keeping the same version number. Never a
+        silent stale serve."""
         segs = self._log_segments(name)
         with self._meta_cache_mu:
             cached = self._meta_cache.get(name)
@@ -1085,6 +1092,17 @@ class Lakehouse:
                 )
                 if ok:
                     try:
+                        if not newer:
+                            # fence-only hit: a recreated table whose NEW
+                            # life reached exactly our version would
+                            # otherwise serve the dead life's fold — read
+                            # the fence and check which life wrote it.
+                            fence = self._read_segment(name, max(segs))
+                            if (
+                                fence.get("full", {}).get("table_uuid", "")
+                                != cached.get("table_uuid", "")
+                            ):
+                                raise LookupError("fence from another table life")
                         for v in newer:
                             seg = self._read_segment(name, v)
                             if (
@@ -1705,13 +1723,33 @@ class Lakehouse:
             # reads of pre-replace versions fail honestly) and the new
             # create can't overwrite an archived version file.
             replaced = self._load_meta(name)
+            # relocate ALL log segments (no fence) BEFORE touching data
+            # or meta: an EMPTY _log/ is exactly the signal that makes
+            # every handle's manifest cache drop its pre-replace fold
+            # instead of serving it as current. Relocation is
+            # best-effort elsewhere (a checkpoint can retry), but HERE
+            # a leftover old-life segment is a correctness hazard — it
+            # could alias a rival's cached version and keep the fence
+            # uuid check passing (same old life) — so verify _log/
+            # really emptied and fail the replace if it did not. Doing
+            # this first (after folding the newest state into the
+            # checkpoint, so dropping the fence loses nothing) means a
+            # failed or crashed replace leaves the OLD table fully
+            # readable at its current version; the caller just retries.
+            if self._log_segments(name):
+                self._save_meta(replaced)
+                self._relocate_log_segments(name, replaced.version + 1)
+                leftover = self._log_segments(name)
+                if leftover:
+                    raise IOError(
+                        f"create(mode='replace') on {name!r}: could not "
+                        f"clear log segments {leftover} out of _log/ — a "
+                        "rival handle could mistake them for current "
+                        "state; the table is unchanged, retry the "
+                        "replace once the storage lets them move"
+                    )
             self.fs.delete(f"{self._dir(name)}/data")
             self.fs.delete(self._meta_path(name))
-            # relocate ALL log segments (no fence): the replaced table
-            # starts a fresh non-log life, and an EMPTY _log/ is exactly
-            # the signal that makes every handle's manifest cache drop
-            # its pre-replace fold instead of serving it as current
-            self._relocate_log_segments(name, replaced.version + 1)
             with self._meta_cache_mu:
                 self._meta_cache.pop(name, None)
         for k in (partition_keys or []) + (primary_keys or []) + (stats_columns or []):

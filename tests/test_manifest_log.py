@@ -246,9 +246,14 @@ def test_log_dir_stays_bounded_and_history_complete(spark, tmp_path, segmented):
     the manifest-load LIST is O(window), not O(total commits). History
     and mid-segment time travel must still cover every version."""
     lake = Lakehouse(spark, str(tmp_path / "lake"))
-    lake.create("t", SCHEMA, [], ["ticker", "date"])
-    v0 = lake._load_meta("t").version
     n = 3 * Lakehouse._LOG_CHECKPOINT_EVERY + 5
+    # retain_versions must cover every commit: with the default 0, each
+    # upsert of this UNPARTITIONED table rewrites the single base
+    # generation and reclaims its predecessor, so _version_meta on any
+    # old version raises SnapshotExpiredError by design — the end-to-end
+    # time-travel assertion below is only meaningful with retention on.
+    lake.create("t", SCHEMA, [], ["ticker", "date"], retain_versions=n + 10)
+    v0 = lake._load_meta("t").version
     for i in range(n):
         lake.upsert("t", _df(spark, [("A", f"2024-{1 + i // 27:02d}-{1 + i % 27:02d}", float(i))]))
     live = lake._log_segments("t")
@@ -314,6 +319,51 @@ def test_manifest_cache_never_bleeds_across_table_lives(spark, tmp_path, segment
     assert {r.ticker for r in a.table("t").collect()} == {"THIRD"}, (
         "stale pre-drop fold served as current"
     )
+
+
+def test_fence_hit_detects_recreated_life_at_same_version(spark, tmp_path, segmented):
+    """The narrow r9 hole: drop+recreate whose NEW life reaches EXACTLY
+    the version a stale handle has cached looks like a no-new-commits
+    fence hit (same max segment version, contiguity trivially holds).
+    The fence segment must be re-read and its table_uuid checked, or the
+    handle serves the dead life's fold as current state."""
+    a = Lakehouse(spark, str(tmp_path / "lake"))
+    a.create("t", SCHEMA, [], ["ticker", "date"])
+    for i in range(3):
+        a.upsert("t", _df(spark, [("OLD", f"2024-01-{2 + i:02d}", float(i))]))
+    assert a.table("t").count() == 3  # a's cache now holds life-1's fold
+
+    b = Lakehouse(spark, a.root)
+    b.drop("t")
+    b.create("t", SCHEMA, [], ["ticker", "date"])
+    for i in range(3):
+        b.upsert("t", _df(spark, [("NEW", f"2025-01-{2 + i:02d}", float(i))]))
+    # the trap requires the exact version coincidence — prove we built it
+    assert b._load_meta("t").version == a._meta_cache["t"]["version"]
+    assert {r.ticker for r in a.table("t").collect()} == {"NEW"}, (
+        "fence-only cache hit served a dead table life"
+    )
+
+
+def test_replace_fails_loudly_if_log_segments_cannot_move(spark, tmp_path, segmented):
+    """create(mode='replace') depends on _log/ ending EMPTY — a leftover
+    old-life segment could alias a rival's cached version AND carry the
+    old life's uuid, defeating both cache guards. Relocation is
+    best-effort elsewhere; here a failure must fail the replace."""
+    lake = Lakehouse(spark, str(tmp_path / "lake"))
+    lake.create("t", SCHEMA, [], ["ticker", "date"])
+    lake.upsert("t", _df(spark, [("A", "2024-01-02", 1.0)]))
+    assert lake._log_segments("t")
+    orig = Lakehouse._relocate_log_segments
+    try:
+        Lakehouse._relocate_log_segments = lambda self, name, cutoff: None
+        with pytest.raises(IOError, match="could not clear"):
+            lake.create("t", SCHEMA, [], ["ticker", "date"], mode="replace")
+    finally:
+        Lakehouse._relocate_log_segments = orig
+    # and with relocation working, the same replace succeeds and empties _log/
+    lake.create("t", SCHEMA, [], ["ticker", "date"], mode="replace")
+    assert not lake._log_segments("t")
 
 
 def test_log_mode_is_sticky_after_shrink(spark, tmp_path):
