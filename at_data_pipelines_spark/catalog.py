@@ -210,6 +210,13 @@ def _boto3_delete_if_older_factory():
         from botocore.exceptions import ClientError
     except Exception:
         return None
+    try:
+        from botocore.exceptions import ParamValidationError
+    except Exception:  # pragma: no cover - ancient botocore
+
+        class ParamValidationError(Exception):
+            pass
+
     client = {}
 
     def hook(p: str, cutoff_ms: int) -> bool:
@@ -243,6 +250,17 @@ def _boto3_delete_if_older_factory():
                 client["c"].delete_object(Bucket=bucket, Key=key)
                 return True
             raise
+        except (ParamValidationError, TypeError):
+            # CLIENT-side rejection: botocore versions predating S3
+            # conditional deletes refuse the IfMatch kwarg before any
+            # request is sent (ParamValidationError; very old SDKs raise
+            # TypeError). It is not a ClientError, so without this arm
+            # it would escape _break_stale_lock and make a crashed
+            # holder's lock unbreakable. Same unconditional-delete
+            # fallback as the server-side NotImplemented case — one
+            # round-trip of residual exposure.
+            client["c"].delete_object(Bucket=bucket, Key=key)
+            return True
 
     return hook
 
@@ -1072,49 +1090,73 @@ class Lakehouse:
         between loads while keeping the same version number. Never a
         silent stale serve."""
         segs = self._log_segments(name)
+        # MUTEX DISCIPLINE: _meta_cache_mu is handle-wide, so it must
+        # never be held across filesystem I/O — one slow S3 segment GET
+        # would block every other thread's manifest load for ALL tables
+        # on this handle. The hit path therefore snapshots the cached
+        # fold under the lock, does all _read_segment I/O on the PRIVATE
+        # copy, and swaps the advanced fold back in under the lock only
+        # if it is still strictly ahead of (and the same life as)
+        # whatever is cached by then — a rival thread advancing the
+        # cache concurrently just wins; both folds are verified.
         with self._meta_cache_mu:
             cached = self._meta_cache.get(name)
-            if cached is not None:
-                newer = [v for v in segs if v > cached["version"]]
-                # valid hit: either no new commits (the fence is exactly
-                # our version) or a contiguous run starting right after
-                # it. Anything else — a gap (a rival checkpointed and
-                # relocated), an empty log (dropped/replaced table), a
-                # fence BELOW our version (a recreated life) — drops the
-                # cache and takes the full read.
-                ok = (
-                    bool(segs)
-                    and (
-                        newer
-                        == list(range(cached["version"] + 1, cached["version"] + 1 + len(newer)))
-                    )
-                    and (max(segs) == cached["version"] if not newer else True)
+            snap = self._copy_raw(cached) if cached is not None else None
+        if snap is not None:
+            base_version = snap["version"]
+            newer = [v for v in segs if v > base_version]
+            # valid hit: either no new commits (the fence is exactly
+            # our version) or a contiguous run starting right after
+            # it. Anything else — a gap (a rival checkpointed and
+            # relocated), an empty log (dropped/replaced table), a
+            # fence BELOW our version (a recreated life) — drops the
+            # cache and takes the full read.
+            ok = (
+                bool(segs)
+                and (
+                    newer
+                    == list(range(base_version + 1, base_version + 1 + len(newer)))
                 )
-                if ok:
-                    try:
-                        if not newer:
-                            # fence-only hit: a recreated table whose NEW
-                            # life reached exactly our version would
-                            # otherwise serve the dead life's fold — read
-                            # the fence and check which life wrote it.
-                            fence = self._read_segment(name, max(segs))
-                            if (
-                                fence.get("full", {}).get("table_uuid", "")
-                                != cached.get("table_uuid", "")
-                            ):
-                                raise LookupError("fence from another table life")
-                        for v in newer:
-                            seg = self._read_segment(name, v)
-                            if (
-                                seg.get("full", {}).get("table_uuid", "")
-                                != cached.get("table_uuid", "")
-                            ):
-                                raise LookupError("segment from another table life")
-                            self._apply_segment(cached, seg)
-                        return self._copy_raw(cached)
-                    except Exception:
-                        pass  # vanished segment / foreign life: full read
-                self._meta_cache.pop(name, None)
+                and (max(segs) == base_version if not newer else True)
+            )
+            if ok:
+                try:
+                    if not newer:
+                        # fence-only hit: a recreated table whose NEW
+                        # life reached exactly our version would
+                        # otherwise serve the dead life's fold — read
+                        # the fence and check which life wrote it.
+                        fence = self._read_segment(name, max(segs))
+                        if (
+                            fence.get("full", {}).get("table_uuid", "")
+                            != snap.get("table_uuid", "")
+                        ):
+                            raise LookupError("fence from another table life")
+                        return snap
+                    for v in newer:
+                        seg = self._read_segment(name, v)
+                        if (
+                            seg.get("full", {}).get("table_uuid", "")
+                            != snap.get("table_uuid", "")
+                        ):
+                            raise LookupError("segment from another table life")
+                        self._apply_segment(snap, seg)
+                    with self._meta_cache_mu:
+                        cur = self._meta_cache.get(name)
+                        if cur is None or (
+                            cur.get("table_uuid") == snap.get("table_uuid")
+                            and cur["version"] < snap["version"]
+                        ):
+                            self._meta_cache[name] = self._copy_raw(snap)
+                    return snap
+                except Exception:
+                    pass  # vanished segment / foreign life: full read
+            # stale/foreign: drop the cache — but only if no rival has
+            # already replaced it with something newer while we looked
+            with self._meta_cache_mu:
+                cur = self._meta_cache.get(name)
+                if cur is not None and cur["version"] == base_version:
+                    self._meta_cache.pop(name, None)
         raw = self._read_json_retry(self._meta_path(name))
         raw["_ckpt_version"] = raw.get("version", 0)
         for v in segs:
@@ -1123,7 +1165,15 @@ class Lakehouse:
         raw["_has_log"] = bool(segs)
         if segs:
             with self._meta_cache_mu:
-                self._meta_cache[name] = self._copy_raw(raw)
+                cur = self._meta_cache.get(name)
+                # don't regress a fold a rival thread advanced past us
+                # while we were doing the full read (any verified fold
+                # is a sound base, but the newer one saves re-folding)
+                if cur is None or (
+                    cur.get("table_uuid") != raw.get("table_uuid")
+                    or cur["version"] <= raw["version"]
+                ):
+                    self._meta_cache[name] = self._copy_raw(raw)
         return raw
 
     def _load_meta(self, name: str) -> TableMeta:
@@ -1813,7 +1863,9 @@ class Lakehouse:
             meta, None, action=f"add_columns({[f_.name for f_ in fields]})"
         )
 
-    def set_primary_keys(self, name: str, primary_keys: list[str]) -> None:
+    def set_primary_keys(
+        self, name: str, primary_keys: list[str], force: bool = False
+    ) -> None:
         """Change the table's primary-key declaration — METADATA-ONLY, no
         data rewrite. The PKs drive ``optimize()``'s keep-latest dedup
         and ``upsert()``'s merge identity for FUTURE operations; rows
@@ -1821,12 +1873,41 @@ class Lakehouse:
         retroactively dedup — run ``optimize()`` for that). Dropping the
         PKs (``[]``) turns the table append-only with duplicates as
         state — the LSM-aggregate shape (e.g. the persisted Bloom
-        filter), where keep-latest would LOSE information."""
+        filter), where keep-latest would LOSE information.
+
+        GUARD: declaring PKs over a table whose LOGICAL rows are not
+        already unique under them arms exactly that trap — the next
+        routine ``optimize()`` keep-latests the duplicates and silently
+        drops rows that were data, not shadowed versions. So a changed,
+        non-empty declaration probes for duplicates first (one
+        ``groupBy(pks).count()`` job over the logical rows — current-PK
+        shadowing is applied, since those duplicates are commit state,
+        not data) and refuses if any exist; pass ``force=True`` to
+        declare anyway and accept that ``optimize()`` will keep-latest
+        them. Clearing PKs never probes — that direction cannot lose
+        rows."""
         meta = self._load_meta(name)
         names = set(meta.schema.fieldNames())
         for c in primary_keys:
             if c not in names:
                 raise ValueError(f"primary key {c!r} not in schema for {name!r}")
+        if primary_keys and list(primary_keys) != meta.primary_keys and not force:
+            dupes = (
+                self._read_logical(name, meta)
+                .groupBy(*primary_keys)
+                .count()
+                .filter(F.col("count") > 1)
+                .limit(1)
+                .count()
+            )
+            if dupes:
+                raise ValueError(
+                    f"table {name!r} has rows that are duplicates under the "
+                    f"proposed primary keys {list(primary_keys)!r}; declaring "
+                    "them would make the next optimize() silently keep-latest "
+                    "real data rows. Deduplicate first, or pass force=True to "
+                    "accept keep-latest semantics over the existing duplicates"
+                )
         meta.primary_keys = list(primary_keys)
         self._commit_meta(meta, None, action=f"set_primary_keys({primary_keys})")
 

@@ -25,11 +25,20 @@ hash itself is uniform by construction.
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 _HEX_BITS = 48  # 12 hex chars: exact in a double (< 2^53), cheap to compare
+
+# per-Lakehouse-handle memo of Bloom words tables already verified PK-free
+# (see bloom_update_table's migration guard); weak so a dropped handle
+# frees its entry rather than pinning the Lakehouse object forever
+_BLOOM_PK_MIGRATED: "weakref.WeakKeyDictionary[object, set]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def uniform_hash(col: F.Column | str) -> F.Column:
@@ -352,12 +361,37 @@ def bloom_update_table(
     # steps are idempotent — a crash between them re-runs the (no-op)
     # collapse on the next update before the PK is cleared, and no append
     # lands in between because the guard runs before this batch's insert.
-    if lake._load_meta(table).primary_keys:
-        lake.rewrite(
-            table,
-            lambda d: d.groupBy("word").agg(F.expr("bit_or(bits)").alias("bits")),
-        )
-        lake.set_primary_keys(table, [])
+    # The check needs a manifest load, which on the hot append path would
+    # cost one read PER BATCH just to re-learn a one-time fact — so each
+    # handle remembers which tables passed the check and skips it after
+    # the first clean pass (sound: this module never re-adds PKs, and a
+    # drop+recreate through lake.create above starts PK-free; only an
+    # out-of-band recreate WITH PKs could fool the memo, and that is the
+    # same out-of-band hazard set_primary_keys itself guards).
+    migrated = _BLOOM_PK_MIGRATED.setdefault(lake, set())
+    if table not in migrated:
+        if lake._load_meta(table).primary_keys:
+            try:
+                lake.rewrite(
+                    table,
+                    lambda d: d.groupBy("word").agg(
+                        F.expr("bit_or(bits)").alias("bits")
+                    ),
+                )
+                lake.set_primary_keys(table, [])
+            except ConcurrentWriteError as e:
+                # refusing to append is right (the PK trap is still
+                # armed), but tell the caller the fix is just to retry:
+                # the migration is idempotent and a rival updater's own
+                # guard may already have completed it.
+                raise ConcurrentWriteError(
+                    f"the one-time r7→r9 Bloom-table layout migration of "
+                    f"{table!r} raced a concurrent commit; retry "
+                    "bloom_update_table — the migration is idempotent and "
+                    "the batch was NOT appended (appending into the "
+                    "primary-key layout risks Bloom false negatives)"
+                ) from e
+        migrated.add(table)
     batch = bloom_build(df, value_col, m_bits=m_bits, k=k, salt=salt)
     lake.insert(table, batch, mode="append")
     if compact_every and lake.pending_deltas(table) >= compact_every:

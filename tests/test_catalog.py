@@ -335,3 +335,50 @@ def test_unreferenced_generation_invisible_and_vacuumed(lake, spark):
     removed = lake.vacuum("prices", grace_s=0)
     assert any("_seq=99" in p for p in removed)
     assert {r.ticker for r in lake.table("prices").collect()} == {"A"}
+
+
+def test_set_primary_keys_guards_against_duplicates(spark, tmp_path):
+    """Declaring PKs over a table with duplicate rows arms the silent
+    keep-latest trap: the next optimize() would drop real data rows.
+    set_primary_keys must probe and refuse (force=True overrides);
+    clearing PKs never probes — that direction cannot lose rows."""
+    lake = Lakehouse(spark, str(tmp_path / "lake"))
+    lake.create("t", SCHEMA, [], [])
+    lake.insert(
+        "t",
+        _df(
+            spark,
+            [("A", "2024-01-02", 1.0), ("A", "2024-01-02", 2.0), ("B", "2024-01-03", 3.0)],
+        ),
+    )
+    # ("A", 2024-01-02) appears twice -> refuse to declare those PKs
+    with pytest.raises(ValueError, match="duplicates under the proposed"):
+        lake.set_primary_keys("t", ["ticker", "date"])
+    assert lake._load_meta("t").primary_keys == []
+    # unique under a stricter identity -> allowed
+    lake.set_primary_keys("t", ["ticker", "date", "close"])
+    assert lake._load_meta("t").primary_keys == ["ticker", "date", "close"]
+    # clearing is always allowed, duplicates or not
+    lake.set_primary_keys("t", [])
+    assert lake._load_meta("t").primary_keys == []
+    # force declares anyway; optimize() then keep-latests as documented
+    lake.set_primary_keys("t", ["ticker", "date"], force=True)
+    lake.optimize("t")
+    assert lake.table("t").count() == 2
+
+
+def test_set_primary_keys_probe_uses_logical_rows(spark, tmp_path):
+    """Un-absorbed upsert deltas duplicate rows under the CURRENT PKs by
+    design (shadowing, resolved by keep-latest). Re-keying to a set the
+    LOGICAL rows are unique under must succeed — the probe must apply
+    current-PK shadowing first, not count raw commit state."""
+    lake = Lakehouse(spark, str(tmp_path / "lake"))
+    lake.create("t", SCHEMA, [], ["ticker", "date"])
+    lake.insert("t", _df(spark, [("A", "2024-01-02", 1.0), ("B", "2024-01-03", 2.0)]))
+    # append the same PK -> raw storage now holds two ("A", 2024-01-02)
+    # rows, shadow-resolved by keep-latest until optimize() absorbs them
+    lake.insert("t", _df(spark, [("A", "2024-01-02", 9.0)]), mode="append")
+    assert lake._load_meta("t").live_deltas, "precondition: un-absorbed delta"
+    assert lake.table("t").count() == 3, "precondition: raw duplicates visible"
+    lake.set_primary_keys("t", ["date", "ticker"])
+    assert lake._load_meta("t").primary_keys == ["date", "ticker"]

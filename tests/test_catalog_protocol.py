@@ -1213,3 +1213,50 @@ def test_boto3_delete_if_older_hook(monkeypatch):
     )
     assert hook("s3a://b/t/old2.lock", cutoff) is True
     assert ("b", "t/old2.lock") not in state["objects"]
+
+    # CLIENT-side rejection: botocore predating S3 conditional deletes
+    # raises ParamValidationError for the IfMatch kwarg BEFORE any
+    # request goes out — not a ClientError, so it must be caught
+    # separately and take the same unconditional-delete fallback
+    # (otherwise it escapes _break_stale_lock and a crashed holder's
+    # lock becomes unbreakable).
+    class FakeParamValidationError(Exception):
+        pass
+
+    fake_exc.ParamValidationError = FakeParamValidationError
+
+    class OldSdkS3(FakeS3):
+        def delete_object(self, Bucket, Key, IfMatch=None):
+            if IfMatch is not None:
+                raise FakeParamValidationError(
+                    "Unknown parameter in input: IfMatch"
+                )
+            super().delete_object(Bucket, Key)
+
+    fake_boto3.client = lambda svc: OldSdkS3()
+    state["if_match_supported"] = True
+    state["objects"][("b", "t/old3.lock")] = (
+        now - _dt.timedelta(seconds=120),
+        "etag-o3",
+    )
+    hook_old = cat._boto3_delete_if_older_factory()
+    assert hook_old("s3a://b/t/old3.lock", cutoff) is True
+    assert ("b", "t/old3.lock") not in state["objects"]
+
+    # very old SDKs raise TypeError for an unknown kwarg — same fallback
+    class AncientSdkS3(FakeS3):
+        def delete_object(self, Bucket, Key, **kw):
+            if kw:
+                raise TypeError(
+                    f"delete_object() got unexpected kwargs {sorted(kw)}"
+                )
+            super().delete_object(Bucket, Key)
+
+    fake_boto3.client = lambda svc: AncientSdkS3()
+    state["objects"][("b", "t/old4.lock")] = (
+        now - _dt.timedelta(seconds=120),
+        "etag-o4",
+    )
+    hook_ancient = cat._boto3_delete_if_older_factory()
+    assert hook_ancient("s3a://b/t/old4.lock", cutoff) is True
+    assert ("b", "t/old4.lock") not in state["objects"]

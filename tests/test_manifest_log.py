@@ -321,6 +321,57 @@ def test_manifest_cache_never_bleeds_across_table_lives(spark, tmp_path, segment
     )
 
 
+def test_cache_mutex_not_held_across_segment_io(spark, tmp_path, segmented):
+    """_meta_cache_mu is handle-wide: holding it across a segment GET
+    would serialize every table's manifest load on this handle behind
+    one slow read. Block one table's segment read mid-load and prove a
+    different table's load on the SAME handle still completes."""
+    import threading
+
+    lake = Lakehouse(spark, str(tmp_path / "lake"))
+    for name, tick in (("slowt", "A"), ("fastt", "B")):
+        lake.create(name, SCHEMA, [], ["ticker", "date"])
+        lake.upsert(name, _df(spark, [(tick, "2024-01-02", 1.0)]))
+        lake._load_meta(name)  # populate this handle's cache
+    rival = Lakehouse(spark, lake.root)
+    rival.upsert("slowt", _df(spark, [("A2", "2024-01-03", 2.0)]))
+    rival.upsert("fastt", _df(spark, [("B2", "2024-01-03", 2.0)]))
+
+    gate = threading.Event()
+    entered = threading.Event()
+    orig = lake._read_segment
+
+    def stalling_read(name, v):
+        if name == "slowt":
+            entered.set()
+            assert gate.wait(30), "test gate never opened"
+        return orig(name, v)
+
+    lake._read_segment = stalling_read
+    out = {}
+    t_slow = threading.Thread(
+        target=lambda: out.update(slow=lake._load_meta("slowt").version)
+    )
+    t_slow.start()
+    assert entered.wait(30)
+    done = threading.Event()
+    t_fast = threading.Thread(
+        target=lambda: (out.update(fast=lake._load_meta("fastt").version), done.set())
+    )
+    t_fast.start()
+    try:
+        assert done.wait(10), (
+            "another table's manifest load blocked behind a slow segment "
+            "GET — the cache mutex is being held across filesystem I/O"
+        )
+    finally:
+        gate.set()
+        t_slow.join(30)
+        t_fast.join(30)
+    assert out["slow"] == rival._load_meta("slowt").version
+    assert out["fast"] == rival._load_meta("fastt").version
+
+
 def test_fence_hit_detects_recreated_life_at_same_version(spark, tmp_path, segmented):
     """The narrow r9 hole: drop+recreate whose NEW life reaches EXACTLY
     the version a stale handle has cached looks like a no-new-commits

@@ -648,3 +648,77 @@ def test_bloom_update_table_migrates_r7_pk_layout(spark, tmp_path):
     bloom_update_table(lake, "bloom", b0, "v", m_bits=m, k=k, compact_every=0)
     logical = sorted(map(tuple, bloom_table_sketch(lake, "bloom").collect()))
     assert logical == direct
+
+
+def test_bloom_migration_check_memoized_per_handle(spark, tmp_path):
+    """The migration guard needs a manifest load to learn a ONE-TIME
+    fact; on the hot append path that would cost a read per batch. After
+    the first clean pass the handle must memoize and stop loading."""
+    from pyspark.sql import types as T
+
+    from at_data_pipelines_spark.catalog import Lakehouse
+    from at_data_pipelines_spark.ops.sketch import bloom_update_table
+
+    from at_data_pipelines_spark.ops import sketch as sk
+
+    lake = Lakehouse(spark, str(tmp_path / "lake"))
+    b = spark.createDataFrame([(f"doc-{i}",) for i in range(10)], ["v"])
+    bloom_update_table(lake, "bloom", b, "v", m_bits=1 << 10, k=3, compact_every=0)
+    assert "bloom" in sk._BLOOM_PK_MIGRATED[lake]
+    calls = []
+    orig = lake._load_meta
+    lake._load_meta = lambda name: (calls.append(name), orig(name))[1]
+    bloom_update_table(lake, "bloom", b, "v", m_bits=1 << 10, k=3, compact_every=0)
+    memoized_loads = len(calls)
+    # same call with the memo cleared pays exactly one EXTRA load — the
+    # guard's pre-append check; everything else (insert's own commit
+    # loads) is identical
+    sk._BLOOM_PK_MIGRATED[lake].discard("bloom")
+    calls.clear()
+    bloom_update_table(lake, "bloom", b, "v", m_bits=1 << 10, k=3, compact_every=0)
+    assert len(calls) == memoized_loads + 1, (
+        f"memoized call did {memoized_loads} manifest loads, unmemoized "
+        f"{len(calls)} — the guard's per-batch load was not elided"
+    )
+    # a FRESH handle re-checks once (no cross-handle bleed of the memo)
+    lake2 = Lakehouse(spark, lake.root)
+    assert lake2 not in sk._BLOOM_PK_MIGRATED
+    bloom_update_table(lake2, "bloom", b, "v", m_bits=1 << 10, k=3, compact_every=0)
+    assert "bloom" in sk._BLOOM_PK_MIGRATED[lake2]
+
+
+def test_bloom_migration_race_says_retry(spark, tmp_path):
+    """A concurrent commit landing mid-migration must surface as
+    ConcurrentWriteError (refusing the append is correct — the PK trap
+    is still armed) with a message telling the caller a plain retry
+    completes the one-time migration."""
+    import pytest as _pytest
+    from pyspark.sql import types as T
+
+    from at_data_pipelines_spark.catalog import ConcurrentWriteError, Lakehouse
+    from at_data_pipelines_spark.ops.sketch import bloom_build, bloom_update_table
+
+    lake = Lakehouse(spark, str(tmp_path / "lake"))
+    b = spark.createDataFrame([(f"doc-{i}",) for i in range(10)], ["v"])
+    lake.create(
+        "bloom",
+        T.StructType(
+            [T.StructField("word", T.LongType()), T.StructField("bits", T.LongType())]
+        ),
+        [],
+        ["word"],
+    )
+    lake.insert("bloom", bloom_build(b, "v", m_bits=1 << 10, k=3))
+
+    def racing_rewrite(table, fn):
+        raise ConcurrentWriteError("simulated rival commit")
+
+    lake.rewrite = racing_rewrite
+    with _pytest.raises(ConcurrentWriteError, match="retry"):
+        bloom_update_table(lake, "bloom", b, "v", m_bits=1 << 10, k=3)
+    del lake.rewrite
+    # the batch was NOT appended into the PK layout (trap still closed)
+    assert lake.table("bloom").groupBy("word").count().filter("count > 1").count() == 0
+    # and the plain retry completes the migration and the append
+    bloom_update_table(lake, "bloom", b, "v", m_bits=1 << 10, k=3, compact_every=0)
+    assert lake._load_meta("bloom").primary_keys == []
