@@ -344,6 +344,17 @@ class _HadoopFS:
         self.write_bytes(p, text.encode("utf-8"))
 
     def read_bytes(self, p: str) -> bytes:
+        if self.scheme == "file":
+            # os-level read: the py4j byte bridge moves ~18 MB/s, which
+            # turned a 51 MB checkpoint GET into ~2.8 s of pure transfer
+            # (SCALING.md cold-parse rung); skipping Hadoop's local
+            # checksum verification is benign — same bytes, and the
+            # atomic-write path already manages the .crc sidecars
+            try:
+                with open(self._local_path(p), "rb") as f:
+                    return f.read()
+            except IsADirectoryError:
+                pass  # fall through to the Hadoop reader's error shape
         stream = self._fs.open(self._Path(p))
         try:
             return bytes(self._IOUtils.toByteArray(stream))
@@ -351,20 +362,28 @@ class _HadoopFS:
             stream.close()
 
     def write_bytes(self, p: str, data: bytes) -> None:
+        if self.scheme == "file":
+            # os-level write (the py4j byte bridge costs ~2.8 s per 51 MB
+            # — see read_bytes). Any .crc left by an earlier JVM-side
+            # write must go, or a later Hadoop read pairs the new bytes
+            # with the old checksum and fails verification.
+            import os
+
+            lp = self._local_path(p)
+            os.makedirs(os.path.dirname(lp), exist_ok=True)
+            crc = os.path.join(
+                os.path.dirname(lp), f".{os.path.basename(lp)}.crc"
+            )
+            if os.path.exists(crc):
+                os.remove(crc)
+            with open(lp, "wb") as f:
+                f.write(data)
+            return
         stream = self._fs.create(self._Path(p), True)
         try:
             stream.write(bytearray(data))
         finally:
             stream.close()
-
-    def _raw_fs(self):
-        """The unchecksummed filesystem under a ChecksumFileSystem wrapper
-        (LocalFileSystem → RawLocalFileSystem); falls back to the wrapped
-        fs when there is no raw layer (HDFS, object stores)."""
-        try:
-            return self._fs.getRawFileSystem()
-        except Exception:
-            return self._fs
 
     def write_text_atomic(self, p: str, text: str) -> None:
         self.write_bytes_atomic(p, text.encode("utf-8"))
@@ -373,10 +392,10 @@ class _HadoopFS:
         """All-or-nothing replace of ``p``: a concurrent reader observes
         either the old bytes or the new bytes, never a truncated file.
 
-        - ``file://``: write a temp file via the RAW local fs (no ``.crc``
+        - ``file://``: write a temp file with plain OS I/O (no ``.crc``
           sidecar — a checksum sidecar would swap non-atomically alongside
-          the data) and ``rename()`` it over the target. Java's
-          ``File.renameTo`` is POSIX ``rename(2)``: an atomic replace.
+          the data) and ``os.replace()`` it over the target — POSIX
+          ``rename(2)``, an atomic replace.
           Any stale ``.crc`` left by the pre-atomic overwrite path is
           deleted BEFORE the swap, so no reader ever pairs new bytes with
           an old checksum (absent sidecar ⇒ readers skip verification).
@@ -386,20 +405,29 @@ class _HadoopFS:
           object stores already replaces the object atomically.
         """
         if self.scheme == "file":
-            raw = self._raw_fs()
-            tmp = f"{p}.tmp-{uuid.uuid4().hex}"
-            stream = raw.create(self._Path(tmp), True)
+            # pure-OS temp-write + rename(2): same atomic-replace contract
+            # as the previous raw-Hadoop-fs implementation, minus the
+            # py4j byte bridge (~2.8 s per 51 MB checkpoint) and the
+            # per-call JVM round-trips that taxed every tiny segment PUT
+            import os
+
+            lp = self._local_path(p)
+            parent = os.path.dirname(lp)
+            os.makedirs(parent, exist_ok=True)
+            tmp = f"{lp}.tmp-{uuid.uuid4().hex}"
             try:
-                stream.write(bytearray(data))
-            finally:
-                stream.close()
-            parent, name = p.rsplit("/", 1)
-            crc = self._Path(f"{parent}/.{name}.crc")
-            if raw.exists(crc):
-                raw.delete(crc, False)
-            if not raw.rename(self._Path(tmp), self._Path(p)):
-                raw.delete(self._Path(tmp), False)
-                raise IOError(f"atomic rename {tmp!r} -> {p!r} failed")
+                with open(tmp, "wb") as f:
+                    f.write(data)
+                crc = os.path.join(parent, f".{os.path.basename(lp)}.crc")
+                if os.path.exists(crc):
+                    os.remove(crc)
+                os.replace(tmp, lp)
+            except BaseException:
+                try:
+                    os.remove(tmp)
+                except OSError:
+                    pass
+                raise
         elif self.scheme in ("hdfs", "viewfs"):
             tmp = f"{p}.tmp-{uuid.uuid4().hex}"
             self.write_bytes(tmp, data)
@@ -1158,6 +1186,7 @@ class Lakehouse:
                 if cur is not None and cur["version"] == base_version:
                     self._meta_cache.pop(name, None)
         raw = self._read_json_retry(self._meta_path(name))
+        raw = self._inflate_entries(name, raw)
         raw["_ckpt_version"] = raw.get("version", 0)
         for v in segs:
             if v > raw["version"]:
@@ -1207,8 +1236,140 @@ class Lakehouse:
         ]
         return meta
 
+    # Columnar checkpoint (r10): past this many committed+zone_maps
+    # entries the checkpoint's two O(table) dicts move from inline JSON
+    # into a zstd parquet sidecar next to _bl_meta.json (13× fewer bytes
+    # at 1M entries: 3.9 vs 51 MB). The sidecar is immutable and
+    # version-named; the JSON atomically swaps a POINTER to it, so
+    # readers see old-JSON→old-sidecar or new-JSON→new-sidecar, never a
+    # torn pair. The previous sidecar is retained one checkpoint (a
+    # reader holding the old JSON may still be fetching it); older ones
+    # are GC'd best-effort on each save. _history/ archives keep FULL
+    # inline JSON — time travel and history() are unaffected.
+    #
+    # DEFAULT OFF (0): measured head-to-head (SCALING.md cold-parse
+    # rung, r10), a single C-speed json.loads of the inline checkpoint
+    # is FASTER than parquet-decode + Python re-materialization at both
+    # 100k and 1M entries once the local I/O fast path is in — full
+    # dict materialization is the floor, and JSON parses straight into
+    # it. Enable (e.g. 100_000) for object-store roots where checkpoint
+    # BYTES dominate: 13× smaller GETs/PUTs and a ~1.8× faster save
+    # wall, at ~25% slower local decode.
+    _COLUMNAR_CHECKPOINT_MIN_ENTRIES = 0
+
+    def _entries_sidecars(self, name: str) -> list[str]:
+        """Version-sorted sidecar file names present in the table dir."""
+        return sorted(
+            n
+            for n, _ in self.fs.list_files(self._dir(name))
+            if n.startswith("_bl_meta.entries-")
+        )
+
+    @staticmethod
+    def _entries_to_parquet(committed: dict, zone_maps: dict) -> bytes:
+        import io
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        table = pa.table(
+            {
+                "kind": pa.array(
+                    [0] * len(committed) + [1] * len(zone_maps), pa.int8()
+                ),
+                "key": pa.array(
+                    list(committed.keys()) + list(zone_maps.keys()), pa.string()
+                ),
+                "seq": pa.array(
+                    list(committed.values()) + [None] * len(zone_maps), pa.int64()
+                ),
+                "stats": pa.array(
+                    [None] * len(committed)
+                    + [json.dumps(v) for v in zone_maps.values()],
+                    pa.string(),
+                ),
+            }
+        )
+        buf = io.BytesIO()
+        pq.write_table(table, buf, compression="zstd")
+        return buf.getvalue()
+
+    @staticmethod
+    def _entries_from_parquet(data: bytes) -> tuple[dict, dict]:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(pa.BufferReader(data))
+        is_committed = pc.equal(t.column("kind"), 0)
+        ct = t.filter(is_committed)
+        zt = t.filter(pc.invert(is_committed))
+        committed = dict(
+            zip(ct.column("key").to_pylist(), ct.column("seq").to_pylist())
+        )
+        stats = zt.column("stats").to_pylist()
+        # one C-speed parse of the concatenated values instead of one
+        # json.loads per entry (~30% off the decode at 1M entries —
+        # SCALING.md cold-parse rung); sound because each element is a
+        # complete JSON object, so the join IS a valid JSON array
+        values = json.loads(f"[{','.join(stats)}]") if stats else []
+        zone_maps = dict(zip(zt.column("key").to_pylist(), values))
+        return committed, zone_maps
+
     def _save_meta(self, meta: TableMeta) -> None:
-        self.fs.write_text_atomic(self._meta_path(meta.name), json.dumps(meta.__dict__))
+        doc = dict(meta.__dict__)
+        n_entries = len(meta.committed) + len(meta.zone_maps)
+        threshold = self._COLUMNAR_CHECKPOINT_MIN_ENTRIES
+        if threshold and n_entries >= threshold:
+            sidecar = (
+                f"_bl_meta.entries-v{meta.version:012d}-{uuid.uuid4().hex[:8]}.parquet"
+            )
+            # sidecar first: uuid-named and unreferenced until the JSON
+            # pointer lands, so a crash here leaves only an orphan file
+            # (GC'd by a later save); no reader can observe it early
+            self.fs.write_bytes(
+                f"{self._dir(meta.name)}/{sidecar}",
+                self._entries_to_parquet(meta.committed, meta.zone_maps),
+            )
+            del doc["committed"], doc["zone_maps"]
+            doc["_entries_file"] = sidecar
+        self.fs.write_text_atomic(self._meta_path(meta.name), json.dumps(doc))
+        if threshold and n_entries >= threshold:
+            # GC sidecars older than the previous checkpoint's (names
+            # sort by version). Best-effort: a failure just leaves extra
+            # immutable files for the next save to reap.
+            for stale in self._entries_sidecars(meta.name)[:-2]:
+                try:
+                    self.fs.delete(f"{self._dir(meta.name)}/{stale}")
+                except Exception:
+                    pass
+
+    def _inflate_entries(self, name: str, raw: dict) -> dict:
+        """Resolve a columnar checkpoint's sidecar pointer back into the
+        inline ``committed``/``zone_maps`` dicts. If the sidecar named by
+        the JSON was GC'd between our JSON read and the fetch (two
+        checkpoints landed in that window), re-read the JSON — it now
+        names a live sidecar; bounded retries, then fail honestly."""
+        for _ in range(5):
+            ptr = raw.get("_entries_file")
+            if not ptr:
+                return raw
+            try:
+                data = self.fs.read_bytes(f"{self._dir(name)}/{ptr}")
+            except Exception:
+                raw = self._read_json_retry(self._meta_path(name))
+                continue
+            committed, zone_maps = self._entries_from_parquet(data)
+            raw = dict(raw)
+            del raw["_entries_file"]
+            raw["committed"] = committed
+            raw["zone_maps"] = zone_maps
+            return raw
+        raise IOError(
+            f"table {name!r}: checkpoint sidecar {raw.get('_entries_file')!r} "
+            "unreadable across 5 JSON re-reads — storage trouble or a GC "
+            "policy deleting sidecars faster than one checkpoint interval"
+        )
 
     # -- manifest history (time travel) ------------------------------------
     def _history_dir(self, name: str) -> str:
@@ -1450,6 +1611,11 @@ class Lakehouse:
     # need a minutes-long driver stall mid-commit)
     _LOCK_LEASE_MS = 60_000
     _LOCK_TIMEOUT_S = 120.0
+    # commit-lock wait: exponential backoff from INITIAL doubling to CAP
+    # (class attrs so the scale ladder can measure contention under the
+    # r8 bare-spin shape by pinning CAP = INITIAL)
+    _LOCK_BACKOFF_INITIAL_S = 0.003
+    _LOCK_BACKOFF_CAP_S = 0.25
 
     def _store_now_ms(self, near: str) -> int:
         """The STORAGE SYSTEM's current clock, estimated by stamping a
@@ -1533,7 +1699,7 @@ class Lakehouse:
         lock = f"{self._dir(name)}/_commit.lock"
         token = uuid.uuid4().hex.encode()
         deadline = time.monotonic() + self._LOCK_TIMEOUT_S
-        delay = 0.003
+        delay = self._LOCK_BACKOFF_INITIAL_S
         while True:
             if self.fs.create_exclusive(lock, token):
                 break
@@ -1564,7 +1730,7 @@ class Lakehouse:
             # ~10 ms, so the cap costs at most one section-length extra
             # wait while keeping contended request rates civil.
             time.sleep(delay * (0.5 + random.random()))
-            delay = min(delay * 2, 0.25)
+            delay = min(delay * 2, self._LOCK_BACKOFF_CAP_S)
         try:
             yield
         finally:
@@ -1800,6 +1966,8 @@ class Lakehouse:
                     )
             self.fs.delete(f"{self._dir(name)}/data")
             self.fs.delete(self._meta_path(name))
+            for stale in self._entries_sidecars(name):
+                self.fs.delete(f"{self._dir(name)}/{stale}")
             with self._meta_cache_mu:
                 self._meta_cache.pop(name, None)
         for k in (partition_keys or []) + (primary_keys or []) + (stats_columns or []):

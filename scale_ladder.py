@@ -210,11 +210,25 @@ def main() -> None:
     ap.add_argument(
         "--sections",
         default="all",
-        help="comma list of {queries,persist,ann_stream,zone,ivm,pagerank,bloom} (default all)",
+        help=(
+            "comma list of {queries,persist,ann_stream,zone,ivm,pagerank,"
+            "bloom,manifest,contention} (default all)"
+        ),
     )
     args = ap.parse_args()
     sections = (
-        {"queries", "persist", "ann_stream", "zone", "ivm", "pagerank", "bloom"}
+        {
+            "queries",
+            "persist",
+            "ann_stream",
+            "zone",
+            "ivm",
+            "pagerank",
+            "bloom",
+            "manifest",
+            "coldparse",
+            "contention",
+        }
         if args.sections == "all"
         else set(args.sections.split(","))
     )
@@ -353,6 +367,24 @@ def main() -> None:
             for tag, n in [("100k_prefill", 100_000), ("1M_prefill", 1_000_000)]
         }
 
+    if "manifest" in sections:
+        out["manifest_loads"] = {
+            tag: measure_manifest_loads(spark, n)
+            for tag, n in [("200_commits", 200), ("20k_commits", 20_000)]
+        }
+
+    if "coldparse" in sections:
+        out["cold_parse"] = {
+            tag: measure_cold_parse(spark, n)
+            for tag, n in [("100k_entries", 100_000), ("1M_entries", 1_000_000)]
+        }
+
+    if "contention" in sections:
+        out["commit_contention"] = {
+            f"{w}_writers": measure_commit_contention(spark, w)
+            for w in (1, 2, 8)
+        }
+
     print(json.dumps(out))
     spark.stop()
 
@@ -434,6 +466,217 @@ def measure_bloom_updates(spark, prefill_words: int, n_updates: int = 8) -> dict
         "batch_rows": 500,
         "per_update_s_min": round(min(walls), 3),
         "per_update_s_median": round(sorted(walls)[len(walls) // 2], 3),
+    }
+
+
+def measure_manifest_loads(spark, n_commits: int) -> dict:
+    """r9 ladder rung (the r8 task-#3 'done' criterion): manifest-load
+    wall must be FLAT vs TOTAL historical commits on a log-mode table.
+    The design claims: ``_log/`` stays O(checkpoint window) because
+    segments relocate to ``_history/segments/`` past each checkpoint,
+    a cold load is one checkpoint parse + O(window) segment folds, and
+    a warm (per-handle cached) load is one LIST + one fence-segment
+    life check — none of which grow with commit count. Protocol: drive
+    n metadata-only commits (each one a full log-protocol commit:
+    segment write, cadence checkpoint, relocation) over a table with a
+    realistic 64-partition fold, then time cold-handle and warm-handle
+    ``_load_meta`` and the LIST length."""
+    import tempfile
+    import time as _time
+
+    import pyspark.sql.functions as F
+
+    from at_data_pipelines_spark.catalog import Lakehouse
+    from pyspark.sql import types as T
+
+    work = tempfile.mkdtemp(prefix=f"manifest_{n_commits}_")
+    orig = Lakehouse._LOG_SEGMENT_THRESHOLD
+    Lakehouse._LOG_SEGMENT_THRESHOLD = 0  # log mode from the first commit
+    try:
+        lake = Lakehouse(spark, f"{work}/lake")
+        schema = T.StructType(
+            [T.StructField("k", T.LongType()), T.StructField("p", T.LongType())]
+        )
+        lake.create("t", schema, ["p"], ["k"])
+        lake.insert(
+            "t",
+            spark.range(20_000).select(
+                F.col("id").alias("k"), (F.col("id") % 64).alias("p")
+            ),
+        )
+        t0 = _time.perf_counter()
+        for i in range(n_commits):
+            lake.set_properties("t", {"tick": str(i)})
+        commit_wall = _time.perf_counter() - t0
+        warm = []
+        for _ in range(7):
+            t0 = _time.perf_counter()
+            lake._load_meta("t")
+            warm.append(_time.perf_counter() - t0)
+        cold = []
+        for _ in range(5):
+            t0 = _time.perf_counter()
+            Lakehouse(spark, lake.root)._load_meta("t")
+            cold.append(_time.perf_counter() - t0)
+        return {
+            "total_commits": n_commits,
+            "live_log_segments": len(lake._log_segments("t")),
+            "per_commit_s": round(commit_wall / n_commits, 5),
+            "warm_load_s_min": round(min(warm), 5),
+            "warm_load_s_median": round(sorted(warm)[len(warm) // 2], 5),
+            "cold_load_s_min": round(min(cold), 5),
+            "cold_load_s_median": round(sorted(cold)[len(cold) // 2], 5),
+        }
+    finally:
+        Lakehouse._LOG_SEGMENT_THRESHOLD = orig
+
+
+def measure_cold_parse(spark, n_entries: int) -> dict:
+    """r10 rung (the carried r8-task-#6 cold-parse boundary): a fresh
+    handle's first load of a huge checkpoint. The inline shape parses
+    one JSON blob single-threaded (r8 measured ~0.3 s/16 MB at 100k
+    entries, ~9 s/156 MB at 1M); the r10 columnar shape reads a small
+    JSON pointer plus a zstd parquet sidecar decoded by Arrow's
+    multithreaded reader. Protocol: synthesize a manifest with
+    n_entries/2 committed pointers + n_entries/2 zone-map entries
+    (realistic key shapes, two stat columns), _save_meta it under each
+    format, and time fresh-handle _load_meta."""
+    import tempfile
+    import time as _time
+
+    from pyspark.sql import types as T
+
+    from at_data_pipelines_spark.catalog import Lakehouse
+
+    work = tempfile.mkdtemp(prefix=f"coldparse_{n_entries}_")
+    lake = Lakehouse(spark, f"{work}/lake")
+    schema = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("v", T.DoubleType())]
+    )
+    lake.create("t", schema, [], [])
+    meta = lake._load_meta("t")
+    half = n_entries // 2
+    meta.committed = {f"p={i // 4}/q={i % 4}": i for i in range(half)}
+    meta.zone_maps = {
+        f"_seq={i}/p={i // 4}/q={i % 4}": {
+            "k": [i * 10, i * 10 + 9],
+            "v": [float(i), float(i) + 0.5],
+        }
+        for i in range(half)
+    }
+    out: dict = {"entries": n_entries}
+    orig = Lakehouse._COLUMNAR_CHECKPOINT_MIN_ENTRIES
+    try:
+        for shape, threshold in (("inline_json", 0), ("columnar", 1)):
+            Lakehouse._COLUMNAR_CHECKPOINT_MIN_ENTRIES = threshold
+            t0 = _time.perf_counter()
+            lake._save_meta(meta)
+            save_s = _time.perf_counter() - t0
+            files = dict(lake.fs.list_files(lake._dir("t")))
+            size = files.get("_bl_meta.json", 0) + sum(
+                s for n, s in files.items() if n.startswith("_bl_meta.entries-")
+            )
+            walls = []
+            for _ in range(5):
+                fresh = Lakehouse(spark, lake.root)
+                t0 = _time.perf_counter()
+                fresh._load_meta("t")
+                walls.append(_time.perf_counter() - t0)
+            out[shape] = {
+                "checkpoint_bytes": size,
+                "save_s": round(save_s, 3),
+                "cold_load_s_min": round(min(walls), 3),
+                "cold_load_s_median": round(sorted(walls)[len(walls) // 2], 3),
+            }
+    finally:
+        Lakehouse._COLUMNAR_CHECKPOINT_MIN_ENTRIES = orig
+    return out
+
+
+def measure_commit_contention(spark, writers: int, commits_each: int = 10) -> dict:
+    """r9 ladder rung (verdict task #6): the commit-lock wait now backs
+    off exponentially to a 250 ms cap (S3-throttling civility); the
+    guarded section is ~10 ms, so the worst single wait is ~25× the
+    section and the worry is healthy contention SERIALIZING. Protocol:
+    N threads (one Lakehouse handle each) upsert DISJOINT partitions of
+    one table concurrently, under both the capped backoff and the r8
+    3 ms bare spin (cap pinned to the initial delay). The two shapes'
+    reps are INTERLEAVED in one session — a first run with the shapes
+    in separate blocks showed the 1-writer control (identical code
+    path: an uncontended lock never sleeps) differing 87% on JVM
+    warmup drift alone, swamping the effect under test."""
+    import tempfile
+    import threading
+    import time as _time
+
+    import pyspark.sql.functions as F
+
+    from at_data_pipelines_spark.catalog import Lakehouse
+    from pyspark.sql import types as T
+
+    work = tempfile.mkdtemp(prefix=f"contention_{writers}_")
+    root = f"{work}/lake"
+    schema = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("p", T.LongType())]
+    )
+    warm = Lakehouse(spark, root)
+    warm.create("t", schema, ["p"], ["k"])
+    for i in range(3):  # JIT/codepath warmup outside the measured window
+        warm.upsert(
+            "t",
+            spark.range(10).select(F.col("id").alias("k"), F.lit(-1 - i).alias("p")),
+        )
+    errs: list = []
+
+    def one_rep() -> float:
+        barrier = threading.Barrier(writers + 1)
+
+        def run(w: int) -> None:
+            try:
+                lk = Lakehouse(spark, root)
+                batches = [
+                    spark.range(w * 10_000 + i * 10, w * 10_000 + i * 10 + 10).select(
+                        F.col("id").alias("k"), F.lit(w).alias("p")
+                    )
+                    for i in range(commits_each)
+                ]
+                barrier.wait()
+                for b in batches:
+                    lk.upsert("t", b)
+            except Exception as e:  # a stall here is the finding
+                errs.append(repr(e))
+
+        threads = [threading.Thread(target=run, args=(w,)) for w in range(writers)]
+        for t in threads:
+            t.start()
+        barrier.wait()
+        t0 = _time.perf_counter()
+        for t in threads:
+            t.join()
+        return _time.perf_counter() - t0
+
+    shapes = {"backoff_250ms": 0.25, "spin_3ms_r8": Lakehouse._LOCK_BACKOFF_INITIAL_S}
+    walls: dict = {s: [] for s in shapes}
+    orig_cap = Lakehouse._LOCK_BACKOFF_CAP_S
+    try:
+        for _rep in range(3):
+            for shape, cap in shapes.items():
+                Lakehouse._LOCK_BACKOFF_CAP_S = cap
+                walls[shape].append(one_rep())
+    finally:
+        Lakehouse._LOCK_BACKOFF_CAP_S = orig_cap
+    total = writers * commits_each
+    return {
+        "writers": writers,
+        "commits_each": commits_each,
+        "errors": errs,
+        **{
+            shape: {
+                "wall_s_min": round(min(w), 3),
+                "agg_commits_per_s": round(total / min(w), 2),
+            }
+            for shape, w in walls.items()
+        },
     }
 
 

@@ -783,7 +783,14 @@ def test_atomic_put_migrates_stale_checksum_sidecar(lake, spark):
     fails with ChecksumException against the old checksum."""
     lake.create("t", SCHEMA, [], [])
     p = f"{lake.root}/t/migrate.json"
-    lake.fs.write_text(p, json.dumps({"v": "old"}))  # legacy overwrite PUT
+    # legacy overwrite PUT through the JVM ChecksumFileSystem (the r10
+    # os-level fast path no longer produces .crc sidecars itself, so the
+    # pre-r8 on-disk shape must be reproduced via Hadoop directly)
+    stream = lake.fs._fs.create(lake.fs._Path(p), True)
+    try:
+        stream.write(bytearray(json.dumps({"v": "old"}).encode()))
+    finally:
+        stream.close()
     crc = f"{lake.root}/t/.migrate.json.crc"
     assert lake.fs.exists(crc), "precondition: legacy write leaves a .crc"
     lake.fs.write_text_atomic(p, json.dumps({"v": "new"}))
