@@ -674,6 +674,76 @@ _DATE_SHAPE = re.compile(r"^\d{4}-\d{2}-\d{2}$")
 _DATETIME_SHAPE = re.compile(r"^\d{4}-\d{2}-\d{2}[ T]\d{2}:\d{2}:\d{2}(\.\d+)?$")
 
 
+#: Bloom-skipping value domain: column types whose Spark
+#: CAST(col AS STRING) rendering provably equals the driver-side
+#: rendering in _bloom_value_str — the write-side (JVM md5 of the cast
+#: string) and scan-side (Python md5) positions must agree bit-for-bit
+#: or pruning would be unsound. Floats/timestamps/booleans render
+#: differently between the engines and are refused at create().
+_BLOOM_TYPES = (
+    T.ByteType,
+    T.ShortType,
+    T.IntegerType,
+    T.LongType,
+    T.StringType,
+    T.DateType,
+)
+_BLOOM_DEFAULT_M = 4096  # 512 B/leaf/col in the manifest at full density
+_BLOOM_DEFAULT_K = 5
+_BLOOM_SALT = "blz"
+
+
+def _bloom_value_str(v) -> str | None:
+    """Driver-side rendering of a probe value, matching Spark's
+    CAST(col AS STRING) for every type in _BLOOM_TYPES; None = the
+    value's type has no provably-identical rendering (don't prune)."""
+    import datetime as dt
+
+    if isinstance(v, bool):  # bool is an int subclass — reject first
+        return None
+    if isinstance(v, (int, str)):
+        return str(v)
+    if isinstance(v, dt.date) and not isinstance(v, dt.datetime):
+        return v.isoformat()
+    return None
+
+
+def _bloom_probe_positions(sval: str, m_bits: int, k: int) -> list[int]:
+    """The k filter positions of one value — the exact Python mirror of
+    ops/sketch.py::_bloom_positions (md5 of value||salt||i, first 12 hex
+    chars as an int, mod m)."""
+    import hashlib
+
+    return [
+        int(
+            hashlib.md5(f"{sval}{_BLOOM_SALT}{i}".encode()).hexdigest()[:12], 16
+        )
+        % m_bits
+        for i in range(k)
+    ]
+
+
+def _bloom_entry_excludes(stats: dict, eq_positions: dict) -> bool:
+    """True iff some equality predicate's value is PROVABLY absent from
+    this leaf: the leaf has a bloom entry for the column and at least
+    one of the value's k bits is unset. Leaves without an entry (legacy
+    generations, all-NULL leaves) never exclude; a type-mismatched probe
+    never reaches here (its positions function returns None)."""
+    for c, positions_for in eq_positions.items():
+        ent = stats.get(f"{c}#bloom")
+        if not ent:
+            continue
+        m_bits, k, words = int(ent[0]), int(ent[1]), ent[2]
+        for pos in positions_for(m_bits, k):
+            # Python's arbitrary-precision & handles Spark's signed-64
+            # bit_or words: a negative word sign-extends above bit 63,
+            # but every mask is a single bit < 2^64, so the test is
+            # exact for bits 0..63 either way
+            if not int(words.get(str(pos // 64), 0)) & (1 << (pos % 64)):
+                return True
+    return False
+
+
 def _zone_excludes(stats: dict, where: dict) -> bool:
     """True iff the leaf's zone-map stats PROVE no row can satisfy the
     conjunctive range predicate ``{col: (lo, hi)}`` (inclusive, None =
@@ -836,6 +906,14 @@ class TableMeta:
     # immutable, so an entry is valid for the leaf's whole lifetime.
     stats_columns: list[str] = field(default_factory=list)
     zone_maps: dict[str, dict[str, list]] = field(default_factory=dict)
+    # Bloom data skipping (opt-in at create): columns whose per-leaf
+    # membership filter is tracked alongside the zone maps, stored in
+    # the SAME zone_maps entry under the reserved key "<col>#bloom" as
+    # [m_bits, k, {word: bits}] — equality scans prune leaves whose
+    # filter disproves the value (see scan()). Riding in zone_maps means
+    # leaf-lifetime pruning, log-segment deltas, archives and the
+    # columnar checkpoint all apply unchanged.
+    bloom_columns: list[str] = field(default_factory=list)
     # snapshot retention: how many past manifest versions keep their data
     # generations alive (0 = reclaim superseded data eagerly, history is
     # audit-only). Manifest history JSONs are archived regardless — each
@@ -1080,6 +1158,7 @@ class Lakehouse:
             "partition_keys",
             "primary_keys",
             "stats_columns",
+            "bloom_columns",
         ):
             if isinstance(out.get(k), list):
                 out[k] = list(out[k])
@@ -1909,6 +1988,9 @@ class Lakehouse:
         stats_columns: list[str] | None = None,
         retain_versions: int = 0,
         checks: dict[str, str] | None = None,
+        bloom_columns: list[str] | None = None,
+        bloom_m_bits: int = _BLOOM_DEFAULT_M,
+        bloom_k: int = _BLOOM_DEFAULT_K,
     ) -> None:
         """Reference create modes (pipelines/portfolio_weights_flow.py:152-163):
         ``skip`` = CREATE TABLE IF NOT EXISTS, ``replace`` = CREATE OR REPLACE.
@@ -1924,7 +2006,20 @@ class Lakehouse:
         expr}) enforced on every new generation insert/upsert/merge
         writes — validated post-write pre-commit, so a violating batch
         commits nothing (CheckViolationError). NULL check results count
-        as violations (a constraint must PROVE the row valid)."""
+        as violations (a constraint must PROVE the row valid).
+
+        ``bloom_columns`` opts into Bloom data skipping (the Parquet
+        bloom-filter / Delta file-skipping move for EQUALITY predicates,
+        where min/max boxes are useless on high-cardinality ids): every
+        write also records a small per-leaf membership filter of these
+        columns, and ``scan(name, where={col: value})`` drops every leaf
+        whose filter disproves the value — a point lookup on a 100 TB
+        corpus schedules tasks for ~FPR of the files instead of all of
+        them. ``bloom_m_bits``/``bloom_k`` size the per-leaf filter
+        (defaults: 4096 bits / 5 hashes ≈ 1% FPR at ~570 distinct
+        values per leaf; size m for YOUR leaf cardinality). Columns must
+        be string/integer/date — types whose JVM and driver string
+        renderings provably agree (floats/timestamps are refused)."""
         if mode not in ("skip", "replace"):
             raise ValueError(f"mode must be 'skip' or 'replace', got {mode!r}")
         replaced = None
@@ -1970,7 +2065,12 @@ class Lakehouse:
                 self.fs.delete(f"{self._dir(name)}/{stale}")
             with self._meta_cache_mu:
                 self._meta_cache.pop(name, None)
-        for k in (partition_keys or []) + (primary_keys or []) + (stats_columns or []):
+        for k in (
+            (partition_keys or [])
+            + (primary_keys or [])
+            + (stats_columns or [])
+            + (bloom_columns or [])
+        ):
             if k not in schema.fieldNames():
                 raise ValueError(f"key {k!r} not in schema for table {name!r}")
         redundant = set(stats_columns or []) & set(partition_keys or [])
@@ -1979,6 +2079,27 @@ class Lakehouse:
                 f"stats_columns {sorted(redundant)} are partition keys — "
                 "partition pruning already skips them; zone maps are for "
                 "non-partition columns"
+            )
+        for c in bloom_columns or []:
+            if c in (partition_keys or []):
+                raise ValueError(
+                    f"bloom column {c!r} is a partition key — partition "
+                    "pruning already skips it exactly"
+                )
+            if not isinstance(schema[c].dataType, _BLOOM_TYPES):
+                raise ValueError(
+                    f"bloom column {c!r} must be string/integer/date (got "
+                    f"{schema[c].dataType.simpleString()}): only those types "
+                    "render identically under Spark's CAST AS STRING and the "
+                    "driver-side probe, which Bloom pruning soundness needs"
+                )
+        if bloom_columns and (int(bloom_m_bits) % 64 or int(bloom_m_bits) <= 0):
+            raise ValueError(f"bloom_m_bits must be a positive multiple of 64, got {bloom_m_bits}")
+        collide = set(stats_columns or []) & {f"{c}#bloom" for c in bloom_columns or []}
+        if collide:
+            raise ValueError(
+                f"stats_columns {sorted(collide)} collide with the reserved "
+                "'<bloom column>#bloom' zone-map keys"
             )
         meta = TableMeta(
             name=name,
@@ -1989,7 +2110,11 @@ class Lakehouse:
             retain_versions=int(retain_versions),
             checks=dict(checks or {}),
             table_uuid=uuid.uuid4().hex,
+            bloom_columns=list(bloom_columns or []),
         )
+        if bloom_columns:
+            meta.properties["bloom.m_bits"] = int(bloom_m_bits)
+            meta.properties["bloom.k"] = int(bloom_k)
         if replaced is not None:
             hist = self._history_versions(name)
             meta.version = max([replaced.version] + hist) + 1
@@ -2094,10 +2219,15 @@ class Lakehouse:
                 raise ValueError(f"stats column {c!r} is a partition key")
         meta.stats_columns = list(stats_columns)
         # entries for dropped stat columns are harmless (ignored by scan),
-        # but prune them for manifest hygiene
+        # but prune them for manifest hygiene — keeping the "<col>#bloom"
+        # entries of the table's bloom columns, which live in the same
+        # dicts but are governed by bloom_columns, not stats_columns
         for key, stats in meta.zone_maps.items():
             meta.zone_maps[key] = {
-                c: v for c, v in stats.items() if c in meta.stats_columns
+                c: v
+                for c, v in stats.items()
+                if c in meta.stats_columns
+                or (c.endswith("#bloom") and c[: -len("#bloom")] in meta.bloom_columns)
             }
         self._commit_meta(meta, None, action=f"set_stats_columns({stats_columns})")
 
@@ -2417,7 +2547,7 @@ class Lakehouse:
                     seen.add(rel)
         elif wrote_rows:
             meta.all_dirty = True
-        if wrote_rows and meta.stats_columns:
+        if wrote_rows and (meta.stats_columns or meta.bloom_columns):
             meta.zone_maps.update(self._collect_zone_maps(name, meta, seq))
         self._prune_zone_maps(meta)
         if properties:
@@ -2490,7 +2620,9 @@ class Lakehouse:
         batch just written, never the table. Parquet min/max footers make
         this a near-metadata read for the scan side of the agg."""
         seq_dir = self._seq_dir(name, seq)
-        if not meta.stats_columns or not self.fs.exists(seq_dir):
+        if not (meta.stats_columns or meta.bloom_columns) or not self.fs.exists(
+            seq_dir
+        ):
             return {}
         schema_with_seq = T.StructType(
             meta.schema.fields + [T.StructField(_SEQ_COL, T.LongType(), True)]
@@ -2500,13 +2632,6 @@ class Lakehouse:
             .option("basePath", f"{self._dir(name)}/data")
             .parquet(seq_dir)
         )
-        aggs = []
-        for c in meta.stats_columns:
-            aggs += [
-                F.min(c).alias(f"__mn__{c}"),
-                F.max(c).alias(f"__mx__{c}"),
-                F.count(c).alias(f"__ct__{c}"),
-            ]
         out: dict[str, dict[str, list]] = {}
         # group by CAST(key AS STRING) — Spark's own hive-dir spelling,
         # so the rebuilt rel strings match the directories exactly
@@ -2515,19 +2640,81 @@ class Lakehouse:
             # file-granularity stats (Z-ordered compactions): one zone
             # entry per output file, keyed leaf/<filename>
             grp = grp + [F.input_file_name().alias("__file")]
-        if grp:
-            rows = df.groupBy(*grp).agg(*aggs).collect()
-            for r in rows:
-                rel = _hive_rel(
-                    meta.partition_keys, tuple(r[k] for k in meta.partition_keys)
+
+        def row_key(r) -> str:
+            rel = _hive_rel(
+                meta.partition_keys, tuple(r[k] for k in meta.partition_keys)
+            )
+            key = self._zone_key(seq, rel)
+            if per_file:
+                key = f"{key}/{r['__file'].rsplit('/', 1)[1]}"
+            return key
+
+        if meta.stats_columns:
+            aggs = []
+            for c in meta.stats_columns:
+                aggs += [
+                    F.min(c).alias(f"__mn__{c}"),
+                    F.max(c).alias(f"__mx__{c}"),
+                    F.count(c).alias(f"__ct__{c}"),
+                ]
+            if grp:
+                for r in df.groupBy(*grp).agg(*aggs).collect():
+                    out[row_key(r)] = self._row_stats(meta, r)
+            else:
+                r = df.agg(*aggs).collect()[0]
+                out[self._zone_key(seq, "")] = self._row_stats(meta, r)
+        if meta.bloom_columns:
+            # one extra codegen job over the freshly written generation:
+            # every value explodes to its k (column, position) cells,
+            # which bit_or into a per-leaf sparse word map — cost ∝ the
+            # batch, never the table (the same shape ops/sketch.py::
+            # bloom_build distributes; here each leaf's filter is small
+            # enough to collect). NULLs contribute nothing, so an
+            # all-NULL leaf simply has no entry and never prunes.
+            from .ops.sketch import _bloom_positions
+
+            m_bits = int(meta.properties.get("bloom.m_bits", _BLOOM_DEFAULT_M))
+            kk = int(meta.properties.get("bloom.k", _BLOOM_DEFAULT_K))
+            def _tagger(cname):
+                # NOT a default-arg lambda: F.transform treats a 2-arg
+                # callable as (element, index) and would pass the array
+                # index into the second parameter
+                return lambda p: F.struct(F.lit(cname).alias("c"), p.alias("pos"))
+
+            tagged = [
+                F.transform(_bloom_positions(c, kk, m_bits, _BLOOM_SALT), _tagger(c))
+                for c in meta.bloom_columns
+            ]
+            # grp expressions (incl. input_file_name, which only resolves
+            # against the scan) are computed in THIS select; the groupBy
+            # then references the materialized column NAMES
+            grp_names = list(meta.partition_keys) + (["__file"] if per_file else [])
+            cells = (
+                df.select(
+                    *grp,
+                    F.explode(
+                        F.concat(*tagged) if len(tagged) > 1 else tagged[0]
+                    ).alias("__e"),
                 )
-                key = self._zone_key(seq, rel)
-                if per_file:
-                    key = f"{key}/{r['__file'].rsplit('/', 1)[1]}"
-                out[key] = self._row_stats(meta, r)
-        else:
-            r = df.agg(*aggs).collect()[0]
-            out[self._zone_key(seq, "")] = self._row_stats(meta, r)
+                .filter(F.col("__e.pos").isNotNull())
+                .groupBy(
+                    *grp_names,
+                    F.col("__e.c").alias("__bc"),
+                    (F.col("__e.pos") / F.lit(64)).cast("long").alias("__bw"),
+                )
+                .agg(
+                    F.expr(
+                        "bit_or(shiftleft(1L, cast(pmod(__e.pos, 64) as int)))"
+                    ).alias("__bb")
+                )
+            )
+            for r in cells.collect():
+                ent = out.setdefault(row_key(r), {})
+                bloom = ent.setdefault(
+                    f"{r['__bc']}#bloom", [m_bits, kk, {}]
+                )
+                bloom[2][str(r["__bw"])] = int(r["__bb"])
         return out
 
     def _validate_checks(self, name: str, meta: TableMeta, seq: int) -> None:
@@ -2606,7 +2793,10 @@ class Lakehouse:
     def _arrow_leaf_stats(self, meta: TableMeta, table) -> dict[str, list]:
         """Zone-map stats for one leaf, computed in-memory from the arrow
         table the driver-side fast path is about to write — zero extra
-        jobs, zero extra reads."""
+        jobs, zero extra reads. Bloom entries use the same md5 positions
+        as the Spark-job path (probe-identical: the scan can't tell which
+        writer produced a leaf), with words normalized to signed 64-bit
+        to match the JVM's bit_or output exactly."""
         import pyarrow.compute as pc
 
         stats: dict[str, list] = {}
@@ -2620,6 +2810,32 @@ class Lakehouse:
             emx = _stat_encode(mm["max"].as_py())
             if emn is not None and emx is not None:
                 stats[c] = [emn, emx]
+        if meta.bloom_columns:
+            m_bits = int(meta.properties.get("bloom.m_bits", _BLOOM_DEFAULT_M))
+            kk = int(meta.properties.get("bloom.k", _BLOOM_DEFAULT_K))
+            for c in meta.bloom_columns:
+                if c not in table.column_names:
+                    continue
+                words: dict[str, int] = {}
+                for v in table.column(c).to_pylist():
+                    if v is None:
+                        continue
+                    sval = _bloom_value_str(v)
+                    if sval is None:  # unrenderable value: leaf unprunable
+                        words = {}
+                        break
+                    for pos in _bloom_probe_positions(sval, m_bits, kk):
+                        w = str(pos // 64)
+                        words[w] = words.get(w, 0) | (1 << (pos % 64))
+                if words:
+                    stats[f"{c}#bloom"] = [
+                        m_bits,
+                        kk,
+                        {
+                            w: (b - (1 << 64) if b >= (1 << 63) else b)
+                            for w, b in words.items()
+                        },
+                    ]
         return stats
 
     @staticmethod
@@ -2795,6 +3011,7 @@ class Lakehouse:
             "dirty_partitions",
             "all_dirty",
             "stats_columns",
+            "bloom_columns",
             "zone_maps",
         ):
             setattr(cur, f_name, getattr(old, f_name))
@@ -2811,12 +3028,21 @@ class Lakehouse:
         where: dict[str, tuple] | None = None,
         version: int | None = None,
     ) -> DataFrame:
-        """Zone-map-pruned scan: ``where`` is a conjunction of inclusive
-        range predicates ``{col: (lo, hi)}`` (either bound may be None).
+        """Zone-map-pruned scan: ``where`` is a conjunction of predicates,
+        one per column — an inclusive range ``(lo, hi)`` tuple/list
+        (either bound may be None), or a bare SCALAR for equality.
         Result is EXACTLY ``table(name).filter(<where>)`` — the manifest's
         per-generation-leaf min/max stats (``stats_columns`` at create)
         are used to drop whole leaf directories from the read up front,
         and the full predicate is still applied to whatever is read.
+
+        An equality predicate additionally probes the per-leaf Bloom
+        filters of ``bloom_columns`` tables: any leaf whose filter
+        disproves the value is dropped, which is what makes point
+        lookups on high-cardinality ids prune (a min/max box over a
+        hash-like column spans everything; its membership filter does
+        not). False positives only cost reading a leaf the filter failed
+        to rule out — never a wrong row.
 
         At 100 TB this is the Delta/Iceberg data-skipping move: the
         driver eliminates files from manifest metadata alone — no task is
@@ -2829,11 +3055,25 @@ class Lakehouse:
         )
         where = dict(where or {})
         names = set(meta.schema.fieldNames())
-        for c, bounds in where.items():
+        eq: dict = {}
+        for c, bounds in list(where.items()):
             if c not in names:
                 raise ValueError(f"unknown column {c!r} in scan predicate")
-            if len(tuple(bounds)) != 2:
-                raise ValueError(f"bounds for {c!r} must be (lo, hi), got {bounds!r}")
+            if isinstance(bounds, (tuple, list)):
+                if len(tuple(bounds)) != 2:
+                    raise ValueError(
+                        f"bounds for {c!r} must be (lo, hi), got {bounds!r}"
+                    )
+            elif bounds is None:
+                raise ValueError(
+                    f"scan predicate for {c!r} is None — equality with NULL "
+                    "never matches; filter the result with isNull() instead"
+                )
+            else:
+                # scalar: equality. Ranges prune via min/max below; the
+                # Bloom probe and the == filter are built from eq.
+                eq[c] = bounds
+                where[c] = (bounds, bounds)
         # bounds coerced to each column's stat-encoding domain, used for
         # PRUNING only (the Spark filter below keeps the caller's values):
         # a datetime bound on a DateType column compares via Spark's
@@ -2847,6 +3087,30 @@ class Lakehouse:
             if lo_p is _NO_PRUNE or hi_p is _NO_PRUNE:
                 continue  # unsound to compare: this column never excludes
             where_prune[c] = (lo_p, hi_p)
+        # Bloom probes for equality predicates on bloom columns: the k
+        # positions depend on each leaf entry's (m, k), so build lazy
+        # per-(m,k)-memoized position functions once per column here
+        eq_positions: dict = {}
+        for c, v in eq.items():
+            if c not in meta.bloom_columns:
+                continue
+            sval = _bloom_value_str(v)
+            if sval is None:
+                continue  # unrenderable probe value: never exclude
+
+            def positions_for(m_bits, k, sval=sval, memo={}):
+                if (m_bits, k) not in memo:
+                    memo[(m_bits, k)] = _bloom_probe_positions(sval, m_bits, k)
+                return memo[(m_bits, k)]
+
+            eq_positions[c] = positions_for
+
+        def _excludes(stats: dict) -> bool:
+            if where_prune and _zone_excludes(stats, where_prune):
+                return True
+            return bool(eq_positions) and _bloom_entry_excludes(
+                stats, eq_positions
+            )
 
         # enumerate visible LEAF dirs with their zone-map keys
         leaves: list[tuple[str, str]] = []
@@ -2877,14 +3141,9 @@ class Lakehouse:
             per_file = file_keys.get(zk)
             if per_file:
                 for fk in per_file:
-                    if not (
-                        where_prune
-                        and _zone_excludes(meta.zone_maps.get(fk, {}), where_prune)
-                    ):
+                    if not _excludes(meta.zone_maps.get(fk, {})):
                         kept.append(f"{p}/{fk.rsplit('/', 1)[1]}")
-            elif not (
-                where_prune and _zone_excludes(meta.zone_maps.get(zk, {}), where_prune)
-            ):
+            elif not _excludes(meta.zone_maps.get(zk, {})):
                 kept.append(p)
 
         schema_with_seq = T.StructType(
@@ -2900,6 +3159,10 @@ class Lakehouse:
             df = self.spark.createDataFrame([], meta.schema)
         cond = None
         for c, (lo, hi) in where.items():
+            if c in eq:
+                piece = F.col(c) == F.lit(eq[c])
+                cond = piece if cond is None else cond & piece
+                continue
             if lo is not None:
                 piece = F.col(c) >= F.lit(lo)
                 cond = piece if cond is None else cond & piece
@@ -3032,7 +3295,7 @@ class Lakehouse:
         meta.dirty_partitions = []
         meta.all_dirty = False
         meta.next_seq = max(meta.next_seq, seq + 1)
-        if meta.stats_columns and token is not None:
+        if (meta.stats_columns or meta.bloom_columns) and token is not None:
             meta.zone_maps.update(
                 self._collect_zone_maps(name, meta, seq, per_file=bool(zorder_by))
             )
@@ -3088,7 +3351,7 @@ class Lakehouse:
         meta.dirty_partitions = []
         meta.all_dirty = False
         meta.next_seq = max(meta.next_seq, seq + 1)
-        if meta.stats_columns and token is not None:
+        if (meta.stats_columns or meta.bloom_columns) and token is not None:
             meta.zone_maps.update(self._collect_zone_maps(name, meta, seq))
         self._prune_zone_maps(meta)
         rebase = self._make_rebase(before, meta, "rmw", base_rels=None)
@@ -3367,7 +3630,7 @@ class Lakehouse:
                 rows = body.take(pa.array(idx, type=pa.int64()))
                 self._write_rel_file(rows, seq_dir if rel == "" else f"{seq_dir}/{rel}")
                 written_rels.append(rel)
-                if meta.stats_columns:
+                if meta.stats_columns or meta.bloom_columns:
                     new_zone[self._zone_key(seq, rel)] = self._arrow_leaf_stats(
                         meta, rows
                     )
@@ -3390,7 +3653,7 @@ class Lakehouse:
                     seen.add(rel)
         elif wrote_rows:
             meta.all_dirty = True
-        if wrote_rows and meta.stats_columns:
+        if wrote_rows and (meta.stats_columns or meta.bloom_columns):
             meta.zone_maps.update(new_zone)
         self._prune_zone_maps(meta)
         if properties:
@@ -3480,7 +3743,7 @@ class Lakehouse:
                 out = combined.take(pa.array(order, type=pa.int64()))
                 self._write_rel_file(out, seq_dir if rel == "" else f"{seq_dir}/{rel}")
                 new_committed[rel] = seq
-                if meta.stats_columns:
+                if meta.stats_columns or meta.bloom_columns:
                     new_zone[self._zone_key(seq, rel)] = self._arrow_leaf_stats(
                         meta, out
                     )
@@ -3784,7 +4047,7 @@ class Lakehouse:
         meta.dirty_partitions = []
         meta.all_dirty = False
         meta.next_seq = max(meta.next_seq, seq + 1)
-        if meta.stats_columns and token is not None:
+        if (meta.stats_columns or meta.bloom_columns) and token is not None:
             meta.zone_maps.update(self._collect_zone_maps(name, meta, seq))
         self._prune_zone_maps(meta)
         if properties:
@@ -3866,7 +4129,7 @@ class Lakehouse:
         meta.dirty_partitions = []
         meta.all_dirty = False
         meta.next_seq = max(meta.next_seq, seq + 1)
-        if meta.stats_columns and token is not None:
+        if (meta.stats_columns or meta.bloom_columns) and token is not None:
             meta.zone_maps.update(self._collect_zone_maps(name, meta, seq))
         self._prune_zone_maps(meta)
         base = set(affected) if meta.partition_keys else None

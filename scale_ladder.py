@@ -141,6 +141,65 @@ def measure_zone_scan(spark, gens: int, rows_per_gen: int = 20_000) -> dict:
     return out
 
 
+def measure_bloom_skip(spark, gens: int, rows_per_gen: int = 20_000) -> dict:
+    """Bloom data skipping (r10) at a growing table: ``gens`` generations
+    of hash-like string ids — the shape where min/max zone maps are
+    USELESS (every generation's [min, max] box spans the whole id
+    space), which is exactly the high-cardinality point-lookup gap the
+    per-leaf membership filters close. One point lookup probed three
+    ways: bloom ``scan`` (manifest prunes to ~FPR of the leaves), a
+    zone-map-only scan on the same predicate (prunes nothing — the
+    control), and the full ``table().filter``. Claim: bloom files
+    opened stays ~flat (≈1 + FPR·gens) as the table grows; both
+    controls read everything."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from at_data_pipelines_spark.catalog import Lakehouse
+
+    lake = Lakehouse(spark, tempfile.mkdtemp(prefix=f"bloomskip_{gens}_"))
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("v", T.DoubleType()),
+        ]
+    )
+    # m sized for rows_per_gen members/leaf at ~1% FPR (m ≈ 9.6 n)
+    m = ((rows_per_gen * 10) // 64 + 1) * 64
+    lake.create("t", schema, [], [], bloom_columns=["doc_id"], bloom_m_bits=m)
+    lake.create("ctrl", schema, [], [], stats_columns=["doc_id"])
+    for g in range(gens):
+        df = spark.range(g * rows_per_gen, (g + 1) * rows_per_gen).select(
+            F.md5(F.col("id").cast("string")).alias("doc_id"),
+            (F.col("id") * 0.5).alias("v"),
+        )
+        lake.insert("t", df, mode="append")
+        lake.insert("ctrl", df, mode="append")
+    import hashlib
+
+    probe = hashlib.md5(str(gens * rows_per_gen // 2).encode()).hexdigest()
+    out: dict = {"gens": gens, "rows": gens * rows_per_gen, "m_bits": m}
+    for tag, make in (
+        ("bloom_scan", lambda: lake.scan("t", where={"doc_id": probe})),
+        ("zone_scan_ctrl", lambda: lake.scan("ctrl", where={"doc_id": probe})),
+        (
+            "full_filter",
+            lambda: lake.table("t").filter(F.col("doc_id") == probe),
+        ),
+    ):
+        samples, n = [], 0
+        for _ in range(3):
+            t0 = time.perf_counter()
+            n = make().count()
+            samples.append(time.perf_counter() - t0)
+        out[f"{tag}_s"] = round(min(samples), 3)
+        out[f"{tag}_files"] = len(make().inputFiles())
+        out[f"{tag}_rows"] = n
+    return out
+
+
 def measure_ivm(spark, src_rows: int, change_rows: int = 200) -> dict:
     """Incremental view maintenance cost vs source size: build a source
     of ``src_rows`` and its materialized per-group aggregate, apply one
@@ -211,8 +270,8 @@ def main() -> None:
         "--sections",
         default="all",
         help=(
-            "comma list of {queries,persist,ann_stream,zone,ivm,pagerank,"
-            "bloom,manifest,contention} (default all)"
+            "comma list of {queries,persist,ann_stream,zone,bloomskip,ivm,"
+            "pagerank,bloom,manifest,coldparse,contention} (default all)"
         ),
     )
     args = ap.parse_args()
@@ -225,6 +284,7 @@ def main() -> None:
             "ivm",
             "pagerank",
             "bloom",
+            "bloomskip",
             "manifest",
             "coldparse",
             "contention",
@@ -348,6 +408,11 @@ def main() -> None:
     if "zone" in sections:
         out["zone_scan"] = {
             str(g): measure_zone_scan(spark, g) for g in (5, 25, 50)
+        }
+
+    if "bloomskip" in sections:
+        out["bloom_skip"] = {
+            str(g): measure_bloom_skip(spark, g) for g in (10, 50)
         }
 
     if "ivm" in sections:

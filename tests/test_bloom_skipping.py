@@ -1,0 +1,257 @@
+"""Bloom data skipping (r10): tables created with ``bloom_columns``
+record a small per-leaf membership filter alongside the zone maps
+(reserved "<col>#bloom" key, [m, k, {word: bits}]), and
+``scan(where={col: value})`` — the new scalar-equality predicate —
+drops every leaf whose filter disproves the value. This is the Parquet
+bloom-filter / Delta file-skipping move for point lookups on
+high-cardinality ids, where min/max boxes span everything.
+
+Soundness contract under test: scan(eq) ≡ table().filter(col == v)
+EXACTLY (false positives only cost extra reads), leaves without an
+entry never exclude, and the Spark-job write path and the driver-side
+arrow fast path produce probe-identical filters.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from at_data_pipelines_spark.catalog import Lakehouse
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("bucket", T.IntegerType()),
+        T.StructField("score", T.DoubleType()),
+    ]
+)
+
+
+def _docs(spark, lo, hi, bucket):
+    return spark.createDataFrame(
+        [(f"doc-{i:05d}", bucket, float(i)) for i in range(lo, hi)], SCHEMA
+    )
+
+
+@pytest.fixture
+def lake(spark, tmp_path):
+    return Lakehouse(spark, str(tmp_path / "lake"))
+
+
+def test_equality_scan_matches_filter_and_prunes(lake, spark):
+    """Ten single-bucket generations; a point lookup must read only the
+    leaves the filter cannot rule out (≈1 of 10) and return exactly the
+    filter() rows."""
+    lake.create("d", SCHEMA, ["bucket"], [], bloom_columns=["doc_id"])
+    for b in range(10):
+        lake.insert("d", _docs(spark, b * 100, b * 100 + 100, b), mode="append")
+    all_files = len(lake.table("d").inputFiles())
+    probe = "doc-00342"  # lives only in bucket 3's generation
+    got = lake.scan("d", where={"doc_id": probe})
+    assert [(r.doc_id, r.bucket) for r in got.collect()] == [(probe, 3)]
+    assert len(got.inputFiles()) < all_files / 2, (
+        f"bloom pruning read {len(got.inputFiles())}/{all_files} files"
+    )
+    # absent value: provably nowhere -> zero rows, (almost) zero files
+    miss = lake.scan("d", where={"doc_id": "doc-99999"})
+    assert miss.count() == 0
+    assert len(miss.inputFiles()) < all_files / 2
+
+
+def test_equality_scan_exact_under_false_positives(lake, spark):
+    """A deliberately tiny filter (m=64) false-positives constantly; the
+    scan must still return exactly the matching rows — pruning is an
+    optimization, the == filter is the semantics."""
+    lake.create(
+        "d", SCHEMA, [], [], bloom_columns=["doc_id"], bloom_m_bits=64, bloom_k=2
+    )
+    for b in range(5):
+        lake.insert("d", _docs(spark, b * 20, b * 20 + 20, b), mode="append")
+    for probe in ("doc-00007", "doc-00063", "doc-99999"):
+        got = sorted(r.doc_id for r in lake.scan("d", where={"doc_id": probe}).collect())
+        exp = sorted(
+            r.doc_id
+            for r in lake.table("d").filter(F.col("doc_id") == probe).collect()
+        )
+        assert got == exp, probe
+
+
+def test_integer_and_multi_predicate(lake, spark):
+    """Equality on an integer bloom column composes with a range
+    predicate on a stats column in one where-dict."""
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("v", T.DoubleType()),
+        ]
+    )
+    lake.create(
+        "t", schema, [], [], stats_columns=["v"], bloom_columns=["k"]
+    )
+    for b in range(6):
+        lake.insert(
+            "t",
+            spark.createDataFrame(
+                [(b * 1000 + i, float(b * 1000 + i)) for i in range(50)], schema
+            ),
+            mode="append",
+        )
+    got = lake.scan("t", where={"k": 3025, "v": (3000.0, 3100.0)})
+    assert [(r.k, r.v) for r in got.collect()] == [(3025, 3025.0)]
+    assert len(got.inputFiles()) < len(lake.table("t").inputFiles())
+    # equality value outside the range: empty, still exact
+    assert lake.scan("t", where={"k": 3025, "v": (0.0, 1.0)}).count() == 0
+
+
+def test_leaves_without_entries_never_excluded(lake, spark):
+    """Generations written BEFORE bloom columns existed (simulated by
+    stripping their entries) and all-NULL leaves must never be pruned —
+    absence of evidence is not evidence of absence."""
+    lake.create("d", SCHEMA, [], [], bloom_columns=["doc_id"])
+    lake.insert("d", _docs(spark, 0, 50, 0), mode="append")
+    # strip the first generation's bloom entries as if written pre-bloom
+    meta = lake._load_meta("d")
+    meta.zone_maps = {
+        k: {c: v for c, v in stats.items() if not c.endswith("#bloom")}
+        for k, stats in meta.zone_maps.items()
+    }
+    lake._commit_meta(meta, None, action="strip-blooms-for-test")
+    lake.insert("d", _docs(spark, 50, 100, 1), mode="append")
+    # all-NULL leaf: contributes no filter, must never exclude
+    lake.insert(
+        "d",
+        spark.createDataFrame([(None, 9, 1.0), (None, 9, 2.0)], SCHEMA),
+        mode="append",
+    )
+    got = lake.scan("d", where={"doc_id": "doc-00007"})  # in the stripped gen
+    assert [r.doc_id for r in got.collect()] == ["doc-00007"]
+
+
+def test_fast_path_blooms_probe_identical(lake, spark):
+    """The driver-side arrow fast path must write the SAME filter bits
+    the Spark-job path writes for the same rows — the scan cannot tell
+    which writer produced a leaf."""
+    lake.create("a", SCHEMA, [], [], bloom_columns=["doc_id", "bucket"])
+    lake.create("b", SCHEMA, [], [], bloom_columns=["doc_id", "bucket"])
+    rows = _docs(spark, 0, 30, 2)
+    # handle a: force the Spark-job write path by disabling the fast path
+    orig = lake._fast_insert
+    lake._fast_insert = lambda *a, **k: False
+    lake.insert("a", rows, mode="append")
+    lake._fast_insert = orig
+    lake.insert("b", rows, mode="append")  # small batch: arrow fast path
+    za = list(lake._load_meta("a").zone_maps.values())
+    zb = list(lake._load_meta("b").zone_maps.values())
+    assert len(za) == len(zb) == 1
+    for c in ("doc_id#bloom", "bucket#bloom"):
+        assert za[0][c][0] == zb[0][c][0] and za[0][c][1] == zb[0][c][1]
+        assert {k: int(v) for k, v in za[0][c][2].items()} == {
+            k: int(v) for k, v in zb[0][c][2].items()
+        }, c
+
+
+def test_non_ascii_and_date_values(lake, spark):
+    """UTF-8 strings (exact-bytes equality — no ordering subtleties) and
+    DateType columns both probe correctly."""
+    import datetime as dt
+
+    schema = T.StructType(
+        [
+            T.StructField("token", T.StringType()),
+            T.StructField("day", T.DateType()),
+        ]
+    )
+    lake.create("t", schema, [], [], bloom_columns=["token", "day"])
+    rows = [
+        ("héllo", dt.date(2024, 1, 2)),
+        ("世界", dt.date(2024, 1, 3)),
+        ("plain", dt.date(2024, 1, 4)),
+    ]
+    for r in rows:
+        lake.insert("t", spark.createDataFrame([r], schema), mode="append")
+    got = lake.scan("t", where={"token": "世界"})
+    assert [r.day for r in got.collect()] == [dt.date(2024, 1, 3)]
+    assert len(got.inputFiles()) < len(lake.table("t").inputFiles())
+    got = lake.scan("t", where={"day": dt.date(2024, 1, 4)})
+    assert [r.token for r in got.collect()] == ["plain"]
+    assert len(got.inputFiles()) < len(lake.table("t").inputFiles())
+
+
+def test_blooms_survive_optimize_and_restore(lake, spark):
+    """Compaction rewrites leaves -> fresh filters for the new
+    generation; restore brings back the restored version's entries."""
+    lake.create(
+        "d",
+        SCHEMA,
+        [],
+        ["doc_id"],
+        bloom_columns=["doc_id"],
+        retain_versions=20,
+    )
+    for b in range(4):
+        lake.insert("d", _docs(spark, b * 25, b * 25 + 25, b), mode="append")
+    v_before = lake._load_meta("d").version
+    lake.optimize("d")
+    meta = lake._load_meta("d")
+    assert any("doc_id#bloom" in s for s in meta.zone_maps.values()), (
+        "compacted generation lost its bloom entries"
+    )
+    got = lake.scan("d", where={"doc_id": "doc-00042"})
+    assert [r.doc_id for r in got.collect()] == ["doc-00042"]
+    lake.restore("d", v_before)
+    got = lake.scan("d", where={"doc_id": "doc-00042"})
+    assert [r.doc_id for r in got.collect()] == ["doc-00042"]
+
+
+def test_create_validation(lake, spark):
+    """Type/key guards: float bloom columns, partition-key bloom
+    columns, unknown columns, bad m."""
+    with pytest.raises(ValueError, match="string/integer/date"):
+        lake.create("t", SCHEMA, [], [], bloom_columns=["score"])
+    with pytest.raises(ValueError, match="partition key"):
+        lake.create("t", SCHEMA, ["bucket"], [], bloom_columns=["bucket"])
+    with pytest.raises(ValueError, match="not in schema"):
+        lake.create("t", SCHEMA, [], [], bloom_columns=["nope"])
+    with pytest.raises(ValueError, match="multiple of 64"):
+        lake.create("t", SCHEMA, [], [], bloom_columns=["doc_id"], bloom_m_bits=100)
+    with pytest.raises(ValueError, match="None"):
+        lake.create("ok", SCHEMA, [], [], bloom_columns=["doc_id"])
+        lake.scan("ok", where={"doc_id": None})
+
+
+def test_scalar_string_no_longer_misparsed_as_range(lake, spark):
+    """Pre-r10, a 2-character string scalar slipped through the range
+    validation as tuple('a','b') — a silent wrong-shape predicate. It
+    must now mean equality."""
+    lake.create("d", SCHEMA, [], [], stats_columns=["doc_id"])
+    lake.insert("d", spark.createDataFrame([("ab", 1, 1.0), ("aa", 1, 2.0)], SCHEMA))
+    got = sorted(r.doc_id for r in lake.scan("d", where={"doc_id": "ab"}).collect())
+    assert got == ["ab"], "2-char scalar treated as a range again"
+
+
+def test_per_file_blooms_from_zordered_optimize(lake, spark):
+    """A Z-ordered compaction records zone entries (and blooms) PER
+    FILE; the equality scan must prune at file granularity through the
+    same stats dicts."""
+    lake.create(
+        "d",
+        SCHEMA,
+        [],
+        ["doc_id"],
+        stats_columns=["score"],
+        bloom_columns=["doc_id"],
+    )
+    for b in range(4):
+        lake.insert("d", _docs(spark, b * 50, b * 50 + 50, b), mode="append")
+    lake.optimize("d", zorder_by=["score"], zorder_files=4)
+    meta = lake._load_meta("d")
+    file_blooms = [
+        k for k, s in meta.zone_maps.items()
+        if k.endswith(".parquet") and "doc_id#bloom" in s
+    ]
+    assert len(file_blooms) >= 2, "no per-file bloom entries after zorder"
+    got = lake.scan("d", where={"doc_id": "doc-00123"})
+    assert [r.doc_id for r in got.collect()] == ["doc-00123"]
+    assert len(got.inputFiles()) < len(lake.table("d").inputFiles())
