@@ -374,8 +374,11 @@ class _HadoopFS:
             crc = os.path.join(
                 os.path.dirname(lp), f".{os.path.basename(lp)}.crc"
             )
-            if os.path.exists(crc):
+            try:
                 os.remove(crc)
+            except FileNotFoundError:
+                pass  # racing writer already cleaned it — Hadoop's
+                # delete(path) was equally tolerant of a missing target
             with open(lp, "wb") as f:
                 f.write(data)
             return
@@ -419,8 +422,10 @@ class _HadoopFS:
                 with open(tmp, "wb") as f:
                     f.write(data)
                 crc = os.path.join(parent, f".{os.path.basename(lp)}.crc")
-                if os.path.exists(crc):
+                try:
                     os.remove(crc)
+                except FileNotFoundError:
+                    pass  # racing writer already cleaned it
                 os.replace(tmp, lp)
             except BaseException:
                 try:
@@ -708,6 +713,27 @@ def _bloom_value_str(v) -> str | None:
     return None
 
 
+def _bloom_probe_type_ok(dtype, v) -> bool:
+    """True iff a probe value's Python type agrees with the bloom
+    column's Spark dtype — the precondition for the probe's rendering to
+    equal the write side's CAST(col AS STRING) on every matching row.
+    Mismatches (int probe on a string column, string probe on an int
+    column, datetime on a date column) must NOT prune: Spark's equality
+    would implicit-cast and can still match rows whose rendering
+    differs from the probe's (e.g. '05' = 5)."""
+    import datetime as dt
+
+    if isinstance(v, bool):
+        return False
+    if isinstance(dtype, T.StringType):
+        return isinstance(v, str)
+    if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return isinstance(v, int)
+    if isinstance(dtype, T.DateType):
+        return isinstance(v, dt.date) and not isinstance(v, dt.datetime)
+    return False
+
+
 def _bloom_probe_positions(sval: str, m_bits: int, k: int) -> list[int]:
     """The k filter positions of one value — the exact Python mirror of
     ops/sketch.py::_bloom_positions (md5 of value||salt||i, first 12 hex
@@ -963,6 +989,16 @@ class Lakehouse:
         # (folds mutate the cached dict in place).
         self._meta_cache: dict[str, dict] = {}
         self._meta_cache_mu = threading.Lock()
+        # tables this handle has seen columnar-checkpoint sidecars for:
+        # lets an INLINE save know it must sweep the now-unreferenced
+        # sidecars (threshold lowered / table shrank) without paying a
+        # LIST on every small-table save. DDL epoch: bumped by drop()
+        # and a real create(), so derived per-handle memos (e.g. the
+        # Bloom-table migration guard in ops/sketch.py) can detect a
+        # same-handle drop+recreate and re-verify instead of trusting
+        # a memo about a dead table life.
+        self._sidecar_tables: set[str] = set()
+        self._ddl_epoch = 0
 
     # fsspec/Polars-style option names → Hadoop s3a configuration keys
     # (the surface bl.connect_s3(path, storage_options) exposes —
@@ -1399,7 +1435,8 @@ class Lakehouse:
         doc = dict(meta.__dict__)
         n_entries = len(meta.committed) + len(meta.zone_maps)
         threshold = self._COLUMNAR_CHECKPOINT_MIN_ENTRIES
-        if threshold and n_entries >= threshold:
+        columnar = bool(threshold) and n_entries >= threshold
+        if columnar:
             sidecar = (
                 f"_bl_meta.entries-v{meta.version:012d}-{uuid.uuid4().hex[:8]}.parquet"
             )
@@ -1412,8 +1449,9 @@ class Lakehouse:
             )
             del doc["committed"], doc["zone_maps"]
             doc["_entries_file"] = sidecar
+            self._sidecar_tables.add(meta.name)
         self.fs.write_text_atomic(self._meta_path(meta.name), json.dumps(doc))
-        if threshold and n_entries >= threshold:
+        if columnar:
             # GC sidecars older than the previous checkpoint's (names
             # sort by version). Best-effort: a failure just leaves extra
             # immutable files for the next save to reap.
@@ -1422,6 +1460,18 @@ class Lakehouse:
                     self.fs.delete(f"{self._dir(meta.name)}/{stale}")
                 except Exception:
                     pass
+        elif meta.name in self._sidecar_tables:
+            # the table went back to inline (threshold lowered to 0, or
+            # the entry count shrank below it): the JSON no longer names
+            # any sidecar, so sweep them all. A concurrent reader still
+            # chasing the old pointer just re-reads the JSON and finds
+            # the inline dicts (_inflate_entries' bounded retry).
+            for stale in self._entries_sidecars(meta.name):
+                try:
+                    self.fs.delete(f"{self._dir(meta.name)}/{stale}")
+                except Exception:
+                    pass
+            self._sidecar_tables.discard(meta.name)
 
     def _inflate_entries(self, name: str, raw: dict) -> dict:
         """Resolve a columnar checkpoint's sidecar pointer back into the
@@ -1433,6 +1483,7 @@ class Lakehouse:
             ptr = raw.get("_entries_file")
             if not ptr:
                 return raw
+            self._sidecar_tables.add(name)
             try:
                 data = self.fs.read_bytes(f"{self._dir(name)}/{ptr}")
             except Exception:
@@ -2119,12 +2170,15 @@ class Lakehouse:
             hist = self._history_versions(name)
             meta.version = max([replaced.version] + hist) + 1
             meta.next_seq = replaced.next_seq
+        self._ddl_epoch += 1  # a REAL create (skip-on-exists returned above)
         self._save_meta(meta)
         self._archive_meta(meta, "create(replace)" if replaced is not None else "create")
 
     def drop(self, name: str) -> None:
         if self.exists(name):
             self.fs.delete(self._dir(name))
+        self._ddl_epoch += 1
+        self._sidecar_tables.discard(name)
         with self._meta_cache_mu:
             self._meta_cache.pop(name, None)
 
@@ -2664,6 +2718,15 @@ class Lakehouse:
             else:
                 r = df.agg(*aggs).collect()[0]
                 out[self._zone_key(seq, "")] = self._row_stats(meta, r)
+        if per_file and not meta.stats_columns:
+            # scan() treats a leaf's per-file key list as the COMPLETE
+            # file enumeration (it replaces the leaf's LIST call), and
+            # the bloom cells job below only names files with ≥1
+            # non-null value — an all-NULL file would silently vanish
+            # from every scan. With stats_columns the min/max agg names
+            # every file; without them, enumerate explicitly.
+            for r in df.groupBy(*grp).agg(F.count(F.lit(1)).alias("__n")).collect():
+                out.setdefault(row_key(r), {})
         if meta.bloom_columns:
             # one extra codegen job over the freshly written generation:
             # every value explodes to its k (column, position) cells,
@@ -3093,6 +3156,15 @@ class Lakehouse:
         eq_positions: dict = {}
         for c, v in eq.items():
             if c not in meta.bloom_columns:
+                continue
+            # the probe's Python type must MATCH the column dtype: the
+            # filters were built from md5(CAST(col AS STRING)), so a
+            # cross-type probe (int 5 against a string column holding
+            # '05') hashes a different rendering than the rows Spark's
+            # implicit-cast equality would match — pruning on it would
+            # silently drop matching leaves. Mismatched probes skip
+            # bloom pruning; the == filter below keeps Spark semantics.
+            if not _bloom_probe_type_ok(meta.schema[c].dataType, v):
                 continue
             sval = _bloom_value_str(v)
             if sval is None:

@@ -36,7 +36,7 @@ _HEX_BITS = 48  # 12 hex chars: exact in a double (< 2^53), cheap to compare
 # per-Lakehouse-handle memo of Bloom words tables already verified PK-free
 # (see bloom_update_table's migration guard); weak so a dropped handle
 # frees its entry rather than pinning the Lakehouse object forever
-_BLOOM_PK_MIGRATED: "weakref.WeakKeyDictionary[object, set]" = (
+_BLOOM_PK_MIGRATED: "weakref.WeakKeyDictionary[object, dict]" = (
     weakref.WeakKeyDictionary()
 )
 
@@ -364,12 +364,15 @@ def bloom_update_table(
     # The check needs a manifest load, which on the hot append path would
     # cost one read PER BATCH just to re-learn a one-time fact — so each
     # handle remembers which tables passed the check and skips it after
-    # the first clean pass (sound: this module never re-adds PKs, and a
-    # drop+recreate through lake.create above starts PK-free; only an
-    # out-of-band recreate WITH PKs could fool the memo, and that is the
-    # same out-of-band hazard set_primary_keys itself guards).
-    migrated = _BLOOM_PK_MIGRATED.setdefault(lake, set())
-    if table not in migrated:
+    # the first clean pass. The memo is stamped with the handle's DDL
+    # epoch (bumped by every drop()/real create()), so a SAME-handle
+    # drop + recreate — possibly WITH the r7 primary keys — invalidates
+    # it and the guard re-verifies instead of trusting a memo about a
+    # dead table life. A recreate through a DIFFERENT handle remains
+    # out-of-band, the same hazard class set_primary_keys itself guards.
+    migrated = _BLOOM_PK_MIGRATED.setdefault(lake, {})
+    epoch = getattr(lake, "_ddl_epoch", 0)
+    if migrated.get(table) != epoch:
         if lake._load_meta(table).primary_keys:
             try:
                 lake.rewrite(
@@ -391,7 +394,7 @@ def bloom_update_table(
                     "the batch was NOT appended (appending into the "
                     "primary-key layout risks Bloom false negatives)"
                 ) from e
-        migrated.add(table)
+        migrated[table] = epoch
     batch = bloom_build(df, value_col, m_bits=m_bits, k=k, salt=salt)
     lake.insert(table, batch, mode="append")
     if compact_every and lake.pending_deltas(table) >= compact_every:

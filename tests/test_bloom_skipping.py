@@ -255,3 +255,55 @@ def test_per_file_blooms_from_zordered_optimize(lake, spark):
     got = lake.scan("d", where={"doc_id": "doc-00123"})
     assert [r.doc_id for r in got.collect()] == ["doc-00123"]
     assert len(got.inputFiles()) < len(lake.table("d").inputFiles())
+
+
+def test_all_null_file_survives_per_file_scan_without_stats(lake, spark):
+    """Review r10 #1: on a bloom-only table (no stats_columns) a
+    Z-ordered optimize records per-file keys ONLY via the bloom cells
+    job, which skips files with no non-null bloom values — and scan()
+    treats the per-file list as the complete enumeration. An all-NULL
+    file must still be enumerated (empty stats entry) or its rows
+    silently vanish from every scan."""
+    lake.create("d", SCHEMA, [], ["score"], bloom_columns=["doc_id"])
+    rows = [(f"doc-{i:03d}", 0, float(i)) for i in range(40)]
+    rows += [(None, 0, float(1000 + i)) for i in range(40)]  # NULL cluster
+    lake.insert("d", spark.createDataFrame(rows, SCHEMA), mode="append")
+    # zorder on score clusters the NULL doc_ids (score 1000+) into their
+    # own output file(s)
+    lake.optimize("d", zorder_by=["score"], zorder_files=4)
+    meta = lake._load_meta("d")
+    assert any(k.endswith(".parquet") for k in meta.zone_maps), "no per-file keys"
+    got = lake.scan("d")  # NO predicate: must see every row
+    assert got.count() == lake.table("d").count() == 80, (
+        "all-NULL file dropped from the per-file enumeration"
+    )
+
+
+def test_cross_type_probe_does_not_prune(lake, spark):
+    """Review r10 #2: Spark's equality implicit-casts ('05' = 5 is
+    true), but md5('5') != md5('05') — a cross-type probe must skip
+    bloom pruning entirely, never prune leaves the filter would match
+    after the cast."""
+    lake.create("d", SCHEMA, [], [], bloom_columns=["doc_id"])
+    # numeric-looking strings only: under ANSI, col == 5 casts the string
+    # side, and a non-numeric string would make the FILTER itself throw
+    lake.insert(
+        "d", spark.createDataFrame([("05", 1, 1.0), ("700", 1, 2.0)], SCHEMA),
+        mode="append",
+    )
+    got = lake.scan("d", where={"doc_id": 5})  # int probe, string column
+    exp = lake.table("d").filter(F.col("doc_id") == 5).collect()
+    assert [r.doc_id for r in got.collect()] == [r.doc_id for r in exp] == ["05"], (
+        "cross-type probe pruned a leaf Spark's cast-equality matches"
+    )
+    # int column probed with a string: same rule, other direction
+    schema = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("v", T.DoubleType())]
+    )
+    lake.create("t", schema, [], [], bloom_columns=["k"])
+    lake.insert(
+        "t", spark.createDataFrame([(5, 1.0), (7, 2.0)], schema), mode="append"
+    )
+    got = lake.scan("t", where={"k": "05"})
+    exp = lake.table("t").filter(F.col("k") == "05").collect()
+    assert [r.k for r in got.collect()] == [r.k for r in exp] == [5]

@@ -673,7 +673,7 @@ def test_bloom_migration_check_memoized_per_handle(spark, tmp_path):
     # same call with the memo cleared pays exactly one EXTRA load — the
     # guard's pre-append check; everything else (insert's own commit
     # loads) is identical
-    sk._BLOOM_PK_MIGRATED[lake].discard("bloom")
+    sk._BLOOM_PK_MIGRATED[lake].pop("bloom", None)
     calls.clear()
     bloom_update_table(lake, "bloom", b, "v", m_bits=1 << 10, k=3, compact_every=0)
     assert len(calls) == memoized_loads + 1, (
@@ -722,3 +722,33 @@ def test_bloom_migration_race_says_retry(spark, tmp_path):
     # and the plain retry completes the migration and the append
     bloom_update_table(lake, "bloom", b, "v", m_bits=1 << 10, k=3, compact_every=0)
     assert lake._load_meta("bloom").primary_keys == []
+
+
+def test_bloom_migration_memo_invalidated_by_same_handle_recreate(spark, tmp_path):
+    """Review r10 #3: the migration memo must not outlive the table LIFE
+    it verified — a same-handle drop + recreate WITH the r7 primary keys
+    must re-trigger the guard, not append duplicate-word deltas into a
+    PK table (the Bloom false-negative trap)."""
+    from pyspark.sql import types as T
+
+    from at_data_pipelines_spark.catalog import Lakehouse
+    from at_data_pipelines_spark.ops.sketch import bloom_build, bloom_update_table
+
+    lake = Lakehouse(spark, str(tmp_path / "lake"))
+    b = spark.createDataFrame([(f"doc-{i}",) for i in range(10)], ["v"])
+    bloom_update_table(lake, "bloom", b, "v", m_bits=1 << 10, k=3, compact_every=0)
+    # same handle: recreate the r7 PK layout
+    lake.drop("bloom")
+    lake.create(
+        "bloom",
+        T.StructType(
+            [T.StructField("word", T.LongType()), T.StructField("bits", T.LongType())]
+        ),
+        [],
+        ["word"],
+    )
+    lake.insert("bloom", bloom_build(b, "v", m_bits=1 << 10, k=3))
+    bloom_update_table(lake, "bloom", b, "v", m_bits=1 << 10, k=3, compact_every=0)
+    assert lake._load_meta("bloom").primary_keys == [], (
+        "memo from the dead table life skipped the migration guard"
+    )
