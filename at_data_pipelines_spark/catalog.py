@@ -750,23 +750,29 @@ def _bloom_probe_positions(sval: str, m_bits: int, k: int) -> list[int]:
 
 
 def _bloom_entry_excludes(stats: dict, eq_positions: dict) -> bool:
-    """True iff some equality predicate's value is PROVABLY absent from
-    this leaf: the leaf has a bloom entry for the column and at least
-    one of the value's k bits is unset. Leaves without an entry (legacy
-    generations, all-NULL leaves) never exclude; a type-mismatched probe
-    never reaches here (its positions function returns None)."""
-    for c, positions_for in eq_positions.items():
+    """True iff some column's predicate is PROVABLY unsatisfiable in
+    this leaf: the leaf has a bloom entry for the column and EVERY
+    probed value (one for equality, several for an IN-list) has at
+    least one of its k bits unset. Leaves without an entry (legacy
+    generations, all-NULL leaves) never exclude; type-mismatched probes
+    never reach here (scan() drops the whole column's probe list)."""
+    for c, pos_fns in eq_positions.items():
         ent = stats.get(f"{c}#bloom")
         if not ent:
             continue
         m_bits, k, words = int(ent[0]), int(ent[1]), ent[2]
-        for pos in positions_for(m_bits, k):
-            # Python's arbitrary-precision & handles Spark's signed-64
-            # bit_or words: a negative word sign-extends above bit 63,
-            # but every mask is a single bit < 2^64, so the test is
-            # exact for bits 0..63 either way
-            if not int(words.get(str(pos // 64), 0)) & (1 << (pos % 64)):
-                return True
+        def _absent(positions_for):
+            for pos in positions_for(m_bits, k):
+                # Python's arbitrary-precision & handles Spark's
+                # signed-64 bit_or words: a negative word sign-extends
+                # above bit 63, but every mask is a single bit < 2^64,
+                # so the test is exact for bits 0..63 either way
+                if not int(words.get(str(pos // 64), 0)) & (1 << (pos % 64)):
+                    return True
+            return False
+
+        if all(_absent(fn) for fn in pos_fns):
+            return True
     return False
 
 
@@ -2285,6 +2291,67 @@ class Lakehouse:
             }
         self._commit_meta(meta, None, action=f"set_stats_columns({stats_columns})")
 
+    def set_bloom_columns(
+        self,
+        name: str,
+        bloom_columns: list[str],
+        bloom_m_bits: int | None = None,
+        bloom_k: int | None = None,
+    ) -> None:
+        """Enable/alter Bloom data skipping on an existing table (the
+        ``create(bloom_columns=...)`` surface, post hoc). Applies to
+        FUTURE writes: generations written before this call have no
+        filter and simply stay unprunable for equality predicates
+        (sound — a leaf without an entry never excludes); an
+        ``optimize(full=True)`` rewrite backfills them. Existing leaf
+        entries are SELF-DESCRIBING ([m, k, words]), so changing
+        ``bloom_m_bits``/``bloom_k`` (None = keep the table's current
+        setting) never corrupts old entries — old leaves keep probing
+        with the parameters they were written with. Dropping a column
+        prunes its entries for manifest hygiene."""
+        meta = self._load_meta(name)
+        names = set(meta.schema.fieldNames())
+        for c in bloom_columns:
+            if c not in names:
+                raise ValueError(f"bloom column {c!r} not in schema for {name!r}")
+            if c in meta.partition_keys:
+                raise ValueError(
+                    f"bloom column {c!r} is a partition key — partition "
+                    "pruning already skips it exactly"
+                )
+            if not isinstance(meta.schema[c].dataType, _BLOOM_TYPES):
+                raise ValueError(
+                    f"bloom column {c!r} must be string/integer/date (got "
+                    f"{meta.schema[c].dataType.simpleString()})"
+                )
+        collide = set(meta.stats_columns) & {f"{c}#bloom" for c in bloom_columns}
+        if collide:
+            raise ValueError(
+                f"stats_columns {sorted(collide)} collide with the reserved "
+                "'<bloom column>#bloom' zone-map keys"
+            )
+        if bloom_m_bits is not None and (int(bloom_m_bits) % 64 or int(bloom_m_bits) <= 0):
+            raise ValueError(
+                f"bloom_m_bits must be a positive multiple of 64, got {bloom_m_bits}"
+            )
+        meta.bloom_columns = list(bloom_columns)
+        if bloom_m_bits is not None:
+            meta.properties["bloom.m_bits"] = int(bloom_m_bits)
+        elif bloom_columns:
+            meta.properties.setdefault("bloom.m_bits", _BLOOM_DEFAULT_M)
+        if bloom_k is not None:
+            meta.properties["bloom.k"] = int(bloom_k)
+        elif bloom_columns:
+            meta.properties.setdefault("bloom.k", _BLOOM_DEFAULT_K)
+        for key, stats in meta.zone_maps.items():
+            meta.zone_maps[key] = {
+                c: v
+                for c, v in stats.items()
+                if not c.endswith("#bloom")
+                or c[: -len("#bloom")] in meta.bloom_columns
+            }
+        self._commit_meta(meta, None, action=f"set_bloom_columns({bloom_columns})")
+
     # column types analyze() computes full stats for (orderable atomics);
     # anything else gets null counts only
     _ANALYZE_TYPES = (
@@ -3093,19 +3160,20 @@ class Lakehouse:
     ) -> DataFrame:
         """Zone-map-pruned scan: ``where`` is a conjunction of predicates,
         one per column — an inclusive range ``(lo, hi)`` tuple/list
-        (either bound may be None), or a bare SCALAR for equality.
+        (either bound may be None), a bare SCALAR for equality, or a
+        SET of scalars for an IN-list.
         Result is EXACTLY ``table(name).filter(<where>)`` — the manifest's
         per-generation-leaf min/max stats (``stats_columns`` at create)
         are used to drop whole leaf directories from the read up front,
         and the full predicate is still applied to whatever is read.
 
-        An equality predicate additionally probes the per-leaf Bloom
-        filters of ``bloom_columns`` tables: any leaf whose filter
-        disproves the value is dropped, which is what makes point
-        lookups on high-cardinality ids prune (a min/max box over a
-        hash-like column spans everything; its membership filter does
-        not). False positives only cost reading a leaf the filter failed
-        to rule out — never a wrong row.
+        Equality and IN-list predicates additionally probe the per-leaf
+        Bloom filters of ``bloom_columns`` tables: any leaf whose filter
+        disproves the value (every value, for an IN-list) is dropped,
+        which is what makes point lookups on high-cardinality ids prune
+        (a min/max box over a hash-like column spans everything; its
+        membership filter does not). False positives only cost reading a
+        leaf the filter failed to rule out — never a wrong row.
 
         At 100 TB this is the Delta/Iceberg data-skipping move: the
         driver eliminates files from manifest metadata alone — no task is
@@ -3119,10 +3187,30 @@ class Lakehouse:
         where = dict(where or {})
         names = set(meta.schema.fieldNames())
         eq: dict = {}
+        inlist: dict = {}
         for c, bounds in list(where.items()):
             if c not in names:
                 raise ValueError(f"unknown column {c!r} in scan predicate")
-            if isinstance(bounds, (tuple, list)):
+            if isinstance(bounds, (set, frozenset)):
+                if not bounds:
+                    raise ValueError(
+                        f"IN-list for {c!r} is empty — no row can match; "
+                        "an empty scan needs no query"
+                    )
+                if None in bounds:
+                    raise ValueError(
+                        f"IN-list for {c!r} contains None — IN never "
+                        "matches NULL; filter the result with isNull() instead"
+                    )
+                inlist[c] = sorted(bounds, key=repr)  # deterministic order
+                # range-prune with the list's span when the values are
+                # mutually comparable; a mixed-type list just skips the
+                # min/max contribution (bloom still applies)
+                try:
+                    where[c] = (min(bounds), max(bounds))
+                except TypeError:
+                    del where[c]
+            elif isinstance(bounds, (tuple, list)):
                 if len(tuple(bounds)) != 2:
                     raise ValueError(
                         f"bounds for {c!r} must be (lo, hi), got {bounds!r}"
@@ -3150,32 +3238,41 @@ class Lakehouse:
             if lo_p is _NO_PRUNE or hi_p is _NO_PRUNE:
                 continue  # unsound to compare: this column never excludes
             where_prune[c] = (lo_p, hi_p)
-        # Bloom probes for equality predicates on bloom columns: the k
+        # Bloom probes for equality/IN predicates on bloom columns: the k
         # positions depend on each leaf entry's (m, k), so build lazy
-        # per-(m,k)-memoized position functions once per column here
+        # per-(m,k)-memoized position functions — one per probe VALUE,
+        # listed per column (a leaf is excluded only when EVERY listed
+        # value is disproven). The probes' Python types must MATCH the
+        # column dtype: the filters were built from md5(CAST(col AS
+        # STRING)), so a cross-type probe (int 5 against a string column
+        # holding '05') hashes a different rendering than the rows
+        # Spark's implicit-cast equality would match — pruning on it
+        # would silently drop matching leaves. A column with ANY
+        # mismatched/unrenderable value skips bloom pruning entirely
+        # (that value can't be disproven, so the all-values-disproven
+        # exclusion can never hold); the filter keeps Spark semantics.
         eq_positions: dict = {}
-        for c, v in eq.items():
+        for c, vals in {**{c: [v] for c, v in eq.items()}, **inlist}.items():
             if c not in meta.bloom_columns:
                 continue
-            # the probe's Python type must MATCH the column dtype: the
-            # filters were built from md5(CAST(col AS STRING)), so a
-            # cross-type probe (int 5 against a string column holding
-            # '05') hashes a different rendering than the rows Spark's
-            # implicit-cast equality would match — pruning on it would
-            # silently drop matching leaves. Mismatched probes skip
-            # bloom pruning; the == filter below keeps Spark semantics.
-            if not _bloom_probe_type_ok(meta.schema[c].dataType, v):
-                continue
-            sval = _bloom_value_str(v)
-            if sval is None:
-                continue  # unrenderable probe value: never exclude
+            fns = []
+            for v in vals:
+                if not _bloom_probe_type_ok(meta.schema[c].dataType, v):
+                    fns = []
+                    break
+                sval = _bloom_value_str(v)
+                if sval is None:
+                    fns = []
+                    break
 
-            def positions_for(m_bits, k, sval=sval, memo={}):
-                if (m_bits, k) not in memo:
-                    memo[(m_bits, k)] = _bloom_probe_positions(sval, m_bits, k)
-                return memo[(m_bits, k)]
+                def positions_for(m_bits, k, sval=sval, memo={}):
+                    if (m_bits, k) not in memo:
+                        memo[(m_bits, k)] = _bloom_probe_positions(sval, m_bits, k)
+                    return memo[(m_bits, k)]
 
-            eq_positions[c] = positions_for
+                fns.append(positions_for)
+            if fns:
+                eq_positions[c] = fns
 
         def _excludes(stats: dict) -> bool:
             if where_prune and _zone_excludes(stats, where_prune):
@@ -3230,11 +3327,16 @@ class Lakehouse:
         else:
             df = self.spark.createDataFrame([], meta.schema)
         cond = None
+        for c, vals in inlist.items():
+            piece = F.col(c).isin(vals)
+            cond = piece if cond is None else cond & piece
         for c, (lo, hi) in where.items():
             if c in eq:
                 piece = F.col(c) == F.lit(eq[c])
                 cond = piece if cond is None else cond & piece
                 continue
+            if c in inlist:
+                continue  # isin above IS the predicate; (lo,hi) was prune-only
             if lo is not None:
                 piece = F.col(c) >= F.lit(lo)
                 cond = piece if cond is None else cond & piece

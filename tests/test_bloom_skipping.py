@@ -307,3 +307,82 @@ def test_cross_type_probe_does_not_prune(lake, spark):
     got = lake.scan("t", where={"k": "05"})
     exp = lake.table("t").filter(F.col("k") == "05").collect()
     assert [r.k for r in got.collect()] == [r.k for r in exp] == [5]
+
+
+def test_inlist_scan_prunes_and_matches_isin(lake, spark):
+    """A SET predicate is an IN-list: prunes to the union of the listed
+    values' leaves (a leaf survives if ANY value might be in it) and
+    filters with isin — exactly table().filter(col.isin(...))."""
+    lake.create("d", SCHEMA, ["bucket"], [], bloom_columns=["doc_id"])
+    for b in range(10):
+        lake.insert("d", _docs(spark, b * 100, b * 100 + 100, b), mode="append")
+    probes = {"doc-00042", "doc-00742"}  # buckets 0 and 7
+    got = lake.scan("d", where={"doc_id": probes})
+    assert sorted((r.doc_id, r.bucket) for r in got.collect()) == [
+        ("doc-00042", 0),
+        ("doc-00742", 7),
+    ]
+    all_files = len(lake.table("d").inputFiles())
+    assert len(got.inputFiles()) < all_files / 2, (
+        f"IN-list pruning read {len(got.inputFiles())}/{all_files} files"
+    )
+    # one absent + one present: the present one's leaf must survive
+    got = lake.scan("d", where={"doc_id": {"doc-00042", "doc-99999"}})
+    assert [r.doc_id for r in got.collect()] == ["doc-00042"]
+    # a cross-type value in the list disables bloom pruning (sound);
+    # the isin filter itself keeps Spark's ANSI semantics, which THROW
+    # on a malformed cast — exactly what table().filter(isin) does
+    with pytest.raises(Exception, match="CAST_INVALID_INPUT|cannot be cast"):
+        lake.scan("d", where={"doc_id": {"doc-00042", 42}}).collect()
+    with pytest.raises(ValueError, match="empty"):
+        lake.scan("d", where={"doc_id": set()})
+    with pytest.raises(ValueError, match="None"):
+        lake.scan("d", where={"doc_id": {"doc-00042", None}})
+
+
+def test_inlist_range_prunes_on_stats_only_table(lake, spark):
+    """IN-lists also contribute a min/max span to zone-map pruning on
+    tables with stats but no blooms."""
+    schema = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("v", T.DoubleType())]
+    )
+    lake.create("t", schema, [], [], stats_columns=["k"])
+    for b in range(6):
+        lake.insert(
+            "t",
+            spark.createDataFrame(
+                [(b * 1000 + i, float(i)) for i in range(50)], schema
+            ),
+            mode="append",
+        )
+    got = lake.scan("t", where={"k": {2010, 2040}})
+    assert sorted(r.k for r in got.collect()) == [2010, 2040]
+    assert len(got.inputFiles()) < len(lake.table("t").inputFiles())
+
+
+def test_set_bloom_columns_post_hoc(lake, spark):
+    """Enabling blooms on an existing table applies to future writes;
+    pre-existing generations stay readable (never excluded), and an
+    optimize(full=True) backfills them. Dropping the column prunes its
+    entries."""
+    lake.create("d", SCHEMA, [], ["doc_id"])
+    lake.insert("d", _docs(spark, 0, 50, 0), mode="append")  # pre-bloom gen
+    lake.set_bloom_columns("d", ["doc_id"])
+    lake.insert("d", _docs(spark, 50, 100, 1), mode="append")
+    # old generation has no entry -> must still be read
+    got = lake.scan("d", where={"doc_id": "doc-00007"})
+    assert [r.doc_id for r in got.collect()] == ["doc-00007"]
+    # backfill: full rewrite records filters for everything
+    lake.optimize("d", full=True)
+    meta = lake._load_meta("d")
+    assert any("doc_id#bloom" in s for s in meta.zone_maps.values())
+    got = lake.scan("d", where={"doc_id": "doc-00007"})
+    assert [r.doc_id for r in got.collect()] == ["doc-00007"]
+    # dropping the column prunes its entries
+    lake.set_bloom_columns("d", [])
+    meta = lake._load_meta("d")
+    assert not any(
+        c.endswith("#bloom") for s in meta.zone_maps.values() for c in s
+    )
+    with pytest.raises(ValueError, match="string/integer/date"):
+        lake.set_bloom_columns("d", ["score"])
