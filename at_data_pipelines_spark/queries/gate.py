@@ -126,6 +126,10 @@ PYTEST_ONLY: list[str] = [
     # sketch family (bottom-k-hash row sample + PERCENTILE_CONT), same
     # md5 parity discipline as q66/q68/q69
     "q71_quantile_sketch",
+    # r10: Bloom data skipping end-to-end — documents round-tripped
+    # through a bloom_columns lakehouse table, IN-list point lookup via
+    # scan()'s equality predicates, oracle = plain WHERE doc_id IN (...)
+    "q72_bloom_point_lookup",
 ]
 
 GATE_SIZE = 50

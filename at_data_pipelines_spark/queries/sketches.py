@@ -219,3 +219,44 @@ def q71_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     sk = quantile_sketch(d, "n_chars", "doc_id", k=256)
     est = quantile_estimate(sk, [0.25, 0.5, 0.9])
     return est.select("q", F.round("value", 6).alias("value")).orderBy("q")
+
+
+# --------------------------------------------------------------------------
+# q72 — Bloom data skipping end-to-end (r10): round-trip the documents
+#        table through a lakehouse table with bloom_columns=['doc_id']
+#        and answer a two-point IN-list lookup via scan()'s equality
+#        predicates — the per-leaf membership filters prune the read to
+#        the leaves holding the probed ids (tests assert the files-
+#        opened shape; here the oracle pins the SEMANTICS: scan(IN) is
+#        exactly WHERE doc_id IN (...)). Probe ids are the table's own
+#        min/max doc_id so the query is deterministic at every SF.
+# --------------------------------------------------------------------------
+@register(
+    "q72_bloom_point_lookup",
+    oracle="""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+           CAST(n_chars AS BIGINT) AS n_chars
+    FROM documents
+    WHERE doc_id IN (SELECT MIN(doc_id) FROM documents)
+       OR doc_id IN (SELECT MAX(doc_id) FROM documents)
+    """,
+)
+def q72_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..catalog import Lakehouse
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "source",
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+    # the temp lakehouse must outlive this function: the returned
+    # DataFrame reads from it lazily (the driver collects later)
+    lake = Lakehouse(spark, tempfile.mkdtemp(prefix="q72_bloom_") + "/lake")
+    lake.create("docs", d.schema, [], [], bloom_columns=["doc_id"])
+    lake.insert("docs", d)
+    lo, hi = d.agg(F.min("doc_id"), F.max("doc_id")).first()
+    return lake.scan("docs", where={"doc_id": {int(lo), int(hi)}})
