@@ -3281,6 +3281,38 @@ class Lakehouse:
                 stats, eq_positions
             )
 
+        # DRIVER-side partition pruning for equality/IN predicates on
+        # partition keys: at 1M partitions, `kept` would otherwise carry
+        # every committed path into the reader's analysis (seconds of
+        # driver time and a giant file index) even when the predicate
+        # names exactly one partition — Catalyst would prune the FILES
+        # later, but the paths must not be enumerated at all. Only exact
+        # hive-rendering matches prune, under the same probe-type ==
+        # key-dtype rule as the bloom probes (Spark's cast-equality can
+        # match rows whose dir spelling differs from the probe's);
+        # RANGE predicates on partition keys are left to Spark — dir
+        # names order as strings, not as the key's type.
+        part_match: dict[str, set[str]] = {}
+        for c, vals in {**{c: [v] for c, v in eq.items()}, **inlist}.items():
+            if c not in meta.partition_keys:
+                continue
+            dtype = meta.schema[c].dataType
+            if all(
+                _bloom_probe_type_ok(dtype, v)
+                or (isinstance(dtype, T.BooleanType) and isinstance(v, bool))
+                for v in vals
+            ):
+                part_match[c] = {_escape_partition_value(v) for v in vals}
+
+        def _rel_excludes(rel: str) -> bool:
+            if not part_match or not rel:
+                return False
+            segs = dict(s.split("=", 1) for s in rel.split("/"))
+            return any(
+                segs.get(c) is not None and segs[c] not in allowed
+                for c, allowed in part_match.items()
+            )
+
         # enumerate visible LEAF dirs with their zone-map keys
         leaves: list[tuple[str, str]] = []
         depth = len(meta.partition_keys)
@@ -3289,10 +3321,14 @@ class Lakehouse:
             base = self._seq_dir(name, s)
             if depth:
                 for rel in self.fs.glob_dir_leaves(f"{base}/{pattern}", depth):
+                    if _rel_excludes(rel):
+                        continue
                     leaves.append((f"{base}/{rel}", self._zone_key(s, rel)))
             else:
                 leaves.append((base, self._zone_key(s, "")))
         for rel, s in sorted(meta.committed.items()):
+            if _rel_excludes(rel):
+                continue
             base = self._seq_dir(name, s)
             leaves.append(
                 (base if rel == "" else f"{base}/{rel}", self._zone_key(s, rel))

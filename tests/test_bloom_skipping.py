@@ -386,3 +386,69 @@ def test_set_bloom_columns_post_hoc(lake, spark):
     )
     with pytest.raises(ValueError, match="string/integer/date"):
         lake.set_bloom_columns("d", ["score"])
+
+
+def test_partition_equality_prunes_at_the_driver(lake, spark):
+    """Equality/IN on a partition key must drop the excluded partitions
+    from the DRIVER-side path enumeration, not merely let Catalyst prune
+    their files: observable by deleting another partition's directory —
+    a scan that still enumerated it would fail on the missing path."""
+    # PKs + optimize move the partitions into the manifest's committed
+    # map — the enumeration that never LISTs (live-delta globs skip a
+    # missing dir naturally, committed paths do not)
+    lake.create("d", SCHEMA, ["bucket"], ["doc_id"])
+    for b in range(4):
+        lake.insert("d", _docs(spark, b * 10, b * 10 + 10, b), mode="append")
+    lake.optimize("d")
+    # destroy partition 2's data out-of-band: any enumeration of its
+    # path now raises, so a passing scan PROVES the driver pruned it
+    meta = lake._load_meta("d")
+    victim = [r for r in meta.committed if r.startswith("bucket=2")]
+    assert victim, meta.committed
+    for rel in victim:
+        lake.fs.delete(f"{lake._dir('d')}/data/_seq={meta.committed[rel]}/{rel}")
+    got = lake.scan("d", where={"bucket": 1})
+    assert sorted(r.doc_id for r in got.collect()) == [
+        f"doc-{i:05d}" for i in range(10, 20)
+    ]
+    got = lake.scan("d", where={"bucket": {0, 3}})
+    assert got.count() == 20
+    # cross-type probe must NOT prune (Spark's cast-equality semantics);
+    # enumerating the destroyed partition then fails loudly = proof
+    with pytest.raises(Exception):
+        lake.scan("d", where={"bucket": "1"}).collect()
+
+
+def test_fast_path_date_and_int_blooms_match_spark_path(lake, spark):
+    """Cross-path parity for DATE and integer renderings specifically:
+    the Spark job hashes CAST(col AS STRING); the arrow fast path hashes
+    the Python rendering — for dates both must be ISO 'YYYY-MM-DD'."""
+    import datetime as dt
+
+    schema = T.StructType(
+        [
+            T.StructField("day", T.DateType()),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+    rows = [(dt.date(2024, 1, 2) + dt.timedelta(days=i), i - 5) for i in range(12)]
+    lake.create("a", schema, [], [], bloom_columns=["day", "n"])
+    lake.create("b", schema, [], [], bloom_columns=["day", "n"])
+    df = spark.createDataFrame(rows, schema)
+    orig = lake._fast_insert
+    lake._fast_insert = lambda *a, **k: False
+    lake.insert("a", df, mode="append")  # Spark-job write path
+    lake._fast_insert = orig
+    lake.insert("b", df, mode="append")  # arrow fast path
+    (za,) = lake._load_meta("a").zone_maps.values()
+    (zb,) = lake._load_meta("b").zone_maps.values()
+    for c in ("day#bloom", "n#bloom"):
+        assert {k: int(v) for k, v in za[c][2].items()} == {
+            k: int(v) for k, v in zb[c][2].items()
+        }, c
+    # and the probe finds rows through BOTH tables' filters
+    for t in ("a", "b"):
+        got = lake.scan(t, where={"day": dt.date(2024, 1, 5), "n": -2})
+        assert [(r.day.isoformat(), r.n) for r in got.collect()] == [
+            ("2024-01-05", -2)
+        ]
