@@ -704,3 +704,128 @@ def paragraph_dedup(
             ).alias(text_col)
         )
     )
+
+
+def _dup_gram_positions(
+    df: DataFrame, text_col: str, id_col: str, n: int, mark: str
+) -> DataFrame:
+    """(id, pos) rows for every duplicated word n-gram occurrence.
+
+    ``mark="all"``: every occurrence of an n-gram that appears more than
+    once in the corpus (intra- or cross-document). ``mark="keep_first"``:
+    all but the canonical first occurrence (lowest ``(id, pos)``) — the
+    Lee et al. 2022 exact-substring-dedup semantic, where one copy of the
+    repeated text survives.
+
+    Scale shape: one map-side posexplode, then ONE hash shuffle on the
+    gram digest. "all" uses groupBy+count then a hash join back — AQE's
+    skew-join splits the viral-boilerplate gram that a window over the
+    digest could not. "keep_first" needs a total order per gram, so a
+    row_number window over the digest is unavoidable; its skew bound is
+    the hottest single n-gram's occurrence count.
+    """
+    toks = df.select(
+        F.col(id_col), F.split(F.trim(F.col(text_col)), r"\s+").alias("_w")
+    ).where(F.size("_w") >= n)
+    gram = lambda i: F.xxhash64(  # noqa: E731
+        F.concat_ws(" ", *[F.element_at(F.col("_w"), i + j) for j in range(n)])
+    )
+    grams = toks.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(F.sequence(F.lit(1), F.size("_w") - (n - 1)), gram)
+        ).alias("pos", "_g"),
+    )
+    if mark == "all":
+        counts = grams.groupBy("_g").agg(F.count("*").alias("_c")).where("_c > 1")
+        return grams.join(counts, "_g").select(id_col, "pos")
+    if mark == "keep_first":
+        w = W.partitionBy("_g").orderBy(F.col(id_col), F.col("pos"))
+        return (
+            grams.withColumn("_rn", F.row_number().over(w))
+            .withColumn("_c", F.count("*").over(W.partitionBy("_g")))
+            .where((F.col("_c") > 1) & (F.col("_rn") > 1))
+            .select(id_col, "pos")
+        )
+    raise ValueError(f"mark must be 'all' or 'keep_first', got {mark!r}")
+
+
+def duplicate_ngram_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    mark: str = "all",
+) -> DataFrame:
+    """Exact substring dedup, detection half (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): find every maximal token
+    span covered by word n-grams that occur more than once in the corpus.
+
+    A true distributed suffix array is not a Spark shape; the standard
+    scalable approximation is n-gram fingerprinting — any duplicated
+    substring of ≥ n tokens is covered end-to-end by duplicated n-grams,
+    so merging overlapping/adjacent duplicated n-gram intervals
+    ``[pos, pos+n)`` recovers the maximal duplicated spans exactly (for
+    spans ≥ n; shorter repeats are below the dedup threshold by design).
+
+    Returns one row per document that contains at least one duplicated
+    span: ``(id, spans array<struct<span_start,span_end>>, n_spans,
+    dup_tokens)`` with 0-based token offsets, end exclusive.
+
+    Merge semantics: intervals merge when the gap between consecutive
+    duplicated gram starts is ≤ n (overlapping or token-contiguous runs).
+    Islands via the classic gaps-and-islands window — two narrow shuffles
+    on ``id`` after the gram shuffle, all codegen, no UDFs.
+    """
+    dup = _dup_gram_positions(df, text_col, id_col, n, mark)
+    w = W.partitionBy(id_col).orderBy("pos")
+    prev = F.lag("pos").over(w)
+    brk = F.when(prev.isNull() | (F.col("pos") - prev > n), 1).otherwise(0)
+    islands = dup.withColumn("_isl", F.sum(brk).over(w))
+    spans = islands.groupBy(id_col, "_isl").agg(
+        F.min("pos").alias("span_start"), (F.max("pos") + n).alias("span_end")
+    )
+    return spans.groupBy(id_col).agg(
+        F.sort_array(
+            F.collect_list(F.struct("span_start", "span_end"))
+        ).alias("spans"),
+        F.count("*").alias("n_spans"),
+        F.sum(F.col("span_end") - F.col("span_start")).alias("dup_tokens"),
+    )
+
+
+def strip_duplicate_ngrams(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 8
+) -> DataFrame:
+    """Exact substring dedup, removal half: cut every duplicated span
+    EXCEPT its canonical first occurrence (``mark="keep_first"``), so each
+    repeated passage survives exactly once corpus-wide. Documents whose
+    tokens are all duplicated drop out of the output entirely (their text
+    would be empty).
+
+    Rebuild is a left join of spans back onto the token arrays, then a
+    pure-codegen filter: keep token i unless some span covers it. The
+    per-row cost is O(tokens × spans) inside whole-stage codegen — spans
+    per doc are few, and no Python touches the hot path.
+    """
+    spans = duplicate_ngram_spans(df, text_col, id_col, n, mark="keep_first")
+    toks = df.select(
+        F.col(id_col), F.split(F.trim(F.col(text_col)), r"\s+").alias("_w")
+    )
+    joined = toks.join(spans.select(id_col, "spans"), id_col, "left")
+    idx = F.sequence(F.lit(1), F.size("_w"))
+    keep = F.filter(
+        idx,
+        lambda i: ~F.exists(
+            F.col("spans"),
+            lambda s: (i - 1 >= s["span_start"]) & (i - 1 < s["span_end"]),
+        ),
+    )
+    rebuilt = F.when(
+        F.col("spans").isNull(), F.concat_ws(" ", F.col("_w"))
+    ).otherwise(
+        F.concat_ws(" ", F.transform(keep, lambda i: F.element_at(F.col("_w"), i)))
+    )
+    return joined.select(F.col(id_col), rebuilt.alias(text_col)).where(
+        F.length(text_col) > 0
+    )

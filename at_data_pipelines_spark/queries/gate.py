@@ -130,6 +130,11 @@ PYTEST_ONLY: list[str] = [
     # through a bloom_columns lakehouse table, IN-list point lookup via
     # scan()'s equality predicates, oracle = plain WHERE doc_id IN (...)
     "q72_bloom_point_lookup",
+    # r10: exact substring dedup (Lee et al. 2022) — maximal duplicated
+    # 8-gram token spans via gaps-and-islands merge; Spark xxhash64 gram
+    # digests vs the oracle's gram-string grouping, spans under exact
+    # parity (llmops/dedup.py duplicate_ngram_spans)
+    "q73_dup_ngram_spans",
 ]
 
 GATE_SIZE = 50

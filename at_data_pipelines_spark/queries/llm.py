@@ -593,3 +593,58 @@ def q70_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(d, chunk_chars=200, overlap=50).orderBy(
         "doc_id", "chunk_id"
     )
+
+
+# --------------------------------------------------------------------------
+# q73 — exact substring dedup (Lee et al. 2022): maximal duplicated word
+#        8-gram spans per document (llmops/dedup.py duplicate_ngram_spans,
+#        mark="all"). Spark groups occurrences by xxhash64 of the gram;
+#        the oracle groups by the gram string itself — the same partition
+#        of occurrences barring a 64-bit collision, so spans (the only
+#        output) agree exactly. Islands merge when consecutive duplicated
+#        gram starts are ≤ n apart (overlapping or token-contiguous).
+# --------------------------------------------------------------------------
+@register(
+    "q73_dup_ngram_spans",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+    ), g AS (
+      SELECT doc_id, pos, array_to_string(t[pos+1 : pos+8], ' ') AS gram
+      FROM toks, LATERAL (SELECT unnest(range(len(t) - 7)) AS pos) _
+      WHERE len(t) >= 8
+    ), d AS (
+      SELECT doc_id, pos FROM (
+        SELECT doc_id, pos, count(*) OVER (PARTITION BY gram) AS c FROM g
+      ) WHERE c > 1
+    ), isl AS (
+      SELECT doc_id, pos,
+             sum(CASE WHEN prev IS NULL OR pos - prev > 8 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      FROM (SELECT doc_id, pos,
+                   lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+            FROM d)
+    ), sp AS (
+      SELECT doc_id, island, min(pos) AS s, max(pos) + 8 AS e
+      FROM isl GROUP BY doc_id, island
+    )
+    SELECT doc_id,
+           count(*) AS n_spans,
+           CAST(sum(e - s) AS BIGINT) AS dup_tokens,
+           CAST(min(s) AS BIGINT) AS first_start,
+           CAST(max(e) AS BIGINT) AS last_end
+    FROM sp GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q73_dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llmops.dedup import duplicate_ngram_spans
+
+    d = load_table(spark, sf_dir, "documents")
+    spans = duplicate_ngram_spans(d, "text", "doc_id", n=8, mark="all")
+    return spans.select(
+        "doc_id",
+        F.col("n_spans").cast("long").alias("n_spans"),
+        F.col("dup_tokens").cast("long").alias("dup_tokens"),
+        F.element_at("spans", 1)["span_start"].cast("long").alias("first_start"),
+        F.element_at("spans", -1)["span_end"].cast("long").alias("last_end"),
+    ).orderBy("doc_id")

@@ -1366,3 +1366,106 @@ def test_quality_classifier_unseen_tokens_push_to_minority_class(spark):
         got[0], clf.prior_logit + 4 * clf.unseen_log_odds, rel_tol=1e-9
     )
     assert got[0] < got[1]
+
+
+# ---------------------------------------------------------------------------
+# exact substring dedup (duplicate_ngram_spans / strip_duplicate_ngrams)
+# ---------------------------------------------------------------------------
+
+def _py_dup_spans(docs, n, mark):
+    """Pure-Python reference: maximal duplicated n-gram spans per doc."""
+    toks = {i: t.strip().split() for i, t in docs}
+    occ = {}
+    for i in sorted(toks):
+        w = toks[i]
+        for p in range(len(w) - n + 1):
+            occ.setdefault(tuple(w[p : p + n]), []).append((i, p))
+    marked = {}
+    for lst in occ.values():
+        if len(lst) > 1:
+            sel = lst if mark == "all" else sorted(lst)[1:]
+            for i, p in sel:
+                marked.setdefault(i, set()).add(p)
+    out = {}
+    for i, ps in marked.items():
+        spans = []
+        for p in sorted(ps):
+            if spans and p - spans[-1][2] <= n:
+                spans[-1] = (spans[-1][0], p + n, p)
+            else:
+                spans.append((p, p + n, p))
+        out[i] = [(s, e) for s, e, _ in spans]
+    return out
+
+
+_SUBSTR_DOCS = [
+    (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa unique one"),
+    (2, "intro words alpha beta gamma delta epsilon zeta eta theta iota kappa tail"),
+    (3, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+    (4, "rep one two three four five six seven eight mid one two three four five six seven eight end"),
+    (5, "completely fresh text with no duplicated passages at all in here ok"),
+    (6, "tiny doc"),
+]
+
+
+@pytest.mark.parametrize("mark", ["all", "keep_first"])
+def test_duplicate_ngram_spans_matches_python_reference(spark, mark):
+    n = 8
+    df = spark.createDataFrame(_SUBSTR_DOCS, ["doc_id", "text"])
+    got = {
+        r.doc_id: [(s["span_start"], s["span_end"]) for s in r.spans]
+        for r in dedup.duplicate_ngram_spans(df, "text", "doc_id", n=n, mark=mark).collect()
+    }
+    want = _py_dup_spans(_SUBSTR_DOCS, n, mark)
+    assert got == want
+    if mark == "all":
+        # doc 3 is entirely contained in docs 1/2 -> one full-width span
+        assert got[3] == [(0, 10)]
+        # doc 4's intra-doc repeat is two disjoint occurrences of an 8-token run
+        assert 4 in got
+    else:
+        # keep_first: doc 1 (lowest id) keeps the shared passage unmarked
+        assert 1 not in want or got.get(1) == want[1]
+
+
+def test_duplicate_ngram_spans_keep_first_is_subset_of_all(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    all_rows = {
+        r.doc_id: r.dup_tokens
+        for r in dedup.duplicate_ngram_spans(d, "text", "doc_id", n=8, mark="all").collect()
+    }
+    kf_rows = {
+        r.doc_id: r.dup_tokens
+        for r in dedup.duplicate_ngram_spans(d, "text", "doc_id", n=8, mark="keep_first").collect()
+    }
+    assert set(kf_rows) <= set(all_rows)
+    assert all(kf_rows[i] <= all_rows[i] for i in kf_rows)
+    assert all_rows, "fixture should contain duplicated passages"
+
+
+def test_strip_duplicate_ngrams_matches_python_reference(spark):
+    n = 8
+    df = spark.createDataFrame(_SUBSTR_DOCS, ["doc_id", "text"])
+    got = {
+        r.doc_id: r.text
+        for r in dedup.strip_duplicate_ngrams(df, "text", "doc_id", n=n).collect()
+    }
+    spans = _py_dup_spans(_SUBSTR_DOCS, n, "keep_first")
+    want = {}
+    for i, t in _SUBSTR_DOCS:
+        w = t.strip().split()
+        sp = spans.get(i, [])
+        keep = [tok for j, tok in enumerate(w) if not any(s <= j < e for s, e in sp)]
+        if keep:
+            want[i] = " ".join(keep)
+    assert got == want
+    # doc 3 is a pure duplicate of text that first occurs in doc 1 -> dropped
+    assert 3 not in got
+    # doc 1 (canonical first occurrence) survives untouched
+    assert got[1] == _SUBSTR_DOCS[0][1]
+    # after stripping, no cross-doc duplicated n-gram remains except firsts
+    restripped = dedup.duplicate_ngram_spans(
+        spark.createDataFrame(list(got.items()), ["doc_id", "text"]),
+        "text", "doc_id", n=n, mark="keep_first",
+    ).collect()
+    assert restripped == []
