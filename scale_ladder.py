@@ -38,6 +38,10 @@ LADDER_QUERIES = [
     "q46_jaccard_near_dups",
     "q47_simhash32",
     "q48_cosine_top5",
+    # r10: exact substring dedup — the replicated ladder corpus is the
+    # worst case (every 8-gram duplicated k times), so this rung bounds
+    # the operator's cost when dup density -> 100%
+    "q73_dup_ngram_spans",
 ]
 
 BASE_SF = 0.1
@@ -267,6 +271,11 @@ def main() -> None:
     ap.add_argument("--runs", type=int, default=2)
     ap.add_argument("--base", default="/root/testdata/sf0.1")
     ap.add_argument(
+        "--only",
+        default="",
+        help="comma list restricting the queries section to these LADDER_QUERIES names",
+    )
+    ap.add_argument(
         "--sections",
         default="all",
         help=(
@@ -373,6 +382,9 @@ def main() -> None:
     if "queries" in sections:
         callables = {q: QUERIES[q] for q in LADDER_QUERIES}
         callables["ann_ivf_top5"] = ann_ivf_top5
+        if args.only:
+            keep = set(args.only.split(","))
+            callables = {q: fn for q, fn in callables.items() if q in keep}
         for q, fn in callables.items():
             _measure_rungs(q, fn, ladder)
 
