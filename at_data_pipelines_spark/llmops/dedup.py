@@ -810,7 +810,9 @@ def strip_duplicate_ngrams(
     """
     spans = duplicate_ngram_spans(df, text_col, id_col, n, mark="keep_first")
     toks = df.select(
-        F.col(id_col), F.split(F.trim(F.col(text_col)), r"\s+").alias("_w")
+        F.col(id_col),
+        F.col(text_col).alias("_orig"),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("_w"),
     )
     joined = toks.join(spans.select(id_col, "spans"), id_col, "left")
     idx = F.sequence(F.lit(1), F.size("_w"))
@@ -821,11 +823,12 @@ def strip_duplicate_ngrams(
             lambda s: (i - 1 >= s["span_start"]) & (i - 1 < s["span_end"]),
         ),
     )
-    rebuilt = F.when(
-        F.col("spans").isNull(), F.concat_ws(" ", F.col("_w"))
-    ).otherwise(
+    # untouched docs keep their ORIGINAL text byte-for-byte (no silent
+    # whitespace normalization); only docs that actually lost a span are
+    # rebuilt from their surviving tokens, and rebuilt-to-empty docs drop
+    rebuilt = F.when(F.col("spans").isNull(), F.col("_orig")).otherwise(
         F.concat_ws(" ", F.transform(keep, lambda i: F.element_at(F.col("_w"), i)))
     )
     return joined.select(F.col(id_col), rebuilt.alias(text_col)).where(
-        F.length(text_col) > 0
+        F.col("spans").isNull() | (F.length(text_col) > 0)
     )

@@ -1405,6 +1405,7 @@ _SUBSTR_DOCS = [
     (4, "rep one two three four five six seven eight mid one two three four five six seven eight end"),
     (5, "completely fresh text with no duplicated passages at all in here ok"),
     (6, "tiny doc"),
+    (7, "odd  spacing   document kept verbatim because nothing here repeats anywhere"),
 ]
 
 
@@ -1453,8 +1454,11 @@ def test_strip_duplicate_ngrams_matches_python_reference(spark):
     spans = _py_dup_spans(_SUBSTR_DOCS, n, "keep_first")
     want = {}
     for i, t in _SUBSTR_DOCS:
+        if i not in spans:
+            want[i] = t  # untouched docs keep original text verbatim
+            continue
         w = t.strip().split()
-        sp = spans.get(i, [])
+        sp = spans[i]
         keep = [tok for j, tok in enumerate(w) if not any(s <= j < e for s, e in sp)]
         if keep:
             want[i] = " ".join(keep)
@@ -1463,6 +1467,8 @@ def test_strip_duplicate_ngrams_matches_python_reference(spark):
     assert 3 not in got
     # doc 1 (canonical first occurrence) survives untouched
     assert got[1] == _SUBSTR_DOCS[0][1]
+    # doc 7's irregular whitespace is preserved byte-for-byte (no rejoin)
+    assert got[7] == _SUBSTR_DOCS[6][1]
     # after stripping, no cross-doc duplicated n-gram remains except firsts
     restripped = dedup.duplicate_ngram_spans(
         spark.createDataFrame(list(got.items()), ["doc_id", "text"]),
