@@ -2700,8 +2700,29 @@ class Lakehouse:
         every type spelling (double ``1.0E-4``, fractional-second
         timestamps, ...) and with no literal-parse step that could go NULL
         and silently drop a partition from a rewrite. The predicate only
-        references partition attributes, so it still prunes at the scan."""
-        part_filter = None
+        references partition attributes, so it still prunes at the scan.
+
+        Shape matters at wide ingests: a single-key rel set becomes ONE
+        ``isin`` (Catalyst's In/InSet — constant plan depth, hashed
+        lookup past 10 values), and the multi-key fallback ORs the
+        per-rel conjunctions as a BALANCED tree. The original left-deep
+        ``a|b|c|...`` chain overflowed the JVM thread stack in the
+        recursive column-node conversion around ~500 dirty partitions —
+        a day's ingest footprint at 100 TB, not an edge case."""
+        rels = list(rels)
+        keys = meta.partition_keys
+        if len(keys) == 1 and rels:
+            k = keys[0]
+            vals = [_unescape_partition_value(r.partition("=")[2]) for r in rels]
+            present = [v for v in vals if v is not None]
+            cond = None
+            if present:
+                cond = F.col(k).cast("string").isin(present)
+            if len(present) < len(vals):  # a null/empty sentinel dir
+                nullc = F.col(k).isNull() | (F.col(k).cast("string") == F.lit(""))
+                cond = nullc if cond is None else (cond | nullc)
+            return cond
+        conds = []
         for rel in rels:
             cond = F.lit(True)
             for comp in rel.split("/"):
@@ -2713,8 +2734,13 @@ class Lakehouse:
                 else:
                     c = F.col(k).cast("string") == F.lit(v)
                 cond = cond & c
-            part_filter = cond if part_filter is None else (part_filter | cond)
-        return part_filter
+            conds.append(cond)
+        while len(conds) > 1:  # balanced OR fold: depth O(log n)
+            conds = [
+                conds[i] | conds[i + 1] if i + 1 < len(conds) else conds[i]
+                for i in range(0, len(conds), 2)
+            ]
+        return conds[0] if conds else None
 
     # -- zone maps ---------------------------------------------------------
     @staticmethod
@@ -3415,9 +3441,60 @@ class Lakehouse:
         table has ``stats_columns`` — zone maps are recorded PER FILE,
         so multi-dimensional range scans prune at file granularity with
         tight boxes in every Z dimension."""
-        meta = self._load_meta(name)
-        if not meta.primary_keys:
+        if not self._load_meta(name).primary_keys:
             return
+        self._rewrite_dirty(
+            name, dedupe=True, zorder_by=zorder_by, zorder_files=zorder_files, full=full
+        )
+
+    def compact(
+        self,
+        name: str,
+        zorder_by: list[str] | None = None,
+        zorder_files: int = 8,
+        full: bool = False,
+    ) -> None:
+        """Small-file compaction for PK-LESS append-only tables (the
+        streaming-ingest sinks): merge every pending delta into the base
+        generation of the partitions it touched, preserving EVERY row —
+        duplicates included, because without primary keys there is no
+        keep-latest rule and dropping rows would be data loss.
+
+        Same dirty-partition economics and atomic commit as
+        ``optimize()`` (cost scales with the ingest, not the table;
+        readers flip in one manifest PUT; superseded dirs are reclaimed
+        after the commit). The rewrite is AQE-REBALANCED instead of
+        one-task-per-partition: skewed hive partitions split into
+        advisory-sized files rather than one giant file, and
+        unpartitioned tables coalesce their many small delta files into
+        target-sized ones — the layout a 1000-executor job wants when a
+        streaming sink has landed thousands of per-batch files.
+
+        On a table WITH primary keys this delegates to ``optimize()``
+        (keep-latest IS the correct merge there), so schedulers can call
+        ``compact`` as the uniform maintenance entry point."""
+        if self._load_meta(name).primary_keys:
+            return self.optimize(
+                name, zorder_by=zorder_by, zorder_files=zorder_files, full=full
+            )
+        self._rewrite_dirty(
+            name, dedupe=False, zorder_by=zorder_by, zorder_files=zorder_files, full=full
+        )
+
+    def _rewrite_dirty(
+        self,
+        name: str,
+        *,
+        dedupe: bool,
+        zorder_by: list[str] | None,
+        zorder_files: int,
+        full: bool,
+    ) -> None:
+        """Shared dirty-partition rewrite behind ``optimize()`` (dedupe
+        by PK) and ``compact()`` (merge-preserving): read the dirty
+        partitions' bases + deltas pinned to one manifest, land the
+        result as one new generation, repoint + absorb in one commit."""
+        meta = self._load_meta(name)
         before = self._snapshot_meta(meta)
         if full:
             meta.all_dirty = True
@@ -3442,7 +3519,7 @@ class Lakehouse:
         if meta.partition_keys and not meta.all_dirty:
             part_filter = self._rel_filter(meta, meta.dirty_partitions)
             raw = raw.filter(part_filter)  # partition-pruned scan
-        deduped = self._keep_latest(raw, meta.primary_keys)
+        out = self._keep_latest(raw, meta.primary_keys) if dedupe else raw
         if zorder_by:
             # Z-order layout: bucket bounds come from the (pruned) input
             # scan — a cheap column min/max — then rows range-partition
@@ -3463,14 +3540,14 @@ class Lakehouse:
             ]
             n_rewritten = len(meta.dirty_partitions) or len(meta.committed) or 1
             nparts = n_rewritten * int(zorder_files)
-            deduped = deduped.withColumn("_z", _morton_expr(zcols))
+            out = out.withColumn("_z", _morton_expr(zcols))
             range_keys = [F.col(k) for k in meta.partition_keys] + [F.col("_z")]
-            deduped = (
-                deduped.repartitionByRange(nparts, *range_keys)
+            out = (
+                out.repartitionByRange(nparts, *range_keys)
                 .sortWithinPartitions(*meta.partition_keys, "_z")
                 .drop("_z")
             )
-        else:
+        elif dedupe:
             # Lay files out PK-sorted: cluster rows by hive-partition value
             # (one task per rewritten partition → one file, not one per
             # upstream task) and sort by primary key inside, so parquet
@@ -3478,13 +3555,25 @@ class Lakehouse:
             # whole row groups — the compaction-time data-skipping layout a
             # Delta OPTIMIZE ZORDER gives, for the single-key-prefix case.
             cluster = list(meta.partition_keys) + list(meta.primary_keys)
-            deduped = (
-                deduped.repartition(*[F.col(k) for k in meta.partition_keys])
+            out = (
+                out.repartition(*[F.col(k) for k in meta.partition_keys])
                 if meta.partition_keys
-                else deduped
+                else out
             ).sortWithinPartitions(*cluster)
+        else:
+            # compact(): no PK to cluster by — AQE-rebalance so a skewed
+            # hive partition splits into advisory-sized files instead of
+            # one giant one, and an unpartitioned table's thousands of
+            # small delta files coalesce to target-sized output. The
+            # writer's own dynamic-partition sort handles directory
+            # routing; no explicit sort is needed without a PK.
+            out = (
+                out.hint("rebalance", *meta.partition_keys)
+                if meta.partition_keys
+                else out.hint("rebalance")
+            )
         seq = self._reserve_seq(name, meta)
-        token = self._write_seq(name, meta, deduped.drop(_SEQ_COL), seq)
+        token = self._write_seq(name, meta, out.drop(_SEQ_COL), seq)
         old_committed = dict(meta.committed)
         old_deltas = list(meta.live_deltas)
         if meta.partition_keys:
@@ -3496,7 +3585,7 @@ class Lakehouse:
         elif token is not None:
             meta.committed[""] = seq
         else:
-            # deduped output was empty (unreachable today — dirty implies
+            # rewrite output was empty (unreachable today — dirty implies
             # rows — but the manifest must never point at a missing dir)
             meta.committed.pop("", None)
         # every dirty partition is (by definition) every partition the live
@@ -3510,7 +3599,8 @@ class Lakehouse:
                 self._collect_zone_maps(name, meta, seq, per_file=bool(zorder_by))
             )
         self._prune_zone_maps(meta)
-        action = f"optimize(zorder={zorder_by})" if zorder_by else "optimize"
+        verb = "optimize" if dedupe else "compact"
+        action = f"{verb}(zorder={zorder_by})" if zorder_by else verb
         # the rewrite read the dirty partitions' bases (or the whole table
         # for full/all-dirty/unpartitioned rewrites)
         base = (

@@ -280,7 +280,7 @@ def main() -> None:
         default="all",
         help=(
             "comma list of {queries,persist,ann_stream,zone,bloomskip,ivm,"
-            "pagerank,bloom,manifest,coldparse,contention} (default all)"
+            "pagerank,bloom,manifest,coldparse,contention,compaction} (default all)"
         ),
     )
     args = ap.parse_args()
@@ -297,6 +297,7 @@ def main() -> None:
             "manifest",
             "coldparse",
             "contention",
+            "compaction",
         }
         if args.sections == "all"
         else set(args.sections.split(","))
@@ -460,6 +461,12 @@ def main() -> None:
         out["commit_contention"] = {
             f"{w}_writers": measure_commit_contention(spark, w)
             for w in (1, 2, 8)
+        }
+
+    if "compaction" in sections:
+        out["compact"] = {
+            f"{b}_base_parts": measure_compact(spark, b)
+            for b in (64, 512)
         }
 
     print(json.dumps(out))
@@ -754,6 +761,63 @@ def measure_commit_contention(spark, writers: int, commits_each: int = 10) -> di
             }
             for shape, w in walls.items()
         },
+    }
+
+
+def measure_compact(spark, base_parts: int, dirty_parts: int = 8) -> dict:
+    """r10 rung: ``compact()`` (PK-less small-file merge) must cost
+    O(ingest), not O(table) — the wall tracks the DIRTY partition
+    count and stays flat as the clean base grows. Protocol: commit a
+    clean ``base_parts``-partition base (one generation), append one
+    tiny delta to each of ``dirty_parts`` partitions, time compact();
+    also count parquet files absorbed vs produced in the dirty set."""
+    import tempfile
+    import time as _time
+
+    import pyspark.sql.functions as F
+
+    from at_data_pipelines_spark.catalog import Lakehouse
+    from pyspark.sql import types as T
+
+    work = tempfile.mkdtemp(prefix=f"compact_{base_parts}_")
+    lake = Lakehouse(spark, f"{work}/lake")
+    schema = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("p", T.LongType())]
+    )
+    lake.create("t", schema, ["p"], [])  # PK-less: the streaming-sink shape
+    rows_per_part = 20_000
+    lake.insert(
+        "t",
+        spark.range(base_parts * rows_per_part).select(
+            F.col("id").alias("k"), (F.col("id") % base_parts).alias("p")
+        ),
+    )
+    lake.compact("t")  # clean base: one generation, nothing dirty
+    for d in range(dirty_parts):  # tiny per-partition appends (the ingest)
+        lake.insert(
+            "t",
+            spark.range(5).select(
+                (F.col("id") + 10_000_000 + d).alias("k"), F.lit(d).alias("p")
+            ),
+        )
+    import glob as _glob
+
+    files_before = len(_glob.glob(f"{work}/lake/t/data/_seq=*/p=*/*.parquet"))
+    t0 = _time.perf_counter()
+    lake.compact("t")
+    wall = _time.perf_counter() - t0
+    meta = lake._load_meta("t")
+    return {
+        "base_partitions": base_parts,
+        "dirty_partitions": dirty_parts,
+        "rows_per_base_partition": rows_per_part,
+        "compact_wall_s": round(wall, 3),
+        "parquet_files_before": files_before,
+        "parquet_files_after": len(
+            _glob.glob(f"{work}/lake/t/data/_seq=*/p=*/*.parquet")
+        ),
+        "live_deltas_after": len(meta.live_deltas),
+        "rows": lake.table("t").count(),
     }
 
 

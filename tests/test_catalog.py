@@ -382,3 +382,119 @@ def test_set_primary_keys_probe_uses_logical_rows(spark, tmp_path):
     assert lake.table("t").count() == 3, "precondition: raw duplicates visible"
     lake.set_primary_keys("t", ["date", "ticker"])
     assert lake._load_meta("t").primary_keys == ["date", "ticker"]
+
+
+def test_compact_merges_deltas_preserving_all_rows(lake, spark):
+    """compact() on a PK-LESS table merges every pending delta into the
+    base of the touched partitions WITHOUT deduplicating — append-only
+    semantics mean duplicate rows are data, not revisions."""
+    import glob
+
+    lake.create("events", SCHEMA, ["year"], [])  # no primary keys
+    # three small appends, one of them an exact duplicate row
+    lake.insert("events", _df(spark, [("A", "2024-01-02", 1.0), ("B", "2024-01-02", 2.0)]))
+    lake.insert("events", _df(spark, [("A", "2024-01-02", 1.0)]))  # dup row, kept
+    lake.insert("events", _df(spark, [("C", "2024-02-01", 3.0)]))
+    meta = lake._load_meta("events")
+    assert meta.live_deltas, "precondition: pending deltas"
+    before_rows = sorted(
+        (r.ticker, str(r.date), r.close) for r in lake.table("events").collect()
+    )
+    assert len(before_rows) == 4  # duplicate visible pre-compact
+    lake.compact("events")
+    meta = lake._load_meta("events")
+    assert meta.live_deltas == [] and meta.dirty_partitions == []
+    after_rows = sorted(
+        (r.ticker, str(r.date), r.close) for r in lake.table("events").collect()
+    )
+    assert after_rows == before_rows, "compact must preserve every row"
+    # all rows of each partition now live in the single rewritten generation
+    local = lake._dir("events").removeprefix("file://")
+    seqs = {p.split("_seq=")[1].split("/")[0] for p in glob.glob(f"{local}/data/_seq=*/year=*/*.parquet")}
+    assert len(seqs) == 1, f"deltas not absorbed into one generation: {seqs}"
+    hist = lake.history("events")
+    assert hist[-1]["action"] == "compact"
+
+
+def test_compact_only_rewrites_dirty_partitions(lake, spark):
+    import glob
+
+    lake.create("events", SCHEMA, ["year"], [])
+    lake.insert("events", _df(spark, [("A", "2023-06-01", 1.0), ("A", "2024-01-02", 2.0)]))
+    lake.compact("events")
+    local = lake._dir("events").removeprefix("file://")
+    before = set(glob.glob(f"{local}/data/_seq=*/year=2023/*.parquet"))
+    assert before, "expected 2023 partition files"
+    lake.insert("events", _df(spark, [("B", "2024-01-03", 3.0)]))  # touches 2024 only
+    lake.compact("events")
+    after = set(glob.glob(f"{local}/data/_seq=*/year=2023/*.parquet"))
+    assert before == after, "clean partition was rewritten"
+    assert lake.table("events").count() == 3
+
+
+def test_compact_unpartitioned_coalesces_small_files(lake, spark):
+    import glob
+
+    lake.create("events", SCHEMA, [], [])
+    for i in range(6):
+        lake.insert("events", _df(spark, [("T", f"2024-01-{2 + i:02d}", float(i))]))
+    local = lake._dir("events").removeprefix("file://")
+    n_before = len(glob.glob(f"{local}/data/_seq=*/*.parquet"))
+    assert n_before >= 6, "precondition: one file per tiny append"
+    lake.compact("events")
+    n_after = len(glob.glob(f"{local}/data/_seq=*/*.parquet"))
+    assert n_after < n_before, f"no file-count reduction: {n_before} -> {n_after}"
+    assert lake.table("events").count() == 6
+    # idempotent: nothing dirty, second call is a no-op commit-wise
+    v = lake._load_meta("events").version
+    lake.compact("events")
+    assert lake._load_meta("events").version == v
+
+
+def test_compact_delegates_to_optimize_for_pk_tables(lake, spark):
+    """On a PK table keep-latest IS the correct merge: compact() must
+    behave exactly like optimize() so schedulers can use one entry point."""
+    lake.create("prices", SCHEMA, ["year"], ["date", "ticker"])
+    lake.insert("prices", _df(spark, [("A", "2024-01-02", 1.0)]))
+    lake.insert("prices", _df(spark, [("A", "2024-01-02", 2.0)]))  # revision
+    lake.compact("prices")
+    out = lake.table("prices").collect()
+    assert len(out) == 1 and out[0].close == 2.0
+    assert lake.history("prices")[-1]["action"] == "optimize"
+
+
+def test_rel_filter_survives_thousands_of_dirty_partitions(spark, tmp_path):
+    """Regression (r10): the dirty-partition pruning predicate used to be
+    a left-deep OR chain, which overflowed the JVM thread stack in the
+    column-node conversion around ~500 rels — a single day's ingest
+    footprint at scale. Single-key rel sets must collapse to one
+    In/InSet; multi-key sets must fold as a balanced tree. Both shapes
+    are driven through a real filter+count so the expression is actually
+    converted and evaluated, not just constructed."""
+    lake = Lakehouse(spark, str(tmp_path / "lake"))
+    two_key = T.StructType(
+        [
+            T.StructField("a", T.IntegerType()),
+            T.StructField("b", T.IntegerType()),
+            T.StructField("v", T.DoubleType()),
+        ]
+    )
+    lake.create("t2", two_key, ["a", "b"], [])
+    df2 = spark.createDataFrame([(1, 1, 0.5), (2, 9999, 0.7)], two_key)
+    lake.insert("t2", df2)
+    meta2 = lake._load_meta("t2")
+    rels2 = [f"a={i}/b={i}" for i in range(10, 4010)] + ["a=2/b=9999"]
+    out2 = lake._read_raw("t2", meta2).filter(lake._rel_filter(meta2, rels2))
+    assert [(r.a, r.b) for r in out2.collect()] == [(2, 9999)]
+    # single-key shape: one isin, null sentinel still matched
+    one_key = T.StructType(
+        [T.StructField("a", T.StringType()), T.StructField("v", T.DoubleType())]
+    )
+    lake.create("t1", one_key, ["a"], [])
+    df1 = spark.createDataFrame([("x7", 0.1), (None, 0.2), ("zz", 0.3)], one_key)
+    lake.insert("t1", df1)
+    meta1 = lake._load_meta("t1")
+    rels1 = [f"a=k{i}" for i in range(4000)] + ["a=x7", "a=__HIVE_DEFAULT_PARTITION__"]
+    cond1 = lake._rel_filter(meta1, rels1)
+    got = sorted((r.a or "", r.v) for r in lake._read_raw("t1", meta1).filter(cond1).collect())
+    assert got == [("", 0.2), ("x7", 0.1)]
