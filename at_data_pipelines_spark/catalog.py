@@ -1948,13 +1948,21 @@ class Lakehouse:
         later partition-pruned optimize() would silently drop (data
         loss). ``delta_all_dirty`` is the unpartitioned analogue.
 
-        ``kind='rmw'`` (optimize/upsert/merge/delete_where): the rewrite
-        was derived from a snapshot of ``base_rels`` (None = the whole
-        table), the pending deltas, and the dirty set; rebase only when
-        the fresh manifest proves the other commit touched NONE of them:
-        every base partition pointer unchanged, live_deltas and
-        dirty_partitions exactly as loaded. Anything else returns None
-        and the caller raises."""
+        ``kind='rmw'`` (optimize/compact/upsert/merge/delete_where): the
+        rewrite was derived from a snapshot of ``base_rels`` (None = the
+        whole table), the pending deltas, and the dirty set; rebase only
+        when the fresh manifest proves the other commit touched NONE of
+        them: every base partition pointer unchanged, no delta we read
+        consumed. A rival delta APPENDED meanwhile is carried through
+        the rebase — kept live with its dirty rels — iff its partition
+        footprint (read off its immutable generation dir, one LIST per
+        extra delta) is provably disjoint from everything this rewrite
+        read or wrote; without that, a continuously-ingesting table
+        could never compact (every maintenance pass would lose the race
+        to the next micro-batch — a liveness hole at streaming-sink
+        scale). Whole-table rewrites and unpartitioned tables cannot be
+        disjoint from any append and still conflict. Anything else
+        returns None and the caller raises."""
         repointed = {
             rel: s
             for rel, s in after.committed.items()
@@ -1981,12 +1989,32 @@ class Lakehouse:
                 if delta_all_dirty:
                     fresh.all_dirty = True
             else:
-                if fresh.live_deltas != before.live_deltas:
-                    return None  # other commit consumed/added deltas we read
-                if sorted(fresh.dirty_partitions) != sorted(before.dirty_partitions):
-                    return None
                 if fresh.all_dirty != before.all_dirty:
                     return None
+                if any(s not in fresh.live_deltas for s in before.live_deltas):
+                    return None  # other commit consumed deltas we read
+                extra = [s for s in fresh.live_deltas if s not in before.live_deltas]
+                extra_rels: set[str] = set()
+                if extra:
+                    # rival appends landed while we rewrote: carry them
+                    # through iff provably outside our footprint
+                    if base_rels is None or not before.partition_keys:
+                        return None
+                    depth = len(before.partition_keys)
+                    pattern = "/".join(["*=*"] * depth)
+                    for s in extra:
+                        extra_rels |= set(
+                            self.fs.glob_dir_leaves(
+                                f"{self._seq_dir(before.name, s)}/{pattern}",
+                                depth,
+                            )
+                        )
+                    if extra_rels & (set(base_rels) | set(repointed) | set(popped)):
+                        return None
+                if set(fresh.dirty_partitions) != (
+                    set(before.dirty_partitions) | extra_rels
+                ):
+                    return None  # dirty set moved in a way appends can't explain
                 if base_rels is None:
                     # whole-table rewrite: any committed-map change conflicts
                     if fresh.committed != before.committed:
@@ -1995,8 +2023,10 @@ class Lakehouse:
                     for rel in set(base_rels) | set(repointed) | set(popped):
                         if fresh.committed.get(rel) != before.committed.get(rel):
                             return None
-                fresh.live_deltas = list(after.live_deltas)
-                fresh.dirty_partitions = list(after.dirty_partitions)
+                fresh.live_deltas = list(after.live_deltas) + extra
+                fresh.dirty_partitions = list(after.dirty_partitions) + sorted(
+                    extra_rels - set(after.dirty_partitions)
+                )
                 fresh.all_dirty = after.all_dirty
                 for rel, s in repointed.items():
                     fresh.committed[rel] = s

@@ -1267,3 +1267,102 @@ def test_boto3_delete_if_older_hook(monkeypatch):
     hook_ancient = cat._boto3_delete_if_older_factory()
     assert hook_ancient("s3a://b/t/old4.lock", cutoff) is True
     assert ("b", "t/old4.lock") not in state["objects"]
+
+
+def test_compact_conflicting_with_new_delta_raises(lake, spark, slow_path_only):
+    """compact() (PK-less merge) carries optimize()'s rmw guard: a rival
+    delta landing in a dirty partition after our read snapshot must
+    refuse to rebase — live_deltas=[] would silently drop its rows."""
+    lake.create("events", SCHEMA, ["year"], [])  # no primary keys
+    lake.insert("events", _df(spark, [("A", "2024-01-02", 1.0)]))
+
+    rival = Lakehouse(spark, lake.root)
+    orig = Lakehouse._write_seq
+    fired = {"done": False}
+
+    def interleaved(self, name, meta, df, seq):
+        token = orig(self, name, meta, df, seq)
+        if not fired["done"]:
+            fired["done"] = True
+            rival.insert("events", _df(spark, [("R", "2024-01-03", 7.0)]))
+        return token
+
+    lake._write_seq = types.MethodType(interleaved, lake)
+    with pytest.raises(ConcurrentWriteError, match="not provably disjoint"):
+        lake.compact("events")
+    del lake.__dict__["_write_seq"]
+    # nothing lost: both rows visible, a fresh compact absorbs both
+    got = {r.ticker for r in lake.table("events").collect()}
+    assert got == {"A", "R"}
+    lake.compact("events")
+    assert {r.ticker for r in lake.table("events").collect()} == {"A", "R"}
+    assert lake._load_meta("events").live_deltas == []
+
+
+def test_compact_rebases_over_disjoint_rival_append(lake, spark, slow_path_only):
+    """A rival append to a CLEAN partition is provably disjoint from the
+    compaction's read footprint — compact()'s commit must rebase onto it
+    (preserving the rival's delta + dirty entry) instead of raising."""
+    lake.create("events", SCHEMA, ["year"], [])
+    lake.insert("events", _df(spark, [("A", "2023-06-01", 1.0)]))
+    lake.compact("events")  # 2023 clean base
+    lake.insert("events", _df(spark, [("B", "2024-01-02", 2.0)]))  # dirty: 2024
+
+    rival = Lakehouse(spark, lake.root)
+    orig = Lakehouse._write_seq
+    fired = {"done": False}
+
+    def interleaved(self, name, meta, df, seq):
+        token = orig(self, name, meta, df, seq)
+        if not fired["done"]:
+            fired["done"] = True
+            rival.insert("events", _df(spark, [("R", "2025-03-01", 9.0)]))
+        return token
+
+    lake._write_seq = types.MethodType(interleaved, lake)
+    lake.compact("events")  # reads only year=2024; rival touched year=2025
+    del lake.__dict__["_write_seq"]
+    got = {r.ticker for r in lake.table("events").collect()}
+    assert got == {"A", "B", "R"}
+    meta = lake._load_meta("events")
+    assert meta.live_deltas, "rival's un-absorbed delta must survive the rebase"
+    assert meta.dirty_partitions == ["year=2025"]
+
+
+def test_optimize_rebases_over_disjoint_rival_append(lake, spark, slow_path_only):
+    """The compaction-liveness relaxation on the PK path: an optimize()
+    racing a rival append to a CLEAN partition rebases, the rival's
+    delta survives as pending state, and the final table equals the
+    serial execution (append then optimize then absorb)."""
+    lake.create("prices", SCHEMA, ["year"], ["date", "ticker"])
+    lake.upsert("prices", _df(spark, [("A", "2023-06-01", 1.0)]))  # 2023 clean
+    lake.insert("prices", _df(spark, [("A", "2024-01-02", 2.0)]))
+    lake.insert("prices", _df(spark, [("A", "2024-01-02", 3.0)]))  # shadowing rev
+
+    rival = Lakehouse(spark, lake.root)
+    orig = Lakehouse._write_seq
+    fired = {"done": False}
+
+    def interleaved(self, name, meta, df, seq):
+        token = orig(self, name, meta, df, seq)
+        if not fired["done"]:
+            fired["done"] = True
+            rival.insert("prices", _df(spark, [("R", "2025-03-01", 9.0)]))
+        return token
+
+    lake._write_seq = types.MethodType(interleaved, lake)
+    lake.optimize("prices")  # rewrites year=2024 only; rival touched year=2025
+    del lake.__dict__["_write_seq"]
+    meta = lake._load_meta("prices")
+    assert meta.live_deltas, "rival delta must survive as pending state"
+    assert meta.dirty_partitions == ["year=2025"]
+    rows = {(r.ticker, str(r.date)): r.close for r in lake.table("prices").collect()}
+    assert rows == {
+        ("A", "2023-06-01"): 1.0,
+        ("A", "2024-01-02"): 3.0,  # keep-latest applied by the rewrite
+        ("R", "2025-03-01"): 9.0,
+    }
+    lake.optimize("prices")  # absorbs the rival's delta; state unchanged
+    rows2 = {(r.ticker, str(r.date)): r.close for r in lake.table("prices").collect()}
+    assert rows2 == rows
+    assert lake._load_meta("prices").live_deltas == []
