@@ -330,13 +330,19 @@ def stream_to_lakehouse(
     (exactly-once effect on the table).
 
     ``compact_every=N>1`` is the LSM shape (same knob as the ANN ingest
-    sink): each batch is an O(batch) append-only insert and the PK
+    sink): each batch is an O(batch) append-only insert and the
     compaction runs only when the manifest's pending-delta count
-    reaches N — amortized to O(table/N), restart-proof because the
-    cadence is read from the manifest, not a driver counter. Between
+    reaches N — amortized to O(touched/N), restart-proof because the
+    cadence is read from the manifest, not a driver counter. The
+    maintenance pass is ``compact()``: PK tables get the keep-latest
+    optimize, PK-LESS tables (raw event sinks) get the row-preserving
+    small-file merge — so this one sink serves both shapes. Between
     compactions readers see append semantics (PK duplicates resolve at
     the next optimize); use the default for strongest per-batch
-    guarantees."""
+    guarantees. The compaction may also be run OUT-OF-BAND (a separate
+    maintenance job) while the stream keeps appending: a rewrite now
+    rebases over appends to partitions it didn't touch instead of
+    losing the race to every micro-batch."""
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
@@ -346,7 +352,7 @@ def stream_to_lakehouse(
             return
         lake.insert(table, batch_df)
         if lake.pending_deltas(table) >= compact_every:
-            lake.optimize(table)
+            lake.compact(table)
 
     writer = agg.writeStream.outputMode("update").foreachBatch(sink).option(
         "checkpointLocation", checkpoint_dir

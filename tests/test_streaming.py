@@ -816,3 +816,42 @@ def test_repair_sessions_removes_stale_fragments(spark, sf_dir, tmp_path):
     assert len(sorted(map(tuple, lake.table("sessions").collect()))) == len(truth) + 2
     repair_sessions(events, lake, "sessions")
     assert sorted(map(tuple, lake.table("sessions").collect())) == truth
+
+
+def test_stream_to_lakehouse_pkless_append_sink(spark, sf_dir, tmp_path):
+    """compact_every on a PK-LESS table: the LSM maintenance pass is
+    compact() — every streamed row survives (duplicates are data
+    without a PK), pending deltas stay bounded by the cadence, and the
+    history shows real compact commits interleaved with the appends."""
+    from at_data_pipelines_spark.io import load_table
+
+    batch = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value", "ts_us"
+    )
+    src = str(tmp_path / "src")
+    batch.repartition(6).write.parquet(src)
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("ts_us", T.LongType()),
+        ]
+    )
+    lake = Lakehouse(spark, str(tmp_path / "lake"))
+    lake.create("raw_events", schema, ["event_type"], [])  # append-only sink
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 2).parquet(src)
+    )
+    q = stream_to_lakehouse(
+        stream, lake, "raw_events", str(tmp_path / "ck"), compact_every=2
+    )
+    q.awaitTermination(120)
+    cols = ["event_id", "user_id", "event_type", "value", "ts_us"]
+    got = sorted(map(tuple, lake.table("raw_events").select(*cols).collect()))
+    want = sorted(map(tuple, batch.select(*cols).collect()))
+    assert got == want, "PK-less sink must preserve every streamed row"
+    assert lake.pending_deltas("raw_events") < 2, "cadence not honored"
+    actions = [h["action"] for h in lake.history("raw_events")]
+    assert "compact" in actions and "insert(append)" in actions
