@@ -1366,3 +1366,58 @@ def test_optimize_rebases_over_disjoint_rival_append(lake, spark, slow_path_only
     rows2 = {(r.ticker, str(r.date)): r.close for r in lake.table("prices").collect()}
     assert rows2 == rows
     assert lake._load_meta("prices").live_deltas == []
+
+
+def test_concurrent_append_and_compact_stress(lake, spark, slow_path_only):
+    """Liveness under real thread interleaving: a writer appending each
+    batch to a FRESH partition while a second handle compacts in a loop.
+    Every append is provably disjoint from every in-flight rewrite, so
+    no compact may raise, at least one must land while the writer is
+    active (pre-r10 every single one lost the race), and the final
+    table must hold every appended row."""
+    import threading
+    import time
+
+    lake.create("events", SCHEMA, ["year"], [])  # PK-less append-only
+    lake.insert("events", _df(spark, [("seed", "1999-01-02", 0.0)]))
+    lake.compact("events")
+
+    writer_done = threading.Event()
+    n_appends = 10
+    compact_ok = []
+    errs: list = []
+
+    def writer():
+        try:
+            for i in range(n_appends):
+                lake.insert(
+                    "events", _df(spark, [(f"W{i}", f"{2000 + i}-01-02", float(i))])
+                )
+        except Exception as e:
+            errs.append(repr(e))
+        finally:
+            writer_done.set()
+
+    def compactor():
+        rival = Lakehouse(spark, lake.root)
+        try:
+            while not writer_done.is_set():
+                if rival.pending_deltas("events"):
+                    rival.compact("events")
+                    compact_ok.append(1)
+                else:
+                    time.sleep(0.02)
+        except Exception as e:
+            errs.append(repr(e))
+
+    tw, tc = threading.Thread(target=writer), threading.Thread(target=compactor)
+    tw.start(), tc.start()
+    tw.join(), tc.join()
+    assert errs == [], errs
+    assert compact_ok, "compaction starved: no pass landed during ingest"
+    lake.compact("events")  # absorb any tail deltas
+    rows = {(r.ticker, float(r.close)) for r in lake.table("events").collect()}
+    want = {("seed", 0.0)} | {(f"W{i}", float(i)) for i in range(n_appends)}
+    assert rows == want, "rows lost or duplicated under append/compact race"
+    meta = lake._load_meta("events")
+    assert meta.live_deltas == [] and meta.dirty_partitions == []
