@@ -4140,9 +4140,15 @@ class Lakehouse:
                 floor = max(0, meta.version - meta.retain_versions)
                 # archived anchors AND segmented-mode intermediate commits:
                 # a generation referenced only by a mid-segment retained
-                # version must survive vacuum for time travel to hold
+                # version must survive vacuum for time travel to hold.
+                # Relocated segments (_history/segments/, r9) count too —
+                # omitting them reclaimed generations referenced only by
+                # a mid-segment version past a checkpoint, breaking the
+                # retain_versions contract inside the window (r10 fix).
                 retained = sorted(
-                    set(self._history_versions(t)) | set(self._log_segments(t))
+                    set(self._history_versions(t))
+                    | set(self._log_segments(t))
+                    | set(self._archived_segments(t))
                 )
                 for v in retained:
                     if floor <= v < meta.version:

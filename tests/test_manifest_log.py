@@ -442,3 +442,36 @@ def test_log_mode_is_sticky_after_shrink(spark, tmp_path):
         assert _state(lake, "t") == _state(Lakehouse(spark, lake.root), "t")
     finally:
         Lakehouse._LOG_SEGMENT_THRESHOLD = orig
+
+
+def test_vacuum_retains_generations_of_relocated_mid_segment_versions(
+    spark, tmp_path, lake
+):
+    """r10 regression: vacuum's retained-version sweep read
+    ``_history_versions ∪ _log_segments`` — but r9 relocates folded
+    segments to ``_history/segments/``, so a generation referenced ONLY
+    by a mid-segment version whose diff segment had been relocated was
+    reclaimed even INSIDE the retain_versions window, and time travel
+    to that version raised SnapshotExpiredError despite the retention
+    promise. The sweep must include relocated segments."""
+    lake.create("t", SCHEMA, ["year"], ["date", "ticker"], retain_versions=200)
+    # three consecutive same-partition rewrites: each upsert's generation
+    # is referenced only by its own version's manifest once superseded
+    supers = []
+    for i in range(3):
+        lake.upsert("t", _df(spark, [("A", "2024-01-02", float(i))]))
+        supers.append(lake._load_meta("t").version)
+    # drive the log well past a checkpoint so those versions' segments
+    # relocate out of _log/
+    for i in range(2 * Lakehouse._LOG_CHECKPOINT_EVERY + 3):
+        lake.set_properties("t", {"tick": str(i)})
+    relocated = set(lake._archived_segments("t"))
+    anchors = set(lake._history_versions("t"))
+    target = next(v for v in supers if v in relocated and v not in anchors)
+    # precondition: target's manifest is reconstructible and references
+    # a generation no anchor references
+    assert lake._version_meta("t", target).version == target
+    lake.vacuum("t", grace_s=0)
+    # the retention window covers target: its snapshot must still read
+    got = {r.close for r in lake.table("t", version=target).collect()}
+    assert got == {float(supers.index(target))}, got
