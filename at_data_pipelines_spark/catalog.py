@@ -4135,7 +4135,18 @@ class Lakehouse:
                     self.fs.delete(p)
                     removed.append(p)
             meta = self._load_meta(t)
-            metas = [meta]
+            live: set[int] = set()
+            base_rels: dict[int, set[str]] = {}
+
+            def _absorb(live_deltas, committed) -> None:
+                live.update(live_deltas or [])
+                for rel, s in (committed or {}).items():
+                    if rel == "":
+                        live.add(s)
+                    else:
+                        base_rels.setdefault(s, set()).add(rel)
+
+            _absorb(meta.live_deltas, meta.committed)
             if meta.retain_versions > 0:
                 floor = max(0, meta.version - meta.retain_versions)
                 # archived anchors AND segmented-mode intermediate commits:
@@ -4145,23 +4156,29 @@ class Lakehouse:
                 # omitting them reclaimed generations referenced only by
                 # a mid-segment version past a checkpoint, breaking the
                 # retain_versions contract inside the window (r10 fix).
-                retained = sorted(
-                    set(self._history_versions(t))
-                    | set(self._log_segments(t))
-                    | set(self._archived_segments(t))
+                # Contiguous versions FOLD FORWARD one diff segment at a
+                # time (the history() pattern): the whole window costs
+                # one anchor reconstruction + O(window) segment reads,
+                # not a full manifest materialization per version.
+                seg_have = set(self._log_segments(t)) | set(
+                    self._archived_segments(t)
                 )
-                for v in retained:
-                    if floor <= v < meta.version:
-                        metas.append(self._load_version(t, v)[0])
-            live: set[int] = set()
-            base_rels: dict[int, set[str]] = {}
-            for m in metas:
-                live.update(m.live_deltas)
-                for rel, s in m.committed.items():
-                    if rel == "":
-                        live.add(s)
+                window = sorted(
+                    v
+                    for v in set(self._history_versions(t)) | seg_have
+                    if floor <= v < meta.version
+                )
+                raw: dict | None = None
+                for v in window:
+                    if (
+                        raw is not None
+                        and v == raw.get("version", -1) + 1
+                        and v in seg_have
+                    ):
+                        raw = self._apply_segment(raw, self._read_segment(t, v))
                     else:
-                        base_rels.setdefault(s, set()).add(rel)
+                        raw = self._load_version(t, v)[1]
+                    _absorb(raw.get("live_deltas"), raw.get("committed"))
             data_dir = f"{self._dir(t)}/data"
             candidates: list[tuple[str, int, str | None]] = []
             for d in self.fs.list_subdirs(data_dir):
