@@ -2246,6 +2246,53 @@ class Lakehouse:
             meta, None, action=f"add_columns({[f_.name for f_ in fields]})"
         )
 
+    def drop_columns(self, name: str, columns: list[str]) -> None:
+        """Narrow the table schema — METADATA-ONLY, no data rewrite (the
+        complement of ``add_columns``): current reads stop requesting the
+        column, so parquet scans never even decode it, while the bytes
+        stay on disk and time travel to older versions still reads them
+        with that version's archived (wider) schema. A later
+        ``optimize(full=True)``/``compact(full=True)`` physically purges
+        dropped columns from the rewritten files as a side effect of the
+        declared-schema rewrite.
+
+        Refuses for partition keys, primary keys, and columns referenced
+        by a CHECK constraint (drop the check first — silently orphaning
+        its expression would make every future write fail validation).
+        Stats/bloom declarations for dropped columns are removed and
+        their zone-map entries pruned in the SAME commit, so data
+        skipping never consults stats of a column readers can't see."""
+        cols = list(columns)
+        if not cols:
+            raise ValueError("no columns to drop")
+        meta = self._load_meta(name)
+        existing = set(meta.schema.fieldNames())
+        for c in cols:
+            if c not in existing:
+                raise ValueError(f"column {c!r} not in schema of {name!r}")
+            if c in meta.partition_keys:
+                raise ValueError(f"cannot drop partition key {c!r}")
+            if c in meta.primary_keys:
+                raise ValueError(f"cannot drop primary key {c!r}")
+            for ck, expr in (meta.checks or {}).items():
+                if re.search(rf"\b{re.escape(c)}\b", expr):
+                    raise ValueError(
+                        f"column {c!r} is referenced by CHECK {ck!r} "
+                        f"({expr!r}) — drop_check first"
+                    )
+        drop = set(cols)
+        remaining = [f_ for f_ in meta.schema.fields if f_.name not in drop]
+        if not remaining:
+            raise ValueError("cannot drop every column")
+        meta.schema_json = json.dumps(T.StructType(remaining).jsonValue())
+        meta.stats_columns = [c for c in meta.stats_columns if c not in drop]
+        meta.bloom_columns = [c for c in meta.bloom_columns if c not in drop]
+        for stats in meta.zone_maps.values():
+            for c in cols:
+                stats.pop(c, None)
+                stats.pop(f"{c}#bloom", None)
+        self._commit_meta(meta, None, action=f"drop_columns({cols})")
+
     def set_primary_keys(
         self, name: str, primary_keys: list[str], force: bool = False
     ) -> None:

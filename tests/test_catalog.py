@@ -498,3 +498,28 @@ def test_rel_filter_survives_thousands_of_dirty_partitions(spark, tmp_path):
     cond1 = lake._rel_filter(meta1, rels1)
     got = sorted((r.a or "", r.v) for r in lake._read_raw("t1", meta1).filter(cond1).collect())
     assert got == [("", 0.2), ("x7", 0.1)]
+
+
+def test_compact_zorder_layout_on_pkless_table(lake, spark):
+    """compact(zorder_by=...) lays a PK-less table out Morton-ordered
+    with per-file zone maps, preserving every row — the re-clustering
+    maintenance pass for append-only event tables."""
+    import glob
+
+    lake.create("events", SCHEMA, ["year"], [], stats_columns=["close"])
+    rows = [("T", f"2024-01-{1 + i % 27:02d}", float(i % 13)) for i in range(40)]
+    lake.insert("events", _df(spark, rows[:20]))
+    lake.insert("events", _df(spark, rows[20:]))  # duplicates close values
+    before = sorted((r.ticker, str(r.date), r.close) for r in lake.table("events").collect())
+    lake.compact("events", zorder_by=["close"], zorder_files=2)
+    after = sorted((r.ticker, str(r.date), r.close) for r in lake.table("events").collect())
+    assert after == before, "zorder compact must preserve every row"
+    meta = lake._load_meta("events")
+    assert meta.live_deltas == []
+    assert lake.history("events")[-1]["action"] == "compact(zorder=['close'])"
+    # per-file zone maps recorded for the rewritten generation
+    per_file = [k for k in meta.zone_maps if k.endswith(".parquet")]
+    assert per_file, "zorder rewrite should record per-file zone maps"
+    local = lake._dir("events").removeprefix("file://")
+    files = glob.glob(f"{local}/data/_seq=*/year=2024/*.parquet")
+    assert len(files) >= 2, "zorder_files should split the partition"

@@ -992,3 +992,59 @@ def test_file_stats_and_pending_deltas_accessors(lake, spark):
     assert lake.pending_deltas("t") == 0
     (merged,) = lake.file_stats("t").values()
     assert merged["k"] == [0, 98]
+
+
+def test_drop_columns_metadata_only(lake, spark):
+    """r10: the complement of add_columns — a dropped column vanishes
+    from current reads without any rewrite, survives in time travel
+    under the archived schema, loses its zone-map/stats declarations,
+    and is physically purged by the next full rewrite."""
+    lake.create(
+        "t", SCHEMA, ["year"], ["k", "year"], retain_versions=10, stats_columns=["k", "v"]
+    )
+    lake.upsert("t", _batch(spark, 0, 20, 2023))
+    v_old = lake._load_meta("t").version
+    assert any("v" in stats for stats in lake._load_meta("t").zone_maps.values())
+    lake.drop_columns("t", ["v", "s"])
+    cur = lake.table("t")
+    assert "v" not in cur.columns and "s" not in cur.columns
+    assert cur.count() == 20  # no rewrite, same rows
+    meta = lake._load_meta("t")
+    assert meta.stats_columns == ["k"]
+    assert not any("v" in stats for stats in meta.zone_maps.values())
+    # time travel reads the archived wider schema, bytes intact
+    old = lake.table("t", version=v_old)
+    assert "v" in old.columns and old.filter(F.col("v") >= 0).count() == 20
+    # new writes land without the dropped columns; scans stay consistent
+    lake.upsert("t", _batch(spark, 20, 25, 2023).drop("v", "s"))
+    assert lake.table("t").count() == 25
+    # a full rewrite physically purges the dropped columns (check the
+    # CURRENT generation's file — retention keeps older gens on disk)
+    lake.optimize("t", full=True)
+    import glob
+
+    import duckdb
+
+    seq = lake._load_meta("t").committed["year=2023"]
+    local = lake._dir("t").removeprefix("file://")
+    f = glob.glob(f"{local}/data/_seq={seq}/year=2023/*.parquet")[0]
+    con = duckdb.connect()
+    cols = {r[0] for r in con.sql(f"DESCRIBE SELECT * FROM '{f}'").fetchall()}
+    assert "v" not in cols and "s" not in cols
+
+
+def test_drop_columns_guards(lake, spark):
+    lake.create("t", SCHEMA, ["year"], ["k", "year"])
+    lake.insert("t", _batch(spark, 0, 5, 2023))
+    lake.add_check("t", "v_nonneg", "v >= 0")
+    with pytest.raises(ValueError, match="partition key"):
+        lake.drop_columns("t", ["year"])
+    with pytest.raises(ValueError, match="primary key"):
+        lake.drop_columns("t", ["k"])
+    with pytest.raises(ValueError, match="CHECK"):
+        lake.drop_columns("t", ["v"])
+    with pytest.raises(ValueError, match="not in schema"):
+        lake.drop_columns("t", ["nope"])
+    lake.drop_check("t", "v_nonneg")
+    lake.drop_columns("t", ["v"])  # now legal
+    assert "v" not in lake.table("t").columns
