@@ -49,6 +49,7 @@ def main(argv: list[str] | None = None) -> int:
             "history",
             "analyze",
             "optimize",
+            "compact",
             "restore",
             "vacuum",
             "changes",
@@ -99,6 +100,18 @@ def main(argv: list[str] | None = None) -> int:
                 full=args.full,
             )
             print(f"optimized {args.table}")
+        elif args.op == "compact":
+            # the out-of-band maintenance pass: small-file merge on
+            # PK-less (append-only) tables, keep-latest optimize on PK
+            # tables — safe to run while a stream keeps appending (the
+            # commit rebases over disjoint-partition rival appends)
+            lake.compact(
+                args.table,
+                zorder_by=args.zorder.split(",") if args.zorder else None,
+                zorder_files=args.zorder_files,
+                full=args.full,
+            )
+            print(f"compacted {args.table}")
         elif args.op == "restore":
             if args.version is None:
                 p.error("restore requires --version")

@@ -1048,3 +1048,18 @@ def test_drop_columns_guards(lake, spark):
     lake.drop_check("t", "v_nonneg")
     lake.drop_columns("t", ["v"])  # now legal
     assert "v" not in lake.table("t").columns
+
+
+def test_lake_cli_compact(lake, spark, capsys):
+    """`lake ... compact t` — the out-of-band maintenance entry for
+    append-only streaming sinks."""
+    from at_data_pipelines_spark.__main__ import main
+
+    lake.create("ev", SCHEMA, ["year"], [])  # PK-less
+    lake.insert("ev", _batch(spark, 0, 10, 2023))
+    lake.insert("ev", _batch(spark, 0, 10, 2023))  # duplicate rows = data
+    assert main(["lake", "--lake", lake.root, "compact", "ev"]) == 0
+    assert "compacted" in capsys.readouterr().out
+    assert lake.table("ev").count() == 20
+    assert lake._load_meta("ev").live_deltas == []
+    assert lake.history("ev")[-1]["action"] == "compact"
