@@ -108,6 +108,10 @@ from pyspark.sql.window import Window as W
 
 _META_FILE = "_bl_meta.json"
 _SEQ_COL = "_seq"
+# table property: {dropped column name -> next_seq watermark at drop time};
+# pre-drop generations still hold the column's bytes, so re-adding the
+# name is refused until every visible generation postdates the drop
+_DROPPED_COLS_PROP = "__dropped_columns__"
 
 
 class _FastPathUnsuitable(RuntimeError):
@@ -1562,6 +1566,26 @@ class Lakehouse:
             f"(known anchors: {self._history_versions(name)})"
         )
 
+    def _fold_window(self, name: str, versions):
+        """Yield ``(version, raw manifest dict)`` for each version in
+        order — THE reconstruction walk shared by ``history()`` and
+        ``vacuum()``'s retention sweep (one policy, no drift): archived
+        full manifests re-anchor, contiguous versions fold one diff
+        segment forward, and gaps fall back to ``_load_version``'s
+        anchor reconstruction. Cost for a full window: one anchor read
+        per checkpoint plus one small segment read per version, never a
+        full manifest materialization per version."""
+        cur: dict | None = None
+        for v in versions:
+            anchor = f"{self._history_dir(name)}/v{v:012d}.json"
+            if self.fs.exists(anchor):
+                cur = self._read_json_retry(anchor)
+            elif cur is not None and v == cur.get("version", -1) + 1:
+                cur = self._apply_segment(cur, self._read_segment(name, v))
+            else:
+                cur = self._load_version(name, v)[1]
+            yield v, cur
+
     def history(self, name: str, limit: int | None = None) -> list[dict]:
         """The table's commit log, oldest first: one entry per manifest
         version with its action, UTC timestamp, and visibility summary.
@@ -1581,26 +1605,16 @@ class Lakehouse:
         )
         if limit is not None:
             versions = versions[-limit:]
-        out = []
-        cur: dict | None = None
-        for v in versions:
-            anchor = f"{self._history_dir(name)}/v{v:012d}.json"
-            if self.fs.exists(anchor):
-                cur = self._read_json_retry(anchor)
-            elif cur is not None and v == cur.get("version", -1) + 1:
-                cur = self._apply_segment(cur, self._read_segment(name, v))
-            else:
-                cur = self._load_version(name, v)[1]
-            out.append(
-                {
-                    "version": v,
-                    "ts": cur.get("_ts"),
-                    "action": cur.get("_action"),
-                    "live_deltas": len(cur.get("live_deltas") or []),
-                    "committed_entries": len(cur.get("committed") or {}),
-                }
-            )
-        return out
+        return [
+            {
+                "version": v,
+                "ts": cur.get("_ts"),
+                "action": cur.get("_action"),
+                "live_deltas": len(cur.get("live_deltas") or []),
+                "committed_entries": len(cur.get("committed") or {}),
+            }
+            for v, cur in self._fold_window(name, versions)
+        ]
 
     def _commit_meta(
         self,
@@ -2239,6 +2253,31 @@ class Lakehouse:
         for f_ in fields:
             if f_.name in existing:
                 raise ValueError(f"column {f_.name!r} already exists in {name!r}")
+        # re-adding a DROPPED name is only sound once no visible
+        # generation predates the drop: older files still physically
+        # hold the old column, and a declared-schema read would
+        # resurrect those values (or crash on a type change) instead of
+        # the documented NULL fill. A full rewrite clears the tombstone.
+        tomb = dict(json.loads(meta.properties.get(_DROPPED_COLS_PROP, "{}")))
+        if tomb:
+            visible = set(meta.committed.values()) | set(meta.live_deltas)
+            oldest = min(visible) if visible else None
+            for f_ in fields:
+                w = tomb.get(f_.name)
+                if w is None:
+                    continue
+                if oldest is not None and oldest < w:
+                    raise ValueError(
+                        f"column {f_.name!r} was dropped and generations "
+                        f"written before the drop are still visible — run "
+                        f"optimize(full=True) or compact(full=True) on "
+                        f"{name!r} to purge them before re-adding the name"
+                    )
+                tomb.pop(f_.name)  # fully purged: the name is free again
+            self._apply_properties(
+                meta,
+                {_DROPPED_COLS_PROP: json.dumps(tomb) if tomb else None},
+            )
         meta.schema_json = json.dumps(
             T.StructType(meta.schema.fields + fields).jsonValue()
         )
@@ -2287,10 +2326,23 @@ class Lakehouse:
         meta.schema_json = json.dumps(T.StructType(remaining).jsonValue())
         meta.stats_columns = [c for c in meta.stats_columns if c not in drop]
         meta.bloom_columns = [c for c in meta.bloom_columns if c not in drop]
-        for stats in meta.zone_maps.values():
-            for c in cols:
-                stats.pop(c, None)
-                stats.pop(f"{c}#bloom", None)
+        # REBIND the leaf stat dicts, never pop in place: the manifest
+        # cache's _copy_raw shares leaves across handles on the promise
+        # that the protocol only rebinds inner values — an in-place pop
+        # would corrupt the cached fold AND vanish from the committed
+        # diff segment (old and new would compare equal)
+        meta.zone_maps = {
+            leaf: {k: v for k, v in stats.items() if k.split("#")[0] not in drop}
+            for leaf, stats in meta.zone_maps.items()
+        }
+        # remember the dropped names with a generation watermark: their
+        # BYTES survive in pre-drop generations, so a same-name
+        # add_columns must be refused until no visible generation
+        # predates the drop (add_columns enforces this)
+        tomb = dict(json.loads(meta.properties.get(_DROPPED_COLS_PROP, "{}")))
+        for c in cols:
+            tomb[c] = meta.next_seq
+        self._apply_properties(meta, {_DROPPED_COLS_PROP: json.dumps(tomb)})
         self._commit_meta(meta, None, action=f"drop_columns({cols})")
 
     def set_primary_keys(
@@ -3518,10 +3570,8 @@ class Lakehouse:
         table has ``stats_columns`` — zone maps are recorded PER FILE,
         so multi-dimensional range scans prune at file granularity with
         tight boxes in every Z dimension."""
-        if not self._load_meta(name).primary_keys:
-            return
         self._rewrite_dirty(
-            name, dedupe=True, zorder_by=zorder_by, zorder_files=zorder_files, full=full
+            name, want="optimize", zorder_by=zorder_by, zorder_files=zorder_files, full=full
         )
 
     def compact(
@@ -3547,22 +3597,19 @@ class Lakehouse:
         target-sized ones — the layout a 1000-executor job wants when a
         streaming sink has landed thousands of per-batch files.
 
-        On a table WITH primary keys this delegates to ``optimize()``
-        (keep-latest IS the correct merge there), so schedulers can call
-        ``compact`` as the uniform maintenance entry point."""
-        if self._load_meta(name).primary_keys:
-            return self.optimize(
-                name, zorder_by=zorder_by, zorder_files=zorder_files, full=full
-            )
+        On a table WITH primary keys this behaves exactly as
+        ``optimize()`` (keep-latest IS the correct merge there), so
+        schedulers can call ``compact`` as the uniform maintenance
+        entry point."""
         self._rewrite_dirty(
-            name, dedupe=False, zorder_by=zorder_by, zorder_files=zorder_files, full=full
+            name, want="compact", zorder_by=zorder_by, zorder_files=zorder_files, full=full
         )
 
     def _rewrite_dirty(
         self,
         name: str,
         *,
-        dedupe: bool,
+        want: str,
         zorder_by: list[str] | None,
         zorder_files: int,
         full: bool,
@@ -3570,8 +3617,18 @@ class Lakehouse:
         """Shared dirty-partition rewrite behind ``optimize()`` (dedupe
         by PK) and ``compact()`` (merge-preserving): read the dirty
         partitions' bases + deltas pinned to one manifest, land the
-        result as one new generation, repoint + absorb in one commit."""
+        result as one new generation, repoint + absorb in one commit.
+
+        The dedupe decision is made HERE, against the same manifest
+        load the rewrite snapshots — deciding it in the public entry
+        points opened a TOCTOU window where a rival's
+        ``set_primary_keys(name, [])`` between the two loads made
+        ``_keep_latest`` run with an empty window and collapse every
+        dirty partition to one row."""
         meta = self._load_meta(name)
+        dedupe = bool(meta.primary_keys)
+        if want == "optimize" and not dedupe:
+            return
         before = self._snapshot_meta(meta)
         if full:
             meta.all_dirty = True
@@ -4204,27 +4261,18 @@ class Lakehouse:
                 # a mid-segment version past a checkpoint, breaking the
                 # retain_versions contract inside the window (r10 fix).
                 # Contiguous versions FOLD FORWARD one diff segment at a
-                # time (the history() pattern): the whole window costs
-                # one anchor reconstruction + O(window) segment reads,
-                # not a full manifest materialization per version.
-                seg_have = set(self._log_segments(t)) | set(
-                    self._archived_segments(t)
-                )
+                # time (_fold_window, shared with history()): the whole
+                # window costs one anchor reconstruction + O(window)
+                # segment reads, not a full manifest materialization
+                # per version.
                 window = sorted(
                     v
-                    for v in set(self._history_versions(t)) | seg_have
+                    for v in set(self._history_versions(t))
+                    | set(self._log_segments(t))
+                    | set(self._archived_segments(t))
                     if floor <= v < meta.version
                 )
-                raw: dict | None = None
-                for v in window:
-                    if (
-                        raw is not None
-                        and v == raw.get("version", -1) + 1
-                        and v in seg_have
-                    ):
-                        raw = self._apply_segment(raw, self._read_segment(t, v))
-                    else:
-                        raw = self._load_version(t, v)[1]
+                for _v, raw in self._fold_window(t, window):
                     _absorb(raw.get("live_deltas"), raw.get("committed"))
             data_dir = f"{self._dir(t)}/data"
             candidates: list[tuple[str, int, str | None]] = []

@@ -1063,3 +1063,22 @@ def test_lake_cli_compact(lake, spark, capsys):
     assert lake.table("ev").count() == 20
     assert lake._load_meta("ev").live_deltas == []
     assert lake.history("ev")[-1]["action"] == "compact"
+
+
+def test_drop_then_readd_column_guarded(lake, spark):
+    """r10 review fix: pre-drop generations still hold the dropped
+    column's bytes, so re-adding the name would resurrect old values
+    (or crash the scan on a type change) instead of the documented NULL
+    fill. add_columns must refuse until a full rewrite purges the old
+    generations, then allow — and the re-added column reads NULL."""
+    lake.create("t", SCHEMA, ["year"], ["k", "year"])
+    lake.upsert("t", _batch(spark, 0, 10, 2023))
+    lake.drop_columns("t", ["v"])
+    with pytest.raises(ValueError, match="was dropped"):
+        lake.add_columns("t", [T.StructField("v", T.StringType())])
+    lake.optimize("t", full=True)  # physically purges the old bytes
+    lake.add_columns("t", [T.StructField("v", T.StringType())])
+    got = lake.table("t")
+    assert got.filter(F.col("v").isNull()).count() == 10  # NULL, not resurrected
+    # tombstone cleared: a second drop/re-add cycle behaves the same way
+    assert "__dropped_columns__" not in lake.get_properties("t")
