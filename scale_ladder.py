@@ -468,6 +468,7 @@ def main() -> None:
             f"{b}_base_parts": measure_compact(spark, b)
             for b in (64, 512)
         }
+        out["compact_under_ingest"] = measure_compact_under_ingest(spark)
 
     print(json.dumps(out))
     spark.stop()
@@ -818,6 +819,80 @@ def measure_compact(spark, base_parts: int, dirty_parts: int = 8) -> dict:
         ),
         "live_deltas_after": len(meta.live_deltas),
         "rows": lake.table("t").count(),
+    }
+
+
+def measure_compact_under_ingest(spark, n_appends: int = 16) -> dict:
+    """r10 rung: out-of-band compaction concurrent with live ingest.
+    Pre-r10 the rmw rebase refused on ANY rival delta, so every
+    maintenance pass lost the race to the next micro-batch (0 compacts
+    land). With the disjoint-append carry-through, a writer appending
+    fresh partitions and a looping compactor must both make progress:
+    report appends completed, compactions landed mid-ingest, rebase
+    conflicts surfaced, and the final row count (must equal appended)."""
+    import tempfile
+    import threading
+    import time as _time
+
+    import pyspark.sql.functions as F
+
+    from at_data_pipelines_spark.catalog import ConcurrentWriteError, Lakehouse
+    from pyspark.sql import types as T
+
+    work = tempfile.mkdtemp(prefix="compact_ingest_")
+    schema = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("p", T.LongType())]
+    )
+    lake = Lakehouse(spark, f"{work}/lake")
+    lake.create("t", schema, ["p"], [])
+    lake.insert("t", spark.range(10).select(F.col("id").alias("k"), F.lit(-1).alias("p")))
+    lake.compact("t")
+    done = threading.Event()
+    landed, conflicts, errs = [], [], []
+
+    def writer():
+        try:
+            for i in range(n_appends):
+                lake.insert(
+                    "t",
+                    spark.range(100).select(
+                        (F.col("id") + i * 1000).alias("k"), F.lit(i).alias("p")
+                    ),
+                )
+        except Exception as e:
+            errs.append(repr(e))
+        finally:
+            done.set()
+
+    def compactor():
+        rival = Lakehouse(spark, lake.root)
+        while not done.is_set():
+            try:
+                if rival.pending_deltas("t"):
+                    rival.compact("t")
+                    landed.append(1)
+                else:
+                    _time.sleep(0.01)
+            except ConcurrentWriteError as e:
+                conflicts.append(repr(e))
+            except Exception as e:
+                errs.append(repr(e))
+                return
+
+    t0 = _time.perf_counter()
+    tw, tc = threading.Thread(target=writer), threading.Thread(target=compactor)
+    tw.start(), tc.start()
+    tw.join(), tc.join()
+    wall = _time.perf_counter() - t0
+    return {
+        "appends": n_appends,
+        "wall_s": round(wall, 3),
+        "appends_per_s": round(n_appends / wall, 2),
+        "compactions_landed_mid_ingest": len(landed),
+        "rebase_conflicts": len(conflicts),
+        "errors": errs,
+        "rows": lake.table("t").count(),
+        "rows_expected": 10 + 100 * n_appends,
     }
 
 
