@@ -3406,8 +3406,12 @@ class Lakehouse:
         # mismatched/unrenderable value skips bloom pruning entirely
         # (that value can't be disproven, so the all-values-disproven
         # exclusion can never hold); the filter keeps Spark semantics.
+        # one normalized {column -> probe values} view of the eq/IN
+        # predicates, shared by bloom pruning and partition pruning so
+        # the two can never desynchronize on probe normalization
+        probes = {**{c: [v] for c, v in eq.items()}, **inlist}
         eq_positions: dict = {}
-        for c, vals in {**{c: [v] for c, v in eq.items()}, **inlist}.items():
+        for c, vals in probes.items():
             if c not in meta.bloom_columns:
                 continue
             fns = []
@@ -3448,7 +3452,7 @@ class Lakehouse:
         # RANGE predicates on partition keys are left to Spark — dir
         # names order as strings, not as the key's type.
         part_match: dict[str, set[str]] = {}
-        for c, vals in {**{c: [v] for c, v in eq.items()}, **inlist}.items():
+        for c, vals in probes.items():
             if c not in meta.partition_keys:
                 continue
             dtype = meta.schema[c].dataType

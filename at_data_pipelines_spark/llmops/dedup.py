@@ -706,6 +706,16 @@ def paragraph_dedup(
     )
 
 
+def _ws_tokens(col):
+    """Whitespace tokenization with NO phantom empties: ``F.split`` keeps
+    edge empty strings for leading/trailing whitespace (``F.trim`` strips
+    only ASCII space, not tab/newline), which would shift every span
+    offset and leak separators into rebuilt text. Filtering empties makes
+    the token model exactly Python's ``text.split()`` on ASCII input —
+    the reference the parity tests and the q73 oracle compute against."""
+    return F.filter(F.split(col, r"\s+"), lambda t: t != F.lit(""))
+
+
 def _dup_gram_positions(
     df: DataFrame, text_col: str, id_col: str, n: int, mark: str
 ) -> DataFrame:
@@ -725,7 +735,7 @@ def _dup_gram_positions(
     the hottest single n-gram's occurrence count.
     """
     toks = df.select(
-        F.col(id_col), F.split(F.trim(F.col(text_col)), r"\s+").alias("_w")
+        F.col(id_col), _ws_tokens(F.col(text_col)).alias("_w")
     ).where(F.size("_w") >= n)
     gram = lambda i: F.xxhash64(  # noqa: E731
         F.concat_ws(" ", *[F.element_at(F.col("_w"), i + j) for j in range(n)])
@@ -740,11 +750,13 @@ def _dup_gram_positions(
         counts = grams.groupBy("_g").agg(F.count("*").alias("_c")).where("_c > 1")
         return grams.join(counts, "_g").select(id_col, "pos")
     if mark == "keep_first":
+        # _rn > 1 alone implies the gram occurs more than once — a
+        # count-over-window conjunct would be a second full window
+        # aggregate over the exploded gram set for nothing
         w = W.partitionBy("_g").orderBy(F.col(id_col), F.col("pos"))
         return (
             grams.withColumn("_rn", F.row_number().over(w))
-            .withColumn("_c", F.count("*").over(W.partitionBy("_g")))
-            .where((F.col("_c") > 1) & (F.col("_rn") > 1))
+            .where(F.col("_rn") > 1)
             .select(id_col, "pos")
         )
     raise ValueError(f"mark must be 'all' or 'keep_first', got {mark!r}")
@@ -812,7 +824,7 @@ def strip_duplicate_ngrams(
     toks = df.select(
         F.col(id_col),
         F.col(text_col).alias("_orig"),
-        F.split(F.trim(F.col(text_col)), r"\s+").alias("_w"),
+        _ws_tokens(F.col(text_col)).alias("_w"),
     )
     joined = toks.join(spans.select(id_col, "spans"), id_col, "left")
     idx = F.sequence(F.lit(1), F.size("_w"))

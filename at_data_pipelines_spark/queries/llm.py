@@ -603,12 +603,19 @@ def q70_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 #        of occurrences barring a 64-bit collision, so spans (the only
 #        output) agree exactly. Islands merge when consecutive duplicated
 #        gram starts are ≤ n apart (overlapping or token-contiguous).
+#        Oracle tokenizer: separator class spelled out as [ \t\n\v\f\r]+
+#        = Java's \s exactly (RE2's \s lacks \v, which would tokenize
+#        \v-containing text differently than Spark), empties filtered —
+#        the same no-phantom-token model as llmops.dedup._ws_tokens.
 # --------------------------------------------------------------------------
 @register(
     "q73_dup_ngram_spans",
     oracle="""
     WITH toks AS (
-      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '[ \\t\\n\\v\\f\\r]+'),
+                         x -> x <> '') AS t
+      FROM documents
     ), g AS (
       SELECT doc_id, pos, array_to_string(t[pos+1 : pos+8], ' ') AS gram
       FROM toks, LATERAL (SELECT unnest(range(len(t) - 7)) AS pos) _

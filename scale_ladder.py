@@ -385,6 +385,12 @@ def main() -> None:
         callables["ann_ivf_top5"] = ann_ivf_top5
         if args.only:
             keep = set(args.only.split(","))
+            unknown = keep - set(callables)
+            if unknown:  # a typo must error, not silently measure nothing
+                ap.error(
+                    f"--only names not in the ladder: {sorted(unknown)} "
+                    f"(known: {sorted(callables)})"
+                )
             callables = {q: fn for q, fn in callables.items() if q in keep}
         for q, fn in callables.items():
             _measure_rungs(q, fn, ladder)

@@ -1406,6 +1406,11 @@ _SUBSTR_DOCS = [
     (5, "completely fresh text with no duplicated passages at all in here ok"),
     (6, "tiny doc"),
     (7, "odd  spacing   document kept verbatim because nothing here repeats anywhere"),
+    # r10 review fix: leading/trailing tab/newline used to produce phantom
+    # '' tokens (F.trim strips only ASCII space), shifting every offset vs
+    # the Python reference and leaking separators into stripped output
+    (8, "\talpha beta gamma delta epsilon zeta eta theta iota kappa extra8\n"),
+    (9, "\n\talpha beta gamma delta epsilon zeta eta theta iota kappa\t"),
 ]
 
 
@@ -1465,6 +1470,11 @@ def test_strip_duplicate_ngrams_matches_python_reference(spark):
     assert got == want
     # doc 3 is a pure duplicate of text that first occurs in doc 1 -> dropped
     assert 3 not in got
+    # doc 9: pure duplicate WRAPPED in whitespace -> dropped too (pre-fix
+    # it survived as a whitespace-only doc via the phantom edge tokens)
+    assert 9 not in got
+    # doc 8: whitespace-wrapped duplicate + one unique token -> exactly it
+    assert got[8] == "extra8"
     # doc 1 (canonical first occurrence) survives untouched
     assert got[1] == _SUBSTR_DOCS[0][1]
     # doc 7's irregular whitespace is preserved byte-for-byte (no rejoin)
