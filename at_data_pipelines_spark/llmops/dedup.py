@@ -716,6 +716,25 @@ def _ws_tokens(col):
     return F.filter(F.split(col, r"\s+"), lambda t: t != F.lit(""))
 
 
+# second-lane salt for the 128-bit gram digest: any fixed non-default
+# value works — it only has to make lane 2 a differently-keyed xxhash64
+# than lane 1 (xxhash64 of (salt, gram) vs xxhash64 of (gram,))
+_GRAM_SALT = 0x9E3779B9
+
+
+def _gram_digest(g):
+    """128-bit shuffle key for a gram string: two differently-keyed
+    xxhash64 lanes as a struct. A false duplicate-gram group needs BOTH
+    lanes to collide simultaneously, so the effective key is 128-bit:
+    expected colliding pairs ≈ G²/2^129 ≈ 1.5e-15 at G = 10^12 grams
+    (one day of a 100 TB corpus), vs ~27k false groups for one 64-bit
+    lane at the same G. Struct-of-two-longs (16 bytes) shuffles cheaper
+    than the 32-byte md5 hex alternative and stays codegen-friendly."""
+    return F.struct(
+        F.xxhash64(g).alias("h1"), F.xxhash64(F.lit(_GRAM_SALT), g).alias("h2")
+    )
+
+
 def _dup_gram_positions(
     df: DataFrame, text_col: str, id_col: str, n: int, mark: str
 ) -> DataFrame:
@@ -733,11 +752,18 @@ def _dup_gram_positions(
     digest could not. "keep_first" needs a total order per gram, so a
     row_number window over the digest is unavoidable; its skew bound is
     the hottest single n-gram's occurrence count.
+
+    The digest is 128-bit (see ``_gram_digest``): a single 64-bit key is
+    exact at test scale but at ~10^12 corpus grams birthday collisions
+    would manufacture tens of thousands of false duplicate-gram groups,
+    each able to cut a legitimate span — silent corruption of the removal
+    half. With 128 bits the expected number of colliding pairs at 10^12
+    grams is ~1.5e-15.
     """
     toks = df.select(
         F.col(id_col), _ws_tokens(F.col(text_col)).alias("_w")
     ).where(F.size("_w") >= n)
-    gram = lambda i: F.xxhash64(  # noqa: E731
+    gram = lambda i: _gram_digest(  # noqa: E731
         F.concat_ws(" ", *[F.element_at(F.col("_w"), i + j) for j in range(n)])
     )
     grams = toks.select(

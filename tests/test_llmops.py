@@ -1485,3 +1485,45 @@ def test_strip_duplicate_ngrams_matches_python_reference(spark):
         "text", "doc_id", n=n, mark="keep_first",
     ).collect()
     assert restripped == []
+
+
+def test_gram_digest_second_lane_rescues_first_lane_collisions(spark, monkeypatch):
+    """Synthetic-collision test for the 128-bit gram key (r10 verdict #2):
+    cripple lane 1 to xxhash64 % 4 — at ~40 distinct grams nearly every
+    gram pair collides in lane 1. With lane 2 intact the spans must still
+    equal the exact string-keyed Python reference; with lane 2 ALSO
+    crippled (the single-weak-lane world) false duplicate spans appear.
+    This pins the property that saves a 10^12-gram corpus: a false group
+    needs BOTH lanes to collide."""
+    n = 8
+    df = spark.createDataFrame(_SUBSTR_DOCS, ["doc_id", "text"])
+    want = _py_dup_spans(_SUBSTR_DOCS, n, "all")
+
+    def weak_h1(g):
+        return F.struct(
+            (F.xxhash64(g) % 4).alias("h1"),
+            F.xxhash64(F.lit(dedup._GRAM_SALT), g).alias("h2"),
+        )
+
+    monkeypatch.setattr(dedup, "_gram_digest", weak_h1)
+    got = {
+        r.doc_id: [(s["span_start"], s["span_end"]) for s in r.spans]
+        for r in dedup.duplicate_ngram_spans(df, "text", "doc_id", n=n, mark="all").collect()
+    }
+    assert got == want, "second digest lane must absorb first-lane collisions"
+
+    def weak_both(g):
+        return F.struct(
+            (F.xxhash64(g) % 4).alias("h1"),
+            (F.xxhash64(F.lit(dedup._GRAM_SALT), g) % 4).alias("h2"),
+        )
+
+    monkeypatch.setattr(dedup, "_gram_digest", weak_both)
+    corrupted = {
+        r.doc_id: [(s["span_start"], s["span_end"]) for s in r.spans]
+        for r in dedup.duplicate_ngram_spans(df, "text", "doc_id", n=n, mark="all").collect()
+    }
+    assert corrupted != want, (
+        "sanity: if both lanes are weak, collisions DO manufacture false "
+        "spans — otherwise this test proves nothing about the real key"
+    )
