@@ -490,6 +490,7 @@ def run_daily(
     new_calendar: DataFrame | None = None,
     new_universe: DataFrame | None = None,
     warm_days: int | None = None,
+    stage_times: dict[str, float] | None = None,
 ) -> bool:
     """The reference's scheduled ``daily_flow`` (pipelines/__main__.py:22-37):
     guard on the market calendar, ingest the new day, recompute every
@@ -502,7 +503,20 @@ def run_daily(
     finite warm-up truncates history — with half-life 60 and a 2×252-day
     warm-up the truncation error is ~2^-(504/60) ≈ 0.3%. Pass
     ``warm_days`` covering full history for exact incremental parity.
+
+    ``stage_times``: optional dict the caller supplies to receive a
+    per-stage wall-clock breakdown (seconds, one key per DAG stage).
+    Purely observational — used by bench.py to attribute round-over-round
+    drift to a specific stage instead of the whole DAG.
     """
+    import time as _time
+
+    def _clock(name: str, fn) -> None:
+        t0 = _time.perf_counter()
+        fn()
+        if stage_times is not None:
+            stage_times[name] = round(_time.perf_counter() - t0, 3)
+
     if new_calendar is not None:
         lake.upsert("calendar", new_calendar)
     if not should_run_daily(lake, run_date):
@@ -511,39 +525,48 @@ def run_daily(
     warm_days = cfg.window * 2 if warm_days is None else warm_days
     warm_start = target - dt.timedelta(days=warm_days)
 
-    if new_universe is not None:
-        lake.upsert("universe", _with_year(new_universe))
-    if new_stock_bars is not None:
-        stock_prices_flow(lake, new_stock_bars)
-    if new_etf_bars is not None:
-        etf_prices_flow(lake, new_etf_bars)
+    def _ingest() -> None:
+        if new_universe is not None:
+            lake.upsert("universe", _with_year(new_universe))
+        if new_stock_bars is not None:
+            stock_prices_flow(lake, new_stock_bars)
+        if new_etf_bars is not None:
+            etf_prices_flow(lake, new_etf_bars)
+
+    _clock("ingest", _ingest)
 
     emit = F.col("date") == F.lit(target)
 
     def warm(df: DataFrame) -> DataFrame:
         return df.filter(F.col("date").between(F.lit(warm_start), F.lit(target)))
 
-    # returns (both panels), emitted only for the target date
-    for src, dst in [("stock_prices", "stock_returns"), ("etf_prices", "etf_returns")]:
-        w = entity_window(["ticker"], ["date"])
-        rets = (
-            warm(lake.table(src))
-            .select("ticker", "date", pct_change("close", w).alias("return"))
-            .na.drop(subset=["return"])
-            .filter(emit)
-        )
-        lake.upsert(dst, _with_year(rets))
+    def _returns() -> None:
+        # returns (both panels), emitted only for the target date
+        for src, dst in [
+            ("stock_prices", "stock_returns"),
+            ("etf_prices", "etf_returns"),
+        ]:
+            w = entity_window(["ticker"], ["date"])
+            rets = (
+                warm(lake.table(src))
+                .select("ticker", "date", pct_change("close", w).alias("return"))
+                .na.drop(subset=["return"])
+                .filter(emit)
+            )
+            lake.upsert(dst, _with_year(rets))
+
+    _clock("returns", _returns)
 
     # derived flows: recompute over the warm slice, emit target rows only.
     # Implemented by running the full-flow plans against warm-filtered
     # inputs via temporary lakehouse reads; the write path filters to the
     # target date before upserting.
-    _daily_factor_model(lake, cfg, warm, emit)
-    _daily_factor_covariances(lake, cfg, warm, emit)
-    _daily_reversal(lake, cfg, warm, emit)
-    _daily_benchmark(lake, cfg, warm, emit)
-    _daily_betas(lake, cfg, warm, emit)
-    _daily_portfolio(lake, cfg, emit)
+    _clock("factor_model", lambda: _daily_factor_model(lake, cfg, warm, emit))
+    _clock("factor_cov", lambda: _daily_factor_covariances(lake, cfg, warm, emit))
+    _clock("reversal", lambda: _daily_reversal(lake, cfg, warm, emit))
+    _clock("benchmark", lambda: _daily_benchmark(lake, cfg, warm, emit))
+    _clock("betas", lambda: _daily_betas(lake, cfg, warm, emit))
+    _clock("portfolio", lambda: _daily_portfolio(lake, cfg, emit))
     return True
 
 

@@ -109,13 +109,35 @@ def bench_commit_overhead(spark) -> dict[str, float]:
     }
 
 
-def bench_pipelines(spark, runs: int = 2) -> dict[str, dict[str, float]]:
+def _pinned_control(spark) -> float:
+    """A fixed, DAG-independent job (range → mod-key shuffle agg) timed
+    interleaved with the pipeline runs. Its code never changes round to
+    round, so if the control drifts between sessions the same way the DAG
+    walls do, the drift is session noise, not a plan regression (r10
+    verdict task #1: the daily-DAG uptick was unadjudicable without one)."""
+    from pyspark.sql import functions as F
+
+    t0 = time.perf_counter()
+    (
+        spark.range(5_000_000)
+        .select((F.col("id") % 997).alias("k"), (F.col("id") * 31 % 101).alias("v"))
+        .groupBy("k")
+        .agg(F.sum("v").alias("s"), F.count("*").alias("c"))
+        .count()
+    )
+    return time.perf_counter() - t0
+
+
+def bench_pipelines(spark, runs: int = 3) -> dict[str, dict[str, float]]:
     """Wall time of the flow DAG — the applyInPandas kernel surface (QP
     fan-out, rolling OLS, EWM) that the query set doesn't exercise: a
     30-ticker / 6-month backfill (~125 QP dates) and one incremental
     daily step on top. Each run uses a FRESH lakehouse; min and spread
     over ``runs`` runs are reported so session noise is visible instead
-    of silently folded into the number."""
+    of silently folded into the number. The daily step also reports a
+    per-stage wall breakdown (of the fastest run) and a pinned-control
+    wall so drift is attributable: stage vector names the stage that
+    grew; control drift names the session."""
     import datetime as dtm
     import tempfile
 
@@ -144,13 +166,18 @@ def bench_pipelines(spark, runs: int = 2) -> dict[str, dict[str, float]]:
         k: fx[k].filter(F.col("date") < F.lit(last))
         for k in ("calendar", "universe", "stock_bars", "etf_bars")
     }
+    _pinned_control(spark)  # control pays its own codegen warm-up once
     backfills: list[float] = []
     dailies: list[float] = []
+    controls: list[float] = []
+    stage_vecs: list[dict[str, float]] = []
     for _ in range(runs):
+        controls.append(_pinned_control(spark))
         lake = Lakehouse(spark, tempfile.mkdtemp(prefix="bench_lake_"))
         t0 = time.perf_counter()
         flows.run_backfill(lake, cut, cfg)
         backfills.append(time.perf_counter() - t0)
+        stages: dict[str, float] = {}
         t0 = time.perf_counter()
         flows.run_daily(
             lake,
@@ -160,8 +187,12 @@ def bench_pipelines(spark, runs: int = 2) -> dict[str, dict[str, float]]:
             new_etf_bars=fx["etf_bars"].filter(F.col("date") == F.lit(last)),
             new_calendar=fx["calendar"].filter(F.col("date") == F.lit(last)),
             new_universe=fx["universe"].filter(F.col("date") == F.lit(last)),
+            stage_times=stages,
         )
         dailies.append(time.perf_counter() - t0)
+        stage_vecs.append(stages)
+    best = stage_vecs[dailies.index(min(dailies))]
+    ctl = sorted(controls)
     return {
         "backfill_qp_dag": {
             "min": round(min(backfills), 3),
@@ -170,6 +201,12 @@ def bench_pipelines(spark, runs: int = 2) -> dict[str, dict[str, float]]:
         "daily_incremental_dag": {
             "min": round(min(dailies), 3),
             "spread": round(max(dailies) - min(dailies), 3),
+        },
+        "daily_stage_breakdown": best,
+        "pinned_control": {
+            "min": round(ctl[0], 3),
+            "median": round(ctl[len(ctl) // 2], 3),
+            "spread": round(ctl[-1] - ctl[0], 3),
         },
     }
 
@@ -286,7 +323,9 @@ def main() -> None:
                 "extras": merged.get("extras", {}),
                 "extras_stats": merged.get("extras_stats", {}),
                 "pipelines": {
-                    k: v["min"] for k, v in merged.get("pipeline_stats", {}).items()
+                    k: v["min"]
+                    for k, v in merged.get("pipeline_stats", {}).items()
+                    if isinstance(v, dict) and "min" in v
                 },
                 "pipeline_stats": merged.get("pipeline_stats", {}),
                 "commit_overhead": merged.get("commit_overhead", {}),
