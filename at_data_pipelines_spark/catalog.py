@@ -700,6 +700,49 @@ _BLOOM_TYPES = (
 _BLOOM_DEFAULT_M = 4096  # 512 B/leaf/col in the manifest at full density
 _BLOOM_DEFAULT_K = 5
 _BLOOM_SALT = "blz"
+_BLOOM_DEFAULT_FPP = 0.01  # auto-size target false-positive rate per leaf
+#: "argument not supplied" sentinel for keep-current-setting semantics
+#: where None is itself a meaningful value (bloom_fpp=None = fixed m)
+_UNSET = object()
+# auto-size lattice top: m grows by powers of 2 from bloom.m_bits up to
+# 64x (default 4096 -> 262144 bits = 32 KB/leaf/col worst-case dense) — a
+# deliberate manifest-size bound; a leaf denser than the cap accommodates
+# degrades FPR gracefully instead of bloating every manifest load
+_BLOOM_AUTO_CAP_MULT = 64
+
+
+def _bloom_auto_m(n_values: int, m_base: int, k: int, fpp: float) -> int:
+    """Per-leaf filter width: smallest m in the lattice {m_base * 2^i,
+    0 <= 2^i <= _BLOOM_AUTO_CAP_MULT} whose predicted FPR at ``n_values``
+    keys stays <= ``fpp``: (1 - e^(-k n/m))^k <= fpp  <=>
+    m >= k*n / -ln(1 - fpp^(1/k)). The lattice (not arbitrary m) is what
+    makes the Spark-job fold-down exact: positions are H mod m, and
+    (H mod cap) mod m == H mod m whenever m divides cap."""
+    import math
+
+    if n_values <= 0:
+        return m_base
+    need = k * n_values / -math.log(1.0 - fpp ** (1.0 / k))
+    m = m_base
+    while m < need and m < m_base * _BLOOM_AUTO_CAP_MULT:
+        m *= 2
+    return m
+
+
+def _bloom_fold_words(words: dict[str, int], m: int) -> dict[str, int]:
+    """Fold a sparse word map built at the lattice top down to width m:
+    position p = w*64 + b maps to p mod m = (w mod m/64)*64 + b because
+    64 divides m, so whole 64-bit words OR into word (w mod m/64). JVM
+    bit_or words arrive signed — normalize to unsigned for the OR, then
+    back to signed so driver- and job-written entries stay bit-identical."""
+    mw = m // 64
+    folded: dict[str, int] = {}
+    for w, b in words.items():
+        tw = str(int(w) % mw)
+        folded[tw] = folded.get(tw, 0) | (int(b) & ((1 << 64) - 1))
+    return {
+        w: (b - (1 << 64) if b >= (1 << 63) else b) for w, b in folded.items()
+    }
 
 
 def _bloom_value_str(v) -> str | None:
@@ -864,13 +907,26 @@ def _prune_bound(dtype, v, side: str):
 def _zorder_ordinal(dtype) -> "F.Column":
     """Order-preserving double-valued expression for a Z-order column:
     numerics cast directly; dates become epoch days, timestamps epoch
-    micros (UTC session — ordering is tz-independent either way)."""
+    micros (UTC session — ordering is tz-independent either way);
+    strings become their first-6-UTF-8-bytes big-endian integer (the
+    Delta OPTIMIZE ZORDER truncated-byte move). 6 bytes = 48 bits fits
+    a double exactly, and Spark's string order IS unsigned byte order,
+    so the ordinal is monotone in the full string. CAVEAT: strings
+    sharing a 6-byte prefix collapse to one bucket — clustering (and
+    therefore file pruning) only discriminates on the prefix, which is
+    the right trade for id-like columns and the documented limitation
+    for long-common-prefix keys (put the discriminating part first)."""
 
     def make(c: str) -> F.Column:
         if isinstance(dtype, T.DateType):
             return F.unix_date(F.col(c)).cast("double")
         if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
             return F.unix_micros(F.col(c).cast("timestamp")).cast("double")
+        if isinstance(dtype, T.StringType):
+            hexpfx = F.rpad(
+                F.hex(F.substring(F.encode(F.col(c), "UTF-8"), 1, 6)), 12, "0"
+            )
+            return F.conv(hexpfx, 16, 10).cast("double")
         return F.col(c).cast("double")
 
     return make
@@ -1372,15 +1428,25 @@ class Lakehouse:
     # are GC'd best-effort on each save. _history/ archives keep FULL
     # inline JSON — time travel and history() are unaffected.
     #
-    # DEFAULT OFF (0): measured head-to-head (SCALING.md cold-parse
-    # rung, r10), a single C-speed json.loads of the inline checkpoint
-    # is FASTER than parquet-decode + Python re-materialization at both
-    # 100k and 1M entries once the local I/O fast path is in — full
-    # dict materialization is the floor, and JSON parses straight into
-    # it. Enable (e.g. 100_000) for object-store roots where checkpoint
-    # BYTES dominate: 13× smaller GETs/PUTs and a ~1.8× faster save
-    # wall, at ~25% slower local decode.
+    # DEFAULT 0 = scheme-dependent: measured head-to-head (SCALING.md
+    # cold-parse rung, r10), a single C-speed json.loads of the inline
+    # checkpoint is FASTER than parquet-decode + Python
+    # re-materialization at both 100k and 1M entries once the local I/O
+    # fast path is in — full dict materialization is the floor, and
+    # JSON parses straight into it. So file/hdfs roots keep inline JSON
+    # at every size. On OBJECT-STORE roots (anything else: s3a, gs,
+    # abfs, ...) checkpoint BYTES dominate: the r11 simulated-store rung
+    # (SCALING.md, 50 ms RTT) measured columnar winning the save wall at
+    # every bandwidth tested (2.0–2.4 s vs 3.3–6.1 s at 1M entries) and
+    # the cold load below ~50 MB/s single-stream — the realistic
+    # single-GET regime — so past _OBJSTORE_MIN_ENTRIES those roots
+    # default to the sidecar. Set a positive threshold to force the
+    # columnar shape everywhere it's met, regardless of scheme.
     _COLUMNAR_CHECKPOINT_MIN_ENTRIES = 0
+    #: entry count past which an object-store root's checkpoint goes
+    #: columnar by default (≈ the size where one checkpoint PUT reaches
+    #: several MB and transfer starts to rival parse time)
+    _COLUMNAR_CHECKPOINT_OBJSTORE_MIN_ENTRIES = 100_000
 
     def _entries_sidecars(self, name: str) -> list[str]:
         """Version-sorted sidecar file names present in the table dir."""
@@ -1445,6 +1511,8 @@ class Lakehouse:
         doc = dict(meta.__dict__)
         n_entries = len(meta.committed) + len(meta.zone_maps)
         threshold = self._COLUMNAR_CHECKPOINT_MIN_ENTRIES
+        if not threshold and self.fs.scheme not in ("file", "hdfs", "viewfs"):
+            threshold = self._COLUMNAR_CHECKPOINT_OBJSTORE_MIN_ENTRIES
         columnar = bool(threshold) and n_entries >= threshold
         if columnar:
             sidecar = (
@@ -2092,6 +2160,7 @@ class Lakehouse:
         bloom_columns: list[str] | None = None,
         bloom_m_bits: int = _BLOOM_DEFAULT_M,
         bloom_k: int = _BLOOM_DEFAULT_K,
+        bloom_fpp: float | None = _BLOOM_DEFAULT_FPP,
     ) -> None:
         """Reference create modes (pipelines/portfolio_weights_flow.py:152-163):
         ``skip`` = CREATE TABLE IF NOT EXISTS, ``replace`` = CREATE OR REPLACE.
@@ -2118,8 +2187,14 @@ class Lakehouse:
         corpus schedules tasks for ~FPR of the files instead of all of
         them. ``bloom_m_bits``/``bloom_k`` size the per-leaf filter
         (defaults: 4096 bits / 5 hashes ≈ 1% FPR at ~570 distinct
-        values per leaf; size m for YOUR leaf cardinality). Columns must
-        be string/integer/date — types whose JVM and driver string
+        values per leaf). With ``bloom_fpp`` set (default 0.01) each
+        leaf's m is AUTO-SIZED at write time: the smallest
+        ``bloom_m_bits * 2^i`` (i ≤ 6) whose predicted FPR at the leaf's
+        actual value count stays under the target — a leaf 10× denser
+        than the default's design point keeps pruning at ~1% instead of
+        silently degrading toward 100%. ``bloom_fpp=None`` pins every
+        leaf to exactly ``bloom_m_bits`` (the pre-r11 behavior). Columns
+        must be string/integer/date — types whose JVM and driver string
         renderings provably agree (floats/timestamps are refused)."""
         if mode not in ("skip", "replace"):
             raise ValueError(f"mode must be 'skip' or 'replace', got {mode!r}")
@@ -2196,6 +2271,8 @@ class Lakehouse:
                 )
         if bloom_columns and (int(bloom_m_bits) % 64 or int(bloom_m_bits) <= 0):
             raise ValueError(f"bloom_m_bits must be a positive multiple of 64, got {bloom_m_bits}")
+        if bloom_columns and bloom_fpp is not None and not (0.0 < float(bloom_fpp) < 1.0):
+            raise ValueError(f"bloom_fpp must be in (0, 1) or None, got {bloom_fpp}")
         collide = set(stats_columns or []) & {f"{c}#bloom" for c in bloom_columns or []}
         if collide:
             raise ValueError(
@@ -2216,6 +2293,9 @@ class Lakehouse:
         if bloom_columns:
             meta.properties["bloom.m_bits"] = int(bloom_m_bits)
             meta.properties["bloom.k"] = int(bloom_k)
+            meta.properties["bloom.fpp"] = (
+                None if bloom_fpp is None else float(bloom_fpp)
+            )
         if replaced is not None:
             hist = self._history_versions(name)
             meta.version = max([replaced.version] + hist) + 1
@@ -2426,6 +2506,7 @@ class Lakehouse:
         bloom_columns: list[str],
         bloom_m_bits: int | None = None,
         bloom_k: int | None = None,
+        bloom_fpp: float | None = _UNSET,  # _UNSET = keep current setting
     ) -> None:
         """Enable/alter Bloom data skipping on an existing table (the
         ``create(bloom_columns=...)`` surface, post hoc). Applies to
@@ -2436,8 +2517,10 @@ class Lakehouse:
         entries are SELF-DESCRIBING ([m, k, words]), so changing
         ``bloom_m_bits``/``bloom_k`` (None = keep the table's current
         setting) never corrupts old entries — old leaves keep probing
-        with the parameters they were written with. Dropping a column
-        prunes its entries for manifest hygiene."""
+        with the parameters they were written with. ``bloom_fpp``
+        governs per-leaf auto-sizing exactly as in ``create`` (an
+        explicit None PINS m to bloom_m_bits; omitted = keep current).
+        Dropping a column prunes its entries for manifest hygiene."""
         meta = self._load_meta(name)
         names = set(meta.schema.fieldNames())
         for c in bloom_columns:
@@ -2472,6 +2555,14 @@ class Lakehouse:
             meta.properties["bloom.k"] = int(bloom_k)
         elif bloom_columns:
             meta.properties.setdefault("bloom.k", _BLOOM_DEFAULT_K)
+        if bloom_fpp is not _UNSET:
+            if bloom_fpp is not None and not (0.0 < float(bloom_fpp) < 1.0):
+                raise ValueError(f"bloom_fpp must be in (0, 1) or None, got {bloom_fpp}")
+            meta.properties["bloom.fpp"] = (
+                None if bloom_fpp is None else float(bloom_fpp)
+            )
+        elif bloom_columns:
+            meta.properties.setdefault("bloom.fpp", _BLOOM_DEFAULT_FPP)
         for key, stats in meta.zone_maps.items():
             meta.zone_maps[key] = {
                 c: v
@@ -2959,8 +3050,17 @@ class Lakehouse:
             # all-NULL leaf simply has no entry and never prunes.
             from .ops.sketch import _bloom_positions
 
-            m_bits = int(meta.properties.get("bloom.m_bits", _BLOOM_DEFAULT_M))
+            m_base = int(meta.properties.get("bloom.m_bits", _BLOOM_DEFAULT_M))
             kk = int(meta.properties.get("bloom.k", _BLOOM_DEFAULT_K))
+            fpp = meta.properties.get("bloom.fpp", _BLOOM_DEFAULT_FPP)
+            # auto-sizing: the job computes positions at the lattice TOP
+            # (m_base * cap_mult) and the driver folds each leaf's words
+            # down to its auto-chosen m — exact because position = H mod m
+            # and (H mod cap) mod m == H mod m for every lattice m. The
+            # leaf's value count falls out of the same job for free:
+            # every non-null value contributes exactly k cell rows, so
+            # n = sum(cell counts) / k, no extra pass over the batch.
+            m_bits = m_base * _BLOOM_AUTO_CAP_MULT if fpp is not None else m_base
             def _tagger(cname):
                 # NOT a default-arg lambda: F.transform treats a 2-arg
                 # callable as (element, index) and would pass the array
@@ -2991,15 +3091,24 @@ class Lakehouse:
                 .agg(
                     F.expr(
                         "bit_or(shiftleft(1L, cast(pmod(__e.pos, 64) as int)))"
-                    ).alias("__bb")
+                    ).alias("__bb"),
+                    F.count(F.lit(1)).alias("__cn"),
                 )
             )
+            raw_blooms: dict[tuple[str, str], tuple[dict[str, int], int]] = {}
             for r in cells.collect():
-                ent = out.setdefault(row_key(r), {})
-                bloom = ent.setdefault(
-                    f"{r['__bc']}#bloom", [m_bits, kk, {}]
+                words, n_cells = raw_blooms.setdefault(
+                    (row_key(r), r["__bc"]), ({}, 0)
                 )
-                bloom[2][str(r["__bw"])] = int(r["__bb"])
+                words[str(r["__bw"])] = int(r["__bb"])
+                raw_blooms[(row_key(r), r["__bc"])] = (words, n_cells + int(r["__cn"]))
+            for (leaf, c), (words, n_cells) in raw_blooms.items():
+                ent = out.setdefault(leaf, {})
+                if fpp is None:
+                    ent[f"{c}#bloom"] = [m_bits, kk, words]
+                    continue
+                m_leaf = _bloom_auto_m(n_cells // kk, m_base, kk, float(fpp))
+                ent[f"{c}#bloom"] = [m_leaf, kk, _bloom_fold_words(words, m_leaf)]
         return out
 
     def _validate_checks(self, name: str, meta: TableMeta, seq: int) -> None:
@@ -3096,16 +3205,28 @@ class Lakehouse:
             if emn is not None and emx is not None:
                 stats[c] = [emn, emx]
         if meta.bloom_columns:
-            m_bits = int(meta.properties.get("bloom.m_bits", _BLOOM_DEFAULT_M))
+            m_base = int(meta.properties.get("bloom.m_bits", _BLOOM_DEFAULT_M))
             kk = int(meta.properties.get("bloom.k", _BLOOM_DEFAULT_K))
+            fpp = meta.properties.get("bloom.fpp", _BLOOM_DEFAULT_FPP)
             for c in meta.bloom_columns:
                 if c not in table.column_names:
                     continue
+                vals = [
+                    _bloom_value_str(v)
+                    for v in table.column(c).to_pylist()
+                    if v is not None
+                ]
+                # auto-size from THIS leaf's value count — positions are
+                # computed at m_leaf directly, which equals the Spark-job
+                # path's fold-down bit-for-bit ((H mod cap) mod m == H
+                # mod m on the lattice), preserving probe-identicality
+                m_bits = (
+                    _bloom_auto_m(len(vals), m_base, kk, float(fpp))
+                    if fpp is not None
+                    else m_base
+                )
                 words: dict[str, int] = {}
-                for v in table.column(c).to_pylist():
-                    if v is None:
-                        continue
-                    sval = _bloom_value_str(v)
+                for sval in vals:
                     if sval is None:  # unrenderable value: leaf unprunable
                         words = {}
                         break
@@ -3360,7 +3481,17 @@ class Lakehouse:
                 inlist[c] = sorted(bounds, key=repr)  # deterministic order
                 # range-prune with the list's span when the values are
                 # mutually comparable; a mixed-type list just skips the
-                # min/max contribution (bloom still applies)
+                # min/max contribution (bloom still applies). Python's
+                # min/max order is sound as a prune bound for every
+                # same-type list the schema admits: int/float compare
+                # numerically (matching the numeric stat encoding, signs
+                # included), str compares by code point which agrees with
+                # Spark's UTF-8 byte order on ASCII — and _zone_excludes
+                # refuses to prune on any non-ASCII operand — and
+                # date/datetime bounds pass through _prune_bound's
+                # direction-aware coercion to the column's encoding
+                # before any comparison. Mixed-type lists raise TypeError
+                # here and contribute no range at all.
                 try:
                     where[c] = (min(bounds), max(bounds))
                 except TypeError:
@@ -3647,11 +3778,18 @@ class Lakehouse:
                     raise ValueError(f"zorder column {c!r} is a partition key")
                 if not isinstance(
                     meta.schema[c].dataType,
-                    (T.NumericType, T.DateType, T.TimestampType, T.TimestampNTZType),
+                    (
+                        T.NumericType,
+                        T.DateType,
+                        T.TimestampType,
+                        T.TimestampNTZType,
+                        T.StringType,
+                    ),
                 ):
                     raise ValueError(
-                        f"zorder column {c!r} must be numeric or date/"
-                        f"timestamp (got {meta.schema[c].dataType.simpleString()})"
+                        f"zorder column {c!r} must be numeric, date/"
+                        f"timestamp or string (got "
+                        f"{meta.schema[c].dataType.simpleString()})"
                     )
         raw = self._read_raw(name, meta)
         if meta.partition_keys and not meta.all_dirty:

@@ -65,7 +65,8 @@ def test_equality_scan_exact_under_false_positives(lake, spark):
     scan must still return exactly the matching rows — pruning is an
     optimization, the == filter is the semantics."""
     lake.create(
-        "d", SCHEMA, [], [], bloom_columns=["doc_id"], bloom_m_bits=64, bloom_k=2
+        "d", SCHEMA, [], [], bloom_columns=["doc_id"], bloom_m_bits=64,
+        bloom_k=2, bloom_fpp=None,  # pin m: auto-sizing would rescue it
     )
     for b in range(5):
         lake.insert("d", _docs(spark, b * 20, b * 20 + 20, b), mode="append")
@@ -452,3 +453,67 @@ def test_fast_path_date_and_int_blooms_match_spark_path(lake, spark):
         assert [(r.day.isoformat(), r.n) for r in got.collect()] == [
             ("2024-01-05", -2)
         ]
+
+
+def test_auto_sized_bloom_dense_leaf_still_prunes(lake, spark):
+    """r10 verdict #6: with the default fixed m=4096/k=5 a leaf holding
+    ~4000 values saturates toward ~100% FPR and the skip stops pruning.
+    Auto-sizing must pick a wider lattice m for the dense leaf and keep
+    a point lookup opening ~1 file out of 10 (≈1% FPR target)."""
+    lake.create("d", SCHEMA, ["bucket"], [], bloom_columns=["doc_id"])
+    per_leaf = 4000  # 10x the default's ~400-value design point
+    for b in range(10):
+        lake.insert(
+            "d", _docs(spark, b * per_leaf, (b + 1) * per_leaf, b), mode="append"
+        )
+    meta = lake._load_meta("d")
+    ms = {int(s["doc_id#bloom"][0]) for s in meta.zone_maps.values()
+          if "doc_id#bloom" in s}
+    assert ms and all(m > 4096 for m in ms), f"dense leaves kept base m: {ms}"
+    # predicted FPR at the chosen m must be ~the 1% target
+    import math
+    for m in ms:
+        fpr = (1.0 - math.exp(-5 * per_leaf / m)) ** 5
+        assert fpr <= 0.011, f"m={m} gives FPR {fpr:.3f}"
+    probe = "doc-12345"  # leaf 3 only
+    got = lake.scan("d", where={"doc_id": probe})
+    assert [r.doc_id for r in got.collect()] == [probe]
+    n_all = len(lake.table("d").inputFiles())
+    assert len(got.inputFiles()) <= 2, (
+        f"auto-sized bloom opened {len(got.inputFiles())}/{n_all} files"
+    )
+
+
+def test_auto_sized_blooms_probe_identical_across_write_paths(lake, spark):
+    """The fast-path/job-path bit-identity invariant must survive
+    auto-sizing: the job path folds down from the lattice top, the
+    driver path computes at m_leaf directly — same (m, k, words)."""
+    lake.create("a", SCHEMA, [], [], bloom_columns=["doc_id", "bucket"])
+    lake.create("b", SCHEMA, [], [], bloom_columns=["doc_id", "bucket"])
+    rows = _docs(spark, 0, 900, 2)  # enough values to trigger m growth
+    orig = lake._fast_insert
+    lake._fast_insert = lambda *a, **k: False
+    lake.insert("a", rows, mode="append")  # Spark-job path
+    lake._fast_insert = orig
+    lake.insert("b", rows, mode="append")  # arrow fast path
+    za = list(lake._load_meta("a").zone_maps.values())
+    zb = list(lake._load_meta("b").zone_maps.values())
+    assert len(za) == len(zb) == 1
+    assert int(za[0]["doc_id#bloom"][0]) > 4096, "auto-sizing did not engage"
+    for c in ("doc_id#bloom", "bucket#bloom"):
+        assert za[0][c][0] == zb[0][c][0] and za[0][c][1] == zb[0][c][1], c
+        assert {k: int(v) for k, v in za[0][c][2].items()} == {
+            k: int(v) for k, v in zb[0][c][2].items()
+        }, c
+
+
+def test_bloom_fpp_validation_and_set_bloom_columns_roundtrip(lake, spark):
+    with pytest.raises(ValueError, match="bloom_fpp"):
+        lake.create("t", SCHEMA, [], [], bloom_columns=["doc_id"], bloom_fpp=1.5)
+    lake.create("t", SCHEMA, [], [])
+    lake.set_bloom_columns("t", ["doc_id"], bloom_fpp=None)
+    assert lake._load_meta("t").properties["bloom.fpp"] is None
+    lake.set_bloom_columns("t", ["doc_id"], bloom_fpp=0.05)
+    assert lake._load_meta("t").properties["bloom.fpp"] == 0.05
+    lake.set_bloom_columns("t", ["doc_id"])  # keep current
+    assert lake._load_meta("t").properties["bloom.fpp"] == 0.05

@@ -181,3 +181,30 @@ def test_below_threshold_stays_inline(spark, tmp_path):
     raw = json.loads(lake.fs.read_text(lake._meta_path("t")))
     assert "committed" in raw and "_entries_file" not in raw
     assert lake._entries_sidecars("t") == []
+
+
+def test_objstore_scheme_defaults_to_columnar(spark, tmp_path, monkeypatch):
+    """r11: with the class threshold at its 0 default, an object-store
+    scheme (simulated by stamping the fs) flips to the columnar shape
+    past _COLUMNAR_CHECKPOINT_OBJSTORE_MIN_ENTRIES, while file:// stays
+    inline at the same size — the SCALING.md simulated-store rung's
+    decision, wired in."""
+    monkeypatch.setattr(Lakehouse, "_COLUMNAR_CHECKPOINT_OBJSTORE_MIN_ENTRIES", 1)
+    lake = Lakehouse(spark, str(tmp_path / "lake"))
+    lake.create("t", SCHEMA, [], ["ticker", "date"])
+    rows = [("A", "2024-01-02", 1.0), ("B", "2024-01-03", 2.0), ("C", "2024-01-06", 3.0)]
+    lake.upsert("t", _df(spark, rows))
+    # file:// root: inline even though n_entries >= objstore threshold
+    raw = json.loads(lake.fs.read_text(lake._meta_path("t")))
+    assert "_entries_file" not in raw and lake._entries_sidecars("t") == []
+    # same handle re-stamped as an object store: next save goes columnar
+    lake.fs.scheme = "s3a"
+    lake.upsert("t", _df(spark, [("D", "2024-01-07", 4.0)]))
+    raw = json.loads(lake.fs.read_text(lake._meta_path("t")))
+    assert "_entries_file" in raw, "objstore root should default columnar"
+    # state must round-trip through the sidecar on a fresh handle
+    fresh = Lakehouse(spark, lake.root)
+    fresh.fs.scheme = "s3a"
+    m = fresh._load_meta("t")
+    assert m.committed, "committed dict must round-trip through the sidecar"
+    assert fresh.table("t").count() == 4

@@ -576,6 +576,52 @@ def test_zorder_full_rewrite_and_later_upserts(lake, spark):
     assert sorted(r.k for r in got.collect()) == sorted(r.k for r in exp.collect())
 
 
+def test_zorder_string_ids_prune_per_file(lake, spark):
+    """String Z-order (r10 verdict #3): clustering on a string id via the
+    truncated-6-byte-prefix ordinal must (a) preserve content exactly and
+    (b) let an id-range scan open fewer files than an UNCLUSTERED layout
+    with the same file count — the numeric-zorder test shape on a string
+    column. Ids are 'doc-%05d' so the discriminating digits sit inside
+    the 6-byte prefix ('doc-0' vs 'doc-9')."""
+    data = _zbatch(spark, 4000, 2023, seed=7)
+    # unclustered control: same rows, insert order, no zorder rewrite
+    lake.create("flat", SCHEMA, ["year"], ["k", "year"], stats_columns=["s"])
+    # 8 shuffled inserts -> every file spans nearly the full id range
+    shuffled = data.orderBy(F.xxhash64("k"))
+    for i in range(8):
+        lake.insert("flat", shuffled.filter(F.col("k") % 8 == i))
+    lake.create("zs", SCHEMA, ["year"], ["k", "year"], stats_columns=["s"])
+    lake.insert("zs", data)
+    lake.optimize("zs", zorder_by=["s"], zorder_files=8)
+    before = {r.k for r in lake.table("flat").collect()}
+    after = {r.k for r in lake.table("zs").collect()}
+    assert after == before  # layout only, content identical
+    where = {"s": ("doc-01000", "doc-01499")}
+    z_files = len(lake.scan("zs", where=where).inputFiles())
+    flat_files = len(lake.scan("flat", where=where).inputFiles())
+    assert z_files < flat_files, (
+        f"string zorder read {z_files} files, unclustered {flat_files}"
+    )
+    a = sorted(r.k for r in lake.scan("zs", where=where).collect())
+    b = sorted(r.k for r in lake.scan("flat", where=where).collect())
+    assert a == b and a, "both layouts must return the same non-empty rows"
+
+
+def test_zorder_string_long_common_prefix_is_sound_not_selective(lake, spark):
+    """Documented caveat: ids whose first 6 bytes are identical collapse
+    to one ordinal bucket — the rewrite must stay CORRECT (all rows
+    survive, scans answer exactly) even though pruning gains nothing."""
+    rows = [(k, 2023, float(k), dt.date(2024, 1, 1), f"prefix-common-{k:04d}")
+            for k in range(500)]
+    data = spark.createDataFrame(rows, SCHEMA)
+    lake.create("p", SCHEMA, ["year"], ["k", "year"], stats_columns=["s"])
+    lake.insert("p", data)
+    lake.optimize("p", zorder_by=["s"], zorder_files=4)
+    assert lake.table("p").count() == 500
+    got = lake.scan("p", where={"s": ("prefix-common-0100", "prefix-common-0199")})
+    assert sorted(r.k for r in got.collect()) == list(range(100, 200))
+
+
 def test_zorder_rejects_bad_columns(lake, spark):
     lake.create("t", SCHEMA, ["year"], ["k", "year"])
     lake.insert("t", _zbatch(spark, 10, 2023))
@@ -909,13 +955,21 @@ def test_scan_noop_bounds_keep_all_null_leaves(lake, spark):
     assert got.count() == lake.table("t").count() == 20
 
 
-def test_zorder_rejects_non_numeric_column(lake, spark):
-    lake.create("t", SCHEMA, ["year"], ["k", "year"])
-    lake.insert("t", _batch(spark, 0, 10, 2023))
+def test_zorder_rejects_unorderable_column(lake, spark):
+    # strings are supported since r11 (truncated-byte ordinal); types with
+    # no order-preserving double ordinal (arrays, maps, binary) still refuse
+    sch = T.StructType(
+        list(SCHEMA.fields) + [T.StructField("arr", T.ArrayType(T.LongType()))]
+    )
+    lake.create("t", sch, ["year"], ["k", "year"])
+    lake.insert(
+        "t",
+        _batch(spark, 0, 10, 2023).withColumn("arr", F.array(F.col("k"))),
+    )
     with pytest.raises(ValueError, match="must be numeric"):
-        lake.optimize("t", zorder_by=["s"], full=True)
-    # dates ARE supported (epoch-day ordinal): correctness + d-pruning
-    lake.optimize("t", zorder_by=["d", "k"], zorder_files=4, full=True)
+        lake.optimize("t", zorder_by=["arr"], full=True)
+    # dates AND strings are supported: correctness after a mixed rewrite
+    lake.optimize("t", zorder_by=["d", "s"], zorder_files=4, full=True)
     got = lake.table("t").orderBy("k").collect()
     assert [r.k for r in got] == list(range(10))
 
