@@ -54,6 +54,7 @@ def test_daily_equals_backfill(spark, tmp_path):
     }
     lake_inc = Lakehouse(spark, str(tmp_path / "inc"))
     flows.run_backfill(lake_inc, cut, CFG)
+    stages: dict[str, float] = {}
     ran = flows.run_daily(
         lake_inc,
         CFG,
@@ -63,8 +64,15 @@ def test_daily_equals_backfill(spark, tmp_path):
         new_calendar=fx["calendar"].filter(F.col("date") == F.lit(last)),
         new_universe=fx["universe"].filter(F.col("date") == F.lit(last)),
         warm_days=10_000,  # full history ⇒ exact EWM parity
+        stage_times=stages,
     )
     assert ran is True
+    # bench instrumentation contract (r11): one wall per DAG stage
+    assert set(stages) == {
+        "ingest", "returns", "factor_model", "factor_cov",
+        "reversal", "benchmark", "betas", "portfolio",
+    }
+    assert all(v >= 0 for v in stages.values())
 
     for name, keys, vals in COMPARE_TABLES:
         a = (
