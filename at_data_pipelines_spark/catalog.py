@@ -711,6 +711,17 @@ _UNSET = object()
 _BLOOM_AUTO_CAP_MULT = 64
 
 
+def _bloom_fpp_denominator(k: int, fpp: float) -> float:
+    """The constant C in the auto-size bound m >= k·n / C, C =
+    -ln(1 - fpp^(1/k)). Returns 0.0 when fpp is so extreme that
+    fpp^(1/k) underflows below one double ulp (C would be -ln(1) = 0 and
+    the division would crash): callers treat C == 0 as "need is
+    infinite" and take the lattice cap."""
+    import math
+
+    return -math.log(1.0 - fpp ** (1.0 / k))
+
+
 def _bloom_auto_m(n_values: int, m_base: int, k: int, fpp: float) -> int:
     """Per-leaf filter width: smallest m in the lattice {m_base * 2^i,
     0 <= 2^i <= _BLOOM_AUTO_CAP_MULT} whose predicted FPR at ``n_values``
@@ -718,30 +729,24 @@ def _bloom_auto_m(n_values: int, m_base: int, k: int, fpp: float) -> int:
     m >= k*n / -ln(1 - fpp^(1/k)). The lattice (not arbitrary m) is what
     makes the Spark-job fold-down exact: positions are H mod m, and
     (H mod cap) mod m == H mod m whenever m divides cap."""
-    import math
-
     if n_values <= 0:
         return m_base
-    need = k * n_values / -math.log(1.0 - fpp ** (1.0 / k))
+    c = _bloom_fpp_denominator(k, fpp)
+    if c <= 0.0:  # fpp underflowed: no finite m meets it — take the cap
+        return m_base * _BLOOM_AUTO_CAP_MULT
+    need = k * n_values / c
     m = m_base
     while m < need and m < m_base * _BLOOM_AUTO_CAP_MULT:
         m *= 2
     return m
 
 
-def _bloom_fold_words(words: dict[str, int], m: int) -> dict[str, int]:
-    """Fold a sparse word map built at the lattice top down to width m:
-    position p = w*64 + b maps to p mod m = (w mod m/64)*64 + b because
-    64 divides m, so whole 64-bit words OR into word (w mod m/64). JVM
-    bit_or words arrive signed — normalize to unsigned for the OR, then
-    back to signed so driver- and job-written entries stay bit-identical."""
-    mw = m // 64
-    folded: dict[str, int] = {}
-    for w, b in words.items():
-        tw = str(int(w) % mw)
-        folded[tw] = folded.get(tw, 0) | (int(b) & ((1 << 64) - 1))
+def _signed_words(words: dict[str, int]) -> dict[str, int]:
+    """Normalize word values to signed 64-bit — the JVM bit_or's output
+    domain — so driver- and job-written entries stay bit-identical. The
+    ONE place this expression lives; both write paths call it."""
     return {
-        w: (b - (1 << 64) if b >= (1 << 63) else b) for w, b in folded.items()
+        w: (b - (1 << 64) if b >= (1 << 63) else b) for w, b in words.items()
     }
 
 
@@ -1441,7 +1446,10 @@ class Lakehouse:
     # the cold load below ~50 MB/s single-stream — the realistic
     # single-GET regime — so past _OBJSTORE_MIN_ENTRIES those roots
     # default to the sidecar. Set a positive threshold to force the
-    # columnar shape everywhere it's met, regardless of scheme.
+    # columnar shape everywhere it's met, regardless of scheme; set -1
+    # to force inline JSON everywhere (the escape hatch for external
+    # tooling that parses the checkpoint's committed/zone_maps dicts
+    # directly and cannot chase a sidecar pointer).
     _COLUMNAR_CHECKPOINT_MIN_ENTRIES = 0
     #: entry count past which an object-store root's checkpoint goes
     #: columnar by default (≈ the size where one checkpoint PUT reaches
@@ -1511,9 +1519,9 @@ class Lakehouse:
         doc = dict(meta.__dict__)
         n_entries = len(meta.committed) + len(meta.zone_maps)
         threshold = self._COLUMNAR_CHECKPOINT_MIN_ENTRIES
-        if not threshold and self.fs.scheme not in ("file", "hdfs", "viewfs"):
+        if threshold == 0 and self.fs.scheme not in ("file", "hdfs", "viewfs"):
             threshold = self._COLUMNAR_CHECKPOINT_OBJSTORE_MIN_ENTRIES
-        columnar = bool(threshold) and n_entries >= threshold
+        columnar = threshold > 0 and n_entries >= threshold
         if columnar:
             sidecar = (
                 f"_bl_meta.entries-v{meta.version:012d}-{uuid.uuid4().hex[:8]}.parquet"
@@ -2522,6 +2530,7 @@ class Lakehouse:
         explicit None PINS m to bloom_m_bits; omitted = keep current).
         Dropping a column prunes its entries for manifest hygiene."""
         meta = self._load_meta(name)
+        had_bloom = "bloom.m_bits" in meta.properties
         names = set(meta.schema.fieldNames())
         for c in bloom_columns:
             if c not in names:
@@ -2561,7 +2570,10 @@ class Lakehouse:
             meta.properties["bloom.fpp"] = (
                 None if bloom_fpp is None else float(bloom_fpp)
             )
-        elif bloom_columns:
+        elif bloom_columns and not had_bloom:
+            # freshly-enabled bloom config gets the modern default;
+            # a table with an existing (pre-auto-sizing) config keeps
+            # its fixed-m contract until the caller opts in explicitly
             meta.properties.setdefault("bloom.fpp", _BLOOM_DEFAULT_FPP)
         for key, stats in meta.zone_maps.items():
             meta.zone_maps[key] = {
@@ -3052,14 +3064,20 @@ class Lakehouse:
 
             m_base = int(meta.properties.get("bloom.m_bits", _BLOOM_DEFAULT_M))
             kk = int(meta.properties.get("bloom.k", _BLOOM_DEFAULT_K))
-            fpp = meta.properties.get("bloom.fpp", _BLOOM_DEFAULT_FPP)
+            # a MISSING bloom.fpp key (table created before auto-sizing
+            # existed) means fixed m — the table's original contract —
+            # not the new default; create()/set_bloom_columns always
+            # store the key explicitly for tables that opt in
+            fpp = meta.properties.get("bloom.fpp")
             # auto-sizing: the job computes positions at the lattice TOP
-            # (m_base * cap_mult) and the driver folds each leaf's words
-            # down to its auto-chosen m — exact because position = H mod m
+            # (m_base * cap_mult) and folds each leaf's words down to its
+            # auto-chosen m IN THE JOB — exact because position = H mod m
             # and (H mod cap) mod m == H mod m for every lattice m. The
-            # leaf's value count falls out of the same job for free:
-            # every non-null value contributes exactly k cell rows, so
-            # n = sum(cell counts) / k, no extra pass over the batch.
+            # leaf's value count falls out of the same aggregation for
+            # free: every non-null value contributes exactly k cell rows,
+            # so n = sum(cell counts) / k, no extra pass over the batch —
+            # and the driver collects at most m_leaf/64 words per
+            # leaf/column, never the 64x lattice-top word set.
             m_bits = m_base * _BLOOM_AUTO_CAP_MULT if fpp is not None else m_base
             def _tagger(cname):
                 # NOT a default-arg lambda: F.transform treats a 2-arg
@@ -3095,20 +3113,50 @@ class Lakehouse:
                     F.count(F.lit(1)).alias("__cn"),
                 )
             )
-            raw_blooms: dict[tuple[str, str], tuple[dict[str, int], int]] = {}
-            for r in cells.collect():
-                words, n_cells = raw_blooms.setdefault(
-                    (row_key(r), r["__bc"]), ({}, 0)
+            if fpp is not None:
+                # distributed fold-down: per-(leaf, col) total cell count
+                # over a window -> the same lattice pick _bloom_auto_m
+                # makes (an ascending when-chain with IDENTICAL IEEE
+                # comparisons: need = total/C is bit-equal to Python's
+                # k*(total//k)/C because total is divisible by k), then
+                # word w ORs into w mod m/64. The driver never sees
+                # lattice-top-sized word sets.
+                c_const = _bloom_fpp_denominator(kk, float(fpp))
+                lattice, mv = [], m_base
+                while mv <= m_base * _BLOOM_AUTO_CAP_MULT:
+                    lattice.append(mv)
+                    mv *= 2
+                if c_const <= 0.0:  # fpp underflowed: cap everywhere
+                    m_col = F.lit(lattice[-1])
+                else:
+                    need = F.sum("__cn").over(
+                        W.partitionBy(*grp_names, "__bc")
+                    ) / F.lit(c_const)
+                    m_col = F.when(need <= F.lit(lattice[0]), F.lit(lattice[0]))
+                    for mv in lattice[1:-1]:
+                        m_col = m_col.when(need <= F.lit(mv), F.lit(mv))
+                    m_col = m_col.otherwise(F.lit(lattice[-1]))
+                cells = (
+                    cells.withColumn("__m", m_col.cast("long"))
+                    .groupBy(
+                        *grp_names,
+                        "__bc",
+                        "__m",
+                        (F.col("__bw") % (F.col("__m") / F.lit(64)).cast("long")).alias("__fw"),
+                    )
+                    .agg(F.expr("bit_or(__bb)").alias("__bb"))
                 )
-                words[str(r["__bw"])] = int(r["__bb"])
-                raw_blooms[(row_key(r), r["__bc"])] = (words, n_cells + int(r["__cn"]))
-            for (leaf, c), (words, n_cells) in raw_blooms.items():
-                ent = out.setdefault(leaf, {})
-                if fpp is None:
-                    ent[f"{c}#bloom"] = [m_bits, kk, words]
-                    continue
-                m_leaf = _bloom_auto_m(n_cells // kk, m_base, kk, float(fpp))
-                ent[f"{c}#bloom"] = [m_leaf, kk, _bloom_fold_words(words, m_leaf)]
+                for r in cells.collect():
+                    ent = out.setdefault(row_key(r), {})
+                    bloom = ent.setdefault(
+                        f"{r['__bc']}#bloom", [int(r["__m"]), kk, {}]
+                    )
+                    bloom[2][str(r["__fw"])] = int(r["__bb"])
+            else:
+                for r in cells.collect():
+                    ent = out.setdefault(row_key(r), {})
+                    bloom = ent.setdefault(f"{r['__bc']}#bloom", [m_bits, kk, {}])
+                    bloom[2][str(r["__bw"])] = int(r["__bb"])
         return out
 
     def _validate_checks(self, name: str, meta: TableMeta, seq: int) -> None:
@@ -3207,7 +3255,9 @@ class Lakehouse:
         if meta.bloom_columns:
             m_base = int(meta.properties.get("bloom.m_bits", _BLOOM_DEFAULT_M))
             kk = int(meta.properties.get("bloom.k", _BLOOM_DEFAULT_K))
-            fpp = meta.properties.get("bloom.fpp", _BLOOM_DEFAULT_FPP)
+            # MISSING key = fixed m (pre-auto-sizing tables keep their
+            # hand-tuned contract) — same rule as the Spark-job path
+            fpp = meta.properties.get("bloom.fpp")
             for c in meta.bloom_columns:
                 if c not in table.column_names:
                     continue
@@ -3234,14 +3284,7 @@ class Lakehouse:
                         w = str(pos // 64)
                         words[w] = words.get(w, 0) | (1 << (pos % 64))
                 if words:
-                    stats[f"{c}#bloom"] = [
-                        m_bits,
-                        kk,
-                        {
-                            w: (b - (1 << 64) if b >= (1 << 63) else b)
-                            for w, b in words.items()
-                        },
-                    ]
+                    stats[f"{c}#bloom"] = [m_bits, kk, _signed_words(words)]
         return stats
 
     @staticmethod

@@ -294,7 +294,8 @@ def main() -> None:
         default="all",
         help=(
             "comma list of {queries,persist,ann_stream,zone,bloomskip,ivm,"
-            "pagerank,bloom,manifest,coldparse,contention,compaction} (default all)"
+            "pagerank,bloom,manifest,coldparse,objstore,contention,"
+            "contention_wide,compaction} (default all)"
         ),
     )
     args = ap.parse_args()
@@ -310,7 +311,9 @@ def main() -> None:
             "bloomskip",
             "manifest",
             "coldparse",
+            "objstore",
             "contention",
+            "contention_wide",
             "compaction",
         }
         if args.sections == "all"

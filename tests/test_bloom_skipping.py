@@ -517,3 +517,44 @@ def test_bloom_fpp_validation_and_set_bloom_columns_roundtrip(lake, spark):
     assert lake._load_meta("t").properties["bloom.fpp"] == 0.05
     lake.set_bloom_columns("t", ["doc_id"])  # keep current
     assert lake._load_meta("t").properties["bloom.fpp"] == 0.05
+
+
+def test_extreme_fpp_underflow_takes_cap_instead_of_crashing(lake, spark):
+    """Review r11: fpp so small that fpp^(1/k) underflows below one double
+    ulp used to ZeroDivisionError on the first insert (create accepted
+    it). It must now pick the lattice cap and keep working."""
+    lake.create(
+        "d", SCHEMA, [], [], bloom_columns=["doc_id"], bloom_fpp=1e-300
+    )
+    lake.insert("d", _docs(spark, 0, 20, 0), mode="append")
+    ents = [s["doc_id#bloom"] for s in lake._load_meta("d").zone_maps.values()
+            if "doc_id#bloom" in s]
+    assert ents and all(int(e[0]) == 4096 * 64 for e in ents)
+    got = lake.scan("d", where={"doc_id": "doc-00007"})
+    assert [r.doc_id for r in got.collect()] == ["doc-00007"]
+
+
+def test_legacy_table_without_fpp_property_keeps_fixed_m(lake, spark):
+    """Review r11: a table created before auto-sizing existed has no
+    bloom.fpp property — both write paths must honor its hand-tuned
+    fixed m, not silently auto-grow it (the pre-r11 contract)."""
+    lake.create(
+        "d", SCHEMA, [], [], bloom_columns=["doc_id"], bloom_m_bits=256,
+        bloom_k=2, bloom_fpp=None,
+    )
+    # simulate the pre-r11 manifest: the key is absent entirely
+    meta = lake._load_meta("d")
+    del meta.properties["bloom.fpp"]
+    lake._commit_meta(meta, None, action="strip-fpp-for-test")
+    # arrow fast path (small batch) and Spark-job path (forced)
+    lake.insert("d", _docs(spark, 0, 900, 0), mode="append")
+    orig = lake._fast_insert
+    lake._fast_insert = lambda *a, **k: False
+    lake.insert("d", _docs(spark, 900, 1800, 1), mode="append")
+    lake._fast_insert = orig
+    ms = [int(s["doc_id#bloom"][0]) for s in lake._load_meta("d").zone_maps.values()
+          if "doc_id#bloom" in s]
+    assert ms and all(m == 256 for m in ms), f"legacy fixed m violated: {ms}"
+    # and set_bloom_columns without an explicit fpp must NOT backfill one
+    lake.set_bloom_columns("d", ["doc_id"])
+    assert "bloom.fpp" not in lake._load_meta("d").properties

@@ -208,3 +208,18 @@ def test_objstore_scheme_defaults_to_columnar(spark, tmp_path, monkeypatch):
     m = fresh._load_meta("t")
     assert m.committed, "committed dict must round-trip through the sidecar"
     assert fresh.table("t").count() == 4
+
+
+def test_negative_threshold_forces_inline_on_objstore_scheme(spark, tmp_path, monkeypatch):
+    """Review r11: -1 is the escape hatch forcing inline JSON everywhere
+    — external tooling that parses committed/zone_maps out of the
+    checkpoint directly must have a way to keep them inline on s3a."""
+    monkeypatch.setattr(Lakehouse, "_COLUMNAR_CHECKPOINT_OBJSTORE_MIN_ENTRIES", 1)
+    monkeypatch.setattr(Lakehouse, "_COLUMNAR_CHECKPOINT_MIN_ENTRIES", -1)
+    lake = Lakehouse(spark, str(tmp_path / "lake"))
+    lake.fs.scheme = "s3a"
+    lake.create("t", SCHEMA, [], ["ticker", "date"])
+    lake.upsert("t", _df(spark, [("A", "2024-01-02", 1.0)]))
+    raw = json.loads(lake.fs.read_text(lake._meta_path("t")))
+    assert "committed" in raw and "_entries_file" not in raw
+    assert lake._entries_sidecars("t") == []
