@@ -750,6 +750,50 @@ def _signed_words(words: dict[str, int]) -> dict[str, int]:
     }
 
 
+def _dv_encode(positions) -> list:
+    """Deletion-vector codec, encode half: sorted unique row positions →
+    ``[count, base64(delta-varint)]``. Delta-varint because deletes
+    cluster (a predicate usually hits contiguous row ranges): ~1 byte
+    per position for runs, ≤3 bytes for random positions in a
+    10M-row file — ~30-100× smaller than a JSON int list, keeping the
+    vectors cheap to carry inline in every manifest/checkpoint/archive."""
+    import base64
+
+    out = bytearray()
+    prev = -1
+    uniq = sorted(set(positions))
+    for p in uniq:
+        d = p - prev  # >= 1 by construction
+        prev = p
+        while True:
+            b = d & 0x7F
+            d >>= 7
+            if d:
+                out.append(b | 0x80)
+            else:
+                out.append(b)
+                break
+    return [len(uniq), base64.b64encode(bytes(out)).decode()]
+
+
+def _dv_decode(entry: list) -> list[int]:
+    """Inverse of ``_dv_encode``: ``[count, b64]`` → sorted positions."""
+    import base64
+
+    data = base64.b64decode(entry[1])
+    out: list[int] = []
+    cur, shift, prev = 0, 0, -1
+    for b in data:
+        cur |= (b & 0x7F) << shift
+        if b & 0x80:
+            shift += 7
+        else:
+            prev += cur
+            out.append(prev)
+            cur, shift = 0, 0
+    return out
+
+
 def _bloom_value_str(v) -> str | None:
     """Driver-side rendering of a probe value, matching Spark's
     CAST(col AS STRING) for every type in _BLOOM_TYPES; None = the
@@ -1003,6 +1047,14 @@ class TableMeta:
     # immutable, so an entry is valid for the leaf's whole lifetime.
     stats_columns: list[str] = field(default_factory=list)
     zone_maps: dict[str, dict[str, list]] = field(default_factory=dict)
+    # Deletion vectors (r11): data-relative FILE path
+    # ("_seq=3/year=2024/part-x.parquet") -> [count, b64(delta-varint)]
+    # of 0-based row positions DELETED from that file — the Delta/
+    # Iceberg v2 metadata-only row delete. Files are immutable, so an
+    # entry is valid for the file's whole lifetime; every reader
+    # anti-joins them out (_apply_dvs), every rewrite of a partition
+    # drops its files' entries (_prune_deletion_vectors)
+    deletion_vectors: dict[str, list] = field(default_factory=dict)
     # Bloom data skipping (opt-in at create): columns whose per-leaf
     # membership filter is tracked alongside the zone maps, stored in
     # the SAME zone_maps entry under the reserved key "<col>#bloom" as
@@ -1227,7 +1279,7 @@ class Lakehouse:
 
     # manifest fields stored as DELTAS in a segment (the two that grow
     # with partition count); everything else is carried whole per segment
-    _LOG_DELTA_FIELDS = ("committed", "zone_maps")
+    _LOG_DELTA_FIELDS = ("committed", "zone_maps", "deletion_vectors")
 
     @staticmethod
     def _apply_segment(raw: dict, seg: dict) -> dict:
@@ -1256,7 +1308,14 @@ class Lakehouse:
         dict-copies instead of an O(bytes) JSON round-trip (the 9 s /
         156 MB parse at 1M entries this cache exists to avoid)."""
         out = dict(raw)
-        for k in ("committed", "zone_maps", "table_stats", "properties", "checks"):
+        for k in (
+            "committed",
+            "zone_maps",
+            "deletion_vectors",
+            "table_stats",
+            "properties",
+            "checks",
+        ):
             if isinstance(out.get(k), dict):
                 out[k] = dict(out[k])
         for k in (
@@ -2065,6 +2124,14 @@ class Lakehouse:
             for k, v in after.zone_maps.items()
             if before.zone_maps.get(k) != v
         }
+        dv_diff = {
+            k: v
+            for k, v in after.deletion_vectors.items()
+            if before.deletion_vectors.get(k) != v
+        }
+        dv_popped = [
+            k for k in before.deletion_vectors if k not in after.deletion_vectors
+        ]
 
         def rebase(fresh: TableMeta) -> "TableMeta | None":
             if not self._struct_unchanged(before, fresh):
@@ -2113,6 +2180,19 @@ class Lakehouse:
                     for rel in set(base_rels) | set(repointed) | set(popped):
                         if fresh.committed.get(rel) != before.committed.get(rel):
                             return None
+                # deletion vectors under this rewrite's footprint: a rival
+                # DV landed on a file we read WITHOUT it — our rewrite (or
+                # our own DV merge) would resurrect the rival's deletes.
+                # Outside the footprint rival DVs ride through untouched.
+                def _dv_rel(key: str) -> str:
+                    leaf = key.rsplit("/", 1)[0]
+                    return leaf.partition("/")[2]
+
+                for k in set(before.deletion_vectors) | set(fresh.deletion_vectors):
+                    if base_rels is not None and _dv_rel(k) not in set(base_rels):
+                        continue
+                    if fresh.deletion_vectors.get(k) != before.deletion_vectors.get(k):
+                        return None
                 fresh.live_deltas = list(after.live_deltas) + extra
                 fresh.dirty_partitions = list(after.dirty_partitions) + sorted(
                     extra_rels - set(after.dirty_partitions)
@@ -2123,8 +2203,12 @@ class Lakehouse:
                 for rel in popped:
                     fresh.committed.pop(rel, None)
             fresh.zone_maps.update(zone_diff)
+            fresh.deletion_vectors.update(dv_diff)
+            for k in dv_popped:
+                fresh.deletion_vectors.pop(k, None)
             fresh.next_seq = max(fresh.next_seq, after.next_seq)
             self._prune_zone_maps(fresh)
+            self._prune_deletion_vectors(fresh)
             if properties:
                 self._apply_properties(fresh, properties)
             return fresh
@@ -2903,6 +2987,7 @@ class Lakehouse:
         if wrote_rows and (meta.stats_columns or meta.bloom_columns):
             meta.zone_maps.update(self._collect_zone_maps(name, meta, seq))
         self._prune_zone_maps(meta)
+        self._prune_deletion_vectors(meta)
         if properties:
             self._apply_properties(meta, properties)
         # an append commutes with any structure-preserving concurrent
@@ -3310,6 +3395,78 @@ class Lakehouse:
                 keep[key] = stats
         meta.zone_maps = keep
 
+    @staticmethod
+    def _prune_deletion_vectors(meta: TableMeta) -> None:
+        """Twin of ``_prune_zone_maps`` for deletion vectors: a DV whose
+        file's generation leaf is no longer visible (the partition was
+        rewritten — optimize/compact/delete materialized the deletes)
+        is dropped in the same commit. Keys are always file-level."""
+        if not meta.deletion_vectors:
+            return
+        live = set(meta.live_deltas)
+        keep: dict[str, list] = {}
+        for key, ent in meta.deletion_vectors.items():
+            leaf = key.rsplit("/", 1)[0]
+            head, _, rel = leaf.partition("/")
+            try:
+                s = int(head.split("=", 1)[1])
+            except ValueError:
+                continue
+            if s in live or meta.committed.get(rel) == s:
+                keep[key] = ent
+        meta.deletion_vectors = keep
+
+    #: delete_where(mode='auto') switches from deletion vectors to a
+    #: partition rewrite past this many matched rows per call — past it
+    #: the vectors stop being 'tiny metadata' and the rewrite amortizes
+    _DV_AUTO_MAX_ROWS = 100_000
+
+    def _apply_dvs(
+        self, df: DataFrame, name: str, meta: TableMeta, keep_pos: bool = False
+    ) -> DataFrame:
+        """Anti-join a manifest's deletion vectors out of a parquet scan.
+        Zero plan nodes when the table has none (the common case). Rows
+        are identified by (data-relative file path, parquet row index) —
+        both from the hidden ``_metadata`` file-source column, resolved
+        here BEFORE any join/projection can detach it from the scan.
+        ``keep_pos=True`` keeps the ``__dv_f``/``__dv_p`` identity
+        columns visible (delete_where's DV builder needs them)."""
+        dvs = getattr(meta, "deletion_vectors", None)
+        if not dvs and not keep_pos:
+            return df
+        df = df.withColumn(
+            "__dv_f",
+            F.substring_index(F.col("_metadata.file_path"), "/data/", -1),
+        ).withColumn("__dv_p", F.col("_metadata.row_index"))
+        if dvs:
+            # broadcast anti-join, deliberately unconditional: a literal
+            # per-file NOT-IN filter was measured 2-4x SLOWER (it puts an
+            # O(files-with-vectors) disjunction inside the per-row filter,
+            # where the hash anti-join probes once per row and its
+            # ~0.4-0.5 s exchange setup is flat in table size — 0.64 s at
+            # 500k rows vs 0.76 s at 4M, SCALING.md dvdelete rung)
+            import pandas as pd
+
+            rows = [
+                (f, p) for f, ent in dvs.items() for p in _dv_decode(ent)
+            ]
+            dv_df = self.spark.createDataFrame(
+                pd.DataFrame(rows, columns=["__dvd_f", "__dvd_p"]),
+                T.StructType(
+                    [
+                        T.StructField("__dvd_f", T.StringType()),
+                        T.StructField("__dvd_p", T.LongType()),
+                    ]
+                ),
+            )
+            df = df.join(
+                F.broadcast(dv_df),
+                (F.col("__dv_f") == F.col("__dvd_f"))
+                & (F.col("__dv_p") == F.col("__dvd_p")),
+                "left_anti",
+            )
+        return df if keep_pos else df.drop("__dv_f", "__dv_p")
+
     def _visible_paths(self, name: str, meta: TableMeta) -> list[str]:
         """Exactly the directories the manifest commits to — never a bare
         scan of the data dir, so in-flight or crashed writes are
@@ -3338,13 +3495,17 @@ class Lakehouse:
         )
         if not paths:
             return self.spark.createDataFrame([], schema_with_seq)
-        return (
+        df = (
             self.spark.read.schema(schema_with_seq)
             .option("basePath", f"{self._dir(name)}/data")
             .parquet(*paths)
         )
+        return self._apply_dvs(df, name, meta)
 
-    def _read_raw(self, name: str, meta: TableMeta) -> DataFrame:
+    def _read_raw_unmasked(self, name: str, meta: TableMeta) -> DataFrame:
+        """The manifest's visible parquet paths, read WITHOUT deletion
+        vectors applied — only for callers that layer ``_apply_dvs``
+        themselves (the DV builder needs the row-identity columns kept)."""
         data_dir = f"{self._dir(name)}/data"
         schema_with_seq = T.StructType(
             meta.schema.fields + [T.StructField(_SEQ_COL, T.LongType(), True)]
@@ -3357,6 +3518,12 @@ class Lakehouse:
             .option("basePath", data_dir)
             .parquet(*paths)
         )
+
+    def _read_raw(self, name: str, meta: TableMeta) -> DataFrame:
+        df = self._read_raw_unmasked(name, meta)
+        if not self._visible_paths(name, meta):
+            return df  # empty in-memory relation: no _metadata to resolve
+        return self._apply_dvs(df, name, meta)
 
     def table(self, name: str, version: int | None = None) -> DataFrame:
         """Lazy scan (reference S1). Plain DataFrame — filter/select compose
@@ -3462,6 +3629,7 @@ class Lakehouse:
             "stats_columns",
             "bloom_columns",
             "zone_maps",
+            "deletion_vectors",
         ):
             setattr(cur, f_name, getattr(old, f_name))
         # stats describe a version this table no longer reflects
@@ -3688,10 +3856,12 @@ class Lakehouse:
             meta.schema.fields + [T.StructField(_SEQ_COL, T.LongType(), True)]
         )
         if kept:
-            df = (
+            df = self._apply_dvs(
                 self.spark.read.schema(schema_with_seq)
                 .option("basePath", f"{self._dir(name)}/data")
-                .parquet(*kept)
+                .parquet(*kept),
+                name,
+                meta,
             ).drop(_SEQ_COL)
         else:
             df = self.spark.createDataFrame([], meta.schema)
@@ -3918,6 +4088,7 @@ class Lakehouse:
                 self._collect_zone_maps(name, meta, seq, per_file=bool(zorder_by))
             )
         self._prune_zone_maps(meta)
+        self._prune_deletion_vectors(meta)
         verb = "optimize" if dedupe else "compact"
         action = f"{verb}(zorder={zorder_by})" if zorder_by else verb
         # the rewrite read the dirty partitions' bases (or the whole table
@@ -3973,6 +4144,7 @@ class Lakehouse:
         if (meta.stats_columns or meta.bloom_columns) and token is not None:
             meta.zone_maps.update(self._collect_zone_maps(name, meta, seq))
         self._prune_zone_maps(meta)
+        self._prune_deletion_vectors(meta)
         rebase = self._make_rebase(before, meta, "rmw", base_rels=None)
         meta = self._commit_meta(meta, token, action="rewrite", rebase=rebase)
         self._clean_superseded(name, meta, old_committed, old_deltas)
@@ -4136,6 +4308,7 @@ class Lakehouse:
         meta.next_seq = max(meta.next_seq, seq + 1)
         meta.zone_maps.update(new_zone)
         self._prune_zone_maps(meta)
+        self._prune_deletion_vectors(meta)
         # the merge read exactly the committed bases of the rels it wrote
         rebase = self._make_rebase(before, meta, "rmw", base_rels=set(new_committed))
         meta = self._commit_meta(meta, token, action="upsert", rebase=rebase)
@@ -4275,6 +4448,7 @@ class Lakehouse:
         if wrote_rows and (meta.stats_columns or meta.bloom_columns):
             meta.zone_maps.update(new_zone)
         self._prune_zone_maps(meta)
+        self._prune_deletion_vectors(meta)
         if properties:
             self._apply_properties(meta, properties)
         rebase = (
@@ -4683,6 +4857,7 @@ class Lakehouse:
         if (meta.stats_columns or meta.bloom_columns) and token is not None:
             meta.zone_maps.update(self._collect_zone_maps(name, meta, seq))
         self._prune_zone_maps(meta)
+        self._prune_deletion_vectors(meta)
         if properties:
             self._apply_properties(meta, properties)
         base = set(affected) if meta.partition_keys else None
@@ -4692,22 +4867,103 @@ class Lakehouse:
         meta = self._commit_meta(meta, token, action="merge", rebase=rebase)
         self._clean_superseded(name, meta, old_committed, old_deltas)
 
-    def delete_where(self, name: str, predicate) -> None:
+    def _delete_where_dv(
+        self, name: str, meta: TableMeta, before: TableMeta, pred, mode: str
+    ) -> bool:
+        """Deletion-vector half of ``delete_where``; True iff committed
+        (or provably nothing to delete). False = over the row bound in
+        'auto' mode — the caller falls back to the rewrite. The matched
+        rows are collected as (file, position) pairs from the DV-masked
+        scan, so re-deleting already-vectored rows is a no-op and
+        successive vector deletes on one file MERGE."""
+        cap = self._DV_AUTO_MAX_ROWS
+        if not self._visible_paths(name, meta):
+            return True  # empty table: nothing to delete
+        raw = self._apply_dvs(
+            self._read_raw_unmasked(name, meta), name, meta, keep_pos=True
+        )
+        hits = (
+            raw.filter(pred)
+            .select("__dv_f", "__dv_p")
+            .limit(cap + 1)
+            .collect()
+        )
+        if len(hits) > cap:
+            if mode == "dv":
+                raise ValueError(
+                    f"delete_where(mode='dv') on {name!r} matched more than "
+                    f"{cap} rows — vectors past this size stop being cheap "
+                    "metadata; use mode='rewrite' (or 'auto')."
+                )
+            return False
+        if not hits:
+            return True  # nothing to delete, nothing to commit
+        by_file: dict[str, list[int]] = {}
+        for r in hits:
+            by_file.setdefault(r["__dv_f"], []).append(int(r["__dv_p"]))
+        affected_rels: set[str] = set()
+        for f, new_pos in by_file.items():
+            ent = meta.deletion_vectors.get(f)
+            if ent is not None:
+                new_pos = new_pos + _dv_decode(ent)
+            meta.deletion_vectors[f] = _dv_encode(new_pos)
+            leaf = f.rsplit("/", 1)[0]
+            affected_rels.add(leaf.partition("/")[2])
+        base = affected_rels if meta.partition_keys else None
+        rebase = self._make_rebase(before, meta, "rmw", base_rels=base)
+        self._commit_meta(meta, None, action="delete_where(dv)", rebase=rebase)
+        return True
+
+    def delete_where(self, name: str, predicate, mode: str = "rewrite") -> None:
         """Targeted delete (beyond the reference's surface; needed for any
         real lakehouse — corrections, retention, GDPR erasure).
 
         ``predicate`` is a Column (or SQL string) selecting rows to REMOVE.
-        Rewrites only the affected partitions (those with matching rows,
-        plus any with un-compacted delta data — absorbed here, with PK
-        dedup when the table has primary keys, exactly as optimize()
-        would) into a new generation; one manifest PUT commits. Cost ∝
-        affected partitions, not table size.
+
+        ``mode='rewrite'`` (default): rewrites only the affected
+        partitions (those with matching rows, plus any with un-compacted
+        delta data — absorbed here, with PK dedup when the table has
+        primary keys, exactly as optimize() would) into a new
+        generation; one manifest PUT commits. Cost ∝ affected
+        partitions, not table size.
+
+        ``mode='dv'``: DELETION VECTORS — the Delta/Iceberg-v2
+        metadata-only row delete. No data is rewritten: the matching
+        rows' (file, row position) pairs are recorded in the manifest
+        and every subsequent read anti-joins them out, so erasing 100
+        rows from a 1 TB partition costs one metadata PUT instead of a
+        partition rewrite. The deletes materialize physically (and the
+        vectors drop) at the next optimize()/compact()/rewrite of the
+        partition. Bounded: raises past ``_DV_AUTO_MAX_ROWS`` matched
+        rows — wide deletes belong to the rewrite path. PK tables must
+        be compacted (no pending deltas): with a PK shadow pending,
+        vector-deleting the newest copy would resurrect the shadowed
+        older row, which the rewrite path absorbs instead.
+
+        ``mode='auto'``: 'dv' when eligible and under the row bound,
+        else 'rewrite'.
         """
+        if mode not in ("rewrite", "dv", "auto"):
+            raise ValueError(f"mode must be 'rewrite', 'dv' or 'auto', got {mode!r}")
         meta = self._load_meta(name)
         before = self._snapshot_meta(meta)
         pred = F.expr(predicate) if isinstance(predicate, str) else predicate
         # NULL predicate results must mean "keep", not silently vanish
         pred = F.coalesce(pred, F.lit(False))
+        if mode in ("dv", "auto"):
+            dv_ok = not (meta.primary_keys and meta.live_deltas)
+            if not dv_ok and mode == "dv":
+                raise ValueError(
+                    f"delete_where(mode='dv') on {name!r}: the table has "
+                    "primary keys with pending deltas — a vector delete of "
+                    "the newest copy would resurrect the shadowed older "
+                    "row. optimize() first, or use mode='rewrite'/'auto'."
+                )
+            if dv_ok and self._delete_where_dv(name, meta, before, pred, mode):
+                return
+            # auto fell back (over the row bound, or PK shadows pending)
+            meta = self._load_meta(name)
+            before = self._snapshot_meta(meta)
         raw = self._read_raw(name, meta)
         seq = self._reserve_seq(name, meta)
         if meta.partition_keys:
@@ -4765,6 +5021,7 @@ class Lakehouse:
         if (meta.stats_columns or meta.bloom_columns) and token is not None:
             meta.zone_maps.update(self._collect_zone_maps(name, meta, seq))
         self._prune_zone_maps(meta)
+        self._prune_deletion_vectors(meta)
         base = set(affected) if meta.partition_keys else None
         rebase = self._make_rebase(before, meta, "rmw", base_rels=base)
         meta = self._commit_meta(meta, token, action="delete_where", rebase=rebase)

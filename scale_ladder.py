@@ -294,8 +294,8 @@ def main() -> None:
         default="all",
         help=(
             "comma list of {queries,persist,ann_stream,zone,bloomskip,ivm,"
-            "pagerank,bloom,manifest,coldparse,objstore,contention,"
-            "contention_wide,compaction} (default all)"
+            "pagerank,bloom,manifest,coldparse,objstore,dvdelete,"
+            "contention,contention_wide,compaction} (default all)"
         ),
     )
     args = ap.parse_args()
@@ -312,6 +312,7 @@ def main() -> None:
             "manifest",
             "coldparse",
             "objstore",
+            "dvdelete",
             "contention",
             "contention_wide",
             "compaction",
@@ -484,6 +485,12 @@ def main() -> None:
         out["checkpoint_objstore"] = {
             tag: measure_checkpoint_objstore(spark, n)
             for tag, n in [("100k_entries", 100_000), ("1M_entries", 1_000_000)]
+        }
+
+    if "dvdelete" in sections:
+        out["dv_delete"] = {
+            f"{n}_rows": measure_dv_delete(spark, n)
+            for n in (500_000, 4_000_000)
         }
 
     if "contention" in sections:
@@ -837,6 +844,63 @@ def measure_checkpoint_objstore(
     finally:
         Lakehouse._COLUMNAR_CHECKPOINT_MIN_ENTRIES = orig
         lake.fs = real_fs
+    return out
+
+
+def measure_dv_delete(spark, rows: int, n_delete: int = 100) -> dict:
+    """r11 rung: deletion vectors vs partition rewrite for a small
+    targeted delete (the GDPR-erasure shape: ~100 rows out of millions).
+    Build two identical partitioned tables, delete the same scattered
+    keys from each — mode='dv' (one metadata PUT) vs mode='rewrite'
+    (rewrites every affected partition) — and read both back. Claims:
+    dv-delete wall is ~flat in table size, rewrite wall grows with the
+    affected partitions; the post-delete read pays only a broadcast
+    anti-join."""
+    import tempfile
+    import time as _time
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from at_data_pipelines_spark.catalog import Lakehouse
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("part", T.IntegerType()),
+            T.StructField("v", T.DoubleType()),
+        ]
+    )
+    work = tempfile.mkdtemp(prefix=f"dvdel_{rows}_")
+    out: dict = {"rows": rows, "n_delete": n_delete}
+    # scattered keys: one hit in every partition, spread across the range
+    step = rows // n_delete
+    keys = [i * step + 7 for i in range(n_delete)]
+    for mode in ("dv", "rewrite"):
+        lake = Lakehouse(spark, f"{work}/{mode}")
+        lake.create("t", schema, ["part"], [])
+        lake.insert(
+            "t",
+            spark.range(rows).select(
+                F.col("id").alias("k"),
+                (F.col("id") % 8).cast("int").alias("part"),
+                (F.col("id") * 0.5).alias("v"),
+            ),
+        )
+        lake.table("t").count()  # warm the scan
+        t0 = _time.perf_counter()
+        lake.delete_where("t", F.col("k").isin(keys), mode=mode)
+        delete_s = _time.perf_counter() - t0
+        reads = []
+        for _ in range(3):
+            t0 = _time.perf_counter()
+            n = lake.table("t").count()
+            reads.append(_time.perf_counter() - t0)
+        assert n == rows - n_delete, (mode, n)
+        out[mode] = {
+            "delete_s": round(delete_s, 3),
+            "read_s_min": round(min(reads), 3),
+        }
     return out
 
 

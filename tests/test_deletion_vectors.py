@@ -1,0 +1,269 @@
+"""Deletion vectors (r11): ``delete_where(mode='dv')`` records matched
+rows as (file, row position) pairs in the manifest instead of rewriting
+partitions — the Delta/Iceberg-v2 metadata-only row delete. Every
+reader (table/scan/_read_rels, and therefore CDC, IVM, merge, optimize)
+anti-joins them out; the next rewrite of a partition materializes the
+deletes and drops its files' vectors.
+
+Soundness contract under test: table() after a DV delete ≡ the rewrite
+delete's result EXACTLY, with zero data files touched; vectors merge
+across successive deletes; PK tables with pending shadows refuse (a
+vector delete of the newest copy would resurrect the shadowed row);
+rival commits under a rewrite's footprint conflict honestly.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from at_data_pipelines_spark.catalog import (
+    ConcurrentWriteError,
+    Lakehouse,
+    _dv_decode,
+    _dv_encode,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("k", T.LongType()),
+        T.StructField("part", T.IntegerType()),
+        T.StructField("v", T.DoubleType()),
+    ]
+)
+
+
+@pytest.fixture
+def lake(spark, tmp_path):
+    return Lakehouse(spark, str(tmp_path / "lake"))
+
+
+def _batch(spark, lo, hi, part):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"), F.lit(part).alias("part"), (F.col("id") * 1.0).alias("v")
+    )
+
+
+def test_dv_codec_round_trip():
+    for pos in ([0], [5], [0, 1, 2], [7, 3, 3, 7, 100], list(range(1000)),
+                [0, 10**12], [2**40, 2**40 + 1]):
+        ent = _dv_encode(pos)
+        assert _dv_decode(ent) == sorted(set(pos))
+        assert ent[0] == len(set(pos))
+    # clustered runs encode ~1 byte/position
+    import base64
+    run = _dv_encode(list(range(10_000)))
+    assert len(base64.b64decode(run[1])) <= 10_001
+
+
+def test_dv_delete_exact_and_rewrites_nothing(lake, spark):
+    lake.create("t", SCHEMA, ["part"], [])
+    for p in range(3):
+        lake.insert("t", _batch(spark, p * 100, (p + 1) * 100, p))
+    files = set(lake.table("t").inputFiles())
+    lake.delete_where("t", F.col("k").between(110, 119), mode="dv")
+    assert set(lake.table("t").inputFiles()) == files, "dv delete rewrote data"
+    got = sorted(r.k for r in lake.table("t").collect())
+    assert got == [k for k in range(300) if not 110 <= k <= 119]
+    assert lake.history("t")[-1]["action"] == "delete_where(dv)"
+    # scan (zone/bloom path) applies the vectors too
+    assert lake.scan("t").count() == 290
+    # the generation file layout carries exactly one vector
+    m = lake._load_meta("t")
+    assert len(m.deletion_vectors) == 1
+    (ent,) = m.deletion_vectors.values()
+    assert ent[0] == 10
+
+
+def test_dv_deletes_merge_and_redelete_is_noop(lake, spark):
+    lake.create("t", SCHEMA, [], [])
+    lake.insert("t", _batch(spark, 0, 100, 0))
+    lake.delete_where("t", F.col("k") < 10, mode="dv")
+    v1 = lake._load_meta("t").version
+    # re-deleting already-vectored rows: provably nothing to do, no commit
+    lake.delete_where("t", F.col("k") < 10, mode="dv")
+    assert lake._load_meta("t").version == v1
+    lake.delete_where("t", F.col("k").between(8, 12), mode="dv")  # overlap
+    m = lake._load_meta("t")
+    assert sum(e[0] for e in m.deletion_vectors.values()) == 13
+    assert sorted(r.k for r in lake.table("t").collect()) == list(range(13, 100))
+
+
+def test_dv_materializes_on_compact_and_optimize(lake, spark):
+    lake.create("t", SCHEMA, ["part"], [])
+    for p in range(2):
+        lake.insert("t", _batch(spark, p * 100, (p + 1) * 100, p))
+    lake.delete_where("t", F.col("k") == 50, mode="dv")
+    lake.compact("t", full=True)
+    m = lake._load_meta("t")
+    assert m.deletion_vectors == {}, "rewrite must drop the absorbed vectors"
+    assert lake.table("t").count() == 199
+    # PK table via optimize
+    lake.create("p", SCHEMA, ["part"], ["k", "part"])
+    lake.upsert("p", _batch(spark, 0, 100, 0))
+    lake.optimize("p")
+    lake.delete_where("p", F.col("k") < 5, mode="dv")
+    lake.optimize("p", full=True)
+    assert lake._load_meta("p").deletion_vectors == {}
+    assert lake.table("p").count() == 95
+
+
+def test_dv_refuses_pk_shadows_and_auto_falls_back(lake, spark):
+    lake.create("p", SCHEMA, ["part"], ["k", "part"])
+    lake.upsert("p", _batch(spark, 0, 50, 0))
+    lake.optimize("p")
+    lake.delete_where("p", F.col("k") == 1, mode="dv")  # compacted: fine
+    lake.insert("p", _batch(spark, 100, 110, 0), mode="append")  # pending delta
+    with pytest.raises(ValueError, match="pending deltas"):
+        lake.delete_where("p", F.col("k") == 2, mode="dv")
+    lake.delete_where("p", F.col("k") == 2, mode="auto")  # falls back to rewrite
+    assert sorted(r.k for r in lake.table("p").collect()) == (
+        [k for k in range(50) if k not in (1, 2)] + list(range(100, 110))
+    )
+
+
+def test_dv_upsert_reinserts_deleted_key(lake, spark):
+    lake.create("p", SCHEMA, [], ["k"])
+    lake.upsert("p", _batch(spark, 0, 20, 0))
+    lake.delete_where("p", F.col("k") == 3, mode="dv")
+    assert lake.table("p").filter(F.col("k") == 3).count() == 0
+    lake.upsert("p", spark.createDataFrame([(3, 0, 9.9)], SCHEMA))
+    got = lake.table("p").filter(F.col("k") == 3).collect()
+    # raw table may show shadows; logical read must show exactly the new row
+    rows = {(r.k, r.v) for r in got}
+    assert (3, 9.9) in rows
+    lake.optimize("p")
+    got = lake.table("p").filter(F.col("k") == 3).collect()
+    assert [(r.k, r.v) for r in got] == [(3, 9.9)]
+
+
+def test_dv_auto_cap_falls_back_to_rewrite(lake, spark, monkeypatch):
+    monkeypatch.setattr(Lakehouse, "_DV_AUTO_MAX_ROWS", 5)
+    lake.create("t", SCHEMA, ["part"], [])
+    lake.insert("t", _batch(spark, 0, 100, 0))
+    files = set(lake.table("t").inputFiles())
+    lake.delete_where("t", F.col("k") < 50, mode="auto")  # 50 > cap
+    assert lake.table("t").count() == 50
+    assert set(lake.table("t").inputFiles()) != files, "auto should have rewritten"
+    assert lake._load_meta("t").deletion_vectors == {}
+    with pytest.raises(ValueError, match="matched more than"):
+        lake.delete_where("t", F.col("k") >= 50, mode="dv")
+
+
+def test_dv_time_travel_and_restore(lake, spark):
+    lake.create("t", SCHEMA, [], [], retain_versions=10)
+    lake.insert("t", _batch(spark, 0, 50, 0))
+    v_full = lake._load_meta("t").version
+    lake.delete_where("t", F.col("k") < 10, mode="dv")
+    v_del = lake._load_meta("t").version
+    assert lake.table("t", version=v_full).count() == 50
+    assert lake.table("t", version=v_del).count() == 40
+    lake.restore("t", v_full)
+    assert lake.table("t").count() == 50
+    lake.restore("t", v_del)
+    assert lake.table("t").count() == 40
+
+
+def test_dv_cdc_emits_deletes(lake, spark):
+    lake.create("p", SCHEMA, [], ["k"], retain_versions=10)
+    lake.upsert("p", _batch(spark, 0, 30, 0))
+    lake.optimize("p")
+    v0 = lake._load_meta("p").version
+    lake.delete_where("p", F.col("k").isin([5, 7]), mode="dv")
+    ch = lake.table_changes("p", v0).collect()
+    assert sorted((r.k, r._change_type) for r in ch) == [
+        (5, "delete"), (7, "delete"),
+    ]
+
+
+def test_dv_rival_rewrite_under_footprint_conflicts(lake, spark):
+    """A rewrite derived from a snapshot WITHOUT a rival's vectors must
+    refuse to commit over them (it would resurrect the deleted rows)."""
+    lake.create("t", SCHEMA, ["part"], ["k", "part"])
+    lake.upsert("t", _batch(spark, 0, 50, 0))
+    lake.upsert("t", _batch(spark, 50, 100, 1))
+    lake.optimize("t")
+    meta0 = lake._load_meta("t")
+    before0 = lake._snapshot_meta(meta0)
+    # rival DV delete lands first (part=0)
+    rival = Lakehouse(lake.spark, lake.root)
+    rival.delete_where("t", F.col("k") == 3, mode="dv")
+    # our stale whole-table rewrite must now conflict
+    raw = lake._read_raw("t", before0)
+    seq = lake._reserve_seq("t", meta0)
+    token = lake._write_seq("t", meta0, raw.drop("_seq"), seq)
+    depth = 1
+    written = lake.fs.glob_dir_leaves(f"{lake._seq_dir('t', seq)}/*=*", depth)
+    for rel in written:
+        meta0.committed[rel] = seq
+    meta0.live_deltas = []
+    meta0.dirty_partitions = []
+    rebase = lake._make_rebase(before0, meta0, "rmw", base_rels=None)
+    with pytest.raises(ConcurrentWriteError):
+        lake._commit_meta(meta0, token, action="stale-rewrite", rebase=rebase)
+    # and the rival's delete survives
+    assert Lakehouse(lake.spark, lake.root).table("t").filter(F.col("k") == 3).count() == 0
+
+
+def test_dv_rival_append_elsewhere_rebases(lake, spark):
+    """A DV commit racing an append to a DIFFERENT partition rebases
+    cleanly — both land, serial result."""
+    lake.create("t", SCHEMA, ["part"], [])
+    lake.insert("t", _batch(spark, 0, 50, 0))
+    lake.insert("t", _batch(spark, 50, 100, 1))
+    meta = lake._load_meta("t")
+    before = lake._snapshot_meta(meta)
+    # rival append to part=1 lands while our DV delete on part=0 is in flight
+    rival = Lakehouse(lake.spark, lake.root)
+    rival.insert("t", _batch(spark, 100, 110, 1), mode="append")
+    # drive the DV path against the STALE meta: the commit must rebase
+    pred = F.coalesce(F.col("k") < 5, F.lit(False))
+    assert lake._delete_where_dv("t", meta, before, pred, "dv") is True
+    fresh = Lakehouse(lake.spark, lake.root)
+    assert fresh.table("t").count() == 110 - 5
+    assert sorted(r.k for r in fresh.table("t").filter("part = 0").collect()) == list(range(5, 50))
+
+
+def test_dv_survives_segmented_log_fold_and_columnar_checkpoint(spark, tmp_path):
+    """deletion_vectors is a _LOG_DELTA_FIELDS member (segments carry
+    diffs) and rides INLINE in the columnar checkpoint (only
+    committed/zone_maps move to the sidecar): a fresh handle folding
+    segments over a checkpoint must reconstruct the vectors exactly."""
+    orig_seg = Lakehouse._LOG_SEGMENT_THRESHOLD
+    orig_col = Lakehouse._COLUMNAR_CHECKPOINT_MIN_ENTRIES
+    Lakehouse._LOG_SEGMENT_THRESHOLD = 0  # every commit a segment
+    Lakehouse._COLUMNAR_CHECKPOINT_MIN_ENTRIES = 1  # checkpoints columnar
+    try:
+        lake = Lakehouse(spark, str(tmp_path / "lake"))
+        lake.create("t", SCHEMA, ["part"], [])
+        lake.insert("t", _batch(spark, 0, 100, 0))
+        lake.insert("t", _batch(spark, 100, 200, 1))
+        # several DV commits so at least one lands mid-segment-window
+        for k in (1, 3, 5, 101, 103):
+            lake.delete_where("t", F.col("k") == k, mode="dv")
+        want = lake._load_meta("t").deletion_vectors
+        assert sum(e[0] for e in want.values()) == 5
+        fresh = Lakehouse(spark, lake.root)
+        got = fresh._load_meta("t").deletion_vectors
+        assert got == want
+        assert fresh.table("t").count() == 195
+        assert sorted(r.k for r in fresh.table("t").filter("part = 0").collect()) == [
+            k for k in range(100) if k not in (1, 3, 5)
+        ]
+    finally:
+        Lakehouse._LOG_SEGMENT_THRESHOLD = orig_seg
+        Lakehouse._COLUMNAR_CHECKPOINT_MIN_ENTRIES = orig_col
+
+
+def test_dv_files_not_vacuumed(spark, tmp_path):
+    """A file with a deletion vector is still LIVE (the vector masks
+    rows, it does not supersede the generation): vacuum must not
+    reclaim it, and the table must read identically afterward."""
+    lake = Lakehouse(spark, str(tmp_path / "lake"))
+    lake.create("t", SCHEMA, ["part"], [])
+    lake.insert("t", _batch(spark, 0, 100, 0))
+    lake.delete_where("t", F.col("k") < 10, mode="dv")
+    before = sorted(r.k for r in lake.table("t").collect())
+    lake.vacuum("t")
+    assert sorted(r.k for r in lake.table("t").collect()) == before == list(range(10, 100))
