@@ -2188,8 +2188,9 @@ class Lakehouse:
                     leaf = key.rsplit("/", 1)[0]
                     return leaf.partition("/")[2]
 
+                scope = None if base_rels is None else set(base_rels)
                 for k in set(before.deletion_vectors) | set(fresh.deletion_vectors):
-                    if base_rels is not None and _dv_rel(k) not in set(base_rels):
+                    if scope is not None and _dv_rel(k) not in scope:
                         continue
                     if fresh.deletion_vectors.get(k) != before.deletion_vectors.get(k):
                         return None
@@ -2815,9 +2816,12 @@ class Lakehouse:
             and not new_meta.all_dirty
         ):
             # manifest-proven change pruning (see docstring): only rels
-            # whose pointer moved, or that a live delta touches, can hold
-            # any difference. Pruning is at the PATH level — unchanged
-            # partitions are never even listed.
+            # whose pointer moved, that a live delta touches, OR whose
+            # deletion vectors differ (a DV-only commit moves NO
+            # pointers — without this clause a metadata delete was
+            # invisible to the pruned CDC path, r11 review find) can
+            # hold any difference. Pruning is at the PATH level —
+            # unchanged partitions are never even listed.
             changed = {
                 rel
                 for rel in set(old_meta.committed) | set(new_meta.committed)
@@ -2825,6 +2829,13 @@ class Lakehouse:
             }
             changed |= set(old_meta.dirty_partitions)
             changed |= set(new_meta.dirty_partitions)
+            changed |= {
+                k.rsplit("/", 1)[0].partition("/")[2]
+                for k in set(old_meta.deletion_vectors)
+                | set(new_meta.deletion_vectors)
+                if old_meta.deletion_vectors.get(k)
+                != new_meta.deletion_vectors.get(k)
+            }
             if not changed:
                 out_schema = T.StructType(
                     meta.schema.fields
@@ -3441,10 +3452,10 @@ class Lakehouse:
         if dvs:
             # broadcast anti-join, deliberately unconditional: a literal
             # per-file NOT-IN filter was measured 2-4x SLOWER (it puts an
-            # O(files-with-vectors) disjunction inside the per-row filter,
-            # where the hash anti-join probes once per row and its
-            # ~0.4-0.5 s exchange setup is flat in table size — 0.64 s at
-            # 500k rows vs 0.76 s at 4M, SCALING.md dvdelete rung)
+            # O(files-with-vectors) disjunction inside the per-row
+            # filter, where the hash anti-join probes once per row and
+            # its exchange-setup overhead is ~flat in table size — the
+            # SCALING.md dvdelete rung holds the canonical numbers)
             import pandas as pd
 
             rows = [
@@ -3520,9 +3531,19 @@ class Lakehouse:
         )
 
     def _read_raw(self, name: str, meta: TableMeta) -> DataFrame:
-        df = self._read_raw_unmasked(name, meta)
-        if not self._visible_paths(name, meta):
-            return df  # empty in-memory relation: no _metadata to resolve
+        data_dir = f"{self._dir(name)}/data"
+        schema_with_seq = T.StructType(
+            meta.schema.fields + [T.StructField(_SEQ_COL, T.LongType(), True)]
+        )
+        paths = self._visible_paths(name, meta)
+        if not paths:
+            # empty in-memory relation: no _metadata to resolve, no DVs
+            return self.spark.createDataFrame([], schema_with_seq)
+        df = (
+            self.spark.read.schema(schema_with_seq)
+            .option("basePath", data_dir)
+            .parquet(*paths)
+        )
         return self._apply_dvs(df, name, meta)
 
     def table(self, name: str, version: int | None = None) -> DataFrame:
@@ -4898,6 +4919,24 @@ class Lakehouse:
             return False
         if not hits:
             return True  # nothing to delete, nothing to commit
+        # cumulative bound (r11 review find): the per-call cap alone lets
+        # a nightly under-cap delete accumulate unbounded vectors on a
+        # partition no compaction touches — every read would then decode
+        # and broadcast the lot, the exact state the cap exists to
+        # prevent. Bound the TABLE's total post-merge position count too;
+        # past it the rewrite path materializes (auto) or the caller is
+        # told to compact (dv).
+        existing = sum(int(e[0]) for e in meta.deletion_vectors.values())
+        if existing + len(hits) > cap:
+            if mode == "dv":
+                raise ValueError(
+                    f"delete_where(mode='dv') on {name!r}: the table would "
+                    f"carry more than {cap} vectored positions in total "
+                    f"({existing} accumulated + {len(hits)} new) — run "
+                    "optimize()/compact() to materialize the backlog, or "
+                    "use mode='rewrite'/'auto'."
+                )
+            return False
         by_file: dict[str, list[int]] = {}
         for r in hits:
             by_file.setdefault(r["__dv_f"], []).append(int(r["__dv_p"]))
@@ -5026,3 +5065,192 @@ class Lakehouse:
         rebase = self._make_rebase(before, meta, "rmw", base_rels=base)
         meta = self._commit_meta(meta, token, action="delete_where", rebase=rebase)
         self._clean_superseded(name, meta, old_committed, old_deltas)
+
+    def update_where(
+        self, name: str, predicate, assignments: dict, mode: str = "auto"
+    ) -> None:
+        """Targeted UPDATE: set ``assignments`` ({column: Column or SQL
+        string}) on every row matching ``predicate``.
+
+        PK tables: an update IS an upsert of the transformed matched
+        LOGICAL rows — the primary key shadows the old copy, so no data
+        is rewritten and no vectors are needed. Assigning a primary-key
+        column is refused (that is a delete+insert, not an update: the
+        old key's row would survive).
+
+        PK-less tables, ``mode='dv'``: merge-on-read — the matched rows'
+        originals are vector-deleted and their transformed copies land
+        as ONE new delta generation, both in a single atomic manifest
+        commit (a reader sees the old rows or the new rows, never both,
+        never neither). Same bounds as ``delete_where``: per-call and
+        cumulative ``_DV_AUTO_MAX_ROWS``. ``mode='rewrite'`` rewrites
+        the affected partitions exactly like ``delete_where`` but keeps
+        the matched rows transformed; ``mode='auto'`` picks 'dv' when
+        under the bounds, else 'rewrite'."""
+        if mode not in ("rewrite", "dv", "auto"):
+            raise ValueError(f"mode must be 'rewrite', 'dv' or 'auto', got {mode!r}")
+        meta = self._load_meta(name)
+        names = meta.schema.fieldNames()
+        sets = {}
+        for c, v in assignments.items():
+            if c not in names:
+                raise ValueError(f"unknown column {c!r} in update_where assignments")
+            sets[c] = F.expr(v) if isinstance(v, str) else v
+        if not sets:
+            raise ValueError("update_where needs at least one assignment")
+        pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+        pred = F.coalesce(pred, F.lit(False))
+
+        def transformed(df: DataFrame) -> DataFrame:
+            return df.select(
+                *[
+                    (sets[c] if c in sets else F.col(c)).cast(
+                        meta.schema[c].dataType
+                    ).alias(c)
+                    for c in names
+                ]
+            )
+
+        if meta.primary_keys:
+            bad = set(sets) & set(meta.primary_keys)
+            if bad:
+                raise ValueError(
+                    f"update_where on {name!r} assigns primary-key columns "
+                    f"{sorted(bad)} — that is a delete+insert (the old "
+                    "key's row would survive an upsert); use "
+                    "delete_where + insert."
+                )
+            matched = self._read_logical(name, meta).filter(pred)
+            self.upsert(name, transformed(matched))
+            return
+
+        before = self._snapshot_meta(meta)
+        if mode in ("dv", "auto") and self._update_where_dv(
+            name, meta, before, pred, transformed, mode
+        ):
+            return
+        if mode == "auto":  # over the bounds: fall through to the rewrite
+            meta = self._load_meta(name)
+            before = self._snapshot_meta(meta)
+        # rewrite path: delete_where's partition economics, keeping the
+        # matched rows transformed instead of dropping them
+        raw = self._read_raw(name, meta)
+        seq = self._reserve_seq(name, meta)
+        if meta.partition_keys:
+            vals = (
+                raw.filter(pred)
+                .select([F.col(k).cast("string").alias(k) for k in meta.partition_keys])
+                .distinct()
+                .collect()
+            )
+            affected = {_hive_rel(meta.partition_keys, tuple(r)) for r in vals} | set(
+                meta.dirty_partitions
+            )
+            if not affected:
+                return
+            part_filter = self._rel_filter(meta, sorted(affected))
+            sub = raw.filter(part_filter)
+        else:
+            affected = set()
+            sub = raw
+        out = sub.filter(~pred).drop(_SEQ_COL).unionByName(
+            transformed(sub.filter(pred))
+        )
+        token = self._write_seq(name, meta, out, seq)
+        old_committed = dict(meta.committed)
+        old_deltas = list(meta.live_deltas)
+        if meta.partition_keys:
+            depth = len(meta.partition_keys)
+            pattern = "/".join(["*=*"] * depth)
+            written = set(
+                self.fs.glob_dir_leaves(f"{self._seq_dir(name, seq)}/{pattern}", depth)
+            )
+            for rel in written:
+                meta.committed[rel] = seq
+            for rel in affected:
+                if rel not in written:
+                    meta.committed.pop(rel, None)
+        elif token is not None:
+            meta.committed[""] = seq
+        else:
+            meta.committed.pop("", None)
+        meta.live_deltas = []
+        meta.dirty_partitions = []
+        meta.all_dirty = False
+        meta.next_seq = max(meta.next_seq, seq + 1)
+        if (meta.stats_columns or meta.bloom_columns) and token is not None:
+            meta.zone_maps.update(self._collect_zone_maps(name, meta, seq))
+        self._prune_zone_maps(meta)
+        self._prune_deletion_vectors(meta)
+        base = set(affected) if meta.partition_keys else None
+        rebase = self._make_rebase(before, meta, "rmw", base_rels=base)
+        meta = self._commit_meta(meta, token, action="update_where", rebase=rebase)
+        self._clean_superseded(name, meta, old_committed, old_deltas)
+
+    def _update_where_dv(
+        self, name: str, meta: TableMeta, before: TableMeta, pred, transformed, mode: str
+    ) -> bool:
+        """Merge-on-read half of ``update_where`` (PK-less tables); True
+        iff committed (or nothing matched). The matched rows' identities
+        AND values are collected in one pass; their transformed copies
+        are written as a delta generation, the originals vector-deleted,
+        one manifest PUT commits both — atomic by construction."""
+        cap = self._DV_AUTO_MAX_ROWS
+        if not self._visible_paths(name, meta):
+            return True
+        raw = self._apply_dvs(
+            self._read_raw_unmasked(name, meta), name, meta, keep_pos=True
+        )
+        matched = raw.filter(pred)
+        hits = matched.select("__dv_f", "__dv_p").limit(cap + 1).collect()
+        existing = sum(int(e[0]) for e in meta.deletion_vectors.values())
+        if len(hits) > cap or existing + len(hits) > cap:
+            if mode == "dv":
+                raise ValueError(
+                    f"update_where(mode='dv') on {name!r}: over the vector "
+                    f"bound ({existing} accumulated + {len(hits)}{'+' if len(hits) > cap else ''} "
+                    f"matched vs cap {cap}) — use mode='rewrite'/'auto', or "
+                    "optimize()/compact() the backlog first."
+                )
+            return False
+        if not hits:
+            return True
+        new_rows = transformed(matched.drop("__dv_f", "__dv_p").drop(_SEQ_COL))
+        seq = self._reserve_seq(name, meta)
+        token = self._write_seq(name, meta, new_rows, seq)
+        if token is None:  # matched rows vanished between plan and write
+            return True
+        by_file: dict[str, list[int]] = {}
+        for r in hits:
+            by_file.setdefault(r["__dv_f"], []).append(int(r["__dv_p"]))
+        affected_rels: set[str] = set()
+        for f, new_pos in by_file.items():
+            ent = meta.deletion_vectors.get(f)
+            if ent is not None:
+                new_pos = new_pos + _dv_decode(ent)
+            meta.deletion_vectors[f] = _dv_encode(new_pos)
+            leaf = f.rsplit("/", 1)[0]
+            affected_rels.add(leaf.partition("/")[2])
+        depth = len(meta.partition_keys)
+        written_rels = (
+            self.fs.glob_dir_leaves(
+                f"{self._seq_dir(name, seq)}/{'/'.join(['*=*'] * depth)}", depth
+            )
+            if depth
+            else [""]
+        )
+        meta.live_deltas.append(seq)
+        seen = set(meta.dirty_partitions)
+        for rel in written_rels:
+            if rel and rel not in seen:
+                meta.dirty_partitions.append(rel)
+                seen.add(rel)
+        if not depth:
+            meta.all_dirty = True
+        meta.next_seq = max(meta.next_seq, seq + 1)
+        if meta.stats_columns or meta.bloom_columns:
+            meta.zone_maps.update(self._collect_zone_maps(name, meta, seq))
+        base = affected_rels if meta.partition_keys else None
+        rebase = self._make_rebase(before, meta, "rmw", base_rels=base)
+        self._commit_meta(meta, token, action="update_where(dv)", rebase=rebase)
+        return True

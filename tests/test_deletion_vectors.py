@@ -267,3 +267,120 @@ def test_dv_files_not_vacuumed(spark, tmp_path):
     before = sorted(r.k for r in lake.table("t").collect())
     lake.vacuum("t")
     assert sorted(r.k for r in lake.table("t").collect()) == before == list(range(10, 100))
+
+
+def test_dv_cdc_emits_deletes_on_partitioned_table(spark, tmp_path):
+    """r11 review find: the pruned CDC path diffs committed POINTERS,
+    which a DV-only commit never moves — on a partitioned table the
+    change feed came back empty while the table shrank. The changed-rel
+    set must include partitions whose vectors differ."""
+    lake = Lakehouse(spark, str(tmp_path / "lake"))
+    lake.create("p", SCHEMA, ["part"], ["k", "part"], retain_versions=10)
+    lake.upsert("p", _batch(spark, 0, 15, 0))
+    lake.upsert("p", _batch(spark, 15, 30, 1))
+    lake.optimize("p")
+    v0 = lake._load_meta("p").version
+    lake.delete_where("p", F.col("k").isin([5, 20]), mode="dv")
+    assert lake.table("p").count() == 28
+    ch = lake.table_changes("p", v0).collect()
+    assert sorted((r.k, r._change_type) for r in ch) == [
+        (5, "delete"), (20, "delete"),
+    ]
+
+
+def test_dv_cumulative_bound_forces_materialization(spark, tmp_path, monkeypatch):
+    """r11 review find: the per-call cap alone lets nightly under-cap
+    deletes accumulate unbounded vectors. The TABLE total is bounded:
+    auto falls back to the rewrite, dv refuses with compact guidance."""
+    monkeypatch.setattr(Lakehouse, "_DV_AUTO_MAX_ROWS", 30)
+    lake = Lakehouse(spark, str(tmp_path / "lake"))
+    lake.create("t", SCHEMA, ["part"], [])
+    lake.insert("t", _batch(spark, 0, 100, 0))
+    lake.delete_where("t", F.col("k") < 20, mode="dv")   # 20 accumulated
+    lake.delete_where("t", F.col("k") < 25, mode="dv")   # 25 total, under
+    with pytest.raises(ValueError, match="optimize\\(\\)/compact\\(\\)"):
+        lake.delete_where("t", F.col("k") < 35, mode="dv")  # would be 35
+    files = set(lake.table("t").inputFiles())
+    lake.delete_where("t", F.col("k") < 35, mode="auto")  # materializes
+    assert set(lake.table("t").inputFiles()) != files
+    assert lake._load_meta("t").deletion_vectors == {}
+    assert sorted(r.k for r in lake.table("t").collect()) == list(range(35, 100))
+
+
+# ---------------------------------------------------------------------------
+# update_where (merge-on-read UPDATE riding the same vectors)
+# ---------------------------------------------------------------------------
+
+def test_update_where_dv_exact_and_atomic(lake, spark):
+    """PK-less dv update: originals vector-deleted + transformed copies
+    appended in ONE commit — exact result, no base file rewritten, row
+    count preserved."""
+    lake.create("t", SCHEMA, ["part"], [])
+    for p in range(2):
+        lake.insert("t", _batch(spark, p * 50, (p + 1) * 50, p))
+    files = set(lake.table("t").inputFiles())
+    v0 = lake._load_meta("t").version
+    lake.update_where("t", F.col("k") < 5, {"v": F.lit(-1.0)}, mode="dv")
+    assert lake._load_meta("t").version == v0 + 1, "must be ONE commit"
+    got = {r.k: r.v for r in lake.table("t").collect()}
+    assert len(got) == 100
+    assert all(got[k] == -1.0 for k in range(5))
+    assert all(got[k] == float(k) for k in range(5, 100))
+    assert files <= set(lake.table("t").inputFiles()), "base files rewritten"
+    assert lake.history("t")[-1]["action"] == "update_where(dv)"
+
+
+def test_update_where_dv_moves_rows_across_partitions(lake, spark):
+    lake.create("t", SCHEMA, ["part"], [])
+    for p in range(2):
+        lake.insert("t", _batch(spark, p * 50, (p + 1) * 50, p))
+    lake.update_where("t", F.col("k") == 60, {"part": F.lit(0)}, mode="dv")
+    assert [r.part for r in lake.table("t").filter("k = 60").collect()] == [0]
+    assert lake.table("t").count() == 100
+    # the moved row must survive a later compaction of both partitions
+    lake.compact("t", full=True)
+    assert [r.part for r in lake.table("t").filter("k = 60").collect()] == [0]
+    assert lake.table("t").count() == 100
+    assert lake._load_meta("t").deletion_vectors == {}
+
+
+def test_update_where_rewrite_mode_and_sql_assignments(lake, spark):
+    lake.create("t", SCHEMA, ["part"], [])
+    lake.insert("t", _batch(spark, 0, 50, 0))
+    lake.update_where("t", "k >= 40", {"v": "v * 10"}, mode="rewrite")
+    got = {r.k: r.v for r in lake.table("t").collect()}
+    assert len(got) == 50
+    assert all(got[k] == k * 10.0 for k in range(40, 50))
+    assert all(got[k] == float(k) for k in range(40))
+
+
+def test_update_where_pk_table_is_upsert(lake, spark):
+    lake.create("p", SCHEMA, ["part"], ["k", "part"])
+    lake.upsert("p", _batch(spark, 0, 20, 0))
+    lake.update_where("p", F.col("k") < 3, {"v": F.lit(7.0)})
+    lake.optimize("p")
+    got = {r.k: r.v for r in lake.table("p").collect()}
+    assert len(got) == 20 and all(got[k] == 7.0 for k in range(3))
+    assert lake._load_meta("p").deletion_vectors == {}, "PK path needs no vectors"
+    with pytest.raises(ValueError, match="primary-key columns"):
+        lake.update_where("p", F.col("k") == 1, {"k": F.lit(99)})
+
+
+def test_update_where_guards_and_auto_fallback(lake, spark, monkeypatch):
+    lake.create("t", SCHEMA, ["part"], [])
+    lake.insert("t", _batch(spark, 0, 100, 0))
+    with pytest.raises(ValueError, match="unknown column"):
+        lake.update_where("t", "k < 5", {"nope": F.lit(1)})
+    with pytest.raises(ValueError, match="at least one"):
+        lake.update_where("t", "k < 5", {})
+    monkeypatch.setattr(Lakehouse, "_DV_AUTO_MAX_ROWS", 10)
+    files = set(lake.table("t").inputFiles())
+    lake.update_where("t", F.col("k") < 50, {"v": F.lit(0.0)}, mode="auto")
+    assert set(lake.table("t").inputFiles()) != files, "auto should rewrite past cap"
+    assert lake._load_meta("t").deletion_vectors == {}
+    assert lake.table("t").filter("v = 0.0").count() == 50
+    with pytest.raises(ValueError, match="vector bound"):
+        lake.update_where("t", F.col("k") < 50, {"v": F.lit(1.0)}, mode="dv")
+    # NULL predicate results mean "keep", not update
+    lake.update_where("t", F.expr("CASE WHEN k = 99 THEN true END"), {"v": F.lit(42.0)}, mode="dv")
+    assert lake.table("t").filter("v = 42.0").count() == 1
