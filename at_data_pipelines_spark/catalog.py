@@ -3513,15 +3513,20 @@ class Lakehouse:
         )
         return self._apply_dvs(df, name, meta)
 
-    def _read_raw_unmasked(self, name: str, meta: TableMeta) -> DataFrame:
+    def _read_raw_unmasked(
+        self, name: str, meta: TableMeta, paths: list[str] | None = None
+    ) -> DataFrame:
         """The manifest's visible parquet paths, read WITHOUT deletion
         vectors applied — only for callers that layer ``_apply_dvs``
-        themselves (the DV builder needs the row-identity columns kept)."""
+        themselves (the DV builder needs the row-identity columns kept).
+        ``paths`` lets a caller that already computed _visible_paths
+        avoid a second O(partitions) walk."""
         data_dir = f"{self._dir(name)}/data"
         schema_with_seq = T.StructType(
             meta.schema.fields + [T.StructField(_SEQ_COL, T.LongType(), True)]
         )
-        paths = self._visible_paths(name, meta)
+        if paths is None:
+            paths = self._visible_paths(name, meta)
         if not paths:
             return self.spark.createDataFrame([], schema_with_seq)
         return (
@@ -3531,19 +3536,10 @@ class Lakehouse:
         )
 
     def _read_raw(self, name: str, meta: TableMeta) -> DataFrame:
-        data_dir = f"{self._dir(name)}/data"
-        schema_with_seq = T.StructType(
-            meta.schema.fields + [T.StructField(_SEQ_COL, T.LongType(), True)]
-        )
         paths = self._visible_paths(name, meta)
+        df = self._read_raw_unmasked(name, meta, paths)
         if not paths:
-            # empty in-memory relation: no _metadata to resolve, no DVs
-            return self.spark.createDataFrame([], schema_with_seq)
-        df = (
-            self.spark.read.schema(schema_with_seq)
-            .option("basePath", data_dir)
-            .parquet(*paths)
-        )
+            return df  # empty in-memory relation: no _metadata to resolve
         return self._apply_dvs(df, name, meta)
 
     def table(self, name: str, version: int | None = None) -> DataFrame:
@@ -5137,12 +5133,18 @@ class Lakehouse:
         raw = self._read_raw(name, meta)
         seq = self._reserve_seq(name, meta)
         if meta.partition_keys:
-            vals = (
-                raw.filter(pred)
-                .select([F.col(k).cast("string").alias(k) for k in meta.partition_keys])
-                .distinct()
-                .collect()
-            )
+            keys = [F.col(k).cast("string").alias(k) for k in meta.partition_keys]
+            src = raw.filter(pred).select(*keys)
+            if set(sets) & set(meta.partition_keys):
+                # a partition-key assignment MOVES rows: the target
+                # partitions must be read into the rewrite too, or the
+                # repoint would replace their bases with a leaf holding
+                # only the moved rows — silent loss of every
+                # pre-existing target row (review find; the DV path
+                # never had this hazard, its originals stay in place)
+                tgt = transformed(raw.filter(pred)).select(*keys)
+                src = src.unionByName(tgt)
+            vals = src.distinct().collect()
             affected = {_hive_rel(meta.partition_keys, tuple(r)) for r in vals} | set(
                 meta.dirty_partitions
             )
@@ -5157,6 +5159,7 @@ class Lakehouse:
             transformed(sub.filter(pred))
         )
         token = self._write_seq(name, meta, out, seq)
+        self._validate_checks(name, meta, seq)
         old_committed = dict(meta.committed)
         old_deltas = list(meta.live_deltas)
         if meta.partition_keys:
@@ -5201,15 +5204,22 @@ class Lakehouse:
         raw = self._apply_dvs(
             self._read_raw_unmasked(name, meta), name, meta, keep_pos=True
         )
-        matched = raw.filter(pred)
-        hits = matched.select("__dv_f", "__dv_p").limit(cap + 1).collect()
+        # eager localCheckpoint: the matched set is evaluated EXACTLY
+        # once, so the vector-deleted originals and the written copies
+        # are the same rows even under a nondeterministic predicate
+        # (review find — two independent jobs could desync them, losing
+        # or duplicating rows inside one "atomic" commit). Bounded by
+        # the limit before it materializes.
+        matched = raw.filter(pred).limit(cap + 1).localCheckpoint(eager=True)
+        hits = matched.select("__dv_f", "__dv_p").collect()
         existing = sum(int(e[0]) for e in meta.deletion_vectors.values())
-        if len(hits) > cap or existing + len(hits) > cap:
+        if existing + len(hits) > cap:
             if mode == "dv":
+                over = f"{cap}+" if len(hits) > cap else str(len(hits))
                 raise ValueError(
                     f"update_where(mode='dv') on {name!r}: over the vector "
-                    f"bound ({existing} accumulated + {len(hits)}{'+' if len(hits) > cap else ''} "
-                    f"matched vs cap {cap}) — use mode='rewrite'/'auto', or "
+                    f"bound ({existing} accumulated + {over} matched vs "
+                    f"cap {cap}) — use mode='rewrite'/'auto', or "
                     "optimize()/compact() the backlog first."
                 )
             return False
@@ -5218,8 +5228,14 @@ class Lakehouse:
         new_rows = transformed(matched.drop("__dv_f", "__dv_p").drop(_SEQ_COL))
         seq = self._reserve_seq(name, meta)
         token = self._write_seq(name, meta, new_rows, seq)
-        if token is None:  # matched rows vanished between plan and write
-            return True
+        if token is None:
+            # unreachable — matched is checkpointed non-empty — but a
+            # silent True here would report success without a commit
+            raise RuntimeError(
+                f"update_where on {name!r}: delta write produced no "
+                "directory for a non-empty matched set"
+            )
+        self._validate_checks(name, meta, seq)
         by_file: dict[str, list[int]] = {}
         for r in hits:
             by_file.setdefault(r["__dv_f"], []).append(int(r["__dv_p"]))

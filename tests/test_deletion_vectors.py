@@ -384,3 +384,38 @@ def test_update_where_guards_and_auto_fallback(lake, spark, monkeypatch):
     # NULL predicate results mean "keep", not update
     lake.update_where("t", F.expr("CASE WHEN k = 99 THEN true END"), {"v": F.lit(42.0)}, mode="dv")
     assert lake.table("t").filter("v = 42.0").count() == 1
+
+
+def test_update_where_rewrite_partition_move_keeps_target_rows(lake, spark):
+    """r11 review find: a partition-key assignment in rewrite mode MOVES
+    rows; the target partition must be read into the rewrite or its
+    pre-existing rows are silently replaced by a leaf holding only the
+    moved row."""
+    lake.create("t", SCHEMA, ["part"], [])
+    for p in range(2):
+        lake.insert("t", _batch(spark, p * 50, (p + 1) * 50, p))
+    lake.update_where("t", F.col("k") == 60, {"part": F.lit(0)}, mode="rewrite")
+    assert lake.table("t").count() == 100, "target partition rows lost"
+    assert [r.part for r in lake.table("t").filter("k = 60").collect()] == [0]
+    assert lake.table("t").filter("part = 0").count() == 51
+    assert sorted(r.k for r in lake.table("t").filter("part = 0").collect()) == (
+        list(range(50)) + [60]
+    )
+
+
+def test_update_where_validates_checks(lake, spark):
+    """update_where writes NEW values, so it must validate CHECK
+    constraints pre-commit like every other value-producing write (a
+    delete only keeps a subset of already-valid rows and may skip)."""
+    from at_data_pipelines_spark.catalog import CheckViolationError
+
+    lake.create("t", SCHEMA, ["part"], [], checks={"v_nonneg": "v >= 0"})
+    lake.insert("t", _batch(spark, 0, 50, 0))
+    for mode in ("dv", "rewrite"):
+        with pytest.raises(CheckViolationError):
+            lake.update_where("t", F.col("k") < 3, {"v": F.lit(-1.0)}, mode=mode)
+        assert lake.table("t").filter("v < 0").count() == 0, mode
+        assert lake.table("t").count() == 50, mode
+    # a valid update still lands
+    lake.update_where("t", F.col("k") < 3, {"v": F.lit(0.5)}, mode="dv")
+    assert lake.table("t").filter("v = 0.5").count() == 3
