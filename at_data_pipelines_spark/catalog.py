@@ -4894,10 +4894,11 @@ class Lakehouse:
         scan, so re-deleting already-vectored rows is a no-op and
         successive vector deletes on one file MERGE."""
         cap = self._DV_AUTO_MAX_ROWS
-        if not self._visible_paths(name, meta):
+        vis = self._visible_paths(name, meta)
+        if not vis:
             return True  # empty table: nothing to delete
         raw = self._apply_dvs(
-            self._read_raw_unmasked(name, meta), name, meta, keep_pos=True
+            self._read_raw_unmasked(name, meta, vis), name, meta, keep_pos=True
         )
         hits = (
             raw.filter(pred)
@@ -5132,22 +5133,35 @@ class Lakehouse:
         # matched rows transformed instead of dropping them
         raw = self._read_raw(name, meta)
         seq = self._reserve_seq(name, meta)
+        moving = bool(set(sets) & set(meta.partition_keys))
         if meta.partition_keys:
-            keys = [F.col(k).cast("string").alias(k) for k in meta.partition_keys]
-            src = raw.filter(pred).select(*keys)
-            if set(sets) & set(meta.partition_keys):
-                # a partition-key assignment MOVES rows: the target
-                # partitions must be read into the rewrite too, or the
-                # repoint would replace their bases with a leaf holding
-                # only the moved rows — silent loss of every
-                # pre-existing target row (review find; the DV path
-                # never had this hazard, its originals stay in place)
-                tgt = transformed(raw.filter(pred)).select(*keys)
-                src = src.unionByName(tgt)
-            vals = src.distinct().collect()
-            affected = {_hive_rel(meta.partition_keys, tuple(r)) for r in vals} | set(
-                meta.dirty_partitions
-            )
+            pks = meta.partition_keys
+            # a partition-key assignment MOVES rows: the target
+            # partitions must be read into the rewrite too, or the
+            # repoint would replace their bases with a leaf holding
+            # only the moved rows — silent loss of every pre-existing
+            # target row (review find; the DV path never had this
+            # hazard, its originals stay in place). Source and target
+            # keys come out of ONE scan (a struct pair per row), so
+            # they are a consistent per-row snapshot.
+            cols = [F.struct(*[F.col(k).cast("string").alias(k) for k in pks]).alias("s")]
+            if moving:
+                cols.append(
+                    F.struct(
+                        *[
+                            (sets[k] if k in sets else F.col(k))
+                            .cast(meta.schema[k].dataType)
+                            .cast("string")
+                            .alias(k)
+                            for k in pks
+                        ]
+                    ).alias("t")
+                )
+            pairs = raw.filter(pred).select(*cols).distinct().collect()
+            rels = {_hive_rel(pks, tuple(r["s"][k] for k in pks)) for r in pairs}
+            if moving:
+                rels |= {_hive_rel(pks, tuple(r["t"][k] for k in pks)) for r in pairs}
+            affected = rels | set(meta.dirty_partitions)
             if not affected:
                 return
             part_filter = self._rel_filter(meta, sorted(affected))
@@ -5168,6 +5182,22 @@ class Lakehouse:
             written = set(
                 self.fs.glob_dir_leaves(f"{self._seq_dir(name, seq)}/{pattern}", depth)
             )
+            stray = written - set(affected)
+            if stray:
+                # a NONDETERMINISTIC partition-key assignment (or
+                # predicate) produced different targets in the write job
+                # than the planning scan enumerated — committing would
+                # repoint partitions we never read (silent base loss).
+                # Refuse loudly; nothing was committed.
+                self.fs.delete(self._seq_dir(name, seq))
+                raise ValueError(
+                    f"update_where on {name!r}: the rewrite landed rows in "
+                    f"partitions the planning scan never enumerated "
+                    f"({sorted(stray)[:3]}...) — partition-key assignments "
+                    "and predicates must be deterministic on the rewrite "
+                    "path (the dv path checkpoints the matched set and has "
+                    "no such constraint)."
+                )
             for rel in written:
                 meta.committed[rel] = seq
             for rel in affected:
@@ -5199,17 +5229,21 @@ class Lakehouse:
         are written as a delta generation, the originals vector-deleted,
         one manifest PUT commits both — atomic by construction."""
         cap = self._DV_AUTO_MAX_ROWS
-        if not self._visible_paths(name, meta):
+        vis = self._visible_paths(name, meta)
+        if not vis:
             return True
         raw = self._apply_dvs(
-            self._read_raw_unmasked(name, meta), name, meta, keep_pos=True
+            self._read_raw_unmasked(name, meta, vis), name, meta, keep_pos=True
         )
         # eager localCheckpoint: the matched set is evaluated EXACTLY
         # once, so the vector-deleted originals and the written copies
         # are the same rows even under a nondeterministic predicate
         # (review find — two independent jobs could desync them, losing
         # or duplicating rows inside one "atomic" commit). Bounded by
-        # the limit before it materializes.
+        # the limit before it materializes; the checkpointed blocks
+        # (≤ cap+1 rows) are released by the ContextCleaner when
+        # ``matched`` goes out of scope — the lifecycle
+        # _shared_probe_input documents.
         matched = raw.filter(pred).limit(cap + 1).localCheckpoint(eager=True)
         hits = matched.select("__dv_f", "__dv_p").collect()
         existing = sum(int(e[0]) for e in meta.deletion_vectors.values())

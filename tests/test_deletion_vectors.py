@@ -419,3 +419,20 @@ def test_update_where_validates_checks(lake, spark):
     # a valid update still lands
     lake.update_where("t", F.col("k") < 3, {"v": F.lit(0.5)}, mode="dv")
     assert lake.table("t").filter("v = 0.5").count() == 3
+
+
+def test_dv_merge_and_analyze_see_masked_rows(lake, spark):
+    """MERGE and ANALYZE both read through _read_raw, so they must see
+    the post-delete rows: a merge keyed on a vector-deleted row treats
+    it as unmatched (insert, not update), and analyze counts exclude it."""
+    lake.create("p", SCHEMA, [], ["k"])
+    lake.upsert("p", _batch(spark, 0, 10, 0))
+    lake.delete_where("p", F.col("k") == 4, mode="dv")
+    stats = lake.analyze("p")
+    assert stats["rows"] == 9
+    src = spark.createDataFrame([(4, 0, 100.0), (5, 0, 200.0)], SCHEMA)
+    lake.merge("p", src, update_matched=True, insert_unmatched=True)
+    got = {r.k: r.v for r in lake.table("p").collect()}
+    assert got[4] == 100.0, "vector-deleted key must merge as a fresh insert"
+    assert got[5] == 200.0, "live key must merge as an update"
+    assert len(got) == 10
