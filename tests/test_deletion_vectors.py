@@ -436,3 +436,23 @@ def test_dv_merge_and_analyze_see_masked_rows(lake, spark):
     assert got[4] == 100.0, "vector-deleted key must merge as a fresh insert"
     assert got[5] == 200.0, "live key must merge as an update"
     assert len(got) == 10
+
+
+def test_dv_free_tables_pay_zero_plan_nodes(lake, spark):
+    """The bench-critical invariant: a table WITHOUT deletion vectors
+    must read through the exact same plan as before the feature existed
+    — no metadata columns, no join, no filter. With vectors, the plan
+    is one broadcast left-anti join over the scan."""
+    lake.create("t", SCHEMA, ["part"], [])
+    lake.insert("t", _batch(spark, 0, 100, 0))
+    plan = lake.table("t")._jdf.queryExecution().executedPlan().toString()
+    assert "__dv" not in plan and "LeftAnti" not in plan, (
+        "DV-free read grew plan nodes"
+    )
+    lake.delete_where("t", F.col("k") == 1, mode="dv")
+    plan = lake.table("t")._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan and "BroadcastHashJoin" in plan
+    # pruning still reaches the parquet scan through the anti-join
+    got = lake.table("t").filter(F.col("k") == 50)
+    p2 = got._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(k), EqualTo(k,50)" in p2
