@@ -135,6 +135,10 @@ PYTEST_ONLY: list[str] = [
     # digests vs the oracle's gram-string grouping, spans under exact
     # parity (llmops/dedup.py duplicate_ngram_spans)
     "q73_dup_ngram_spans",
+    # r11: deletion vectors + merge-on-read update end-to-end — the
+    # masked lakehouse read after a vector delete and a vector update
+    # must equal plain SQL's WHERE + CASE of the source exactly
+    "q74_dv_update_roundtrip",
 ]
 
 GATE_SIZE = 50

@@ -260,3 +260,51 @@ def q72_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     lake.insert("docs", d)
     lo, hi = d.agg(F.min("doc_id"), F.max("doc_id")).first()
     return lake.scan("docs", where={"doc_id": {int(lo), int(hi)}})
+
+
+# --------------------------------------------------------------------------
+# q74 — deletion vectors + merge-on-read update end-to-end (r11):
+#        round-trip the documents table through a PK-less lakehouse
+#        table, vector-DELETE one decile of doc_ids and vector-UPDATE
+#        another (both mode='dv' — no data file is rewritten; the
+#        originals are masked by the manifest's vectors and the updated
+#        copies land as one delta generation in a single atomic
+#        commit), then return the final table. The oracle pins the
+#        SEMANTICS: the masked read must equal plain SQL's
+#        WHERE-filter + CASE projection of the source exactly.
+# --------------------------------------------------------------------------
+@register(
+    "q74_dv_update_roundtrip",
+    oracle="""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+           CAST(CASE WHEN doc_id % 10 = 7 THEN n_chars + 1000000
+                     ELSE n_chars END AS BIGINT) AS n_chars
+    FROM documents
+    WHERE doc_id % 10 <> 3
+    """,
+)
+def q74_dv_update_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..catalog import Lakehouse
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "source",
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+    # the temp lakehouse must outlive this function: the returned
+    # DataFrame reads from it lazily (the driver collects later)
+    lake = Lakehouse(spark, tempfile.mkdtemp(prefix="q74_dv_") + "/lake")
+    lake.create("docs", d.schema, [], [])
+    lake.insert("docs", d)
+    lake.delete_where("docs", F.col("doc_id") % 10 == 3, mode="dv")
+    lake.update_where(
+        "docs",
+        F.col("doc_id") % 10 == 7,
+        {"n_chars": F.col("n_chars") + 1_000_000},
+        mode="dv",
+    )
+    return lake.table("docs")
