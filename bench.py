@@ -22,6 +22,12 @@ Methodology (r3/r4/r5 judge findings baked in):
 - Per-query min/median/spread are reported; q46's persisted shingle
   relation is released after the query loop (release_shingle_caches), so
   nothing stays cache-resident into a later measurement.
+- **Every cohort carries an interleaved pinned control** (r11 verdict
+  task #1): a fixed range→shuffle-agg job whose code never changes runs
+  between measurements in the queries / extras / commit / pipelines
+  cohorts, and each cohort's JSON ships the control's min/median/spread.
+  Cross-round query drift that tracks the control is session noise;
+  drift the control doesn't share is a plan regression.
 """
 
 from __future__ import annotations
@@ -90,9 +96,13 @@ def bench_commit_overhead(spark) -> dict[str, float]:
     lake.create("t", schema, ["part"], ["k", "part"])
     n = 8
     samples = []
+    controls = []
     import pandas as pd
 
+    _pinned_control(spark)  # control pays its own codegen warm-up once
     for i in range(n):
+        if i % 3 == 0:  # interleaved: 3 control samples across the loop
+            controls.append(_pinned_control(spark))
         # pandas-origin batch = one input partition, so the measurement is
         # the commit protocol itself, not local-mode task-launch noise from
         # a 10-row batch sharded over 32 near-empty partitions
@@ -106,6 +116,16 @@ def bench_commit_overhead(spark) -> dict[str, float]:
     return {
         "upsert_s_min": round(warm[0], 3),
         "upsert_s_median": round(warm[len(warm) // 2], 3),
+        "pinned_control": _control_stats(controls),
+    }
+
+
+def _control_stats(controls: list[float]) -> dict[str, float]:
+    ctl = sorted(controls)
+    return {
+        "min": round(ctl[0], 3),
+        "median": round(ctl[len(ctl) // 2], 3),
+        "spread": round(ctl[-1] - ctl[0], 3),
     }
 
 
@@ -192,7 +212,6 @@ def bench_pipelines(spark, runs: int = 3) -> dict[str, dict[str, float]]:
         dailies.append(time.perf_counter() - t0)
         stage_vecs.append(stages)
     best = stage_vecs[dailies.index(min(dailies))]
-    ctl = sorted(controls)
     return {
         "backfill_qp_dag": {
             "min": round(min(backfills), 3),
@@ -203,11 +222,7 @@ def bench_pipelines(spark, runs: int = 3) -> dict[str, dict[str, float]]:
             "spread": round(max(dailies) - min(dailies), 3),
         },
         "daily_stage_breakdown": best,
-        "pinned_control": {
-            "min": round(ctl[0], 3),
-            "median": round(ctl[len(ctl) // 2], 3),
-            "spread": round(ctl[-1] - ctl[0], 3),
-        },
+        "pinned_control": _control_stats(controls),
     }
 
 
@@ -221,9 +236,11 @@ def bench_queries(
 
     # warm the JVM/codegen once with the cheapest query
     QUERIES["q10_distinct_flag_status"](spark, sf_dir).count()
+    _pinned_control(spark)  # control pays its own codegen warm-up once
 
     timings: dict[str, float] = {}
     stats: dict[str, dict[str, float]] = {}
+    controls: list[float] = []
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     # per-query DISCARDED warm-ups before the counted runs: repeated
     # fresh-JVM measurement shows heavy queries (q46) improving monotonically
@@ -234,6 +251,13 @@ def bench_queries(
     for name in names if names is not None else HEADLINE:
         if name not in QUERIES:
             continue
+        # one control sample interleaved per query: if a query's wall
+        # drifts between sessions while the control (whose code never
+        # changes) drifts the same way, the delta is session noise, not
+        # a plan regression (r11 verdict task #1 — the q47/q48 upticks
+        # required a judge re-bench because only the pipelines cohort
+        # carried a control)
+        controls.append(_pinned_control(spark))
         samples: list[float] = []
         for i in range(warmups + runs):
             t0 = time.perf_counter()
@@ -252,6 +276,8 @@ def bench_queries(
     from at_data_pipelines_spark.llmops.dedup import release_shingle_caches
 
     release_shingle_caches()
+    if controls:
+        stats["pinned_control"] = _control_stats(controls)
     return timings, stats
 
 
