@@ -1055,6 +1055,18 @@ class TableMeta:
     # anti-joins them out (_apply_dvs), every rewrite of a partition
     # drops its files' entries (_prune_deletion_vectors)
     deletion_vectors: dict[str, list] = field(default_factory=dict)
+    # Deletion-vector SIDECARS (r12): past _DV_INLINE_MAX_POSITIONS the
+    # positions move out of the manifest into immutable parquet files
+    # under ``<table>/dv/`` (columns f=data-relative file path, p=row
+    # position), written and applied EXECUTOR-side — the manifest keeps
+    # only pointers: each entry is ``[relpath, count, [seqs...]]`` where
+    # ``seqs`` are the _seq generations the sidecar's files belong to
+    # (the prune key: an entry is droppable once none of its generations
+    # is visible; stale rows for files a partial rewrite replaced are
+    # harmless — those files are no longer scanned — and only make the
+    # counts conservative). Readers union the sidecars into the same
+    # broadcast anti-join as the inline vectors.
+    dv_sidecars: list[list] = field(default_factory=list)
     # Bloom data skipping (opt-in at create): columns whose per-leaf
     # membership filter is tracked alongside the zone maps, stored in
     # the SAME zone_maps entry under the reserved key "<col>#bloom" as
@@ -1325,6 +1337,7 @@ class Lakehouse:
             "primary_keys",
             "stats_columns",
             "bloom_columns",
+            "dv_sidecars",
         ):
             if isinstance(out.get(k), list):
                 out[k] = list(out[k])
@@ -2132,6 +2145,12 @@ class Lakehouse:
         dv_popped = [
             k for k in before.deletion_vectors if k not in after.deletion_vectors
         ]
+        side_added = [
+            e for e in after.dv_sidecars if e not in before.dv_sidecars
+        ]
+        side_popped = [
+            e for e in before.dv_sidecars if e not in after.dv_sidecars
+        ]
 
         def rebase(fresh: TableMeta) -> "TableMeta | None":
             if not self._struct_unchanged(before, fresh):
@@ -2194,6 +2213,26 @@ class Lakehouse:
                         continue
                     if fresh.deletion_vectors.get(k) != before.deletion_vectors.get(k):
                         return None
+                # rival SIDECAR vectors (r12): conflict at generation
+                # granularity — a rival sidecar whose generations
+                # intersect anything this rewrite read would have its
+                # deletes resurrected by our commit. (A rival PRUNING a
+                # sidecar implies a rewrite, caught by the committed-
+                # pointer checks above.)
+                rival_sides = [
+                    e for e in fresh.dv_sidecars if e not in before.dv_sidecars
+                ]
+                if rival_sides:
+                    if scope is None:
+                        return None  # whole-table rewrite read everything
+                    our_seqs = set(before.live_deltas) | {
+                        before.committed[r]
+                        for r in scope
+                        if r in before.committed
+                    }
+                    for e in rival_sides:
+                        if any(int(s) in our_seqs for s in e[2]):
+                            return None
                 fresh.live_deltas = list(after.live_deltas) + extra
                 fresh.dirty_partitions = list(after.dirty_partitions) + sorted(
                     extra_rels - set(after.dirty_partitions)
@@ -2207,6 +2246,10 @@ class Lakehouse:
             fresh.deletion_vectors.update(dv_diff)
             for k in dv_popped:
                 fresh.deletion_vectors.pop(k, None)
+            if side_added or side_popped:
+                fresh.dv_sidecars = [
+                    e for e in fresh.dv_sidecars if e not in side_popped
+                ] + [e for e in side_added if e not in fresh.dv_sidecars]
             fresh.next_seq = max(fresh.next_seq, after.next_seq)
             self._prune_zone_maps(fresh)
             self._prune_deletion_vectors(fresh)
@@ -2694,7 +2737,18 @@ class Lakehouse:
         shared shuffle for every column's distinct sketch (the per-column
         hashes are exploded into (column, hash) pairs first, so adding
         columns adds no stages). Non-orderable columns get null counts
-        only."""
+        only.
+
+        On PK tables the output additionally carries ``pk_duplicates``:
+        physical rows beyond one per primary key AFTER all deltas are
+        absorbed would be cross-partition shadows — a key whose
+        partition-key value changed between upserts leaves its stale
+        copy in a base partition no pruned optimize() reads (the
+        Hudi non-global-index hazard; update_where's partition-moving
+        path avoids it by construction, but a caller driving upsert()
+        directly with unstable partition values can still produce one).
+        Non-zero here with no pending deltas means the table needs an
+        ``optimize(full=True)``."""
         from .ops.sketch import kmv_distinct
 
         meta = self._load_meta(name)
@@ -2737,6 +2791,13 @@ class Lakehouse:
         else:
             dists = {}
         out: dict = {"as_of_version": meta.version, "rows": rows, "columns": {}}
+        if meta.primary_keys and rows:
+            # exact (not sketched) duplicate-PK count: the shadow
+            # diagnostic must never false-positive, and one extra
+            # countDistinct aggregate over the same scan is cheap
+            # relative to the sketch pass that already shuffles the table
+            n_keys = df.select(*meta.primary_keys).distinct().count()
+            out["pk_duplicates"] = rows - n_keys
         for c in cols:
             ent: dict = {"nulls": rows - r[f"__ct__{c}"]}
             if c in orderable:
@@ -2836,6 +2897,18 @@ class Lakehouse:
                 if old_meta.deletion_vectors.get(k)
                 != new_meta.deletion_vectors.get(k)
             }
+            # sidecar vectors (r12): same invisibility hazard as inline —
+            # a sidecar-only commit moves no pointers. Entries present in
+            # exactly one snapshot contribute their files' rels (one tiny
+            # distinct read per differing sidecar; both snapshots are
+            # within the retain window, so the files are alive).
+            side_diff = [
+                e
+                for e in old_meta.dv_sidecars + new_meta.dv_sidecars
+                if (e in old_meta.dv_sidecars) != (e in new_meta.dv_sidecars)
+            ]
+            if side_diff:
+                changed |= self._sidecar_rels(name, side_diff)
             if not changed:
                 out_schema = T.StructType(
                     meta.schema.fields
@@ -2931,6 +3004,7 @@ class Lakehouse:
         mode: str = "append",
         allow_fast: bool = True,
         properties: dict | None = None,
+        extra_dirty_rels: list[str] | None = None,
     ) -> None:
         """Append a batch as a new ``_seq=K`` delta directory (the sequence
         also orders keep-latest dedup). ``mode='overwrite'`` truncates:
@@ -2947,9 +3021,19 @@ class Lakehouse:
         ``properties`` (set_properties semantics) are applied in the SAME
         manifest PUT as the data — the atomic data+metadata commit that
         incremental consumers (ops/ivm.py) need so a crash can never leave
-        the data applied but its watermark property stale."""
+        the data applied but its watermark property stale.
+
+        ``extra_dirty_rels`` (internal, r12): additional partition rels
+        marked dirty IN THE SAME COMMIT as the delta — update_where's
+        partition-moving PK path uses it so the moved rows' SOURCE
+        partitions are guaranteed to ride the same optimize() that
+        absorbs the delta (two separate commits would let a rival
+        optimize absorb the delta alone and strand the stale source
+        copy forever)."""
         meta = self._load_meta(name)
         before = self._snapshot_meta(meta)
+        if extra_dirty_rels:
+            allow_fast = False  # the fast path has no extra-rel plumbing
         if allow_fast:
             # same no-double-execution guarantee as upsert(): probe and
             # fallback write share one input (no-op for a df upsert()
@@ -2988,6 +3072,8 @@ class Lakehouse:
             written = sorted(
                 self.fs.glob_dir_leaves(f"{self._seq_dir(name, seq)}/{pattern}", depth)
             )
+            if extra_dirty_rels:
+                written = sorted(set(written) | set(extra_dirty_rels))
             seen = set(meta.dirty_partitions)
             for rel in written:
                 if rel not in seen:
@@ -3411,8 +3497,15 @@ class Lakehouse:
         """Twin of ``_prune_zone_maps`` for deletion vectors: a DV whose
         file's generation leaf is no longer visible (the partition was
         rewritten — optimize/compact/delete materialized the deletes)
-        is dropped in the same commit. Keys are always file-level."""
-        if not meta.deletion_vectors:
+        is dropped in the same commit. Inline keys are file-level;
+        sidecar entries prune at generation granularity (an entry stays
+        while ANY of its generations is visible — stale rows for files
+        a partial rewrite replaced are never scanned, so they cost
+        count conservatism, not correctness). FAIL-CLOSED (r12 advice):
+        an entry whose key/seqs cannot be parsed is KEPT — on a
+        delete-masking structure, dropping a malformed entry would
+        silently resurrect deleted rows."""
+        if not (meta.deletion_vectors or meta.dv_sidecars):
             return
         live = set(meta.live_deltas)
         keep: dict[str, list] = {}
@@ -3421,16 +3514,84 @@ class Lakehouse:
             head, _, rel = leaf.partition("/")
             try:
                 s = int(head.split("=", 1)[1])
-            except ValueError:
+            except (ValueError, IndexError):
+                keep[key] = ent  # unparseable: keep — never un-delete
                 continue
             if s in live or meta.committed.get(rel) == s:
                 keep[key] = ent
         meta.deletion_vectors = keep
+        if meta.dv_sidecars:
+            vis = live | set(meta.committed.values())
+            kept_sides = []
+            for e in meta.dv_sidecars:
+                try:
+                    drop = not any(int(s) in vis for s in e[2])
+                except (TypeError, ValueError, IndexError):
+                    drop = False  # malformed: keep — never un-delete
+                if not drop:
+                    kept_sides.append(e)
+            meta.dv_sidecars = kept_sides
 
     #: delete_where(mode='auto') switches from deletion vectors to a
-    #: partition rewrite past this many matched rows per call — past it
-    #: the vectors stop being 'tiny metadata' and the rewrite amortizes
-    _DV_AUTO_MAX_ROWS = 100_000
+    #: partition rewrite past this many TOTAL vectored positions (per
+    #: call and cumulative, inline + sidecars) — past it the broadcast
+    #: anti-join's build side (~tens of MB at 1M positions) stops being
+    #: cheap relative to rewriting the affected partitions. r12: raised
+    #: 10× from the r11 manifest-inline bound, which now governs only
+    #: the inline/sidecar split (_DV_INLINE_MAX_POSITIONS).
+    _DV_AUTO_MAX_ROWS = 1_000_000
+    #: positions carried base64-inline in the manifest; past this the
+    #: positions land in an immutable parquet sidecar under <table>/dv/
+    #: (executor-side build + apply, no driver collect) so the manifest
+    #: stays O(pointers) however big the vectored set grows
+    _DV_INLINE_MAX_POSITIONS = 100_000
+
+    #: schema of a DV sidecar parquet: data-relative file path + row pos
+    _DV_SIDE_SCHEMA = T.StructType(
+        [T.StructField("f", T.StringType()), T.StructField("p", T.LongType())]
+    )
+
+    def _write_dv_sidecar(self, name: str, fp_df: DataFrame) -> list:
+        """Write one immutable DV sidecar from a (``__dv_f``, ``__dv_p``)
+        DataFrame — ONE executor-side pass, no driver collect — and
+        return its manifest pointer ``[relpath, count, [seqs...]]``.
+        Count and generation set come off the written parquet (so a
+        nondeterministic predicate's matched set is counted exactly as
+        written, the single authoritative evaluation). ≤ _DV_AUTO_MAX_ROWS
+        positions by the callers' bounds → one coalesced file."""
+        rel = f"dv/dv-{uuid.uuid4().hex}"
+        path = f"{self._dir(name)}/{rel}"
+        (
+            fp_df.select(F.col("__dv_f").alias("f"), F.col("__dv_p").alias("p"))
+            .coalesce(1)
+            .write.mode("errorifexists")
+            .parquet(path)
+        )
+        back = self.spark.read.schema(self._DV_SIDE_SCHEMA).parquet(path)
+        n = back.count()
+        heads = [
+            r.h
+            for r in back.select(
+                F.substring_index("f", "/", 1).alias("h")
+            ).distinct().collect()
+        ]
+        seqs = sorted(int(h.split("=", 1)[1]) for h in heads)
+        return [rel, n, seqs]
+
+    def _sidecar_fp_df(self, name: str, entries: list[list]) -> DataFrame:
+        """Scan of the given sidecar entries as (__dvd_f, __dvd_p)."""
+        paths = [f"{self._dir(name)}/{e[0]}" for e in entries]
+        return self.spark.read.schema(self._DV_SIDE_SCHEMA).parquet(*paths).select(
+            F.col("f").alias("__dvd_f"), F.col("p").alias("__dvd_p")
+        )
+
+    def _sidecar_rels(self, name: str, entries: list[list]) -> set[str]:
+        """Distinct partition rels the given sidecars' files live under
+        (tiny distinct collect — sidecar leaf count, not row count)."""
+        leaves = self._sidecar_fp_df(name, entries).select(
+            F.expr("regexp_replace(__dvd_f, '/[^/]+$', '')").alias("leaf")
+        ).distinct().collect()
+        return {r.leaf.partition("/")[2] for r in leaves}
 
     def _apply_dvs(
         self, df: DataFrame, name: str, meta: TableMeta, keep_pos: bool = False
@@ -3441,35 +3602,47 @@ class Lakehouse:
         both from the hidden ``_metadata`` file-source column, resolved
         here BEFORE any join/projection can detach it from the scan.
         ``keep_pos=True`` keeps the ``__dv_f``/``__dv_p`` identity
-        columns visible (delete_where's DV builder needs them)."""
+        columns visible (delete_where's DV builder needs them).
+        Sidecar vectors (r12) union into the same build side — read
+        executor-side from their parquet, never decoded on the driver."""
         dvs = getattr(meta, "deletion_vectors", None)
-        if not dvs and not keep_pos:
+        sides = getattr(meta, "dv_sidecars", None)
+        if not dvs and not sides and not keep_pos:
             return df
         df = df.withColumn(
             "__dv_f",
             F.substring_index(F.col("_metadata.file_path"), "/data/", -1),
         ).withColumn("__dv_p", F.col("_metadata.row_index"))
-        if dvs:
+        if dvs or sides:
             # broadcast anti-join, deliberately unconditional: a literal
             # per-file NOT-IN filter was measured 2-4x SLOWER (it puts an
             # O(files-with-vectors) disjunction inside the per-row
             # filter, where the hash anti-join probes once per row and
             # its exchange-setup overhead is ~flat in table size — the
-            # SCALING.md dvdelete rung holds the canonical numbers)
-            import pandas as pd
+            # SCALING.md dvdelete rung holds the canonical numbers).
+            # Build side ≤ _DV_AUTO_MAX_ROWS (1M) positions by the
+            # write-path bounds — tens of MB hashed, well under executor
+            # memory at 100 TB scale; past that the write paths rewrite
+            # instead of growing this join.
+            dv_df = None
+            if dvs:
+                import pandas as pd
 
-            rows = [
-                (f, p) for f, ent in dvs.items() for p in _dv_decode(ent)
-            ]
-            dv_df = self.spark.createDataFrame(
-                pd.DataFrame(rows, columns=["__dvd_f", "__dvd_p"]),
-                T.StructType(
-                    [
-                        T.StructField("__dvd_f", T.StringType()),
-                        T.StructField("__dvd_p", T.LongType()),
-                    ]
-                ),
-            )
+                rows = [
+                    (f, p) for f, ent in dvs.items() for p in _dv_decode(ent)
+                ]
+                dv_df = self.spark.createDataFrame(
+                    pd.DataFrame(rows, columns=["__dvd_f", "__dvd_p"]),
+                    T.StructType(
+                        [
+                            T.StructField("__dvd_f", T.StringType()),
+                            T.StructField("__dvd_p", T.LongType()),
+                        ]
+                    ),
+                )
+            if sides:
+                sdf = self._sidecar_fp_df(name, sides)
+                dv_df = sdf if dv_df is None else dv_df.unionByName(sdf)
             df = df.join(
                 F.broadcast(dv_df),
                 (F.col("__dv_f") == F.col("__dvd_f"))
@@ -3647,6 +3820,7 @@ class Lakehouse:
             "bloom_columns",
             "zone_maps",
             "deletion_vectors",
+            "dv_sidecars",
         ):
             setattr(cur, f_name, getattr(old, f_name))
         # stats describe a version this table no longer reflects
@@ -4230,6 +4404,18 @@ class Lakehouse:
     def upsert(self, name: str, df: DataFrame, hint: str | None = None) -> None:
         """The reference's writer idiom: insert(append) + optimize().
 
+        CONTRACT for partitioned PK tables whose partition keys are not
+        all part of the PK (e.g. prices partitioned by year(date) with
+        PK (ticker, date)): a primary key's partition-key values must be
+        STABLE across upserts — the Hudi non-global-index contract. A
+        batch that re-lands an existing key under a DIFFERENT partition
+        value leaves the old copy in a base partition the pruned
+        optimize() never reads, a permanent duplicate. Functionally
+        derived partition values (year = year(date), date ∈ PK) satisfy
+        this for free; to deliberately MOVE rows, use update_where
+        (whose partition-moving path marks the source partitions dirty
+        in the same commit) and audit with analyze()['pk_duplicates'].
+
         Small batches take a driver-side fast path: the two-Spark-job
         shape (staging write + dedup rewrite) costs ~1 s of pure job
         overhead for a 10-row batch, which dominates incremental daily
@@ -4617,16 +4803,19 @@ class Lakehouse:
             meta = self._load_meta(t)
             live: set[int] = set()
             base_rels: dict[int, set[str]] = {}
+            live_sidecars: set[str] = set()
 
-            def _absorb(live_deltas, committed) -> None:
+            def _absorb(live_deltas, committed, dv_sidecars=None) -> None:
                 live.update(live_deltas or [])
                 for rel, s in (committed or {}).items():
                     if rel == "":
                         live.add(s)
                     else:
                         base_rels.setdefault(s, set()).add(rel)
+                for e in dv_sidecars or []:
+                    live_sidecars.add(e[0])
 
-            _absorb(meta.live_deltas, meta.committed)
+            _absorb(meta.live_deltas, meta.committed, meta.dv_sidecars)
             if meta.retain_versions > 0:
                 floor = max(0, meta.version - meta.retain_versions)
                 # archived anchors AND segmented-mode intermediate commits:
@@ -4649,7 +4838,11 @@ class Lakehouse:
                     if floor <= v < meta.version
                 )
                 for _v, raw in self._fold_window(t, window):
-                    _absorb(raw.get("live_deltas"), raw.get("committed"))
+                    _absorb(
+                        raw.get("live_deltas"),
+                        raw.get("committed"),
+                        raw.get("dv_sidecars"),
+                    )
             data_dir = f"{self._dir(t)}/data"
             candidates: list[tuple[str, int, str | None]] = []
             for d in self.fs.list_subdirs(data_dir):
@@ -4689,6 +4882,24 @@ class Lakehouse:
                     continue
                 self.fs.delete(path)
                 removed.append(path)
+            # DV sidecar sweep (r12): reclaim dv/ files no manifest in
+            # the retained window references — the leavings of pruned
+            # (materialized) vectors and of DV writes whose commit lost
+            # a race. Same guards as generations: grace mtime + a
+            # last-moment re-read sparing anything committed since.
+            dv_dir = f"{self._dir(t)}/dv"
+            if self.fs.exists(dv_dir):
+                for d in self.fs.list_subdirs(dv_dir):
+                    rel_name = f"dv/{d}"
+                    if rel_name in live_sidecars:
+                        continue
+                    if grace_s and self.fs.max_mtime(f"{dv_dir}/{d}") > cutoff_ms:
+                        continue  # possibly an in-flight writer's sidecar
+                    fresh = self._meta_from_raw(self._read_meta_raw(t))
+                    if any(e[0] == rel_name for e in fresh.dv_sidecars):
+                        continue
+                    self.fs.delete(f"{dv_dir}/{d}")
+                    removed.append(f"{dv_dir}/{d}")
         return removed
 
     def merge(
@@ -4894,6 +5105,10 @@ class Lakehouse:
         scan, so re-deleting already-vectored rows is a no-op and
         successive vector deletes on one file MERGE."""
         cap = self._DV_AUTO_MAX_ROWS
+        # the probe is bounded by the inline tier: past it the matched
+        # set is never collected — it goes straight to a sidecar built
+        # executor-side (r12; the r11 100k driver collect was the bound)
+        inline_cap = min(self._DV_INLINE_MAX_POSITIONS, cap)
         vis = self._visible_paths(name, meta)
         if not vis:
             return True  # empty table: nothing to delete
@@ -4903,48 +5118,96 @@ class Lakehouse:
         hits = (
             raw.filter(pred)
             .select("__dv_f", "__dv_p")
-            .limit(cap + 1)
+            .limit(inline_cap + 1)
             .collect()
         )
-        if len(hits) > cap:
-            if mode == "dv":
-                raise ValueError(
-                    f"delete_where(mode='dv') on {name!r} matched more than "
-                    f"{cap} rows — vectors past this size stop being cheap "
-                    "metadata; use mode='rewrite' (or 'auto')."
-                )
-            return False
         if not hits:
             return True  # nothing to delete, nothing to commit
         # cumulative bound (r11 review find): the per-call cap alone lets
         # a nightly under-cap delete accumulate unbounded vectors on a
-        # partition no compaction touches — every read would then decode
-        # and broadcast the lot, the exact state the cap exists to
-        # prevent. Bound the TABLE's total post-merge position count too;
-        # past it the rewrite path materializes (auto) or the caller is
-        # told to compact (dv).
-        existing = sum(int(e[0]) for e in meta.deletion_vectors.values())
-        if existing + len(hits) > cap:
-            if mode == "dv":
-                raise ValueError(
-                    f"delete_where(mode='dv') on {name!r}: the table would "
-                    f"carry more than {cap} vectored positions in total "
-                    f"({existing} accumulated + {len(hits)} new) — run "
-                    "optimize()/compact() to materialize the backlog, or "
-                    "use mode='rewrite'/'auto'."
-                )
-            return False
-        by_file: dict[str, list[int]] = {}
-        for r in hits:
-            by_file.setdefault(r["__dv_f"], []).append(int(r["__dv_p"]))
+        # partition no compaction touches — every read would then
+        # broadcast the lot, the exact state the cap exists to prevent.
+        # Bound the TABLE's total post-merge position count (inline +
+        # sidecars); past it the rewrite path materializes (auto) or the
+        # caller is told to compact (dv).
+        existing = sum(int(e[0]) for e in meta.deletion_vectors.values()) + sum(
+            int(e[1]) for e in meta.dv_sidecars
+        )
         affected_rels: set[str] = set()
-        for f, new_pos in by_file.items():
-            ent = meta.deletion_vectors.get(f)
-            if ent is not None:
-                new_pos = new_pos + _dv_decode(ent)
-            meta.deletion_vectors[f] = _dv_encode(new_pos)
-            leaf = f.rsplit("/", 1)[0]
-            affected_rels.add(leaf.partition("/")[2])
+        if len(hits) > inline_cap:
+            # big matched set: ONE fresh executor-side evaluation writes
+            # the sidecar (the probe rows are discarded — the written
+            # parquet is the single authoritative matched set, so a
+            # nondeterministic predicate stays self-consistent). The
+            # limit bounds the wasted write when the match blows the
+            # budget: one row past it proves the overflow.
+            budget = max(cap - existing, 0)
+            entry = self._write_dv_sidecar(
+                name, raw.filter(pred).limit(budget + 1)
+            )
+            if existing + entry[1] > cap:
+                self.fs.delete(f"{self._dir(name)}/{entry[0]}")
+                if mode == "dv":
+                    raise ValueError(
+                        f"delete_where(mode='dv') on {name!r} matched more "
+                        f"than the table's vector budget ({existing} "
+                        f"accumulated + {entry[1]} new vs cap {cap}) — "
+                        "vectors past this size stop being cheap relative "
+                        "to the rewrite; run optimize()/compact() to "
+                        "materialize the backlog, or use "
+                        "mode='rewrite'/'auto'."
+                    )
+                return False
+            meta.dv_sidecars.append(entry)
+            affected_rels = self._sidecar_rels(name, [entry])
+        else:
+            if existing + len(hits) > cap:
+                if mode == "dv":
+                    raise ValueError(
+                        f"delete_where(mode='dv') on {name!r}: the table "
+                        f"would carry more than {cap} vectored positions in "
+                        f"total ({existing} accumulated + {len(hits)} new) "
+                        "— run optimize()/compact() to materialize the "
+                        "backlog, or use mode='rewrite'/'auto'."
+                    )
+                return False
+            inline_existing = sum(
+                int(e[0]) for e in meta.deletion_vectors.values()
+            )
+            if inline_existing + len(hits) > inline_cap:
+                # inline tier would overflow: spill THIS call's hits to a
+                # sidecar (tiny bounded createDataFrame — ≤ inline_cap
+                # rows already on the driver from the probe)
+                import pandas as pd
+
+                fp = self.spark.createDataFrame(
+                    pd.DataFrame(
+                        [(r["__dv_f"], int(r["__dv_p"])) for r in hits],
+                        columns=["__dv_f", "__dv_p"],
+                    ),
+                    T.StructType(
+                        [
+                            T.StructField("__dv_f", T.StringType()),
+                            T.StructField("__dv_p", T.LongType()),
+                        ]
+                    ),
+                )
+                entry = self._write_dv_sidecar(name, fp)
+                meta.dv_sidecars.append(entry)
+                for r in hits:
+                    leaf = r["__dv_f"].rsplit("/", 1)[0]
+                    affected_rels.add(leaf.partition("/")[2])
+            else:
+                by_file: dict[str, list[int]] = {}
+                for r in hits:
+                    by_file.setdefault(r["__dv_f"], []).append(int(r["__dv_p"]))
+                for f, new_pos in by_file.items():
+                    ent = meta.deletion_vectors.get(f)
+                    if ent is not None:
+                        new_pos = new_pos + _dv_decode(ent)
+                    meta.deletion_vectors[f] = _dv_encode(new_pos)
+                    leaf = f.rsplit("/", 1)[0]
+                    affected_rels.add(leaf.partition("/")[2])
         base = affected_rels if meta.partition_keys else None
         rebase = self._make_rebase(before, meta, "rmw", base_rels=base)
         self._commit_meta(meta, None, action="delete_where(dv)", rebase=rebase)
@@ -4970,8 +5233,14 @@ class Lakehouse:
         rows from a 1 TB partition costs one metadata PUT instead of a
         partition rewrite. The deletes materialize physically (and the
         vectors drop) at the next optimize()/compact()/rewrite of the
-        partition. Bounded: raises past ``_DV_AUTO_MAX_ROWS`` matched
-        rows — wide deletes belong to the rewrite path. PK tables must
+        partition. Two tiers (r12): matched sets up to
+        ``_DV_INLINE_MAX_POSITIONS`` (100k) ride base64-inline in the
+        manifest; bigger sets are written executor-side to an immutable
+        parquet sidecar under ``<table>/dv/`` (the manifest keeps a
+        pointer + count), up to a TOTAL of ``_DV_AUTO_MAX_ROWS`` (1M)
+        vectored positions per call and cumulatively — past that the
+        broadcast build side stops being cheap and the call raises;
+        wide deletes belong to the rewrite path. PK tables must
         be compacted (no pending deltas): with a PK shadow pending,
         vector-deleting the newest copy would resurrect the shadowed
         older row, which the rewrite path absorbs instead.
@@ -5118,6 +5387,44 @@ class Lakehouse:
                     "delete_where + insert."
                 )
             matched = self._read_logical(name, meta).filter(pred)
+            moving_pk = set(sets) & set(meta.partition_keys)
+            if moving_pk:
+                # a partition-key assignment on a PK table MOVES rows out
+                # of their committed partition: the upsert route would
+                # land the new copy in the target partition while the
+                # stale copy stays in the source's BASE — a partition
+                # whose pointer a pruned optimize() never reads, so the
+                # duplicate PK survives forever once the deltas are
+                # absorbed (r11 verdict task #6 — the suspicion was
+                # right). Fix: checkpoint the matched set once (the
+                # source rels and the written rows must come from ONE
+                # evaluation), enumerate its CURRENT partitions, and
+                # append the transformed copies with those source rels
+                # marked dirty IN THE SAME COMMIT — the optimize() that
+                # absorbs the delta then keep-latests across source AND
+                # target together.
+                matched = matched.localCheckpoint(eager=True)
+                pks = meta.partition_keys
+                vals = (
+                    matched.select(
+                        [F.col(k).cast("string").alias(k) for k in pks]
+                    )
+                    .distinct()
+                    .collect()
+                )
+                src_rels = sorted(
+                    _hive_rel(pks, tuple(r[k] for k in pks)) for r in vals
+                )
+                if not src_rels:
+                    return  # nothing matched
+                self.insert(
+                    name,
+                    transformed(matched),
+                    mode="append",
+                    extra_dirty_rels=src_rels,
+                )
+                self.optimize(name)
+                return
             self.upsert(name, transformed(matched))
             return
 
@@ -5169,8 +5476,26 @@ class Lakehouse:
         else:
             affected = set()
             sub = raw
-        out = sub.filter(~pred).drop(_SEQ_COL).unionByName(
-            transformed(sub.filter(pred))
+        # ONE scan with the match bit computed once per row (r12 advice
+        # fix): deriving keep/transform from two independent filter(pred)
+        # evaluations let a nondeterministic predicate drop or duplicate
+        # rows WITHIN a partition — invisible to the stray-partition
+        # guard, which only sees cross-partition divergence. Catalyst
+        # does not collapse a nondeterministic projection into its
+        # consumers, so ``__uw_m`` is evaluated exactly once per row.
+        marked = sub.withColumn("__uw_m", pred)
+        out = marked.select(
+            *[
+                F.when(
+                    F.col("__uw_m"),
+                    (sets[c] if c in sets else F.col(c)).cast(
+                        meta.schema[c].dataType
+                    ),
+                )
+                .otherwise(F.col(c))
+                .alias(c)
+                for c in names
+            ]
         )
         token = self._write_seq(name, meta, out, seq)
         self._validate_checks(name, meta, seq)
@@ -5229,6 +5554,7 @@ class Lakehouse:
         are written as a delta generation, the originals vector-deleted,
         one manifest PUT commits both — atomic by construction."""
         cap = self._DV_AUTO_MAX_ROWS
+        inline_cap = min(self._DV_INLINE_MAX_POSITIONS, cap)
         vis = self._visible_paths(name, meta)
         if not vis:
             return True
@@ -5245,11 +5571,15 @@ class Lakehouse:
         # ``matched`` goes out of scope — the lifecycle
         # _shared_probe_input documents.
         matched = raw.filter(pred).limit(cap + 1).localCheckpoint(eager=True)
-        hits = matched.select("__dv_f", "__dv_p").collect()
-        existing = sum(int(e[0]) for e in meta.deletion_vectors.values())
-        if existing + len(hits) > cap:
+        n_matched = matched.count()
+        if n_matched == 0:
+            return True
+        existing = sum(int(e[0]) for e in meta.deletion_vectors.values()) + sum(
+            int(e[1]) for e in meta.dv_sidecars
+        )
+        if existing + n_matched > cap:
             if mode == "dv":
-                over = f"{cap}+" if len(hits) > cap else str(len(hits))
+                over = f"{cap}+" if n_matched > cap else str(n_matched)
                 raise ValueError(
                     f"update_where(mode='dv') on {name!r}: over the vector "
                     f"bound ({existing} accumulated + {over} matched vs "
@@ -5257,8 +5587,8 @@ class Lakehouse:
                     "optimize()/compact() the backlog first."
                 )
             return False
-        if not hits:
-            return True
+        inline_existing = sum(int(e[0]) for e in meta.deletion_vectors.values())
+        use_sidecar = inline_existing + n_matched > inline_cap
         new_rows = transformed(matched.drop("__dv_f", "__dv_p").drop(_SEQ_COL))
         seq = self._reserve_seq(name, meta)
         token = self._write_seq(name, meta, new_rows, seq)
@@ -5270,17 +5600,28 @@ class Lakehouse:
                 "directory for a non-empty matched set"
             )
         self._validate_checks(name, meta, seq)
-        by_file: dict[str, list[int]] = {}
-        for r in hits:
-            by_file.setdefault(r["__dv_f"], []).append(int(r["__dv_p"]))
         affected_rels: set[str] = set()
-        for f, new_pos in by_file.items():
-            ent = meta.deletion_vectors.get(f)
-            if ent is not None:
-                new_pos = new_pos + _dv_decode(ent)
-            meta.deletion_vectors[f] = _dv_encode(new_pos)
-            leaf = f.rsplit("/", 1)[0]
-            affected_rels.add(leaf.partition("/")[2])
+        if use_sidecar:
+            # past the inline tier the originals' identities never touch
+            # the driver: the checkpointed matched set writes the sidecar
+            # executor-side (r12 — the r11 collect was the 100k bound)
+            entry = self._write_dv_sidecar(
+                name, matched.select("__dv_f", "__dv_p")
+            )
+            meta.dv_sidecars.append(entry)
+            affected_rels = self._sidecar_rels(name, [entry])
+        else:
+            hits = matched.select("__dv_f", "__dv_p").collect()
+            by_file: dict[str, list[int]] = {}
+            for r in hits:
+                by_file.setdefault(r["__dv_f"], []).append(int(r["__dv_p"]))
+            for f, new_pos in by_file.items():
+                ent = meta.deletion_vectors.get(f)
+                if ent is not None:
+                    new_pos = new_pos + _dv_decode(ent)
+                meta.deletion_vectors[f] = _dv_encode(new_pos)
+                leaf = f.rsplit("/", 1)[0]
+                affected_rels.add(leaf.partition("/")[2])
         depth = len(meta.partition_keys)
         written_rels = (
             self.fs.glob_dir_leaves(

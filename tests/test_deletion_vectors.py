@@ -456,3 +456,272 @@ def test_dv_free_tables_pay_zero_plan_nodes(lake, spark):
     got = lake.table("t").filter(F.col("k") == 50)
     p2 = got._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(k), EqualTo(k,50)" in p2
+
+
+# ---------------------------------------------------------------------------
+# sidecar vectors (r12): past _DV_INLINE_MAX_POSITIONS the positions move
+# to immutable parquet files under <table>/dv/, built and applied
+# executor-side; the manifest keeps [relpath, count, [seqs]] pointers
+# ---------------------------------------------------------------------------
+
+def _sidecar_files(lake, name):
+    return set(lake.fs.list_subdirs(f"{lake._dir(name)}/dv")) if lake.fs.exists(
+        f"{lake._dir(name)}/dv"
+    ) else set()
+
+
+def test_dv_sidecar_round_trip_exact_and_rewrites_nothing(lake, spark, monkeypatch):
+    """A delete past the inline tier lands as a parquet sidecar: the
+    manifest carries only a pointer, no data file is rewritten, the read
+    is exact, and a FRESH handle (cold manifest load) sees it too."""
+    monkeypatch.setattr(Lakehouse, "_DV_INLINE_MAX_POSITIONS", 10)
+    lake.create("t", SCHEMA, ["part"], [])
+    for p in range(2):
+        lake.insert("t", _batch(spark, p * 100, (p + 1) * 100, p))
+    files = {f for f in lake.table("t").inputFiles() if "/data/" in f}
+    lake.delete_where("t", F.col("k").between(20, 59), mode="dv")  # 40 > 10
+    # data files untouched; the only addition is the sidecar's parquet
+    assert {f for f in lake.table("t").inputFiles() if "/data/" in f} == files, (
+        "sidecar delete rewrote data"
+    )
+    assert any("/dv/" in f for f in lake.table("t").inputFiles())
+    m = lake._load_meta("t")
+    assert m.deletion_vectors == {}, "big delete must not grow the inline dict"
+    assert len(m.dv_sidecars) == 1
+    rel, n, seqs = m.dv_sidecars[0]
+    assert n == 40 and rel.startswith("dv/") and seqs
+    assert sorted(r.k for r in lake.table("t").collect()) == [
+        k for k in range(200) if not 20 <= k <= 59
+    ]
+    assert lake.scan("t").count() == 160
+    fresh = Lakehouse(spark, lake.root)
+    assert fresh.table("t").count() == 160
+
+
+def test_dv_inline_overflow_spills_to_sidecar(lake, spark, monkeypatch):
+    """Successive small deletes crossing the inline tier spill to a
+    sidecar instead of growing the manifest unboundedly; both tiers
+    apply together and merge-correctly on re-delete."""
+    monkeypatch.setattr(Lakehouse, "_DV_INLINE_MAX_POSITIONS", 15)
+    lake.create("t", SCHEMA, [], [])
+    lake.insert("t", _batch(spark, 0, 100, 0))
+    lake.delete_where("t", F.col("k") < 10, mode="dv")   # inline (10)
+    m = lake._load_meta("t")
+    assert sum(e[0] for e in m.deletion_vectors.values()) == 10
+    assert m.dv_sidecars == []
+    lake.delete_where("t", F.col("k") < 22, mode="dv")   # +12 would be 22 > 15
+    m = lake._load_meta("t")
+    assert sum(e[0] for e in m.deletion_vectors.values()) == 10, "inline unchanged"
+    assert len(m.dv_sidecars) == 1 and m.dv_sidecars[0][1] == 12
+    assert sorted(r.k for r in lake.table("t").collect()) == list(range(22, 100))
+    # re-delete of already-vectored rows (both tiers) is a no-op
+    v = m.version
+    lake.delete_where("t", F.col("k") < 22, mode="dv")
+    assert lake._load_meta("t").version == v
+
+
+def test_dv_sidecar_materializes_on_compact_and_is_vacuumed(spark, tmp_path, monkeypatch):
+    """compact() absorbs sidecar deletes exactly like inline ones and the
+    pruned sidecar FILE is reclaimed by vacuum — while a referenced
+    sidecar survives vacuum untouched."""
+    monkeypatch.setattr(Lakehouse, "_DV_INLINE_MAX_POSITIONS", 5)
+    lake = Lakehouse(spark, str(tmp_path / "lake"))
+    lake.create("t", SCHEMA, ["part"], [])
+    lake.insert("t", _batch(spark, 0, 100, 0))
+    lake.delete_where("t", F.col("k") < 30, mode="dv")
+    assert len(_sidecar_files(lake, "t")) == 1
+    lake.vacuum("t", grace_s=0)
+    assert len(_sidecar_files(lake, "t")) == 1, "live sidecar vacuumed"
+    assert sorted(r.k for r in lake.table("t").collect()) == list(range(30, 100))
+    lake.compact("t", full=True)
+    m = lake._load_meta("t")
+    assert m.dv_sidecars == [] and m.deletion_vectors == {}
+    assert lake.table("t").count() == 70
+    lake.vacuum("t", grace_s=0)
+    assert _sidecar_files(lake, "t") == set(), "dead sidecar must be reclaimed"
+    assert lake.table("t").count() == 70
+
+
+def test_update_where_dv_sidecar_path_atomic(lake, spark, monkeypatch):
+    """update_where past the inline tier: originals to a sidecar
+    (executor-side), transformed copies as one delta generation, ONE
+    commit; row count preserved and values exact."""
+    monkeypatch.setattr(Lakehouse, "_DV_INLINE_MAX_POSITIONS", 10)
+    lake.create("t", SCHEMA, ["part"], [])
+    for p in range(2):
+        lake.insert("t", _batch(spark, p * 50, (p + 1) * 50, p))
+    v0 = lake._load_meta("t").version
+    lake.update_where("t", F.col("k") < 30, {"v": F.lit(-1.0)}, mode="dv")
+    m = lake._load_meta("t")
+    assert m.version == v0 + 1, "must be ONE commit"
+    assert m.deletion_vectors == {} and len(m.dv_sidecars) == 1
+    assert m.dv_sidecars[0][1] == 30
+    got = {r.k: r.v for r in lake.table("t").collect()}
+    assert len(got) == 100
+    assert all(got[k] == -1.0 for k in range(30))
+    assert all(got[k] == float(k) for k in range(30, 100))
+
+
+def test_dv_cumulative_bound_counts_sidecars(spark, tmp_path, monkeypatch):
+    """The total-vector budget spans BOTH tiers: sidecar positions count
+    toward the cumulative cap, so auto materializes once inline+sidecar
+    would exceed it."""
+    monkeypatch.setattr(Lakehouse, "_DV_INLINE_MAX_POSITIONS", 10)
+    monkeypatch.setattr(Lakehouse, "_DV_AUTO_MAX_ROWS", 40)
+    lake = Lakehouse(spark, str(tmp_path / "lake"))
+    lake.create("t", SCHEMA, [], [])
+    lake.insert("t", _batch(spark, 0, 100, 0))
+    lake.delete_where("t", F.col("k") < 25, mode="dv")  # sidecar, 25
+    m = lake._load_meta("t")
+    assert len(m.dv_sidecars) == 1 and m.dv_sidecars[0][1] == 25
+    with pytest.raises(ValueError, match="optimize\\(\\)/compact\\(\\)"):
+        lake.delete_where("t", F.col("k") < 45, mode="dv")  # +20 > 40
+    files = set(lake.table("t").inputFiles())
+    lake.delete_where("t", F.col("k") < 45, mode="auto")  # materializes
+    assert set(lake.table("t").inputFiles()) != files
+    m = lake._load_meta("t")
+    assert m.dv_sidecars == [] and m.deletion_vectors == {}
+    assert sorted(r.k for r in lake.table("t").collect()) == list(range(45, 100))
+
+
+def test_dv_sidecar_time_travel_restore_and_cdc(spark, tmp_path, monkeypatch):
+    """Sidecar pointers ride the archived manifests: time travel sees
+    the pre/post-delete states, restore round-trips, and the pruned CDC
+    path on a partitioned PK table emits the sidecar deletes."""
+    monkeypatch.setattr(Lakehouse, "_DV_INLINE_MAX_POSITIONS", 3)
+    lake = Lakehouse(spark, str(tmp_path / "lake"))
+    lake.create("p", SCHEMA, ["part"], ["k", "part"], retain_versions=10)
+    lake.upsert("p", _batch(spark, 0, 15, 0))
+    lake.upsert("p", _batch(spark, 15, 30, 1))
+    lake.optimize("p")
+    v0 = lake._load_meta("p").version
+    lake.delete_where("p", F.col("k").isin([5, 6, 7, 20]), mode="dv")
+    v1 = lake._load_meta("p").version
+    assert len(lake._load_meta("p").dv_sidecars) == 1
+    assert lake.table("p", version=v0).count() == 30
+    assert lake.table("p", version=v1).count() == 26
+    ch = lake.table_changes("p", v0).collect()
+    assert sorted((r.k, r._change_type) for r in ch) == [
+        (5, "delete"), (6, "delete"), (7, "delete"), (20, "delete"),
+    ]
+    lake.restore("p", v0)
+    assert lake.table("p").count() == 30
+    lake.restore("p", v1)
+    assert lake.table("p").count() == 26
+    # the restored sidecar must also survive vacuum (referenced again)
+    lake.vacuum("p", grace_s=0)
+    assert lake.table("p").count() == 26
+
+
+def test_dv_sidecar_rival_rewrite_conflicts(lake, spark, monkeypatch):
+    """A stale rewrite racing a rival SIDECAR delete under its footprint
+    must refuse — committing would resurrect the rival's deletes."""
+    monkeypatch.setattr(Lakehouse, "_DV_INLINE_MAX_POSITIONS", 3)
+    lake.create("t", SCHEMA, ["part"], ["k", "part"])
+    lake.upsert("t", _batch(spark, 0, 50, 0))
+    lake.optimize("t")
+    meta0 = lake._load_meta("t")
+    before0 = lake._snapshot_meta(meta0)
+    rival = Lakehouse(lake.spark, lake.root)
+    rival.delete_where("t", F.col("k") < 10, mode="dv")  # sidecar (10 > 3)
+    assert len(rival._load_meta("t").dv_sidecars) == 1
+    raw = lake._read_raw("t", before0)
+    seq = lake._reserve_seq("t", meta0)
+    token = lake._write_seq("t", meta0, raw.drop("_seq"), seq)
+    for rel in lake.fs.glob_dir_leaves(f"{lake._seq_dir('t', seq)}/*=*", 1):
+        meta0.committed[rel] = seq
+    meta0.live_deltas = []
+    meta0.dirty_partitions = []
+    rebase = lake._make_rebase(before0, meta0, "rmw", base_rels=None)
+    with pytest.raises(ConcurrentWriteError):
+        lake._commit_meta(meta0, token, action="stale-rewrite", rebase=rebase)
+    assert Lakehouse(lake.spark, lake.root).table("t").count() == 40
+
+
+def test_dv_prune_fail_closed_on_malformed_entries():
+    """r12 advice: _prune_deletion_vectors must KEEP entries it cannot
+    parse — on a delete-masking structure, dropping a malformed key
+    would silently resurrect deleted rows."""
+    from at_data_pipelines_spark.catalog import TableMeta
+    import json as _json
+    from pyspark.sql import types as T2
+
+    meta = TableMeta(
+        name="t",
+        schema_json=_json.dumps(T2.StructType([T2.StructField("k", T2.LongType())]).jsonValue()),
+    )
+    meta.live_deltas = [3]
+    meta.deletion_vectors = {
+        "_seq=3/part-a.parquet": [1, "AQ=="],      # live: kept
+        "_seq=9/part-b.parquet": [1, "AQ=="],      # dead generation: pruned
+        "garbage-no-seq/part-c.parquet": [1, "AQ=="],  # unparseable: KEPT
+    }
+    meta.dv_sidecars = [
+        ["dv/dv-live", 5, [3]],        # references live gen: kept
+        ["dv/dv-dead", 5, [9]],        # dead gen: pruned
+        ["dv/dv-bad", 5, "not-a-list"],  # malformed: KEPT (fail closed)
+    ]
+    Lakehouse._prune_deletion_vectors(meta)
+    assert set(meta.deletion_vectors) == {
+        "_seq=3/part-a.parquet", "garbage-no-seq/part-c.parquet",
+    }
+    assert [e[0] for e in meta.dv_sidecars] == ["dv/dv-live", "dv/dv-bad"]
+
+
+def test_update_where_pk_cross_partition_shadow_never_resurfaces(lake, spark):
+    """r11 verdict task #6 regression pin — the suspicion was RIGHT: on
+    a PK table whose partition key is NOT part of the PK, routing a
+    partition-key update through plain upsert strands the stale copy in
+    the source partition's base (a pruned optimize never reads it), so
+    the duplicate PK survived forever. update_where now appends the
+    moved copies WITH the source partitions marked dirty in the same
+    commit, and the optimize it runs absorbs source and target
+    together — every read path must show exactly one copy from the
+    moment update_where returns."""
+    lake.create("p", SCHEMA, ["part"], ["k"], retain_versions=10)
+    lake.upsert("p", _batch(spark, 0, 20, 0))
+    lake.optimize("p")
+    v0 = lake._load_meta("p").version
+    lake.update_where("p", F.col("k") == 3, {"part": F.lit(1), "v": F.lit(-3.0)})
+    # scan + table: exactly one k=3, in the new partition (update_where
+    # already ran the absorbing optimize — no deltas left to mask shadows)
+    assert lake._load_meta("p").live_deltas == []
+    for df in (lake.table("p"), lake.scan("p")):
+        got = [(r.part, r.v) for r in df.filter("k = 3").collect()]
+        assert got == [(1, -3.0)], got
+    assert lake.table("p").count() == 20
+    # CDC between the snapshots: an update pre/post pair, no phantom delete
+    ch = lake.table_changes("p", v0).collect()
+    assert sorted((r.k, r._change_type) for r in ch) == [
+        (3, "update_postimage"), (3, "update_preimage"),
+    ]
+    # a later full optimize must not resurrect anything either
+    lake.optimize("p", full=True)
+    for df in (lake.table("p"), lake.scan("p")):
+        got = [(r.part, r.v) for r in df.filter("k = 3").collect()]
+        assert got == [(1, -3.0)], got
+    assert lake.table("p").count() == 20
+    # and time travel still shows the pre-update state
+    assert [
+        (r.part, r.v) for r in lake.table("p", version=v0).filter("k = 3").collect()
+    ] == [(0, 3.0)]
+
+
+def test_analyze_reports_cross_partition_pk_shadows(lake, spark):
+    """analyze()['pk_duplicates'] surfaces the one remaining door to a
+    stranded shadow — a caller driving upsert() directly with an
+    UNSTABLE partition value for an existing key — and optimize(full)
+    repairs it."""
+    lake.create("p", SCHEMA, ["part"], ["k"])
+    lake.upsert("p", _batch(spark, 0, 10, 0))
+    lake.optimize("p")
+    assert lake.analyze("p")["pk_duplicates"] == 0
+    # contract violation: same key re-landed under a different partition
+    lake.upsert("p", spark.createDataFrame([(3, 1, -3.0)], SCHEMA))
+    stats = lake.analyze("p")
+    assert stats["pk_duplicates"] == 1, "stranded shadow must be visible"
+    lake.optimize("p", full=True)
+    assert lake.analyze("p")["pk_duplicates"] == 0
+    assert [(r.part, r.v) for r in lake.table("p").filter("k = 3").collect()] == [
+        (1, -3.0)
+    ]
