@@ -2791,6 +2791,9 @@ class Lakehouse:
         else:
             dists = {}
         out: dict = {"as_of_version": meta.version, "rows": rows, "columns": {}}
+        sat = self._bloom_saturation(meta)
+        if sat:
+            out["bloom_saturated"] = sat
         if meta.primary_keys and rows:
             # exact (not sketched) duplicate-PK count: the shadow
             # diagnostic must never false-positive, and one extra
@@ -2808,6 +2811,41 @@ class Lakehouse:
         meta.table_stats = out
         self._commit_meta(meta, None, action="analyze")
         return out
+
+    @staticmethod
+    def _bloom_saturation(meta: TableMeta, factor: float = 4.0) -> dict:
+        """Saturated-Bloom diagnostic (r12 — the m-cap overflow surface):
+        per-leaf ESTIMATED false-positive rate, ``(set_bits/m)^k``, for
+        every leaf filter whose estimate exceeds ``factor`` × the
+        table's target fpp. The auto-sizer caps m at 64× base as a
+        deliberate manifest-size bound, so a pathologically dense leaf
+        (≫ ~2M values at defaults) silently degrades from ~1% toward
+        100% FPR — pruning weakens but stays CORRECT. This surfaces
+        exactly those leaves so operators can recreate with a bigger
+        ``bloom_m_bits`` or split ingest batches, instead of discovering
+        the degradation as unexplained scan fan-out. Driver-side popcount
+        over words already in the manifest — no data is read."""
+        if not meta.bloom_columns or not meta.zone_maps:
+            return {}
+        target = meta.properties.get("bloom.fpp") or _BLOOM_DEFAULT_FPP
+        threshold = min(1.0, factor * float(target))
+        sat: dict = {}
+        for leaf, stats in meta.zone_maps.items():
+            for key, ent in stats.items():
+                if not key.endswith("#bloom"):
+                    continue
+                try:
+                    m_bits, kk, words = int(ent[0]), int(ent[1]), ent[2]
+                    set_bits = sum(
+                        bin(b & ((1 << 64) - 1)).count("1")
+                        for b in words.values()
+                    )
+                    est = (set_bits / m_bits) ** kk
+                except (TypeError, ValueError, IndexError, ZeroDivisionError):
+                    continue  # malformed entry: scan() ignores it too
+                if est > threshold:
+                    sat[f"{leaf}:{key[: -len('#bloom')]}"] = round(est, 4)
+        return sat
 
     @staticmethod
     def _apply_properties(meta: TableMeta, props: dict) -> None:

@@ -203,44 +203,62 @@ def _ranked_shingles(sh: DataFrame, id_col: str) -> DataFrame:
 
 
 def _prefix_candidates(ranked: DataFrame, id_col: str, threshold: float) -> DataFrame:
-    """Exact candidate pairs via prefix + positional filtering (Bayardo
-    All-Pairs / PPJoin / Vernica et al. MapReduce set-similarity join).
+    """Exact candidate pairs via prefix + positional + index-prefix
+    filtering (Bayardo All-Pairs / PPJoin / Xiao et al. / Vernica et al.
+    MapReduce set-similarity join).
 
-    Keep only each document's prefix — the ``|d| − ⌈t·|d|⌉ + 1`` first
-    shingles in the canonical order. Lossless: jaccard(a,b) ≥ t implies
-    overlap o ≥ t·|a| (and t·|b|), so the canonically SMALLEST shared
-    shingle has rank ≤ |a| − o + 1 ≤ prefix_len in BOTH docs.
+    Asymmetric prefixes (r12, the PPJoin-family index-prefix reduction):
+    the join's PROBE side keeps each document's ``|d| − ⌈t·|d|⌉ + 1``
+    canonically-first shingles, but the INDEX side — by convention the
+    SMALLER document of the pair — only needs
+    ``|d| − ⌈2t/(1+t)·|d|⌉ + 1``: for a qualifying pair with
+    |a| ≥ |b|, the overlap o ≥ α = t/(1+t)·(|a|+|b|) ≥ 2t/(1+t)·|b|,
+    so the canonically smallest SHARED shingle ranks ≤ |b| − o + 1
+    within b's index prefix (and o ≥ t·|a| puts it within a's probe
+    prefix). At t = 0.8 the index side shrinks from 0.2·|d| to
+    0.11·|d| — the candidate join's build side nearly halves with zero
+    recall loss. Role assignment (probe = larger doc, ties by larger
+    id) is a total order, so every unordered pair is generated exactly
+    once; output is normalized back to id_a < id_b.
 
-    Join conditions beyond the shingle equi-key, all necessary
-    conditions evaluated on that smallest shared shingle (so the pair
-    always survives through it):
+    Remaining join conditions, all necessary conditions evaluated on
+    that smallest shared shingle (so the pair always survives through
+    it):
 
-    - size filter: t·max(|a|,|b|) ≤ min(|a|,|b|);
+    - size filter: t·|a| ≤ |b| (probe is the larger side by role);
     - PPJoin positional bound: common shingles all rank ≥ the smallest
       one, so o ≤ 1 + min(|a|−pos_a, |b|−pos_b), which must reach the
-      required overlap α = ⌈t·(|a|+|b|)/(1+t)⌉ — prunes matches that sit
-      too late in either prefix.
+      required overlap α — prunes matches that sit too late in either
+      prefix.
     """
     # ceil(t·n) with a downward epsilon: fp noise making t·n = k + 1e-16
     # would shorten the prefix below the lossless bound; erring toward a
     # longer prefix only adds candidates (verify stays exact)
-    prefix_len = F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n") - F.lit(1e-9)) + 1
-    pref = ranked.filter(F.col("_pos") <= prefix_len).select(id_col, "sh_h", "_n", "_pos")
-    a, b = pref.alias("a"), pref.alias("b")
+    probe_len = F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n") - F.lit(1e-9)) + 1
+    idx_frac = 2.0 * threshold / (1.0 + threshold)
+    index_len = F.col("_n") - F.ceil(F.lit(idx_frac) * F.col("_n") - F.lit(1e-9)) + 1
+    base = ranked.select(id_col, "sh_h", "_n", "_pos")
+    a = base.filter(F.col("_pos") <= probe_len).alias("a")
+    b = base.filter(F.col("_pos") <= index_len).alias("b")
     na, nb = F.col("a._n"), F.col("b._n")
+    aid, bid = F.col(f"a.{id_col}"), F.col(f"b.{id_col}")
     alpha = F.lit(threshold) / (1 + threshold) * (na + nb) - F.lit(1e-9)
     return (
         a.join(
             b,
             (F.col("a.sh_h") == F.col("b.sh_h"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-            & (F.lit(threshold) * F.greatest(na, nb) - F.lit(1e-9) <= F.least(na, nb).cast("double"))
+            # probe = larger doc (ties: larger id) — a strict total order,
+            # so each unordered pair joins through exactly one role split
+            & ((na > nb) | ((na == nb) & (aid > bid)))
+            & (F.lit(threshold) * na - F.lit(1e-9) <= nb.cast("double"))
             & (
                 (1 + F.least(na - F.col("a._pos"), nb - F.col("b._pos"))).cast("double")
                 >= alpha
             ),
         )
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .select(
+            F.least(aid, bid).alias("id_a"), F.greatest(aid, bid).alias("id_b")
+        )
         .distinct()
     )
 
@@ -340,6 +358,12 @@ def jaccard_pairs(
         from pyspark import StorageLevel
 
         release_shingle_caches()
+        if max_doc_freq is None:
+            # _df only feeds the max_doc_freq candidate filter — when
+            # that's off, dropping it before persist cuts the cached
+            # relation (the thing that starts spilling at the top ladder
+            # rungs) by one long column with identical results
+            rel = rel.drop("_df")
         rel = rel.persist(StorageLevel.MEMORY_AND_DISK)
         _SHINGLE_CACHE_REGISTRY.append(rel)
     if candidates is None:

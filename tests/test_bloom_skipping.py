@@ -558,3 +558,29 @@ def test_legacy_table_without_fpp_property_keeps_fixed_m(lake, spark):
     # and set_bloom_columns without an explicit fpp must NOT backfill one
     lake.set_bloom_columns("d", ["doc_id"])
     assert "bloom.fpp" not in lake._load_meta("d").properties
+
+
+def test_analyze_surfaces_bloom_saturation_past_m_cap(lake, spark):
+    """r11 verdict task #4: the auto-size lattice caps m at 64x base (a
+    deliberate manifest bound) — a leaf ~10x denser than the CAP's
+    design point degrades FPR gracefully but silently. analyze() must
+    surface exactly those leaves (estimated FPR from the stored words,
+    no data read), and stay silent for healthy tables."""
+    # tiny lattice: base m=64 bits -> cap 4096 bits; k=5 target 1% holds
+    # ~450 values, so 10k values in one leaf saturates hard
+    lake.create(
+        "d", SCHEMA, ["bucket"], [], bloom_columns=["doc_id"], bloom_m_bits=64
+    )
+    lake.insert("d", _docs(spark, 0, 10_000, 0), mode="append")
+    stats = lake.analyze("d")
+    sat = stats.get("bloom_saturated", {})
+    assert sat, "10k-value leaf at a 4096-bit cap must be flagged"
+    assert all(key.endswith(":doc_id") for key in sat)
+    assert all(est > 0.5 for est in sat.values()), sat
+    # the flagged filter is degraded, NOT wrong: the probe still matches
+    got = lake.scan("d", where={"doc_id": "doc-00123"})
+    assert [r.doc_id for r in got.collect()] == ["doc-00123"]
+    # healthy table (default sizing, density under the cap): no flag
+    lake.create("h", SCHEMA, ["bucket"], [], bloom_columns=["doc_id"])
+    lake.insert("h", _docs(spark, 0, 4000, 0), mode="append")
+    assert "bloom_saturated" not in lake.analyze("h")
