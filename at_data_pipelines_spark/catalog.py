@@ -3588,6 +3588,31 @@ class Lakehouse:
     _DV_SIDE_SCHEMA = T.StructType(
         [T.StructField("f", T.StringType()), T.StructField("p", T.LongType())]
     )
+    #: most distinct partition rels a sidecar entry records inline for
+    #: the read-path split; past this the entry stores None (= mask
+    #: every partition) instead of bloating the manifest
+    _DV_SIDECAR_REL_CAP = 10_000
+
+    def _dv_affected_rels(self, meta: TableMeta) -> "set[str] | None":
+        """Partition rels that can hold vectored rows — from the manifest
+        alone, zero I/O. ``None`` = cannot confine (unpartitioned table,
+        a legacy/capped sidecar entry without a rel list, or a key shape
+        we don't recognize): the caller must mask every path. Fail-safe
+        direction is always "mask more"."""
+        if not meta.partition_keys:
+            return None
+        rels: set[str] = set()
+        for key in meta.deletion_vectors:
+            leaf = key.rsplit("/", 1)[0]
+            rel = leaf.partition("/")[2]
+            if not rel:
+                return None  # no partition component: mask everything
+            rels.add(rel)
+        for e in meta.dv_sidecars:
+            if len(e) < 4 or e[3] is None:
+                return None
+            rels.update(e[3])
+        return rels
 
     def _write_dv_sidecar(self, name: str, fp_df: DataFrame) -> list:
         """Write one immutable DV sidecar from a (``__dv_f``, ``__dv_p``)
@@ -3607,14 +3632,21 @@ class Lakehouse:
         )
         back = self.spark.read.schema(self._DV_SIDE_SCHEMA).parquet(path)
         n = back.count()
-        heads = [
-            r.h
+        leaves = [
+            r.leaf
             for r in back.select(
-                F.substring_index("f", "/", 1).alias("h")
+                F.expr("regexp_replace(f, '/[^/]+$', '')").alias("leaf")
             ).distinct().collect()
         ]
-        seqs = sorted(int(h.split("=", 1)[1]) for h in heads)
-        return [rel, n, seqs]
+        seqs = sorted({int(lf.partition("/")[0].split("=", 1)[1]) for lf in leaves})
+        # affected partition rels, stored so readers can confine the
+        # anti-join to the partitions that actually carry vectors (the
+        # split in _read_raw); capped so one pathological delete can't
+        # bloat the manifest — past the cap readers mask everything
+        rels = sorted({lf.partition("/")[2] for lf in leaves})
+        if len(rels) > self._DV_SIDECAR_REL_CAP:
+            rels = None
+        return [rel, n, seqs, rels]
 
     def _sidecar_fp_df(self, name: str, entries: list[list]) -> DataFrame:
         """Scan of the given sidecar entries as (__dvd_f, __dvd_p)."""
@@ -3751,6 +3783,40 @@ class Lakehouse:
         df = self._read_raw_unmasked(name, meta, paths)
         if not paths:
             return df  # empty in-memory relation: no _metadata to resolve
+        if not (meta.deletion_vectors or meta.dv_sidecars):
+            return df
+        # DV-confined read (r12): the broadcast anti-join costs ~100 ns
+        # per PROBE row — measured independent of key shape and build
+        # size, it is the join operator breaking whole-stage codegen —
+        # so rows that provably cannot match must never enter it. The
+        # manifest names the partitions that carry vectors; committed
+        # bases OUTSIDE that set scan on the fast plain path (codegen
+        # intact), only the affected bases plus all live-delta dirs
+        # (whose files can carry vectors too) take the join. Worst case
+        # (vectors in every partition, or unpartitioned) degrades to the
+        # old single masked scan.
+        affected = self._dv_affected_rels(meta)
+        if affected is not None:
+            clean: list[str] = []
+            masked = [self._seq_dir(name, s) for s in meta.live_deltas]
+            for rel, s in sorted(meta.committed.items()):
+                base = self._seq_dir(name, s)
+                p = base if rel == "" else f"{base}/{rel}"
+                (masked if (rel == "" or rel in affected) else clean).append(p)
+            parts: list[DataFrame] = []
+            if masked:
+                parts.append(
+                    self._apply_dvs(
+                        self._read_raw_unmasked(name, meta, masked), name, meta
+                    )
+                )
+            if clean:
+                parts.append(self._read_raw_unmasked(name, meta, clean))
+            if len(parts) == 2:
+                return parts[0].unionByName(parts[1])
+            if parts:
+                return parts[0]
+            return df  # no visible paths classified — fall through masked
         return self._apply_dvs(df, name, meta)
 
     def table(self, name: str, version: int | None = None) -> DataFrame:

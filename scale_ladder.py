@@ -492,6 +492,10 @@ def main() -> None:
             f"{n}_rows": measure_dv_delete(spark, n)
             for n in (500_000, 4_000_000)
         }
+        out["dv_sidecar_read"] = {
+            f"{n}_rows": measure_dv_sidecar_read(spark, n, 1_000_000)
+            for n in (4_000_000, 16_000_000)
+        }
 
     if "contention" in sections:
         out["commit_contention"] = {
@@ -900,6 +904,105 @@ def measure_dv_delete(spark, rows: int, n_delete: int = 100) -> dict:
         out[mode] = {
             "delete_s": round(delete_s, 3),
             "read_s_min": round(min(reads), 3),
+        }
+    return out
+
+
+def measure_dv_sidecar_read(spark, rows: int, n_delete: int) -> dict:
+    """r12 rung (r11 verdict task #3): with the 100k manifest-inline cap
+    lifted by parquet SIDECARS, a table can carry ~1M vectored positions
+    — the claim under test is that the read overhead is a FIXED
+    per-query cost (building + broadcasting the ≤1M-position build
+    side, bounded by the cap by construction), NOT a cost that grows
+    with the table: the section runs this at two table sizes and the
+    absolute overhead (masked read − unmasked read) must stay ~equal
+    while the table quadruples. Protocol per size: one partitioned
+    table, read it warm, vector-delete n_delete scattered rows in ONE
+    call (forced through the sidecar path: n_delete >> inline cap),
+    read again — report the delete wall, both read walls, and the
+    absolute/relative overhead. Also asserts the positions really
+    landed in a sidecar (the inline dict must stay empty)."""
+    import tempfile
+    import time as _time
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from at_data_pipelines_spark.catalog import Lakehouse
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("part", T.IntegerType()),
+            T.StructField("v", T.DoubleType()),
+        ]
+    )
+    work = tempfile.mkdtemp(prefix=f"dvside_{rows}_")
+    out: dict = {"rows": rows}
+    n_parts = 32
+    # two delete shapes per size: CONCENTRATED (all positions in one of
+    # 32 partitions — the realistic GDPR/correction footprint; the
+    # confined read masks 1/32 of the table and the rest keeps plain
+    # codegen) and SCATTERED (positions in every partition — the honest
+    # worst case where confinement cannot help and every probe row pays
+    # the join). A real aggregate (sum/avg) is the workload, not
+    # count() — parquet count() reads only footers and would overstate
+    # the relative overhead ~10x.
+    # hash-based row picks: a modulo on k would correlate with the
+    # partition key (part = k % 32) and silently concentrate the
+    # "scattered" shape into a few partitions (first-run bug, caught by
+    # the masked_partitions field this rung reports)
+    # moduli aim ~10% UNDER the target so binomial noise can never trip
+    # the 1M total-vector cap (a delete landing at 1,000,4xx would raise)
+    conc_target = min(n_delete, rows // 8 // 2)
+    conc_mod = max(-(-(rows // 8) // int(conc_target * 0.9)), 2)
+    scat_mod = max(-(-rows // int(n_delete * 0.9)), 2)
+    shapes = {
+        "concentrated": (F.col("part") < 4)
+        & (F.xxhash64("k") % F.lit(conc_mod) == 0),
+        "scattered": F.xxhash64("k") % F.lit(scat_mod) == 0,
+    }
+    for shape, pred in shapes.items():
+        lake = Lakehouse(spark, f"{work}/{shape}")
+        lake.create("t", schema, ["part"], [])
+        lake.insert(
+            "t",
+            spark.range(rows).select(
+                F.col("id").alias("k"),
+                (F.col("id") % n_parts).cast("int").alias("part"),
+                (F.col("id") * 0.5).alias("v"),
+            ),
+        )
+        agg = lambda df: df.agg(  # noqa: E731
+            F.sum("v").alias("s"), F.avg("k").alias("a")
+        ).collect()
+        agg(lake.table("t"))  # warm
+        before = []
+        for _ in range(3):
+            t0 = _time.perf_counter()
+            agg(lake.table("t"))
+            before.append(_time.perf_counter() - t0)
+        t0 = _time.perf_counter()
+        lake.delete_where("t", pred, mode="dv")
+        delete_s = _time.perf_counter() - t0
+        meta = lake._load_meta("t")
+        assert meta.deletion_vectors == {}, "must not inline at this size"
+        side_total = sum(int(e[1]) for e in meta.dv_sidecars)
+        affected = lake._dv_affected_rels(meta)
+        after = []
+        for _ in range(3):
+            t0 = _time.perf_counter()
+            agg(lake.table("t"))
+            after.append(_time.perf_counter() - t0)
+        n = lake.table("t").count()
+        assert n == rows - side_total, (shape, n)
+        out[shape] = {
+            "sidecar_positions": side_total,
+            "masked_partitions": len(affected) if affected is not None else n_parts,
+            "delete_s": round(delete_s, 3),
+            "read_s_min_before": round(min(before), 3),
+            "read_s_min_after": round(min(after), 3),
+            "read_overhead_abs_s": round(min(after) - min(before), 3),
         }
     return out
 

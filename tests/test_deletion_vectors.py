@@ -488,8 +488,11 @@ def test_dv_sidecar_round_trip_exact_and_rewrites_nothing(lake, spark, monkeypat
     m = lake._load_meta("t")
     assert m.deletion_vectors == {}, "big delete must not grow the inline dict"
     assert len(m.dv_sidecars) == 1
-    rel, n, seqs = m.dv_sidecars[0]
+    rel, n, seqs, rels = m.dv_sidecars[0]
     assert n == 40 and rel.startswith("dv/") and seqs
+    # the entry records the affected partitions so readers confine the
+    # anti-join to them (k 20-59 spans only part=0)
+    assert rels == ["part=0"]
     assert sorted(r.k for r in lake.table("t").collect()) == [
         k for k in range(200) if not 20 <= k <= 59
     ]
@@ -725,3 +728,40 @@ def test_analyze_reports_cross_partition_pk_shadows(lake, spark):
     assert [(r.part, r.v) for r in lake.table("p").filter("k = 3").collect()] == [
         (1, -3.0)
     ]
+
+
+def test_dv_confined_read_masks_only_affected_partitions(lake, spark, monkeypatch):
+    """r12: the anti-join costs ~100ns per PROBE row (it breaks
+    whole-stage codegen), so _read_raw confines it to the partitions
+    the manifest says carry vectors — clean partitions scan on the
+    plain codegen path via a union. Exactness across mixed
+    inline+sidecar vectors, a clean partition, and a later delta."""
+    monkeypatch.setattr(Lakehouse, "_DV_INLINE_MAX_POSITIONS", 10)
+    lake.create("t", SCHEMA, ["part"], [])
+    for p in range(3):
+        lake.insert("t", _batch(spark, p * 100, (p + 1) * 100, p))
+    lake.delete_where("t", F.col("k").isin([5, 7]), mode="dv")          # inline, part=0
+    lake.delete_where("t", F.col("k").between(120, 150), mode="dv")    # sidecar, part=1
+    m = lake._load_meta("t")
+    assert m.deletion_vectors and m.dv_sidecars
+    assert lake._dv_affected_rels(m) == {"part=0", "part=1"}
+    plan = lake.table("t")._jdf.queryExecution().executedPlan().toString()
+    assert "Union" in plan and "LeftAnti" in plan
+    # the clean partition's base never enters the join branch: every
+    # scan under the join reads only affected-partition or dv paths
+    want = sorted(k for k in range(300) if k not in (5, 7) and not 120 <= k <= 150)
+    assert sorted(r.k for r in lake.table("t").collect()) == want
+    assert sorted(r.k for r in lake.table("t").filter("part = 2").collect()) == list(range(200, 300))
+    # a later delta lands in the masked branch (its files CAN carry
+    # future vectors) and its rows survive unmasked
+    lake.insert("t", _batch(spark, 300, 310, 2), mode="append")
+    assert lake.table("t").count() == len(want) + 10
+    assert sorted(r.k for r in lake.table("t").filter("part = 2").collect()) == (
+        list(range(200, 300)) + list(range(300, 310))
+    )
+    # unpartitioned tables cannot confine: affected is None
+    lake.create("u", SCHEMA, [], [])
+    lake.insert("u", _batch(spark, 0, 50, 0))
+    lake.delete_where("u", F.col("k") == 1, mode="dv")
+    assert lake._dv_affected_rels(lake._load_meta("u")) is None
+    assert lake.table("u").count() == 49
