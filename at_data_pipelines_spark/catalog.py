@@ -5446,14 +5446,22 @@ class Lakehouse:
         LOGICAL rows — the primary key shadows the old copy, so no data
         is rewritten and no vectors are needed. Assigning a primary-key
         column is refused (that is a delete+insert, not an update: the
-        old key's row would survive).
+        old key's row would survive). Assigning a PARTITION key (legal
+        when it is outside the PK) takes a dedicated path (r12): the
+        transformed copies append WITH the matched rows' source
+        partitions marked dirty in the same commit, so the optimize()
+        that absorbs the delta keep-latests across source and target
+        together — routing through plain upsert stranded the stale
+        source-partition copy forever (pruned optimize never read it).
 
         PK-less tables, ``mode='dv'``: merge-on-read — the matched rows'
         originals are vector-deleted and their transformed copies land
         as ONE new delta generation, both in a single atomic manifest
         commit (a reader sees the old rows or the new rows, never both,
-        never neither). Same bounds as ``delete_where``: per-call and
-        cumulative ``_DV_AUTO_MAX_ROWS``. ``mode='rewrite'`` rewrites
+        never neither). Same tiers and bounds as ``delete_where``:
+        inline up to ``_DV_INLINE_MAX_POSITIONS``, executor-side parquet
+        sidecars past it, ``_DV_AUTO_MAX_ROWS`` total per call and
+        cumulatively. ``mode='rewrite'`` rewrites
         the affected partitions exactly like ``delete_where`` but keeps
         the matched rows transformed; ``mode='auto'`` picks 'dv' when
         under the bounds, else 'rewrite'."""
