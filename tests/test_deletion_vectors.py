@@ -765,3 +765,33 @@ def test_dv_confined_read_masks_only_affected_partitions(lake, spark, monkeypatc
     lake.delete_where("u", F.col("k") == 1, mode="dv")
     assert lake._dv_affected_rels(lake._load_meta("u")) is None
     assert lake.table("u").count() == 49
+
+
+def test_dv_sidecars_survive_segmented_log_fold(spark, tmp_path, monkeypatch):
+    """dv_sidecars is carried WHOLE per segment (it is pointer-sized,
+    unlike the delta-folded deletion_vectors dict): a fresh handle
+    folding segments over a columnar checkpoint must reconstruct the
+    pointers and read the sidecar-masked table exactly."""
+    monkeypatch.setattr(Lakehouse, "_DV_INLINE_MAX_POSITIONS", 5)
+    orig_seg = Lakehouse._LOG_SEGMENT_THRESHOLD
+    orig_col = Lakehouse._COLUMNAR_CHECKPOINT_MIN_ENTRIES
+    Lakehouse._LOG_SEGMENT_THRESHOLD = 0
+    Lakehouse._COLUMNAR_CHECKPOINT_MIN_ENTRIES = 1
+    try:
+        lake = Lakehouse(spark, str(tmp_path / "lake"))
+        lake.create("t", SCHEMA, ["part"], [])
+        lake.insert("t", _batch(spark, 0, 100, 0))
+        lake.insert("t", _batch(spark, 100, 200, 1))
+        lake.delete_where("t", F.col("k") < 20, mode="dv")            # sidecar
+        lake.delete_where("t", F.col("k").between(150, 180), mode="dv")  # second
+        want = lake._load_meta("t").dv_sidecars
+        assert len(want) == 2 and sum(e[1] for e in want) == 51
+        fresh = Lakehouse(spark, lake.root)
+        got = fresh._load_meta("t").dv_sidecars
+        assert got == want
+        assert sorted(r.k for r in fresh.table("t").collect()) == [
+            k for k in range(200) if k >= 20 and not 150 <= k <= 180
+        ]
+    finally:
+        Lakehouse._LOG_SEGMENT_THRESHOLD = orig_seg
+        Lakehouse._COLUMNAR_CHECKPOINT_MIN_ENTRIES = orig_col
