@@ -4588,6 +4588,16 @@ class Lakehouse:
             return "structural"
         if meta.live_deltas or meta.dirty_partitions or meta.all_dirty:
             return "structural"  # pending deltas: let optimize() absorb them
+        if meta.deletion_vectors or meta.dv_sidecars:
+            # r12 review find (a REAL r11 wrong answer): the driver-side
+            # pyarrow merge reads the committed base files RAW — it
+            # would concatenate vector-deleted rows into the new
+            # generation, whose commit then prunes the vectors (the old
+            # generation is no longer visible) and silently RESURRECTS
+            # the deleted rows. The distributed path reads through
+            # _read_raw (DV-masked), so any table carrying vectors goes
+            # distributed until a rewrite materializes them.
+            return "structural"
         before = self._snapshot_meta(meta)
         probed = self._probe_small_batch(meta, df)
         if probed is None:

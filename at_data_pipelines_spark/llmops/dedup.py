@@ -237,9 +237,18 @@ def _prefix_candidates(ranked: DataFrame, id_col: str, threshold: float) -> Data
     probe_len = F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n") - F.lit(1e-9)) + 1
     idx_frac = 2.0 * threshold / (1.0 + threshold)
     index_len = F.col("_n") - F.ceil(F.lit(idx_frac) * F.col("_n") - F.lit(1e-9)) + 1
-    base = ranked.select(id_col, "sh_h", "_n", "_pos")
-    a = base.filter(F.col("_pos") <= probe_len).alias("a")
-    b = base.filter(F.col("_pos") <= index_len).alias("b")
+    # the index side STACKS its (tighter) filter on top of the probe
+    # prefix instead of filtering `ranked` independently: both join
+    # inputs then share one canonical subplan below the extra filter,
+    # so on the recompute path (persist off) Catalyst's ReuseExchange
+    # can still serve the expensive window pipeline once — two
+    # independent filters would make the sides non-identical and
+    # recompute it per branch
+    pref = ranked.filter(F.col("_pos") <= probe_len).select(
+        id_col, "sh_h", "_n", "_pos"
+    )
+    a = pref.alias("a")
+    b = pref.filter(F.col("_pos") <= index_len).alias("b")
     na, nb = F.col("a._n"), F.col("b._n")
     aid, bid = F.col(f"a.{id_col}"), F.col(f"b.{id_col}")
     alpha = F.lit(threshold) / (1 + threshold) * (na + nb) - F.lit(1e-9)

@@ -795,3 +795,34 @@ def test_dv_sidecars_survive_segmented_log_fold(spark, tmp_path, monkeypatch):
     finally:
         Lakehouse._LOG_SEGMENT_THRESHOLD = orig_seg
         Lakehouse._COLUMNAR_CHECKPOINT_MIN_ENTRIES = orig_col
+
+
+def test_fast_upsert_does_not_resurrect_vector_deleted_rows(lake, spark):
+    """r12 review find — a REAL r11 wrong answer: the driver-side fast
+    upsert merged the committed base files RAW (pyarrow, no DV mask),
+    concatenating vector-deleted rows into the new generation; the
+    commit then pruned the vectors (old generation invisible) and the
+    deleted rows silently came back. A table carrying vectors must take
+    the distributed path (which reads DV-masked) until a rewrite
+    materializes them."""
+    import pandas as pd
+
+    lake.create("p", SCHEMA, [], ["k"])
+    lake.upsert("p", _batch(spark, 0, 20, 0))
+    lake.optimize("p")
+    lake.delete_where("p", F.col("k") == 4, mode="dv")
+    assert lake.table("p").filter("k = 4").count() == 0
+    # tiny single-row upsert of a DIFFERENT key: exactly the shape the
+    # driver-side fast path exists for
+    lake.upsert("p", spark.createDataFrame(pd.DataFrame({"k": [3], "part": [0], "v": [9.9]}), SCHEMA))
+    assert lake.table("p").filter("k = 4").count() == 0, "deleted row resurrected"
+    got = {r.k: r.v for r in lake.table("p").collect()}
+    assert got[3] == 9.9 and 4 not in got and len(got) == 19
+    # same shape on a PARTITIONED table: vectors in one rel, upsert to it
+    lake.create("q", SCHEMA, ["part"], ["k", "part"])
+    lake.upsert("q", _batch(spark, 0, 20, 0))
+    lake.optimize("q")
+    lake.delete_where("q", F.col("k") == 7, mode="dv")
+    lake.upsert("q", spark.createDataFrame(pd.DataFrame({"k": [2], "part": [0], "v": [5.5]}), SCHEMA))
+    assert lake.table("q").filter("k = 7").count() == 0, "deleted row resurrected"
+    assert lake.table("q").count() == 19
