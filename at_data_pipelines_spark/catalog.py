@@ -5259,6 +5259,11 @@ class Lakehouse:
             entry = self._write_dv_sidecar(
                 name, raw.filter(pred).limit(budget + 1)
             )
+            if entry[1] == 0:
+                # a nondeterministic predicate matched in the probe but
+                # not in the authoritative write: nothing to delete
+                self.fs.delete(f"{self._dir(name)}/{entry[0]}")
+                return True
             if existing + entry[1] > cap:
                 self.fs.delete(f"{self._dir(name)}/{entry[0]}")
                 if mode == "dv":
