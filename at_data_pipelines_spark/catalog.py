@@ -3614,6 +3614,25 @@ class Lakehouse:
             rels.update(e[3])
         return rels
 
+    @staticmethod
+    def _dv_vector_seqs(meta: TableMeta) -> "set[int] | None":
+        """Generations whose files carry vectors — again manifest-only.
+        ``None`` = a key/entry we cannot parse: treat every generation
+        as possibly vectored (mask more, never less)."""
+        seqs: set[int] = set()
+        for key in meta.deletion_vectors:
+            head = key.partition("/")[0]
+            try:
+                seqs.add(int(head.split("=", 1)[1]))
+            except (ValueError, IndexError):
+                return None
+        for e in meta.dv_sidecars:
+            try:
+                seqs.update(int(s) for s in e[2])
+            except (TypeError, ValueError, IndexError):
+                return None
+        return seqs
+
     def _write_dv_sidecar(self, name: str, fp_df: DataFrame) -> list:
         """Write one immutable DV sidecar from a (``__dv_f``, ``__dv_p``)
         DataFrame — ONE executor-side pass, no driver collect — and
@@ -3798,7 +3817,21 @@ class Lakehouse:
         affected = self._dv_affected_rels(meta)
         if affected is not None:
             clean: list[str] = []
-            masked = [self._seq_dir(name, s) for s in meta.live_deltas]
+            # a live delta whose GENERATION provably carries no vectors
+            # (vectors name their files' _seq) is clean too — without
+            # this, a streaming sink's every fresh micro-batch delta
+            # would pay the join after one dv delete on the base
+            vseqs = self._dv_vector_seqs(meta)
+            masked = [
+                self._seq_dir(name, s)
+                for s in meta.live_deltas
+                if vseqs is None or s in vseqs
+            ]
+            clean += [
+                self._seq_dir(name, s)
+                for s in meta.live_deltas
+                if not (vseqs is None or s in vseqs)
+            ]
             for rel, s in sorted(meta.committed.items()):
                 base = self._seq_dir(name, s)
                 p = base if rel == "" else f"{base}/{rel}"

@@ -826,3 +826,21 @@ def test_fast_upsert_does_not_resurrect_vector_deleted_rows(lake, spark):
     lake.upsert("q", spark.createDataFrame(pd.DataFrame({"k": [2], "part": [0], "v": [5.5]}), SCHEMA))
     assert lake.table("q").filter("k = 7").count() == 0, "deleted row resurrected"
     assert lake.table("q").count() == 19
+
+
+def test_dv_confined_read_keeps_vector_free_deltas_clean(lake, spark):
+    """A live delta appended AFTER the vectors exist belongs to a
+    generation no vector names — it must scan on the clean branch, and
+    the read stays exact (base vectors applied, delta rows intact)."""
+    lake.create("t", SCHEMA, ["part"], [])
+    lake.insert("t", _batch(spark, 0, 100, 0))
+    lake.delete_where("t", F.col("k") < 10, mode="dv")
+    lake.insert("t", _batch(spark, 100, 120, 1), mode="append")
+    m = lake._load_meta("t")
+    vseqs = lake._dv_vector_seqs(m)
+    assert vseqs is not None and vseqs
+    assert any(s not in vseqs for s in m.live_deltas), "fresh delta mis-tagged"
+    assert sorted(r.k for r in lake.table("t").collect()) == list(range(10, 120))
+    # the vectors still apply after a compaction of only the delta's rel
+    lake.compact("t")
+    assert sorted(r.k for r in lake.table("t").collect()) == list(range(10, 120))
