@@ -5311,7 +5311,11 @@ class Lakehouse:
                     )
                 return False
             meta.dv_sidecars.append(entry)
-            affected_rels = self._sidecar_rels(name, [entry])
+            affected_rels = (
+                set(entry[3])
+                if entry[3] is not None
+                else self._sidecar_rels(name, [entry])
+            )
         else:
             if existing + len(hits) > cap:
                 if mode == "dv":
@@ -5769,7 +5773,11 @@ class Lakehouse:
                 name, matched.select("__dv_f", "__dv_p")
             )
             meta.dv_sidecars.append(entry)
-            affected_rels = self._sidecar_rels(name, [entry])
+            affected_rels = (
+                set(entry[3])
+                if entry[3] is not None
+                else self._sidecar_rels(name, [entry])
+            )
         else:
             hits = matched.select("__dv_f", "__dv_p").collect()
             by_file: dict[str, list[int]] = {}
