@@ -3667,6 +3667,42 @@ class Lakehouse:
             rels = None
         return [rel, n, seqs, rels]
 
+    #: sidecar-count bound: past this many entries a delete/update
+    #: consolidates every sidecar into ONE before committing, so a
+    #: reader's build side opens O(1) files regardless of how many
+    #: under-cap deletes accumulated between compactions
+    _DV_SIDECAR_MERGE_AT = 8
+
+    def _merge_dv_sidecars(self, name: str, meta: TableMeta) -> None:
+        """Consolidate the table's sidecars into one when their count
+        exceeds ``_DV_SIDECAR_MERGE_AT`` — called by the write paths
+        AFTER appending their new entry, BEFORE the commit, so the
+        consolidation rides the same manifest PUT. Sound because every
+        sidecar's positions came from a DV-MASKED scan (pairs never
+        repeat across sidecars) and files are immutable; the superseded
+        sidecar files drop out of the new manifest and are reclaimed by
+        vacuum once outside the retain window (archived manifests keep
+        referencing them for time travel)."""
+        if len(meta.dv_sidecars) <= self._DV_SIDECAR_MERGE_AT:
+            return
+        entries = list(meta.dv_sidecars)
+        fp = self._sidecar_fp_df(name, entries).select(
+            F.col("__dvd_f").alias("__dv_f"), F.col("__dvd_p").alias("__dv_p")
+        )
+        merged = self._write_dv_sidecar(name, fp)
+        total = sum(int(e[1]) for e in entries)
+        if merged[1] != total:
+            # pairs repeating across sidecars would mean a write path
+            # built one from an unmasked scan — refuse to lose the count
+            # invariant silently; the unmerged entries stay correct
+            self.fs.delete(f"{self._dir(name)}/{merged[0]}")
+            raise RuntimeError(
+                f"dv sidecar merge on {name!r}: merged count {merged[1]} "
+                f"!= sum of parts {total} — duplicate (file, position) "
+                "pairs across sidecars"
+            )
+        meta.dv_sidecars = [merged]
+
     def _sidecar_fp_df(self, name: str, entries: list[list]) -> DataFrame:
         """Scan of the given sidecar entries as (__dvd_f, __dvd_p)."""
         paths = [f"{self._dir(name)}/{e[0]}" for e in entries]
@@ -5364,6 +5400,7 @@ class Lakehouse:
                     meta.deletion_vectors[f] = _dv_encode(new_pos)
                     leaf = f.rsplit("/", 1)[0]
                     affected_rels.add(leaf.partition("/")[2])
+        self._merge_dv_sidecars(name, meta)
         base = affected_rels if meta.partition_keys else None
         rebase = self._make_rebase(before, meta, "rmw", base_rels=base)
         self._commit_meta(meta, None, action="delete_where(dv)", rebase=rebase)
@@ -5809,6 +5846,7 @@ class Lakehouse:
         meta.next_seq = max(meta.next_seq, seq + 1)
         if meta.stats_columns or meta.bloom_columns:
             meta.zone_maps.update(self._collect_zone_maps(name, meta, seq))
+        self._merge_dv_sidecars(name, meta)
         base = affected_rels if meta.partition_keys else None
         rebase = self._make_rebase(before, meta, "rmw", base_rels=base)
         self._commit_meta(meta, token, action="update_where(dv)", rebase=rebase)

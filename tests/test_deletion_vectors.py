@@ -844,3 +844,36 @@ def test_dv_confined_read_keeps_vector_free_deltas_clean(lake, spark):
     # the vectors still apply after a compaction of only the delta's rel
     lake.compact("t")
     assert sorted(r.k for r in lake.table("t").collect()) == list(range(10, 120))
+
+
+def test_dv_sidecars_consolidate_past_count_bound(spark, tmp_path, monkeypatch):
+    """Every over-inline delete lands a NEW sidecar file; past
+    _DV_SIDECAR_MERGE_AT the write path consolidates them into one in
+    the same commit, so a reader's build side opens O(1) files no
+    matter how many under-cap deletes accumulate between compactions."""
+    monkeypatch.setattr(Lakehouse, "_DV_INLINE_MAX_POSITIONS", 2)
+    monkeypatch.setattr(Lakehouse, "_DV_SIDECAR_MERGE_AT", 3)
+    lake = Lakehouse(spark, str(tmp_path / "lake"))
+    lake.create("t", SCHEMA, ["part"], [])
+    lake.insert("t", _batch(spark, 0, 100, 0))
+    for i in range(5):  # each deletes 3 rows -> sidecar (inline cap 2)
+        lake.delete_where("t", F.col("k").between(i * 10, i * 10 + 2), mode="dv")
+    m = lake._load_meta("t")
+    assert len(m.dv_sidecars) <= 4, [e[:2] for e in m.dv_sidecars]
+    assert sum(e[1] for e in m.dv_sidecars) == 15
+    deleted = {k for i in range(5) for k in range(i * 10, i * 10 + 3)}
+    assert sorted(r.k for r in lake.table("t").collect()) == sorted(
+        set(range(100)) - deleted
+    )
+    # superseded sidecar files are vacuumable (retain_versions=0 here)
+    n_before = len(lake.fs.list_subdirs(f"{lake._dir('t')}/dv"))
+    lake.vacuum("t", grace_s=0)
+    n_after = len(lake.fs.list_subdirs(f"{lake._dir('t')}/dv"))
+    assert n_after <= len(m.dv_sidecars) < n_before
+    assert sorted(r.k for r in lake.table("t").collect()) == sorted(
+        set(range(100)) - deleted
+    )
+    # re-delete of already-vectored rows across the MERGED sidecar: no-op
+    v = lake._load_meta("t").version
+    lake.delete_where("t", F.col("k") < 3, mode="dv")
+    assert lake._load_meta("t").version == v
