@@ -3719,7 +3719,12 @@ class Lakehouse:
         return {r.leaf.partition("/")[2] for r in leaves}
 
     def _apply_dvs(
-        self, df: DataFrame, name: str, meta: TableMeta, keep_pos: bool = False
+        self,
+        df: DataFrame,
+        name: str,
+        meta: TableMeta,
+        keep_pos: bool = False,
+        rels: "set[str] | None" = None,
     ) -> DataFrame:
         """Anti-join a manifest's deletion vectors out of a parquet scan.
         Zero plan nodes when the table has none (the common case). Rows
@@ -3729,11 +3734,39 @@ class Lakehouse:
         ``keep_pos=True`` keeps the ``__dv_f``/``__dv_p`` identity
         columns visible (delete_where's DV builder needs them).
         Sidecar vectors (r12) union into the same build side — read
-        executor-side from their parquet, never decoded on the driver."""
+        executor-side from their parquet, never decoded on the driver.
+
+        ``rels`` (r12): when the CALLER's scan is already confined to
+        these partition rels (scan()'s zone/bloom pruning, the CDC
+        _read_rels), the build side is pruned to match — positions in
+        other partitions cannot join anything this scan produces, and
+        at the 1M-position budget building the full broadcast for a
+        one-partition point lookup is the dominant cost. Inline entries
+        filter by key rel; sidecar entries by their recorded rel list
+        (entries without one stay in — mask more, never less), plus a
+        row-level rel filter inside the sidecar scan when the rel set
+        is small enough for an isin."""
         dvs = getattr(meta, "deletion_vectors", None)
         sides = getattr(meta, "dv_sidecars", None)
         if not dvs and not sides and not keep_pos:
             return df
+        if rels is not None:
+            # "" rides along so a degenerate key with no rel component
+            # (shouldn't exist on a partitioned table) stays masked —
+            # the fail-safe direction is always mask-more
+            rels = set(rels) | {""}
+            if dvs:
+                dvs = {
+                    f: e
+                    for f, e in dvs.items()
+                    if f.rsplit("/", 1)[0].partition("/")[2] in rels
+                }
+            if sides:
+                sides = [
+                    e
+                    for e in sides
+                    if len(e) < 4 or e[3] is None or set(e[3]) & rels
+                ]
         df = df.withColumn(
             "__dv_f",
             F.substring_index(F.col("_metadata.file_path"), "/data/", -1),
@@ -3767,6 +3800,14 @@ class Lakehouse:
                 )
             if sides:
                 sdf = self._sidecar_fp_df(name, sides)
+                if rels is not None and 0 < len(rels) <= 1000:
+                    # row-level prune inside the sidecar scan: rel of f =
+                    # leaf dir minus the _seq=K head
+                    rel_of_f = F.expr(
+                        "regexp_replace(regexp_replace(__dvd_f, "
+                        "'/[^/]+$', ''), '^[^/]+/?', '')"
+                    )
+                    sdf = sdf.filter(rel_of_f.isin(sorted(rels)))
                 dv_df = sdf if dv_df is None else dv_df.unionByName(sdf)
             df = df.join(
                 F.broadcast(dv_df),
@@ -3809,7 +3850,9 @@ class Lakehouse:
             .option("basePath", f"{self._dir(name)}/data")
             .parquet(*paths)
         )
-        return self._apply_dvs(df, name, meta)
+        return self._apply_dvs(
+            df, name, meta, rels=set(rels) if meta.partition_keys else None
+        )
 
     def _read_raw_unmasked(
         self, name: str, meta: TableMeta, paths: list[str] | None = None
@@ -4207,14 +4250,20 @@ class Lakehouse:
             if zk.endswith(".parquet"):
                 file_keys.setdefault(zk.rsplit("/", 1)[0], []).append(zk)
         kept = []
+        kept_rels: set[str] = set()
         for p, zk in leaves:
             per_file = file_keys.get(zk)
+            hit = False
             if per_file:
                 for fk in per_file:
                     if not _excludes(meta.zone_maps.get(fk, {})):
                         kept.append(f"{p}/{fk.rsplit('/', 1)[1]}")
+                        hit = True
             elif not _excludes(meta.zone_maps.get(zk, {})):
                 kept.append(p)
+                hit = True
+            if hit:
+                kept_rels.add(zk.partition("/")[2])
 
         schema_with_seq = T.StructType(
             meta.schema.fields + [T.StructField(_SEQ_COL, T.LongType(), True)]
@@ -4226,6 +4275,9 @@ class Lakehouse:
                 .parquet(*kept),
                 name,
                 meta,
+                # pruned scan: the vector build side prunes to the rels
+                # this scan can actually produce (None = unpartitioned)
+                rels=kept_rels if meta.partition_keys else None,
             ).drop(_SEQ_COL)
         else:
             df = self.spark.createDataFrame([], meta.schema)

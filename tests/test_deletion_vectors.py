@@ -877,3 +877,35 @@ def test_dv_sidecars_consolidate_past_count_bound(spark, tmp_path, monkeypatch):
     v = lake._load_meta("t").version
     lake.delete_where("t", F.col("k") < 3, mode="dv")
     assert lake._load_meta("t").version == v
+
+
+def test_pruned_scan_and_cdc_prune_the_vector_build_side(lake, spark, monkeypatch):
+    """A zone-pruned scan() confined to one partition must not broadcast
+    the whole table's vectors: the build side prunes to the scanned
+    rels (inline by key rel, sidecars by recorded rel list + row-level
+    filter) while results remain EXACTLY table().filter(...)."""
+    monkeypatch.setattr(Lakehouse, "_DV_INLINE_MAX_POSITIONS", 4)
+    lake.create(
+        "t", SCHEMA, ["part"], [], stats_columns=["k"], retain_versions=10
+    )
+    for p in range(3):
+        lake.insert("t", _batch(spark, p * 100, (p + 1) * 100, p))
+    lake.delete_where("t", F.col("k").isin([5, 7]), mode="dv")       # inline part=0
+    lake.delete_where("t", F.col("k").between(120, 140), mode="dv")  # sidecar part=1
+    # scan confined to part=2's key range: no vectors there at all
+    got = lake.scan("t", where={"k": (200, 299)})
+    assert sorted(r.k for r in got.collect()) == list(range(200, 300))
+    # its input must not touch the dv sidecar parquet (build side pruned away)
+    assert not any("/dv/" in f for f in got.inputFiles()), "unpruned build side"
+    # scan over part=1's range: sidecar applies, inline (part=0) pruned out
+    got = lake.scan("t", where={"k": (100, 199)})
+    assert sorted(r.k for r in got.collect()) == [
+        k for k in range(100, 200) if not 120 <= k <= 140
+    ]
+    # CDC-style rel read applies the same confinement and stays exact
+    m = lake._load_meta("t")
+    rows = lake._read_rels("t", m, {"part=0"})
+    assert sorted(r.k for r in rows.collect()) == [
+        k for k in range(100) if k not in (5, 7)
+    ]
+    assert not any("/dv/" in f for f in rows.inputFiles())
