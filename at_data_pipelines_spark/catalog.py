@@ -2946,7 +2946,11 @@ class Lakehouse:
                 if (e in old_meta.dv_sidecars) != (e in new_meta.dv_sidecars)
             ]
             if side_diff:
-                changed |= self._sidecar_rels(name, side_diff)
+                if all(len(e) >= 4 and e[3] is not None for e in side_diff):
+                    changed |= {r for e in side_diff for r in e[3]}
+                else:
+                    # rel list capped/absent: one tiny distinct read
+                    changed |= self._sidecar_rels(name, side_diff)
             if not changed:
                 out_schema = T.StructType(
                     meta.schema.fields
