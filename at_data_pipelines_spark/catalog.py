@@ -2219,6 +2219,14 @@ class Lakehouse:
                 # deletes resurrected by our commit. (A rival PRUNING a
                 # sidecar implies a rewrite, caught by the committed-
                 # pointer checks above.)
+                if side_popped and fresh.dv_sidecars != before.dv_sidecars:
+                    # THIS commit consolidated sidecars (popped entries);
+                    # replaying that over ANY rival sidecar change would
+                    # leave overlapping merged entries whose counts
+                    # double-bill the vector budget — consolidations
+                    # only rebase over sidecar-stable states (rare
+                    # maintenance op; the caller just retries)
+                    return None
                 rival_sides = [
                     e for e in fresh.dv_sidecars if e not in before.dv_sidecars
                 ]
@@ -3690,21 +3698,16 @@ class Lakehouse:
         if len(meta.dv_sidecars) <= self._DV_SIDECAR_MERGE_AT:
             return
         entries = list(meta.dv_sidecars)
-        fp = self._sidecar_fp_df(name, entries).select(
+        # distinct: pairs never repeat across sidecars when every writer
+        # derives from a masked scan, but a rebased pair of CONCURRENT
+        # consolidations can briefly leave two merged entries with
+        # overlapping contents (both supersets of the pre-merge set) —
+        # distinct makes the next merge collapse them to the exact set
+        # and keeps the entry's count exact either way
+        fp = self._sidecar_fp_df(name, entries).distinct().select(
             F.col("__dvd_f").alias("__dv_f"), F.col("__dvd_p").alias("__dv_p")
         )
         merged = self._write_dv_sidecar(name, fp)
-        total = sum(int(e[1]) for e in entries)
-        if merged[1] != total:
-            # pairs repeating across sidecars would mean a write path
-            # built one from an unmasked scan — refuse to lose the count
-            # invariant silently; the unmerged entries stay correct
-            self.fs.delete(f"{self._dir(name)}/{merged[0]}")
-            raise RuntimeError(
-                f"dv sidecar merge on {name!r}: merged count {merged[1]} "
-                f"!= sum of parts {total} — duplicate (file, position) "
-                "pairs across sidecars"
-            )
         meta.dv_sidecars = [merged]
 
     def _sidecar_fp_df(self, name: str, entries: list[list]) -> DataFrame:
@@ -3882,11 +3885,15 @@ class Lakehouse:
 
     def _read_raw(self, name: str, meta: TableMeta) -> DataFrame:
         paths = self._visible_paths(name, meta)
-        df = self._read_raw_unmasked(name, meta, paths)
+        # the all-paths reader is built ONLY on the branches that return
+        # it — constructing a parquet DataFrame eagerly lists every path
+        # (InMemoryFileIndex), and the confined branch below re-lists
+        # the same paths as its masked/clean subsets (r12 review find:
+        # a DV-carrying table paid the O(partitions) listing twice)
         if not paths:
-            return df  # empty in-memory relation: no _metadata to resolve
+            return self._read_raw_unmasked(name, meta, paths)
         if not (meta.deletion_vectors or meta.dv_sidecars):
-            return df
+            return self._read_raw_unmasked(name, meta, paths)
         # DV-confined read (r12): the broadcast anti-join costs ~100 ns
         # per PROBE row — measured independent of key shape and build
         # size, it is the join operator breaking whole-stage codegen —
@@ -3932,8 +3939,11 @@ class Lakehouse:
                 return parts[0].unionByName(parts[1])
             if parts:
                 return parts[0]
-            return df  # no visible paths classified — fall through masked
-        return self._apply_dvs(df, name, meta)
+            # unreachable (paths non-empty ⇒ masked∪clean non-empty),
+            # kept as the fail-safe masked fallback
+        return self._apply_dvs(
+            self._read_raw_unmasked(name, meta, paths), name, meta
+        )
 
     def table(self, name: str, version: int | None = None) -> DataFrame:
         """Lazy scan (reference S1). Plain DataFrame — filter/select compose
@@ -3979,15 +3989,19 @@ class Lakehouse:
 
     def _version_meta(self, name: str, version: int) -> TableMeta:
         """Archived manifest of commit ``version``, validated: every data
-        path it references must still exist on disk."""
+        path AND dv sidecar it references must still exist on disk (a
+        vacuumed sidecar must surface as SnapshotExpiredError, not a raw
+        Spark path error mid-read — and restore must refuse to commit a
+        manifest pointing at a reclaimed sidecar; r12 review find)."""
         meta, _ = self._load_version(name, version)
-        missing = [
-            p for p in self._visible_paths(name, meta) if not self.fs.exists(p)
+        refs = self._visible_paths(name, meta) + [
+            f"{self._dir(name)}/{e[0]}" for e in meta.dv_sidecars
         ]
+        missing = [p for p in refs if not self.fs.exists(p)]
         if missing:
             raise SnapshotExpiredError(
                 f"table {name!r} version {version}: data expired "
-                f"({len(missing)} referenced generation paths reclaimed, "
+                f"({len(missing)} referenced generation/sidecar paths reclaimed, "
                 f"e.g. {missing[0]!r}); raise retain_versions to keep "
                 "snapshots readable longer"
             )
@@ -4491,6 +4505,21 @@ class Lakehouse:
             written = self.fs.glob_dir_leaves(f"{self._seq_dir(name, seq)}/{pattern}", depth)
             for rel in written:
                 meta.committed[rel] = seq
+            # a rewrite-scope partition that produced NO output was
+            # EMPTIED by the keep-latest (every one of its rows shadowed
+            # by a newer copy in another partition — update_where's
+            # partition-move shape) — its stale base pointer must drop
+            # or the moved rows read back duplicated forever (r12 review
+            # find; delete_where's rewrite always popped, this shared
+            # path never did)
+            scope = (
+                set(meta.committed)
+                if meta.all_dirty
+                else set(meta.dirty_partitions)
+            )
+            for rel in scope:
+                if rel not in set(written):
+                    meta.committed.pop(rel, None)
         elif token is not None:
             meta.committed[""] = seq
         else:

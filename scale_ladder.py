@@ -940,9 +940,9 @@ def measure_dv_sidecar_read(spark, rows: int, n_delete: int) -> dict:
     work = tempfile.mkdtemp(prefix=f"dvside_{rows}_")
     out: dict = {"rows": rows}
     n_parts = 32
-    # two delete shapes per size: CONCENTRATED (all positions in one of
+    # two delete shapes per size: CONCENTRATED (all positions in 4 of
     # 32 partitions — the realistic GDPR/correction footprint; the
-    # confined read masks 1/32 of the table and the rest keeps plain
+    # confined read masks 1/8 of the table and the rest keeps plain
     # codegen) and SCATTERED (positions in every partition — the honest
     # worst case where confinement cannot help and every probe row pays
     # the join). A real aggregate (sum/avg) is the workload, not

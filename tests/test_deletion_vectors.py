@@ -909,3 +909,51 @@ def test_pruned_scan_and_cdc_prune_the_vector_build_side(lake, spark, monkeypatc
         k for k in range(100) if k not in (5, 7)
     ]
     assert not any("/dv/" in f for f in rows.inputFiles())
+
+
+def test_update_where_moving_entire_partition_pops_emptied_base(lake, spark):
+    """r12 review find (a real wrong answer): when EVERY row of a source
+    partition moves, the absorbing optimize's keep-latest empties it —
+    the shared rewrite never popped the emptied rel's committed pointer,
+    so the stale base stayed visible and the moved rows read back
+    duplicated forever."""
+    lake.create("p", SCHEMA, ["part"], ["k"])
+    for p in range(2):
+        lake.upsert("p", _batch(spark, p * 10, (p + 1) * 10, p))
+    lake.optimize("p")
+    lake.update_where("p", F.col("part") == 0, {"part": F.lit(1)})
+    assert lake.table("p").count() == 20
+    assert sorted({r.part for r in lake.table("p").collect()}) == [1]
+    m = lake._load_meta("p")
+    assert "part=0" not in m.committed, "emptied partition pointer kept"
+    # and the PK-less analogue through update_where's own rewrite path
+    lake.create("t", SCHEMA, ["part"], [])
+    for p in range(2):
+        lake.insert("t", _batch(spark, p * 10, (p + 1) * 10, p))
+    lake.update_where("t", F.col("part") == 0, {"part": F.lit(1)}, mode="rewrite")
+    assert lake.table("t").count() == 20
+    assert sorted({r.part for r in lake.table("t").collect()}) == [1]
+
+
+def test_time_travel_to_vacuumed_sidecar_raises_snapshot_expired(spark, tmp_path, monkeypatch):
+    """r12 review find: _version_meta validated only data generations —
+    time travel to a version whose SIDECAR was reclaimed surfaced as a
+    raw Spark path error mid-read (and restore would commit the broken
+    state). Both must refuse with SnapshotExpiredError up front."""
+    from at_data_pipelines_spark.catalog import SnapshotExpiredError
+
+    monkeypatch.setattr(Lakehouse, "_DV_INLINE_MAX_POSITIONS", 2)
+    lake = Lakehouse(spark, str(tmp_path / "lake"))
+    lake.create("t", SCHEMA, [], [], retain_versions=10)
+    lake.insert("t", _batch(spark, 0, 50, 0))
+    lake.delete_where("t", F.col("k") < 10, mode="dv")  # sidecar
+    v_side = lake._load_meta("t").version
+    m = lake._load_meta("t")
+    assert m.dv_sidecars
+    # simulate expiry of just the sidecar (a pruned+vacuumed dv file
+    # whose data generations are still referenced by the current state)
+    lake.fs.delete(f"{lake._dir('t')}/{m.dv_sidecars[0][0]}")
+    with pytest.raises(SnapshotExpiredError):
+        lake.table("t", version=v_side)
+    with pytest.raises(SnapshotExpiredError):
+        lake.restore("t", v_side)
