@@ -2219,13 +2219,22 @@ class Lakehouse:
                 # deletes resurrected by our commit. (A rival PRUNING a
                 # sidecar implies a rewrite, caught by the committed-
                 # pointer checks above.)
-                if side_popped and fresh.dv_sidecars != before.dv_sidecars:
-                    # THIS commit consolidated sidecars (popped entries);
-                    # replaying that over ANY rival sidecar change would
-                    # leave overlapping merged entries whose counts
-                    # double-bill the vector budget — consolidations
-                    # only rebase over sidecar-stable states (rare
-                    # maintenance op; the caller just retries)
+                if (
+                    side_popped
+                    and side_added
+                    and fresh.dv_sidecars != before.dv_sidecars
+                ):
+                    # popped AND added entries = THIS commit CONSOLIDATED
+                    # sidecars (_merge_dv_sidecars — the only path that
+                    # does both); replaying that over a rival sidecar
+                    # change would leave overlapping merged entries whose
+                    # counts double-bill the vector budget, so
+                    # consolidations only rebase over sidecar-stable
+                    # states. A plain rewrite that PRUNES a sidecar
+                    # (popped only, nothing added) keeps the normal
+                    # disjointness rebase below — keying on popped alone
+                    # cost every optimize racing an unrelated dv delete
+                    # its commit (review find)
                     return None
                 rival_sides = [
                     e for e in fresh.dv_sidecars if e not in before.dv_sidecars
@@ -3698,16 +3707,26 @@ class Lakehouse:
         if len(meta.dv_sidecars) <= self._DV_SIDECAR_MERGE_AT:
             return
         entries = list(meta.dv_sidecars)
-        # distinct: pairs never repeat across sidecars when every writer
-        # derives from a masked scan, but a rebased pair of CONCURRENT
-        # consolidations can briefly leave two merged entries with
-        # overlapping contents (both supersets of the pre-merge set) —
-        # distinct makes the next merge collapse them to the exact set
-        # and keeps the entry's count exact either way
+        # distinct is belt-and-braces (the written set stays exact even
+        # if overlapping entries ever slipped in); the count check below
+        # is the CANARY — pairs can never legitimately repeat across
+        # sidecars (every writer derives from a masked scan, and the
+        # rebase guard stops concurrent consolidations from overlapping
+        # merged entries), so a mismatch means some write path built a
+        # sidecar from an unmasked scan and must fail loudly, not be
+        # silently deduped away
         fp = self._sidecar_fp_df(name, entries).distinct().select(
             F.col("__dvd_f").alias("__dv_f"), F.col("__dvd_p").alias("__dv_p")
         )
         merged = self._write_dv_sidecar(name, fp)
+        total = sum(int(e[1]) for e in entries)
+        if merged[1] != total:
+            self.fs.delete(f"{self._dir(name)}/{merged[0]}")
+            raise RuntimeError(
+                f"dv sidecar merge on {name!r}: {merged[1]} distinct pairs "
+                f"vs {total} recorded — duplicate (file, position) pairs "
+                "across sidecars; some write path bypassed the masked scan"
+            )
         meta.dv_sidecars = [merged]
 
     def _sidecar_fp_df(self, name: str, entries: list[list]) -> DataFrame:
@@ -4517,8 +4536,9 @@ class Lakehouse:
                 if meta.all_dirty
                 else set(meta.dirty_partitions)
             )
+            written_set = set(written)
             for rel in scope:
-                if rel not in set(written):
+                if rel not in written_set:
                     meta.committed.pop(rel, None)
         elif token is not None:
             meta.committed[""] = seq

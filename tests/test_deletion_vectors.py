@@ -957,3 +957,55 @@ def test_time_travel_to_vacuumed_sidecar_raises_snapshot_expired(spark, tmp_path
         lake.table("t", version=v_side)
     with pytest.raises(SnapshotExpiredError):
         lake.restore("t", v_side)
+
+
+def test_rewrite_pruning_sidecar_still_rebases_over_disjoint_rival_dv(lake, spark):
+    """r12 review find: keying the consolidation rebase guard on popped
+    entries ALONE cost every rewrite that absorbs a sidecar its commit
+    whenever an unrelated dv delete raced it. A rewrite that PRUNES a
+    sidecar (popped, nothing added) must still rebase over a rival
+    sidecar whose generations are provably outside its footprint —
+    while an actual consolidation (popped AND added) must refuse."""
+    lake.create("t", SCHEMA, ["part"], [])
+    lake.insert("t", _batch(spark, 0, 10, 0))
+    lake.compact("t", full=True)  # commit the base pointer
+    meta = lake._load_meta("t")
+    before = lake._snapshot_meta(meta)
+    base_seq = before.committed["part=0"]
+    # part=9 exists with its own committed generation (the rival's
+    # sidecar must reference a VISIBLE generation or the replay's
+    # prune drops it)
+    before.committed["part=9"] = base_seq + 99
+    meta.committed["part=9"] = base_seq + 99
+    # our rewrite of part=0: prunes its sidecar S, repoints the base
+    after = lake._snapshot_meta(meta)
+    before.dv_sidecars = [["dv/dv-S", 5, [base_seq], ["part=0"]]]
+    after.dv_sidecars = []
+    after.committed = dict(before.committed)
+    after.committed["part=0"] = base_seq + 7
+    rebase = lake._make_rebase(before, after, "rmw", base_rels={"part=0"})
+    # rival dv delete landed on part=9 meanwhile (disjoint generation)
+    fresh = lake._snapshot_meta(meta)
+    fresh.dv_sidecars = [
+        ["dv/dv-S", 5, [base_seq], ["part=0"]],
+        ["dv/dv-R", 3, [base_seq + 99], ["part=9"]],
+    ]
+    fresh.committed = dict(before.committed)
+    out = rebase(fresh)
+    assert out is not None, "prune-only rewrite must rebase over disjoint rival dv"
+    assert [e[0] for e in out.dv_sidecars] == ["dv/dv-R"]
+    assert out.committed["part=0"] == base_seq + 7
+    # a CONSOLIDATION (popped AND added) over the same rival refuses
+    after2 = lake._snapshot_meta(meta)
+    after2.dv_sidecars = [["dv/dv-M", 5, [base_seq], ["part=0"]]]
+    before2 = lake._snapshot_meta(meta)
+    before2.dv_sidecars = [["dv/dv-S", 5, [base_seq], ["part=0"]]]
+    after2.committed = dict(before2.committed)
+    rebase2 = lake._make_rebase(before2, after2, "rmw", base_rels={"part=0"})
+    fresh2 = lake._snapshot_meta(meta)
+    fresh2.dv_sidecars = [
+        ["dv/dv-S", 5, [base_seq], ["part=0"]],
+        ["dv/dv-R", 3, [base_seq + 99], ["part=9"]],
+    ]
+    fresh2.committed = dict(before2.committed)
+    assert rebase2(fresh2) is None, "consolidation must not rebase over rival dv"
