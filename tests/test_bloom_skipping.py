@@ -560,27 +560,85 @@ def test_legacy_table_without_fpp_property_keeps_fixed_m(lake, spark):
     assert "bloom.fpp" not in lake._load_meta("d").properties
 
 
-def test_analyze_surfaces_bloom_saturation_past_m_cap(lake, spark):
-    """r11 verdict task #4: the auto-size lattice caps m at 64x base (a
-    deliberate manifest bound) — a leaf ~10x denser than the CAP's
-    design point degrades FPR gracefully but silently. analyze() must
-    surface exactly those leaves (estimated FPR from the stored words,
-    no data read), and stay silent for healthy tables."""
+def test_banked_blooms_repair_density_past_m_cap(lake, spark):
+    """r12 verdict task #3 — the repair branch of the r12 diagnostic: a
+    leaf denser than the m-cap now splits into hash-assigned BANKS of
+    cap-sized filters (probe checks only the value's own bank), so the
+    r12 shape — 10k values at a 4096-bit cap, which used to read est FPR
+    > 0.5 — keeps ~target FPR: analyze() stays silent, the entry carries
+    its bank count, a present id still matches, and absent ids actually
+    EXCLUDE the leaf (the pruning the saturated filter had lost)."""
     # tiny lattice: base m=64 bits -> cap 4096 bits; k=5 target 1% holds
-    # ~450 values, so 10k values in one leaf saturates hard
+    # ~450 values; 10k values = ~24x the cap -> 32 banks
     lake.create(
         "d", SCHEMA, ["bucket"], [], bloom_columns=["doc_id"], bloom_m_bits=64
     )
     lake.insert("d", _docs(spark, 0, 10_000, 0), mode="append")
+    ents = [s["doc_id#bloom"] for s in lake._load_meta("d").zone_maps.values()
+            if "doc_id#bloom" in s]
+    assert ents and all(len(e) == 4 and int(e[3]) == 32 for e in ents), (
+        "dense leaf must bank"
+    )
+    assert all(int(e[0]) == 4096 for e in ents), "banked m stays at the cap"
     stats = lake.analyze("d")
-    sat = stats.get("bloom_saturated", {})
-    assert sat, "10k-value leaf at a 4096-bit cap must be flagged"
-    assert all(key.endswith(":doc_id") for key in sat)
-    assert all(est > 0.5 for est in sat.values()), sat
-    # the flagged filter is degraded, NOT wrong: the probe still matches
+    assert "bloom_saturated" not in stats, stats.get("bloom_saturated")
     got = lake.scan("d", where={"doc_id": "doc-00123"})
     assert [r.doc_id for r in got.collect()] == ["doc-00123"]
-    # healthy table (default sizing, density under the cap): no flag
+    # absent ids: pruning preserved at ~target FPR — these five probes
+    # are deterministic given the fixed data and hash family
+    pruned = 0
+    for probe in ("nope-1", "nope-2", "nope-3", "nope-4", "nope-5"):
+        s = lake.scan("d", where={"doc_id": probe})
+        assert s.count() == 0
+        pruned += not s.inputFiles()
+    assert pruned >= 4, f"banked filter lost its pruning ({pruned}/5)"
+    # healthy table (default sizing, density under the cap): no banks
     lake.create("h", SCHEMA, ["bucket"], [], bloom_columns=["doc_id"])
     lake.insert("h", _docs(spark, 0, 4000, 0), mode="append")
+    hs = [s["doc_id#bloom"] for s in lake._load_meta("h").zone_maps.values()
+          if "doc_id#bloom" in s]
+    assert hs and all(len(e) == 3 for e in hs), "under-cap leaf must not bank"
     assert "bloom_saturated" not in lake.analyze("h")
+
+
+def test_analyze_surfaces_bloom_saturation_past_bank_cap(lake, spark):
+    """The diagnostic's remit moves out to the BANK cap (r13): a leaf so
+    dense that even 32 banks of cap-sized filters degrade (> 32x the
+    m-cap's capacity) is still flagged by analyze() — visible, correct,
+    degraded — and the probe still matches."""
+    # 60k values at a 4096-bit cap need ~15 banks' capacity PER BANK:
+    # per-bank est FPR ~ 0.59 at 32 banks
+    lake.create(
+        "d", SCHEMA, ["bucket"], [], bloom_columns=["doc_id"], bloom_m_bits=64
+    )
+    lake.insert("d", _docs(spark, 0, 60_000, 0), mode="append")
+    stats = lake.analyze("d")
+    sat = stats.get("bloom_saturated", {})
+    assert sat, "60k-value leaf past the 32-bank cap must be flagged"
+    assert all(key.endswith(":doc_id") for key in sat)
+    assert all(est > 0.5 for est in sat.values()), sat
+    got = lake.scan("d", where={"doc_id": "doc-00123"})
+    assert [r.doc_id for r in got.collect()] == ["doc-00123"]
+
+
+def test_banked_blooms_probe_identical_across_write_paths(lake, spark):
+    """The fast-path/job-path bit-identity invariant must survive
+    banking: the job folds a mod-32 bank assignment down to the leaf's
+    B, the driver computes mod B directly — same (m, k, words, B)."""
+    lake.create("a", SCHEMA, [], [], bloom_columns=["doc_id"], bloom_m_bits=64)
+    lake.create("b", SCHEMA, [], [], bloom_columns=["doc_id"], bloom_m_bits=64)
+    rows = _docs(spark, 0, 3000, 2)  # ~7.3x cap -> 8 banks
+    orig = lake._fast_insert
+    lake._fast_insert = lambda *a, **k: False
+    lake.insert("a", rows, mode="append")  # Spark-job path
+    lake._fast_insert = orig
+    lake.insert("b", rows, mode="append")  # arrow fast path
+    za = list(lake._load_meta("a").zone_maps.values())
+    zb = list(lake._load_meta("b").zone_maps.values())
+    assert len(za) == len(zb) == 1
+    ea, eb = za[0]["doc_id#bloom"], zb[0]["doc_id#bloom"]
+    assert len(ea) == len(eb) == 4 and int(ea[3]) == int(eb[3]) == 8
+    assert int(ea[0]) == int(eb[0]) == 4096
+    assert {k: int(v) for k, v in ea[2].items()} == {
+        k: int(v) for k, v in eb[2].items()
+    }

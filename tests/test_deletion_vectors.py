@@ -484,8 +484,15 @@ def test_dv_sidecar_round_trip_exact_and_rewrites_nothing(lake, spark, monkeypat
     assert {f for f in lake.table("t").inputFiles() if "/data/" in f} == files, (
         "sidecar delete rewrote data"
     )
-    assert any("/dv/" in f for f in lake.table("t").inputFiles())
+    # the masked read's plan no longer surfaces the sidecar parquet in
+    # inputFiles() (r13: the build side is the persisted per-version
+    # cache, whose InMemoryRelation hides its lineage) — assert the
+    # sidecar parquet is where the positions actually live instead
     m = lake._load_meta("t")
+    assert any(
+        "/dv/" in f for f in lake._sidecar_fp_df("t", m.dv_sidecars).inputFiles()
+    )
+    assert lake._sidecar_fp_df("t", m.dv_sidecars).count() == 40
     assert m.deletion_vectors == {}, "big delete must not grow the inline dict"
     assert len(m.dv_sidecars) == 1
     rel, n, seqs, rels = m.dv_sidecars[0]
@@ -719,9 +726,23 @@ def test_analyze_reports_cross_partition_pk_shadows(lake, spark):
     lake.upsert("p", _batch(spark, 0, 10, 0))
     lake.optimize("p")
     assert lake.analyze("p")["pk_duplicates"] == 0
+    # while a delta is PENDING the metric is withheld (a same-PK delta
+    # legitimately shadows its base row between upsert and optimize —
+    # r12 advice: counting it would false-alarm every monitoring read in
+    # that window); the pending counts say why, and the gate also skips
+    # the extra distinct shuffle on dirty tables
+    lake.insert("p", spark.createDataFrame([(4, 0, 44.0)], SCHEMA), mode="append")
+    stats = lake.analyze("p")
+    assert "pk_duplicates" not in stats
+    assert stats["pending_deltas"] == 1
+    lake.optimize("p")
     # contract violation: same key re-landed under a different partition
+    # (the small-batch fast path absorbs immediately — no pending delta —
+    # so the stale part=0 copy is a STRANDED shadow the moment it lands,
+    # and with zero pending deltas the non-zero metric is unambiguous)
     lake.upsert("p", spark.createDataFrame([(3, 1, -3.0)], SCHEMA))
     stats = lake.analyze("p")
+    assert stats["pending_deltas"] == 0
     assert stats["pk_duplicates"] == 1, "stranded shadow must be visible"
     lake.optimize("p", full=True)
     assert lake.analyze("p")["pk_duplicates"] == 0
@@ -1009,3 +1030,139 @@ def test_rewrite_pruning_sidecar_still_rebases_over_disjoint_rival_dv(lake, spar
     ]
     fresh2.committed = dict(before2.committed)
     assert rebase2(fresh2) is None, "consolidation must not rebase over rival dv"
+
+
+# --- r13: the persisted build-side cache (masked-read floor amortization) ---
+
+
+def test_dv_build_cache_hit_same_version_fresh_after_every_commit(lake, spark, monkeypatch):
+    """The verdict's invalidation contract: delete -> read -> delete ->
+    read sees BOTH deletes (a commit bumps the manifest version, which
+    changes the cache key), while two reads of the SAME version share
+    one persisted build side."""
+    monkeypatch.setattr(Lakehouse, "_DV_INLINE_MAX_POSITIONS", 4)
+    lake.create("t", SCHEMA, ["part"], [])
+    lake.insert("t", _batch(spark, 0, 100, 0))
+    lake.delete_where("t", F.col("k") < 10, mode="dv")
+    m1 = lake._load_meta("t")
+    b1 = lake._dv_build_df("t", m1)
+    assert lake._dv_build_df("t", m1) is b1, "same version must hit the cache"
+    assert sorted(r.k for r in lake.table("t").collect()) == list(range(10, 100))
+    lake.delete_where("t", F.col("k").between(50, 59), mode="dv")
+    m2 = lake._load_meta("t")
+    assert m2.version > m1.version
+    b2 = lake._dv_build_df("t", m2)
+    assert b2 is not b1, "new version must rebuild"
+    assert b2.count() == 20
+    assert sorted(r.k for r in lake.table("t").collect()) == [
+        k for k in range(10, 100) if not 50 <= k <= 59
+    ]
+    # the build side carries the materialized rel column (no per-query
+    # regexp) and the precomputed join-key hashes
+    assert set(b2.columns) == {
+        "__dvd_f", "__dvd_p", "__dvd_rel", "__dvd_h1", "__dvd_h2"
+    }
+    assert {r["__dvd_rel"] for r in b2.select("__dvd_rel").distinct().collect()} == {"part=0"}
+
+
+def test_dv_build_cache_lru_bound_and_drop_purge(lake, spark, monkeypatch):
+    """The cache never holds more than _DV_CACHE_MAX persisted entries
+    (oldest unpersisted on eviction) and drop() purges a table's
+    entries so a recreate can never read a dead life's positions."""
+    monkeypatch.setattr(Lakehouse, "_DV_INLINE_MAX_POSITIONS", 4)
+    monkeypatch.setattr(Lakehouse, "_DV_CACHE_MAX", 2)
+    lake.create("t", SCHEMA, ["part"], [])
+    lake.insert("t", _batch(spark, 0, 100, 0))
+    builds = []
+    for lo in (0, 10, 20):
+        lake.delete_where("t", F.col("k").between(lo, lo + 4), mode="dv")
+        m = lake._load_meta("t")
+        builds.append(lake._dv_build_df("t", m))
+        assert len(lake._dv_cache) <= 2
+    assert builds[0].storageLevel.useMemory is False, "evicted entry must unpersist"
+    assert builds[-1].storageLevel.useMemory is True
+    lake.drop("t")
+    assert lake._dv_cache == {}
+    assert builds[-1].storageLevel.useMemory is False
+    # recreate under the same name: a masked read sees ONLY the new life
+    lake.create("t", SCHEMA, ["part"], [])
+    lake.insert("t", _batch(spark, 0, 50, 0))
+    lake.delete_where("t", F.col("k") < 5, mode="dv")
+    assert sorted(r.k for r in lake.table("t").collect()) == list(range(5, 50))
+
+
+def test_dv_vector_free_pruned_scan_still_never_touches_cache(lake, spark, monkeypatch):
+    """Entry-level rel pruning still decides WHETHER the join happens at
+    all: a pruned scan confined to vector-free partitions must neither
+    open the dv parquet nor populate the build cache (cold or warm)."""
+    monkeypatch.setattr(Lakehouse, "_DV_INLINE_MAX_POSITIONS", 4)
+    lake.create("t", SCHEMA, ["part"], [], stats_columns=["k"])
+    for p in range(2):
+        lake.insert("t", _batch(spark, p * 100, (p + 1) * 100, p))
+    lake.delete_where("t", F.col("k").between(20, 40), mode="dv")  # part=0 only
+    got = lake.scan("t", where={"k": (100, 199)})
+    assert got.count() == 100
+    assert lake._dv_cache == {}, "vector-free pruned scan populated the cache"
+    assert not any("/dv/" in f for f in got.inputFiles())
+
+
+def test_dv_hash_key_join_never_cross_masks_same_positions(lake, spark, monkeypatch):
+    """r13 join-key pin: the anti-join keys are (xxhash64(rel path),
+    xxhash64(rel path + salt), position). Two files holding the SAME row
+    positions must never mask each other — delete rows 0..4 of part=0's
+    file and part=1's rows 0..4 (same positions, different file) must
+    all survive. Also pins that the two hashes are genuinely different
+    functions (the salt is live)."""
+    from pyspark.sql import functions as FF
+
+    lake.create("t", SCHEMA, ["part"], [])
+    for p in range(2):
+        lake.insert("t", _batch(spark, p * 100, (p + 1) * 100, p))
+    # positions 0-4 of part=0 (k depends on write order; use predicate
+    # on k<5 which lives in part=0's file at positions 0-4 by range write)
+    lake.delete_where("t", (F.col("part") == 0) & (F.col("k") < 5), mode="dv")
+    assert lake.table("t").filter("part = 1").count() == 100, (
+        "same positions in a different file were cross-masked"
+    )
+    assert lake.table("t").count() == 195
+    m = lake._load_meta("t")
+    b = lake._dv_build_df("t", m)
+    r = b.select(
+        (FF.col("__dvd_h1") == FF.col("__dvd_h2")).alias("same")
+    ).collect()
+    assert r and not any(x.same for x in r), "salt must differentiate h2 from h1"
+
+
+def test_emptied_partition_pop_requires_read_evidence(lake, spark, monkeypatch):
+    """r12 advice pin: the emptied-partition pointer pop must only fire
+    with EVIDENCE the rewrite actually read the rel's rows. Simulate
+    _rel_filter encoding drift (it silently under-selects part=0) and
+    move SOME of part=0's keys out: without the guard the absorbing
+    optimize would pop part=0's pointer — losing the unmoved k5..9
+    forever. With it, the pointer is kept: the failure mode is a
+    duplicate-visible uncompacted partition (detectable via
+    analyze()['pk_duplicates']), never silent data loss."""
+    lake.create("p", SCHEMA, ["part"], ["k"])
+    lake.upsert("p", _batch(spark, 0, 10, 0))
+    lake.upsert("p", _batch(spark, 10, 20, 1))
+    lake.optimize("p")
+
+    orig = Lakehouse._rel_filter
+
+    def drifted(self, meta, rels):
+        cond = orig(self, meta, rels)
+        return cond if cond is None else (cond & (F.col("part") != 0))
+
+    monkeypatch.setattr(Lakehouse, "_rel_filter", drifted)
+    lake.update_where("p", (F.col("part") == 0) & (F.col("k") < 5), {"part": F.lit(2)})
+    m = lake._load_meta("p")
+    assert "part=0" in m.committed, (
+        "pointer popped without read evidence — silent data loss"
+    )
+    ks = sorted({r.k for r in lake.table("p").collect()})
+    assert ks == list(range(20)), f"rows lost: {ks}"
+    # moved keys now live in part=2; unmoved k5..9 still in part=0
+    assert sorted(
+        r.k for r in lake.table("p").filter("part = 2").collect()
+    ) == [0, 1, 2, 3, 4]
+    assert {5, 6, 7, 8, 9} <= {r.k for r in lake.table("p").filter("part = 0").collect()}
