@@ -228,10 +228,14 @@ def bench_pipelines(spark, runs: int = 3) -> dict[str, dict[str, float]]:
 
 def bench_queries(
     spark, sf_dir: str, names: list[str] | None = None
-) -> tuple[dict[str, float], dict[str, dict[str, float]]]:
+) -> tuple[dict[str, float], dict[str, dict[str, float]], dict[str, float]]:
     """min-of-N warm runs per query, with per-query spread reported so
     round-over-round deltas are attributable to plans vs session noise
-    (r2 showed an unexplainable uniform +12% drift under min-of-2)."""
+    (r2 showed an unexplainable uniform +12% drift under min-of-2).
+    Returns (timings, per-query stats, control stats) — the control is
+    a separate value, NOT a pseudo-query key inside stats (r12 advice:
+    its shape differs and consumers iterating stats as queries would
+    have to special-case it, as bench_pipelines already does)."""
     from at_data_pipelines_spark.queries import QUERIES
 
     # warm the JVM/codegen once with the cheapest query
@@ -276,9 +280,8 @@ def bench_queries(
     from at_data_pipelines_spark.llmops.dedup import release_shingle_caches
 
     release_shingle_caches()
-    if controls:
-        stats["pinned_control"] = _control_stats(controls)
-    return timings, stats
+    control = _control_stats(controls) if controls else {}
+    return timings, stats, control
 
 
 def run_cohort(cohort: str, sf_dir: str) -> None:
@@ -291,11 +294,11 @@ def run_cohort(cohort: str, sf_dir: str) -> None:
     elif cohort == "commit":
         out = {"commit_overhead": bench_commit_overhead(spark)}
     elif cohort == "queries":
-        timings, stats = bench_queries(spark, sf_dir)
-        out = {"queries": timings, "query_stats": stats}
+        timings, stats, control = bench_queries(spark, sf_dir)
+        out = {"queries": timings, "query_stats": stats, "queries_control": control}
     elif cohort == "extras":
-        timings, stats = bench_queries(spark, sf_dir, names=EXTRAS)
-        out = {"extras": timings, "extras_stats": stats}
+        timings, stats, control = bench_queries(spark, sf_dir, names=EXTRAS)
+        out = {"extras": timings, "extras_stats": stats, "extras_control": control}
     else:
         raise SystemExit(f"unknown cohort {cohort!r}")
     print(json.dumps(out))
@@ -348,6 +351,8 @@ def main() -> None:
                 "query_stats": merged.get("query_stats", {}),
                 "extras": merged.get("extras", {}),
                 "extras_stats": merged.get("extras_stats", {}),
+                "queries_control": merged.get("queries_control", {}),
+                "extras_control": merged.get("extras_control", {}),
                 "pipelines": {
                     k: v["min"]
                     for k, v in merged.get("pipeline_stats", {}).items()

@@ -47,6 +47,26 @@ LADDER_QUERIES = [
 BASE_SF = 0.1
 REPLICA_STRIDE = 10_000_000
 
+# the SAME pinned control job bench.py interleaves (r12 verdict task:
+# the r12 ladder's q48 sf0.5 rung read 34.6 s vs 2.01 s isolated — a GC
+# spike min-of-2 couldn't absorb, and without an in-JSON control the
+# ladder couldn't self-adjudicate the way bench.py now can). One import,
+# one definition — the control's code must never drift between harnesses.
+from bench import _control_stats, _pinned_control  # noqa: E402
+
+
+def _section_control(spark, out: dict, section: str, n: int = 3) -> None:
+    """Record a per-section pinned-control reading into the ladder JSON.
+    Reading rung drift against it: a rung that grew round-over-round
+    while its section control grew the same way is session noise; a
+    rung that grew against a flat control is a real regression. The
+    first call pays the control's own codegen warm-up (discarded)."""
+    if "section_controls" not in out:
+        _pinned_control(spark)  # one-time warm-up, not recorded
+    out.setdefault("section_controls", {})[section] = _control_stats(
+        [_pinned_control(spark) for _ in range(n)]
+    )
+
 
 def generate_scaled(base_dir: str, out_dir: str, k: int) -> None:
     """Write documents.parquet / embeddings.parquet with k replicas."""
@@ -379,11 +399,18 @@ def main() -> None:
         """ONE measurement + exponent protocol for every ladder entry
         (the per-query copy of this loop had started to drift — r6
         review): min-of-runs per rung, shingle caches released between,
-        log-log segment slopes recorded."""
+        log-log segment slopes recorded. r13: heavy rungs (sf >= 0.5)
+        run at least 3 samples — min-of-2 failed to absorb a GC/codegen
+        spike at r12 — and every rung records an interleaved pinned-
+        control reading so a spiked rung self-adjudicates in-JSON."""
         results[q] = {}
         for sf, _k in rungs:
+            results[q].setdefault("control", {})[str(sf)] = round(
+                _pinned_control(spark), 3
+            )
+            n_runs = args.runs if sf < 0.5 else max(args.runs, 3)
             samples = []
-            for _ in range(args.runs):
+            for _ in range(n_runs):
                 t0 = time.perf_counter()
                 n = fn(spark, dirs[sf]).count()
                 samples.append(time.perf_counter() - t0)
@@ -399,6 +426,7 @@ def main() -> None:
         exponents[q] = segs
 
     if "queries" in sections:
+        _section_control(spark, out, "queries")
         callables = {q: QUERIES[q] for q in LADDER_QUERIES}
         callables["ann_ivf_top5"] = ann_ivf_top5
         if args.only:
@@ -425,6 +453,7 @@ def main() -> None:
         ):
             generate_scaled(args.base, d2, 20)
         dirs[2.0] = d2
+        _section_control(spark, out, "persist")
         _measure_rungs("q46_jaccard_persist", q46_persist, ladder_p)
 
     if results:
@@ -432,6 +461,7 @@ def main() -> None:
         out["growth_exponents"] = exponents
 
     if "ann_stream" in sections:
+        _section_control(spark, out, "ann_stream")
         out["ann_maintenance_stream"] = {
             f"index_{tag}": measure_ann_stream(spark, dirs[sf], compact_every)
             for tag, sf, compact_every in [
@@ -443,51 +473,60 @@ def main() -> None:
         }
 
     if "zone" in sections:
+        _section_control(spark, out, "zone")
         out["zone_scan"] = {
             str(g): measure_zone_scan(spark, g) for g in (5, 25, 50)
         }
 
     if "bloomskip" in sections:
+        _section_control(spark, out, "bloomskip")
         out["bloom_skip"] = {
             str(g): measure_bloom_skip(spark, g) for g in (10, 50)
         }
 
     if "ivm" in sections:
+        _section_control(spark, out, "ivm")
         out["ivm_refresh"] = {
             str(n): measure_ivm(spark, n) for n in (100_000, 500_000, 1_000_000)
         }
 
     if "pagerank" in sections:
+        _section_control(spark, out, "pagerank")
         out["pagerank"] = {
             tag: measure_pagerank(spark, n)
             for tag, n in [("1M_edges", 1_000_000), ("5M_edges", 5_000_000)]
         }
 
     if "bloom" in sections:
+        _section_control(spark, out, "bloom")
         out["bloom_updates"] = {
             tag: measure_bloom_updates(spark, n)
             for tag, n in [("100k_prefill", 100_000), ("1M_prefill", 1_000_000)]
         }
 
     if "manifest" in sections:
+        _section_control(spark, out, "manifest")
         out["manifest_loads"] = {
             tag: measure_manifest_loads(spark, n)
             for tag, n in [("200_commits", 200), ("20k_commits", 20_000)]
         }
 
     if "coldparse" in sections:
+        _section_control(spark, out, "coldparse")
         out["cold_parse"] = {
             tag: measure_cold_parse(spark, n)
             for tag, n in [("100k_entries", 100_000), ("1M_entries", 1_000_000)]
         }
 
     if "objstore" in sections:
+        _section_control(spark, out, "objstore")
         out["checkpoint_objstore"] = {
             tag: measure_checkpoint_objstore(spark, n)
             for tag, n in [("100k_entries", 100_000), ("1M_entries", 1_000_000)]
         }
 
     if "dvdelete" in sections:
+        _section_control(spark, out, "dvdelete")
         out["dv_delete"] = {
             f"{n}_rows": measure_dv_delete(spark, n)
             for n in (500_000, 4_000_000)
@@ -498,12 +537,14 @@ def main() -> None:
         }
 
     if "contention" in sections:
+        _section_control(spark, out, "contention")
         out["commit_contention"] = {
             f"{w}_writers": measure_commit_contention(spark, w)
             for w in (1, 2, 8)
         }
 
     if "contention_wide" in sections:
+        _section_control(spark, out, "contention_wide")
         # r11 rung (verdict task #5): burst widths plausible when many
         # tasks of a 1000-executor job commit to one table. Fewer commits
         # per writer keeps total commits comparable to the 8-writer rung.
@@ -513,6 +554,7 @@ def main() -> None:
         }
 
     if "compaction" in sections:
+        _section_control(spark, out, "compaction")
         out["compact"] = {
             f"{b}_base_parts": measure_compact(spark, b)
             for b in (64, 512)
@@ -973,6 +1015,13 @@ def measure_dv_sidecar_read(spark, rows: int, n_delete: int) -> dict:
                 (F.col("id") * 0.5).alias("v"),
             ),
         )
+        # compacted = the steady state the DV contract names ("vectors
+        # are for bounded delete traffic BETWEEN compactions"): with the
+        # batch still a live delta, every row of the delta would probe
+        # the join (vectors name the delta's generation, so generation-
+        # level confinement can't split it) and the concentrated shape
+        # would measure the same as the scattered one (r13 find)
+        lake.compact("t", full=True)
         agg = lambda df: df.agg(  # noqa: E731
             F.sum("v").alias("s"), F.avg("k").alias("a")
         ).collect()
@@ -989,20 +1038,28 @@ def measure_dv_sidecar_read(spark, rows: int, n_delete: int) -> dict:
         assert meta.deletion_vectors == {}, "must not inline at this size"
         side_total = sum(int(e[1]) for e in meta.dv_sidecars)
         affected = lake._dv_affected_rels(meta)
+        # r13: the FIRST masked read pays the build-side construction
+        # (sidecar parquet scan + rel materialization + persist) ONCE per
+        # manifest version; later reads of the same version scan the
+        # persisted blocks. Report both so the amortization claim —
+        # warm masked read within ~10% of the unmasked read — is the
+        # measured number, not the min-of-3 accident it used to be.
         after = []
-        for _ in range(3):
+        for _ in range(4):
             t0 = _time.perf_counter()
             agg(lake.table("t"))
             after.append(_time.perf_counter() - t0)
         n = lake.table("t").count()
         assert n == rows - side_total, (shape, n)
         out[shape] = {
+            "control_s": round(_pinned_control(spark), 3),
             "sidecar_positions": side_total,
             "masked_partitions": len(affected) if affected is not None else n_parts,
             "delete_s": round(delete_s, 3),
             "read_s_min_before": round(min(before), 3),
-            "read_s_min_after": round(min(after), 3),
-            "read_overhead_abs_s": round(min(after) - min(before), 3),
+            "read_s_cold_after": round(after[0], 3),
+            "read_s_warm_after": round(min(after[1:]), 3),
+            "warm_overhead_abs_s": round(min(after[1:]) - min(before), 3),
         }
     return out
 
