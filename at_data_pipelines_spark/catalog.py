@@ -485,6 +485,37 @@ class _HadoopFS:
             if st.isFile()
         ]
 
+    def list_dir(self, p: str) -> tuple[list[str], bool]:
+        """(plain-file names directly under ``p``, whether ``p`` has any
+        subdirectory) in ONE listing call — the deletion-vector file
+        split (_read_raw) needs both facts per masked directory and must
+        not pay two object-store LISTs for them. A missing/fileless path
+        reads as ([], False); the caller treats anything other than
+        "files only" as unsplittable and keeps the directory whole."""
+        if self.scheme == "file":
+            import os
+
+            try:
+                with os.scandir(self._local_path(p)) as it:
+                    names, has_sub = [], False
+                    for e in it:
+                        if e.is_dir():
+                            has_sub = True
+                        elif e.is_file():
+                            names.append(e.name)
+                    return names, has_sub
+            except (FileNotFoundError, NotADirectoryError):
+                return [], False
+        if not self.exists(p):
+            return [], False
+        names, has_sub = [], False
+        for st in self._fs.listStatus(self._Path(p)):
+            if st.isDirectory():
+                has_sub = True
+            elif st.isFile():
+                names.append(st.getPath().getName())
+        return names, has_sub
+
     def mtime(self, p: str) -> int:
         """Modification time of ``p`` in epoch millis (0 if absent — also
         when ``p`` vanishes between the existence check and the stat, as
@@ -1199,6 +1230,16 @@ class Lakehouse:
         # handles are shared across writer threads.
         self._dv_cache: dict[tuple, DataFrame] = {}
         self._dv_cache_mu = threading.Lock()
+        # file-split routing memo (r13): (name, uuid, version, dirs) ->
+        # (still-masked paths, clean file paths). A split lists up to
+        # _DV_FILE_SPLIT_DIR_CAP directories on the DRIVER per read —
+        # ~free on file:// but a serial RPC apiece on an object store —
+        # and committed generations are immutable, so the routing of one
+        # manifest version never changes. Plain lists, no Spark state.
+        self._dv_split_cache: dict[tuple, tuple[list[str], list[str]]] = {}
+        # raw-plan memo (r13, _read_raw): content-addressed constructed
+        # reader DataFrames — plan objects only, no persisted blocks
+        self._plan_cache: dict[tuple, DataFrame] = {}
 
     # fsspec/Polars-style option names → Hadoop s3a configuration keys
     # (the surface bl.connect_s3(path, storage_options) exposes —
@@ -3780,6 +3821,16 @@ class Lakehouse:
     #: the read-path split; past this the entry stores None (= mask
     #: every partition) instead of bloating the manifest
     _DV_SIDECAR_REL_CAP = 10_000
+    #: most distinct FILES a sidecar entry records inline for the
+    #: file-level read split (r13); past this the entry stores None and
+    #: readers fall back to directory-granularity confinement. 256 paths
+    #: x ~60 bytes ~= 15 KB of manifest worst case, and the merge-at-8
+    #: consolidation bounds the union a reader ever assembles
+    _DV_SIDECAR_FILE_CAP = 256
+    #: most vector-carrying directories _read_raw will LIST to attempt
+    #: the file split; past this the per-query driver listing cost
+    #: outweighs the probe-row savings and the dir-level split stands
+    _DV_FILE_SPLIT_DIR_CAP = 256
 
     def _dv_affected_rels(self, meta: TableMeta) -> "set[str] | None":
         """Partition rels that can hold vectored rows — from the manifest
@@ -3801,6 +3852,62 @@ class Lakehouse:
                 return None
             rels.update(e[3])
         return rels
+
+    @staticmethod
+    def _dv_touched_files(meta: TableMeta) -> "set[str] | None":
+        """Exactly the data files that carry vectored rows — manifest
+        only, zero I/O. Inline vector keys ARE file paths, so they are
+        always exact; sidecar entries contribute their recorded file
+        list (r13, ``_write_dv_sidecar``). ``None`` = at least one entry
+        has no complete list (legacy pre-r13 entry, or one past the
+        _DV_SIDECAR_FILE_CAP): callers must fall back to directory-level
+        confinement — mask more, never less."""
+        out: set[str] = set(meta.deletion_vectors or ())
+        for e in meta.dv_sidecars or []:
+            if len(e) < 5 or e[4] is None:
+                return None
+            out.update(e[4])
+        return out or None
+
+    def _dv_file_split(
+        self, masked: list[str], touched: set[str], clean: list[str]
+    ) -> list[str]:
+        """FILE-level deletion-vector confinement (r13): split each
+        vector-carrying directory's listing into explicit part-files —
+        files NOT in the complete touched set join the ``clean`` codegen
+        branch; only files that actually carry vectors stay masked. This
+        is the Delta/Iceberg "only files with DVs pay the mask" property,
+        expressed as path routing above Spark's public reader: a wide
+        delete that zone-pruned into 1 of a partition's 8 part-files now
+        sends 1/8 of that partition's rows through the anti-join.
+
+        Sound because committed generations are immutable (a listed dir's
+        file set never changes after its commit) and ``touched`` is exact
+        by construction (inline keys are file paths; sidecar lists come
+        off the written parquet itself — incomplete sets are None and the
+        caller never reaches here). Fail-safe direction: a dir that is
+        not provably files-only (has subdirectories — a partitioned live
+        delta — or lists empty, or lacks the /data/ marker) stays WHOLE
+        on the masked side; hidden files (_SUCCESS, .crc) are skipped to
+        match Spark's own directory-scan filter."""
+        still: list[str] = []
+        for d in masked:
+            if "/data/" not in d:
+                still.append(d)
+                continue
+            names, has_sub = self.fs.list_dir(d)
+            data_files = [fn for fn in names if not fn.startswith(("_", "."))]
+            if has_sub or not data_files:
+                still.append(d)
+                continue
+            for fn in data_files:
+                p = f"{d}/{fn}"
+                # identical derivation to _apply_dvs's __dv_f
+                # (substring_index(file_path, '/data/', -1)): the rel
+                # path after the LAST /data/ component
+                rel_f = p.rsplit("/data/", 1)[1]
+                (still if rel_f in touched else clean).append(p)
+        return still
 
     @staticmethod
     def _dv_vector_seqs(meta: TableMeta) -> "set[int] | None":
@@ -3839,12 +3946,29 @@ class Lakehouse:
         )
         back = self.spark.read.schema(self._DV_SIDE_SCHEMA).parquet(path)
         n = back.count()
-        leaves = [
-            r.leaf
-            for r in back.select(
-                F.expr("regexp_replace(f, '/[^/]+$', '')").alias("leaf")
-            ).distinct().collect()
+        # distinct touched FILES (r13): lets readers confine the
+        # anti-join to the part-files that actually carry vectors
+        # (_read_raw's file split) instead of whole partitions. The
+        # limit bounds the collect — a delete touching more files than
+        # the cap records None and readers keep dir granularity.
+        files = [
+            r.f
+            for r in back.select("f")
+            .distinct()
+            .limit(self._DV_SIDECAR_FILE_CAP + 1)
+            .collect()
         ]
+        if len(files) > self._DV_SIDECAR_FILE_CAP:
+            files = None
+            leaves = [
+                r.leaf
+                for r in back.select(
+                    F.expr("regexp_replace(f, '/[^/]+$', '')").alias("leaf")
+                ).distinct().collect()
+            ]
+        else:
+            files = sorted(files)
+            leaves = sorted({f.rsplit("/", 1)[0] for f in files})
         seqs = sorted({int(lf.partition("/")[0].split("=", 1)[1]) for lf in leaves})
         # affected partition rels, stored so readers can confine the
         # anti-join to the partitions that actually carry vectors (the
@@ -3853,7 +3977,7 @@ class Lakehouse:
         rels = sorted({lf.partition("/")[2] for lf in leaves})
         if len(rels) > self._DV_SIDECAR_REL_CAP:
             rels = None
-        return [rel, n, seqs, rels]
+        return [rel, n, seqs, rels, files]
 
     #: sidecar-count bound: past this many entries a delete/update
     #: consolidates every sidecar into ONE before committing, so a
@@ -4000,6 +4124,10 @@ class Lakehouse:
             dead = [k for k in self._dv_cache if k[0] == name]
             for k in dead:
                 self._dv_cache.pop(k).unpersist()
+            for k in [k for k in self._dv_split_cache if k[0] == name]:
+                self._dv_split_cache.pop(k)
+            for k in [k for k in self._plan_cache if k[0] == name]:
+                self._plan_cache.pop(k)
 
     def _apply_dvs(
         self,
@@ -4163,8 +4291,51 @@ class Lakehouse:
             .parquet(*paths)
         )
 
+    #: live entries in the per-handle raw-plan memo (plan OBJECTS only —
+    #: no persisted Spark state, so eviction is a plain pop)
+    _PLAN_CACHE_MAX = 16
+
     def _read_raw(self, name: str, meta: TableMeta) -> DataFrame:
-        paths = self._visible_paths(name, meta)
+        """Memoizing wrapper (r13): constructing the raw reader is NOT
+        free — Spark eagerly lists every path into an InMemoryFileIndex
+        at DataFrame construction (a listing JOB when the path count
+        tops the parallel-discovery threshold: measured 0.88 s/query for
+        a 287-file DV file-split plan whose execution is 0.45 s), paid
+        per QUERY before r13. Plans and committed generations are both
+        immutable, so the built DataFrame is reusable until the manifest
+        changes. The key is CONTENT-addressed — visible paths + both DV
+        tiers — not just (uuid, version), because internal callers pass
+        tentative/mutated metas mid-commit (e.g. the rung's stripped
+        file lists) that share a version with different read shapes;
+        equal content returning the identical plan object is always
+        sound, a content miss is only a rebuild."""
+        fp = (
+            name,
+            meta.table_uuid,
+            meta.version,
+            tuple(self._visible_paths(name, meta)),
+            repr(meta.deletion_vectors),
+            repr(meta.dv_sidecars),
+            # schema/partition shape ride along for the same tentative-
+            # meta reason (restore and DDL mutate them before the commit
+            # that bumps the version)
+            repr(meta.schema_json),
+            tuple(meta.partition_keys),
+        )
+        with self._dv_cache_mu:
+            hit = self._plan_cache.get(fp)
+        if hit is not None:
+            return hit
+        df = self._read_raw_build(name, meta, list(fp[3]))
+        with self._dv_cache_mu:
+            while len(self._plan_cache) >= self._PLAN_CACHE_MAX:
+                self._plan_cache.pop(next(iter(self._plan_cache)))
+            self._plan_cache[fp] = df
+        return df
+
+    def _read_raw_build(
+        self, name: str, meta: TableMeta, paths: list[str]
+    ) -> DataFrame:
         # the all-paths reader is built ONLY on the branches that return
         # it — constructing a parquet DataFrame eagerly lists every path
         # (InMemoryFileIndex), and the confined branch below re-lists
@@ -4174,38 +4345,69 @@ class Lakehouse:
             return self._read_raw_unmasked(name, meta, paths)
         if not (meta.deletion_vectors or meta.dv_sidecars):
             return self._read_raw_unmasked(name, meta, paths)
-        # DV-confined read (r12): the broadcast anti-join costs ~100 ns
-        # per PROBE row — measured independent of key shape and build
-        # size, it is the join operator breaking whole-stage codegen —
-        # so rows that provably cannot match must never enter it. The
-        # manifest names the partitions that carry vectors; committed
-        # bases OUTSIDE that set scan on the fast plain path (codegen
-        # intact), only the affected bases plus all live-delta dirs
-        # (whose files can carry vectors too) take the join. Worst case
-        # (vectors in every partition, or unpartitioned) degrades to the
-        # old single masked scan.
+        # DV-confined read (r12, file-level r13): the broadcast anti-join
+        # costs ~100 ns per PROBE row — measured independent of key shape
+        # and build size, it is the join operator breaking whole-stage
+        # codegen — so rows that provably cannot match must never enter
+        # it. Two confinement levels, each engaging when its manifest
+        # evidence is complete: the PARTITION level routes committed
+        # bases outside the vector-carrying rel set (and vector-free
+        # live-delta generations) to the plain codegen path; the FILE
+        # level (_dv_file_split) then rescues the untouched part-files
+        # WITHIN vector-carrying dirs, using the manifest's exact
+        # touched-file set. Worst case (legacy/capped entries on an
+        # unpartitioned table) degrades to the old single masked scan.
         affected = self._dv_affected_rels(meta)
-        if affected is not None:
+        touched = self._dv_touched_files(meta)
+        if affected is not None or touched is not None:
             clean: list[str] = []
-            # a live delta whose GENERATION provably carries no vectors
-            # (vectors name their files' _seq) is clean too — without
-            # this, a streaming sink's every fresh micro-batch delta
-            # would pay the join after one dv delete on the base
-            vseqs = self._dv_vector_seqs(meta)
-            masked = [
-                self._seq_dir(name, s)
-                for s in meta.live_deltas
-                if vseqs is None or s in vseqs
-            ]
-            clean += [
-                self._seq_dir(name, s)
-                for s in meta.live_deltas
-                if not (vseqs is None or s in vseqs)
-            ]
-            for rel, s in sorted(meta.committed.items()):
-                base = self._seq_dir(name, s)
-                p = base if rel == "" else f"{base}/{rel}"
-                (masked if (rel == "" or rel in affected) else clean).append(p)
+            if affected is not None:
+                # a live delta whose GENERATION provably carries no
+                # vectors (vectors name their files' _seq) is clean too —
+                # without this, a streaming sink's every fresh micro-batch
+                # delta would pay the join after one dv delete on the base
+                vseqs = self._dv_vector_seqs(meta)
+                masked = [
+                    self._seq_dir(name, s)
+                    for s in meta.live_deltas
+                    if vseqs is None or s in vseqs
+                ]
+                clean += [
+                    self._seq_dir(name, s)
+                    for s in meta.live_deltas
+                    if not (vseqs is None or s in vseqs)
+                ]
+                for rel, s in sorted(meta.committed.items()):
+                    base = self._seq_dir(name, s)
+                    p = base if rel == "" else f"{base}/{rel}"
+                    (masked if (rel == "" or rel in affected) else clean).append(p)
+            else:
+                # no partition-level confinement (unpartitioned table, or
+                # an entry without a rel list) but the touched-FILE set is
+                # complete: every visible dir is a mask candidate and the
+                # file split below rescues its untouched part-files —
+                # before r13 an unpartitioned table always paid the full
+                # join on every row
+                masked = list(paths)
+            if (
+                touched is not None
+                and masked
+                and len(masked) <= self._DV_FILE_SPLIT_DIR_CAP
+            ):
+                ck = (name, meta.table_uuid, meta.version, tuple(masked))
+                with self._dv_cache_mu:
+                    hit = self._dv_split_cache.get(ck)
+                if hit is None:
+                    extra: list[str] = []
+                    hit = (self._dv_file_split(masked, touched, extra), extra)
+                    with self._dv_cache_mu:
+                        while len(self._dv_split_cache) >= 8:
+                            self._dv_split_cache.pop(
+                                next(iter(self._dv_split_cache))
+                            )
+                        self._dv_split_cache[ck] = hit
+                masked = list(hit[0])
+                clean += hit[1]
             parts: list[DataFrame] = []
             if masked:
                 parts.append(

@@ -1000,11 +1000,21 @@ def measure_dv_sidecar_read(spark, rows: int, n_delete: int) -> dict:
     conc_mod = max(-(-(rows // 8) // int(conc_target * 0.9)), 2)
     scat_mod = max(-(-rows // int(n_delete * 0.9)), 2)
     shapes = {
-        "concentrated": (F.col("part") < 4)
-        & (F.xxhash64("k") % F.lit(conc_mod) == 0),
-        "scattered": F.xxhash64("k") % F.lit(scat_mod) == 0,
+        "concentrated": (
+            (F.col("part") < 4) & (F.xxhash64("k") % F.lit(conc_mod) == 0),
+            False,
+        ),
+        "scattered": (F.xxhash64("k") % F.lit(scat_mod) == 0, False),
+        # r13 FILE-split shape: a contiguous-range delete on a Z-ordered
+        # (k-clustered, several files per partition dir) table — the
+        # workload that layout exists for. Vectors land in ~1/zorder_files
+        # of each dir's files, so file-level confinement keeps the other
+        # files' rows on plain codegen; also measured with the entries'
+        # file lists stripped (the r12 dir-level behavior) for an honest
+        # same-session A/B.
+        "pinpoint_zorder": (F.col("k") < rows // 20, True),
     }
-    for shape, pred in shapes.items():
+    for shape, (pred, zorder) in shapes.items():
         lake = Lakehouse(spark, f"{work}/{shape}")
         lake.create("t", schema, ["part"], [])
         lake.insert(
@@ -1021,7 +1031,10 @@ def measure_dv_sidecar_read(spark, rows: int, n_delete: int) -> dict:
         # the join (vectors name the delta's generation, so generation-
         # level confinement can't split it) and the concentrated shape
         # would measure the same as the scattered one (r13 find)
-        lake.compact("t", full=True)
+        if zorder:
+            lake.compact("t", zorder_by=["k"], zorder_files=8, full=True)
+        else:
+            lake.compact("t", full=True)
         agg = lambda df: df.agg(  # noqa: E731
             F.sum("v").alias("s"), F.avg("k").alias("a")
         ).collect()
@@ -1061,6 +1074,29 @@ def measure_dv_sidecar_read(spark, rows: int, n_delete: int) -> dict:
             "read_s_warm_after": round(min(after[1:]), 3),
             "warm_overhead_abs_s": round(min(after[1:]) - min(before), 3),
         }
+        touched = lake._dv_touched_files(meta)
+        if touched is not None:
+            total_files = len(
+                {p for p in lake._read_raw_unmasked("t", meta).inputFiles()}
+            )
+            out[shape]["touched_files"] = len(touched)
+            out[shape]["total_files"] = total_files
+        if zorder and touched is not None:
+            # same-session A/B: the identical read with the sidecar
+            # entries' file lists REBOUND away (never mutated in place —
+            # _meta_from_raw shares nested lists with the raw-meta cache)
+            # = the r12 dir-level confinement this shape's number is
+            # claimed against
+            legacy = lake._load_meta("t")
+            legacy.dv_sidecars = [list(e[:4]) for e in legacy.dv_sidecars]
+            ldf = lake._read_raw("t", legacy)
+            agg(ldf)  # warm
+            legacy_runs = []
+            for _ in range(3):
+                t0 = _time.perf_counter()
+                agg(lake._read_raw("t", legacy))
+                legacy_runs.append(_time.perf_counter() - t0)
+            out[shape]["read_s_warm_dir_level"] = round(min(legacy_runs), 3)
     return out
 
 

@@ -495,11 +495,14 @@ def test_dv_sidecar_round_trip_exact_and_rewrites_nothing(lake, spark, monkeypat
     assert lake._sidecar_fp_df("t", m.dv_sidecars).count() == 40
     assert m.deletion_vectors == {}, "big delete must not grow the inline dict"
     assert len(m.dv_sidecars) == 1
-    rel, n, seqs, rels = m.dv_sidecars[0]
+    rel, n, seqs, rels, files = m.dv_sidecars[0]
     assert n == 40 and rel.startswith("dv/") and seqs
     # the entry records the affected partitions so readers confine the
     # anti-join to them (k 20-59 spans only part=0)
     assert rels == ["part=0"]
+    # ... and the exact touched files (r13) so the file split can rescue
+    # untouched part-files within those partitions
+    assert files and all(f.rsplit("/", 1)[0].endswith("part=0") for f in files)
     assert sorted(r.k for r in lake.table("t").collect()) == [
         k for k in range(200) if not 20 <= k <= 59
     ]
@@ -1166,3 +1169,174 @@ def test_emptied_partition_pop_requires_read_evidence(lake, spark, monkeypatch):
         r.k for r in lake.table("p").filter("part = 2").collect()
     ) == [0, 1, 2, 3, 4]
     assert {5, 6, 7, 8, 9} <= {r.k for r in lake.table("p").filter("part = 0").collect()}
+
+
+# ---------------------------------------------------------------------------
+# FILE-level DV confinement (r13): only part-files that actually carry
+# vectors pay the anti-join; untouched files within vector-carrying
+# partitions scan on the clean codegen branch.
+# ---------------------------------------------------------------------------
+
+
+def _dir_files(lake, name, seq, rel):
+    d = f"{lake._dir(name)}/data/_seq={seq}" + (f"/{rel}" if rel else "")
+    names, _sub = lake.fs.list_dir(d)
+    return [f"{d}/{n}" for n in names if not n.startswith(("_", "."))]
+
+
+def test_dv_file_split_confines_probe_to_touched_files(lake, spark):
+    """Z-ordered layout (several range-clustered files per partition dir)
+    + a narrow-range DV delete: the join's probe side must be exactly the
+    touched files' rows, every other file scanning clean — and the result
+    must equal the full mask's."""
+    lake.create("t", SCHEMA, ["part"], [])
+    for i in range(4):
+        lake.insert("t", _batch(spark, i * 1000, (i + 1) * 1000, i % 2))
+    lake.compact("t", zorder_by=["k"], zorder_files=4, full=True)
+    m = lake._load_meta("t")
+    per_dir = {rel: _dir_files(lake, "t", s, rel) for rel, s in m.committed.items()}
+    assert all(len(fs) >= 2 for fs in per_dir.values()), (
+        "layout precondition: zorder_files must yield multi-file dirs, got "
+        f"{ {r: len(fs) for r, fs in per_dir.items()} }"
+    )
+    total_files = sum(len(fs) for fs in per_dir.values())
+    lake.delete_where("t", F.col("k") < 100, mode="dv")
+    m = lake._load_meta("t")
+    touched = lake._dv_touched_files(m)
+    assert touched is not None
+    assert len(touched) < total_files, "narrow delete should leave files untouched"
+    # expected probe = rows physically in the touched files
+    expected_probe = (
+        spark.read.parquet(
+            *[f"{lake._dir('t')}/data/{f}" for f in sorted(touched)]
+        ).count()
+    )
+    probe = []
+    orig = Lakehouse._apply_dvs
+
+    def spy(self, df, name, meta, rels=None, keep_pos=False):
+        probe.append(df.count())
+        return orig(self, df, name, meta, rels=rels, keep_pos=keep_pos)
+
+    Lakehouse._apply_dvs = spy
+    try:
+        got = sorted(r.k for r in lake.table("t").collect())
+    finally:
+        Lakehouse._apply_dvs = orig
+    assert got == list(range(100, 4000))
+    assert probe == [expected_probe], f"probe {probe} != touched rows {expected_probe}"
+    assert expected_probe < 4000, "file split must keep untouched rows out of the join"
+
+
+def test_dv_file_split_legacy_and_capped_entries_fall_back(lake, spark, monkeypatch):
+    """A pre-r13 4-element sidecar entry (no file list) or a capped one
+    (files=None) must disable the file split — dir-level confinement, and
+    the exact same rows — never a wrong answer."""
+    monkeypatch.setattr(Lakehouse, "_DV_INLINE_MAX_POSITIONS", 5)
+    lake.create("t", SCHEMA, ["part"], [])
+    for i in range(2):
+        lake.insert("t", _batch(spark, i * 1000, (i + 1) * 1000, i))
+    lake.compact("t", zorder_by=["k"], zorder_files=4, full=True)
+    lake.delete_where("t", F.col("k").between(100, 149), mode="dv")
+    m = lake._load_meta("t")
+    assert len(m.dv_sidecars) == 1 and len(m.dv_sidecars[0]) == 5
+    expect = [k for k in range(2000) if not 100 <= k <= 149]
+    # legacy shape: strip the file list in-memory and read via the meta
+    legacy = m
+    legacy.dv_sidecars = [e[:4] for e in legacy.dv_sidecars]
+    assert lake._dv_touched_files(legacy) is None
+    got = sorted(r.k for r in lake._read_raw("t", legacy).collect())
+    assert got == expect
+    # capped at write time: a new delete spanning > cap files records None
+    monkeypatch.setattr(Lakehouse, "_DV_SIDECAR_FILE_CAP", 1)
+    lake.delete_where("t", F.col("k").between(150, 1199), mode="dv")
+    m = lake._load_meta("t")
+    assert any(len(e) > 4 and e[4] is None for e in m.dv_sidecars)
+    assert lake._dv_touched_files(m) is None
+    got = sorted(r.k for r in lake.table("t").collect())
+    assert got == [k for k in range(2000) if not 100 <= k <= 1199]
+
+
+def test_dv_file_split_routing_fail_safes(lake, tmp_path):
+    """Unit routing contract: subdir-bearing dirs stay whole, paths
+    without the /data/ marker stay whole, hidden files are skipped, and
+    untouched files land in clean."""
+    import os
+
+    d = tmp_path / "lakeX" / "data" / "_seq=0"
+    os.makedirs(d)
+    for fn in ("a.parquet", "b.parquet", "_SUCCESS", ".hidden"):
+        (d / fn).write_bytes(b"")
+    clean: list[str] = []
+    still = lake._dv_file_split([str(d)], {"_seq=0/a.parquet"}, clean)
+    assert still == [f"{d}/a.parquet"]
+    assert clean == [f"{d}/b.parquet"]
+    # a dir with a subdirectory (partitioned live delta) is unsplittable
+    os.makedirs(d / "part=0")
+    clean2: list[str] = []
+    assert lake._dv_file_split([str(d)], {"_seq=0/a.parquet"}, clean2) == [str(d)]
+    assert clean2 == []
+    # no /data/ marker: kept whole rather than guessing at rel paths
+    odd = tmp_path / "odd"
+    os.makedirs(odd)
+    assert lake._dv_file_split([str(odd)], {"x"}, []) == [str(odd)]
+
+
+def test_dv_file_split_unpartitioned_table_escapes_full_mask(lake, spark):
+    """Unpartitioned tables have no partition-level confinement at all —
+    before r13 one vector meant every row probed the join. With the
+    touched-file set complete, untouched part-files now scan clean."""
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+    try:
+        lake.create("t", SCHEMA, [], [])
+        lake.insert("t", _batch(spark, 0, 40_000, 0))
+        lake.compact("t", full=True)
+    finally:
+        spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    m = lake._load_meta("t")
+    files = _dir_files(lake, "t", m.committed[""], "")
+    assert len(files) >= 2, f"precondition: multi-file base, got {len(files)}"
+    lake.delete_where("t", F.col("k") < 50, mode="dv")
+    m = lake._load_meta("t")
+    touched = lake._dv_touched_files(m)
+    assert touched is not None and len(touched) < len(files)
+    expected_probe = spark.read.parquet(
+        *[f"{lake._dir('t')}/data/{f}" for f in sorted(touched)]
+    ).count()
+    probe = []
+    orig = Lakehouse._apply_dvs
+
+    def spy(self, df, name, meta, rels=None, keep_pos=False):
+        probe.append(df.count())
+        return orig(self, df, name, meta, rels=rels, keep_pos=keep_pos)
+
+    Lakehouse._apply_dvs = spy
+    try:
+        assert lake.table("t").count() == 39_950
+    finally:
+        Lakehouse._apply_dvs = orig
+    assert probe == [expected_probe] and expected_probe < 40_000
+
+
+def test_plan_cache_reuses_and_invalidates(lake, spark):
+    """The raw-plan memo must return the identical DataFrame object for
+    repeated reads of an unchanged manifest (the per-query listing-job
+    amortization) and a fresh, correct plan after every commit —
+    delete -> read -> delete -> read sees both deletes."""
+    lake.create("t", SCHEMA, ["part"], [])
+    lake.insert("t", _batch(spark, 0, 1000, 0))
+    m = lake._load_meta("t")
+    a = lake._read_raw("t", m)
+    b = lake._read_raw("t", lake._load_meta("t"))
+    assert a is b, "unchanged manifest must reuse the constructed plan"
+    lake.delete_where("t", F.col("k") < 10, mode="dv")
+    assert lake.table("t").count() == 990
+    lake.delete_where("t", F.col("k") < 20, mode="dv")
+    assert lake.table("t").count() == 980, "second delete must invalidate"
+    # a mutated meta with the same version must MISS (content-addressed),
+    # never return the other shape's plan
+    m2 = lake._load_meta("t")
+    legacy = lake._load_meta("t")
+    legacy.dv_sidecars = [list(e[:4]) for e in legacy.dv_sidecars]
+    if legacy.dv_sidecars != m2.dv_sidecars:
+        assert lake._read_raw("t", legacy) is not lake._read_raw("t", m2)
