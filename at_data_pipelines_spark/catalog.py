@@ -506,10 +506,20 @@ class _HadoopFS:
                     return names, has_sub
             except (FileNotFoundError, NotADirectoryError):
                 return [], False
-        if not self.exists(p):
-            return [], False
+        # ONE listStatus, catching the missing-path error instead of a
+        # prior exists() probe — the review found the exists() call paid
+        # exactly the doubled object-store round trip this method's
+        # contract promises to avoid
+        try:
+            statuses = self._fs.listStatus(self._Path(p))
+        except Exception as e:  # py4j wraps FileNotFoundException
+            if "FileNotFoundException" in str(
+                getattr(e, "java_exception", e)
+            ) or "FileNotFoundException" in str(e):
+                return [], False
+            raise
         names, has_sub = [], False
-        for st in self._fs.listStatus(self._Path(p)):
+        for st in statuses:
             if st.isDirectory():
                 has_sub = True
             elif st.isFile():
@@ -681,6 +691,26 @@ def _hive_rel(keys: list[str], vals) -> str:
     """``year=2024`` / ``year=2024/month=3`` — the hive directory path of
     one partition value tuple."""
     return "/".join(f"{k}={_escape_partition_value(v)}" for k, v in zip(keys, vals))
+
+
+def _uri_unquote(s: str) -> str:
+    """Strip the URI percent-encoding layer off a path derived from
+    ``_metadata.file_path`` (r13 review find — a verified wrong answer):
+    Spark reports file paths as URIs, so an on-disk (hive-escaped) dir
+    name like ``part=a b`` reads back as ``part=a%20b``. Deletion-vector
+    JOIN keys live entirely in the encoded namespace (both sides derive
+    from ``_metadata``) and are untouched; but every comparison against
+    the RAW namespace — manifest ``committed`` rels, fs listings,
+    scan-pruning rel sets — must decode first or a vector-carrying
+    partition whose value needs encoding silently routes to the
+    unmasked/clean side and deleted rows resurface. Percent-decoding is
+    total and exact on encoder output (UTF-8 %XX only; '+' is NOT a
+    form-encoded space in URIs, and urllib's unquote leaves it alone).
+    A raw name's OWN literal '%' arrives here double-encoded (%25), so
+    decoding returns the hive-escaped on-disk name, never over-decodes."""
+    from urllib.parse import unquote
+
+    return unquote(s)
 
 
 def _stat_encode(v):
@@ -2310,8 +2340,9 @@ class Lakehouse:
                 # our own DV merge) would resurrect the rival's deletes.
                 # Outside the footprint rival DVs ride through untouched.
                 def _dv_rel(key: str) -> str:
+                    # decoded: scope/base_rels live in the raw namespace
                     leaf = key.rsplit("/", 1)[0]
-                    return leaf.partition("/")[2]
+                    return _uri_unquote(leaf.partition("/")[2])
 
                 scope = None if base_rels is None else set(base_rels)
                 for k in set(before.deletion_vectors) | set(fresh.deletion_vectors):
@@ -3082,7 +3113,7 @@ class Lakehouse:
             changed |= set(old_meta.dirty_partitions)
             changed |= set(new_meta.dirty_partitions)
             changed |= {
-                k.rsplit("/", 1)[0].partition("/")[2]
+                _uri_unquote(k.rsplit("/", 1)[0].partition("/")[2])
                 for k in set(old_meta.deletion_vectors)
                 | set(new_meta.deletion_vectors)
                 if old_meta.deletion_vectors.get(k)
@@ -3100,7 +3131,11 @@ class Lakehouse:
             ]
             if side_diff:
                 if all(len(e) >= 4 and e[3] is not None for e in side_diff):
-                    changed |= {r for e in side_diff for r in e[3]}
+                    changed |= {
+                        r if len(e) >= 5 else _uri_unquote(r)
+                        for e in side_diff
+                        for r in e[3]
+                    }
                 else:
                     # rel list capped/absent: one tiny distinct read
                     changed |= self._sidecar_rels(name, side_diff)
@@ -3779,7 +3814,10 @@ class Lakehouse:
             except (ValueError, IndexError):
                 keep[key] = ent  # unparseable: keep — never un-delete
                 continue
-            if s in live or meta.committed.get(rel) == s:
+            # decode: committed rels are raw, the key rel is encoded —
+            # without this a special-char partition's vector was DROPPED
+            # while its file stayed visible (fail-OPEN, r13 review find)
+            if s in live or meta.committed.get(_uri_unquote(rel)) == s:
                 keep[key] = ent
         meta.deletion_vectors = keep
         if meta.dv_sidecars:
@@ -3846,12 +3884,33 @@ class Lakehouse:
             rel = leaf.partition("/")[2]
             if not rel:
                 return None  # no partition component: mask everything
-            rels.add(rel)
+            # inline keys are _metadata-derived (URI-encoded); committed
+            # rels are raw hive names — decode before comparing (r13
+            # review find: the encoded rel missed the raw set and the
+            # vectored partition scanned CLEAN)
+            rels.add(_uri_unquote(rel))
         for e in meta.dv_sidecars:
             if len(e) < 4 or e[3] is None:
                 return None
-            rels.update(e[3])
+            # r13+ entries (5 fields) store rels already decoded; r12
+            # 4-field entries stored them encoded
+            rels.update(e[3] if len(e) >= 5 else (_uri_unquote(r) for r in e[3]))
         return rels
+
+    @staticmethod
+    def _dv_state_digest(meta: TableMeta) -> str:
+        """Compact content digest of both DV tiers for cache keys — the
+        inline dict alone can be hundreds of KB of base64 at the 100k
+        cap, and holding full reprs in every cached key duplicated it
+        per entry (review find). One md5 over the reprs keeps the
+        content addressing at 32 bytes per key; the repr cost itself is
+        one linear pass per read, small beside the read."""
+        import hashlib
+
+        h = hashlib.md5()
+        h.update(repr(meta.deletion_vectors).encode())
+        h.update(repr(meta.dv_sidecars).encode())
+        return h.hexdigest()
 
     @staticmethod
     def _dv_touched_files(meta: TableMeta) -> "set[str] | None":
@@ -3862,7 +3921,10 @@ class Lakehouse:
         has no complete list (legacy pre-r13 entry, or one past the
         _DV_SIDECAR_FILE_CAP): callers must fall back to directory-level
         confinement — mask more, never less."""
-        out: set[str] = set(meta.deletion_vectors or ())
+        # decoded to the RAW namespace: the split compares against fs
+        # listings (inline keys are _metadata-derived/URI-encoded; r13
+        # sidecar file lists are stored decoded at write time)
+        out: set[str] = {_uri_unquote(f) for f in meta.deletion_vectors or ()}
         for e in meta.dv_sidecars or []:
             if len(e) < 5 or e[4] is None:
                 return None
@@ -3958,16 +4020,21 @@ class Lakehouse:
             .limit(self._DV_SIDECAR_FILE_CAP + 1)
             .collect()
         ]
+        # stored DECODED (r13): the parquet 'f' column keeps the
+        # _metadata-encoded join form, but the entry's rel/file metadata
+        # is compared against raw manifest rels and fs listings — store
+        # it in their namespace (readers treat 4-field r12 entries as
+        # encoded and decode on read)
         if len(files) > self._DV_SIDECAR_FILE_CAP:
             files = None
             leaves = [
-                r.leaf
+                _uri_unquote(r.leaf)
                 for r in back.select(
                     F.expr("regexp_replace(f, '/[^/]+$', '')").alias("leaf")
                 ).distinct().collect()
             ]
         else:
-            files = sorted(files)
+            files = sorted(_uri_unquote(f) for f in files)
             leaves = sorted({f.rsplit("/", 1)[0] for f in files})
         seqs = sorted({int(lf.partition("/")[0].split("=", 1)[1]) for lf in leaves})
         # affected partition rels, stored so readers can confine the
@@ -4033,7 +4100,8 @@ class Lakehouse:
         leaves = self._sidecar_fp_df(name, entries).select(
             F.expr("regexp_replace(__dvd_f, '/[^/]+$', '')").alias("leaf")
         ).distinct().collect()
-        return {r.leaf.partition("/")[2] for r in leaves}
+        # decoded: callers compare these against raw manifest rels
+        return {_uri_unquote(r.leaf.partition("/")[2]) for r in leaves}
 
     #: live entries in the per-handle DV build-side cache; tiny because
     #: one table normally has ONE live version and time-travel reads are
@@ -4054,8 +4122,12 @@ class Lakehouse:
         masked reads of the same (table, version) scan the in-memory
         columnar blocks; the per-query residue is the broadcast exchange
         itself. Correctness needs no explicit invalidation: every commit
-        bumps ``meta.version``, which changes the cache key."""
-        key = (name, meta.table_uuid, meta.version)
+        bumps ``meta.version``, which changes the cache key — and the
+        key is additionally CONTENT-addressed over both DV tiers (r13
+        review find: internal callers pass tentative/mutated metas
+        sharing a version with different DV content; a version-only key
+        would hand them the other content's positions)."""
+        key = (name, meta.table_uuid, meta.version, self._dv_state_digest(meta))
         with self._dv_cache_mu:
             hit = self._dv_cache.pop(key, None)
             if hit is not None:
@@ -4091,9 +4163,14 @@ class Lakehouse:
         dv_df = (
             dv_df.withColumn(
                 "__dvd_rel",
+                # url_decode strips the _metadata URI layer so the
+                # column lives in the RAW namespace its isin() consumers
+                # (scan-pruning rel sets) use; the '+'->%2B pre-replace
+                # stops form-decoding from reading a literal '+' as a
+                # space — the composition equals urllib's unquote
                 F.expr(
-                    "regexp_replace(regexp_replace(__dvd_f, "
-                    "'/[^/]+$', ''), '^[^/]+/?', '')"
+                    "url_decode(replace(regexp_replace(regexp_replace("
+                    "__dvd_f, '/[^/]+$', ''), '^[^/]+/?', ''), '+', '%2B'))"
                 ),
             )
             .withColumn("__dvd_h1", F.xxhash64(F.col("__dvd_f")))
@@ -4170,16 +4247,25 @@ class Lakehouse:
             # the fail-safe direction is always mask-more
             rels = set(rels) | {""}
             if dvs:
+                # encoded key rel vs raw scan rels: decode (r13 review
+                # find — the mismatch dropped the entry and the scan
+                # showed deleted rows)
                 dvs = {
                     f: e
                     for f, e in dvs.items()
-                    if f.rsplit("/", 1)[0].partition("/")[2] in rels
+                    if _uri_unquote(f.rsplit("/", 1)[0].partition("/")[2])
+                    in rels
                 }
             if sides:
                 sides = [
                     e
                     for e in sides
-                    if len(e) < 4 or e[3] is None or set(e[3]) & rels
+                    if len(e) < 4
+                    or e[3] is None
+                    or {
+                        r if len(e) >= 5 else _uri_unquote(r) for r in e[3]
+                    }
+                    & rels
                 ]
         df = df.withColumn(
             "__dv_f",
@@ -4314,16 +4400,17 @@ class Lakehouse:
             meta.table_uuid,
             meta.version,
             tuple(self._visible_paths(name, meta)),
-            repr(meta.deletion_vectors),
-            repr(meta.dv_sidecars),
+            self._dv_state_digest(meta),
             # schema/partition shape ride along for the same tentative-
             # meta reason (restore and DDL mutate them before the commit
             # that bumps the version)
-            repr(meta.schema_json),
+            hash(meta.schema_json),
             tuple(meta.partition_keys),
         )
         with self._dv_cache_mu:
-            hit = self._plan_cache.get(fp)
+            hit = self._plan_cache.pop(fp, None)
+            if hit is not None:
+                self._plan_cache[fp] = hit  # re-insert: LRU recency
         if hit is not None:
             return hit
         df = self._read_raw_build(name, meta, list(fp[3]))
@@ -4394,7 +4481,16 @@ class Lakehouse:
                 and masked
                 and len(masked) <= self._DV_FILE_SPLIT_DIR_CAP
             ):
-                ck = (name, meta.table_uuid, meta.version, tuple(masked))
+                # content-addressed over the touched set too (review
+                # find #3: same-version mutated metas must not reuse
+                # the other content's routing)
+                ck = (
+                    name,
+                    meta.table_uuid,
+                    meta.version,
+                    tuple(masked),
+                    tuple(sorted(touched)),
+                )
                 with self._dv_cache_mu:
                     hit = self._dv_split_cache.get(ck)
                 if hit is None:
@@ -5998,8 +6094,10 @@ class Lakehouse:
                 entry = self._write_dv_sidecar(name, fp)
                 meta.dv_sidecars.append(entry)
                 for r in hits:
+                    # decoded: affected_rels feed the rebase guard's
+                    # committed-pointer comparison (raw namespace)
                     leaf = r["__dv_f"].rsplit("/", 1)[0]
-                    affected_rels.add(leaf.partition("/")[2])
+                    affected_rels.add(_uri_unquote(leaf.partition("/")[2]))
             else:
                 by_file: dict[str, list[int]] = {}
                 for r in hits:
@@ -6010,7 +6108,7 @@ class Lakehouse:
                         new_pos = new_pos + _dv_decode(ent)
                     meta.deletion_vectors[f] = _dv_encode(new_pos)
                     leaf = f.rsplit("/", 1)[0]
-                    affected_rels.add(leaf.partition("/")[2])
+                    affected_rels.add(_uri_unquote(leaf.partition("/")[2]))
         self._merge_dv_sidecars(name, meta)
         base = affected_rels if meta.partition_keys else None
         rebase = self._make_rebase(before, meta, "rmw", base_rels=base)
@@ -6437,7 +6535,7 @@ class Lakehouse:
                     new_pos = new_pos + _dv_decode(ent)
                 meta.deletion_vectors[f] = _dv_encode(new_pos)
                 leaf = f.rsplit("/", 1)[0]
-                affected_rels.add(leaf.partition("/")[2])
+                affected_rels.add(_uri_unquote(leaf.partition("/")[2]))
         depth = len(meta.partition_keys)
         written_rels = (
             self.fs.glob_dir_leaves(

@@ -356,6 +356,11 @@ def main() -> None:
                 "queries_control": merged.get("queries_control", {}),
                 "extras_control": merged.get("extras_control", {}),
                 "pipeline_stats": merged.get("pipeline_stats", {}),
+                # full commit-cohort dict INCLUDING its pinned control —
+                # the compact line below keeps only the numeric fields,
+                # and dropping the control here would leave commit drift
+                # the one cohort that can't self-adjudicate (review find)
+                "commit_overhead": merged.get("commit_overhead", {}),
                 "isolation": "one JVM subprocess per cohort",
             }
         )
