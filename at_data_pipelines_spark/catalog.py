@@ -518,11 +518,18 @@ class _HadoopFS:
             ) or "FileNotFoundException" in str(e):
                 return [], False
             raise
+        p_norm = self._Path(p).toUri().getPath()
         names, has_sub = [], False
         for st in statuses:
             if st.isDirectory():
                 has_sub = True
             elif st.isFile():
+                # listStatus(FILE) returns the file's own status, not a
+                # child — match the local branch's NotADirectoryError
+                # contract ([], False) instead of fabricating a one-file
+                # directory whose "child" path would not exist
+                if st.getPath().toUri().getPath() == p_norm:
+                    return [], False
                 names.append(st.getPath().getName())
         return names, has_sub
 
@@ -2896,15 +2903,18 @@ class Lakehouse:
         only.
 
         On PK tables the output additionally carries ``pk_duplicates``:
-        physical rows beyond one per primary key AFTER all deltas are
-        absorbed would be cross-partition shadows — a key whose
+        physical rows beyond one per primary key among COMMITTED
+        generations — cross-partition shadows: a key whose
         partition-key value changed between upserts leaves its stale
         copy in a base partition no pruned optimize() reads (the
         Hudi non-global-index hazard; update_where's partition-moving
         path avoids it by construction, but a caller driving upsert()
         directly with unstable partition values can still produce one).
-        Non-zero here with no pending deltas means the table needs an
-        ``optimize(full=True)``."""
+        Pending deltas are EXCLUDED from the count rather than gating it
+        (r13: a same-PK delta legitimately shadows its base row between
+        upsert and optimize, but withholding the metric entirely meant a
+        continuously-upserted table never ran the shadow check again).
+        Non-zero means the table needs an ``optimize(full=True)``."""
         from .ops.sketch import kmv_distinct
 
         meta = self._load_meta(name)
@@ -2953,16 +2963,26 @@ class Lakehouse:
         if meta.primary_keys:
             # pending-work context FIRST (r12 advice): between upsert and
             # optimize a same-PK delta legitimately shadows its base row,
-            # so a duplicate count taken then would false-alarm. Emit the
-            # pending counts always; compute the exact shadow count ONLY
-            # when every delta is absorbed — then a non-zero is
-            # unambiguously a stranded cross-partition shadow (and the
-            # extra distinct shuffle is skipped entirely on dirty tables).
+            # so a duplicate count over ALL rows would false-alarm. The
+            # shadow diagnostic counts duplicates among COMMITTED
+            # generations only (r13 review find: the r12 cut skipped the
+            # check whenever any delta was pending, so a continuously-
+            # upserted table never ran it again) — a stranded shadow is
+            # by definition intra-committed; delta-vs-base copies are
+            # the legitimate pending class the gate existed to exclude.
             out["pending_deltas"] = len(meta.live_deltas)
             out["dirty_partitions"] = len(meta.dirty_partitions)
-            if rows and not meta.live_deltas:
-                n_keys = df.select(*meta.primary_keys).distinct().count()
-                out["pk_duplicates"] = rows - n_keys
+            if rows:
+                base = self._read_raw(name, meta)
+                if meta.live_deltas:
+                    base = base.filter(
+                        ~F.col(_SEQ_COL).isin(
+                            [int(s) for s in meta.live_deltas]
+                        )
+                    )
+                n_committed = base.count()
+                n_keys = base.select(*meta.primary_keys).distinct().count()
+                out["pk_duplicates"] = n_committed - n_keys
         for c in cols:
             ent: dict = {"nulls": rows - r[f"__ct__{c}"]}
             if c in orderable:
@@ -4109,7 +4129,9 @@ class Lakehouse:
     #: MB, so the bound is a memory bound, not a hit-rate tune
     _DV_CACHE_MAX = 4
 
-    def _dv_build_df(self, name: str, meta: TableMeta) -> DataFrame:
+    def _dv_build_df(
+        self, name: str, meta: TableMeta, digest: "str | None" = None
+    ) -> DataFrame:
         """The FULL deletion-vector build side of one manifest version —
         inline vectors decoded + every sidecar's parquet, with the
         partition rel of each position materialized once as
@@ -4127,7 +4149,14 @@ class Lakehouse:
         review find: internal callers pass tentative/mutated metas
         sharing a version with different DV content; a version-only key
         would hand them the other content's positions)."""
-        key = (name, meta.table_uuid, meta.version, self._dv_state_digest(meta))
+        # digest passed down from _read_raw when available (review find:
+        # it was recomputed 2-3x per masked read along this path)
+        key = (
+            name,
+            meta.table_uuid,
+            meta.version,
+            digest if digest is not None else self._dv_state_digest(meta),
+        )
         with self._dv_cache_mu:
             hit = self._dv_cache.pop(key, None)
             if hit is not None:
@@ -4213,6 +4242,7 @@ class Lakehouse:
         meta: TableMeta,
         keep_pos: bool = False,
         rels: "set[str] | None" = None,
+        digest: "str | None" = None,
     ) -> DataFrame:
         """Anti-join a manifest's deletion vectors out of a parquet scan.
         Zero plan nodes when the table has none (the common case). Rows
@@ -4286,7 +4316,7 @@ class Lakehouse:
             # already proved at least one vector can touch this scan,
             # so touching the cache here never breaks the "vector-free
             # pruned scans open nothing" property.
-            dv_df = self._dv_build_df(name, meta)
+            dv_df = self._dv_build_df(name, meta, digest=digest)
             if rels is not None and 0 < len(rels) <= 1000:
                 # exact row-level prune on the cache's materialized rel
                 # column (bigger rel sets fall back to the full build —
@@ -4413,7 +4443,7 @@ class Lakehouse:
                 self._plan_cache[fp] = hit  # re-insert: LRU recency
         if hit is not None:
             return hit
-        df = self._read_raw_build(name, meta, list(fp[3]))
+        df = self._read_raw_build(name, meta, list(fp[3]), digest=fp[4])
         with self._dv_cache_mu:
             while len(self._plan_cache) >= self._PLAN_CACHE_MAX:
                 self._plan_cache.pop(next(iter(self._plan_cache)))
@@ -4421,7 +4451,11 @@ class Lakehouse:
         return df
 
     def _read_raw_build(
-        self, name: str, meta: TableMeta, paths: list[str]
+        self,
+        name: str,
+        meta: TableMeta,
+        paths: list[str],
+        digest: "str | None" = None,
     ) -> DataFrame:
         # the all-paths reader is built ONLY on the branches that return
         # it — constructing a parquet DataFrame eagerly lists every path
@@ -4492,7 +4526,9 @@ class Lakehouse:
                     tuple(sorted(touched)),
                 )
                 with self._dv_cache_mu:
-                    hit = self._dv_split_cache.get(ck)
+                    hit = self._dv_split_cache.pop(ck, None)
+                    if hit is not None:  # re-insert: LRU recency
+                        self._dv_split_cache[ck] = hit
                 if hit is None:
                     extra: list[str] = []
                     hit = (self._dv_file_split(masked, touched, extra), extra)
@@ -4508,7 +4544,10 @@ class Lakehouse:
             if masked:
                 parts.append(
                     self._apply_dvs(
-                        self._read_raw_unmasked(name, meta, masked), name, meta
+                        self._read_raw_unmasked(name, meta, masked),
+                        name,
+                        meta,
+                        digest=digest,
                     )
                 )
             if clean:
@@ -4520,7 +4559,7 @@ class Lakehouse:
             # unreachable (paths non-empty ⇒ masked∪clean non-empty),
             # kept as the fail-safe masked fallback
         return self._apply_dvs(
-            self._read_raw_unmasked(name, meta, paths), name, meta
+            self._read_raw_unmasked(name, meta, paths), name, meta, digest=digest
         )
 
     def table(self, name: str, version: int | None = None) -> DataFrame:

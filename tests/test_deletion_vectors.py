@@ -729,24 +729,30 @@ def test_analyze_reports_cross_partition_pk_shadows(lake, spark):
     lake.upsert("p", _batch(spark, 0, 10, 0))
     lake.optimize("p")
     assert lake.analyze("p")["pk_duplicates"] == 0
-    # while a delta is PENDING the metric is withheld (a same-PK delta
-    # legitimately shadows its base row between upsert and optimize —
-    # r12 advice: counting it would false-alarm every monitoring read in
-    # that window); the pending counts say why, and the gate also skips
-    # the extra distinct shuffle on dirty tables
+    # while a delta is PENDING the diagnostic stays LIVE but counts
+    # duplicates among COMMITTED generations only (r13 — the r12 cut
+    # withheld it entirely, so a continuously-upserted table never ran
+    # the shadow check again): the legitimate delta-vs-base copy is
+    # excluded from the count, not the check from the table
     lake.insert("p", spark.createDataFrame([(4, 0, 44.0)], SCHEMA), mode="append")
     stats = lake.analyze("p")
-    assert "pk_duplicates" not in stats
+    assert stats["pk_duplicates"] == 0
     assert stats["pending_deltas"] == 1
     lake.optimize("p")
     # contract violation: same key re-landed under a different partition
     # (the small-batch fast path absorbs immediately — no pending delta —
-    # so the stale part=0 copy is a STRANDED shadow the moment it lands,
-    # and with zero pending deltas the non-zero metric is unambiguous)
+    # so the stale part=0 copy is a STRANDED shadow the moment it lands)
     lake.upsert("p", spark.createDataFrame([(3, 1, -3.0)], SCHEMA))
     stats = lake.analyze("p")
     assert stats["pending_deltas"] == 0
     assert stats["pk_duplicates"] == 1, "stranded shadow must be visible"
+    # ... and an unrelated pending delta must NOT hide it (the r13
+    # review's scenario: under continuous ingest the r12 gate would
+    # never have surfaced the shadow again)
+    lake.insert("p", spark.createDataFrame([(100, 0, 1.0)], SCHEMA), mode="append")
+    stats = lake.analyze("p")
+    assert stats["pending_deltas"] == 1
+    assert stats["pk_duplicates"] == 1, "shadow hidden by unrelated delta"
     lake.optimize("p", full=True)
     assert lake.analyze("p")["pk_duplicates"] == 0
     assert [(r.part, r.v) for r in lake.table("p").filter("k = 3").collect()] == [
@@ -1214,9 +1220,9 @@ def test_dv_file_split_confines_probe_to_touched_files(lake, spark):
     probe = []
     orig = Lakehouse._apply_dvs
 
-    def spy(self, df, name, meta, rels=None, keep_pos=False):
+    def spy(self, df, name, meta, *a, **kw):
         probe.append(df.count())
-        return orig(self, df, name, meta, rels=rels, keep_pos=keep_pos)
+        return orig(self, df, name, meta, *a, **kw)
 
     Lakehouse._apply_dvs = spy
     try:
@@ -1305,9 +1311,9 @@ def test_dv_file_split_unpartitioned_table_escapes_full_mask(lake, spark):
     probe = []
     orig = Lakehouse._apply_dvs
 
-    def spy(self, df, name, meta, rels=None, keep_pos=False):
+    def spy(self, df, name, meta, *a, **kw):
         probe.append(df.count())
-        return orig(self, df, name, meta, rels=rels, keep_pos=keep_pos)
+        return orig(self, df, name, meta, *a, **kw)
 
     Lakehouse._apply_dvs = spy
     try:
