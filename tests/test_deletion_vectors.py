@@ -1405,3 +1405,38 @@ def test_dv_exact_on_uri_encoded_partition_values(lake, spark):
     lake.update_where("t", F.col("k").between(20, 24), {"v": F.lit(-1.0)})
     assert lake.table("t").count() == 270
     assert lake.table("t").filter("v = -1.0").count() == 5
+
+
+@pytest.mark.parametrize("val", ["a=b", "a/b", "100%", "a\nb"])
+def test_dv_exact_on_hive_escaped_partition_values(lake, spark, val):
+    """Hive-escaped partition values (the '=', '/', '%', control-char
+    classes escape to %XX in the DIR NAME itself, which the URI layer
+    then double-encodes): the full DV lifecycle must stay exact. The
+    sibling uri-encoded test covers space/literal-%XX/non-ASCII; this
+    sweeps the hive-escaping classes the r13 namespace fix must
+    round-trip through BOTH encoding layers."""
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("part", T.StringType()),
+            T.StructField("v", T.DoubleType()),
+        ]
+    )
+    lake.create("t", schema, ["part"], [])
+    lake.insert(
+        "t",
+        spark.range(20).select(
+            F.col("id").alias("k"),
+            F.lit(val).alias("part"),
+            (F.col("id") * 1.0).alias("v"),
+        ),
+    )
+    lake.compact("t", full=True)
+    lake.delete_where("t", F.col("k") < 5, mode="dv")
+    assert lake.table("t").count() == 15
+    assert lake.scan("t").count() == 15
+    assert [r.part for r in lake.table("t").limit(1).collect()] == [val]
+    lake.compact("t", full=True)  # materialize: prune must not fail open
+    m = lake._load_meta("t")
+    assert lake.table("t").count() == 15
+    assert m.deletion_vectors == {} and m.dv_sidecars == []
