@@ -1440,3 +1440,52 @@ def test_dv_exact_on_hive_escaped_partition_values(lake, spark, val):
     m = lake._load_meta("t")
     assert lake.table("t").count() == 15
     assert m.deletion_vectors == {} and m.dv_sidecars == []
+
+
+def test_dv_rival_conflict_detected_on_encoded_partition_scope(lake, spark):
+    """The rebase guard compares a rival vector's rel against the
+    rewrite's SCOPED footprint — on a partition value needing URI
+    encoding the pre-fix comparison ('part=a%20b' vs scope
+    {'part=a b'}) silently missed, so a stale scoped rewrite would
+    commit over the rival's vectors and resurrect its deleted rows."""
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("part", T.StringType()),
+            T.StructField("v", T.DoubleType()),
+        ]
+    )
+    lake.create("t", schema, ["part"], [])
+
+    def _b(lo, hi, part):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("k"), F.lit(part).alias("part"),
+            (F.col("id") * 1.0).alias("v"),
+        )
+
+    lake.insert("t", _b(0, 50, "a b"))
+    lake.insert("t", _b(50, 100, "c d"))
+    lake.compact("t", full=True)
+    meta0 = lake._load_meta("t")
+    before0 = lake._snapshot_meta(meta0)
+    # rival DV delete on 'a b' lands first
+    rival = Lakehouse(lake.spark, lake.root)
+    rival.delete_where("t", F.col("k") == 3, mode="dv")
+    # our stale rewrite SCOPED to exactly that partition must conflict
+    scope_rel = next(r for r in meta0.committed if r.startswith("part=a"))
+    raw = lake._read_raw("t", before0).filter(F.col("part") == "a b")
+    seq = lake._reserve_seq("t", meta0)
+    token = lake._write_seq("t", meta0, raw.drop("_seq"), seq)
+    written = lake.fs.glob_dir_leaves(f"{lake._seq_dir('t', seq)}/*=*", 1)
+    for rel in written:
+        meta0.committed[rel] = seq
+    rebase = lake._make_rebase(before0, meta0, "rmw", base_rels={scope_rel})
+    with pytest.raises(ConcurrentWriteError):
+        lake._commit_meta(meta0, token, action="stale-scoped-rewrite", rebase=rebase)
+    assert (
+        Lakehouse(lake.spark, lake.root)
+        .table("t")
+        .filter(F.col("k") == 3)
+        .count()
+        == 0
+    ), "rival's delete resurrected by a stale scoped rewrite"
