@@ -2980,7 +2980,14 @@ class Lakehouse:
                             [int(s) for s in meta.live_deltas]
                         )
                     )
-                n_committed = base.count()
+                    n_committed = base.count()
+                else:
+                    # no pending deltas ⇒ committed rows ≡ the table's
+                    # rows, already counted by the shared agg pass above
+                    # (r13 advice: the unconditional count() was an extra
+                    # full-table scan per analyze() on every clean table,
+                    # the common steady state)
+                    n_committed = rows
                 n_keys = base.select(*meta.primary_keys).distinct().count()
                 out["pk_duplicates"] = n_committed - n_keys
         for c in cols:
@@ -4411,6 +4418,14 @@ class Lakehouse:
     #: no persisted Spark state, so eviction is a plain pop)
     _PLAN_CACHE_MAX = 16
 
+    #: live entries in the file-split listing memo. Each entry is two
+    #: path lists for one (table, version, mask shape) — cheap to hold,
+    #: but a miss re-pays up to _DV_FILE_SPLIT_DIR_CAP driver LISTs, so
+    #: the bound exists to cap memory on handles cycling many tables/
+    #: versions, not as a hit-rate tune; 8 covers the live version of
+    #: several concurrently-read tables plus a time-travel read or two
+    _DV_SPLIT_CACHE_MAX = 8
+
     def _read_raw(self, name: str, meta: TableMeta) -> DataFrame:
         """Memoizing wrapper (r13): constructing the raw reader is NOT
         free — Spark eagerly lists every path into an InMemoryFileIndex
@@ -4533,7 +4548,10 @@ class Lakehouse:
                     extra: list[str] = []
                     hit = (self._dv_file_split(masked, touched, extra), extra)
                     with self._dv_cache_mu:
-                        while len(self._dv_split_cache) >= 8:
+                        while (
+                            len(self._dv_split_cache)
+                            >= self._DV_SPLIT_CACHE_MAX
+                        ):
                             self._dv_split_cache.pop(
                                 next(iter(self._dv_split_cache))
                             )

@@ -1088,7 +1088,23 @@ def measure_dv_sidecar_read(spark, rows: int, n_delete: int) -> dict:
             # = the r12 dir-level confinement this shape's number is
             # claimed against
             legacy = lake._load_meta("t")
-            legacy.dv_sidecars = [list(e[:4]) for e in legacy.dv_sidecars]
+            # faithful pre-r13 entries: 4 fields with URI-ENCODED rels
+            # (what pre-r13 writers actually stored — the read path
+            # decodes 4-field entries' rels, so a bare truncation keeps
+            # the decoded r13 rels and double-decodes; r13 advice find)
+            from urllib.parse import quote as _q
+
+            legacy.dv_sidecars = [
+                [
+                    e[0],
+                    e[1],
+                    e[2],
+                    None
+                    if e[3] is None
+                    else [_q(r, safe="/=") for r in e[3]],
+                ]
+                for e in legacy.dv_sidecars
+            ]
             ldf = lake._read_raw("t", legacy)
             agg(ldf)  # warm
             legacy_runs = []

@@ -34,6 +34,21 @@ SCHEMA = T.StructType(
 )
 
 
+def _fake_legacy_entry(e: list) -> list:
+    """Fabricate a faithful pre-r13 4-field sidecar entry from a current
+    one: pre-r13 writers stored rels URI-ENCODED (straight off
+    ``_metadata.file_path``), and the read path decodes any 4-field
+    entry's rels accordingly — so the fake must RE-ENCODE the decoded
+    r13+ rels or the fallback coverage only holds for partition values
+    where encoding is the identity (r13 advice find)."""
+    from urllib.parse import quote
+
+    rels = e[3]
+    if rels is not None:
+        rels = [quote(r, safe="/=") for r in rels]
+    return [e[0], e[1], e[2], rels]
+
+
 @pytest.fixture
 def lake(spark, tmp_path):
     return Lakehouse(spark, str(tmp_path / "lake"))
@@ -1249,7 +1264,7 @@ def test_dv_file_split_legacy_and_capped_entries_fall_back(lake, spark, monkeypa
     expect = [k for k in range(2000) if not 100 <= k <= 149]
     # legacy shape: strip the file list in-memory and read via the meta
     legacy = m
-    legacy.dv_sidecars = [e[:4] for e in legacy.dv_sidecars]
+    legacy.dv_sidecars = [_fake_legacy_entry(e) for e in legacy.dv_sidecars]
     assert lake._dv_touched_files(legacy) is None
     got = sorted(r.k for r in lake._read_raw("t", legacy).collect())
     assert got == expect
@@ -1345,7 +1360,7 @@ def test_plan_cache_reuses_and_invalidates(lake, spark):
     # never return the other shape's plan
     m2 = lake._load_meta("t")
     legacy = lake._load_meta("t")
-    legacy.dv_sidecars = [list(e[:4]) for e in legacy.dv_sidecars]
+    legacy.dv_sidecars = [_fake_legacy_entry(e) for e in legacy.dv_sidecars]
     if legacy.dv_sidecars != m2.dv_sidecars:
         assert lake._read_raw("t", legacy) is not lake._read_raw("t", m2)
 
