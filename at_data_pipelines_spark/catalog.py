@@ -911,6 +911,35 @@ def _dv_decode(entry: list) -> list[int]:
     return out
 
 
+def _runs_of(pos: list[int], cap: int) -> "list[list[int]] | None":
+    """Collapse sorted unique positions into inclusive [start, end]
+    runs; None once more than ``cap`` runs form (the caller's signal
+    that the set is scatter-shaped and the range path doesn't apply)."""
+    runs: list[list[int]] = []
+    for p in pos:
+        if runs and p == runs[-1][1] + 1:
+            runs[-1][1] = p
+        else:
+            if len(runs) >= cap:
+                return None
+            runs.append([p, p])
+    return runs
+
+
+def _coalesce_runs(runs: list[list[int]]) -> list[list[int]]:
+    """Merge ABUTTING runs from different DV entries into maximal ones
+    (entries never overlap — (file, position) pairs are unique across
+    the tiers, the sidecar-merge canary's invariant — so only adjacency
+    needs folding)."""
+    out: list[list[int]] = []
+    for s, e in sorted(runs):
+        if out and s == out[-1][1] + 1:
+            out[-1][1] = e
+        else:
+            out.append([s, e])
+    return out
+
+
 def _bloom_value_str(v) -> str | None:
     """Driver-side rendering of a probe value, matching Spark's
     CAST(col AS STRING) for every type in _BLOOM_TYPES; None = the
@@ -1189,6 +1218,18 @@ class TableMeta:
     # counts conservative). Readers union the sidecars into the same
     # broadcast anti-join as the inline vectors.
     dv_sidecars: list[list] = field(default_factory=list)
+    # Per-file TOTAL row counts for files carrying deletion vectors
+    # (r14): DECODED data-relative file path -> the file's immutable
+    # row count, recorded by the DV write paths (one zero-column count
+    # job over just the files a delete touches). Lets readers PROVE a
+    # file is 100%-deleted (cumulative vectored positions == row count)
+    # and drop it at LISTING time instead of scanning every row into
+    # the anti-join — Delta/Iceberg's "DV cardinality == record count
+    # ⇒ prune the file". Counts are facts about immutable files, so
+    # entries never change once recorded; bounded by _DV_FILE_ROWS_CAP
+    # (files past the cap simply stay unprovable — mask more, never
+    # less) and pruned with the vectors (_prune_deletion_vectors).
+    dv_file_rows: dict[str, int] = field(default_factory=dict)
     # Bloom data skipping (opt-in at create): columns whose per-leaf
     # membership filter is tracked alongside the zone maps, stored in
     # the SAME zone_maps entry under the reserved key "<col>#bloom" as
@@ -1467,6 +1508,7 @@ class Lakehouse:
             "committed",
             "zone_maps",
             "deletion_vectors",
+            "dv_file_rows",
             "table_stats",
             "properties",
             "checks",
@@ -2294,6 +2336,15 @@ class Lakehouse:
         side_popped = [
             e for e in before.dv_sidecars if e not in after.dv_sidecars
         ]
+        # per-file row counts (r14): immutable facts about immutable
+        # files — a rival recording the same file records the same
+        # number, so replaying our additions over a rival's state can
+        # never conflict; drops are re-derived by the prune below
+        rows_diff = {
+            k: v
+            for k, v in after.dv_file_rows.items()
+            if before.dv_file_rows.get(k) != v
+        }
 
         def rebase(fresh: TableMeta) -> "TableMeta | None":
             if not self._struct_unchanged(before, fresh):
@@ -2411,6 +2462,7 @@ class Lakehouse:
                 fresh.dv_sidecars = [
                     e for e in fresh.dv_sidecars if e not in side_popped
                 ] + [e for e in side_added if e not in fresh.dv_sidecars]
+            fresh.dv_file_rows.update(rows_diff)
             fresh.next_seq = max(fresh.next_seq, after.next_seq)
             self._prune_zone_maps(fresh)
             self._prune_deletion_vectors(fresh)
@@ -3858,6 +3910,24 @@ class Lakehouse:
                 if not drop:
                     kept_sides.append(e)
             meta.dv_sidecars = kept_sides
+        if meta.dv_file_rows:
+            # per-file row counts follow their file's generation. The
+            # fail direction INVERTS here: a dv_file_rows entry is not
+            # a delete mask but a PROOF INPUT (rows == cumulative
+            # positions ⇒ drop the file), so on any parse doubt the
+            # entry is DROPPED — losing one only costs provability
+            # (the file stays in the anti-join), keeping a wrong one
+            # could prune a file with live rows
+            vis = live | set(meta.committed.values())
+            kept_rows: dict[str, int] = {}
+            for f, n in meta.dv_file_rows.items():
+                head = f.partition("/")[0]
+                try:
+                    if int(head.split("=", 1)[1]) in vis:
+                        kept_rows[f] = n
+                except (ValueError, IndexError):
+                    pass
+            meta.dv_file_rows = kept_rows
 
     #: delete_where(mode='auto') switches from deletion vectors to a
     #: partition rewrite past this many TOTAL vectored positions (per
@@ -3896,6 +3966,22 @@ class Lakehouse:
     #: the file split; past this the per-query driver listing cost
     #: outweighs the probe-row savings and the dir-level split stands
     _DV_FILE_SPLIT_DIR_CAP = 256
+    #: most dv_file_rows entries the manifest carries (r14). Each is
+    #: ~80 bytes of JSON; the cap bounds manifest bloat the way the
+    #: rel/file caps do. A table at the cap just stops recording new
+    #: files' counts — those files stay unprovable and keep the
+    #: anti-join (mask more, never less)
+    _DV_FILE_ROWS_CAP = 4096
+    #: most position RUNS a file's merged deletion vector may collapse
+    #: to and still take the codegen NOT-BETWEEN fast path (r14); past
+    #: this the per-row disjunction stops beating the hash anti-join's
+    #: ~100 ns probe (the measured 2-4x-slower literal NOT-IN was the
+    #: degenerate 1-position-per-run end of this spectrum)
+    _DV_RANGE_MAX_RUNS = 16
+    #: most files routed to the range-filter branch per read — each is
+    #: its own single-file scan node in the plan, so the cap bounds
+    #: plan width; overflow files simply stay in the anti-join branch
+    _DV_RANGE_MAX_FILES = 32
 
     def _dv_affected_rels(self, meta: TableMeta) -> "set[str] | None":
         """Partition rels that can hold vectored rows — from the manifest
@@ -3937,6 +4023,11 @@ class Lakehouse:
         h = hashlib.md5()
         h.update(repr(meta.deletion_vectors).encode())
         h.update(repr(meta.dv_sidecars).encode())
+        # dv_file_rows rides in the digest because the READ PLAN depends
+        # on it (the fully-deleted-file prune, r14) and the digest is
+        # the plan memo's DV-content key; it only ever changes alongside
+        # a DV-tier change, so _dv_build_df sees no extra misses
+        h.update(repr(sorted(meta.dv_file_rows.items())).encode())
         return h.hexdigest()
 
     @staticmethod
@@ -3957,6 +4048,92 @@ class Lakehouse:
                 return None
             out.update(e[4])
         return out or None
+
+    def _dv_file_stats(self, meta: TableMeta) -> "dict[str, list] | None":
+        """Cumulative per-file deletion-vector stats, manifest-only:
+        ``{decoded file rel: [total vectored positions | None, merged
+        runs | None]}``. A whole-result ``None`` means some entry has no
+        file list at all (legacy 4-field, or capped files=None) — no
+        per-file reasoning is possible and the caller keeps the plain
+        anti-join. A per-file count of ``None`` means the file appears
+        in an r13 5-field entry (file list but no per-file counts): it
+        can be neither proven dead nor range-filtered, and stays in the
+        join. Summing per-entry counts is EXACT because (file, position)
+        pairs never repeat across entries (the sidecar-merge canary's
+        invariant). Runs merge across entries and survive only if every
+        contributing entry recorded them and the coalesced total stays
+        within ``_DV_RANGE_MAX_RUNS``. Inline vectors decode on the
+        driver here (≤ _DV_INLINE_MAX_POSITIONS by the write bound) —
+        one pass per call, and callers sit behind the _read_raw plan
+        memo so an unchanged manifest pays it once."""
+        cap = self._DV_RANGE_MAX_RUNS
+        stats: dict[str, list] = {}
+
+        def merge(f: str, cnt, runs) -> None:
+            ent = stats.setdefault(f, [0, []])
+            if cnt is None or ent[0] is None:
+                ent[0] = ent[1] = None
+                return
+            ent[0] += cnt
+            if runs is None or ent[1] is None:
+                ent[1] = None
+            else:
+                ent[1].extend(runs)
+
+        for key, e in meta.deletion_vectors.items():
+            pos = _dv_decode(e)
+            merge(_uri_unquote(key), len(pos), _runs_of(pos, cap))
+        for e in meta.dv_sidecars:
+            if len(e) < 5 or e[4] is None:
+                return None
+            if len(e) < 6 or e[5] is None:
+                for f in e[4]:
+                    merge(f, None, None)
+                continue
+            for f, ent in e[5].items():
+                merge(f, ent[0], ent[1])
+        for ent in stats.values():
+            if ent[1] is not None:
+                ent[1] = _coalesce_runs(ent[1])
+                if not ent[1] or len(ent[1]) > cap:
+                    ent[1] = None
+        return stats
+
+    def _dv_record_file_rows(
+        self, name: str, meta: TableMeta, files_decoded: "set[str]"
+    ) -> None:
+        """Record the immutable TOTAL row counts of files newly carrying
+        vectors into ``meta.dv_file_rows`` — ONE zero-column count job
+        over exactly those files (the parquet reader materializes no
+        data columns for it, so the job is footer/row-group driven).
+        Called by the DV write paths right before their commit, so the
+        counts ride the same manifest PUT that publishes the vectors.
+        Files are immutable, so already-recorded counts are never
+        re-measured; the cap bounds manifest growth and skipping only
+        costs the reader provability (the file keeps the anti-join)."""
+        need = sorted(files_decoded - set(meta.dv_file_rows))
+        if not need:
+            return
+        if len(meta.dv_file_rows) + len(need) > self._DV_FILE_ROWS_CAP:
+            return
+        data_dir = f"{self._dir(name)}/data"
+        schema_with_seq = T.StructType(
+            meta.schema.fields + [T.StructField(_SEQ_COL, T.LongType(), True)]
+        )
+        counts = (
+            self.spark.read.schema(schema_with_seq)
+            .option("basePath", data_dir)
+            .parquet(*[f"{data_dir}/{f}" for f in need])
+            .groupBy(
+                F.substring_index(
+                    F.col("_metadata.file_path"), "/data/", -1
+                ).alias("__f")
+            )
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .collect()
+        )
+        for r in counts:
+            meta.dv_file_rows[_uri_unquote(r["__f"])] = int(r["__n"])
 
     def _dv_file_split(
         self, masked: list[str], touched: set[str], clean: list[str]
@@ -4071,7 +4248,74 @@ class Lakehouse:
         rels = sorted({lf.partition("/")[2] for lf in leaves})
         if len(rels) > self._DV_SIDECAR_REL_CAP:
             rels = None
-        return [rel, n, seqs, rels, files]
+        # per-file position stats (r14): counts prove full deletion,
+        # runs unlock the codegen NOT-BETWEEN path — see _sidecar_finfo.
+        # Only when the file list is complete (the routing that consumes
+        # finfo is file-level and never engages without it)
+        finfo = self._sidecar_finfo(back) if files is not None else None
+        return [rel, n, seqs, rels, files, finfo]
+
+    def _sidecar_finfo(self, back: DataFrame) -> dict:
+        """Per-file stats of one sidecar entry's positions, computed
+        EXECUTOR-side off the written parquet (the positions never touch
+        the driver): ``{decoded file rel: [position count, runs]}``
+        where ``runs`` is a list of inclusive ``[start, end]`` row-index
+        ranges when this entry's positions for the file collapse to
+        ≤ ``_DV_RANGE_MAX_RUNS`` runs, else None. Counts feed the
+        reader's fully-deleted-file proof (cumulative count == recorded
+        row count ⇒ drop the file at listing time), runs the per-file
+        range-filter fast path for contiguous deletes (r14 — the
+        pinpoint_zorder shape). One window+agg job for run shapes plus
+        one bounded collect of the run bounds: ≤ _DV_SIDECAR_FILE_CAP
+        rows for the per-file summary, ≤ files × runs for the bounds."""
+        w = W.partitionBy("f").orderBy("p")
+        runs_df = (
+            back.withColumn("__pv", F.lag("p").over(w))
+            .withColumn(
+                "__nr",
+                (
+                    F.col("__pv").isNull()
+                    | (F.col("p") != F.col("__pv") + F.lit(1))
+                ).cast("long"),
+            )
+            .withColumn(
+                "__rid",
+                F.sum("__nr").over(
+                    w.rowsBetween(W.unboundedPreceding, W.currentRow)
+                ),
+            )
+            .groupBy("f", "__rid")
+            .agg(
+                F.min("p").alias("s"),
+                F.max("p").alias("e"),
+                F.count(F.lit(1)).alias("c"),
+            )
+        )
+        per_file = (
+            runs_df.groupBy("f")
+            .agg(F.count(F.lit(1)).alias("nruns"), F.sum("c").alias("cnt"))
+            .collect()
+        )
+        finfo: dict[str, list] = {
+            _uri_unquote(r["f"]): [int(r["cnt"]), None] for r in per_file
+        }
+        eligible = [
+            r["f"] for r in per_file if int(r["nruns"]) <= self._DV_RANGE_MAX_RUNS
+        ]
+        if eligible:
+            for r in (
+                runs_df.filter(F.col("f").isin(eligible))
+                .select("f", "s", "e")
+                .collect()
+            ):
+                ent = finfo[_uri_unquote(r["f"])]
+                if ent[1] is None:
+                    ent[1] = []
+                ent[1].append([int(r["s"]), int(r["e"])])
+            for ent in finfo.values():
+                if ent[1] is not None:
+                    ent[1].sort()
+        return finfo
 
     #: sidecar-count bound: past this many entries a delete/update
     #: consolidates every sidecar into ONE before committing, so a
@@ -4558,6 +4802,45 @@ class Lakehouse:
                         self._dv_split_cache[ck] = hit
                 masked = list(hit[0])
                 clean += hit[1]
+            # per-file routing past the split (r14): with complete
+            # per-file stats, a masked FILE whose cumulative vectored
+            # positions equal its recorded row count is 100%-DELETED —
+            # drop it at listing time (Delta/Iceberg's "DV cardinality
+            # == record count ⇒ prune the file"); a file whose
+            # positions collapse to a few runs takes a pure-codegen
+            # NOT-BETWEEN filter instead of the broadcast anti-join
+            # (the contiguous-delete shape: the join operator itself
+            # was the measured ~100 ns/probe-row residue). Both proofs
+            # are manifest-exact; any missing evidence leaves the file
+            # in the anti-join — mask more, never less.
+            range_routed: "list[tuple[str, list]]" = []
+            if touched is not None and masked:
+                fstats = self._dv_file_stats(meta)
+                if fstats is not None:
+                    still: list[str] = []
+                    for p in masked:
+                        rf = (
+                            p.rsplit("/data/", 1)[1]
+                            if "/data/" in p
+                            else None
+                        )
+                        st = fstats.get(rf) if rf in touched else None
+                        if st is None:
+                            still.append(p)  # dir kept whole, or no
+                            # per-file evidence: stay in the join
+                        elif (
+                            st[0] is not None
+                            and meta.dv_file_rows.get(rf) == st[0]
+                        ):
+                            continue  # fully deleted: never listed
+                        elif (
+                            st[1]
+                            and len(range_routed) < self._DV_RANGE_MAX_FILES
+                        ):
+                            range_routed.append((p, st[1]))
+                        else:
+                            still.append(p)
+                    masked = still
             parts: list[DataFrame] = []
             if masked:
                 parts.append(
@@ -4568,14 +4851,30 @@ class Lakehouse:
                         digest=digest,
                     )
                 )
+            for fpath, runs in range_routed:
+                # one single-file scan per range-routed file: the filter
+                # is a per-file literal disjunction over row_index with
+                # NO string/hash comparisons and no join operator — it
+                # stays inside whole-stage codegen
+                ri = F.col("_metadata.row_index")
+                cond = F.lit(False)
+                for s, e in runs:
+                    cond = cond | ri.between(F.lit(s), F.lit(e))
+                parts.append(
+                    self._read_raw_unmasked(name, meta, [fpath]).filter(~cond)
+                )
             if clean:
                 parts.append(self._read_raw_unmasked(name, meta, clean))
-            if len(parts) == 2:
-                return parts[0].unionByName(parts[1])
             if parts:
-                return parts[0]
-            # unreachable (paths non-empty ⇒ masked∪clean non-empty),
-            # kept as the fail-safe masked fallback
+                out = parts[0]
+                for p in parts[1:]:
+                    out = out.unionByName(p)
+                return out
+            # parts empty ⇒ EVERY visible file proved fully deleted
+            # (rare: a whole-table DV wipe). Fall through to the plain
+            # masked read — unconditionally correct (the anti-join
+            # removes every row), and this shape is too rare to earn
+            # its own empty-relation fast path
         return self._apply_dvs(
             self._read_raw_unmasked(name, meta, paths), name, meta, digest=digest
         )
@@ -6116,6 +6415,8 @@ class Lakehouse:
                 if entry[3] is not None
                 else self._sidecar_rels(name, [entry])
             )
+            if entry[4] is not None:
+                self._dv_record_file_rows(name, meta, set(entry[4]))
         else:
             if existing + len(hits) > cap:
                 if mode == "dv":
@@ -6155,6 +6456,8 @@ class Lakehouse:
                     # committed-pointer comparison (raw namespace)
                     leaf = r["__dv_f"].rsplit("/", 1)[0]
                     affected_rels.add(_uri_unquote(leaf.partition("/")[2]))
+                if entry[4] is not None:
+                    self._dv_record_file_rows(name, meta, set(entry[4]))
             else:
                 by_file: dict[str, list[int]] = {}
                 for r in hits:
@@ -6166,6 +6469,9 @@ class Lakehouse:
                     meta.deletion_vectors[f] = _dv_encode(new_pos)
                     leaf = f.rsplit("/", 1)[0]
                     affected_rels.add(_uri_unquote(leaf.partition("/")[2]))
+                self._dv_record_file_rows(
+                    name, meta, {_uri_unquote(f) for f in by_file}
+                )
         self._merge_dv_sidecars(name, meta)
         base = affected_rels if meta.partition_keys else None
         rebase = self._make_rebase(before, meta, "rmw", base_rels=base)
@@ -6581,6 +6887,8 @@ class Lakehouse:
                 if entry[3] is not None
                 else self._sidecar_rels(name, [entry])
             )
+            if entry[4] is not None:
+                self._dv_record_file_rows(name, meta, set(entry[4]))
         else:
             hits = matched.select("__dv_f", "__dv_p").collect()
             by_file: dict[str, list[int]] = {}
@@ -6593,6 +6901,9 @@ class Lakehouse:
                 meta.deletion_vectors[f] = _dv_encode(new_pos)
                 leaf = f.rsplit("/", 1)[0]
                 affected_rels.add(_uri_unquote(leaf.partition("/")[2]))
+            self._dv_record_file_rows(
+                name, meta, {_uri_unquote(f) for f in by_file}
+            )
         depth = len(meta.partition_keys)
         written_rels = (
             self.fs.glob_dir_leaves(

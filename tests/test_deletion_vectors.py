@@ -510,8 +510,12 @@ def test_dv_sidecar_round_trip_exact_and_rewrites_nothing(lake, spark, monkeypat
     assert lake._sidecar_fp_df("t", m.dv_sidecars).count() == 40
     assert m.deletion_vectors == {}, "big delete must not grow the inline dict"
     assert len(m.dv_sidecars) == 1
-    rel, n, seqs, rels, files = m.dv_sidecars[0]
+    rel, n, seqs, rels, files, finfo = m.dv_sidecars[0]
     assert n == 40 and rel.startswith("dv/") and seqs
+    # per-file stats (r14): counts must sum to the entry total, every
+    # listed file must have an entry
+    assert finfo is not None and set(finfo) == set(files)
+    assert sum(v[0] for v in finfo.values()) == n
     # the entry records the affected partitions so readers confine the
     # anti-join to them (k 20-59 spans only part=0)
     assert rels == ["part=0"]
@@ -1207,9 +1211,11 @@ def _dir_files(lake, name, seq, rel):
 
 def test_dv_file_split_confines_probe_to_touched_files(lake, spark):
     """Z-ordered layout (several range-clustered files per partition dir)
-    + a narrow-range DV delete: the join's probe side must be exactly the
-    touched files' rows, every other file scanning clean — and the result
-    must equal the full mask's."""
+    + a narrow SCATTERED DV delete (run-shaped deletes take the r14
+    range-filter path and never reach the join — pinned separately):
+    the join's probe side must be exactly the touched files' rows, every
+    other file scanning clean — and the result must equal the full
+    mask's."""
     lake.create("t", SCHEMA, ["part"], [])
     for i in range(4):
         lake.insert("t", _batch(spark, i * 1000, (i + 1) * 1000, i % 2))
@@ -1221,7 +1227,11 @@ def test_dv_file_split_confines_probe_to_touched_files(lake, spark):
         f"{ {r: len(fs) for r, fs in per_dir.items()} }"
     )
     total_files = sum(len(fs) for fs in per_dir.values())
-    lake.delete_where("t", F.col("k") < 100, mode="dv")
+    # every 7th key below 700: z-order clusters k, so the positions are
+    # isolated (100 runs of length 1 — far past _DV_RANGE_MAX_RUNS) and
+    # the vectors stay on the anti-join path this test pins
+    deleted = set(range(0, 700, 7))
+    lake.delete_where("t", (F.col("k") % 7 == 0) & (F.col("k") < 700), mode="dv")
     m = lake._load_meta("t")
     touched = lake._dv_touched_files(m)
     assert touched is not None
@@ -1244,7 +1254,7 @@ def test_dv_file_split_confines_probe_to_touched_files(lake, spark):
         got = sorted(r.k for r in lake.table("t").collect())
     finally:
         Lakehouse._apply_dvs = orig
-    assert got == list(range(100, 4000))
+    assert got == [k for k in range(4000) if k not in deleted]
     assert probe == [expected_probe], f"probe {probe} != touched rows {expected_probe}"
     assert expected_probe < 4000, "file split must keep untouched rows out of the join"
 
@@ -1260,7 +1270,7 @@ def test_dv_file_split_legacy_and_capped_entries_fall_back(lake, spark, monkeypa
     lake.compact("t", zorder_by=["k"], zorder_files=4, full=True)
     lake.delete_where("t", F.col("k").between(100, 149), mode="dv")
     m = lake._load_meta("t")
-    assert len(m.dv_sidecars) == 1 and len(m.dv_sidecars[0]) == 5
+    assert len(m.dv_sidecars) == 1 and len(m.dv_sidecars[0]) == 6
     expect = [k for k in range(2000) if not 100 <= k <= 149]
     # legacy shape: strip the file list in-memory and read via the meta
     legacy = m
@@ -1314,7 +1324,12 @@ def test_dv_file_split_unpartitioned_table_escapes_full_mask(lake, spark):
     lake.create("t", SCHEMA, [], [])
     lake.insert("t", _batch(spark, 0, 20_000, 0))
     lake.insert("t", _batch(spark, 20_000, 40_000, 0))
-    lake.delete_where("t", F.col("k") < 50, mode="dv")  # batch-1 files only
+    # scattered positions (50 isolated runs — past _DV_RANGE_MAX_RUNS),
+    # so the vectors stay on the anti-join path whose probe this pins;
+    # batch-1 files only
+    lake.delete_where(
+        "t", (F.col("k") % 400 == 0) & (F.col("k") < 20_000), mode="dv"
+    )
     m = lake._load_meta("t")
     touched = lake._dv_touched_files(m)
     assert touched is not None
@@ -1504,3 +1519,226 @@ def test_dv_rival_conflict_detected_on_encoded_partition_scope(lake, spark):
         .count()
         == 0
     ), "rival's delete resurrected by a stale scoped rewrite"
+
+
+# ---------------------------------------------------------------------------
+# r14: fully-deleted files pruned at listing time (DV cardinality ==
+# recorded row count), and the codegen NOT-BETWEEN range-filter fast
+# path for run-shaped vectors.
+# ---------------------------------------------------------------------------
+
+
+def test_dv_fully_deleted_files_pruned_at_listing(lake, spark):
+    """Deleting every row of a generation's files must drop those files
+    from the scan's LISTING (no probe, no anti-join for them) while the
+    surviving generation scans clean — Delta/Iceberg's 'DV cardinality
+    == record count ⇒ prune file'."""
+    lake.create("t", SCHEMA, [], [])
+    lake.insert("t", _batch(spark, 0, 20_000, 0))
+    lake.insert("t", _batch(spark, 20_000, 40_000, 0))
+    m = lake._load_meta("t")
+    gen1_files = {
+        f for f in lake._read_raw_unmasked("t", m).inputFiles() if "_seq=0" in f
+    }
+    assert gen1_files
+    lake.delete_where("t", F.col("k") < 20_000, mode="dv")
+    m = lake._load_meta("t")
+    # every touched file's row count was recorded at delete time
+    touched = lake._dv_touched_files(m)
+    assert touched is not None and set(m.dv_file_rows) == touched
+    stats = lake._dv_file_stats(m)
+    assert all(m.dv_file_rows[f] == stats[f][0] for f in touched)
+    # dead files never enter the plan; the join is never built
+    called = []
+    orig = Lakehouse._apply_dvs
+
+    def spy(self, df, name, meta, *a, **kw):
+        called.append(name)
+        return orig(self, df, name, meta, *a, **kw)
+
+    Lakehouse._apply_dvs = spy
+    try:
+        df = lake.table("t")
+        assert sorted(r.k for r in df.collect()) == list(range(20_000, 40_000))
+    finally:
+        Lakehouse._apply_dvs = orig
+    assert not called, "fully-deleted files must not reach the anti-join"
+    live = set(df.inputFiles())
+    assert not (live & gen1_files), "dead files must be pruned from the listing"
+
+
+def test_dv_partially_deleted_file_never_pruned(lake, spark):
+    """A file with even ONE live row must stay in the scan — count ==
+    max_position+1 is NOT proof of full deletion (the last row may be
+    alive); only count == recorded row count is."""
+    lake.create("t", SCHEMA, [], [])
+    lake.insert("t", _batch(spark, 0, 5_000, 0).coalesce(1))
+    lake.delete_where("t", F.col("k") < 4_999, mode="dv")
+    got = [r.k for r in lake.table("t").collect()]
+    assert got == [4_999], got
+    m = lake._load_meta("t")
+    stats = lake._dv_file_stats(m)
+    (f,) = stats
+    assert stats[f][0] == 4_999 and m.dv_file_rows[f] == 5_000
+
+
+def test_dv_range_filter_bypasses_join_on_contiguous_delete(lake, spark):
+    """A contiguous-range delete (positions collapse to one run per
+    file) must take the pure-codegen NOT-BETWEEN path: the broadcast
+    anti-join is never constructed, and the executed plan carries no
+    join operator at all."""
+    lake.create("t", SCHEMA, ["part"], [])
+    for i in range(2):
+        lake.insert("t", _batch(spark, i * 2_000, (i + 1) * 2_000, i).coalesce(1))
+    lake.compact("t", zorder_by=["k"], zorder_files=2, full=True)
+    lake.delete_where("t", F.col("k").between(100, 299), mode="dv")
+    called = []
+    orig = Lakehouse._apply_dvs
+
+    def spy(self, df, name, meta, *a, **kw):
+        called.append(name)
+        return orig(self, df, name, meta, *a, **kw)
+
+    Lakehouse._apply_dvs = spy
+    try:
+        df = lake.table("t")
+        got = sorted(r.k for r in df.collect())
+    finally:
+        Lakehouse._apply_dvs = orig
+    assert got == [k for k in range(4_000) if not 100 <= k <= 299]
+    assert not called, "run-shaped vectors must bypass the anti-join"
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+
+
+def test_dv_range_filter_equals_join_path_row_for_row(lake, spark, monkeypatch):
+    """Differential pin: on a mixed run/scatter vector set, the range-
+    filter routing must produce exactly the anti-join path's rows (the
+    join path is forced by capping runs to 0 and purging the memoized
+    plans)."""
+    monkeypatch.setattr(Lakehouse, "_DV_INLINE_MAX_POSITIONS", 64)
+    lake.create("t", SCHEMA, ["part"], [])
+    for i in range(2):
+        lake.insert("t", _batch(spark, i * 3_000, (i + 1) * 3_000, i).coalesce(2))
+    deleted = set()
+    for pred, keys in [
+        (F.col("k").between(100, 299), set(range(100, 300))),
+        ((F.col("k") % 97 == 0) & (F.col("k") < 2_000), set(range(0, 2_000, 97))),
+        (F.col("k").between(4_000, 4_004), set(range(4_000, 4_005))),
+    ]:
+        lake.delete_where("t", pred, mode="dv")
+        deleted |= keys
+    expect = sorted(k for k in range(6_000) if k not in deleted)
+    got_range = sorted(r.k for r in lake.table("t").collect())
+    assert got_range == expect
+    monkeypatch.setattr(Lakehouse, "_DV_RANGE_MAX_RUNS", 0)
+    lake._dv_cache_purge("t")
+    got_join = sorted(r.k for r in lake.table("t").collect())
+    assert got_join == got_range
+
+
+def test_dv_r13_entries_without_finfo_fall_back(lake, spark, monkeypatch):
+    """An r13 5-field sidecar entry (file list, no per-file stats) must
+    disable dead-prune and range routing for its files — same rows,
+    file-split confinement still engaged."""
+    monkeypatch.setattr(Lakehouse, "_DV_INLINE_MAX_POSITIONS", 5)
+    lake.create("t", SCHEMA, [], [])
+    lake.insert("t", _batch(spark, 0, 2_000, 0).coalesce(2))
+    lake.delete_where("t", F.col("k") < 1_000, mode="dv")  # file 1 dead
+    m = lake._load_meta("t")
+    r13 = m
+    r13.dv_sidecars = [list(e[:5]) for e in r13.dv_sidecars]
+    stats = lake._dv_file_stats(r13)
+    assert stats is not None and all(v[0] is None for v in stats.values())
+    got = sorted(r.k for r in lake._read_raw("t", r13).collect())
+    assert got == list(range(1_000, 2_000))
+
+
+def test_dv_file_rows_pruned_with_vectors(lake, spark):
+    """dv_file_rows entries follow their generation out of the manifest
+    when a rewrite materializes the deletes."""
+    lake.create("t", SCHEMA, ["part"], [])
+    lake.insert("t", _batch(spark, 0, 1_000, 0))
+    lake.delete_where("t", F.col("k") < 10, mode="dv")
+    m = lake._load_meta("t")
+    assert m.dv_file_rows
+    lake.compact("t", full=True)
+    m = lake._load_meta("t")
+    assert not m.deletion_vectors and not m.dv_sidecars
+    assert not m.dv_file_rows, "row counts must not outlive their vectors"
+    assert lake.table("t").count() == 990
+
+
+def test_dv_update_where_records_file_rows_and_routes(lake, spark):
+    """update_where(mode='dv')'s vector-deleted originals feed the same
+    per-file accounting: a whole-file update leaves the original file
+    provably dead and pruned, with the transformed copies visible."""
+    lake.create("t", SCHEMA, [], [])
+    lake.insert("t", _batch(spark, 0, 1_000, 0).coalesce(1))
+    lake.insert("t", _batch(spark, 1_000, 2_000, 0).coalesce(1))
+    lake.update_where(
+        "t", F.col("k") < 1_000, {"v": F.col("v") + 0.5}, mode="dv"
+    )
+    m = lake._load_meta("t")
+    assert m.dv_file_rows
+    stats = lake._dv_file_stats(m)
+    dead = [f for f, st in stats.items() if m.dv_file_rows.get(f) == st[0]]
+    assert dead, "the fully-updated original file must be provably dead"
+    df = lake.table("t")
+    assert not any(d in f for f in df.inputFiles() for d in dead)
+    rows = {r.k: r.v for r in df.collect()}
+    assert len(rows) == 2_000
+    assert rows[5] == 5.5 and rows[1_500] == 1_500.0
+
+
+def test_dv_whole_table_wipe_reads_empty(lake, spark):
+    """Every visible file provably dead: the fail-safe fallback (full
+    masked read) must still answer 0 rows."""
+    lake.create("t", SCHEMA, [], [])
+    lake.insert("t", _batch(spark, 0, 500, 0).coalesce(1))
+    lake.delete_where("t", F.lit(True), mode="dv")
+    assert lake.table("t").count() == 0
+
+
+def test_dv_dead_and_range_on_encoded_partition_values(lake, spark):
+    """The r14 routing compares decoded rels throughout — pin it on
+    partition values that need URI encoding (the r13 namespace-bug
+    surface): a fully-deleted file in 'part=a b' prunes, a run-shaped
+    vector in 'part=c%d' range-filters, and the rows are exact."""
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("part", T.StringType()),
+            T.StructField("v", T.DoubleType()),
+        ]
+    )
+
+    def _b(lo, hi, part):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("k"),
+            F.lit(part).alias("part"),
+            (F.col("id") * 1.0).alias("v"),
+        )
+
+    lake.create("t", schema, ["part"], [])
+    lake.insert("t", _b(0, 500, "a b").coalesce(1))
+    lake.insert("t", _b(500, 1_000, "c%d").coalesce(1))
+    lake.compact("t", full=True)
+    lake.delete_where("t", F.col("part") == "a b", mode="dv")  # whole file
+    lake.delete_where("t", F.col("k").between(600, 699), mode="dv")  # run
+    called = []
+    orig = Lakehouse._apply_dvs
+
+    def spy(self, df, name, meta, *a, **kw):
+        called.append(name)
+        return orig(self, df, name, meta, *a, **kw)
+
+    Lakehouse._apply_dvs = spy
+    try:
+        df = lake.table("t")
+        got = sorted(r.k for r in df.collect())
+    finally:
+        Lakehouse._apply_dvs = orig
+    assert got == [k for k in range(500, 1_000) if not 600 <= k <= 699]
+    assert not called, "both vectors must route off the anti-join"
+    assert not any("a%20b" in f or "a b" in f for f in df.inputFiles())
