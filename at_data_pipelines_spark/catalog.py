@@ -1210,13 +1210,19 @@ class TableMeta:
     # positions move out of the manifest into immutable parquet files
     # under ``<table>/dv/`` (columns f=data-relative file path, p=row
     # position), written and applied EXECUTOR-side — the manifest keeps
-    # only pointers: each entry is ``[relpath, count, [seqs...]]`` where
-    # ``seqs`` are the _seq generations the sidecar's files belong to
-    # (the prune key: an entry is droppable once none of its generations
-    # is visible; stale rows for files a partial rewrite replaced are
-    # harmless — those files are no longer scanned — and only make the
-    # counts conservative). Readers union the sidecars into the same
-    # broadcast anti-join as the inline vectors.
+    # only pointers: each entry is ``[relpath, count, [seqs...], rels,
+    # files, finfo]`` where ``seqs`` are the _seq generations the
+    # sidecar's files belong to (the prune key: an entry is droppable
+    # once none of its generations is visible; stale rows for files a
+    # partial rewrite replaced are harmless — those files are no longer
+    # scanned — and only make the counts conservative), ``rels`` (r12)
+    # / ``files`` (r13) are the affected partition rels / exact touched
+    # files for read-path confinement (None past their caps), and
+    # ``finfo`` (r14) maps each touched file to [position count, runs]
+    # for the fully-deleted-file proof and the NOT-BETWEEN fast path
+    # (see _sidecar_finfo). Readers union the sidecars into the same
+    # broadcast anti-join as the inline vectors. Older entries (3-5
+    # fields) stay readable; every absent field degrades to mask-more.
     dv_sidecars: list[list] = field(default_factory=list)
     # Per-file TOTAL row counts for files carrying deletion vectors
     # (r14): DECODED data-relative file path -> the file's immutable
@@ -1473,9 +1479,17 @@ class Lakehouse:
             except Exception:
                 continue  # retried at the next checkpoint; reads use both dirs
 
-    # manifest fields stored as DELTAS in a segment (the two that grow
-    # with partition count); everything else is carried whole per segment
-    _LOG_DELTA_FIELDS = ("committed", "zone_maps", "deletion_vectors")
+    # manifest fields stored as DELTAS in a segment (the ones that grow
+    # with partition/vectored-file count); everything else is carried
+    # whole per segment. Older segments simply lack a newer field's
+    # ``_delta`` key and fold as empty — backward compatible by
+    # construction.
+    _LOG_DELTA_FIELDS = (
+        "committed",
+        "zone_maps",
+        "deletion_vectors",
+        "dv_file_rows",
+    )
 
     @staticmethod
     def _apply_segment(raw: dict, seg: dict) -> dict:
@@ -3982,6 +3996,16 @@ class Lakehouse:
     #: its own single-file scan node in the plan, so the cap bounds
     #: plan width; overflow files simply stay in the anti-join branch
     _DV_RANGE_MAX_FILES = 32
+    #: smallest file (rows, from dv_file_rows) worth its own range-
+    #: filter scan: the branch trades the join's ~100 ns/probe-row for
+    #: a fixed per-scan-operator cost (~4 ms measured on local[32] —
+    #: task scheduling + codegen per extra FileScan), so tiny files
+    #: are cheaper INSIDE the join. Measured crossover ~40k rows/file
+    #: (SCALING.md r14 rung: 14k-row files lose 0.55 vs 0.39 s, 56k-row
+    #: files win 0.59 vs 0.66 s); at real-cluster file sizes (1-10M
+    #: rows) the range path wins by construction. Files with UNKNOWN
+    #: row counts also keep the join — the conservative side
+    _DV_RANGE_MIN_FILE_ROWS = 32_768
 
     def _dv_affected_rels(self, meta: TableMeta) -> "set[str] | None":
         """Partition rels that can hold vectored rows — from the manifest
@@ -4836,6 +4860,8 @@ class Lakehouse:
                         elif (
                             st[1]
                             and len(range_routed) < self._DV_RANGE_MAX_FILES
+                            and meta.dv_file_rows.get(rf, 0)
+                            >= self._DV_RANGE_MIN_FILE_ROWS
                         ):
                             range_routed.append((p, st[1]))
                         else:

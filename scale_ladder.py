@@ -1013,6 +1013,14 @@ def measure_dv_sidecar_read(spark, rows: int, n_delete: int) -> dict:
         # file lists stripped (the r12 dir-level behavior) for an honest
         # same-session A/B.
         "pinpoint_zorder": (F.col("k") < rows // 20, True),
+        # r14 DEAD-FILE shape: delete one partition's every row — all
+        # its files become provably 100%-deleted (cumulative positions
+        # == recorded row counts) and the reader drops them at LISTING
+        # time; the claim under test is that the warm masked read lands
+        # at unmasked speed (the r13 verdict's "skip fully-deleted
+        # files" tier). rows/32 positions, under the 1M budget at both
+        # rung sizes.
+        "whole_files": (F.col("part") == 0, False),
     }
     for shape, (pred, zorder) in shapes.items():
         lake = Lakehouse(spark, f"{work}/{shape}")
@@ -1081,6 +1089,48 @@ def measure_dv_sidecar_read(spark, rows: int, n_delete: int) -> dict:
             )
             out[shape]["touched_files"] = len(touched)
             out[shape]["total_files"] = total_files
+            # r14 routing evidence: how many touched files were proven
+            # fully deleted (dropped from the listing) vs routed to the
+            # codegen NOT-BETWEEN branch vs left on the anti-join
+            stats = lake._dv_file_stats(meta)
+            if stats is not None:
+                dead = [
+                    f
+                    for f in touched
+                    if stats.get(f)
+                    and stats[f][0] is not None
+                    and meta.dv_file_rows.get(f) == stats[f][0]
+                ]
+                rng = [
+                    f
+                    for f in touched
+                    if f not in dead
+                    and stats.get(f)
+                    and stats[f][1]
+                    and meta.dv_file_rows.get(f, 0)
+                    >= Lakehouse._DV_RANGE_MIN_FILE_ROWS
+                ]
+                out[shape]["dead_files"] = len(dead)
+                out[shape]["range_files"] = len(rng)
+        if zorder and touched is not None:
+            # r14 A/B: the identical warm read with the range-filter
+            # path DISABLED (runs cap 0, memoized plans purged) — every
+            # touched file falls back to the broadcast anti-join, the
+            # r13 behavior this shape's number is claimed against
+            old_cap = Lakehouse._DV_RANGE_MAX_RUNS
+            Lakehouse._DV_RANGE_MAX_RUNS = 0
+            try:
+                lake._dv_cache_purge("t")
+                agg(lake.table("t"))  # warm (pays the build once)
+                join_runs = []
+                for _ in range(3):
+                    t0 = _time.perf_counter()
+                    agg(lake.table("t"))
+                    join_runs.append(_time.perf_counter() - t0)
+                out[shape]["read_s_warm_join_path"] = round(min(join_runs), 3)
+            finally:
+                Lakehouse._DV_RANGE_MAX_RUNS = old_cap
+                lake._dv_cache_purge("t")
         if zorder and touched is not None:
             # same-session A/B: the identical read with the sidecar
             # entries' file lists REBOUND away (never mutated in place —

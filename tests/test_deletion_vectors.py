@@ -259,9 +259,13 @@ def test_dv_survives_segmented_log_fold_and_columnar_checkpoint(spark, tmp_path)
             lake.delete_where("t", F.col("k") == k, mode="dv")
         want = lake._load_meta("t").deletion_vectors
         assert sum(e[0] for e in want.values()) == 5
+        want_rows = lake._load_meta("t").dv_file_rows
+        assert want_rows, "DV commits must record per-file row counts"
         fresh = Lakehouse(spark, lake.root)
         got = fresh._load_meta("t").deletion_vectors
         assert got == want
+        # dv_file_rows is a _LOG_DELTA_FIELDS member too (r14)
+        assert fresh._load_meta("t").dv_file_rows == want_rows
         assert fresh.table("t").count() == 195
         assert sorted(r.k for r in fresh.table("t").filter("part = 0").collect()) == [
             k for k in range(100) if k not in (1, 3, 5)
@@ -1582,11 +1586,13 @@ def test_dv_partially_deleted_file_never_pruned(lake, spark):
     assert stats[f][0] == 4_999 and m.dv_file_rows[f] == 5_000
 
 
-def test_dv_range_filter_bypasses_join_on_contiguous_delete(lake, spark):
+def test_dv_range_filter_bypasses_join_on_contiguous_delete(lake, spark, monkeypatch):
     """A contiguous-range delete (positions collapse to one run per
     file) must take the pure-codegen NOT-BETWEEN path: the broadcast
     anti-join is never constructed, and the executed plan carries no
-    join operator at all."""
+    join operator at all. (Size gate lowered: the fixture's files are
+    far below the real-cluster crossover the default encodes.)"""
+    monkeypatch.setattr(Lakehouse, "_DV_RANGE_MIN_FILE_ROWS", 0)
     lake.create("t", SCHEMA, ["part"], [])
     for i in range(2):
         lake.insert("t", _batch(spark, i * 2_000, (i + 1) * 2_000, i).coalesce(1))
@@ -1617,6 +1623,7 @@ def test_dv_range_filter_equals_join_path_row_for_row(lake, spark, monkeypatch):
     join path is forced by capping runs to 0 and purging the memoized
     plans)."""
     monkeypatch.setattr(Lakehouse, "_DV_INLINE_MAX_POSITIONS", 64)
+    monkeypatch.setattr(Lakehouse, "_DV_RANGE_MIN_FILE_ROWS", 0)
     lake.create("t", SCHEMA, ["part"], [])
     for i in range(2):
         lake.insert("t", _batch(spark, i * 3_000, (i + 1) * 3_000, i).coalesce(2))
@@ -1700,11 +1707,12 @@ def test_dv_whole_table_wipe_reads_empty(lake, spark):
     assert lake.table("t").count() == 0
 
 
-def test_dv_dead_and_range_on_encoded_partition_values(lake, spark):
+def test_dv_dead_and_range_on_encoded_partition_values(lake, spark, monkeypatch):
     """The r14 routing compares decoded rels throughout — pin it on
     partition values that need URI encoding (the r13 namespace-bug
     surface): a fully-deleted file in 'part=a b' prunes, a run-shaped
     vector in 'part=c%d' range-filters, and the rows are exact."""
+    monkeypatch.setattr(Lakehouse, "_DV_RANGE_MIN_FILE_ROWS", 0)
     schema = T.StructType(
         [
             T.StructField("k", T.LongType()),
@@ -1742,3 +1750,64 @@ def test_dv_dead_and_range_on_encoded_partition_values(lake, spark):
     assert got == [k for k in range(500, 1_000) if not 600 <= k <= 699]
     assert not called, "both vectors must route off the anti-join"
     assert not any("a%20b" in f or "a b" in f for f in df.inputFiles())
+
+
+def test_runs_split_merge_property():
+    """Hypothesis pin for the run machinery: positions split across
+    arbitrary disjoint entries, per-entry runs coalesced, must
+    reconstruct exactly the direct runs of the union — and expanding
+    the merged runs must yield exactly the original positions (the
+    NOT-BETWEEN filter's correctness reduces to this identity)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from at_data_pipelines_spark.catalog import _coalesce_runs, _runs_of
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.lists(st.integers(0, 4_096), min_size=1, max_size=300, unique=True),
+        st.integers(1, 4),
+    )
+    def prop(pos, nsplit):
+        pos = sorted(pos)
+        parts = [sorted(pos[i::nsplit]) for i in range(nsplit)]
+        merged = []
+        for p in parts:
+            r = _runs_of(p, 10**9)
+            assert r is not None
+            merged.extend(r)
+        out = _coalesce_runs(merged)
+        assert out == _runs_of(pos, 10**9)
+        expanded = [x for s, e in out for x in range(s, e + 1)]
+        assert expanded == pos
+        # the cap is exact: None iff the direct run count exceeds it
+        n_runs = len(out)
+        assert _runs_of(pos, n_runs) == out
+        if n_runs > 1:
+            assert _runs_of(pos, n_runs - 1) is None
+
+    prop()
+
+
+def test_dv_range_size_gate_keeps_tiny_files_on_join(lake, spark):
+    """Files below _DV_RANGE_MIN_FILE_ROWS must stay in the anti-join
+    even when their vectors are run-shaped — the per-scan-operator cost
+    of the range branch exceeds the join's per-row probe on tiny files
+    (measured crossover ~40k rows; SCALING.md r14 rung)."""
+    lake.create("t", SCHEMA, [], [])
+    lake.insert("t", _batch(spark, 0, 2_000, 0).coalesce(1))  # << gate
+    lake.delete_where("t", F.col("k").between(100, 199), mode="dv")
+    called = []
+    orig = Lakehouse._apply_dvs
+
+    def spy(self, df, name, meta, *a, **kw):
+        called.append(name)
+        return orig(self, df, name, meta, *a, **kw)
+
+    Lakehouse._apply_dvs = spy
+    try:
+        got = sorted(r.k for r in lake.table("t").collect())
+    finally:
+        Lakehouse._apply_dvs = orig
+    assert got == [k for k in range(2_000) if not 100 <= k <= 199]
+    assert called, "tiny run-shaped files must keep the anti-join"
