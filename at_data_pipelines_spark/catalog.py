@@ -3998,14 +3998,19 @@ class Lakehouse:
     _DV_RANGE_MAX_FILES = 32
     #: smallest file (rows, from dv_file_rows) worth its own range-
     #: filter scan: the branch trades the join's ~100 ns/probe-row for
-    #: a fixed per-scan-operator cost (~4 ms measured on local[32] —
-    #: task scheduling + codegen per extra FileScan), so tiny files
-    #: are cheaper INSIDE the join. Measured crossover ~40k rows/file
-    #: (SCALING.md r14 rung: 14k-row files lose 0.55 vs 0.39 s, 56k-row
-    #: files win 0.59 vs 0.66 s); at real-cluster file sizes (1-10M
-    #: rows) the range path wins by construction. Files with UNKNOWN
-    #: row counts also keep the join — the conservative side
-    _DV_RANGE_MIN_FILE_ROWS = 32_768
+    #: a fixed per-scan-operator cost (measured 4-15 ms on local[32]
+    #: depending on load — task scheduling + codegen per extra
+    #: FileScan), so small files are cheaper INSIDE the join. Across
+    #: four rung sessions 14k-row files always lost (0.55 vs 0.39 s)
+    #: and 56k-row files were parity-to-worse except under an idle
+    #: machine (SCALING.md r14 rung) — the gate sits at 64k, ABOVE the
+    #: ~40k arithmetic crossover, deliberately biasing the noisy zone
+    #: toward the join (its cost is flat and predictable) and engaging
+    #: the filter only where its advantage is structural: real-cluster
+    #: files at 1M+ rows cost the join ~0.1 s of probing each per
+    #: query, the filter ~0. Files with UNKNOWN row counts also keep
+    #: the join — the conservative side
+    _DV_RANGE_MIN_FILE_ROWS = 65_536
 
     def _dv_affected_rels(self, meta: TableMeta) -> "set[str] | None":
         """Partition rels that can hold vectored rows — from the manifest
@@ -4122,6 +4127,45 @@ class Lakehouse:
                 if not ent[1] or len(ent[1]) > cap:
                     ent[1] = None
         return stats
+
+    def _dv_file_routing(
+        self, meta: TableMeta
+    ) -> "dict[str, tuple[str, list | None]] | None":
+        """Classify every vector-carrying file for the read path (r14):
+        ``{decoded file rel: ('dead', None) | ('range', runs) |
+        ('join', None)}``. 'dead' = provably 100%-deleted (cumulative
+        positions == recorded row count) — dropped at listing time;
+        'range' = run-shaped AND big enough that a dedicated codegen
+        NOT-BETWEEN scan beats the join's per-row probe; 'join' = the
+        broadcast anti-join. ``None`` = no per-file evidence at all
+        (no recorded row counts, or an entry without per-file stats) —
+        nothing can route and the caller skips the classification
+        entirely. THE single source both `_read_raw_build` routes on
+        and the scale ladder reports from, so published routing
+        evidence can never drift from the executed plan. (The
+        _DV_RANGE_MAX_FILES plan-width cap is applied by the reader,
+        not here — 'range' means eligible.)"""
+        if not meta.dv_file_rows:
+            # neither proof can fire without recorded row counts —
+            # don't pay the inline decode for stats nothing will use
+            # (review find: legacy tables paid it per plan-cache miss)
+            return None
+        stats = self._dv_file_stats(meta)
+        if stats is None:
+            return None
+        out: "dict[str, tuple[str, list | None]]" = {}
+        for rf, st in stats.items():
+            if st[0] is not None and meta.dv_file_rows.get(rf) == st[0]:
+                out[rf] = ("dead", None)
+            elif (
+                st[1]
+                and meta.dv_file_rows.get(rf, 0)
+                >= self._DV_RANGE_MIN_FILE_ROWS
+            ):
+                out[rf] = ("range", st[1])
+            else:
+                out[rf] = ("join", None)
+        return out
 
     def _dv_record_file_rows(
         self, name: str, meta: TableMeta, files_decoded: "set[str]"
@@ -4839,8 +4883,8 @@ class Lakehouse:
             # in the anti-join — mask more, never less.
             range_routed: "list[tuple[str, list]]" = []
             if touched is not None and masked:
-                fstats = self._dv_file_stats(meta)
-                if fstats is not None:
+                routing = self._dv_file_routing(meta)
+                if routing is not None:
                     still: list[str] = []
                     for p in masked:
                         rf = (
@@ -4848,22 +4892,17 @@ class Lakehouse:
                             if "/data/" in p
                             else None
                         )
-                        st = fstats.get(rf) if rf in touched else None
-                        if st is None:
+                        cls = routing.get(rf) if rf in touched else None
+                        if cls is None:
                             still.append(p)  # dir kept whole, or no
                             # per-file evidence: stay in the join
-                        elif (
-                            st[0] is not None
-                            and meta.dv_file_rows.get(rf) == st[0]
-                        ):
+                        elif cls[0] == "dead":
                             continue  # fully deleted: never listed
                         elif (
-                            st[1]
+                            cls[0] == "range"
                             and len(range_routed) < self._DV_RANGE_MAX_FILES
-                            and meta.dv_file_rows.get(rf, 0)
-                            >= self._DV_RANGE_MIN_FILE_ROWS
                         ):
-                            range_routed.append((p, st[1]))
+                            range_routed.append((p, cls[1]))
                         else:
                             still.append(p)
                     masked = still

@@ -1012,7 +1012,14 @@ def measure_dv_sidecar_read(spark, rows: int, n_delete: int) -> dict:
         # files' rows on plain codegen; also measured with the entries'
         # file lists stripped (the r12 dir-level behavior) for an honest
         # same-session A/B.
-        "pinpoint_zorder": (F.col("k") < rows // 20, True),
+        "pinpoint_zorder": (F.col("k") < rows // 20, 8),
+        # r14 RANGE shape: same contiguous delete, HALF the z-order
+        # files — each file carries ~2x the rows, putting the 16M rung
+        # ABOVE the _DV_RANGE_MIN_FILE_ROWS gate so the codegen
+        # NOT-BETWEEN routing actually engages at its intended
+        # operating point (big files); the 4M rung stays below it and
+        # honestly reports range_files=0
+        "pinpoint_bigfile": (F.col("k") < rows // 20, 4),
         # r14 DEAD-FILE shape: delete one partition's every row — all
         # its files become provably 100%-deleted (cumulative positions
         # == recorded row counts) and the reader drops them at LISTING
@@ -1040,7 +1047,7 @@ def measure_dv_sidecar_read(spark, rows: int, n_delete: int) -> dict:
         # level confinement can't split it) and the concentrated shape
         # would measure the same as the scattered one (r13 find)
         if zorder:
-            lake.compact("t", zorder_by=["k"], zorder_files=8, full=True)
+            lake.compact("t", zorder_by=["k"], zorder_files=zorder, full=True)
         else:
             lake.compact("t", full=True)
         agg = lambda df: df.agg(  # noqa: E731
@@ -1089,34 +1096,45 @@ def measure_dv_sidecar_read(spark, rows: int, n_delete: int) -> dict:
             )
             out[shape]["touched_files"] = len(touched)
             out[shape]["total_files"] = total_files
-            # r14 routing evidence: how many touched files were proven
-            # fully deleted (dropped from the listing) vs routed to the
-            # codegen NOT-BETWEEN branch vs left on the anti-join
-            stats = lake._dv_file_stats(meta)
-            if stats is not None:
-                dead = [
-                    f
-                    for f in touched
-                    if stats.get(f)
-                    and stats[f][0] is not None
-                    and meta.dv_file_rows.get(f) == stats[f][0]
-                ]
-                rng = [
-                    f
-                    for f in touched
-                    if f not in dead
-                    and stats.get(f)
-                    and stats[f][1]
-                    and meta.dv_file_rows.get(f, 0)
-                    >= Lakehouse._DV_RANGE_MIN_FILE_ROWS
-                ]
-                out[shape]["dead_files"] = len(dead)
-                out[shape]["range_files"] = len(rng)
-        if zorder and touched is not None:
-            # r14 A/B: the identical warm read with the range-filter
-            # path DISABLED (runs cap 0, memoized plans purged) — every
-            # touched file falls back to the broadcast anti-join, the
-            # r13 behavior this shape's number is claimed against
+            # r14 routing evidence straight from the reader's OWN
+            # classifier (shared single source — the published counts
+            # cannot drift from the executed plan; 'range' = eligible,
+            # the reader additionally applies the plan-width cap)
+            routing = lake._dv_file_routing(meta)
+            if routing is not None:
+                out[shape]["dead_files"] = sum(
+                    1 for v in routing.values() if v[0] == "dead"
+                )
+                out[shape]["range_files"] = sum(
+                    1 for v in routing.values() if v[0] == "range"
+                )
+        if touched is not None and (
+            out[shape].get("dead_files") or out[shape].get("range_files")
+        ):
+            # r14 A/B #1: the EXACT r13 baseline — per-file routing
+            # disabled wholesale by stripping the recorded row counts
+            # (no dead prune, no range path; file lists intact so the
+            # r13 file split still engages). Rebinding a meta field and
+            # reading through _read_raw is the same content-addressed-
+            # miss technique the dir-level A/B below uses. Run for any
+            # shape that actually routed — on whole_files it is the
+            # dead-prune headline comparison.
+            r13meta = lake._load_meta("t")
+            r13meta.dv_file_rows = {}
+            agg(lake._read_raw("t", r13meta))  # warm
+            r13_runs = []
+            for _ in range(3):
+                t0 = _time.perf_counter()
+                agg(lake._read_raw("t", r13meta))
+                r13_runs.append(_time.perf_counter() - t0)
+            out[shape]["read_s_warm_r13_baseline"] = round(min(r13_runs), 3)
+        if touched is not None and out[shape].get("range_files"):
+            # r14 A/B #2: range-vs-join ISOLATED — runs cap 0 sends the
+            # range-eligible files back to the anti-join while the dead
+            # prune stays active in BOTH runs, so this pair attributes
+            # the residual delta to the filter-vs-join choice alone.
+            # Meaningless (identical plans) when nothing routed to
+            # range, so skipped then.
             old_cap = Lakehouse._DV_RANGE_MAX_RUNS
             Lakehouse._DV_RANGE_MAX_RUNS = 0
             try:
