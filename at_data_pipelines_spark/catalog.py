@@ -4680,29 +4680,58 @@ class Lakehouse:
     def _read_rels(self, name: str, meta: TableMeta, rels) -> DataFrame:
         """Read ONLY the given partition rels of a manifest state: the
         committed base leaf per rel plus any live-delta leaf that exists
-        for it. Path-level restriction — nothing else is listed."""
-        paths = []
+        for it. Path-level restriction — nothing else is listed.
+
+        r14: the pruned path gets the SAME deletion-vector confinement
+        ladder as the full-table read (it predated all three tiers —
+        before this, one vector anywhere in a scanned rel put every one
+        of its rows through the anti-join): rel/generation-level
+        masked-vs-clean split, then the shared `_dv_branch_union` tail
+        (file split, dead-file drop, range routing). scan()'s
+        zone/bloom-pruned point lookups are the hot consumer."""
+        prels = set(rels) if meta.partition_keys else None
+        rel_seq_paths: list[tuple[str, int, str]] = []
         for rel in sorted(rels):
             s = meta.committed.get(rel)
             if s is not None:
-                paths.append(f"{self._seq_dir(name, s)}/{rel}")
+                rel_seq_paths.append(
+                    (rel, s, f"{self._seq_dir(name, s)}/{rel}")
+                )
             for d in meta.live_deltas:
                 p = f"{self._seq_dir(name, d)}/{rel}"
                 if self.fs.exists(p):
-                    paths.append(p)
+                    rel_seq_paths.append((rel, d, p))
         schema_with_seq = T.StructType(
             meta.schema.fields + [T.StructField(_SEQ_COL, T.LongType(), True)]
         )
-        if not paths:
+        if not rel_seq_paths:
             return self.spark.createDataFrame([], schema_with_seq)
+        paths = [p for _, _, p in rel_seq_paths]
+        if meta.deletion_vectors or meta.dv_sidecars:
+            affected = self._dv_affected_rels(meta)
+            touched = self._dv_touched_files(meta)
+            if affected is not None or touched is not None:
+                vseqs = self._dv_vector_seqs(meta)
+                masked, clean = [], []
+                for rel, s, p in rel_seq_paths:
+                    can_touch = (
+                        affected is None or rel == "" or rel in affected
+                    ) and (vseqs is None or s in vseqs)
+                    (masked if can_touch else clean).append(p)
+                out = self._dv_branch_union(
+                    name, meta, masked, clean, touched, rels=prels
+                )
+                if out is not None:
+                    return out
+                # every file of every requested rel proved fully
+                # deleted: fall through to the unconditionally-correct
+                # full-mask read (same fail-safe as _read_raw_build)
         df = (
             self.spark.read.schema(schema_with_seq)
             .option("basePath", f"{self._dir(name)}/data")
             .parquet(*paths)
         )
-        return self._apply_dvs(
-            df, name, meta, rels=set(rels) if meta.partition_keys else None
-        )
+        return self._apply_dvs(df, name, meta, rels=prels)
 
     def _read_raw_unmasked(
         self, name: str, meta: TableMeta, paths: list[str] | None = None
@@ -4837,112 +4866,145 @@ class Lakehouse:
                 # before r13 an unpartitioned table always paid the full
                 # join on every row
                 masked = list(paths)
-            if (
-                touched is not None
-                and masked
-                and len(masked) <= self._DV_FILE_SPLIT_DIR_CAP
-            ):
-                # content-addressed over the touched set too (review
-                # find #3: same-version mutated metas must not reuse
-                # the other content's routing)
-                ck = (
-                    name,
-                    meta.table_uuid,
-                    meta.version,
-                    tuple(masked),
-                    tuple(sorted(touched)),
-                )
-                with self._dv_cache_mu:
-                    hit = self._dv_split_cache.pop(ck, None)
-                    if hit is not None:  # re-insert: LRU recency
-                        self._dv_split_cache[ck] = hit
-                if hit is None:
-                    extra: list[str] = []
-                    hit = (self._dv_file_split(masked, touched, extra), extra)
-                    with self._dv_cache_mu:
-                        while (
-                            len(self._dv_split_cache)
-                            >= self._DV_SPLIT_CACHE_MAX
-                        ):
-                            self._dv_split_cache.pop(
-                                next(iter(self._dv_split_cache))
-                            )
-                        self._dv_split_cache[ck] = hit
-                masked = list(hit[0])
-                clean += hit[1]
-            # per-file routing past the split (r14): with complete
-            # per-file stats, a masked FILE whose cumulative vectored
-            # positions equal its recorded row count is 100%-DELETED —
-            # drop it at listing time (Delta/Iceberg's "DV cardinality
-            # == record count ⇒ prune the file"); a file whose
-            # positions collapse to a few runs takes a pure-codegen
-            # NOT-BETWEEN filter instead of the broadcast anti-join
-            # (the contiguous-delete shape: the join operator itself
-            # was the measured ~100 ns/probe-row residue). Both proofs
-            # are manifest-exact; any missing evidence leaves the file
-            # in the anti-join — mask more, never less.
-            range_routed: "list[tuple[str, list]]" = []
-            if touched is not None and masked:
-                routing = self._dv_file_routing(meta)
-                if routing is not None:
-                    still: list[str] = []
-                    for p in masked:
-                        rf = (
-                            p.rsplit("/data/", 1)[1]
-                            if "/data/" in p
-                            else None
-                        )
-                        cls = routing.get(rf) if rf in touched else None
-                        if cls is None:
-                            still.append(p)  # dir kept whole, or no
-                            # per-file evidence: stay in the join
-                        elif cls[0] == "dead":
-                            continue  # fully deleted: never listed
-                        elif (
-                            cls[0] == "range"
-                            and len(range_routed) < self._DV_RANGE_MAX_FILES
-                        ):
-                            range_routed.append((p, cls[1]))
-                        else:
-                            still.append(p)
-                    masked = still
-            parts: list[DataFrame] = []
-            if masked:
-                parts.append(
-                    self._apply_dvs(
-                        self._read_raw_unmasked(name, meta, masked),
-                        name,
-                        meta,
-                        digest=digest,
-                    )
-                )
-            for fpath, runs in range_routed:
-                # one single-file scan per range-routed file: the filter
-                # is a per-file literal disjunction over row_index with
-                # NO string/hash comparisons and no join operator — it
-                # stays inside whole-stage codegen
-                ri = F.col("_metadata.row_index")
-                cond = F.lit(False)
-                for s, e in runs:
-                    cond = cond | ri.between(F.lit(s), F.lit(e))
-                parts.append(
-                    self._read_raw_unmasked(name, meta, [fpath]).filter(~cond)
-                )
-            if clean:
-                parts.append(self._read_raw_unmasked(name, meta, clean))
-            if parts:
-                out = parts[0]
-                for p in parts[1:]:
-                    out = out.unionByName(p)
+            out = self._dv_branch_union(
+                name, meta, masked, clean, touched, digest=digest
+            )
+            if out is not None:
                 return out
-            # parts empty ⇒ EVERY visible file proved fully deleted
-            # (rare: a whole-table DV wipe). Fall through to the plain
-            # masked read — unconditionally correct (the anti-join
-            # removes every row), and this shape is too rare to earn
-            # its own empty-relation fast path
+            # None ⇒ EVERY visible file proved fully deleted (rare: a
+            # whole-table DV wipe). Fall through to the plain masked
+            # read — unconditionally correct (the anti-join removes
+            # every row), and this shape is too rare to earn its own
+            # empty-relation fast path
         return self._apply_dvs(
             self._read_raw_unmasked(name, meta, paths), name, meta, digest=digest
         )
+
+    def _dv_branch_union(
+        self,
+        name: str,
+        meta: TableMeta,
+        masked: list[str],
+        clean: list[str],
+        touched: "set[str] | None",
+        digest: "str | None" = None,
+        rels: "set[str] | None" = None,
+    ) -> "DataFrame | None":
+        """The shared TAIL of every DV-confined read — `_read_raw_build`
+        and `_read_rels` both feed their partition-level (masked, clean)
+        dir split through here, so the file split, the per-file routing
+        and the branch union can never drift between the full-table and
+        the pruned read paths. Steps: (1) split vector-carrying dirs
+        into explicit part-files (memoized — `_dv_split_cache`),
+        rescuing untouched files onto the clean branch; (2) route each
+        touched file by the manifest's per-file proof
+        (`_dv_file_routing`): 100%-deleted files are DROPPED at listing
+        time, run-shaped files above the size gate take a dedicated
+        codegen NOT-BETWEEN scan, everything else keeps the broadcast
+        anti-join; (3) union the branches. Returns None when every
+        branch is empty (all files proved dead) — the caller supplies
+        its own fail-safe fallback. ``rels`` prunes the join branch's
+        build side exactly as `_apply_dvs` documents."""
+        if (
+            touched is not None
+            and masked
+            and len(masked) <= self._DV_FILE_SPLIT_DIR_CAP
+        ):
+            # content-addressed over the touched set too (review
+            # find #3: same-version mutated metas must not reuse
+            # the other content's routing)
+            ck = (
+                name,
+                meta.table_uuid,
+                meta.version,
+                tuple(masked),
+                tuple(sorted(touched)),
+            )
+            with self._dv_cache_mu:
+                hit = self._dv_split_cache.pop(ck, None)
+                if hit is not None:  # re-insert: LRU recency
+                    self._dv_split_cache[ck] = hit
+            if hit is None:
+                extra: list[str] = []
+                hit = (self._dv_file_split(masked, touched, extra), extra)
+                with self._dv_cache_mu:
+                    while (
+                        len(self._dv_split_cache)
+                        >= self._DV_SPLIT_CACHE_MAX
+                    ):
+                        self._dv_split_cache.pop(
+                            next(iter(self._dv_split_cache))
+                        )
+                    self._dv_split_cache[ck] = hit
+            masked = list(hit[0])
+            clean = clean + hit[1]
+        # per-file routing past the split (r14): with complete
+        # per-file stats, a masked FILE whose cumulative vectored
+        # positions equal its recorded row count is 100%-DELETED —
+        # drop it at listing time (Delta/Iceberg's "DV cardinality
+        # == record count ⇒ prune the file"); a file whose
+        # positions collapse to a few runs takes a pure-codegen
+        # NOT-BETWEEN filter instead of the broadcast anti-join
+        # (the contiguous-delete shape: the join operator itself
+        # was the measured ~100 ns/probe-row residue). Both proofs
+        # are manifest-exact; any missing evidence leaves the file
+        # in the anti-join — mask more, never less.
+        range_routed: "list[tuple[str, list]]" = []
+        if touched is not None and masked:
+            routing = self._dv_file_routing(meta)
+            if routing is not None:
+                still: list[str] = []
+                for p in masked:
+                    rf = (
+                        p.rsplit("/data/", 1)[1]
+                        if "/data/" in p
+                        else None
+                    )
+                    cls = routing.get(rf) if rf in touched else None
+                    if cls is None:
+                        still.append(p)  # dir kept whole, or no
+                        # per-file evidence: stay in the join
+                    elif cls[0] == "dead":
+                        continue  # fully deleted: never listed
+                    elif (
+                        cls[0] == "range"
+                        and len(range_routed) < self._DV_RANGE_MAX_FILES
+                    ):
+                        range_routed.append((p, cls[1]))
+                    else:
+                        still.append(p)
+                masked = still
+        parts: list[DataFrame] = []
+        if masked:
+            parts.append(
+                self._apply_dvs(
+                    self._read_raw_unmasked(name, meta, masked),
+                    name,
+                    meta,
+                    digest=digest,
+                    rels=rels,
+                )
+            )
+        for fpath, runs in range_routed:
+            # one single-file scan per range-routed file: the filter
+            # is a per-file literal disjunction over row_index with
+            # NO string/hash comparisons and no join operator — it
+            # stays inside whole-stage codegen
+            ri = F.col("_metadata.row_index")
+            cond = F.lit(False)
+            for s, e in runs:
+                cond = cond | ri.between(F.lit(s), F.lit(e))
+            parts.append(
+                self._read_raw_unmasked(name, meta, [fpath]).filter(~cond)
+            )
+        if clean:
+            parts.append(self._read_raw_unmasked(name, meta, clean))
+        if not parts:
+            return None
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def table(self, name: str, version: int | None = None) -> DataFrame:
         """Lazy scan (reference S1). Plain DataFrame — filter/select compose

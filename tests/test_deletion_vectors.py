@@ -1811,3 +1811,52 @@ def test_dv_range_size_gate_keeps_tiny_files_on_join(lake, spark):
         Lakehouse._apply_dvs = orig
     assert got == [k for k in range(2_000) if not 100 <= k <= 199]
     assert called, "tiny run-shaped files must keep the anti-join"
+
+
+def test_read_rels_gets_dead_prune_and_file_split(lake, spark):
+    """r14: the PRUNED read path (_read_rels — scan()'s and CDC's
+    backbone) gets the same confinement ladder as the full read. A
+    fully-deleted file in the requested rel is dropped at listing time
+    and the surviving generation scans clean — no anti-join at all;
+    a partial delete confines the probe to the touched file."""
+    lake.create("t", SCHEMA, ["part"], [])
+    lake.insert("t", _batch(spark, 0, 1_000, 0).coalesce(1))
+    lake.insert("t", _batch(spark, 1_000, 2_000, 0).coalesce(1))
+    lake.insert("t", _batch(spark, 2_000, 3_000, 1).coalesce(1))
+    lake.delete_where("t", F.col("k") < 1_000, mode="dv")  # file dead
+    m = lake._load_meta("t")
+    called = []
+    orig = Lakehouse._apply_dvs
+
+    def spy(self, df, name, meta, *a, **kw):
+        called.append(df)
+        return orig(self, df, name, meta, *a, **kw)
+
+    Lakehouse._apply_dvs = spy
+    try:
+        got = sorted(
+            r.k for r in lake._read_rels("t", m, ["part=0"]).collect()
+        )
+    finally:
+        Lakehouse._apply_dvs = orig
+    assert got == list(range(1_000, 2_000))
+    assert not called, "dead file + clean generation must skip the join"
+    # partial delete on the surviving file: the probe must be confined
+    # to that file's rows (1000), not the rel's (2000) or table's (3000)
+    lake.delete_where("t", F.col("k") == 1_500, mode="dv")
+    m = lake._load_meta("t")
+    probe = []
+
+    def spy2(self, df, name, meta, *a, **kw):
+        probe.append(df.count())
+        return orig(self, df, name, meta, *a, **kw)
+
+    Lakehouse._apply_dvs = spy2
+    try:
+        got = sorted(
+            r.k for r in lake._read_rels("t", m, ["part=0"]).collect()
+        )
+    finally:
+        Lakehouse._apply_dvs = orig
+    assert got == [k for k in range(1_000, 2_000) if k != 1_500]
+    assert probe == [1_000], probe
