@@ -3998,19 +3998,19 @@ class Lakehouse:
     _DV_RANGE_MAX_FILES = 32
     #: smallest file (rows, from dv_file_rows) worth its own range-
     #: filter scan: the branch trades the join's ~100 ns/probe-row for
-    #: a fixed per-scan-operator cost (measured 4-15 ms on local[32]
-    #: depending on load — task scheduling + codegen per extra
-    #: FileScan), so small files are cheaper INSIDE the join. Across
-    #: four rung sessions 14k-row files always lost (0.55 vs 0.39 s)
-    #: and 56k-row files were parity-to-worse except under an idle
-    #: machine (SCALING.md r14 rung) — the gate sits at 64k, ABOVE the
-    #: ~40k arithmetic crossover, deliberately biasing the noisy zone
-    #: toward the join (its cost is flat and predictable) and engaging
-    #: the filter only where its advantage is structural: real-cluster
-    #: files at 1M+ rows cost the join ~0.1 s of probing each per
-    #: query, the filter ~0. Files with UNKNOWN row counts also keep
-    #: the join — the conservative side
-    _DV_RANGE_MIN_FILE_ROWS = 65_536
+    #: a fixed per-scan-operator cost measured 4-15 ms on local[32]
+    #: DEPENDING ON LOAD (task scheduling + codegen per extra
+    #: FileScan), so small files are cheaper INSIDE the join. Five
+    #: rung sessions mapped the zone: 14k-row files always lose on the
+    #: range path, and 56k/112k-row files flip winner with machine
+    #: state (SCALING.md r14 rung) — inside the noise band the join's
+    #: flat, predictable cost is the right default. The gate therefore
+    #: sits where the probe PROVABLY dominates the worst measured scan
+    #: cost: 256k rows ≈ 25 ms of probing vs ≤15 ms of scan overhead,
+    #: growing linearly from there (a 1M-row/128 MB real-cluster file
+    #: costs the join ~0.1 s per query, the filter ~0). Files with
+    #: UNKNOWN row counts also keep the join — the conservative side
+    _DV_RANGE_MIN_FILE_ROWS = 262_144
 
     def _dv_affected_rels(self, meta: TableMeta) -> "set[str] | None":
         """Partition rels that can hold vectored rows — from the manifest

@@ -1013,13 +1013,16 @@ def measure_dv_sidecar_read(spark, rows: int, n_delete: int) -> dict:
         # file lists stripped (the r12 dir-level behavior) for an honest
         # same-session A/B.
         "pinpoint_zorder": (F.col("k") < rows // 20, 8),
-        # r14 RANGE shape: same contiguous delete, HALF the z-order
-        # files — each file carries ~2x the rows, putting the 16M rung
-        # ABOVE the _DV_RANGE_MIN_FILE_ROWS gate so the codegen
-        # NOT-BETWEEN routing actually engages at its intended
-        # operating point (big files); the 4M rung stays below it and
-        # honestly reports range_files=0
-        "pinpoint_bigfile": (F.col("k") < rows // 20, 4),
+        # r14 RANGE shape: same contiguous delete, ONE file per
+        # partition dir (500k rows/file at 16M — above the
+        # _DV_RANGE_MIN_FILE_ROWS gate). Every dir's single k-sorted
+        # file contains its partition's full k range, so the delete
+        # touches ALL files as one prefix run each and the codegen
+        # NOT-BETWEEN routing carries the entire read — the geometry
+        # where the join alternative must probe every row of the
+        # table. The 4M rung (125k rows/file) stays below the gate
+        # and honestly reports range_files=0
+        "pinpoint_bigfile": (F.col("k") < rows // 20, 1),
         # r14 DEAD-FILE shape: delete one partition's every row — all
         # its files become provably 100%-deleted (cumulative positions
         # == recorded row counts) and the reader drops them at LISTING

@@ -1860,3 +1860,71 @@ def test_read_rels_gets_dead_prune_and_file_split(lake, spark):
         Lakehouse._apply_dvs = orig
     assert got == [k for k in range(1_000, 2_000) if k != 1_500]
     assert probe == [1_000], probe
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_dv_randomized_lifecycle_differential(lake, spark, monkeypatch, seed):
+    """Randomized end-to-end pin for the whole r14 routing surface:
+    random partitioning/file geometry/tier thresholds/gate settings,
+    then a random sequence of run-shaped, scattered, and whole-slice
+    DV deletes (plus an optional mid-sequence optimize) — after every
+    step the table must equal the Python-side kept-set oracle exactly.
+    Whatever mix of inline/sidecar tiers and dead/range/join routes the
+    draw produces, the answer may never drift."""
+    import random as _random
+
+    rnd = _random.Random(seed)
+    monkeypatch.setattr(
+        Lakehouse, "_DV_INLINE_MAX_POSITIONS", rnd.choice([7, 64, 100_000])
+    )
+    monkeypatch.setattr(
+        Lakehouse, "_DV_RANGE_MIN_FILE_ROWS", rnd.choice([0, 300, 65_536])
+    )
+    monkeypatch.setattr(Lakehouse, "_DV_RANGE_MAX_RUNS", rnd.choice([2, 16]))
+    nparts = rnd.choice([1, 3])
+    n = 3_000
+    lake.create("t", SCHEMA, ["part"] if nparts > 1 else [], [])
+    lo = 0
+    for _ in range(rnd.randint(2, 3)):
+        hi = lo + n // rnd.randint(2, 3)
+        batch = spark.range(lo, hi).select(
+            F.col("id").alias("k"),
+            (F.col("id") % nparts).cast("int").alias("part"),
+            (F.col("id") * 1.0).alias("v"),
+        )
+        lake.insert("t", batch.coalesce(rnd.randint(1, 3)))
+        lo = hi
+    total = lo
+    alive = set(range(total))
+    if rnd.random() < 0.5:
+        lake.compact("t", full=True)
+    for _step in range(4):
+        kind = rnd.choice(["run", "scatter", "slice", "run"])
+        if kind == "run":
+            a = rnd.randrange(0, total - 50)
+            b = a + rnd.randint(1, 200)
+            pred = F.col("k").between(a, b)
+            matched = {k for k in alive if a <= k <= b}
+        elif kind == "scatter":
+            m = rnd.choice([97, 131, 53])
+            r = rnd.randrange(m)
+            pred = (F.col("k") % m == r) & (F.col("k") < total)
+            matched = {k for k in alive if k % m == r}
+        else:
+            p = rnd.randrange(nparts)
+            cut = rnd.randrange(0, total)
+            pred = (F.col("part") == p) & (F.col("k") < cut)
+            matched = {k for k in alive if k % nparts == p and k < cut}
+        lake.delete_where("t", pred, mode="dv")
+        alive -= matched
+        got = sorted(r.k for r in lake.table("t").collect())
+        assert got == sorted(alive), (
+            f"seed={seed} step={_step} kind={kind}: "
+            f"{len(got)} rows vs oracle {len(alive)}"
+        )
+        if rnd.random() < 0.25:
+            # materialize the vectors mid-sequence: the next deletes
+            # start from a vector-free state and re-accumulate
+            lake.compact("t", full=True)
+            got = sorted(r.k for r in lake.table("t").collect())
+            assert got == sorted(alive), f"seed={seed} post-compact drift"
