@@ -3026,6 +3026,35 @@ class Lakehouse:
         sat = self._bloom_saturation(meta)
         if sat:
             out["bloom_saturated"] = sat
+        if meta.deletion_vectors or meta.dv_sidecars:
+            # deletion-vector pressure + routing summary (r14) — all
+            # manifest-side, no data read: how close the table is to
+            # the vector budget (past it, deletes force a rewrite) and
+            # how its touched files will route at read time. files_*
+            # are None when per-file evidence is incomplete (legacy
+            # entries / caps) — the reader then keeps the anti-join.
+            inline = sum(int(e[0]) for e in meta.deletion_vectors.values())
+            side = sum(int(e[1]) for e in meta.dv_sidecars)
+            dv: dict = {
+                "positions": inline + side,
+                "positions_inline": inline,
+                "positions_sidecar": side,
+                "sidecar_entries": len(meta.dv_sidecars),
+                "budget": self._DV_AUTO_MAX_ROWS,
+            }
+            touched = self._dv_touched_files(meta)
+            routing = self._dv_file_routing(meta)
+            dv["files_touched"] = len(touched) if touched is not None else None
+            if routing is not None:
+                dv["files_dead"] = sum(
+                    1 for v in routing.values() if v[0] == "dead"
+                )
+                dv["files_range_eligible"] = sum(
+                    1 for v in routing.values() if v[0] == "range"
+                )
+            else:
+                dv["files_dead"] = dv["files_range_eligible"] = None
+            out["deletion_vectors"] = dv
         if meta.primary_keys:
             # pending-work context FIRST (r12 advice): between upsert and
             # optimize a same-PK delta legitimately shadows its base row,

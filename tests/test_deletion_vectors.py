@@ -1928,3 +1928,26 @@ def test_dv_randomized_lifecycle_differential(lake, spark, monkeypatch, seed):
             lake.compact("t", full=True)
             got = sorted(r.k for r in lake.table("t").collect())
             assert got == sorted(alive), f"seed={seed} post-compact drift"
+
+
+def test_analyze_reports_dv_pressure_and_routing(lake, spark):
+    """analyze() surfaces the vector budget pressure and the read-time
+    routing summary (r14) — manifest-only, so operators can see a
+    table drifting toward the rewrite threshold or carrying dead files
+    without scanning data."""
+    lake.create("t", SCHEMA, [], [])
+    lake.insert("t", _batch(spark, 0, 1_000, 0).coalesce(1))
+    lake.insert("t", _batch(spark, 1_000, 2_000, 0).coalesce(1))
+    lake.delete_where("t", F.col("k") < 1_000, mode="dv")  # file 1 dead
+    lake.delete_where("t", F.col("k") == 1_500, mode="dv")
+    st = lake.analyze("t")
+    dv = st["deletion_vectors"]
+    assert dv["positions"] == 1_001
+    assert dv["positions"] == dv["positions_inline"] + dv["positions_sidecar"]
+    assert dv["budget"] == Lakehouse._DV_AUTO_MAX_ROWS
+    assert dv["files_touched"] == 2
+    assert dv["files_dead"] == 1
+    assert dv["files_range_eligible"] == 0  # below the size gate
+    # vector-free table: no block at all
+    lake.compact("t", full=True)
+    assert "deletion_vectors" not in lake.analyze("t")
