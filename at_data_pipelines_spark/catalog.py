@@ -1321,6 +1321,10 @@ class Lakehouse:
         # and committed generations are immutable, so the routing of one
         # manifest version never changes. Plain lists, no Spark state.
         self._dv_split_cache: dict[tuple, tuple[list[str], list[str]]] = {}
+        # content-addressed per-version routing memo (r14 review find:
+        # the pruned readers sit outside the plan memo, so CDC polling
+        # re-paid the inline decode per call) — see _dv_file_routing
+        self._dv_routing_cache: dict[tuple, dict] = {}
         # raw-plan memo (r13, _read_raw): content-addressed constructed
         # reader DataFrames — plan objects only, no persisted blocks
         self._plan_cache: dict[tuple, DataFrame] = {}
@@ -3033,8 +3037,7 @@ class Lakehouse:
             # how its touched files will route at read time. files_*
             # are None when per-file evidence is incomplete (legacy
             # entries / caps) — the reader then keeps the anti-join.
-            inline = sum(int(e[0]) for e in meta.deletion_vectors.values())
-            side = sum(int(e[1]) for e in meta.dv_sidecars)
+            inline, side = self._dv_position_totals(meta)
             dv: dict = {
                 "positions": inline + side,
                 "positions_inline": inline,
@@ -4157,8 +4160,13 @@ class Lakehouse:
                     ent[1] = None
         return stats
 
+    #: live entries in the routing memo — same sizing rationale as
+    #: _DV_SPLIT_CACHE_MAX (a miss re-pays the driver-side inline
+    #: decode + run coalescing, up to 100k varints)
+    _DV_ROUTING_CACHE_MAX = 8
+
     def _dv_file_routing(
-        self, meta: TableMeta
+        self, meta: TableMeta, digest: "str | None" = None
     ) -> "dict[str, tuple[str, list | None]] | None":
         """Classify every vector-carrying file for the read path (r14):
         ``{decoded file rel: ('dead', None) | ('range', runs) |
@@ -4179,6 +4187,22 @@ class Lakehouse:
             # don't pay the inline decode for stats nothing will use
             # (review find: legacy tables paid it per plan-cache miss)
             return None
+        # content-addressed memo: routing is a pure function of the DV
+        # tiers + file rows (all inside the digest), and the pruned
+        # readers (_read_rels, scan — CDC's poll loop) sit OUTSIDE the
+        # plan memo, so without this they re-paid the driver-side
+        # inline decode per call. Callers treat the dict as read-only.
+        key = (
+            meta.name,
+            meta.table_uuid,
+            meta.version,
+            digest if digest is not None else self._dv_state_digest(meta),
+        )
+        with self._dv_cache_mu:
+            hit = self._dv_routing_cache.pop(key, None)
+            if hit is not None:
+                self._dv_routing_cache[key] = hit  # re-insert: LRU
+                return hit
         stats = self._dv_file_stats(meta)
         if stats is None:
             return None
@@ -4194,7 +4218,51 @@ class Lakehouse:
                 out[rf] = ("range", st[1])
             else:
                 out[rf] = ("join", None)
+        with self._dv_cache_mu:
+            while len(self._dv_routing_cache) >= self._DV_ROUTING_CACHE_MAX:
+                self._dv_routing_cache.pop(next(iter(self._dv_routing_cache)))
+            self._dv_routing_cache[key] = out
         return out
+
+    @staticmethod
+    def _dv_position_totals(meta: TableMeta) -> "tuple[int, int]":
+        """(inline, sidecar) vectored-position totals — THE numbers
+        the write paths budget against ``_DV_AUTO_MAX_ROWS`` /
+        ``_DV_INLINE_MAX_POSITIONS`` and ``analyze()`` reports as
+        pressure; one definition so the enforced thresholds and the
+        operator-facing diagnostic can never drift (review find:
+        three hand-rolled copies)."""
+        return (
+            sum(int(e[0]) for e in meta.deletion_vectors.values()),
+            sum(int(e[1]) for e in meta.dv_sidecars),
+        )
+
+    def _dv_masked_clean(
+        self,
+        meta: TableMeta,
+        entries: "list[tuple[str, int, str, bool]]",
+        touched: "set[str] | None",
+    ) -> "tuple[list[str], list[str]]":
+        """Partition/generation-level masked-vs-clean split shared by
+        the pruned readers (`_read_rels`, `scan`): an entry
+        ``(rel, seq, path, is_file)`` is CLEAN when the manifest proves
+        no vector can touch it — its rel outside the affected-rel set,
+        its generation outside the vector-generation set, or (for an
+        explicit FILE path, e.g. a per-file zone-map hit) the file
+        outside the exact touched set. Anything unprovable stays
+        masked — mask more, never less."""
+        affected = self._dv_affected_rels(meta)
+        vseqs = self._dv_vector_seqs(meta)
+        masked: list[str] = []
+        clean: list[str] = []
+        for rel, s, p, is_file in entries:
+            can = (
+                affected is None or rel == "" or rel in affected
+            ) and (vseqs is None or s in vseqs)
+            if can and is_file and touched is not None:
+                can = p.rsplit("/data/", 1)[-1] in touched
+            (masked if can else clean).append(p)
+        return masked, clean
 
     def _dv_record_file_rows(
         self, name: str, meta: TableMeta, files_decoded: "set[str]"
@@ -4580,6 +4648,8 @@ class Lakehouse:
                 self._dv_cache.pop(k).unpersist()
             for k in [k for k in self._dv_split_cache if k[0] == name]:
                 self._dv_split_cache.pop(k)
+            for k in [k for k in self._dv_routing_cache if k[0] == name]:
+                self._dv_routing_cache.pop(k)
             for k in [k for k in self._plan_cache if k[0] == name]:
                 self._plan_cache.pop(k)
 
@@ -4723,11 +4793,19 @@ class Lakehouse:
         for rel in sorted(rels):
             s = meta.committed.get(rel)
             if s is not None:
+                base = self._seq_dir(name, s)
+                # rel == "" (unpartitioned): the generation dir ITSELF —
+                # appending "/{rel}" would leave a trailing slash whose
+                # file-split rels ("_seq=N//part-x") never match the
+                # touched set, routing a vectored file to the CLEAN
+                # branch (review find: a confirmed mask-LESS hazard,
+                # the one direction this module must never fail)
                 rel_seq_paths.append(
-                    (rel, s, f"{self._seq_dir(name, s)}/{rel}")
+                    (rel, s, base if rel == "" else f"{base}/{rel}")
                 )
             for d in meta.live_deltas:
-                p = f"{self._seq_dir(name, d)}/{rel}"
+                base = self._seq_dir(name, d)
+                p = base if rel == "" else f"{base}/{rel}"
                 if self.fs.exists(p):
                     rel_seq_paths.append((rel, d, p))
         schema_with_seq = T.StructType(
@@ -4737,16 +4815,13 @@ class Lakehouse:
             return self.spark.createDataFrame([], schema_with_seq)
         paths = [p for _, _, p in rel_seq_paths]
         if meta.deletion_vectors or meta.dv_sidecars:
-            affected = self._dv_affected_rels(meta)
             touched = self._dv_touched_files(meta)
-            if affected is not None or touched is not None:
-                vseqs = self._dv_vector_seqs(meta)
-                masked, clean = [], []
-                for rel, s, p in rel_seq_paths:
-                    can_touch = (
-                        affected is None or rel == "" or rel in affected
-                    ) and (vseqs is None or s in vseqs)
-                    (masked if can_touch else clean).append(p)
+            masked, clean = self._dv_masked_clean(
+                meta,
+                [(rel, s, p, False) for rel, s, p in rel_seq_paths],
+                touched,
+            )
+            if clean or touched is not None:
                 out = self._dv_branch_union(
                     name, meta, masked, clean, touched, rels=prels
                 )
@@ -4980,7 +5055,7 @@ class Lakehouse:
         # in the anti-join — mask more, never less.
         range_routed: "list[tuple[str, list]]" = []
         if touched is not None and masked:
-            routing = self._dv_file_routing(meta)
+            routing = self._dv_file_routing(meta, digest=digest)
             if routing is not None:
                 still: list[str] = []
                 for p in masked:
@@ -5365,36 +5440,57 @@ class Lakehouse:
         for zk in meta.zone_maps:
             if zk.endswith(".parquet"):
                 file_keys.setdefault(zk.rsplit("/", 1)[0], []).append(zk)
-        kept = []
+        kept: list[tuple[str, int, str, bool]] = []  # (rel, seq, path, is_file)
         kept_rels: set[str] = set()
         for p, zk in leaves:
+            head, _, zrel = zk.partition("/")
+            zseq = int(head.split("=", 1)[1])
             per_file = file_keys.get(zk)
             hit = False
             if per_file:
                 for fk in per_file:
                     if not _excludes(meta.zone_maps.get(fk, {})):
-                        kept.append(f"{p}/{fk.rsplit('/', 1)[1]}")
+                        kept.append(
+                            (zrel, zseq, f"{p}/{fk.rsplit('/', 1)[1]}", True)
+                        )
                         hit = True
             elif not _excludes(meta.zone_maps.get(zk, {})):
-                kept.append(p)
+                kept.append((zrel, zseq, p, False))
                 hit = True
             if hit:
-                kept_rels.add(zk.partition("/")[2])
+                kept_rels.add(zrel)
 
         schema_with_seq = T.StructType(
             meta.schema.fields + [T.StructField(_SEQ_COL, T.LongType(), True)]
         )
         if kept:
-            df = self._apply_dvs(
-                self.spark.read.schema(schema_with_seq)
-                .option("basePath", f"{self._dir(name)}/data")
-                .parquet(*kept),
-                name,
-                meta,
-                # pruned scan: the vector build side prunes to the rels
-                # this scan can actually produce (None = unpartitioned)
-                rels=kept_rels if meta.partition_keys else None,
-            ).drop(_SEQ_COL)
+            # pruned scan: the vector build side prunes to the rels
+            # this scan can actually produce (None = unpartitioned)
+            prels = kept_rels if meta.partition_keys else None
+            df = None
+            if meta.deletion_vectors or meta.dv_sidecars:
+                # the point-lookup path gets the SAME DV confinement
+                # ladder as table() (r14 review find: the docs claimed
+                # it, but scan() built its own read and every kept row
+                # probed the join): generation/rel/explicit-file
+                # masked-vs-clean split, then file split + dead-file
+                # drop + range routing in the shared tail
+                touched = self._dv_touched_files(meta)
+                masked, clean = self._dv_masked_clean(meta, kept, touched)
+                if clean or touched is not None:
+                    df = self._dv_branch_union(
+                        name, meta, masked, clean, touched, rels=prels
+                    )
+            if df is None:
+                df = self._apply_dvs(
+                    self.spark.read.schema(schema_with_seq)
+                    .option("basePath", f"{self._dir(name)}/data")
+                    .parquet(*[pp for _, _, pp, _ in kept]),
+                    name,
+                    meta,
+                    rels=prels,
+                )
+            df = df.drop(_SEQ_COL)
         else:
             df = self.spark.createDataFrame([], meta.schema)
         cond = None
@@ -6532,9 +6628,8 @@ class Lakehouse:
         # Bound the TABLE's total post-merge position count (inline +
         # sidecars); past it the rewrite path materializes (auto) or the
         # caller is told to compact (dv).
-        existing = sum(int(e[0]) for e in meta.deletion_vectors.values()) + sum(
-            int(e[1]) for e in meta.dv_sidecars
-        )
+        inline_now, _side_now = self._dv_position_totals(meta)
+        existing = inline_now + _side_now
         affected_rels: set[str] = set()
         if len(hits) > inline_cap:
             # big matched set: ONE fresh executor-side evaluation writes
@@ -6584,10 +6679,7 @@ class Lakehouse:
                         "backlog, or use mode='rewrite'/'auto'."
                     )
                 return False
-            inline_existing = sum(
-                int(e[0]) for e in meta.deletion_vectors.values()
-            )
-            if inline_existing + len(hits) > inline_cap:
+            if inline_now + len(hits) > inline_cap:
                 # inline tier would overflow: spill THIS call's hits to a
                 # sidecar (tiny bounded createDataFrame — ≤ inline_cap
                 # rows already on the driver from the probe)
@@ -7003,9 +7095,8 @@ class Lakehouse:
         n_matched = matched.count()
         if n_matched == 0:
             return True
-        existing = sum(int(e[0]) for e in meta.deletion_vectors.values()) + sum(
-            int(e[1]) for e in meta.dv_sidecars
-        )
+        inline_now, _side_now = self._dv_position_totals(meta)
+        existing = inline_now + _side_now
         if existing + n_matched > cap:
             if mode == "dv":
                 over = f"{cap}+" if n_matched > cap else str(n_matched)
@@ -7016,8 +7107,7 @@ class Lakehouse:
                     "optimize()/compact() the backlog first."
                 )
             return False
-        inline_existing = sum(int(e[0]) for e in meta.deletion_vectors.values())
-        use_sidecar = inline_existing + n_matched > inline_cap
+        use_sidecar = inline_now + n_matched > inline_cap
         new_rows = transformed(matched.drop("__dv_f", "__dv_p").drop(_SEQ_COL))
         seq = self._reserve_seq(name, meta)
         token = self._write_seq(name, meta, new_rows, seq)

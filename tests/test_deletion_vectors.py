@@ -1951,3 +1951,71 @@ def test_analyze_reports_dv_pressure_and_routing(lake, spark):
     # vector-free table: no block at all
     lake.compact("t", full=True)
     assert "deletion_vectors" not in lake.analyze("t")
+
+
+def test_read_rels_empty_rel_masks_unpartitioned_vectors(lake, spark):
+    """Review-confirmed mask-LESS hazard (r14): _read_rels with the
+    unpartitioned rel '' built 'dir/' paths whose trailing slash made
+    the file split derive '_seq=N//part-x' rels that never matched the
+    touched set — the vectored file routed to the CLEAN branch and
+    deleted rows resurfaced. Pinned: the empty rel reads exactly the
+    masked rows."""
+    lake.create("t", SCHEMA, [], [])
+    lake.insert("t", _batch(spark, 0, 2_000, 0))
+    lake.compact("t", full=True)
+    lake.delete_where("t", F.col("k") < 100, mode="dv")
+    m = lake._load_meta("t")
+    got = sorted(r.k for r in lake._read_rels("t", m, [""]).collect())
+    assert got == list(range(100, 2_000)), (
+        f"{len(got)} rows — deleted rows resurrected on the empty rel"
+    )
+
+
+def test_scan_point_lookup_gets_dv_routing(lake, spark):
+    """r14 review find: the docs claimed scan() was the confinement
+    ladder's hot consumer, but scan() built its own read and every kept
+    row probed the join. Pinned on the real user path: a zone-pruned
+    scan over a fully-deleted file never builds the anti-join, and a
+    partially-vectored scan confines the probe to the touched file."""
+    lake.create(
+        "t", SCHEMA, ["part"], [], stats_columns=["k"]
+    )
+    lake.insert("t", _batch(spark, 0, 1_000, 0).coalesce(1))
+    lake.insert("t", _batch(spark, 1_000, 2_000, 0).coalesce(1))
+    lake.insert("t", _batch(spark, 2_000, 3_000, 1).coalesce(1))
+    lake.delete_where("t", F.col("k") < 1_000, mode="dv")  # file 1 dead
+    called = []
+    orig = Lakehouse._apply_dvs
+
+    def spy(self, df, name, meta, *a, **kw):
+        called.append(df)
+        return orig(self, df, name, meta, *a, **kw)
+
+    Lakehouse._apply_dvs = spy
+    try:
+        got = sorted(
+            r.k
+            for r in lake.scan("t", where={"k": (0, 1_999)}).collect()
+        )
+    finally:
+        Lakehouse._apply_dvs = orig
+    assert got == list(range(1_000, 2_000))
+    assert not called, "scan over a dead file + clean gen must skip the join"
+    # partial vector: probe confined to the touched file's rows
+    lake.delete_where("t", F.col("k") == 1_500, mode="dv")
+    probe = []
+
+    def spy2(self, df, name, meta, *a, **kw):
+        probe.append(df.count())
+        return orig(self, df, name, meta, *a, **kw)
+
+    Lakehouse._apply_dvs = spy2
+    try:
+        got = sorted(
+            r.k
+            for r in lake.scan("t", where={"k": (0, 2_999)}).collect()
+        )
+    finally:
+        Lakehouse._apply_dvs = orig
+    assert got == [k for k in range(1_000, 3_000) if k != 1_500]
+    assert probe == [1_000], probe
