@@ -4326,6 +4326,15 @@ class Lakehouse:
             if "/data/" not in d:
                 still.append(d)
                 continue
+            if d.endswith(".parquet"):
+                # already an explicit part-file (scan()'s per-file
+                # zone-map hits feed these): no LIST needed — route by
+                # the same rel-in-touched test the expansion below
+                # applies to listed files. touched is complete by the
+                # caller's contract (None never reaches here).
+                rel_f = d.rsplit("/data/", 1)[1]
+                (still if rel_f in touched else clean).append(d)
+                continue
             names, has_sub = self.fs.list_dir(d)
             data_files = [fn for fn in names if not fn.startswith(("_", "."))]
             if has_sub or not data_files:

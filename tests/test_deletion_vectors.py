@@ -2019,3 +2019,31 @@ def test_scan_point_lookup_gets_dv_routing(lake, spark):
         Lakehouse._apply_dvs = orig
     assert got == [k for k in range(1_000, 3_000) if k != 1_500]
     assert probe == [1_000], probe
+
+
+def test_dv_file_split_explicit_files_skip_listing(lake, tmp_path):
+    """scan()'s per-file zone hits enter the split as explicit .parquet
+    paths: they must route by the touched test WITHOUT a directory
+    LIST (one wasted object-store call per file otherwise), touched
+    files staying masked and untouched ones landing clean."""
+    import os
+
+    d = tmp_path / "lakeY" / "data" / "_seq=0"
+    os.makedirs(d)
+    for fn in ("a.parquet", "b.parquet"):
+        (d / fn).write_bytes(b"")
+    calls = []
+    orig = lake.fs.list_dir
+    lake.fs.list_dir = lambda p: (calls.append(p), orig(p))[1]
+    try:
+        clean: list[str] = []
+        still = lake._dv_file_split(
+            [f"{d}/a.parquet", f"{d}/b.parquet"],
+            {"_seq=0/a.parquet"},
+            clean,
+        )
+    finally:
+        lake.fs.list_dir = orig
+    assert still == [f"{d}/a.parquet"]
+    assert clean == [f"{d}/b.parquet"]
+    assert calls == [], "explicit files must not be LISTed"
