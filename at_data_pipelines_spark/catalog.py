@@ -4208,7 +4208,32 @@ class Lakehouse:
             return None
         out: "dict[str, tuple[str, list | None]]" = {}
         for rf, st in stats.items():
-            if st[0] is not None and meta.dv_file_rows.get(rf) == st[0]:
+            rows = meta.dv_file_rows.get(rf)
+            if st[0] is not None and rows is not None and st[0] > rows:
+                # defense-in-depth (r15 advice): cumulative vectored
+                # positions EXCEED the file's immutable row count — a
+                # (file, position) pair repeated across tiers, or a
+                # corrupt count. The dead-file proof depends on
+                # cross-tier uniqueness (only sidecar-to-sidecar merges
+                # have a loud canary), so an overshoot here is the one
+                # observable symptom of that bug class: never trust
+                # equality or runs derived from the same evidence —
+                # force the anti-join (mask-more, always correct) and
+                # say so loudly
+                import warnings
+
+                warnings.warn(
+                    f"deletion-vector invariant broken on {meta.name!r}: "
+                    f"file {rf!r} has {st[0]} vectored positions but "
+                    f"{rows} recorded rows — duplicate (file, position) "
+                    "pairs across DV tiers; forcing the anti-join for "
+                    "this file",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
+                out[rf] = ("join", None)
+                continue
+            if st[0] is not None and rows == st[0]:
                 out[rf] = ("dead", None)
             elif (
                 st[1]
@@ -4275,12 +4300,28 @@ class Lakehouse:
         counts ride the same manifest PUT that publishes the vectors.
         Files are immutable, so already-recorded counts are never
         re-measured; the cap bounds manifest growth and skipping only
-        costs the reader provability (the file keeps the anti-join)."""
+        costs the reader provability (the file keeps the anti-join).
+        At the cap the fill is PARTIAL (r15 — was all-or-nothing):
+        remaining slots go to the LARGEST new files first (byte size
+        from one LIST per parent dir, ordering only — the recorded
+        values are still exact row counts), because big files gain the
+        most from dead-prune and range routing while a small file's
+        anti-join residency is cheap anyway."""
         need = sorted(files_decoded - set(meta.dv_file_rows))
         if not need:
             return
-        if len(meta.dv_file_rows) + len(need) > self._DV_FILE_ROWS_CAP:
+        room = self._DV_FILE_ROWS_CAP - len(meta.dv_file_rows)
+        if room <= 0:
             return
+        if len(need) > room:
+            data_dir = f"{self._dir(name)}/data"
+            sizes: dict[str, int] = {}
+            for d in sorted({f.rsplit("/", 1)[0] for f in need if "/" in f}):
+                for fn, sz in self.fs.list_files(f"{data_dir}/{d}"):
+                    sizes[f"{d}/{fn}"] = sz
+            # deterministic under size ties: (-size, rel) ascending
+            need = sorted(need, key=lambda f: (-sizes.get(f, -1), f))[:room]
+            need.sort()
         data_dir = f"{self._dir(name)}/data"
         schema_with_seq = T.StructType(
             meta.schema.fields + [T.StructField(_SEQ_COL, T.LongType(), True)]
@@ -4439,9 +4480,13 @@ class Lakehouse:
         reader's fully-deleted-file proof (cumulative count == recorded
         row count ⇒ drop the file at listing time), runs the per-file
         range-filter fast path for contiguous deletes (r14 — the
-        pinpoint_zorder shape). One window+agg job for run shapes plus
-        one bounded collect of the run bounds: ≤ _DV_SIDECAR_FILE_CAP
-        rows for the per-file summary, ≤ files × runs for the bounds."""
+        pinpoint_zorder shape). The window+agg runs ONCE — runs_df is
+        persisted before its two bounded collects (r15 advice fix: the
+        second collect used to recompute the whole window aggregation
+        as a fresh job): ≤ _DV_SIDECAR_FILE_CAP rows for the per-file
+        summary, then ≤ files × _DV_RANGE_MAX_RUNS run bounds for
+        ELIGIBLE files only (a scattered delete's runs ≈ its positions,
+        so the bounds collect must stay gated on eligibility)."""
         w = W.partitionBy("f").orderBy("p")
         runs_df = (
             back.withColumn("__pv", F.lag("p").over(w))
@@ -4464,31 +4509,40 @@ class Lakehouse:
                 F.max("p").alias("e"),
                 F.count(F.lit(1)).alias("c"),
             )
+            # one row per (file, run) — bounded by the entry's position
+            # count and usually far smaller; spill-safe storage level so
+            # a pathological scattered delete can't pin executor memory
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        per_file = (
-            runs_df.groupBy("f")
-            .agg(F.count(F.lit(1)).alias("nruns"), F.sum("c").alias("cnt"))
-            .collect()
-        )
-        finfo: dict[str, list] = {
-            _uri_unquote(r["f"]): [int(r["cnt"]), None] for r in per_file
-        }
-        eligible = [
-            r["f"] for r in per_file if int(r["nruns"]) <= self._DV_RANGE_MAX_RUNS
-        ]
-        if eligible:
-            for r in (
-                runs_df.filter(F.col("f").isin(eligible))
-                .select("f", "s", "e")
+        try:
+            per_file = (
+                runs_df.groupBy("f")
+                .agg(F.count(F.lit(1)).alias("nruns"), F.sum("c").alias("cnt"))
                 .collect()
-            ):
-                ent = finfo[_uri_unquote(r["f"])]
-                if ent[1] is None:
-                    ent[1] = []
-                ent[1].append([int(r["s"]), int(r["e"])])
-            for ent in finfo.values():
-                if ent[1] is not None:
-                    ent[1].sort()
+            )
+            finfo: dict[str, list] = {
+                _uri_unquote(r["f"]): [int(r["cnt"]), None] for r in per_file
+            }
+            eligible = [
+                r["f"]
+                for r in per_file
+                if int(r["nruns"]) <= self._DV_RANGE_MAX_RUNS
+            ]
+            if eligible:
+                for r in (
+                    runs_df.filter(F.col("f").isin(eligible))
+                    .select("f", "s", "e")
+                    .collect()
+                ):
+                    ent = finfo[_uri_unquote(r["f"])]
+                    if ent[1] is None:
+                        ent[1] = []
+                    ent[1].append([int(r["s"]), int(r["e"])])
+                for ent in finfo.values():
+                    if ent[1] is not None:
+                        ent[1].sort()
+        finally:
+            runs_df.unpersist()
         return finfo
 
     #: sidecar-count bound: past this many entries a delete/update

@@ -2047,3 +2047,67 @@ def test_dv_file_split_explicit_files_skip_listing(lake, tmp_path):
     assert still == [f"{d}/a.parquet"]
     assert clean == [f"{d}/b.parquet"]
     assert calls == [], "explicit files must not be LISTed"
+
+
+def test_dv_routing_overshoot_forces_join_and_warns(lake, spark, monkeypatch):
+    """Defense-in-depth (r15 advice): the dead-file proof (cumulative
+    positions == recorded row count) silently assumes cross-tier
+    (file, position) uniqueness. If that invariant ever breaks, the
+    observable symptom is positions OVERSHOOTING the file's immutable
+    row count — the routing must then distrust ALL evidence for that
+    file (no dead-prune, no range filter), force the anti-join
+    (mask-more, unconditionally correct), and warn loudly."""
+    monkeypatch.setattr(Lakehouse, "_DV_RANGE_MIN_FILE_ROWS", 0)
+    lake.create("t", SCHEMA, [], [])
+    lake.insert("t", _batch(spark, 0, 2_000, 0).coalesce(1))
+    lake.delete_where("t", F.col("k") < 1_000, mode="dv")
+    m = lake._load_meta("t")
+    (f,) = set(m.dv_file_rows)
+    # sanity: with intact evidence this contiguous delete routes 'range'
+    assert lake._dv_file_routing(m)[f][0] == "range"
+    # corrupt: recorded row count below the cumulative vectored
+    # positions — exactly what a duplicated (file, position) pair
+    # across tiers would look like from the routing's viewpoint
+    m.dv_file_rows[f] = 999
+    with pytest.warns(RuntimeWarning, match="invariant broken"):
+        routing = lake._dv_file_routing(m)
+    assert routing == {f: ("join", None)}
+    # and the read over the corrupt meta still answers correctly —
+    # the anti-join never trusted the per-file proof
+    got = sorted(r.k for r in lake._read_raw("t", m).collect())
+    assert got == list(range(1_000, 2_000))
+
+
+def test_dv_file_rows_cap_partial_fill_largest_first(lake, spark, monkeypatch):
+    """At the _DV_FILE_ROWS_CAP the recorder must PARTIALLY fill —
+    largest new files first — instead of the r14 all-or-nothing skip:
+    a table at the cap still gains dead-prune/range provability for
+    exactly the files where it matters most, and the unrecorded small
+    file degrades to the anti-join (mask-more, never less)."""
+    monkeypatch.setattr(Lakehouse, "_DV_FILE_ROWS_CAP", 2)
+    lake.create("t", SCHEMA, [], [])
+    for lo, hi in ((0, 3_000), (3_000, 4_000), (4_000, 4_500)):
+        lake.insert("t", _batch(spark, lo, hi, 0).coalesce(1))
+    lake.delete_where("t", F.lit(True), mode="dv")  # every file 100% dead
+    m = lake._load_meta("t")
+    touched = lake._dv_touched_files(m)
+    assert touched is not None and len(touched) == 3
+    by_seq = {f.split("/", 1)[0]: f for f in touched}
+    # the two LARGEST files (3000- and 1000-row generations) got the
+    # two slots; the 500-row file was left unrecorded
+    assert set(m.dv_file_rows) == {by_seq["_seq=0"], by_seq["_seq=1"]}
+    assert m.dv_file_rows[by_seq["_seq=0"]] == 3_000
+    assert m.dv_file_rows[by_seq["_seq=1"]] == 1_000
+    df = lake.table("t")
+    assert df.count() == 0
+    # recorded files prove dead and vanish from the LISTING; the
+    # unrecorded one must still be scanned and masked by the join
+    live = {f.rsplit("/data/", 1)[-1] for f in df.inputFiles()}
+    assert by_seq["_seq=2"] in {_dec(f) for f in live}
+    assert not {by_seq["_seq=0"], by_seq["_seq=1"]} & {_dec(f) for f in live}
+
+
+def _dec(s: str) -> str:
+    from urllib.parse import unquote
+
+    return unquote(s)
