@@ -300,6 +300,7 @@ class _HadoopFS:
         self._IOUtils = jvm.org.apache.commons.io.IOUtils
         self._fs = self._Path(root).getFileSystem(spark._jsc.hadoopConfiguration())
         self._conf = spark._jsc.hadoopConfiguration()
+        self._quri: dict[str, str] = {}
         self.scheme = self._Path(root).toUri().getScheme() or "file"
         if self.scheme == "s3a":
             hook = _boto3_conditional_create_factory()
@@ -311,6 +312,34 @@ class _HadoopFS:
 
     def exists(self, p: str) -> bool:
         return self._fs.exists(self._Path(p))
+
+    def qualified_uri(self, p: str) -> str:
+        """The exact URI string Spark's ``_metadata.file_path`` column
+        reports for ``p``. Qualification runs the same Hadoop
+        ``FileSystem.makeQualified`` chain Spark's file index uses;
+        the RENDERING is then rebuilt from the URI's parts — scheme +
+        raw (percent-encoded) path, with '//authority' only when the
+        authority is non-empty — because the off-the-shelf renderings
+        both disagree with the metadata column on local paths:
+        ``Path.toString()`` DECODES the path ('p=a b') and
+        ``toUri().toString()`` renders the LocalFileSystem's empty
+        authority as 'file:///' where metadata reports 'file:/'.
+        Verified byte-identical to ``_metadata.file_path`` across
+        space/%/+/unicode partition values (and pinned by the DV range
+        tests, whose leaf canary turns any future drift into a loud
+        error). Memoized: one JVM roundtrip per distinct path for the
+        lifetime of this FS handle (the DV range scan resolves its
+        table's data dir through here on every plan build)."""
+        hit = self._quri.get(p)
+        if hit is None:
+            u = self._fs.makeQualified(self._Path(p)).toUri()
+            scheme, auth, raw = u.getScheme(), u.getAuthority(), u.getRawPath()
+            if auth:
+                hit = f"{scheme}://{auth}{raw}"
+            else:
+                hit = f"{scheme}:{raw}" if scheme else raw
+            self._quri[p] = hit
+        return hit
 
     def mkdirs(self, p: str) -> None:
         self._fs.mkdirs(self._Path(p))
@@ -4004,10 +4033,14 @@ class Lakehouse:
     _DV_SIDECAR_REL_CAP = 10_000
     #: most distinct FILES a sidecar entry records inline for the
     #: file-level read split (r13); past this the entry stores None and
-    #: readers fall back to directory-granularity confinement. 256 paths
-    #: x ~60 bytes ~= 15 KB of manifest worst case, and the merge-at-8
-    #: consolidation bounds the union a reader ever assembles
-    _DV_SIDECAR_FILE_CAP = 256
+    #: readers fall back to directory-granularity confinement. Raised
+    #: 256 -> 1024 in r15: the consolidated range scan makes
+    #: many-hundreds-of-routed-files plans CHEAP to execute (one scan
+    #: node), so the file list is worth carrying further — 1024 paths
+    #: x ~(60 bytes + per-file stats) ~= 120 KB of manifest worst case,
+    #: bounded by the merge-at-8 consolidation and absorbed by the
+    #: segmented log + columnar checkpoint
+    _DV_SIDECAR_FILE_CAP = 1024
     #: most vector-carrying directories _read_raw will LIST to attempt
     #: the file split; past this the per-query driver listing cost
     #: outweighs the probe-row savings and the dir-level split stands
@@ -4024,25 +4057,28 @@ class Lakehouse:
     #: ~100 ns probe (the measured 2-4x-slower literal NOT-IN was the
     #: degenerate 1-position-per-run end of this spectrum)
     _DV_RANGE_MAX_RUNS = 16
-    #: most files routed to the range-filter branch per read — each is
-    #: its own single-file scan node in the plan, so the cap bounds
-    #: plan width; overflow files simply stay in the anti-join branch
-    _DV_RANGE_MAX_FILES = 32
-    #: smallest file (rows, from dv_file_rows) worth its own range-
-    #: filter scan: the branch trades the join's ~100 ns/probe-row for
-    #: a fixed per-scan-operator cost measured 4-15 ms on local[32]
-    #: DEPENDING ON LOAD (task scheduling + codegen per extra
-    #: FileScan), so small files are cheaper INSIDE the join. Five
-    #: rung sessions mapped the zone: 14k-row files always lose on the
-    #: range path, and 56k/112k-row files flip winner with machine
-    #: state (SCALING.md r14 rung) — inside the noise band the join's
-    #: flat, predictable cost is the right default. The gate therefore
-    #: sits where the probe PROVABLY dominates the worst measured scan
-    #: cost: 256k rows ≈ 25 ms of probing vs ≤15 ms of scan overhead,
-    #: growing linearly from there (a 1M-row/128 MB real-cluster file
-    #: costs the join ~0.1 s per query, the filter ~0). Files with
-    #: UNKNOWN row counts also keep the join — the conservative side
-    _DV_RANGE_MIN_FILE_ROWS = 262_144
+    #: most files routed to the CONSOLIDATED range scan per read (r15:
+    #: one scan node total, so this no longer bounds plan width — it
+    #: bounds the dispatch-tree expression size and the driver-side
+    #: literal list; the tree costs O(log F) allocation-free compares
+    #: per row). Overflow files simply stay in the anti-join branch
+    _DV_RANGE_MAX_FILES = 1024
+    #: most ENCODING-UNSAFE rels (hostile partition values outside
+    #: _DV_RANGE_SAFE_REL) given r14-style single-file range scans —
+    #: these DO add one scan operator each (the measured 4-15 ms fixed
+    #: cost), so they keep the old tight cap
+    _DV_RANGE_MAX_UNSAFE_FILES = 32
+    # r14 carried a 262,144-row size gate here (_DV_RANGE_MIN_FILE_ROWS)
+    # because each range-routed file was its own FileScan operator with a
+    # measured 4-15 ms fixed cost, so tiny files were cheaper inside the
+    # join. The r15 consolidated range scan removed the per-file operator
+    # entirely (ceil(F/32) scan nodes, O(log leaves) allocation-free
+    # dispatch), and the re-mapped crossover showed the gate's premise
+    # gone: 128 routed files of 125k rows — HALF the old gate — measure
+    # 0.55 s consolidated vs 1.49 s join vs 2.99 s per-file at 16M rows
+    # (SCALING.md r15 dv_range_consolidated rung) — run-shaped files of
+    # ANY size now route to the range branch (runs are exact positions,
+    # so no row count is needed).
 
     def _dv_affected_rels(self, meta: TableMeta) -> "set[str] | None":
         """Partition rels that can hold vectored rows — from the manifest
@@ -4183,9 +4219,12 @@ class Lakehouse:
         _DV_RANGE_MAX_FILES plan-width cap is applied by the reader,
         not here — 'range' means eligible.)"""
         if not meta.dv_file_rows:
-            # neither proof can fire without recorded row counts —
-            # don't pay the inline decode for stats nothing will use
-            # (review find: legacy tables paid it per plan-cache miss)
+            # the dead proof can't fire without recorded row counts, and
+            # while the r15 range path COULD (runs need no counts), a
+            # table with per-file run stats but zero recorded counts
+            # only arises at the dv_file_rows cap overflow — too rare to
+            # pay the inline decode for on every legacy-table plan-cache
+            # miss (review find: legacy tables paid it per miss)
             return None
         # content-addressed memo: routing is a pure function of the DV
         # tiers + file rows (all inside the digest), and the pruned
@@ -4235,11 +4274,11 @@ class Lakehouse:
                 continue
             if st[0] is not None and rows == st[0]:
                 out[rf] = ("dead", None)
-            elif (
-                st[1]
-                and meta.dv_file_rows.get(rf, 0)
-                >= self._DV_RANGE_MIN_FILE_ROWS
-            ):
+            elif st[1]:
+                # run-shaped at ANY size (r15): the consolidated range
+                # scan has no per-file operator cost, so the r14 size
+                # gate is gone; runs are exact positions and need no
+                # recorded row count to be correct
                 out[rf] = ("range", st[1])
             else:
                 out[rf] = ("join", None)
@@ -4850,7 +4889,30 @@ class Lakehouse:
         of its rows through the anti-join): rel/generation-level
         masked-vs-clean split, then the shared `_dv_branch_union` tail
         (file split, dead-file drop, range routing). scan()'s
-        zone/bloom-pruned point lookups are the hot consumer."""
+        zone/bloom-pruned point lookups are the hot consumer.
+
+        r15: memoized through `_plan_memo` — CDC poll loops and
+        repeated point lookups over an unchanged manifest version used
+        to re-pay Spark's eager InMemoryFileIndex listing on every
+        call. Sound because the path set is a pure function of the key:
+        committed/live generation dirs are immutable once the manifest
+        names them, so the per-rel `fs.exists` probes below can never
+        change answer within one (uuid, version)."""
+        return self._plan_memo(
+            (
+                name,
+                "rels",
+                meta.table_uuid,
+                meta.version,
+                tuple(sorted(rels)),
+                self._dv_state_digest(meta),
+                hash(meta.schema_json),
+                tuple(meta.partition_keys),
+            ),
+            lambda: self._read_rels_build(name, meta, rels),
+        )
+
+    def _read_rels_build(self, name: str, meta: TableMeta, rels) -> DataFrame:
         prels = set(rels) if meta.partition_keys else None
         rel_seq_paths: list[tuple[str, int, str]] = []
         for rel in sorted(rels):
@@ -4922,9 +4984,12 @@ class Lakehouse:
             .parquet(*paths)
         )
 
-    #: live entries in the per-handle raw-plan memo (plan OBJECTS only —
-    #: no persisted Spark state, so eviction is a plain pop)
-    _PLAN_CACHE_MAX = 16
+    #: live entries in the per-handle reader-plan memo (plan OBJECTS
+    #: only — no persisted Spark state, so eviction is a plain pop).
+    #: r15: three key families share it (raw/rels/scan — see
+    #: _plan_memo), so the bound doubles: a CDC poll loop cycling a few
+    #: rel sets plus point lookups plus full reads must all stay warm
+    _PLAN_CACHE_MAX = 32
 
     #: live entries in the file-split listing memo. Each entry is two
     #: path lists for one (table, version, mask shape) — cheap to hold,
@@ -4948,29 +5013,50 @@ class Lakehouse:
         file lists) that share a version with different read shapes;
         equal content returning the identical plan object is always
         sound, a content miss is only a rebuild."""
+        paths = tuple(self._visible_paths(name, meta))
+        digest = self._dv_state_digest(meta)
         fp = (
             name,
+            "raw",
             meta.table_uuid,
             meta.version,
-            tuple(self._visible_paths(name, meta)),
-            self._dv_state_digest(meta),
+            paths,
+            digest,
             # schema/partition shape ride along for the same tentative-
             # meta reason (restore and DDL mutate them before the commit
             # that bumps the version)
             hash(meta.schema_json),
             tuple(meta.partition_keys),
         )
+        return self._plan_memo(
+            fp,
+            lambda: self._read_raw_build(name, meta, list(paths), digest=digest),
+        )
+
+    def _plan_memo(self, key: tuple, build) -> DataFrame:
+        """ONE content-addressed LRU for every reader-plan family
+        (r15): ``key[0]`` must be the table name (``_dv_cache_purge``
+        matches on it), ``key[1]`` the family marker ('raw' — the full
+        visible-paths read; 'rels' — the partition-pruned CDC/point-
+        lookup read; 'scan' — scan()'s zone/bloom-kept read). Plans and
+        committed generations are immutable, so equal content returning
+        the identical plan object is always sound; a content miss is
+        only a rebuild. The families share the LRU because they share
+        the cost being amortized: Spark eagerly lists every path into
+        an InMemoryFileIndex at DataFrame construction (a listing JOB
+        past the parallel-discovery threshold — r13 measured 0.88 s
+        construct vs 0.45 s exec on a 287-file split plan)."""
         with self._dv_cache_mu:
-            hit = self._plan_cache.pop(fp, None)
+            hit = self._plan_cache.pop(key, None)
             if hit is not None:
-                self._plan_cache[fp] = hit  # re-insert: LRU recency
+                self._plan_cache[key] = hit  # re-insert: LRU recency
         if hit is not None:
             return hit
-        df = self._read_raw_build(name, meta, list(fp[3]), digest=fp[4])
+        df = build()
         with self._dv_cache_mu:
             while len(self._plan_cache) >= self._PLAN_CACHE_MAX:
                 self._plan_cache.pop(next(iter(self._plan_cache)))
-            self._plan_cache[fp] = df
+            self._plan_cache[key] = df
         return df
 
     def _read_raw_build(
@@ -5117,6 +5203,7 @@ class Lakehouse:
         # are manifest-exact; any missing evidence leaves the file
         # in the anti-join — mask more, never less.
         range_routed: "list[tuple[str, list]]" = []
+        range_per_file: "list[tuple[str, list]]" = []
         if touched is not None and masked:
             routing = self._dv_file_routing(meta, digest=digest)
             if routing is not None:
@@ -5133,11 +5220,27 @@ class Lakehouse:
                         # per-file evidence: stay in the join
                     elif cls[0] == "dead":
                         continue  # fully deleted: never listed
-                    elif (
-                        cls[0] == "range"
-                        and len(range_routed) < self._DV_RANGE_MAX_FILES
-                    ):
-                        range_routed.append((p, cls[1]))
+                    elif cls[0] == "range":
+                        # rels on which URI encoding is the identity
+                        # join the ONE consolidated range scan (r15);
+                        # a rel that needs encoding (hostile partition
+                        # value) can't be compared against _metadata
+                        # literals without namespace guessing, so it
+                        # keeps the r14 single-file plan — exact by
+                        # path-level listing, no string dispatch at
+                        # all — under its own small plan-width cap
+                        if self._DV_RANGE_SAFE_REL.match(rf):
+                            if len(range_routed) < self._DV_RANGE_MAX_FILES:
+                                range_routed.append((p, cls[1]))
+                            else:
+                                still.append(p)
+                        elif (
+                            len(range_per_file)
+                            < self._DV_RANGE_MAX_UNSAFE_FILES
+                        ):
+                            range_per_file.append((p, cls[1]))
+                        else:
+                            still.append(p)
                     else:
                         still.append(p)
                 masked = still
@@ -5152,11 +5255,12 @@ class Lakehouse:
                     rels=rels,
                 )
             )
-        for fpath, runs in range_routed:
-            # one single-file scan per range-routed file: the filter
-            # is a per-file literal disjunction over row_index with
-            # NO string/hash comparisons and no join operator — it
-            # stays inside whole-stage codegen
+        if range_routed:
+            parts.append(self._dv_range_scan(name, meta, range_routed))
+        for fpath, runs in range_per_file:
+            # encoding-unsafe rel: one single-file scan, raw codegen
+            # NOT-BETWEEN — no join operator AND no per-row string
+            # work; exactness comes from the explicit path listing
             ri = F.col("_metadata.row_index")
             cond = F.lit(False)
             for s, e in runs:
@@ -5168,6 +5272,117 @@ class Lakehouse:
             parts.append(self._read_raw_unmasked(name, meta, clean))
         if not parts:
             return None
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    #: rels on which URI percent-encoding is the IDENTITY — RFC-3986
+    #: unreserved chars plus '/' and '=' (hive key=value separators;
+    #: Spark part filenames are [a-z0-9.-] by construction, so only a
+    #: hostile PARTITION VALUE can fall outside this set). Safe rels
+    #: take the consolidated range scan; unsafe ones keep per-file
+    #: scans (`_DV_RANGE_MAX_UNSAFE_FILES`).
+    _DV_RANGE_SAFE_REL = re.compile(r"[A-Za-z0-9\-._~/=]*\Z")
+
+    #: most dispatch-tree LEAVES per range scan group: a nested CaseWhen
+    #: tree compiles into ONE codegen method janino cannot split, and
+    #: the 64 KB method limit lands between 32 and 64 leaves (measured:
+    #: 32-leaf groups 0.41 s, 64-leaf 2.75 s on the same 128-file/16M
+    #: fixture — past the limit the WHOLE stage falls back to
+    #: interpreted evaluation, a silent 7x). F routed files therefore
+    #: become ceil(F/32) scan operators, each fully codegen'd.
+    _DV_RANGE_TREE_LEAVES = 32
+
+    def _dv_range_scan(
+        self, name: str, meta: TableMeta, range_routed: "list[tuple[str, list]]"
+    ) -> DataFrame:
+        """A HANDFUL of scan nodes over every range-routed file (r15 —
+        replaces r14's one-FileScan-operator-per-file plan, whose
+        measured 4-15 ms fixed per-operator cost forced the 256k-row
+        size gate and a 32-file plan-width cap): files chunk into
+        ``_DV_RANGE_TREE_LEAVES``-sized groups, one scan each. The
+        deleted-row filter is a per-file dispatch built as a BALANCED
+        BINARY TREE of nested CASEs comparing ``_metadata.file_path``
+        against FULL-URI literals (O(log leaves) compares per row):
+        each row descends its group's tree, proves exact equality at
+        its leaf, and applies its own file's pure-codegen ``NOT
+        (row_index BETWEEN ...)`` disjunction. No join operator, no
+        shuffle; each scan amortizes the fixed cost across its group
+        and bin-packs the files into tasks.
+
+        The dispatch expression deliberately contains NO per-row string
+        TRANSFORMATION: an earlier draft keyed on
+        ``substring_index(file_path, '/data/', -1)`` at every tree node
+        and measured 5.4 s dense at 16M rows/32 files (an allocation +
+        substring search per node per row) where plain URI equality
+        measures 0.49 s against a 0.42 s row_index-only floor —
+        UTF8String '=='/'<' are allocation-free byte compares that fail
+        on the first differing byte. Literals come from
+        ``fs.qualified_uri(data_dir) + '/' + rel``, the same Hadoop
+        ``makeQualified().toUri()`` rendering Spark's file index uses —
+        sound because every rel here passed ``_DV_RANGE_SAFE_REL``
+        (encoding is the identity on it), which the routing split
+        guarantees. Tree pivots compare with ``<`` on the same literals
+        — Spark's binary collation and Python's sort are both
+        UTF-8/code-point order, so the driver-sorted pivot list and the
+        per-row descent can never disagree.
+
+        A row matching NO leaf is impossible (the scan lists exactly
+        the routed files), so a miss raises a loud canary: URI-rendering
+        infidelity fails the query instead of silently resurfacing
+        deleted rows (the one direction this module must never fail).
+        The canary is ONE ``coalesce(tree, raise_error)`` around the
+        whole tree — leaves return NULL on a failed equality — because
+        a draft with ``raise_error`` in every leaf's otherwise-branch
+        measured 3.1 s where this shape measures 0.28 s (the per-leaf
+        exception blocks inflate the generated code past the
+        whole-stage-codegen budget; never-taken branches still cost
+        their code size)."""
+        qd = self.fs.qualified_uri(f"{self._dir(name)}/data")
+        items = sorted(
+            (f"{qd}/{p.rsplit('/data/', 1)[1]}", p, runs)
+            for p, runs in range_routed
+        )
+        key = F.col("_metadata.file_path")
+        ri = F.col("_metadata.row_index")
+        canary = F.raise_error(
+            F.concat(
+                F.lit(
+                    f"deletion-vector range dispatch on {name!r}: "
+                    "row from unrecognized file "
+                ),
+                key,
+            )
+        ).cast("boolean")
+
+        def _deleted(runs: list) -> "F.Column":
+            # never NULL (row_index is non-null), so a NULL reaching
+            # the coalesce below can ONLY mean a missed leaf
+            c = F.lit(False)
+            for s, e in runs:
+                c = c | ri.between(F.lit(s), F.lit(e))
+            return c
+
+        def _tree(grp: list, lo: int, hi: int) -> "F.Column":
+            if hi - lo == 1:
+                uri, _, runs = grp[lo]
+                return F.when(key == F.lit(uri), _deleted(runs))
+            mid = (lo + hi) // 2
+            return F.when(
+                key < F.lit(grp[mid][0]), _tree(grp, lo, mid)
+            ).otherwise(_tree(grp, mid, hi))
+
+        parts: list[DataFrame] = []
+        step = self._DV_RANGE_TREE_LEAVES
+        for i in range(0, len(items), step):
+            grp = items[i : i + step]
+            cond = F.coalesce(_tree(grp, 0, len(grp)), canary)
+            parts.append(
+                self._read_raw_unmasked(
+                    name, meta, [p for _, p, _ in grp]
+                ).filter(~cond)
+            )
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
@@ -5523,37 +5738,24 @@ class Lakehouse:
             if hit:
                 kept_rels.add(zrel)
 
-        schema_with_seq = T.StructType(
-            meta.schema.fields + [T.StructField(_SEQ_COL, T.LongType(), True)]
-        )
         if kept:
-            # pruned scan: the vector build side prunes to the rels
-            # this scan can actually produce (None = unpartitioned)
-            prels = kept_rels if meta.partition_keys else None
-            df = None
-            if meta.deletion_vectors or meta.dv_sidecars:
-                # the point-lookup path gets the SAME DV confinement
-                # ladder as table() (r14 review find: the docs claimed
-                # it, but scan() built its own read and every kept row
-                # probed the join): generation/rel/explicit-file
-                # masked-vs-clean split, then file split + dead-file
-                # drop + range routing in the shared tail
-                touched = self._dv_touched_files(meta)
-                masked, clean = self._dv_masked_clean(meta, kept, touched)
-                if clean or touched is not None:
-                    df = self._dv_branch_union(
-                        name, meta, masked, clean, touched, rels=prels
-                    )
-            if df is None:
-                df = self._apply_dvs(
-                    self.spark.read.schema(schema_with_seq)
-                    .option("basePath", f"{self._dir(name)}/data")
-                    .parquet(*[pp for _, _, pp, _ in kept]),
+            # r15: the kept-set reader memoizes like _read_raw/_read_rels
+            # — repeated point lookups with the same predicate shape
+            # (a dashboard refresh, a poll loop) used to re-pay the
+            # eager file-index listing per call; `kept` in the key makes
+            # it exact for any predicate that prunes to the same paths
+            df = self._plan_memo(
+                (
                     name,
-                    meta,
-                    rels=prels,
-                )
-            df = df.drop(_SEQ_COL)
+                    "scan",
+                    meta.table_uuid,
+                    meta.version,
+                    tuple(kept),
+                    self._dv_state_digest(meta),
+                    hash(meta.schema_json),
+                ),
+                lambda: self._scan_build(name, meta, kept, kept_rels),
+            ).drop(_SEQ_COL)
         else:
             df = self.spark.createDataFrame([], meta.schema)
         cond = None
@@ -5574,6 +5776,43 @@ class Lakehouse:
                 piece = F.col(c) <= F.lit(hi)
                 cond = piece if cond is None else cond & piece
         return df.filter(cond) if cond is not None else df
+
+    def _scan_build(
+        self,
+        name: str,
+        meta: TableMeta,
+        kept: "list[tuple[str, int, str, bool]]",
+        kept_rels: "set[str]",
+    ) -> DataFrame:
+        """scan()'s kept-set reader (keeps ``_SEQ_COL``; the caller
+        drops it): the vector build side prunes to the rels this scan
+        can actually produce (None = unpartitioned), and the
+        point-lookup path gets the SAME DV confinement ladder as
+        table() (r14 review find: the docs claimed it, but scan() built
+        its own read and every kept row probed the join):
+        generation/rel/explicit-file masked-vs-clean split, then file
+        split + dead-file drop + range routing in the shared tail."""
+        prels = kept_rels if meta.partition_keys else None
+        if meta.deletion_vectors or meta.dv_sidecars:
+            touched = self._dv_touched_files(meta)
+            masked, clean = self._dv_masked_clean(meta, kept, touched)
+            if clean or touched is not None:
+                df = self._dv_branch_union(
+                    name, meta, masked, clean, touched, rels=prels
+                )
+                if df is not None:
+                    return df
+        schema_with_seq = T.StructType(
+            meta.schema.fields + [T.StructField(_SEQ_COL, T.LongType(), True)]
+        )
+        return self._apply_dvs(
+            self.spark.read.schema(schema_with_seq)
+            .option("basePath", f"{self._dir(name)}/data")
+            .parquet(*[pp for _, _, pp, _ in kept]),
+            name,
+            meta,
+            rels=prels,
+        )
 
     def query(self, df: DataFrame):
         """Reference ``db.query(lazy) -> eager frame`` (pipelines/utils/data.py:12).

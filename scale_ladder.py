@@ -314,7 +314,7 @@ def main() -> None:
         default="all",
         help=(
             "comma list of {queries,persist,ann_stream,zone,bloomskip,ivm,"
-            "pagerank,bloom,manifest,coldparse,objstore,dvdelete,"
+            "pagerank,bloom,manifest,coldparse,objstore,dvdelete,dvrange,"
             "contention,contention_wide,compaction} (default all)"
         ),
     )
@@ -333,6 +333,7 @@ def main() -> None:
             "coldparse",
             "objstore",
             "dvdelete",
+            "dvrange",
             "contention",
             "contention_wide",
             "compaction",
@@ -535,6 +536,14 @@ def main() -> None:
             f"{n}_rows": measure_dv_sidecar_read(spark, n, 1_000_000)
             for n in (4_000_000, 16_000_000)
         }
+
+    if "dvrange" in sections:
+        _section_control(spark, out, "dvrange")
+        out["dv_range_consolidated"] = {
+            f"{n}_files": measure_dv_range_consolidated(spark, n)
+            for n in (32, 128)
+        }
+        out["pruned_plan_memo"] = measure_plan_memo_pruned(spark)
 
     if "contention" in sections:
         _section_control(spark, out, "contention")
@@ -1014,14 +1023,15 @@ def measure_dv_sidecar_read(spark, rows: int, n_delete: int) -> dict:
         # same-session A/B.
         "pinpoint_zorder": (F.col("k") < rows // 20, 8),
         # r14 RANGE shape: same contiguous delete, ONE file per
-        # partition dir (500k rows/file at 16M — above the
-        # _DV_RANGE_MIN_FILE_ROWS gate). Every dir's single k-sorted
-        # file contains its partition's full k range, so the delete
-        # touches ALL files as one prefix run each and the codegen
-        # NOT-BETWEEN routing carries the entire read — the geometry
-        # where the join alternative must probe every row of the
-        # table. The 4M rung (125k rows/file) stays below the gate
-        # and honestly reports range_files=0
+        # partition dir (500k rows/file at 16M). Every dir's single
+        # k-sorted file contains its partition's full k range, so the
+        # delete touches ALL files as one prefix run each and the
+        # codegen NOT-BETWEEN routing carries the entire read — the
+        # geometry where the join alternative must probe every row of
+        # the table. (r15: the consolidated range scan removed the
+        # per-file operator cost and with it the 256k-row size gate,
+        # so the 4M rung's 125k-row files now route too — the
+        # dv_range_consolidated section holds the crossover A/Bs)
         "pinpoint_bigfile": (F.col("k") < rows // 20, 1),
         # r14 DEAD-FILE shape: delete one partition's every row — all
         # its files become provably 100%-deleted (cumulative positions
@@ -1184,6 +1194,195 @@ def measure_dv_sidecar_read(spark, rows: int, n_delete: int) -> dict:
                 agg(lake._read_raw("t", legacy))
                 legacy_runs.append(_time.perf_counter() - t0)
             out[shape]["read_s_warm_dir_level"] = round(min(legacy_runs), 3)
+    return out
+
+
+def measure_dv_range_consolidated(spark, nfiles: int, rows: int = 16_000_000) -> dict:
+    """r15 rung (r14 verdict task #1): the range branch CONSOLIDATED
+    into one scan node — a balanced tree of full-URI equality compares
+    dispatches each row to its own file's NOT-BETWEEN runs — against
+    two same-session arms on an identical fixture: (a) the exact r14
+    per-file plan (one FileScan operator + raw run filter per routed
+    file, reconstructed by monkeypatching _dv_range_scan), and (b) the
+    broadcast anti-join (runs cap 0). Geometry: ``nfiles`` partitions,
+    one k-z-ordered file each, one contiguous delete touching every
+    file as a prefix run. At 32 files the consolidated plan must be
+    at-or-below the per-file plan; at 128 (4× the old plan-width cap,
+    125k rows/file — below the old 256k size gate) it must beat both
+    arms, which is the measurement that killed the gate. The rung tops
+    out at 128 because the file split's OWN dir-listing budget
+    (_DV_FILE_SPLIT_DIR_CAP = 256 LISTs per cold plan build) is a
+    separate, deliberate boundary — more vector-carrying dirs than
+    that and EVERY read path (r14's included) stays at dir-level
+    confinement by design."""
+    import tempfile
+    import time as _time
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from at_data_pipelines_spark.catalog import Lakehouse
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("part", T.IntegerType()),
+            T.StructField("v", T.DoubleType()),
+        ]
+    )
+
+    def per_file_r14(self, name, meta, range_routed):
+        parts = []
+        for fpath, runs in range_routed:
+            ri = F.col("_metadata.row_index")
+            cond = F.lit(False)
+            for s, e in runs:
+                cond = cond | ri.between(F.lit(s), F.lit(e))
+            parts.append(
+                self._read_raw_unmasked(name, meta, [fpath]).filter(~cond)
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def agg(df):
+        return df.agg(F.sum("v").alias("s"), F.avg("k").alias("a")).collect()
+
+    def timed(df, n=3):
+        agg(df)  # warm
+        runs = []
+        for _ in range(n):
+            t0 = _time.perf_counter()
+            agg(df)
+            runs.append(_time.perf_counter() - t0)
+        return round(min(runs), 3)
+
+    work = tempfile.mkdtemp(prefix=f"dvrange_{nfiles}_")
+    lake = Lakehouse(spark, work)
+    lake.create("t", schema, ["part"], [])
+    lake.insert(
+        "t",
+        spark.range(rows).select(
+            F.col("id").alias("k"),
+            (F.col("id") % nfiles).cast("int").alias("part"),
+            (F.col("id") * 0.5).alias("v"),
+        ),
+    )
+    lake.compact("t", zorder_by=["k"], zorder_files=1, full=True)
+    lake.delete_where("t", F.col("k") < rows // 20, mode="dv")
+    m = lake._load_meta("t")
+    routing = lake._dv_file_routing(m)
+    sec: dict = {
+        "control_s": round(_pinned_control(spark), 3),
+        "rows": rows,
+        "files": nfiles,
+        "rows_per_file": rows // nfiles,
+        "range_files": sum(1 for v in routing.values() if v[0] == "range"),
+    }
+    expect = rows - rows // 20
+    df = lake.table("t")
+    assert df.count() == expect
+    sec["consolidated_s"] = timed(df)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    sec["consolidated_join_free"] = "Join" not in plan
+    orig = Lakehouse._dv_range_scan
+    Lakehouse._dv_range_scan = per_file_r14
+    try:
+        lake._dv_cache_purge("t")
+        df = lake.table("t")
+        assert df.count() == expect
+        sec["per_file_r14_s"] = timed(df)
+    finally:
+        Lakehouse._dv_range_scan = orig
+        lake._dv_cache_purge("t")
+    old_cap = Lakehouse._DV_RANGE_MAX_RUNS
+    Lakehouse._DV_RANGE_MAX_RUNS = 0
+    try:
+        lake._dv_cache_purge("t")
+        df = lake.table("t")
+        assert df.count() == expect
+        sec["join_s"] = timed(df)
+    finally:
+        Lakehouse._DV_RANGE_MAX_RUNS = old_cap
+        lake._dv_cache_purge("t")
+    lake.drop("t")
+    return sec
+
+
+def measure_plan_memo_pruned(spark, nparts: int = 64, rows: int = 4_000_000) -> dict:
+    """r15 rung (r14 verdict task #2): the PRUNED readers (scan()'s
+    kept-set build and _read_rels — the CDC poll loop's backbone) join
+    the content-addressed plan memo, so repeated reads of an unchanged
+    manifest stop re-paying Spark's eager InMemoryFileIndex listing per
+    call. Protocol: one DV-carrying zone-mapped table; time (a) a warm
+    repeated point lookup with the memo ON (shipped) vs the same calls
+    with the plan cache cleared before each (the r14 per-call rebuild),
+    and (b) the same A/B for a fixed-rel _read_rels poll. min-of-5 per
+    arm; the delta is pure plan-construction cost."""
+    import tempfile
+    import time as _time
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from at_data_pipelines_spark.catalog import Lakehouse
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("part", T.IntegerType()),
+            T.StructField("v", T.DoubleType()),
+        ]
+    )
+    lake = Lakehouse(spark, tempfile.mkdtemp(prefix="planmemo_"))
+    lake.create("t", schema, ["part"], [], stats_columns=["k"])
+    lake.insert(
+        "t",
+        spark.range(rows).select(
+            F.col("id").alias("k"),
+            (F.col("id") % nparts).cast("int").alias("part"),
+            (F.col("id") * 0.5).alias("v"),
+        ),
+    )
+    lake.compact("t", zorder_by=["k"], zorder_files=4, full=True)
+    # scattered vectors so the masked branch + file split engage (the
+    # expensive construct the memo amortizes)
+    lake.delete_where("t", F.xxhash64("k") % 37 == 0, mode="dv")
+    out: dict = {
+        "control_s": round(_pinned_control(spark), 3),
+        "rows": rows,
+        "parts": nparts,
+    }
+    mid = rows // 2
+
+    def point_lookup():
+        return lake.scan("t", where={"k": (mid, mid + 50_000)}).count()
+
+    rel_poll_rels = [f"part={i}" for i in range(4)]
+
+    def rel_poll():
+        m = lake._load_meta("t")
+        return lake._read_rels("t", m, rel_poll_rels).count()
+
+    for tag, fn in (("point_lookup", point_lookup), ("rel_poll", rel_poll)):
+        fn()  # warm (pays the one construct + exec)
+        memo = []
+        for _ in range(5):
+            t0 = _time.perf_counter()
+            fn()
+            memo.append(_time.perf_counter() - t0)
+        rebuild = []
+        for _ in range(5):
+            with lake._dv_cache_mu:
+                lake._plan_cache.clear()
+            t0 = _time.perf_counter()
+            fn()
+            rebuild.append(_time.perf_counter() - t0)
+        out[f"{tag}_warm_memo_s"] = round(min(memo), 3)
+        out[f"{tag}_warm_rebuild_s"] = round(min(rebuild), 3)
+        out[f"{tag}_construct_saved_s"] = round(min(rebuild) - min(memo), 3)
+    lake.drop("t")
     return out
 
 

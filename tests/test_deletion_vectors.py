@@ -1590,9 +1590,9 @@ def test_dv_range_filter_bypasses_join_on_contiguous_delete(lake, spark, monkeyp
     """A contiguous-range delete (positions collapse to one run per
     file) must take the pure-codegen NOT-BETWEEN path: the broadcast
     anti-join is never constructed, and the executed plan carries no
-    join operator at all. (Size gate lowered: the fixture's files are
-    far below the real-cluster crossover the default encodes.)"""
-    monkeypatch.setattr(Lakehouse, "_DV_RANGE_MIN_FILE_ROWS", 0)
+    join operator at all (r15: files of any size route — the
+    consolidated scan removed the per-file operator cost that used to
+    gate tiny files onto the join)."""
     lake.create("t", SCHEMA, ["part"], [])
     for i in range(2):
         lake.insert("t", _batch(spark, i * 2_000, (i + 1) * 2_000, i).coalesce(1))
@@ -1623,7 +1623,6 @@ def test_dv_range_filter_equals_join_path_row_for_row(lake, spark, monkeypatch):
     join path is forced by capping runs to 0 and purging the memoized
     plans)."""
     monkeypatch.setattr(Lakehouse, "_DV_INLINE_MAX_POSITIONS", 64)
-    monkeypatch.setattr(Lakehouse, "_DV_RANGE_MIN_FILE_ROWS", 0)
     lake.create("t", SCHEMA, ["part"], [])
     for i in range(2):
         lake.insert("t", _batch(spark, i * 3_000, (i + 1) * 3_000, i).coalesce(2))
@@ -1711,8 +1710,9 @@ def test_dv_dead_and_range_on_encoded_partition_values(lake, spark, monkeypatch)
     """The r14 routing compares decoded rels throughout — pin it on
     partition values that need URI encoding (the r13 namespace-bug
     surface): a fully-deleted file in 'part=a b' prunes, a run-shaped
-    vector in 'part=c%d' range-filters, and the rows are exact."""
-    monkeypatch.setattr(Lakehouse, "_DV_RANGE_MIN_FILE_ROWS", 0)
+    vector in 'part=c%d' range-filters, and the rows are exact. r15:
+    both rels are ENCODING-UNSAFE (outside _DV_RANGE_SAFE_REL), so this
+    also pins the per-file fallback lane of the consolidated split."""
     schema = T.StructType(
         [
             T.StructField("k", T.LongType()),
@@ -1789,13 +1789,16 @@ def test_runs_split_merge_property():
     prop()
 
 
-def test_dv_range_size_gate_keeps_tiny_files_on_join(lake, spark):
-    """Files below _DV_RANGE_MIN_FILE_ROWS must stay in the anti-join
-    even when their vectors are run-shaped — the per-scan-operator cost
-    of the range branch exceeds the join's per-row probe on tiny files
-    (measured crossover ~40k rows; SCALING.md r14 rung)."""
+def test_dv_range_routes_tiny_files_since_gate_removed(lake, spark):
+    """r14 kept files below a 256k-row size gate on the anti-join
+    because each range file was its own FileScan operator (4-15 ms
+    fixed cost). The r15 consolidated scan removed that cost, the
+    re-mapped crossover killed the gate (SCALING.md r15 rung: 125k-row
+    files — half the old gate — consolidated 0.55 s vs join 1.49 s at
+    128 files), so a tiny run-shaped file must now route to the range
+    branch: exact rows, no join operator in the executed plan."""
     lake.create("t", SCHEMA, [], [])
-    lake.insert("t", _batch(spark, 0, 2_000, 0).coalesce(1))  # << gate
+    lake.insert("t", _batch(spark, 0, 2_000, 0).coalesce(1))
     lake.delete_where("t", F.col("k").between(100, 199), mode="dv")
     called = []
     orig = Lakehouse._apply_dvs
@@ -1806,11 +1809,14 @@ def test_dv_range_size_gate_keeps_tiny_files_on_join(lake, spark):
 
     Lakehouse._apply_dvs = spy
     try:
-        got = sorted(r.k for r in lake.table("t").collect())
+        df = lake.table("t")
+        got = sorted(r.k for r in df.collect())
     finally:
         Lakehouse._apply_dvs = orig
     assert got == [k for k in range(2_000) if not 100 <= k <= 199]
-    assert called, "tiny run-shaped files must keep the anti-join"
+    assert not called, "run-shaped files must bypass the anti-join"
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
 
 
 def test_read_rels_gets_dead_prune_and_file_split(lake, spark):
@@ -1841,8 +1847,11 @@ def test_read_rels_gets_dead_prune_and_file_split(lake, spark):
         Lakehouse._apply_dvs = orig
     assert got == list(range(1_000, 2_000))
     assert not called, "dead file + clean generation must skip the join"
-    # partial delete on the surviving file: the probe must be confined
-    # to that file's rows (1000), not the rel's (2000) or table's (3000)
+    # partial delete on the surviving file: a single position is a
+    # 1-run vector, so with the r15 size gate gone it routes to the
+    # consolidated range scan — the pruned path must stay join-FREE
+    # (r14 pinned a probe confined to the touched file's 1000 rows;
+    # the ladder has since tightened to no probe at all)
     lake.delete_where("t", F.col("k") == 1_500, mode="dv")
     m = lake._load_meta("t")
     probe = []
@@ -1859,7 +1868,7 @@ def test_read_rels_gets_dead_prune_and_file_split(lake, spark):
     finally:
         Lakehouse._apply_dvs = orig
     assert got == [k for k in range(1_000, 2_000) if k != 1_500]
-    assert probe == [1_000], probe
+    assert probe == [], probe
 
 
 @pytest.mark.parametrize("seed", [0, 1, 2, 3])
@@ -1878,7 +1887,7 @@ def test_dv_randomized_lifecycle_differential(lake, spark, monkeypatch, seed):
         Lakehouse, "_DV_INLINE_MAX_POSITIONS", rnd.choice([7, 64, 100_000])
     )
     monkeypatch.setattr(
-        Lakehouse, "_DV_RANGE_MIN_FILE_ROWS", rnd.choice([0, 300, 65_536])
+        Lakehouse, "_DV_RANGE_MAX_FILES", rnd.choice([0, 2, 1024])
     )
     monkeypatch.setattr(Lakehouse, "_DV_RANGE_MAX_RUNS", rnd.choice([2, 16]))
     nparts = rnd.choice([1, 3])
@@ -1947,7 +1956,9 @@ def test_analyze_reports_dv_pressure_and_routing(lake, spark):
     assert dv["budget"] == Lakehouse._DV_AUTO_MAX_ROWS
     assert dv["files_touched"] == 2
     assert dv["files_dead"] == 1
-    assert dv["files_range_eligible"] == 0  # below the size gate
+    # r15: the 1-position vector is a 1-run shape and the size gate is
+    # gone, so the surviving file is range-eligible
+    assert dv["files_range_eligible"] == 1
     # vector-free table: no block at all
     lake.compact("t", full=True)
     assert "deletion_vectors" not in lake.analyze("t")
@@ -2018,7 +2029,10 @@ def test_scan_point_lookup_gets_dv_routing(lake, spark):
     finally:
         Lakehouse._apply_dvs = orig
     assert got == [k for k in range(1_000, 3_000) if k != 1_500]
-    assert probe == [1_000], probe
+    # the 1-run vector routes range (r15: no size gate), so even the
+    # partially-vectored scan is join-free — strictly stronger than
+    # the r14 pin (probe confined to the touched file's 1000 rows)
+    assert probe == [], probe
 
 
 def test_dv_file_split_explicit_files_skip_listing(lake, tmp_path):
@@ -2057,7 +2071,6 @@ def test_dv_routing_overshoot_forces_join_and_warns(lake, spark, monkeypatch):
     row count — the routing must then distrust ALL evidence for that
     file (no dead-prune, no range filter), force the anti-join
     (mask-more, unconditionally correct), and warn loudly."""
-    monkeypatch.setattr(Lakehouse, "_DV_RANGE_MIN_FILE_ROWS", 0)
     lake.create("t", SCHEMA, [], [])
     lake.insert("t", _batch(spark, 0, 2_000, 0).coalesce(1))
     lake.delete_where("t", F.col("k") < 1_000, mode="dv")
@@ -2111,3 +2124,74 @@ def _dec(s: str) -> str:
     from urllib.parse import unquote
 
     return unquote(s)
+
+
+def test_dv_range_consolidated_single_scan_and_canary(lake, spark, monkeypatch):
+    """r15 consolidation pins: (1) N range-routed files share ONE scan
+    node (r14 built one FileScan operator per file — the fixed cost
+    that forced the old size gate), and (2) the dispatch literals come
+    from fs.qualified_uri, whose rendering is guarded by a loud canary:
+    if it ever drifts from _metadata.file_path, the read must FAIL, not
+    silently resurface (or over-delete) rows."""
+    lake.create("t", SCHEMA, ["part"], [])
+    for i in range(4):
+        lake.insert("t", _batch(spark, i * 2_000, (i + 1) * 2_000, i).coalesce(1))
+    lake.compact("t", zorder_by=["k"], zorder_files=1, full=True)
+    lake.delete_where("t", F.col("k").between(100, 7_299), mode="dv")
+    m = lake._load_meta("t")
+    routing = lake._dv_file_routing(m)
+    nrange = sum(1 for v in routing.values() if v[0] == "range")
+    assert nrange >= 2, routing
+    df = lake.table("t")
+    got = sorted(r.k for r in df.collect())
+    assert got == [k for k in range(8_000) if not 100 <= k <= 7_299]
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+    # one scan operator total for all range-routed files
+    nscans = plan.count("FileScan parquet")
+    assert nscans == 1, plan
+    # canary: corrupt the URI rendering -> the read fails loudly
+    orig = lake.fs.qualified_uri
+    lake.fs._quri.clear()
+    lake.fs.qualified_uri = lambda p: orig(p) + "/nonexistent"
+    try:
+        lake._dv_cache_purge("t")
+        with pytest.raises(Exception, match="unrecognized file"):
+            lake.table("t").collect()
+    finally:
+        lake.fs.qualified_uri = orig
+        lake._dv_cache_purge("t")
+
+
+def test_pruned_reader_plan_memo_reuses_and_invalidates(lake, spark):
+    """r15: the PRUNED readers (_read_rels — CDC's backbone — and
+    scan()'s kept-set build) join the content-addressed plan memo.
+    Unchanged manifest + same rels/predicate => the identical plan
+    object (no re-listing); any commit => a fresh plan that sees the
+    new state; different rel sets never share an entry."""
+    lake.create("t", SCHEMA, ["part"], [], stats_columns=["k"])
+    lake.insert("t", _batch(spark, 0, 1_000, 0).coalesce(1))
+    lake.insert("t", _batch(spark, 1_000, 2_000, 1).coalesce(1))
+    m = lake._load_meta("t")
+    a = lake._read_rels("t", m, ["part=0"])
+    b = lake._read_rels("t", lake._load_meta("t"), ["part=0"])
+    assert a is b, "unchanged manifest + same rels must reuse the plan"
+    assert a is not lake._read_rels("t", m, ["part=1"])
+    # scan(): same predicate twice shares the kept-set reader (the
+    # returned frames differ — a filter wraps the memoized build — so
+    # assert on the memo's own effect: the second call adds no entry)
+    lake.scan("t", where={"k": (0, 500)}).count()
+    n_entries = len(lake._plan_cache)
+    lake.scan("t", where={"k": (0, 500)}).count()
+    assert len(lake._plan_cache) == n_entries, "same predicate must hit"
+    # commits invalidate both families (content-addressed, not purged)
+    lake.delete_where("t", F.col("k") < 10, mode="dv")
+    m2 = lake._load_meta("t")
+    assert a is not lake._read_rels("t", m2, ["part=0"])
+    got = sorted(
+        r.k for r in lake._read_rels("t", m2, ["part=0"]).collect()
+    )
+    assert got == list(range(10, 1_000))
+    assert sorted(
+        r.k for r in lake.scan("t", where={"k": (0, 500)}).collect()
+    ) == list(range(10, 501))
