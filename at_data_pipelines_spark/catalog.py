@@ -4041,9 +4041,12 @@ class Lakehouse:
     #: bounded by the merge-at-8 consolidation and absorbed by the
     #: segmented log + columnar checkpoint
     _DV_SIDECAR_FILE_CAP = 1024
-    #: most vector-carrying directories _read_raw will LIST to attempt
-    #: the file split; past this the per-query driver listing cost
-    #: outweighs the probe-row savings and the dir-level split stands
+    #: most vector-carrying directories ONE file split will LIST; past
+    #: this the per-query driver listing cost outweighs the probe-row
+    #: savings and the dir-level split stands for the remainder. r15:
+    #: this is the split's internal budget for UNINVENTORIED leaves
+    #: only — leaves whose generation recorded per-file zone keys
+    #: (z-ordered compactions) split manifest-only at any dir count
     _DV_FILE_SPLIT_DIR_CAP = 256
     #: most dv_file_rows entries the manifest carries (r14). Each is
     #: ~80 bytes of JSON; the cap bounds manifest bloat the way the
@@ -4208,9 +4211,9 @@ class Lakehouse:
         ``{decoded file rel: ('dead', None) | ('range', runs) |
         ('join', None)}``. 'dead' = provably 100%-deleted (cumulative
         positions == recorded row count) — dropped at listing time;
-        'range' = run-shaped AND big enough that a dedicated codegen
-        NOT-BETWEEN scan beats the join's per-row probe; 'join' = the
-        broadcast anti-join. ``None`` = no per-file evidence at all
+        'range' = run-shaped at ANY size (r15: the consolidated scan
+        removed the per-file operator cost that used to gate small
+        files onto the join); 'join' = the broadcast anti-join. ``None`` = no per-file evidence at all
         (no recorded row counts, or an entry without per-file stats) —
         nothing can route and the caller skips the classification
         entirely. THE single source both `_read_raw_build` routes on
@@ -4381,7 +4384,7 @@ class Lakehouse:
             meta.dv_file_rows[_uri_unquote(r["__f"])] = int(r["__n"])
 
     def _dv_file_split(
-        self, masked: list[str], touched: set[str], clean: list[str]
+        self, masked: list[str], touched: set[str], clean: list[str], meta: TableMeta
     ) -> list[str]:
         """FILE-level deletion-vector confinement (r13): split each
         vector-carrying directory's listing into explicit part-files —
@@ -4391,6 +4394,18 @@ class Lakehouse:
         expressed as path routing above Spark's public reader: a wide
         delete that zone-pruned into 1 of a partition's 8 part-files now
         sends 1/8 of that partition's rows through the anti-join.
+
+        r15: a leaf whose generation carries PER-FILE zone keys splits
+        MANIFEST-ONLY — those keys are a complete file enumeration by
+        the writer's contract (scan() already replaces its LIST with
+        them, and `_collect_zone_maps` enumerates even all-NULL files
+        precisely so that holds), in the on-disk namespace (leaf from
+        the committed rel, file names Spark-generated safe chars). Only
+        leaves WITHOUT an inventory pay a LIST, and the
+        ``_DV_FILE_SPLIT_DIR_CAP`` listing budget applies to exactly
+        those — a z-ordered table above the cap keeps file-level
+        confinement (and dead-prune/range routing) at zero listing
+        calls, any dir count.
 
         Sound because committed generations are immutable (a listed dir's
         file set never changes after its commit) and ``touched`` is exact
@@ -4402,6 +4417,8 @@ class Lakehouse:
         on the masked side; hidden files (_SUCCESS, .crc) are skipped to
         match Spark's own directory-scan filter."""
         still: list[str] = []
+        inv: "dict[str, list[str]] | None" = None
+        budget = self._DV_FILE_SPLIT_DIR_CAP
         for d in masked:
             if "/data/" not in d:
                 still.append(d)
@@ -4415,7 +4432,23 @@ class Lakehouse:
                 rel_f = d.rsplit("/data/", 1)[1]
                 (still if rel_f in touched else clean).append(d)
                 continue
-            names, has_sub = self.fs.list_dir(d)
+            if inv is None:
+                # lazy one-pass index of the manifest's per-file zone
+                # keys: {leaf -> [file names]} — built at most once per
+                # split (the split cache amortizes it across reads)
+                inv = {}
+                for zk in meta.zone_maps:
+                    if zk.endswith(".parquet"):
+                        lf, _, fn = zk.rpartition("/")
+                        inv.setdefault(lf, []).append(fn)
+            names = inv.get(d.rsplit("/data/", 1)[1])
+            has_sub = False
+            if names is None:
+                if budget <= 0:
+                    still.append(d)  # listing budget spent: dir-level
+                    continue  # confinement stands (mask-more)
+                budget -= 1
+                names, has_sub = self.fs.list_dir(d)
             data_files = [fn for fn in names if not fn.startswith(("_", "."))]
             if has_sub or not data_files:
                 still.append(d)
@@ -5152,8 +5185,9 @@ class Lakehouse:
         rescuing untouched files onto the clean branch; (2) route each
         touched file by the manifest's per-file proof
         (`_dv_file_routing`): 100%-deleted files are DROPPED at listing
-        time, run-shaped files above the size gate take a dedicated
-        codegen NOT-BETWEEN scan, everything else keeps the broadcast
+        time, run-shaped files take the consolidated codegen
+        NOT-BETWEEN scans (`_dv_range_scan`; encoding-unsafe rels get
+        single-file scans), everything else keeps the broadcast
         anti-join; (3) union the branches. Returns None when every
         branch is empty (all files proved dead) — the caller supplies
         its own fail-safe fallback. ``rels`` prunes the join branch's
@@ -5161,17 +5195,23 @@ class Lakehouse:
         if (
             touched is not None
             and masked
-            and len(masked) <= self._DV_FILE_SPLIT_DIR_CAP
+            # r15: the dir cap became the split's INTERNAL listing
+            # budget — leaves with a manifest file inventory (per-file
+            # zone keys) split without LISTing at any dir count, so the
+            # split always runs when a touched set exists
         ):
             # content-addressed over the touched set too (review
             # find #3: same-version mutated metas must not reuse
-            # the other content's routing)
+            # the other content's routing); the parquet-zone-key count
+            # rides along because the r15 inventory split reads
+            # meta.zone_maps, which the DV digest does not cover
             ck = (
                 name,
                 meta.table_uuid,
                 meta.version,
                 tuple(masked),
                 tuple(sorted(touched)),
+                sum(1 for zk in meta.zone_maps if zk.endswith(".parquet")),
             )
             with self._dv_cache_mu:
                 hit = self._dv_split_cache.pop(ck, None)
@@ -5179,7 +5219,7 @@ class Lakehouse:
                     self._dv_split_cache[ck] = hit
             if hit is None:
                 extra: list[str] = []
-                hit = (self._dv_file_split(masked, touched, extra), extra)
+                hit = (self._dv_file_split(masked, touched, extra, meta), extra)
                 with self._dv_cache_mu:
                     while (
                         len(self._dv_split_cache)

@@ -543,6 +543,11 @@ def main() -> None:
             f"{n}_files": measure_dv_range_consolidated(spark, n)
             for n in (32, 128)
         }
+        # 512 single-file dirs — 2x the LIST budget: splits and
+        # range-routes manifest-only via the per-file zone inventory
+        out["dv_range_consolidated"]["512_files_inventory"] = (
+            measure_dv_range_consolidated(spark, 512, stats=True)
+        )
         out["pruned_plan_memo"] = measure_plan_memo_pruned(spark)
 
     if "contention" in sections:
@@ -1197,7 +1202,9 @@ def measure_dv_sidecar_read(spark, rows: int, n_delete: int) -> dict:
     return out
 
 
-def measure_dv_range_consolidated(spark, nfiles: int, rows: int = 16_000_000) -> dict:
+def measure_dv_range_consolidated(
+    spark, nfiles: int, rows: int = 16_000_000, stats: bool = False
+) -> dict:
     """r15 rung (r14 verdict task #1): the range branch CONSOLIDATED
     into one scan node — a balanced tree of full-URI equality compares
     dispatches each row to its own file's NOT-BETWEEN runs — against
@@ -1209,12 +1216,14 @@ def measure_dv_range_consolidated(spark, nfiles: int, rows: int = 16_000_000) ->
     file as a prefix run. At 32 files the consolidated plan must be
     at-or-below the per-file plan; at 128 (4× the old plan-width cap,
     125k rows/file — below the old 256k size gate) it must beat both
-    arms, which is the measurement that killed the gate. The rung tops
-    out at 128 because the file split's OWN dir-listing budget
-    (_DV_FILE_SPLIT_DIR_CAP = 256 LISTs per cold plan build) is a
-    separate, deliberate boundary — more vector-carrying dirs than
-    that and EVERY read path (r14's included) stays at dir-level
-    confinement by design."""
+    arms, which is the measurement that killed the gate. The plain
+    rungs top out at 128 dirs because the file split's dir-listing
+    budget (_DV_FILE_SPLIT_DIR_CAP = 256 LISTs per cold plan build)
+    bounds UNINVENTORIED leaves; ``stats=True`` builds the table with
+    ``stats_columns=['k']`` so the z-ordered compaction records
+    per-file zone keys — the manifest file inventory that lets the
+    512-single-file-dir geometry split (and range-route) with ZERO
+    listing calls (r15)."""
     import tempfile
     import time as _time
 
@@ -1260,7 +1269,9 @@ def measure_dv_range_consolidated(spark, nfiles: int, rows: int = 16_000_000) ->
 
     work = tempfile.mkdtemp(prefix=f"dvrange_{nfiles}_")
     lake = Lakehouse(spark, work)
-    lake.create("t", schema, ["part"], [])
+    lake.create(
+        "t", schema, ["part"], [], stats_columns=["k"] if stats else None
+    )
     lake.insert(
         "t",
         spark.range(rows).select(

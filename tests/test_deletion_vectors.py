@@ -1297,24 +1297,29 @@ def test_dv_file_split_routing_fail_safes(lake, tmp_path):
     without the /data/ marker stay whole, hidden files are skipped, and
     untouched files land in clean."""
     import os
+    from types import SimpleNamespace
 
+    meta = SimpleNamespace(zone_maps={})
     d = tmp_path / "lakeX" / "data" / "_seq=0"
     os.makedirs(d)
     for fn in ("a.parquet", "b.parquet", "_SUCCESS", ".hidden"):
         (d / fn).write_bytes(b"")
     clean: list[str] = []
-    still = lake._dv_file_split([str(d)], {"_seq=0/a.parquet"}, clean)
+    still = lake._dv_file_split([str(d)], {"_seq=0/a.parquet"}, clean, meta)
     assert still == [f"{d}/a.parquet"]
     assert clean == [f"{d}/b.parquet"]
     # a dir with a subdirectory (partitioned live delta) is unsplittable
     os.makedirs(d / "part=0")
     clean2: list[str] = []
-    assert lake._dv_file_split([str(d)], {"_seq=0/a.parquet"}, clean2) == [str(d)]
+    assert (
+        lake._dv_file_split([str(d)], {"_seq=0/a.parquet"}, clean2, meta)
+        == [str(d)]
+    )
     assert clean2 == []
     # no /data/ marker: kept whole rather than guessing at rel paths
     odd = tmp_path / "odd"
     os.makedirs(odd)
-    assert lake._dv_file_split([str(odd)], {"x"}, []) == [str(odd)]
+    assert lake._dv_file_split([str(odd)], {"x"}, [], meta) == [str(odd)]
 
 
 def test_dv_file_split_unpartitioned_table_escapes_full_mask(lake, spark):
@@ -2050,11 +2055,14 @@ def test_dv_file_split_explicit_files_skip_listing(lake, tmp_path):
     orig = lake.fs.list_dir
     lake.fs.list_dir = lambda p: (calls.append(p), orig(p))[1]
     try:
+        from types import SimpleNamespace
+
         clean: list[str] = []
         still = lake._dv_file_split(
             [f"{d}/a.parquet", f"{d}/b.parquet"],
             {"_seq=0/a.parquet"},
             clean,
+            SimpleNamespace(zone_maps={}),
         )
     finally:
         lake.fs.list_dir = orig
@@ -2195,3 +2203,76 @@ def test_pruned_reader_plan_memo_reuses_and_invalidates(lake, spark):
     assert sorted(
         r.k for r in lake.scan("t", where={"k": (0, 500)}).collect()
     ) == list(range(10, 501))
+
+
+def test_dv_file_split_uses_zone_inventory_without_listing(lake, spark):
+    """r15: a z-ordered generation's per-file zone keys are a COMPLETE
+    file enumeration (scan() already replaces its LIST with them, and
+    the writer enumerates even all-NULL files) — the DV file split must
+    use them too: zero list_dir calls for inventoried leaves, same
+    exact rows, untouched files still rescued onto the clean branch."""
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("part", T.IntegerType()),
+            T.StructField("v", T.DoubleType()),
+        ]
+    )
+    lake.create("t", schema, ["part"], [], stats_columns=["k"])
+    for i in range(2):
+        lake.insert("t", _batch(spark, i * 4_000, (i + 1) * 4_000, i))
+    lake.compact("t", zorder_by=["k"], zorder_files=4, full=True)
+    m0 = lake._load_meta("t")
+    assert any(zk.endswith(".parquet") for zk in m0.zone_maps)
+    # a delete that zone-prunes into a strict subset of each dir's files
+    lake.delete_where("t", F.col("k").between(0, 400), mode="dv")
+    calls = []
+    orig = lake.fs.list_dir
+    lake.fs.list_dir = lambda p: (calls.append(p), orig(p))[1]
+    try:
+        lake._dv_cache_purge("t")
+        df = lake.table("t")
+        got = sorted(r.k for r in df.collect())
+    finally:
+        lake.fs.list_dir = orig
+    assert got == list(range(401, 8_000))
+    assert calls == [], f"inventoried leaves must not LIST: {calls}"
+    # untouched files really landed clean: the scan reads all files,
+    # but only the touched subset is masked/routed (join-free here —
+    # the contiguous delete is run-shaped)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+
+
+def test_dv_file_split_inventory_lifts_dir_cap(lake, spark, monkeypatch):
+    """r15: the _DV_FILE_SPLIT_DIR_CAP listing budget applies only to
+    dirs WITHOUT a manifest file inventory — a z-ordered table with
+    more vector-carrying dirs than the cap still splits (and
+    dead-prunes / range-routes) them all, manifest-only."""
+    monkeypatch.setattr(Lakehouse, "_DV_FILE_SPLIT_DIR_CAP", 2)
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("part", T.IntegerType()),
+            T.StructField("v", T.DoubleType()),
+        ]
+    )
+    lake.create("t", schema, ["part"], [], stats_columns=["k"])
+    lake.insert(
+        "t",
+        spark.range(8_000).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 8).cast("int").alias("part"),
+            (F.col("id") * 1.0).alias("v"),
+        ),
+    )
+    lake.compact("t", zorder_by=["k"], zorder_files=1, full=True)
+    # prefix-run delete touching every one of the 8 single-file dirs
+    lake.delete_where("t", F.col("k") < 800, mode="dv")
+    df = lake.table("t")
+    got = sorted(r.k for r in df.collect())
+    assert got == list(range(800, 8_000))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, (
+        "8 inventoried dirs above a cap of 2 must still range-route"
+    )
