@@ -4048,6 +4048,11 @@ class Lakehouse:
     #: only — leaves whose generation recorded per-file zone keys
     #: (z-ordered compactions) split manifest-only at any dir count
     _DV_FILE_SPLIT_DIR_CAP = 256
+    #: most masked dirs a split-cache KEY may hold (r15): past this the
+    #: split runs unmemoized — the key tuples themselves would pin real
+    #: driver memory at 8 LRU entries, and the uncached cost is one
+    #: driver-CPU pass (inventoried leaves LIST nothing)
+    _DV_SPLIT_KEY_PATHS_MAX = 4096
     #: most dv_file_rows entries the manifest carries (r14). Each is
     #: ~80 bytes of JSON; the cap bounds manifest bloat the way the
     #: rel/file caps do. A table at the cap just stops recording new
@@ -5204,31 +5209,42 @@ class Lakehouse:
             # find #3: same-version mutated metas must not reuse
             # the other content's routing); the parquet-zone-key count
             # rides along because the r15 inventory split reads
-            # meta.zone_maps, which the DV digest does not cover
-            ck = (
-                name,
-                meta.table_uuid,
-                meta.version,
-                tuple(masked),
-                tuple(sorted(touched)),
-                sum(1 for zk in meta.zone_maps if zk.endswith(".parquet")),
-            )
-            with self._dv_cache_mu:
-                hit = self._dv_split_cache.pop(ck, None)
-                if hit is not None:  # re-insert: LRU recency
-                    self._dv_split_cache[ck] = hit
+            # meta.zone_maps, which the DV digest does not cover.
+            # Past _DV_SPLIT_KEY_PATHS_MAX masked dirs the split still
+            # RUNS but skips the memo — a tuple of 100k paths per key
+            # across 8 LRU entries is real driver memory, and plans
+            # that wide re-pay a driver-CPU pass, never extra I/O
+            # (inventoried leaves LIST nothing; the LIST budget bounds
+            # the rest)
+            hit = ck = None
+            if len(masked) <= self._DV_SPLIT_KEY_PATHS_MAX:
+                ck = (
+                    name,
+                    meta.table_uuid,
+                    meta.version,
+                    tuple(masked),
+                    tuple(sorted(touched)),
+                    sum(
+                        1 for zk in meta.zone_maps if zk.endswith(".parquet")
+                    ),
+                )
+                with self._dv_cache_mu:
+                    hit = self._dv_split_cache.pop(ck, None)
+                    if hit is not None:  # re-insert: LRU recency
+                        self._dv_split_cache[ck] = hit
             if hit is None:
                 extra: list[str] = []
                 hit = (self._dv_file_split(masked, touched, extra, meta), extra)
-                with self._dv_cache_mu:
-                    while (
-                        len(self._dv_split_cache)
-                        >= self._DV_SPLIT_CACHE_MAX
-                    ):
-                        self._dv_split_cache.pop(
-                            next(iter(self._dv_split_cache))
-                        )
-                    self._dv_split_cache[ck] = hit
+                if ck is not None:
+                    with self._dv_cache_mu:
+                        while (
+                            len(self._dv_split_cache)
+                            >= self._DV_SPLIT_CACHE_MAX
+                        ):
+                            self._dv_split_cache.pop(
+                                next(iter(self._dv_split_cache))
+                            )
+                        self._dv_split_cache[ck] = hit
             masked = list(hit[0])
             clean = clean + hit[1]
         # per-file routing past the split (r14): with complete
