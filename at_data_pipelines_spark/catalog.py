@@ -4545,7 +4545,15 @@ class Lakehouse:
         # Only when the file list is complete (the routing that consumes
         # finfo is file-level and never engages without it)
         finfo = self._sidecar_finfo(back) if files is not None else None
-        return [rel, n, seqs, rels, files, finfo]
+        # e[6] (r15): EXPLICIT format marker. Entry semantics were
+        # inferred from field count alone (3/4/5/6 fields ⇒ r11-r14) —
+        # an r14-advice-flagged fragility that becomes a trap the day a
+        # field is appended with unchanged meaning for the older ones.
+        # Every existing reader indexes e[0..5] behind `len(e) < k`
+        # guards, so appending is backward-compatible NOW; future
+        # format changes bump _DV_SIDECAR_FORMAT and switch on e[6]
+        # instead of len(). Legacy entries keep the len inference.
+        return [rel, n, seqs, rels, files, finfo, self._DV_SIDECAR_FORMAT]
 
     def _sidecar_finfo(self, back: DataFrame) -> dict:
         """Per-file stats of one sidecar entry's positions, computed
@@ -4621,6 +4629,12 @@ class Lakehouse:
         finally:
             runs_df.unpersist()
         return finfo
+
+    #: sidecar entry format marker, stored as e[6] (r15). 1 = the r14
+    #: field layout [relpath, count, seqs, rels, files, finfo]. Bump on
+    #: any future semantic change and switch readers on e[6] — field
+    #: COUNT inference is frozen at the legacy (≤6-field) generations
+    _DV_SIDECAR_FORMAT = 1
 
     #: sidecar-count bound: past this many entries a delete/update
     #: consolidates every sidecar into ONE before committing, so a

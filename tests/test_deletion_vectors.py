@@ -514,7 +514,8 @@ def test_dv_sidecar_round_trip_exact_and_rewrites_nothing(lake, spark, monkeypat
     assert lake._sidecar_fp_df("t", m.dv_sidecars).count() == 40
     assert m.deletion_vectors == {}, "big delete must not grow the inline dict"
     assert len(m.dv_sidecars) == 1
-    rel, n, seqs, rels, files, finfo = m.dv_sidecars[0]
+    rel, n, seqs, rels, files, finfo, fmt = m.dv_sidecars[0]
+    assert fmt == Lakehouse._DV_SIDECAR_FORMAT
     assert n == 40 and rel.startswith("dv/") and seqs
     # per-file stats (r14): counts must sum to the entry total, every
     # listed file must have an entry
@@ -1274,7 +1275,9 @@ def test_dv_file_split_legacy_and_capped_entries_fall_back(lake, spark, monkeypa
     lake.compact("t", zorder_by=["k"], zorder_files=4, full=True)
     lake.delete_where("t", F.col("k").between(100, 149), mode="dv")
     m = lake._load_meta("t")
-    assert len(m.dv_sidecars) == 1 and len(m.dv_sidecars[0]) == 6
+    # 6 data fields + the r15 explicit format marker (e[6])
+    assert len(m.dv_sidecars) == 1 and len(m.dv_sidecars[0]) == 7
+    assert m.dv_sidecars[0][6] == Lakehouse._DV_SIDECAR_FORMAT
     expect = [k for k in range(2000) if not 100 <= k <= 149]
     # legacy shape: strip the file list in-memory and read via the meta
     legacy = m
@@ -2276,3 +2279,57 @@ def test_dv_file_split_inventory_lifts_dir_cap(lake, spark, monkeypatch):
     assert "Join" not in plan, (
         "8 inventoried dirs above a cap of 2 must still range-route"
     )
+
+
+def test_dv_range_mixed_safe_and_unsafe_rels_one_read(lake, spark):
+    """r15 split-lane pin: one table holding BOTH an encoding-safe
+    partition value (consolidated full-URI tree lane) and a hostile one
+    (per-file NOT-BETWEEN lane), with stats columns so the manifest
+    file inventory also engages — one read must union both lanes,
+    join-free, rows exact."""
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("part", T.StringType()),
+            T.StructField("v", T.DoubleType()),
+        ]
+    )
+    lake.create("t", schema, ["part"], [], stats_columns=["k"])
+    rows = {}
+    for part, lo in (("plain", 0), ("a b", 10_000), ("c%d", 20_000)):
+        lake.insert(
+            "t",
+            spark.range(lo, lo + 2_000).select(
+                F.col("id").alias("k"),
+                F.lit(part).alias("part"),
+                (F.col("id") * 1.0).alias("v"),
+            ),
+        )
+        rows[part] = set(range(lo, lo + 2_000))
+    lake.compact("t", zorder_by=["k"], zorder_files=1, full=True)
+    # one contiguous delete touching every partition's single file as
+    # a run: safe rel -> consolidated lane, hostile rels -> per-file
+    lake.delete_where(
+        "t",
+        (F.col("k").between(100, 199))
+        | (F.col("k").between(10_100, 10_199))
+        | (F.col("k").between(20_100, 20_199)),
+        mode="dv",
+    )
+    m = lake._load_meta("t")
+    routing = lake._dv_file_routing(m)
+    classes = sorted(v[0] for v in routing.values())
+    assert classes == ["range", "range", "range"], routing
+    safe = [rf for rf in routing if Lakehouse._DV_RANGE_SAFE_REL.match(rf)]
+    assert len(safe) == 1, f"exactly the 'plain' rel is safe: {routing}"
+    df = lake.table("t")
+    got = sorted(r.k for r in df.collect())
+    deleted = (
+        set(range(100, 200))
+        | set(range(10_100, 10_200))
+        | set(range(20_100, 20_200))
+    )
+    expect = sorted((rows["plain"] | rows["a b"] | rows["c%d"]) - deleted)
+    assert got == expect
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
