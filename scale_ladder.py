@@ -543,12 +543,26 @@ def main() -> None:
             f"{n}_files": measure_dv_range_consolidated(spark, n)
             for n in (32, 128)
         }
-        # 512 single-file dirs — 2x the LIST budget: splits and
-        # range-routes manifest-only via the per-file zone inventory
+        # 512 single-file dirs — 2x the LIST budget. r15 needed
+        # stats_columns (z-order per-file zone keys) for the manifest
+        # inventory; r16 records the inventory at write time for EVERY
+        # table, so the PLAIN arm must now also split with zero
+        # list_dir calls (each rung reports cold_plan_list_dir_calls)
         out["dv_range_consolidated"]["512_files_inventory"] = (
             measure_dv_range_consolidated(spark, 512, stats=True)
         )
+        out["dv_range_consolidated"]["512_files_nostats"] = (
+            measure_dv_range_consolidated(spark, 512)
+        )
+        # r16 (r15 verdict task #3): 64 encoding-UNSAFE rels — r15
+        # would give 32 of them single-file scans and anti-join the
+        # rest; now all 64 ride the consolidated tree via per-file
+        # qualified_uri literals
+        out["dv_range_consolidated"]["64_files_hostile"] = (
+            measure_dv_range_consolidated(spark, 64, hostile=True)
+        )
         out["pruned_plan_memo"] = measure_plan_memo_pruned(spark)
+        out["dv_split_memo_wide"] = measure_dv_split_memo_wide(spark)
 
     if "contention" in sections:
         _section_control(spark, out, "contention")
@@ -1203,7 +1217,11 @@ def measure_dv_sidecar_read(spark, rows: int, n_delete: int) -> dict:
 
 
 def measure_dv_range_consolidated(
-    spark, nfiles: int, rows: int = 16_000_000, stats: bool = False
+    spark,
+    nfiles: int,
+    rows: int = 16_000_000,
+    stats: bool = False,
+    hostile: bool = False,
 ) -> dict:
     """r15 rung (r14 verdict task #1): the range branch CONSOLIDATED
     into one scan node — a balanced tree of full-URI equality compares
@@ -1216,14 +1234,18 @@ def measure_dv_range_consolidated(
     file as a prefix run. At 32 files the consolidated plan must be
     at-or-below the per-file plan; at 128 (4× the old plan-width cap,
     125k rows/file — below the old 256k size gate) it must beat both
-    arms, which is the measurement that killed the gate. The plain
-    rungs top out at 128 dirs because the file split's dir-listing
-    budget (_DV_FILE_SPLIT_DIR_CAP = 256 LISTs per cold plan build)
-    bounds UNINVENTORIED leaves; ``stats=True`` builds the table with
-    ``stats_columns=['k']`` so the z-ordered compaction records
-    per-file zone keys — the manifest file inventory that lets the
-    512-single-file-dir geometry split (and range-route) with ZERO
-    listing calls (r15)."""
+    arms, which is the measurement that killed the gate.
+
+    r16: the per-generation file inventory is recorded at WRITE time
+    for EVERY table, so the 512-single-file-dir geometry splits (and
+    range-routes) with ZERO listing calls on a PLAIN table too — the
+    rung spies `fs.list_dir` during the cold plan build and reports
+    the count (r15 needed ``stats=True`` + z-order for the inventory;
+    the stats arm is kept for continuity). ``hostile=True`` makes
+    every partition value encoding-UNSAFE (space + %/unicode/'='
+    classes): r16 folds those into the same consolidated scan via
+    per-file qualified_uri literals, where r15 capped them at 32
+    single-file scans and sent the rest to the anti-join."""
     import tempfile
     import time as _time
 
@@ -1235,7 +1257,7 @@ def measure_dv_range_consolidated(
     schema = T.StructType(
         [
             T.StructField("k", T.LongType()),
-            T.StructField("part", T.IntegerType()),
+            T.StructField("part", T.StringType() if hostile else T.IntegerType()),
             T.StructField("v", T.DoubleType()),
         ]
     )
@@ -1272,11 +1294,21 @@ def measure_dv_range_consolidated(
     lake.create(
         "t", schema, ["part"], [], stats_columns=["k"] if stats else None
     )
+    part = (F.col("id") % nfiles).cast("int")
+    if hostile:
+        part = F.concat(
+            F.lit("p "),
+            part.cast("string"),
+            F.element_at(
+                F.array(F.lit("%"), F.lit("+"), F.lit("é"), F.lit("=")),
+                ((F.col("id") % 4) + 1).cast("int"),
+            ),
+        )
     lake.insert(
         "t",
         spark.range(rows).select(
             F.col("id").alias("k"),
-            (F.col("id") % nfiles).cast("int").alias("part"),
+            part.alias("part"),
             (F.col("id") * 0.5).alias("v"),
         ),
     )
@@ -1292,8 +1324,18 @@ def measure_dv_range_consolidated(
         "range_files": sum(1 for v in routing.values() if v[0] == "range"),
     }
     expect = rows - rows // 20
-    df = lake.table("t")
-    assert df.count() == expect
+    # spy the COLD plan build: the write-time inventory must keep the
+    # file split LIST-free at any dir count, stats columns or not
+    lake._dv_cache_purge("t")
+    calls = []
+    orig_ld = lake.fs.list_dir
+    lake.fs.list_dir = lambda p: (calls.append(p), orig_ld(p))[1]
+    try:
+        df = lake.table("t")
+        assert df.count() == expect
+    finally:
+        lake.fs.list_dir = orig_ld
+    sec["cold_plan_list_dir_calls"] = len(calls)
     sec["consolidated_s"] = timed(df)
     plan = df._jdf.queryExecution().executedPlan().toString()
     sec["consolidated_join_free"] = "Join" not in plan
@@ -1317,6 +1359,84 @@ def measure_dv_range_consolidated(
     finally:
         Lakehouse._DV_RANGE_MAX_RUNS = old_cap
         lake._dv_cache_purge("t")
+    lake.drop("t")
+    return sec
+
+
+def measure_dv_split_memo_wide(spark, ndirs: int = 8192) -> dict:
+    """r16 rung (r15 verdict task #2): the split-cache key digests its
+    variable-width inputs into one md5, so memoization holds at ANY
+    mask width — r15 skipped the memo past 4096 masked dirs (the raw
+    key tuples were real driver memory) and a wide-mask table re-ran
+    the split's driver-CPU pass on EVERY read. Protocol: one committed
+    meta carrying a synthetic 2x``ndirs``-file manifest inventory
+    (so the pass is pure driver CPU — the r16 common case; zero I/O
+    either way), ``ndirs`` masked dirs, one touched file per dir.
+    ``split_rebuild_s`` (cache cleared per call) is the r15 per-read
+    cost at this width; ``split_memo_hit_s`` is the r16 steady state
+    (md5 over the key inputs + one dict hit)."""
+    import tempfile
+    import time as _time
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from at_data_pipelines_spark.catalog import Lakehouse
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("part", T.StringType()),
+            T.StructField("v", T.DoubleType()),
+        ]
+    )
+    work = tempfile.mkdtemp(prefix="dvsplitmemo_")
+    lake = Lakehouse(spark, work)
+    lake.create("t", schema, ["part"], [])
+    lake.insert(
+        "t",
+        spark.range(100).select(
+            F.col("id").alias("k"),
+            F.lit("p0").alias("part"),
+            (F.col("id") * 1.0).alias("v"),
+        ),
+    )
+    meta = lake._load_meta("t")
+    base = f"{lake._dir('t')}/data"
+    masked: list[str] = []
+    touched: set[str] = set()
+    for i in range(ndirs):
+        leaf = f"_seq=0/part=w{i}"
+        masked.append(f"{base}/{leaf}")
+        for j in range(2):
+            meta.zone_maps[f"{leaf}/part-0000{j}-cafe{i}.c000.parquet"] = {}
+        touched.add(f"{leaf}/part-00000-cafe{i}.c000.parquet")
+    sec: dict = {
+        "control_s": round(_pinned_control(spark), 3),
+        "masked_dirs": ndirs,
+        "inventory_keys": 2 * ndirs,
+    }
+
+    def timed(fn, n=5):
+        fn()  # warm
+        return round(min(_timeit(fn) for _ in range(n)), 4)
+
+    def _timeit(fn):
+        t0 = _time.perf_counter()
+        fn()
+        return _time.perf_counter() - t0
+
+    def rebuild():
+        lake._dv_split_cache.clear()
+        lake._dv_split_cached("t", meta, masked, touched)
+
+    sec["split_rebuild_s"] = timed(rebuild)
+    lake._dv_split_cached("t", meta, masked, touched)
+    sec["split_memo_hit_s"] = timed(
+        lambda: lake._dv_split_cached("t", meta, masked, touched)
+    )
+    still, extra = lake._dv_split_cached("t", meta, masked, touched)
+    assert len(still) == ndirs and len(extra) == ndirs, (len(still), len(extra))
     lake.drop("t")
     return sec
 

@@ -1718,9 +1718,10 @@ def test_dv_dead_and_range_on_encoded_partition_values(lake, spark, monkeypatch)
     """The r14 routing compares decoded rels throughout — pin it on
     partition values that need URI encoding (the r13 namespace-bug
     surface): a fully-deleted file in 'part=a b' prunes, a run-shaped
-    vector in 'part=c%d' range-filters, and the rows are exact. r15:
-    both rels are ENCODING-UNSAFE (outside _DV_RANGE_SAFE_REL), so this
-    also pins the per-file fallback lane of the consolidated split."""
+    vector in 'part=c%d' range-filters, and the rows are exact. Both
+    rels are ENCODING-UNSAFE (outside _DV_RANGE_SAFE_REL): r16 routes
+    them through the consolidated scan with per-file qualified_uri
+    dispatch literals (r15 gave them single-file scans)."""
     schema = T.StructType(
         [
             T.StructField("k", T.LongType()),
@@ -2107,12 +2108,26 @@ def test_dv_file_rows_cap_partial_fill_largest_first(lake, spark, monkeypatch):
     largest new files first — instead of the r14 all-or-nothing skip:
     a table at the cap still gains dead-prune/range provability for
     exactly the files where it matters most, and the unrecorded small
-    file degrades to the anti-join (mask-more, never less)."""
+    file degrades to the anti-join (mask-more, never less). r16: the
+    ordering comes from the per-file vectored-position counts already
+    on the driver (here the delete is total, so count order IS size
+    order) with ZERO filesystem calls — r15 paid one list_files per
+    parent dir for byte sizes."""
     monkeypatch.setattr(Lakehouse, "_DV_FILE_ROWS_CAP", 2)
     lake.create("t", SCHEMA, [], [])
     for lo, hi in ((0, 3_000), (3_000, 4_000), (4_000, 4_500)):
         lake.insert("t", _batch(spark, lo, hi, 0).coalesce(1))
-    lake.delete_where("t", F.lit(True), mode="dv")  # every file 100% dead
+    lf_calls = []
+    orig_lf = lake.fs.list_files
+    lake.fs.list_files = lambda p: (lf_calls.append(p), orig_lf(p))[1]
+    try:
+        lake.delete_where("t", F.lit(True), mode="dv")  # every file 100% dead
+    finally:
+        lake.fs.list_files = orig_lf
+    # the manifest LOG loader legitimately lists _log segments; the
+    # fill itself must never list under data/
+    data_calls = [p for p in lf_calls if "/data" in p]
+    assert data_calls == [], f"partial fill must not LIST: {data_calls[:5]}"
     m = lake._load_meta("t")
     touched = lake._dv_touched_files(m)
     assert touched is not None and len(touched) == 3
@@ -2208,6 +2223,52 @@ def test_pruned_reader_plan_memo_reuses_and_invalidates(lake, spark):
     ) == list(range(10, 501))
 
 
+def test_dv_split_leaf_zone_key_ending_parquet_is_not_inventory(lake, spark):
+    """r15 advice find (verified wrong answer): the split's manifest
+    inventory treated ANY zone key ending '.parquet' as a per-file
+    entry — but a LEAF key for a hostile partition VALUE ending
+    '.parquet' (part=x.parquet, recorded by plain inserts on
+    stats/bloom tables) also matches the suffix. Its last segment is a
+    hive 'key=value' pair, not a part filename, so the bogus inventory
+    routed the live-delta DIR itself as a 'file' to the clean branch
+    (deleted rows resurfaced) and dropped sibling partitions entirely.
+    Per-file keys are now recognized by their trailing segment being a
+    genuine Spark part filename ('=' never appears in one; every hive
+    segment contains '='), in the split AND scan()'s file_keys
+    grouping."""
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("part", T.StringType()),
+            T.StructField("v", T.DoubleType()),
+        ]
+    )
+    lake.create("t", schema, ["part"], [], stats_columns=["k"])
+    for part, lo in (("x.parquet", 0), ("y", 100)):
+        lake.insert(
+            "t",
+            spark.range(lo, lo + 100).select(
+                F.col("id").alias("k"),
+                F.lit(part).alias("part"),
+                (F.col("id") * 1.0).alias("v"),
+            ),
+        )
+    m = lake._load_meta("t")
+    assert any(zk.endswith(".parquet") for zk in m.zone_maps), (
+        "fixture must produce a leaf zone key ending .parquet"
+    )
+    lake.delete_where("t", F.col("k") == 0, mode="dv")
+    got = sorted(r.k for r in lake.table("t").collect())
+    assert got == list(range(1, 200)), (
+        f"expected 199 rows, got {len(got)}: deleted row resurfaced or "
+        "sibling partition dropped"
+    )
+    # scan() takes the same file_keys grouping: full scan and the
+    # zone-pruned point lookup must agree
+    assert lake.scan("t").count() == 199
+    assert lake.scan("t", where={"k": (0, 50)}).count() == 50
+
+
 def test_dv_file_split_uses_zone_inventory_without_listing(lake, spark):
     """r15: a z-ordered generation's per-file zone keys are a COMPLETE
     file enumeration (scan() already replaces its LIST with them, and
@@ -2282,11 +2343,11 @@ def test_dv_file_split_inventory_lifts_dir_cap(lake, spark, monkeypatch):
 
 
 def test_dv_range_mixed_safe_and_unsafe_rels_one_read(lake, spark):
-    """r15 split-lane pin: one table holding BOTH an encoding-safe
-    partition value (consolidated full-URI tree lane) and a hostile one
-    (per-file NOT-BETWEEN lane), with stats columns so the manifest
-    file inventory also engages — one read must union both lanes,
-    join-free, rows exact."""
+    """One table holding BOTH an encoding-safe partition value
+    (concat-literal fast path) and hostile ones (r16: per-file
+    qualified_uri literals in the SAME consolidated tree — r15 gave
+    them single-file scans), with stats columns so the manifest file
+    inventory also engages — one read, join-free, rows exact."""
     schema = T.StructType(
         [
             T.StructField("k", T.LongType()),
@@ -2333,3 +2394,258 @@ def test_dv_range_mixed_safe_and_unsafe_rels_one_read(lake, spark):
     assert got == expect
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan, plan
+
+
+def test_dv_split_cache_memoizes_at_any_width_digest_key(lake, spark, monkeypatch):
+    """r16: the split-cache key digests its variable-width inputs
+    (masked paths, touched files, inventory key set) into one md5 —
+    r15 skipped the memo past 4096 masked dirs because the raw path
+    tuples were real driver memory, so wide-mask tables re-ran the
+    split's driver-CPU pass on every read. Pins: (a) same content
+    reuses the SAME split object at 5,000 masked dirs (above the old
+    bound), (b) any content change — including a per-file zone-key
+    SET swap that keeps the COUNT equal (r15 advice find: the old key
+    held only the count) — re-runs the split."""
+    import copy
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("part", T.IntegerType()),
+            T.StructField("v", T.DoubleType()),
+        ]
+    )
+    lake.create("t", schema, ["part"], [], stats_columns=["k"])
+    lake.insert(
+        "t",
+        spark.range(4_000).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 4).cast("int").alias("part"),
+            (F.col("id") * 1.0).alias("v"),
+        ),
+    )
+    lake.compact("t", zorder_by=["k"], zorder_files=2, full=True)
+    lake.delete_where("t", F.col("k") < 100, mode="dv")
+    m = lake._load_meta("t")
+    touched = lake._dv_touched_files(m)
+    assert touched is not None
+    calls = []
+    orig = Lakehouse._dv_file_split
+    monkeypatch.setattr(
+        Lakehouse,
+        "_dv_file_split",
+        lambda self, *a: (calls.append(1), orig(self, *a))[1],
+    )
+    # (a) 5,000 masked dirs — above the dead r15 bound. The fake dirs
+    # carry no inventory and the LIST budget is zeroed, so the split
+    # keeps them whole without touching the filesystem.
+    monkeypatch.setattr(Lakehouse, "_DV_FILE_SPLIT_DIR_CAP", 0)
+    base = f"{lake._dir('t')}/data"
+    wide = [f"{base}/_seq=0/part={i}" for i in range(5_000)]
+    a = lake._dv_split_cached("t", m, wide, touched)
+    assert len(a[0]) == 5_000 and a[1] == []
+    assert lake._dv_split_cached("t", m, wide, touched) is a, (
+        "same content above the old 4096-dir bound must hit the memo"
+    )
+    assert len(calls) == 1
+    # (b) same version, same masked/touched, per-file zone-key SET
+    # swapped with COUNT unchanged: one real key out, one fake key in
+    # (under an unmasked leaf, so only the digest sees it) — a count
+    # key would reuse the stale split; the set digest must miss
+    m2 = copy.deepcopy(m)
+    real = next(zk for zk in m2.zone_maps if zk.endswith(".parquet"))
+    m2.zone_maps.pop(real)
+    m2.zone_maps["_seq=999/part-deadbeef.c000.snappy.parquet"] = {}
+    assert sum(1 for zk in m2.zone_maps if zk.endswith(".parquet")) == sum(
+        1 for zk in m.zone_maps if zk.endswith(".parquet")
+    )
+    lake._dv_split_cached("t", m2, wide, touched)
+    assert len(calls) == 2, "equal-count key-set swap must re-run the split"
+
+
+def test_file_inventory_recorded_for_every_table_split_never_lists(
+    lake, spark, monkeypatch
+):
+    """r16 (r15 verdict task #1): EVERY table — stats columns or not —
+    records its per-generation file inventory in the manifest at WRITE
+    time, so the DV file split confines at file granularity with ZERO
+    read-path list_dir calls at any dir count. r15 proved the mechanism
+    on z-ordered generations only; a plain table past the 256-dir LIST
+    budget collapsed to dir-level confinement — the common case at
+    scale. The budget is zeroed here to prove the split is
+    manifest-only."""
+    lake.create("t", SCHEMA, ["part"], [])  # NO stats, NO bloom
+    for i in range(8):
+        lake.insert("t", _batch(spark, i * 1_000, (i + 1) * 1_000, i))
+    m = lake._load_meta("t")
+    assert any(zk.endswith(".parquet") for zk in m.zone_maps), (
+        "plain inserts must record per-file inventory keys"
+    )
+    lake.compact("t", full=True)
+    m = lake._load_meta("t")
+    inv = [zk for zk in m.zone_maps if zk.endswith(".parquet")]
+    assert len(inv) >= 8, f"compacted generation must be inventoried: {inv}"
+    lake.delete_where("t", F.col("k") % 1_000 < 100, mode="dv")
+    monkeypatch.setattr(Lakehouse, "_DV_FILE_SPLIT_DIR_CAP", 0)
+    calls = []
+    orig = lake.fs.list_dir
+    lake.fs.list_dir = lambda p: (calls.append(p), orig(p))[1]
+    try:
+        lake._dv_cache_purge("t")
+        df = lake.table("t")
+        got = sorted(r.k for r in df.collect())
+    finally:
+        lake.fs.list_dir = orig
+    assert got == [k for k in range(8_000) if k % 1_000 >= 100]
+    assert calls == [], f"inventoried split must not LIST: {calls[:5]}"
+    # scan() consumes the same inventory as its file enumeration and
+    # must agree (plain tables have no stats so nothing prunes, but
+    # the kept set is now file-granular)
+    assert lake.scan("t").count() == 7_200
+
+
+def test_file_inventory_unpartitioned_live_delta_split_never_lists(lake, spark):
+    """Unpartitioned live deltas: each generation dir IS the leaf, so
+    the write-time inventory covers it directly and the DV split of an
+    uncompacted table goes LIST-free too."""
+    schema = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("v", T.DoubleType())]
+    )
+    lake.create("t", schema, [], [])
+    for i in range(3):
+        lake.insert(
+            "t",
+            spark.range(i * 1_000, (i + 1) * 1_000).select(
+                F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+            ),
+        )
+    lake.delete_where("t", F.col("k") < 10, mode="dv")
+    calls = []
+    orig = lake.fs.list_dir
+    lake.fs.list_dir = lambda p: (calls.append(p), orig(p))[1]
+    try:
+        lake._dv_cache_purge("t")
+        got = sorted(r.k for r in lake.table("t").collect())
+    finally:
+        lake.fs.list_dir = orig
+    assert got == list(range(10, 3_000))
+    assert calls == [], f"inventoried split must not LIST: {calls[:5]}"
+
+
+def test_file_inventory_cap_and_unrepresentable_leaf_fall_back(lake, spark, monkeypatch):
+    """The inventory cap bounds manifest growth: past it, new
+    generations record no inventory and their leaves keep the
+    read-path LIST (a cost, never a correctness loss). A leaf holding
+    an unrepresentable filename must record nothing for that leaf —
+    a PARTIAL inventory would make the split silently drop the
+    missing files from every read."""
+    monkeypatch.setattr(Lakehouse, "_FILE_INVENTORY_CAP", 2)
+    lake.create("t", SCHEMA, ["part"], [])
+    for i in range(4):
+        lake.insert("t", _batch(spark, i * 100, (i + 1) * 100, i))
+    m = lake._load_meta("t")
+    inv = [zk for zk in m.zone_maps if zk.endswith(".parquet")]
+    assert len(inv) == 2, f"cap must bound inventory keys: {inv}"
+    # reads stay exact regardless
+    lake.delete_where("t", F.col("k") < 50, mode="dv")
+    assert sorted(r.k for r in lake.table("t").collect()) == list(range(50, 400))
+
+
+@pytest.mark.parametrize(
+    "val", ["a b", "x%20y", "a+b", "é世", "a=b", "a/b", "100%", "a\nb", "x.parquet"]
+)
+def test_qualified_uri_byte_identical_to_metadata(lake, spark, val):
+    """Pins the contract the consolidated range scan dispatches on:
+    ``fs.qualified_uri(path)`` is byte-identical to Spark's
+    ``_metadata.file_path`` for EVERY path, including hostile partition
+    values across the URI-encoding classes (space, literal %XX, '+',
+    non-ASCII) and the hive-escaping classes ('=', '/', '%', control
+    chars — escaped to %XX in the dir name, then double-encoded at the
+    URI layer). r16 folds encoding-unsafe rels into the consolidated
+    scan on the strength of this identity (the per-group canary turns
+    any future drift into a loud error, never a wrong answer)."""
+    import os
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("part", T.StringType()),
+            T.StructField("v", T.DoubleType()),
+        ]
+    )
+    lake.create("t", schema, ["part"], [])
+    lake.insert(
+        "t",
+        spark.range(10).select(
+            F.col("id").alias("k"),
+            F.lit(val).alias("part"),
+            (F.col("id") * 1.0).alias("v"),
+        ),
+    )
+    data_dir = lake._dir("t") + "/data"
+    disk = []
+    for root, _dirs, files in os.walk(data_dir):
+        for fn in files:
+            if fn.endswith(".parquet") and not fn.startswith(("_", ".")):
+                disk.append(os.path.join(root, fn))
+    assert disk, "fixture wrote no files"
+    reported = {
+        r[0]
+        for r in lake.table("t")
+        .select(F.col("_metadata.file_path"))
+        .distinct()
+        .collect()
+    }
+    ours = {lake.fs.qualified_uri(p) for p in disk}
+    assert ours == reported, (val, ours, reported)
+
+
+def test_dv_range_hostile_rels_past_old_cap_join_free(lake, spark):
+    """r16 (r15 verdict task #3): encoding-unsafe rels join the
+    consolidated range scan via per-file qualified_uri dispatch
+    literals — 40 hostile-rel files (past the dead 32-file
+    _DV_RANGE_MAX_UNSAFE_FILES cap, under which files 33+ fell back to
+    the anti-join) must now all range-route in ONE join-free read,
+    rows exact. Hostile values sweep the URI-encoding and
+    hive-escaping classes."""
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("part", T.StringType()),
+            T.StructField("v", T.DoubleType()),
+        ]
+    )
+    lake.create("t", schema, ["part"], [])
+    hostile = F.concat(
+        F.lit("p "),
+        (F.col("id") % 40).cast("string"),
+        F.element_at(
+            F.array(F.lit("%"), F.lit("+"), F.lit("é"), F.lit("=")),
+            ((F.col("id") % 4) + 1).cast("int"),
+        ),
+    )
+    lake.insert(
+        "t",
+        spark.range(2_000).select(
+            F.col("id").alias("k"),
+            hostile.alias("part"),
+            (F.col("id") * 1.0).alias("v"),
+        ),
+    )
+    lake.compact("t", zorder_by=["k"], zorder_files=1, full=True)
+    # k < 800 is a PREFIX RUN in every z-ordered (k-sorted) file
+    lake.delete_where("t", F.col("k") < 800, mode="dv")
+    m = lake._load_meta("t")
+    routing = lake._dv_file_routing(m)
+    assert routing is not None and len(routing) == 40
+    assert all(v[0] == "range" for v in routing.values()), routing
+    assert not any(
+        Lakehouse._DV_RANGE_SAFE_REL.match(rf) for rf in routing
+    ), "fixture must be all-hostile"
+    df = lake.table("t")
+    got = sorted(r.k for r in df.collect())
+    assert got == list(range(800, 2_000))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, (
+        "40 hostile-rel range files must consolidate join-free"
+    )
