@@ -749,6 +749,19 @@ def _uri_unquote(s: str) -> str:
     return unquote(s)
 
 
+#: zone-key suffix marking a PARTITIONED generation whose per-file
+#: inventory is COMPLETE across every leaf (r16): the key
+#: ``_seq=K/__inv__`` (value {}) is written only when
+#: ``_collect_file_inventory`` skipped no leaf, and is what lets the
+#: DV file split expand a whole live-delta GENERATION dir into its
+#: leaves' files manifest-only — without it, a skipped leaf's files
+#: would silently vanish from the expansion. Inert everywhere else:
+#: it has no '.parquet' suffix (never a file key), '__inv__' contains
+#: no '=' (never a hive leaf, so scan()'s glob-driven lookups can't
+#: hit it), and _prune_zone_maps parses its _seq head like any key.
+_INV_COMPLETE = "__inv__"
+
+
 def _zone_key_file(zk: str) -> "tuple[str, str] | None":
     """Split a zone-map key into ``(leaf, filename)`` when it names a
     PER-FILE entry, else None. The '.parquet' suffix alone is NOT
@@ -2548,8 +2561,12 @@ class Lakehouse:
         """The table's zone maps as recorded in the manifest: leaf-dir or
         per-file keys → {column: [min, max]}. Introspection surface for
         operators/tooling deciding whether a scan predicate will prune
-        (and the debugging view of what Z-order produced)."""
-        return dict(self._load_meta(name).zone_maps)
+        (and the debugging view of what Z-order produced). Entries that
+        carry no stats at all — the r16 per-file inventory keys and
+        generation markers, which exist for LIST-free reads rather
+        than pruning — are filtered out; they are plumbing, not
+        stats."""
+        return {k: v for k, v in self._load_meta(name).zone_maps.items() if v}
 
     def pending_deltas(self, name: str) -> int:
         """Number of insert generations not yet absorbed by a compaction —
@@ -3864,6 +3881,7 @@ class Lakehouse:
         else:
             rels = [""]
         out: dict[str, dict] = {}
+        complete = True
         for rel in rels:
             d = seq_dir if rel == "" else f"{seq_dir}/{rel}"
             names, has_sub = self.fs.list_dir(d)
@@ -3876,11 +3894,17 @@ class Lakehouse:
                     "=" in fn or not fn.endswith(".parquet") for fn in files
                 )
             ):
+                complete = False
                 continue  # this leaf keeps the read-path LIST
             base = self._zone_key(seq, rel)
             for fn in files:
                 out[f"{base}/{fn}"] = {}
             room -= len(files)
+        if complete and meta.partition_keys and out:
+            # every leaf recorded: the generation-completeness marker
+            # lets the DV split expand the whole live-delta gen dir
+            # into its leaves' files without any listing
+            out[self._zone_key(seq, _INV_COMPLETE)] = {}
         return out
 
     def _validate_checks(self, name: str, meta: TableMeta, seq: int) -> None:
@@ -4537,9 +4561,20 @@ class Lakehouse:
         not provably files-only (has subdirectories — a partitioned live
         delta — or lists empty, or lacks the /data/ marker) stays WHOLE
         on the masked side; hidden files (_SUCCESS, .crc) are skipped to
-        match Spark's own directory-scan filter."""
+        match Spark's own directory-scan filter.
+
+        r16: a partitioned live-delta GENERATION dir (``_seq=K``, the
+        one shape that always stayed whole — its listing has
+        subdirectories) expands into its leaves' files when the
+        manifest carries the generation's ``__inv__`` completeness
+        marker: the writer recorded EVERY leaf's full file list, so
+        the expansion is manifest-only and exact. Without the marker
+        (a skipped leaf, a pre-r16 generation) the dir stays whole —
+        expanding a partial inventory would silently drop the missing
+        leaves from the read."""
         still: list[str] = []
         inv: "dict[str, list[str]] | None" = None
+        gen_leaves: "dict[str, list[str]]" = {}
         budget = self._DV_FILE_SPLIT_DIR_CAP
         for d in masked:
             if "/data/" not in d:
@@ -4563,13 +4598,33 @@ class Lakehouse:
             if inv is None:
                 # lazy one-pass index of the manifest's per-file zone
                 # keys: {leaf -> [file names]} — built at most once per
-                # split (the split cache amortizes it across reads)
+                # split (the split cache amortizes it across reads) —
+                # plus {marker'd generation -> [its leaves]} for the
+                # live-delta gen-dir expansion
                 inv = {}
+                markers = set()
                 for zk in meta.zone_maps:
                     lf_fn = _zone_key_file(zk)
                     if lf_fn is not None:
                         inv.setdefault(lf_fn[0], []).append(lf_fn[1])
-            names = inv.get(d.rsplit("/data/", 1)[1])
+                    elif zk.endswith("/" + _INV_COMPLETE):
+                        markers.add(zk.rsplit("/", 1)[0])
+                for leaf in inv:
+                    gen = leaf.partition("/")[0]
+                    if gen != leaf and gen in markers:
+                        gen_leaves.setdefault(gen, []).append(leaf)
+            rel_d = d.rsplit("/data/", 1)[1]
+            names = inv.get(rel_d)
+            if names is None and rel_d in gen_leaves:
+                # whole live-delta generation dir, marker-complete
+                # inventory: expand to every leaf's files, zero LIST
+                for leaf in gen_leaves[rel_d]:
+                    sub = leaf.partition("/")[2]
+                    for fn in inv[leaf]:
+                        (still if f"{leaf}/{fn}" in touched else clean).append(
+                            f"{d}/{sub}/{fn}"
+                        )
+                continue
             has_sub = False
             if names is None:
                 if budget <= 0:
@@ -5336,8 +5391,9 @@ class Lakehouse:
         touched file by the manifest's per-file proof
         (`_dv_file_routing`): 100%-deleted files are DROPPED at listing
         time, run-shaped files take the consolidated codegen
-        NOT-BETWEEN scans (`_dv_range_scan`; encoding-unsafe rels get
-        single-file scans), everything else keeps the broadcast
+        NOT-BETWEEN scans (`_dv_range_scan` — r16: encoding-unsafe
+        rels included, via per-file qualified_uri dispatch literals),
+        everything else keeps the broadcast
         anti-join; (3) union the branches. Returns None when every
         branch is empty (all files proved dead) — the caller supplies
         its own fail-safe fallback. ``rels`` prunes the join branch's
@@ -5473,8 +5529,13 @@ class Lakehouse:
         for part in (
             masked,
             sorted(touched),
+            # every zone key the split's behavior depends on: per-file
+            # inventory entries AND generation-completeness markers
             sorted(
-                zk for zk in meta.zone_maps if _zone_key_file(zk) is not None
+                zk
+                for zk in meta.zone_maps
+                if _zone_key_file(zk) is not None
+                or zk.endswith("/" + _INV_COMPLETE)
             ),
         ):
             for s in part:
@@ -6662,6 +6723,7 @@ class Lakehouse:
             inv_room = self._FILE_INVENTORY_CAP - sum(
                 1 for zk in meta.zone_maps if _zone_key_file(zk) is not None
             )
+            inv_complete = True
             for rel, idx in groups.items():
                 rows = body.take(pa.array(idx, type=pa.int64()))
                 fn = self._write_rel_file(
@@ -6677,6 +6739,11 @@ class Lakehouse:
                 if inv_room > 0:
                     new_zone[f"{self._zone_key(seq, rel)}/{fn}"] = {}
                     inv_room -= 1
+                else:
+                    inv_complete = False
+            if inv_complete and part_cols:
+                # same generation-completeness marker as the slow path
+                new_zone[self._zone_key(seq, _INV_COMPLETE)] = {}
             token = f"{seq_dir}/_attempt-{uuid.uuid4().hex}"
             self.fs.write_text(token, "")
             self._validate_checks(name, meta, seq)  # raises before any commit

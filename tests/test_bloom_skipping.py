@@ -143,8 +143,10 @@ def test_fast_path_blooms_probe_identical(lake, spark):
     lake.insert("a", rows, mode="append")
     lake._fast_insert = orig
     lake.insert("b", rows, mode="append")  # small batch: arrow fast path
-    za = list(lake._load_meta("a").zone_maps.values())
-    zb = list(lake._load_meta("b").zone_maps.values())
+    # r16: zone_maps also carries per-file inventory keys (empty
+    # stats) — compare the STATS entries via the filtered accessor
+    za = list(lake.file_stats("a").values())
+    zb = list(lake.file_stats("b").values())
     assert len(za) == len(zb) == 1
     for c in ("doc_id#bloom", "bucket#bloom"):
         assert za[0][c][0] == zb[0][c][0] and za[0][c][1] == zb[0][c][1]
@@ -441,8 +443,8 @@ def test_fast_path_date_and_int_blooms_match_spark_path(lake, spark):
     lake.insert("a", df, mode="append")  # Spark-job write path
     lake._fast_insert = orig
     lake.insert("b", df, mode="append")  # arrow fast path
-    (za,) = lake._load_meta("a").zone_maps.values()
-    (zb,) = lake._load_meta("b").zone_maps.values()
+    (za,) = lake.file_stats("a").values()
+    (zb,) = lake.file_stats("b").values()
     for c in ("day#bloom", "n#bloom"):
         assert {k: int(v) for k, v in za[c][2].items()} == {
             k: int(v) for k, v in zb[c][2].items()
@@ -496,8 +498,10 @@ def test_auto_sized_blooms_probe_identical_across_write_paths(lake, spark):
     lake.insert("a", rows, mode="append")  # Spark-job path
     lake._fast_insert = orig
     lake.insert("b", rows, mode="append")  # arrow fast path
-    za = list(lake._load_meta("a").zone_maps.values())
-    zb = list(lake._load_meta("b").zone_maps.values())
+    # r16: zone_maps also carries per-file inventory keys (empty
+    # stats) — compare the STATS entries via the filtered accessor
+    za = list(lake.file_stats("a").values())
+    zb = list(lake.file_stats("b").values())
     assert len(za) == len(zb) == 1
     assert int(za[0]["doc_id#bloom"][0]) > 4096, "auto-sizing did not engage"
     for c in ("doc_id#bloom", "bucket#bloom"):
@@ -633,8 +637,10 @@ def test_banked_blooms_probe_identical_across_write_paths(lake, spark):
     lake.insert("a", rows, mode="append")  # Spark-job path
     lake._fast_insert = orig
     lake.insert("b", rows, mode="append")  # arrow fast path
-    za = list(lake._load_meta("a").zone_maps.values())
-    zb = list(lake._load_meta("b").zone_maps.values())
+    # r16: zone_maps also carries per-file inventory keys (empty
+    # stats) — compare the STATS entries via the filtered accessor
+    za = list(lake.file_stats("a").values())
+    zb = list(lake.file_stats("b").values())
     assert len(za) == len(zb) == 1
     ea, eb = za[0]["doc_id#bloom"], zb[0]["doc_id#bloom"]
     assert len(ea) == len(eb) == 4 and int(ea[3]) == int(eb[3]) == 8

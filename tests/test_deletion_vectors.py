@@ -457,11 +457,15 @@ def test_dv_merge_and_analyze_see_masked_rows(lake, spark):
     assert len(got) == 10
 
 
-def test_dv_free_tables_pay_zero_plan_nodes(lake, spark):
+def test_dv_free_tables_pay_zero_plan_nodes(lake, spark, monkeypatch):
     """The bench-critical invariant: a table WITHOUT deletion vectors
     must read through the exact same plan as before the feature existed
-    — no metadata columns, no join, no filter. With vectors, the plan
-    is one broadcast left-anti join over the scan."""
+    — no metadata columns, no join, no filter. With vectors, a
+    run-shaped delete reads JOIN-FREE through the consolidated range
+    scan (r16: even on a partitioned live delta, via the inventory
+    marker expansion — this pin asserted the anti-join until the
+    expansion made the better plan reachable); a shape the run codec
+    can't prove still pays exactly one broadcast left-anti join."""
     lake.create("t", SCHEMA, ["part"], [])
     lake.insert("t", _batch(spark, 0, 100, 0))
     plan = lake.table("t")._jdf.queryExecution().executedPlan().toString()
@@ -469,12 +473,22 @@ def test_dv_free_tables_pay_zero_plan_nodes(lake, spark):
         "DV-free read grew plan nodes"
     )
     lake.delete_where("t", F.col("k") == 1, mode="dv")
-    plan = lake.table("t")._jdf.queryExecution().executedPlan().toString()
-    assert "LeftAnti" in plan and "BroadcastHashJoin" in plan
-    # pruning still reaches the parquet scan through the anti-join
+    df = lake.table("t")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" not in plan and "row_index" in plan, plan
+    assert df.count() == 99
+    # pruning still reaches the parquet scan through the range filter
     got = lake.table("t").filter(F.col("k") == 50)
     p2 = got._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(k), EqualTo(k,50)" in p2
+    # with range routing disabled the same vectors take the one
+    # broadcast anti-join — the pre-r14 shape
+    monkeypatch.setattr(Lakehouse, "_DV_RANGE_MAX_RUNS", 0)
+    lake._dv_cache_purge("t")
+    df = lake.table("t")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan and "BroadcastHashJoin" in plan
+    assert df.count() == 99
 
 
 # ---------------------------------------------------------------------------
@@ -789,8 +803,12 @@ def test_dv_confined_read_masks_only_affected_partitions(lake, spark, monkeypatc
     whole-stage codegen), so _read_raw confines it to the partitions
     the manifest says carry vectors — clean partitions scan on the
     plain codegen path via a union. Exactness across mixed
-    inline+sidecar vectors, a clean partition, and a later delta."""
+    inline+sidecar vectors, a clean partition, and a later delta.
+    Range routing is disabled so the pin keeps exercising the join
+    confinement itself (r16: these run/2-position shapes otherwise
+    route join-free through the consolidated range scan)."""
     monkeypatch.setattr(Lakehouse, "_DV_INLINE_MAX_POSITIONS", 10)
+    monkeypatch.setattr(Lakehouse, "_DV_RANGE_MAX_RUNS", 0)
     lake.create("t", SCHEMA, ["part"], [])
     for p in range(3):
         lake.insert("t", _batch(spark, p * 100, (p + 1) * 100, p))
@@ -1880,7 +1898,7 @@ def test_read_rels_gets_dead_prune_and_file_split(lake, spark):
     assert probe == [], probe
 
 
-@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 4, 5])
 def test_dv_randomized_lifecycle_differential(lake, spark, monkeypatch, seed):
     """Randomized end-to-end pin for the whole r14 routing surface:
     random partitioning/file geometry/tier thresholds/gate settings,
@@ -1888,7 +1906,10 @@ def test_dv_randomized_lifecycle_differential(lake, spark, monkeypatch, seed):
     DV deletes (plus an optional mid-sequence optimize) — after every
     step the table must equal the Python-side kept-set oracle exactly.
     Whatever mix of inline/sidecar tiers and dead/range/join routes the
-    draw produces, the answer may never drift."""
+    draw produces, the answer may never drift. r16: a random draw makes
+    the partition values encoding-HOSTILE strings (space + '%'), so the
+    per-file qualified_uri dispatch literals, the write-time inventory
+    and the generation markers are all swept under the same oracle."""
     import random as _random
 
     rnd = _random.Random(seed)
@@ -1900,14 +1921,34 @@ def test_dv_randomized_lifecycle_differential(lake, spark, monkeypatch, seed):
     )
     monkeypatch.setattr(Lakehouse, "_DV_RANGE_MAX_RUNS", rnd.choice([2, 16]))
     nparts = rnd.choice([1, 3])
+    hostile = rnd.random() < 0.5 and nparts > 1
+    schema = SCHEMA
+    if hostile:
+        schema = T.StructType(
+            [
+                T.StructField("k", T.LongType()),
+                T.StructField("part", T.StringType()),
+                T.StructField("v", T.DoubleType()),
+            ]
+        )
+
+    def part_val(i: int):
+        return f"p {i}%" if hostile else i
+
+    def part_expr():
+        c = (F.col("id") % nparts).cast("int")
+        if hostile:
+            return F.concat(F.lit("p "), c.cast("string"), F.lit("%"))
+        return c
+
     n = 3_000
-    lake.create("t", SCHEMA, ["part"] if nparts > 1 else [], [])
+    lake.create("t", schema, ["part"] if nparts > 1 else [], [])
     lo = 0
     for _ in range(rnd.randint(2, 3)):
         hi = lo + n // rnd.randint(2, 3)
         batch = spark.range(lo, hi).select(
             F.col("id").alias("k"),
-            (F.col("id") % nparts).cast("int").alias("part"),
+            part_expr().alias("part"),
             (F.col("id") * 1.0).alias("v"),
         )
         lake.insert("t", batch.coalesce(rnd.randint(1, 3)))
@@ -1931,7 +1972,7 @@ def test_dv_randomized_lifecycle_differential(lake, spark, monkeypatch, seed):
         else:
             p = rnd.randrange(nparts)
             cut = rnd.randrange(0, total)
-            pred = (F.col("part") == p) & (F.col("k") < cut)
+            pred = (F.col("part") == part_val(p)) & (F.col("k") < cut)
             matched = {k for k in alive if k % nparts == p and k < cut}
         lake.delete_where("t", pred, mode="dv")
         alive -= matched
@@ -2649,3 +2690,66 @@ def test_dv_range_hostile_rels_past_old_cap_join_free(lake, spark):
     assert "Join" not in plan, (
         "40 hostile-rel range files must consolidate join-free"
     )
+
+
+def test_dv_split_expands_marker_complete_live_delta_generations(lake, spark):
+    """r16: a partitioned live-delta GENERATION dir — the one masked
+    shape that always stayed whole (its listing has subdirectories) —
+    expands into its leaves' files when the manifest carries the
+    generation's __inv__ completeness marker, with zero list_dir
+    calls: untouched files land clean, touched files stay masked,
+    rows exact. Without the marker the dir must stay whole (expanding
+    a partial inventory would drop the skipped leaves from reads)."""
+    lake.create("t", SCHEMA, ["part"], [])
+    for i in range(2):
+        lake.insert(
+            "t",
+            spark.range(i * 2_000, (i + 1) * 2_000).select(
+                F.col("id").alias("k"),
+                (F.col("id") % 2).cast("int").alias("part"),
+                (F.col("id") * 1.0).alias("v"),
+            ),
+        )
+    m = lake._load_meta("t")
+    markers = [zk for zk in m.zone_maps if zk.endswith("/__inv__")]
+    assert len(markers) == 2, (
+        f"both live-delta generations must carry the marker: {markers}"
+    )
+    lake.delete_where("t", F.col("k") < 100, mode="dv")
+    m = lake._load_meta("t")
+    touched = lake._dv_touched_files(m)
+    assert touched is not None
+    base = f"{lake._dir('t')}/data"
+    calls = []
+    orig = lake.fs.list_dir
+    lake.fs.list_dir = lambda p: (calls.append(p), orig(p))[1]
+    try:
+        still, extra = lake._dv_split_cached(
+            "t", m, [f"{base}/_seq=0", f"{base}/_seq=1"], touched
+        )
+        lake._dv_cache_purge("t")
+        got = sorted(r.k for r in lake.table("t").collect())
+    finally:
+        lake.fs.list_dir = orig
+    assert calls == [], f"marker-complete expansion must not LIST: {calls[:5]}"
+    assert got == list(range(100, 4_000))
+    # both gen dirs fully expanded to files; only gen-0's touched
+    # files stayed masked
+    assert all(p.endswith(".parquet") for p in still + extra), (still, extra)
+    assert {p.rsplit("/data/", 1)[1] for p in still} == touched
+    # no-marker fallback: strip the markers from a copy — the gen dirs
+    # must stay WHOLE (mask-more), not expand from partial evidence
+    import copy
+
+    m2 = copy.deepcopy(m)
+    for zk in list(m2.zone_maps):
+        if zk.endswith("/__inv__"):
+            m2.zone_maps.pop(zk)
+    monkey_masked = [f"{base}/_seq=0", f"{base}/_seq=1"]
+    old_budget = Lakehouse._DV_FILE_SPLIT_DIR_CAP
+    Lakehouse._DV_FILE_SPLIT_DIR_CAP = 0  # and no LIST rescue either
+    try:
+        still2, extra2 = lake._dv_split_cached("t", m2, monkey_masked, touched)
+    finally:
+        Lakehouse._DV_FILE_SPLIT_DIR_CAP = old_budget
+    assert sorted(still2) == sorted(monkey_masked) and extra2 == []

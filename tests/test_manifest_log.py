@@ -50,14 +50,31 @@ def lake(spark, tmp_path, segmented):
 
 
 def _state(lake, name):
+    from at_data_pipelines_spark.catalog import _zone_key_file
+
     m = lake._load_meta(name)
+    # r16: every write records per-file inventory zone keys whose
+    # FILENAMES carry write-time uuids — two independently written
+    # lakes legitimately differ there. Compare per-file keys as
+    # (leaf, sorted multiset of per-file stats) instead.
+    zones: dict = {}
+    files: dict = {}
+    for k, v in m.zone_maps.items():
+        lf_fn = _zone_key_file(k)
+        if lf_fn is None:
+            zones[k] = v
+        else:
+            files.setdefault(f"{lf_fn[0]}/<files>", []).append(
+                repr(sorted(v.items()))
+            )
+    zones.update({k: sorted(v) for k, v in files.items()})
     return (
         m.version,
         dict(m.committed),
         list(m.live_deltas),
         sorted(m.dirty_partitions),
         m.all_dirty,
-        dict(m.zone_maps),
+        zones,
         dict(m.properties),
     )
 

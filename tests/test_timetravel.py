@@ -354,8 +354,13 @@ def test_distributed_write_path_records_stats(lake, spark):
     lake.insert("t", _batch(spark, 0, n, 2023))
     meta = lake._load_meta("t")
     assert meta.zone_maps
-    (stats,) = meta.zone_maps.values()
+    # r16: the manifest also carries per-file inventory keys (empty
+    # stats) — exactly one STATS entry, the generation's leaf
+    (stats,) = [v for v in meta.zone_maps.values() if v]
     assert stats["k"] == [0, n - 1]
+    assert lake.file_stats("t") == {
+        k: v for k, v in meta.zone_maps.items() if v
+    }
     lake.insert("t", _batch(spark, 10 * n, 10 * n + 10, 2023))  # fast path
     got = lake.scan("t", where={"k": (10 * n, None)})
     assert got.count() == 10
