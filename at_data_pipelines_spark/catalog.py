@@ -990,6 +990,34 @@ def _runs_of(pos: list[int], cap: int) -> "list[list[int]] | None":
     return runs
 
 
+def _dv_range_groups(items: list, budget: int) -> "list[list]":
+    """Chunk URI-sorted ``(uri, path, runs)`` range-scan items into
+    dispatch groups bounded by TOTAL predicate size — 2 units per file
+    (the URI equality + its when-branch) plus 1 per run (its BETWEEN) —
+    so one group's single generated CaseWhen method can never outgrow
+    the JVM's compile limits no matter the run mix (r16: the fixed
+    32-LEAF chunking it replaces was sized on thin one-run leaves and
+    measurably degraded when every leaf carried 16 runs — see
+    ``_DV_RANGE_GROUP_UNITS``). Greedy in input (URI-sorted) order,
+    preserving each group's sortedness for the binary dispatch tree;
+    an item heavier than the budget still gets its own group (the
+    per-file weight is bounded by 2 + _DV_RANGE_MAX_RUNS, well under
+    any sane budget)."""
+    groups: list[list] = []
+    cur: list = []
+    cost = 0
+    for it in items:
+        w = 2 + len(it[2])
+        if cur and cost + w > budget:
+            groups.append(cur)
+            cur, cost = [], 0
+        cur.append(it)
+        cost += w
+    if cur:
+        groups.append(cur)
+    return groups
+
+
 def _coalesce_runs(runs: list[list[int]]) -> list[list[int]]:
     """Merge ABUTTING runs from different DV entries into maximal ones
     (entries never overlap — (file, position) pairs are unique across
@@ -3842,7 +3870,18 @@ class Lakehouse:
     #: cost, never a correctness loss). 64k keys ~= 4 MB of manifest,
     #: absorbed by the segmented log + columnar checkpoint the same
     #: way z-ordered per-file stats keys are; compaction re-shrinks
-    #: the count by merging small generations.
+    #: the count by merging small generations. Measured cost
+    #: (SCALING.md r16 inventory rung, 128 leaves x 32 generations =
+    #: 4,096 keys): +0.44 s per 128-leaf commit (one driver LIST per
+    #: freshly written leaf — paid once at write, ∝ the batch) and
+    #: manifest load still <10 ms cold. The metadata FOOTPRINT is
+    #: dominated not by the live manifest but by the per-version
+    #: time-travel archive while the table sits BELOW
+    #: _LOG_SEGMENT_THRESHOLD (full-manifest mode archives a complete
+    #: copy per version — 5.2 MB over those 32 versions vs 62 KB
+    #: without inventory), bounded by the retention window and gone
+    #: once entry count crosses the threshold into per-key diff
+    #: segments — which a 100 TB table's file count guarantees.
     _FILE_INVENTORY_CAP = 65536
 
     def _collect_file_inventory(
@@ -4196,7 +4235,18 @@ class Lakehouse:
     #: to and still take the codegen NOT-BETWEEN fast path (r14); past
     #: this the per-row disjunction stops beating the hash anti-join's
     #: ~100 ns probe (the measured 2-4x-slower literal NOT-IN was the
-    #: degenerate 1-position-per-run end of this spectrum)
+    #: degenerate 1-position-per-run end of this spectrum). Re-mapped
+    #: under the consolidated scan in r16 and pinned FINAL from both
+    #: sides (SCALING.md r16 runs-crossover rung, 16M rows, clean
+    #: 0.11 controls): at 16 runs/file on every file the budgeted
+    #: range scan 3.45 s vs the anti-join 2.98 s (a tie within arm
+    #: variance — and the range path's win at the common 1-4-run
+    #: shapes is 2-6x, so 16 keeps both ends); at 256 runs/file even
+    #: an O(log k) balanced interval tree over the runs measured
+    #: 6.2 s vs 2.0 s for the join (and the linear disjunction 29 s —
+    #: deep in interpreted fallback). Scatter-shaped deletes BELONG
+    #: on the join; raising this cap would also grow the manifest
+    #: (sidecar finfo stores the runs), so it stays at 16.
     _DV_RANGE_MAX_RUNS = 16
     #: most files routed to the CONSOLIDATED range scan per read (r15:
     #: one scan node total, so this no longer bounds plan width — it
@@ -5487,14 +5537,24 @@ class Lakehouse:
     #: consolidated scan with a per-file `fs.qualified_uri` literal.
     _DV_RANGE_SAFE_REL = re.compile(r"[A-Za-z0-9\-._~/=]*\Z")
 
-    #: most dispatch-tree LEAVES per range scan group: a nested CaseWhen
-    #: tree compiles into ONE codegen method janino cannot split, and
-    #: the 64 KB method limit lands between 32 and 64 leaves (measured:
-    #: 32-leaf groups 0.41 s, 64-leaf 2.75 s on the same 128-file/16M
-    #: fixture — past the limit the WHOLE stage falls back to
-    #: interpreted evaluation, a silent 7x). F routed files therefore
-    #: become ceil(F/32) scan operators, each fully codegen'd.
-    _DV_RANGE_TREE_LEAVES = 32
+    #: codegen-size budget per range-scan group, in predicate UNITS —
+    #: one unit ≈ one compare in the generated method (a file leaf
+    #: costs 2: the URI equality + its when-branch; each run costs 1:
+    #: its BETWEEN). A nested CaseWhen tree compiles into ONE method
+    #: janino cannot split, and past the JVM's compile-size limits the
+    #: whole stage silently drops to interpreted evaluation, so the
+    #: group must be bounded by TOTAL predicate size, not file count.
+    #: r15 chunked by a fixed 32 LEAVES — sized on the prefix-run
+    #: shape (~1 run/leaf ≈ 96 units, measured fast; 64 leaves
+    #: measured a 7x fallback) — which silently re-crossed the cliff
+    #: when leaves carried fat run lists: 54 files x 16 runs each
+    #: (16M rows) measured 4.70 s under the fixed-32-leaf grouping
+    #: vs 3.45 s at this unit budget vs 2.98 s forced anti-join
+    #: (controls 0.11; SCALING.md r16 runs-crossover rung). 96 units
+    #: keeps the one-run shape's grouping BYTE-IDENTICAL to the r15
+    #: proven plans (32 x 3-unit leaves) while fat-run groups shrink
+    #: to ~5 files and stay compiled.
+    _DV_RANGE_GROUP_UNITS = 96
 
     def _dv_split_cached(
         self,
@@ -5563,7 +5623,10 @@ class Lakehouse:
         replaces r14's one-FileScan-operator-per-file plan, whose
         measured 4-15 ms fixed per-operator cost forced the 256k-row
         size gate and a 32-file plan-width cap): files chunk into
-        ``_DV_RANGE_TREE_LEAVES``-sized groups, one scan each. The
+        codegen-size-budgeted groups (``_DV_RANGE_GROUP_UNITS`` —
+        r16: budgeted by total predicate size, not file count, so
+        fat run lists can't push a group's one generated method past
+        the JVM compile cliff), one scan each. The
         deleted-row filter is a per-file dispatch built as a BALANCED
         BINARY TREE of nested CASEs comparing ``_metadata.file_path``
         against FULL-URI literals (O(log leaves) compares per row):
@@ -5656,9 +5719,7 @@ class Lakehouse:
             ).otherwise(_tree(grp, mid, hi))
 
         parts: list[DataFrame] = []
-        step = self._DV_RANGE_TREE_LEAVES
-        for i in range(0, len(items), step):
-            grp = items[i : i + step]
+        for grp in _dv_range_groups(items, self._DV_RANGE_GROUP_UNITS):
             cond = F.coalesce(_tree(grp, 0, len(grp)), canary)
             parts.append(
                 self._read_raw_unmasked(

@@ -315,7 +315,7 @@ def main() -> None:
         help=(
             "comma list of {queries,persist,ann_stream,zone,bloomskip,ivm,"
             "pagerank,bloom,manifest,coldparse,objstore,dvdelete,dvrange,"
-            "contention,contention_wide,compaction} (default all)"
+            "inventory,contention,contention_wide,compaction} (default all)"
         ),
     )
     args = ap.parse_args()
@@ -334,6 +334,7 @@ def main() -> None:
             "objstore",
             "dvdelete",
             "dvrange",
+            "inventory",
             "contention",
             "contention_wide",
             "compaction",
@@ -563,6 +564,21 @@ def main() -> None:
         )
         out["pruned_plan_memo"] = measure_plan_memo_pruned(spark)
         out["dv_split_memo_wide"] = measure_dv_split_memo_wide(spark)
+        # r16: the runs-cap boundary re-mapped under the consolidated
+        # scan — at the cap (16 runs/file) the budgeted scan must be
+        # at-or-below the r15 fixed-32-leaf plan; past the cap
+        # (256 runs/file, cap lifted by monkeypatch) the join must win,
+        # which is the measurement that keeps _DV_RANGE_MAX_RUNS at 16
+        out["dv_runs_crossover"] = {
+            "at_cap_16": measure_dv_runs_crossover(spark, 16),
+            "past_cap_256": measure_dv_runs_crossover(
+                spark, 256, past_cap=True
+            ),
+        }
+
+    if "inventory" in sections:
+        _section_control(spark, out, "inventory")
+        out["inventory_overhead"] = measure_inventory_overhead(spark)
 
     if "contention" in sections:
         _section_control(spark, out, "contention")
@@ -1787,6 +1803,243 @@ def measure_ann_stream(spark, base_dir: str, compact_every: int) -> dict:
         "compact_every": compact_every,
         "wall_s": round(wall, 3),
         "per_batch_s": round(wall / n_batches, 3),
+    }
+
+
+def measure_dv_runs_crossover(spark, kruns: int, past_cap: bool = False) -> dict:
+    """r16 rung: the ``_DV_RANGE_MAX_RUNS`` boundary re-mapped under
+    the CONSOLIDATED scan (its 16 was an r14 per-file-architecture
+    measurement), and the group-chunking fix it exposed: r15 chunked
+    dispatch groups by a fixed 32 LEAVES — sized on thin one-run
+    leaves — so a 16-run-per-file delete packed ~550 predicate units
+    into one generated method and silently degraded past the JVM
+    compile limits. r16 budgets groups by TOTAL predicate size
+    (``_DV_RANGE_GROUP_UNITS`` = 96: one-run shapes keep the exact
+    r15 grouping, fat-run groups shrink to ~5 files).
+
+    Geometry: 32 partitions x 500k rows, one z-ordered file each, a
+    periodic scattered delete collapsing to exactly ``kruns`` runs per
+    file (~5% of rows). Arms on the one fixture: (a) shipped budgeted
+    scan, (b) exact r15 fixed-32-leaf reconstruction by monkeypatch,
+    (c) forced anti-join (runs cap 0). ``past_cap=True`` raises the
+    runs cap to 512 for the fixture + range arms — the reconstruction
+    of what ROUTING scatter-shaped deletes would cost, i.e. the
+    measurement that keeps the cap at 16 (at 256 runs/file the join
+    wins ~3x over every range variant tried, including an O(log k)
+    balanced interval tree over the runs — see SCALING.md r16)."""
+    import tempfile
+    import time as _time
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from at_data_pipelines_spark.catalog import Lakehouse
+
+    nfiles, rows = 32, 16_000_000
+    rpf = rows // nfiles
+    period = rpf // kruns
+    runlen = max(1, period // 20)
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("part", T.IntegerType()),
+            T.StructField("v", T.DoubleType()),
+        ]
+    )
+
+    def agg(df):
+        return df.agg(F.sum("v").alias("s"), F.avg("k").alias("a")).collect()
+
+    def timed(df, n=3):
+        agg(df)
+        samples = []
+        for _ in range(n):
+            t0 = _time.perf_counter()
+            agg(df)
+            samples.append(_time.perf_counter() - t0)
+        return round(min(samples), 3)
+
+    work = tempfile.mkdtemp(prefix=f"runsx_{kruns}_")
+    orig_cap = Lakehouse._DV_RANGE_MAX_RUNS
+    if past_cap:
+        Lakehouse._DV_RANGE_MAX_RUNS = 512
+    try:
+        lake = Lakehouse(spark, work)
+        lake.create("t", schema, ["part"], [])
+        lake.insert(
+            "t",
+            spark.range(rows).select(
+                F.col("id").alias("k"),
+                (F.col("id") % nfiles).cast("int").alias("part"),
+                (F.col("id") * 0.5).alias("v"),
+            ),
+        )
+        lake.compact("t", zorder_by=["k"], zorder_files=1, full=True)
+        # within partition p the z-ordered file holds k = p + r*nfiles
+        # at row_index r, so this predicate deletes `runlen`-long runs
+        # every `period` row indexes in EVERY file
+        pred = ((F.col("k") / nfiles).cast("long") % period) < runlen
+        lake.delete_where("t", pred, mode="dv")
+        m = lake._load_meta("t")
+        routing = lake._dv_file_routing(m)
+        nr = [len(v[1]) for v in routing.values() if v[0] == "range"]
+        expect = rows - spark.range(rows).filter(
+            ((F.col("id") / nfiles).cast("long") % period) < runlen
+        ).count()
+        sec: dict = {
+            "control_s": round(_pinned_control(spark), 3),
+            "kruns": kruns,
+            "past_cap": past_cap,
+            "range_files": len(nr),
+            "runs_total": sum(nr),
+        }
+
+        lake._dv_cache_purge("t")
+        df = lake.table("t")
+        assert df.count() == expect
+        sec["budgeted_s"] = timed(df)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        sec["budgeted_join_free"] = "Join" not in plan
+
+        def fixed32(self, name, meta, range_routed):
+            items_groups = [
+                range_routed[i : i + 32]
+                for i in range(0, len(range_routed), 32)
+            ]
+            orig_units = Lakehouse._DV_RANGE_GROUP_UNITS
+            out = None
+            # reconstruct r15 exactly: same scan body, but chunked by
+            # file count — achieved by lifting the unit budget so one
+            # budgeted call per 32-file slice emits one group
+            Lakehouse._DV_RANGE_GROUP_UNITS = 10**9
+            try:
+                for grp in items_groups:
+                    part = orig_scan(self, name, meta, grp)
+                    out = part if out is None else out.unionByName(part)
+            finally:
+                Lakehouse._DV_RANGE_GROUP_UNITS = orig_units
+            return out
+
+        orig_scan = Lakehouse._dv_range_scan
+        Lakehouse._dv_range_scan = fixed32
+        try:
+            lake._dv_cache_purge("t")
+            df = lake.table("t")
+            assert df.count() == expect
+            sec["fixed32_r15_s"] = timed(df)
+        finally:
+            Lakehouse._dv_range_scan = orig_scan
+
+        Lakehouse._DV_RANGE_MAX_RUNS = 0
+        try:
+            lake._dv_cache_purge("t")
+            df = lake.table("t")
+            assert df.count() == expect
+            sec["join_s"] = timed(df)
+        finally:
+            Lakehouse._DV_RANGE_MAX_RUNS = 512 if past_cap else orig_cap
+            lake._dv_cache_purge("t")
+        lake.drop("t")
+        return sec
+    finally:
+        Lakehouse._DV_RANGE_MAX_RUNS = orig_cap
+
+
+def measure_inventory_overhead(
+    spark, nparts: int = 128, ngens: int = 32
+) -> dict:
+    """r16 rung: what the WRITE-TIME per-file inventory costs — the
+    flip side of the zero-LIST read path. Every commit now records its
+    generation's file list as empty-stats zone keys
+    (``_collect_file_inventory``: one driver LIST per freshly written
+    leaf, cost ∝ the batch), and those keys live in the manifest until
+    compaction re-shrinks them. Protocol: ``ngens`` partitioned
+    inserts of ``nparts`` leaves each (one file per leaf per gen —
+    the small-batch streaming-ingest shape that accumulates keys
+    fastest, nparts x ngens keys total), measured twice on identical
+    fixtures: inventory ON (shipped) vs OFF (``_FILE_INVENTORY_CAP``
+    monkeypatched to 0 — the r15 write path). Reports per-commit wall,
+    cold/warm ``_load_meta``, checkpoint + live-manifest bytes, and
+    the key count, so the claimed bound (~60 B/key absorbed by the
+    segmented log + columnar checkpoint) is measured, not asserted."""
+    import tempfile
+    import time as _time
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from at_data_pipelines_spark.catalog import Lakehouse
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("p", T.IntegerType()),
+            T.StructField("v", T.DoubleType()),
+        ]
+    )
+
+    def _meta_bytes(tdir: str) -> int:
+        """Bytes of table METADATA on disk: the manifest json plus the
+        segmented log and relocated history (skips data/ and dv/)."""
+        import os as _os
+
+        total = 0
+        for sub in ("_bl_meta.json", "_log", "_history"):
+            p = _os.path.join(tdir, sub)
+            if _os.path.isfile(p):
+                total += _os.path.getsize(p)
+            elif _os.path.isdir(p):
+                for dp, _, fns in _os.walk(p):
+                    for fn in fns:
+                        total += _os.path.getsize(_os.path.join(dp, fn))
+        return total
+
+    def one_arm(cap: int) -> dict:
+        work = tempfile.mkdtemp(prefix=f"invcost_{cap}_")
+        orig = Lakehouse._FILE_INVENTORY_CAP
+        Lakehouse._FILE_INVENTORY_CAP = cap
+        try:
+            lake = Lakehouse(spark, work)
+            lake.create("t", schema, ["p"], [])
+            batch = spark.range(nparts * 100).select(
+                F.col("id").alias("k"),
+                (F.col("id") % nparts).cast("int").alias("p"),
+                (F.col("id") * 0.5).alias("v"),
+            )
+            t0 = _time.perf_counter()
+            for _ in range(ngens):
+                lake.insert("t", batch)
+            commit_wall = _time.perf_counter() - t0
+            meta = lake._load_meta("t")
+            nkeys = sum(
+                1 for zk in meta.zone_maps if not meta.zone_maps[zk]
+            )
+            warm = []
+            for _ in range(7):
+                t0 = _time.perf_counter()
+                lake._load_meta("t")
+                warm.append(_time.perf_counter() - t0)
+            cold = []
+            for _ in range(5):
+                t0 = _time.perf_counter()
+                Lakehouse(spark, lake.root)._load_meta("t")
+                cold.append(_time.perf_counter() - t0)
+            return {
+                "inventory_keys": nkeys,
+                "per_commit_s": round(commit_wall / ngens, 4),
+                "warm_load_s_min": round(min(warm), 5),
+                "cold_load_s_min": round(min(cold), 5),
+                "meta_bytes": _meta_bytes(f"{work}/t"),
+            }
+        finally:
+            Lakehouse._FILE_INVENTORY_CAP = orig
+
+    return {
+        "parts": nparts,
+        "gens": ngens,
+        "control_s": round(_pinned_control(spark), 3),
+        "inventory_on": one_arm(65536),
+        "inventory_off": one_arm(0),
     }
 
 

@@ -2230,6 +2230,78 @@ def test_dv_range_consolidated_single_scan_and_canary(lake, spark, monkeypatch):
         lake._dv_cache_purge("t")
 
 
+def test_dv_range_group_chunking_by_predicate_units():
+    """r16: dispatch groups are bounded by TOTAL predicate size (2
+    units per file + 1 per run), not file count — r15's fixed 32-leaf
+    chunking, sized on thin one-run leaves, packed ~550 predicate
+    units into one generated method when every leaf carried 16 runs
+    and measurably degraded past the JVM compile limits (SCALING.md
+    r16 runs-crossover rung: 4.70 s fixed-leaf vs 3.45 s budgeted).
+    Hand-computed groupings of the pure chunker at the shipped
+    96-unit budget:
+    - thin one-run leaves weigh 3 => 32 per group, the EXACT r15
+      grouping whose plans carry the proven measurements;
+    - 16-run leaves weigh 18 => 5 per group;
+    - mixed weights split greedily in sorted order, never exceeding
+      the budget per group and preserving item order/sortedness."""
+    from at_data_pipelines_spark.catalog import _dv_range_groups
+
+    def item(i, nruns):
+        return (f"file:/d/f{i:04d}", f"/d/f{i:04d}", [[0, 0]] * nruns)
+
+    thin = [item(i, 1) for i in range(40)]
+    got = _dv_range_groups(thin, 96)
+    assert [len(g) for g in got] == [32, 8]
+    assert [it for g in got for it in g] == thin  # order preserved
+
+    fat = [item(i, 16) for i in range(8)]
+    assert [len(g) for g in _dv_range_groups(fat, 96)] == [5, 3]
+
+    mixed = [item(0, 16), item(1, 1), item(2, 16), item(3, 94), item(4, 1)]
+    got = _dv_range_groups(mixed, 96)
+    assert [len(g) for g in got] == [3, 1, 1]  # 18+3+18=39; 96; 3
+    for g in got:
+        # a lone over-budget item is allowed; multi-item groups never
+        # exceed the budget
+        assert len(g) == 1 or sum(2 + len(r) for _, _, r in g) <= 96
+
+    # one item heavier than the budget still forms its own group
+    assert [len(g) for g in _dv_range_groups([item(0, 200)], 96)] == [1]
+
+
+def test_dv_range_fat_runs_split_into_budgeted_scans(lake, spark):
+    """r16 end-to-end pin for the unit budget: 8 single-file
+    generations each carrying a 16-run vector (the cap) read exactly
+    and JOIN-FREE through two scan operators (5 + 3 files at 96
+    units) — under r15's fixed-32-leaf chunking this shape was one
+    ~144-unit method; heavier mixes degraded measurably."""
+    lake.create("t", SCHEMA, ["part"], [])
+    for i in range(8):
+        lake.insert(
+            "t", _batch(spark, i * 5_000, (i + 1) * 5_000, i).coalesce(1)
+        )
+    # 5000 rows/file in insert order, runs of 10 every 320 row
+    # indexes -> 15-16 runs per file depending on phase (5000/320 =
+    # 15.6 periods); every file weighs 17-18 units so the greedy
+    # grouping is 5 + 3 files either way
+    lake.delete_where("t", (F.col("k") % 320) < 10, mode="dv")
+    m = lake._load_meta("t")
+    routing = lake._dv_file_routing(m)
+    per_file = [v for v in routing.values() if v[0] == "range"]
+    assert len(per_file) == 8 and all(
+        15 <= len(v[1]) <= 16 for v in per_file
+    ), routing
+    df = lake.table("t")
+    assert df.count() == 40_000 - spark.range(40_000).filter(
+        (F.col("id") % 320) < 10
+    ).count()
+    got = sorted(r.k for r in df.filter(F.col("k") < 1000).collect())
+    assert got == [k for k in range(1000) if k % 320 >= 10]
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+    assert plan.count("FileScan parquet") == 2, plan
+
+
 def test_pruned_reader_plan_memo_reuses_and_invalidates(lake, spark):
     """r15: the PRUNED readers (_read_rels — CDC's backbone — and
     scan()'s kept-set build) join the content-addressed plan memo.
