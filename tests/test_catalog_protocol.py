@@ -1421,3 +1421,35 @@ def test_concurrent_append_and_compact_stress(lake, spark, slow_path_only):
     assert rows == want, "rows lost or duplicated under append/compact race"
     meta = lake._load_meta("events")
     assert meta.live_deltas == [] and meta.dirty_partitions == []
+
+
+def test_fs_os_fast_paths_agree_with_hadoop(lake, tmp_path):
+    """r16: `mkdirs`/`exists` gained os-level file-scheme fast paths
+    and `_local_path` returns plain paths without the JVM round-trip
+    (profiled at ~70% of a 128-leaf arrow fast insert's wall). The
+    fast paths must agree with the Hadoop FileSystem they shadow —
+    including on the hostile names hive escaping produces — and a
+    file in mkdirs' way must fall through so the error shape stays
+    Hadoop's."""
+    fs = lake.fs
+    base = str(tmp_path / "fsagree")
+    for rel in ["plain", "sp ace", "pct%25", "uni-é", "eq=v", ".hidden"]:
+        d = f"{base}/{rel}"
+        assert not fs.exists(d)
+        fs.mkdirs(d)
+        assert fs.exists(d)
+        # the JVM-side view agrees the exact same path exists
+        assert fs._fs.exists(fs._Path(d))
+        fs.mkdirs(d)  # idempotent, like Hadoop's
+    # _local_path: a plain path IS the OS path (no JVM traffic); the
+    # file:-URI form keeps the Hadoop parse and lands on the same spot
+    p = f"{base}/sp ace"
+    assert fs._local_path(p) == p
+    assert fs._local_path("file:" + p) == p
+    # a FILE in the way: the os fast path steps aside and the Hadoop
+    # error shape (an exception, not silent success) comes through
+    f = f"{base}/plain/somefile"
+    fs.write_text(f, "x")
+    with pytest.raises(Exception):
+        fs.mkdirs(f"{f}/child")
+    assert not fs.exists(f"{f}/child")
