@@ -79,6 +79,34 @@ def word_shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> Data
     )
 
 
+def hashed_word_shingles(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3
+) -> DataFrame:
+    """(id, sh_h) rows — the xxhash64 of each distinct word n-gram per
+    document, WITHOUT ever materializing the shingle string (r16, guide
+    §1.2 per-task work): the hash is computed directly from the n token
+    slots inside the transform lambda (multi-arg xxhash64 folds each
+    token into the running hash — tokens are space-free, so the triple
+    is as collision-unique as the joined string), and ``array_distinct``
+    then deduplicates 8-byte longs instead of strings. For consumers
+    that only need shingle IDENTITY (jaccard_pairs joins/counts on the
+    hash anyway) this skips, per shingle: one concat_ws string
+    allocation, the string dedup, the string explode traffic, and the
+    separate hash projection. Measured at sf0.1 (interleaved min-of-4):
+    q46 2.79 s vs 4.45 s with the string path — identical output pairs.
+    Collision note: dedup moves from distinct-strings to distinct-longs,
+    so a 64-bit in-document collision would merge two shingles — the
+    same ~(n_distinct)²/2⁶⁵ regime the hash join below already accepts.
+    """
+    toks = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("_w"))
+    w = F.col("_w")
+    idx = F.sequence(F.lit(1), F.size(w) - (n - 1))
+    gram = lambda i: F.xxhash64(*[F.element_at(w, i + j) for j in range(n)])  # noqa: E731
+    arr = F.array_distinct(F.transform(idx, gram))
+    arr = F.when(F.size(w) >= n, arr).otherwise(F.array().cast("array<bigint>"))
+    return toks.select(F.col(id_col), F.explode(arr).alias("sh_h"))
+
+
 # universal-hash family for MinHash permutations: h_i = (a_i·h + b_i) mod p
 # over a 28-bit md5-derived base hash. p = 2^31−1 (prime); a_i·h ≤ 2^61 so
 # the product never overflows signed int64 in any engine. Coefficients are
@@ -339,13 +367,14 @@ def jaccard_pairs(
     residency per call. Call ``release_shingle_caches()`` when done to
     drop the last one too (bench/correctness sweeps do).
     """
-    # join on xxhash64(shingle) instead of the shingle string: 8-byte keys
-    # shrink the shuffle ~3× and compare faster. A 64-bit collision would
-    # miscount an intersection with probability ~(n_distinct)²/2⁶⁵ —
-    # ~1e-10 at millions of shingles — far below fp noise elsewhere.
-    sh = word_shingles(df, text_col, id_col, shingle_n).select(
-        F.col(id_col), F.xxhash64("shingle").alias("sh_h")
-    )
+    # join on the xxhash64 of the shingle instead of the shingle string:
+    # 8-byte keys shrink the shuffle ~3× and compare faster. A 64-bit
+    # collision would miscount an intersection with probability
+    # ~(n_distinct)²/2⁶⁵ — ~1e-10 at millions of shingles — far below fp
+    # noise elsewhere. r16: the hash is computed INSIDE the shingle
+    # transform (hashed_word_shingles) so the string is never built —
+    # ~1.6× on the whole query at sf0.1, identical output.
+    sh = hashed_word_shingles(df, text_col, id_col, shingle_n)
     # The ranked relation feeds candidate generation AND both verify
     # sides. The branches apply different projections/filters before
     # their exchanges, so Catalyst's ReuseExchange does NOT fire and the
@@ -423,6 +452,15 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFr
     """SimHash fingerprint over whitespace tokens (occurrence-weighted).
 
     One groupBy with ``bits`` conditional aggregates — no row blowup.
+
+    r16 dead end, measured and NOT taken: packing the per-bit ±1 sums as
+    two 32-bit lane counters per long (bits/2 + 1 aggregate buffers, md5
+    projected once below the aggregate, bit_b set iff 2·count_b > n)
+    produced identical fingerprints but no win — interleaved min-of-6 at
+    sf0.1 twice: 0.73/0.78 s original vs 0.77/0.88 s packed. Whole-stage
+    codegen's subexpression elimination already evaluates the md5 once
+    per row across all 32 aggregate expressions, and the halved buffer
+    count is repaid by the unpack projection, so the simpler plan stays.
     """
     toks = df.select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok"))
     h = hash32(F.col("tok"))

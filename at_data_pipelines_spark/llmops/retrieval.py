@@ -51,20 +51,23 @@ def bm25_per_term(
         F.split(F.col(text_col), r"\s+"), lambda t: t != F.lit("")
     )
     base = docs.select(F.col(id_col).alias("doc_id"), toks.alias("_toks"))
-    dl = base.select("doc_id", F.size("_toks").alias("dl"))
-    corpus = dl.agg(
+    corpus = base.select(F.size("_toks").alias("dl")).agg(
         F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
     )
+    # r16 (guide §2.4): dl rides ALONG with the postings through the
+    # explode and the tf aggregate (max of a per-doc constant) instead of
+    # being recomputed by a separate tokenize pass and attached with a
+    # join — one less full tokenize of the corpus and one less join
+    # (0.93 s vs 1.10 s at sf0.1, interleaved min-of-4; the plan drops
+    # from 4 corpus scans to 3 — postings, df re-derivation, corpus avg).
     postings = base.select(
-        "doc_id", F.explode("_toks").alias("term")
+        "doc_id", F.size("_toks").alias("dl"), F.explode("_toks").alias("term")
     ).filter(F.col("term").isin(list(query_terms)))
-    tf = postings.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
-    scored = (
-        tf.join(F.broadcast(dfreq), "term")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(corpus))
+    tf = postings.groupBy("doc_id", "term").agg(
+        F.count("*").alias("tf"), F.max("dl").alias("dl")
     )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = tf.join(F.broadcast(dfreq), "term").crossJoin(F.broadcast(corpus))
     idf = F.log(
         F.lit(1.0)
         + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))

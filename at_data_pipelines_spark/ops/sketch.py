@@ -122,11 +122,20 @@ def cms_build(
     Estimates only ever OVER-count (collisions add), by ≤ n·e/w with
     probability 1-e^-d. Like the KMV sketch, the hashes are md5-derived
     SQL expressions, so an external engine reproduces the sketch and
-    its estimates bit-for-bit (the oracle for q68)."""
-    cells = df.select(
-        F.explode(_cms_cells(value_col, d, w, salt)).alias("c")
-    ).select("c.row", "c.col")
-    return cells.groupBy("row", "col").agg(F.count(F.lit(1)).alias("cnt"))
+    its estimates bit-for-bit (the oracle for q68).
+
+    r16 (guide §2.3, aggregate before you explode): frequencies are
+    pre-aggregated per VALUE first — a cheap partial-agg count — and the
+    d md5 cells are computed once per distinct value with the count as
+    the weight, instead of d md5+concat evaluations per input ROW. The
+    summed sketch is identical (Σ per-cell of per-value counts); at
+    sf0.1 q68 measured 0.65 s vs 1.03 s (interleaved min-of-4), and at
+    corpus scale the md5 bill drops from d·|rows| to d·|distinct|."""
+    counts = df.groupBy(value_col).agg(F.count(F.lit(1)).alias("_c"))
+    cells = counts.select(
+        F.col("_c"), F.explode(_cms_cells(value_col, d, w, salt)).alias("c")
+    ).select("_c", "c.row", "c.col")
+    return cells.groupBy("row", "col").agg(F.sum("_c").alias("cnt"))
 
 
 def cms_estimate(

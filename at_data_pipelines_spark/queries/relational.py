@@ -149,7 +149,12 @@ def q03_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     l = load_table(spark, sf_dir, "lineitem")
     dt = o.schema["o_orderdate"].dataType
-    o = o.filter(F.col("o_orderdate") < F.lit("1999-03-15").cast(dt))
+    # r16 (guide §3.1): the date filter keeps ~97% of orders, so the
+    # auto-broadcast of the filtered side was a ~145k-row driver-built
+    # hashed relation (0.60 s vs 0.45 s interleaved min-of-4) — and a
+    # shape that cannot broadcast at 100 TB. Shuffled-hash builds the
+    # per-partition tables in parallel instead.
+    o = o.filter(F.col("o_orderdate") < F.lit("1999-03-15").cast(dt)).hint("shuffle_hash")
     l = l.filter(F.col("l_shipdate") > F.lit("1999-03-15").cast(l.schema["l_shipdate"].dataType))
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
@@ -179,11 +184,18 @@ def q03_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q04_priority_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     l = load_table(spark, sf_dir, "lineitem")
+    # r16 (guide §3.1): without the hint the planner broadcasts the
+    # PROJECTED lineitem side (~600k rows at sf0.1) — a single-threaded
+    # driver-side hashed-relation build that dominated the query (0.78 s
+    # vs 0.48 s, interleaved min-of-4), and a plan that cannot exist at
+    # 100 TB (lineitem is the fact table). A shuffled-hash semi join
+    # builds per-partition hash tables in parallel and is the strategy a
+    # cluster-scale planner would need anyway.
     cond = (l.l_orderkey == o.o_orderkey) & (
         l.l_shipdate > o.o_orderdate + F.expr("INTERVAL 60 DAYS")
     )
     return (
-        o.join(l, cond, "left_semi")
+        o.join(l.hint("shuffle_hash"), cond, "left_semi")
         .groupBy("o_orderpriority")
         .agg(F.count("*").alias("order_count"))
     )

@@ -132,17 +132,45 @@ def ewm_mean(
     Recursive scan — not expressible as a bounded Spark window frame, so it
     runs as an Arrow-batched grouped-map UDF (pandas ``ewm``, which matches
     Polars adjust=True semantics). One shuffle on the entity key.
+
+    r16 (guide §4.5 amortization): groups are BATCHED by a hash bucket of
+    the entity key — one ``applyInPandas`` call per bucket, with pandas'
+    vectorized ``groupby(...).ewm()`` (one cython kernel over all groups in
+    the batch) replacing one Python invocation + sort + ewm per ENTITY.
+    Values are identical (same per-group row order, same kernel); q28 at
+    sf0.1 measured 0.72 s vs 0.91 s min and 6.7 s vs 11.5 s median under
+    host pressure (interleaved min-of-4) — the per-group Python overhead,
+    not the math, was the cost. Buckets (4× the shuffle parallelism) keep
+    every core busy while bounding the per-task pandas frame.
     """
-    schema = T.StructType(df.schema.fields + [T.StructField(out_col, T.DoubleType())])
+    parts = list(partition_cols)
     order = list(order_cols)
     value = value_col
+    schema = T.StructType(
+        [T.StructField("_ewm_b", T.LongType())]
+        + df.schema.fields
+        + [T.StructField(out_col, T.DoubleType())]
+    )
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(order)
-        pdf[out_col] = pdf[value].ewm(halflife=halflife, adjust=True, ignore_na=True).mean()
+        pdf = pdf.sort_values(parts + order)
+        # dropna=False: a NULL entity key is a group in Spark's groupBy and
+        # must stay one here (pandas drops NaN keys by default)
+        g = pdf.groupby(parts, sort=False, dropna=False)[value]
+        res = g.ewm(halflife=halflife, adjust=True, ignore_na=True).mean()
+        pdf[out_col] = res.droplevel(list(range(len(parts))))
         return pdf
 
-    return _grouped_apply(df, list(partition_cols), fn, schema)
+    spark = df.sparkSession
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    bucket = F.pmod(F.xxhash64(*parts), F.lit(n * 4))
+    return (
+        df.withColumn("_ewm_b", bucket)
+        .repartition(n, "_ewm_b")
+        .groupBy("_ewm_b")
+        .applyInPandas(fn, schema)
+        .drop("_ewm_b")
+    )
 
 
 def _grouped_apply(df: DataFrame, partition_cols: list, fn, schema) -> DataFrame:
