@@ -37,6 +37,7 @@ from __future__ import annotations
 
 import glob
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -96,8 +97,35 @@ def _normalize_events_ts(df: DataFrame, kind: str) -> DataFrame:
     return df.withColumn("ts", F.timestamp_micros(F.col("ts_us")))
 
 
+# r16 (guide §6, metadata only — NOT a result cache): building a fresh
+# parquet reader costs a file listing + a driver footer read per call
+# (130-220 ms measured over py4j on the r16 host), and every query builder
+# re-pays it for every table on every run — 25 load_table calls across the
+# 16 headline queries. The resolved *logical plan* is memoized per
+# SparkSession (weak — a stopped session drops its entry) keyed on the
+# file's (path, mtime, size), the same content-addressed-plan class as
+# catalog._plan_memo: every action on the returned DataFrame still scans
+# the parquet input in full, nothing row-shaped is ever stored.
+_READER_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
+def _table_stamp(path: str) -> tuple:
+    try:
+        st = os.stat(path)
+        return (st.st_mtime_ns, st.st_size)
+    except OSError:
+        return (-1, -1)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = f"{sf_dir}/{name}.parquet"
+    key = (path, _table_stamp(path))
+    memo = _READER_MEMO.setdefault(spark, {})
+    df = memo.get(key)
+    if df is not None:
+        return df
     if name == "events":
         kind = events_ts_kind(path)
         if kind == "ns":
@@ -105,5 +133,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # for legacy TIMESTAMP(NANOS) files, which Spark can't read
             # natively any other way
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        return _normalize_events_ts(spark.read.parquet(path), kind)
-    return spark.read.parquet(path)
+        df = _normalize_events_ts(spark.read.parquet(path), kind)
+    else:
+        df = spark.read.parquet(path)
+    memo[key] = df
+    return df
