@@ -3609,11 +3609,22 @@ class Lakehouse:
 
         Shape matters at wide ingests: a single-key rel set becomes ONE
         ``isin`` (Catalyst's In/InSet — constant plan depth, hashed
-        lookup past 10 values), and the multi-key fallback ORs the
-        per-rel conjunctions as a BALANCED tree. The original left-deep
-        ``a|b|c|...`` chain overflowed the JVM thread stack in the
-        recursive column-node conversion around ~500 dirty partitions —
-        a day's ingest footprint at 100 TB, not an edge case."""
+        lookup past 10 values), and a multi-key rel set becomes ONE
+        ``named_struct(keys...) IN (struct literals...)`` expression,
+        built as a single SQL string and parsed once (r17, guide §5
+        driver work: the r10-r16 shape built per-rel conjunctions
+        through ~9 py4j round-trips each and OR-folded them into a
+        3·|rels|-node tree — at 4k dirty partitions that was ~36k py4j
+        calls plus a six-figure-node Catalyst optimization, ~170 s of
+        pure driver time for one predicate; the IN form is one parse,
+        one InSet conversion, constant plan depth at any width). Rels
+        containing the null/empty sentinel can't use plain struct
+        equality (NULL never equals) and keep the conjunction fallback —
+        they are bounded by the null-combination count, not the ingest
+        width. The original left-deep ``a|b|c|...`` chain overflowed the
+        JVM thread stack in the recursive column-node conversion around
+        ~500 dirty partitions — a day's ingest footprint at 100 TB, not
+        an edge case."""
         rels = list(rels)
         keys = meta.partition_keys
         if len(keys) == 1 and rels:
@@ -3627,12 +3638,45 @@ class Lakehouse:
                 nullc = F.col(k).isNull() | (F.col(k).cast("string") == F.lit(""))
                 cond = nullc if cond is None else (cond | nullc)
             return cond
-        conds = []
+
+        def _sql_str(v: str) -> str:
+            # Spark SQL string literal: escape backslash and single quote
+            return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+        plain_tuples: list[list[str]] = []
+        fallback_rels: list[list[tuple[str, str | None]]] = []
         for rel in rels:
-            cond = F.lit(True)
+            comps = []
             for comp in rel.split("/"):
                 k, _, raw = comp.partition("=")
-                v = _unescape_partition_value(raw)
+                comps.append((k, _unescape_partition_value(raw)))
+            if (
+                len(comps) == len(keys)
+                and all(k == mk for (k, _), mk in zip(comps, keys))
+                and all(v is not None for _, v in comps)
+            ):
+                plain_tuples.append([v for _, v in comps])
+            else:
+                fallback_rels.append(comps)
+        conds = []
+        if plain_tuples:
+            lhs = (
+                "named_struct("
+                + ", ".join(f"'{k}', cast(`{k}` as string)" for k in keys)
+                + ")"
+            )
+            lits = ", ".join(
+                "named_struct("
+                + ", ".join(
+                    f"'{k}', {_sql_str(v)}" for k, v in zip(keys, tup)
+                )
+                + ")"
+                for tup in plain_tuples
+            )
+            conds.append(F.expr(f"{lhs} IN ({lits})"))
+        for comps in fallback_rels:
+            cond = F.lit(True)
+            for k, v in comps:
                 if v is None:
                     # null and empty string share the sentinel directory
                     c = F.col(k).isNull() | (F.col(k).cast("string") == F.lit(""))

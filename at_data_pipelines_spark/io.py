@@ -119,6 +119,19 @@ def _table_stamp(path: str) -> tuple:
         return (-1, -1)
 
 
+# r17 negative result, measured and NOT shipped: the driver test files are
+# single-row-group parquet (unsplittable — every scan is one task), and
+# guide §2.5's "repartition immediately after the read" was A/B'd as a
+# load_table option (repartition(defaultParallelism) for files ≥ 256 KiB).
+# It parallelized the scan-side compute but LOST across the board at sf0.1
+# (headline total ~11.4 s → ~14 s; q01 0.50→0.76, q03 0.43→1.00,
+# q28 0.68→2.13): with 32 cores and sub-second queries, the extra exchange
+# is a stage barrier + AQE planning round per query that costs more than
+# the single-task compute it spreads. At a real multi-file scale the scan
+# splits by file/row-group anyway, so the rewrite has no production story
+# either.
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = f"{sf_dir}/{name}.parquet"
     key = (path, _table_stamp(path))

@@ -79,16 +79,27 @@ def word_shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> Data
     )
 
 
+def _hashed_shingle_set_col(w: Column, n: int) -> Column:
+    """Array of the DISTINCT xxhash64 shingle hashes of a token-array
+    column — the set representation of a document's word n-grams, built
+    entirely inside one projection (no explode, no shuffle). The hash is
+    computed directly from the n token slots inside the transform lambda
+    (multi-arg xxhash64 folds each token into the running hash — tokens
+    are space-free, so the triple is as collision-unique as the joined
+    string), and ``array_distinct`` deduplicates 8-byte longs instead of
+    strings."""
+    idx = F.sequence(F.lit(1), F.size(w) - (n - 1))
+    gram = lambda i: F.xxhash64(*[F.element_at(w, i + j) for j in range(n)])  # noqa: E731
+    arr = F.array_distinct(F.transform(idx, gram))
+    return F.when(F.size(w) >= n, arr).otherwise(F.array().cast("array<bigint>"))
+
+
 def hashed_word_shingles(
     df: DataFrame, text_col: str, id_col: str, n: int = 3
 ) -> DataFrame:
     """(id, sh_h) rows — the xxhash64 of each distinct word n-gram per
     document, WITHOUT ever materializing the shingle string (r16, guide
-    §1.2 per-task work): the hash is computed directly from the n token
-    slots inside the transform lambda (multi-arg xxhash64 folds each
-    token into the running hash — tokens are space-free, so the triple
-    is as collision-unique as the joined string), and ``array_distinct``
-    then deduplicates 8-byte longs instead of strings. For consumers
+    §1.2 per-task work): see ``_hashed_shingle_set_col``. For consumers
     that only need shingle IDENTITY (jaccard_pairs joins/counts on the
     hash anyway) this skips, per shingle: one concat_ws string
     allocation, the string dedup, the string explode traffic, and the
@@ -97,13 +108,20 @@ def hashed_word_shingles(
     Collision note: dedup moves from distinct-strings to distinct-longs,
     so a 64-bit in-document collision would merge two shingles — the
     same ~(n_distinct)²/2⁶⁵ regime the hash join below already accepts.
-    """
+
+    The array expression is placed INSIDE the explode select on purpose
+    (r17): exploding it as a named column from an intermediate select
+    trips ``InferFiltersFromGenerate`` — Catalyst infers a
+    ``size(child) > 0`` filter on the generator's child, pushes it below
+    the projection, and the pushdown inlines ``split(text)`` into every
+    ``element_at`` of the re-materialized array expression (the same
+    O(len²)-per-document trap documented on ``word_shingle_array``),
+    re-evaluating the whole shingle array twice per row in an
+    interpreted Filter. Measured at sf0.1: 0.80 s direct vs 9.4 s via
+    the intermediate select — identical output. Generator-embedded
+    expressions are exempt from that inference rule."""
     toks = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("_w"))
-    w = F.col("_w")
-    idx = F.sequence(F.lit(1), F.size(w) - (n - 1))
-    gram = lambda i: F.xxhash64(*[F.element_at(w, i + j) for j in range(n)])  # noqa: E731
-    arr = F.array_distinct(F.transform(idx, gram))
-    arr = F.when(F.size(w) >= n, arr).otherwise(F.array().cast("array<bigint>"))
+    arr = _hashed_shingle_set_col(F.col("_w"), n)
     return toks.select(F.col(id_col), F.explode(arr).alias("sh_h"))
 
 
@@ -124,16 +142,45 @@ def minhash_coefficients(num_hashes: int, seed: int = 42) -> list[tuple[int, int
     ]
 
 
+def minhash_base_hashes(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3
+) -> DataFrame:
+    """(id, h) rows — the distinct 28-bit md5-derived MinHash base hashes
+    of each document's word n-grams, computed INSIDE the transform lambda
+    (r17, guide §1.2 per-task work / §2.3 shuffle fewer bytes): the
+    oracle-pinned ``conv(substr(md5(shingle),1,7),16,10)`` is evaluated
+    per token window, so the shingle string lives only as a transient
+    ``concat_ws`` argument — never materialized into an array of strings,
+    never string-deduplicated, never exploded as string rows. Dedup runs
+    on the LONG base hash instead of the shingle string, which is exactly
+    output-equivalent for MinHash: every permutation ``(a·h+b) mod p`` is
+    a function of h alone, so shingles sharing h contribute identical min
+    terms and the min over the distinct-h set equals the min over the
+    distinct-string multiset."""
+    toks = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("_w"))
+    w = F.col("_w")
+    idx = F.sequence(F.lit(1), F.size(w) - (n - 1))
+    gram = lambda i: F.conv(  # noqa: E731
+        F.substring(
+            F.md5(F.concat_ws(" ", *[F.element_at(w, i + j) for j in range(n)])), 1, 7
+        ),
+        16,
+        10,
+    ).cast("long")
+    arr = F.array_distinct(F.transform(idx, gram))
+    arr = F.when(F.size(w) >= n, arr).otherwise(F.array().cast("array<bigint>"))
+    return toks.select(F.col(id_col), F.explode(arr).alias("h"))
+
+
 def minhash_signatures(
     df: DataFrame, text_col: str, id_col: str, num_hashes: int = 8, shingle_n: int = 3
 ) -> DataFrame:
     """MinHash signature per document: mh_i = MIN over shingles of
     (a_i·h(shingle) + b_i) mod p. ONE md5 per shingle + k cheap integer
     permutations (k separate salted md5s would dominate the runtime),
-    aggregated in a single groupBy pass."""
-    sh = word_shingles(df, text_col, id_col, shingle_n)
-    base = F.conv(F.substring(F.md5(F.col("shingle")), 1, 7), 16, 10).cast("long")
-    sh = sh.select(F.col(id_col), base.alias("h"))
+    aggregated in a single groupBy pass over the in-lambda base hashes
+    (``minhash_base_hashes`` — no shingle string ever materialized)."""
+    sh = minhash_base_hashes(df, text_col, id_col, shingle_n)
     aggs = [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"mh_{i}")
         for i, (a, b) in enumerate(minhash_coefficients(num_hashes))
@@ -421,6 +468,20 @@ def jaccard_pairs(
     # rarity sort that only candidate generation uses). Same values,
     # ~half the work per verify branch; with persist on, both verify
     # sides read the one cached ranked materialization as before.
+    #
+    # r17 dead end, measured and NOT taken (guide §1.2 "a fresh
+    # implementation of the ideal plan is usually slower at first"):
+    # joining the candidates to each doc's whole shingle-hash SET (one
+    # array row per doc, map-side, |a∩b| = one codegen array_intersect
+    # per pair — no verify windows, no fan-out rows, no re-aggregation)
+    # produced identical output and a strictly simpler plan, but under
+    # the driver's fresh-JVM 2-warmup/min-of-3 protocol it measured
+    # 2.47-2.53 s vs 1.93-2.30 s for this shape (3 alternating fresh
+    # sessions each) — the array-building broadcast jobs and extra
+    # codegen units cost more wall at sf0.1 than the removed operators,
+    # and warm-session A/B was flat. The exploded-verify shape stays;
+    # the set-array shape is the right one only when verify input is
+    # large relative to fixed per-stage latency.
     if persist_shingles:
         ver = rel
     else:

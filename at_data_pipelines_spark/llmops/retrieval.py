@@ -51,23 +51,43 @@ def bm25_per_term(
         F.split(F.col(text_col), r"\s+"), lambda t: t != F.lit("")
     )
     base = docs.select(F.col(id_col).alias("doc_id"), toks.alias("_toks"))
-    corpus = base.select(F.size("_toks").alias("dl")).agg(
-        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    # r17 (guide §2.4, remove a whole pass): the per-term document
+    # frequencies ride the corpus-stats aggregate — df(term) = number of
+    # docs whose token array contains the term, exactly the count of
+    # (doc, term) groups with tf >= 1 that the r16 plan re-derived by
+    # re-tokenizing the whole corpus in a separate dfreq branch (Catalyst
+    # can't reuse the tf exchange across the branches: column pruning
+    # makes the subtrees non-identical, so the before-plan shows 3 full
+    # corpus scans). One conditional count per query term in the stats
+    # pass is a few array_contains per doc inside codegen; the plan drops
+    # to 2 corpus scans (postings + stats) and the dfreq broadcast JOIN
+    # disappears — the df values arrive on the same 1-row broadcast as
+    # n_docs/avgdl and are selected per posting by a term CASE.
+    corpus = base.agg(
+        F.count("*").alias("n_docs"),
+        F.avg(F.size("_toks")).alias("avgdl"),
+        *[
+            F.count(F.when(F.array_contains("_toks", F.lit(t)), F.lit(1))).alias(
+                f"_df{i}"
+            )
+            for i, t in enumerate(query_terms)
+        ],
     )
     # r16 (guide §2.4): dl rides ALONG with the postings through the
     # explode and the tf aggregate (max of a per-doc constant) instead of
     # being recomputed by a separate tokenize pass and attached with a
-    # join — one less full tokenize of the corpus and one less join
-    # (0.93 s vs 1.10 s at sf0.1, interleaved min-of-4; the plan drops
-    # from 4 corpus scans to 3 — postings, df re-derivation, corpus avg).
+    # join — one less full tokenize of the corpus and one less join.
     postings = base.select(
         "doc_id", F.size("_toks").alias("dl"), F.explode("_toks").alias("term")
     ).filter(F.col("term").isin(list(query_terms)))
     tf = postings.groupBy("doc_id", "term").agg(
         F.count("*").alias("tf"), F.max("dl").alias("dl")
     )
-    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
-    scored = tf.join(F.broadcast(dfreq), "term").crossJoin(F.broadcast(corpus))
+    scored = tf.crossJoin(F.broadcast(corpus))
+    dfc = F.when(F.col("term") == query_terms[0], F.col("_df0"))
+    for i, t in enumerate(query_terms[1:], start=1):
+        dfc = dfc.when(F.col("term") == t, F.col(f"_df{i}"))
+    scored = scored.withColumn("df", dfc)
     idf = F.log(
         F.lit(1.0)
         + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))

@@ -66,10 +66,21 @@ def kmv_distinct(
         raise ValueError(f"k must be >= 2, got {k}")
     # NULL values are not counted as a distinct value (SQL COUNT(DISTINCT)
     # semantics) — and a NULL hash would sort before every real hash and
-    # corrupt the k-th-smallest statistic
+    # corrupt the k-th-smallest statistic.
+    # r17 (guide §2.3, the same aggregate-before-the-expensive-expression
+    # move as cms_build): dedup the RAW (group, value) pairs first — a
+    # plain shuffle with map-side partial dedup of narrow native values —
+    # and evaluate the md5 uniform hash once per DISTINCT pair instead of
+    # once per input row (at corpus scale the md5 bill drops from |rows|
+    # to |distinct pairs|). The second distinct on (group, u) preserves
+    # the sketch's exact semantics (the oracle dedups on u, so a 48-bit
+    # hash collision between two values must still collapse to one row);
+    # it runs on already-deduped pairs, so its partial agg is ~free.
     hashed = (
-        df.select(*group_cols, uniform_hash(value_col).alias("_u"))
-        .filter(F.col("_u").isNotNull())
+        df.select(*group_cols, F.col(value_col).alias("_v"))
+        .filter(F.col("_v").isNotNull())
+        .distinct()
+        .select(*group_cols, uniform_hash(F.col("_v")).alias("_u"))
         .distinct()
     )
     w = W.partitionBy(*group_cols).orderBy("_u")
