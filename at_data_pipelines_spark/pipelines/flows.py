@@ -199,9 +199,17 @@ def factor_model_flow(lake: Lakehouse, cfg: PipelineConfig) -> None:
     wide = _etf_returns_wide(lake, cfg)
     # 5-column wide side: always broadcast (J7)
     joined = sr.join(F.broadcast(wide), "date").na.drop()
+    # r17 (guide §5 caching/lineage): the OLS output feeds TWO sinks
+    # (loadings and idio_vol) committed as separate actions, so the
+    # whole join+Arrow+numpy kernel stage executed twice per flow run.
+    # A lazy localCheckpoint materializes it once at the first upsert
+    # and the second branch reads the checkpointed partitions — a
+    # per-run ephemeral intermediate (freed with the DataFrame), not a
+    # cross-run cache. Values are byte-identical: the checkpoint only
+    # pins the rows the branches already computed.
     ols = rolling_ols_grouped(
         joined, "return", cfg.factors, cfg.window, "ticker", "date", coef_prefix="B_"
-    )
+    ).localCheckpoint(eager=False)
     # loadings: wide→long, strip the B_ prefix (reference F9 replace map)
     loadings = ols.select(
         "ticker", "date", *[F.col(f"B_{f}").alias(f) for f in cfg.factors]
@@ -464,21 +472,63 @@ def daily_returns_flow(
     return True
 
 
+def _run_stage_groups(groups: list[list[tuple[str, object]]], clock=None) -> None:
+    """Run the DAG's independent stage groups with overlap (guide §2.6):
+    stages inside one group have no data dependency on each other — their
+    tables are disjoint — so they are submitted from a small driver
+    thread pool and Spark schedules their jobs concurrently (FIFO
+    back-fill: the next stage's tasks fill executors freed by the
+    current stage's tail). Groups are barriers: a group only starts once
+    every stage of the previous group committed, which is exactly the
+    write→read dependency order of the sequential DAG (reversal reads
+    idio_vol from factor_model; betas reads benchmark_returns from
+    benchmark). With one writer per table the lakehouse commits never
+    conflict; concurrent commits to DISTINCT tables are independent
+    manifests (the protocol tests drive the harder same-table case).
+    Exceptions propagate from the failing stage exactly as in the
+    sequential order. ``clock(name, fn)`` wraps each stage for the
+    bench's per-stage breakdown — with overlap the per-stage walls sum
+    to more than the group wall (each clock measures its own span)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    run = clock if clock is not None else (lambda _n, fn: fn())
+    for group in groups:
+        if len(group) == 1:
+            name, fn = group[0]
+            run(name, fn)
+            continue
+        with ThreadPoolExecutor(max_workers=len(group)) as pool:
+            futures = [pool.submit(run, name, fn) for name, fn in group]
+            for f in futures:
+                f.result()
+
+
 def run_backfill(lake: Lakehouse, fixtures: dict[str, DataFrame], cfg: PipelineConfig) -> None:
-    """Full-history replay in the reference DAG order
-    (pipelines/__main__.py:25-37, backfill_flow :41-51)."""
+    """Full-history replay of the reference DAG
+    (pipelines/__main__.py:25-37, backfill_flow :41-51). Ingest and
+    returns are sequential prerequisites; the derived stages run as
+    overlapped independent groups (see ``_run_stage_groups``) with the
+    same write→read order the sequential replay had."""
     create_all_tables(lake)
     calendar_flow(lake, fixtures["calendar"])
     universe_flow(lake, fixtures["universe"])
     stock_prices_flow(lake, fixtures["stock_bars"])
     etf_prices_flow(lake, fixtures["etf_bars"])
     returns_flow(lake, cfg)
-    factor_model_flow(lake, cfg)
-    factor_covariances_flow(lake, cfg)
-    reversal_flow(lake, cfg)
-    benchmark_flow(lake, cfg)
-    betas_flow(lake, cfg)
-    portfolio_weights_flow(lake, cfg)
+    _run_stage_groups(
+        [
+            [
+                ("factor_model", lambda: factor_model_flow(lake, cfg)),
+                ("factor_cov", lambda: factor_covariances_flow(lake, cfg)),
+                ("benchmark", lambda: benchmark_flow(lake, cfg)),
+            ],
+            [
+                ("reversal", lambda: reversal_flow(lake, cfg)),
+                ("betas", lambda: betas_flow(lake, cfg)),
+            ],
+            [("portfolio", lambda: portfolio_weights_flow(lake, cfg))],
+        ]
+    )
 
 
 def run_daily(
@@ -561,12 +611,24 @@ def run_daily(
     # Implemented by running the full-flow plans against warm-filtered
     # inputs via temporary lakehouse reads; the write path filters to the
     # target date before upserting.
-    _clock("factor_model", lambda: _daily_factor_model(lake, cfg, warm, emit))
-    _clock("factor_cov", lambda: _daily_factor_covariances(lake, cfg, warm, emit))
-    _clock("reversal", lambda: _daily_reversal(lake, cfg, warm, emit))
-    _clock("benchmark", lambda: _daily_benchmark(lake, cfg, warm, emit))
-    _clock("betas", lambda: _daily_betas(lake, cfg, warm, emit))
-    _clock("portfolio", lambda: _daily_portfolio(lake, cfg, emit))
+    # same dependency groups as run_backfill (guide §2.6 overlap):
+    # reversal needs factor_model's idio_vol, betas needs benchmark's
+    # benchmark_returns, portfolio needs everything
+    _run_stage_groups(
+        [
+            [
+                ("factor_model", lambda: _daily_factor_model(lake, cfg, warm, emit)),
+                ("factor_cov", lambda: _daily_factor_covariances(lake, cfg, warm, emit)),
+                ("benchmark", lambda: _daily_benchmark(lake, cfg, warm, emit)),
+            ],
+            [
+                ("reversal", lambda: _daily_reversal(lake, cfg, warm, emit)),
+                ("betas", lambda: _daily_betas(lake, cfg, warm, emit)),
+            ],
+            [("portfolio", lambda: _daily_portfolio(lake, cfg, emit))],
+        ],
+        clock=_clock,
+    )
     return True
 
 
@@ -575,9 +637,11 @@ def _daily_factor_model(lake, cfg, warm, emit) -> None:
     er = warm(lake.table("etf_returns")).filter(F.col("ticker").isin(cfg.factors))
     wide = er.groupBy("date").pivot("ticker", cfg.factors).agg(F.first("return"))
     joined = sr.join(F.broadcast(wide), "date").na.drop()
+    # lazy localCheckpoint: both daily sinks read one OLS materialization
+    # (see factor_model_flow) — halves the kernel stage per daily run
     ols = rolling_ols_grouped(
         joined, "return", cfg.factors, cfg.window, "ticker", "date", coef_prefix="B_"
-    )
+    ).localCheckpoint(eager=False)
     loadings = ols.select(
         "ticker", "date", *[F.col(f"B_{f}").alias(f) for f in cfg.factors]
     ).unpivot(["ticker", "date"], cfg.factors, "factor", "loading").na.drop(subset=["loading"])
